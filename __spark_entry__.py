@@ -1,38 +1,303 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship bitemporal read at sf0.001.
+``queries()`` — one entry per implemented operator from SURVEY.md §2.
+``oracle_sql()`` — DuckDB-equivalent ANSI SQL per query (same column names).
+
+The bitemporal operators need a ``series_values``-shaped input; both sides
+derive it deterministically from ``events`` (see timedb_spark/io/tables.py,
+SURVEY.md §4) so Spark results and DuckDB oracles are comparable value-for-
+value.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
+from datetime import datetime, timedelta
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from timedb_spark.io.tables import BITEMPORAL_ORACLE_SQL, bitemporal_frame, load_table
+from timedb_spark.operators import bitemporal as bt
+
+_SV = BITEMPORAL_ORACLE_SQL
+
+# ---------------------------------------------------------------------------
+# Bitemporal queries (SURVEY §2a)
+# ---------------------------------------------------------------------------
+
+
+def _q_read_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return bt.latest(bitemporal_frame(spark, sf_dir))
+
+
+def _q_read_overlapping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return bt.overlapping(bitemporal_frame(spark, sf_dir))
+
+
+def _q_read_latest_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return bt.latest_changes(bitemporal_frame(spark, sf_dir))
+
+
+def _q_read_overlapping_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return bt.overlapping_changes(bitemporal_frame(spark, sf_dir))
+
+
+_FILT_SIDS = list(range(0, 200, 3))
+_FILT_START_VALID = datetime(2024, 1, 3)
+_FILT_END_VALID = datetime(2024, 1, 28)
+_FILT_START_KNOWN = datetime(2024, 1, 1, 12)
+
+
+def _q_read_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    scoped = bt.apply_filters(
+        bitemporal_frame(spark, sf_dir),
+        series_ids=_FILT_SIDS,
+        retention=["short", "medium"],
+        start_valid=_FILT_START_VALID,
+        end_valid=_FILT_END_VALID,
+        start_known=_FILT_START_KNOWN,
+    )
+    return bt.latest(scoped)
+
+
+def _q_read_relative(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Intraday auction style: values in each 6h window only from knowledge
+    # available by window_start + 2h (exercises the explicit-params branch).
+    wl, off, sw = bt.resolve_relative_params(
+        window_length=timedelta(hours=6), issue_offset=timedelta(hours=2), start_window=datetime(2024, 1, 1)
+    )
+    return bt.relative_cutoff(bitemporal_frame(spark, sf_dir), window_length=wl, issue_offset=off, start_window=sw)
+
+
+def _meta_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic metadata catalog derived from events' user ids —
+    mirrored by _META_ORACLE below."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(F.col("user_id").alias("series_id")).distinct().select(
+        "series_id",
+        F.concat(F.lit("Grid/Z"), (F.col("series_id") % 5).cast("string"), F.lit("/N"), F.col("series_id").cast("string")).alias("path"),
+        F.when(F.col("series_id") % 2 == 0, "actual").otherwise("forecast").alias("data_type"),
+        F.lit("power").alias("name"),
+        F.when(F.col("series_id") % 3 == 0, "short").otherwise("medium").alias("retention"),
+    )
+
+
+_META_ORACLE = """
+SELECT series_id,
+       'Grid/Z' || CAST(series_id % 5 AS VARCHAR) || '/N' || CAST(series_id AS VARCHAR) AS path,
+       CASE WHEN series_id % 2 = 0 THEN 'actual' ELSE 'forecast' END AS data_type,
+       'power' AS name,
+       CASE WHEN series_id % 3 = 0 THEN 'short' ELSE 'medium' END AS retention
+FROM (SELECT DISTINCT user_id AS series_id FROM events)
+"""
+
+
+def _q_read_meta_scope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sv = bitemporal_frame(spark, sf_dir)
+    meta = _meta_frame(spark, sf_dir)
+    spec = bt.SeriesMeta(root_path="Grid/Z1", data_type="actual")
+    return bt.latest(bt.filter_by_meta(sv, meta, spec))
+
+
+def _q_run_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """read_run_series analogue: dedup (series_id, run_id) keeping the
+    latest first_seen (ReplacingMergeTree semantics, ref client.py:198-214).
+    run_id derived deterministically from event_id."""
+    ev = load_table(spark, sf_dir, "events")
+    rs = ev.select(
+        F.col("user_id").alias("series_id"),
+        (F.col("event_id") % 50).alias("run_id"),
+        F.col("ts").alias("first_seen"),
+    )
+    return rs.groupBy("series_id", "run_id").agg(F.max("first_seen").alias("first_seen"))
+
+
+def _q_write_skip_unchanged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """skip_unchanged=True write-filter semantics (ref write.py:172-233) as a
+    query: 'stored' = events rows with even event_id, 'incoming' = the latest
+    per-key state of odd rows; emit the incoming rows that would be WRITTEN
+    (state differs from stored latest, NaN-safe)."""
+    sv = bitemporal_frame(spark, sf_dir)
+    stored = sv.filter((F.unix_timestamp("change_time") % 2) == 0)
+    incoming = bt.latest(sv.filter((F.unix_timestamp("change_time") % 2) == 1))
+    latest_state = stored.groupBy("series_id", "valid_time").agg(
+        F.max_by("value", F.struct("knowledge_time", "change_time")).alias("stored_value")
+    )
+    j = incoming.join(latest_state, on=["series_id", "valid_time"], how="left")
+    keep = F.col("stored_value").isNull() | ~F.col("value").eqNullSafe(F.col("stored_value"))
+    return j.filter(keep).select("series_id", "valid_time", "value")
+
+
+# ---------------------------------------------------------------------------
+# Contract functions
+# ---------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query: bitemporal latest-state read at sf0.001."""
+    return _q_read_latest(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "bt_read_latest": _q_read_latest,
+        "bt_read_overlapping": _q_read_overlapping,
+        "bt_read_latest_changes": _q_read_latest_changes,
+        "bt_read_overlapping_changes": _q_read_overlapping_changes,
+        "bt_read_filtered": _q_read_filtered,
+        "bt_read_relative": _q_read_relative,
+        "bt_read_meta_scope": _q_read_meta_scope,
+        "bt_run_series": _q_run_series,
+        "bt_write_skip_unchanged": _q_write_skip_unchanged,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "bt_read_latest": f"""
+            WITH sv AS ({_SV})
+            SELECT series_id, valid_time, value FROM (
+                SELECT series_id, valid_time, value,
+                       row_number() OVER (PARTITION BY series_id, valid_time
+                                          ORDER BY knowledge_time DESC, change_time DESC) AS rn
+                FROM sv
+            ) t WHERE rn = 1
+        """,
+        "bt_read_overlapping": f"""
+            WITH sv AS ({_SV})
+            SELECT series_id, knowledge_time, valid_time, value FROM (
+                SELECT series_id, knowledge_time, valid_time, value,
+                       row_number() OVER (PARTITION BY series_id, valid_time, knowledge_time
+                                          ORDER BY change_time DESC) AS rn
+                FROM sv
+            ) t WHERE rn = 1
+        """,
+        "bt_read_latest_changes": f"""
+            WITH sv AS ({_SV}),
+            win AS (
+                SELECT series_id, valid_time, max(knowledge_time) AS mkt
+                FROM sv GROUP BY series_id, valid_time
+            ),
+            chain AS (
+                SELECT s.series_id, s.valid_time, s.change_time, s.value, s.changed_by, s.annotation,
+                       lag(1) OVER w AS first_marker,
+                       lag(s.value) OVER w AS pv,
+                       lag(s.annotation) OVER w AS pa,
+                       lag(s.changed_by) OVER w AS pc
+                FROM sv s
+                JOIN win w ON s.series_id = w.series_id AND s.valid_time = w.valid_time
+                          AND s.knowledge_time = w.mkt
+                WINDOW w AS (PARTITION BY s.series_id, s.valid_time ORDER BY s.change_time)
+            )
+            SELECT series_id, valid_time, change_time, value, changed_by, annotation
+            FROM chain
+            WHERE first_marker IS NULL
+               OR (value IS DISTINCT FROM pv OR annotation IS DISTINCT FROM pa
+                   OR changed_by IS DISTINCT FROM pc)
+        """,
+        "bt_read_overlapping_changes": f"""
+            WITH sv AS ({_SV}),
+            chain AS (
+                SELECT series_id, valid_time, knowledge_time, change_time, value, changed_by, annotation,
+                       lag(1) OVER w AS first_marker,
+                       lag(value) OVER w AS pv,
+                       lag(annotation) OVER w AS pa,
+                       lag(changed_by) OVER w AS pc
+                FROM sv
+                WINDOW w AS (PARTITION BY series_id, knowledge_time, valid_time ORDER BY change_time)
+            )
+            SELECT series_id, valid_time, knowledge_time, change_time, value, changed_by, annotation
+            FROM chain
+            WHERE first_marker IS NULL
+               OR (value IS DISTINCT FROM pv OR annotation IS DISTINCT FROM pa
+                   OR changed_by IS DISTINCT FROM pc)
+        """,
+        "bt_read_filtered": f"""
+            WITH sv AS ({_SV}),
+            scoped AS (
+                SELECT * FROM sv
+                WHERE series_id IN ({", ".join(str(s) for s in _FILT_SIDS)})
+                  AND retention IN ('short', 'medium')
+                  AND valid_time >= TIMESTAMP '2024-01-03 00:00:00'
+                  AND valid_time <  TIMESTAMP '2024-01-28 00:00:00'
+                  AND knowledge_time >= TIMESTAMP '2024-01-01 12:00:00'
+            )
+            SELECT series_id, valid_time, value FROM (
+                SELECT series_id, valid_time, value,
+                       row_number() OVER (PARTITION BY series_id, valid_time
+                                          ORDER BY knowledge_time DESC, change_time DESC) AS rn
+                FROM scoped
+            ) t WHERE rn = 1
+        """,
+        # 6h windows anchored 2024-01-01, issue cutoff = window_start + 2h.
+        # Cutoff epoch arithmetic mirrors bitemporal.relative_cutoff exactly
+        # (whole-second window/offset).
+        "bt_read_relative": f"""
+            WITH sv AS ({_SV}),
+            cut AS (
+                SELECT *,
+                       (epoch_us(TIMESTAMP '2024-01-01 00:00:00')//1000000
+                        + ((epoch_us(valid_time)//1000000 - epoch_us(TIMESTAMP '2024-01-01 00:00:00')//1000000) // 21600) * 21600
+                        + 7200) AS cutoff_s
+                FROM sv
+            ),
+            f AS (SELECT * FROM cut WHERE epoch_us(knowledge_time) <= cutoff_s * 1000000)
+            SELECT series_id, valid_time, value FROM (
+                SELECT series_id, valid_time, value,
+                       row_number() OVER (PARTITION BY series_id, valid_time
+                                          ORDER BY knowledge_time DESC, change_time DESC) AS rn
+                FROM f
+            ) t WHERE rn = 1
+        """,
+        "bt_read_meta_scope": f"""
+            WITH sv AS ({_SV}),
+            meta AS ({_META_ORACLE}),
+            m AS (
+                SELECT * FROM meta
+                WHERE (path = 'Grid/Z1' OR path LIKE 'Grid/Z1/%') AND data_type = 'actual'
+            ),
+            scoped AS (
+                SELECT sv.* FROM sv
+                WHERE sv.series_id IN (SELECT series_id FROM m)
+                  AND sv.retention IN (SELECT DISTINCT retention FROM m)
+            )
+            SELECT series_id, valid_time, value FROM (
+                SELECT series_id, valid_time, value,
+                       row_number() OVER (PARTITION BY series_id, valid_time
+                                          ORDER BY knowledge_time DESC, change_time DESC) AS rn
+                FROM scoped
+            ) t WHERE rn = 1
+        """,
+        "bt_run_series": """
+            SELECT user_id AS series_id, event_id % 50 AS run_id, max(ts) AS first_seen
+            FROM events
+            GROUP BY user_id, event_id % 50
+        """,
+        "bt_write_skip_unchanged": f"""
+            WITH sv AS ({_SV}),
+            stored AS (SELECT * FROM sv WHERE (epoch_us(change_time)//1000000) % 2 = 0),
+            incoming_all AS (SELECT * FROM sv WHERE (epoch_us(change_time)//1000000) % 2 = 1),
+            incoming AS (
+                SELECT series_id, valid_time, value FROM (
+                    SELECT series_id, valid_time, value,
+                           row_number() OVER (PARTITION BY series_id, valid_time
+                                              ORDER BY knowledge_time DESC, change_time DESC) AS rn
+                    FROM incoming_all
+                ) t WHERE rn = 1
+            ),
+            latest_state AS (
+                SELECT series_id, valid_time, stored_value FROM (
+                    SELECT series_id, valid_time, value AS stored_value,
+                           row_number() OVER (PARTITION BY series_id, valid_time
+                                              ORDER BY knowledge_time DESC, change_time DESC) AS rn
+                    FROM stored
+                ) t WHERE rn = 1
+            )
+            SELECT i.series_id, i.valid_time, i.value
+            FROM incoming i LEFT JOIN latest_state s
+              ON i.series_id = s.series_id AND i.valid_time = s.valid_time
+            WHERE s.stored_value IS NULL OR i.value IS DISTINCT FROM s.stored_value
+        """,
+    }

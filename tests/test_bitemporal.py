@@ -1,0 +1,181 @@
+"""Unit tests for the bitemporal operators on hand-built frames.
+
+Mirrors the reference's integration assertions (tests/test_integration.py):
+latest-kt-wins, history-returns-all-kts, correction-chain-with-change_time,
+retention pruning, relative cutoffs, null sentinel roundtrip — but as pure
+DataFrame-transform tests with exact expecteds.
+"""
+
+from __future__ import annotations
+
+from datetime import datetime, time as dt_time, timedelta
+
+import pytest
+
+from timedb_spark.operators import bitemporal as bt
+
+BASE = datetime(2025, 1, 1, 0, 0, 0)
+KT1 = BASE + timedelta(hours=6)
+KT2 = BASE + timedelta(hours=7)
+CT1 = BASE + timedelta(days=1)
+CT2 = BASE + timedelta(days=1, hours=1)
+
+COLS = ["series_id", "valid_time", "knowledge_time", "change_time", "value", "changed_by", "annotation", "retention"]
+
+
+def _frame(spark, rows):
+    return spark.createDataFrame([tuple(r) for r in rows], COLS)
+
+
+def _rows(sid, n, kt, *, mult=1.0, ct=CT1, retention="medium", changed_by="", annotation=""):
+    return [
+        [sid, BASE + timedelta(hours=i), kt, ct, float(i) * mult, changed_by, annotation, retention]
+        for i in range(n)
+    ]
+
+
+def test_latest_flat(spark):
+    df = _frame(spark, _rows(1, 3, KT1))
+    out = bt.latest(df).orderBy("valid_time").collect()
+    assert [r.value for r in out] == [0.0, 1.0, 2.0]
+    assert set(bt.latest(df).columns) == {"series_id", "valid_time", "value"}
+
+
+def test_latest_picks_highest_kt(spark):
+    df = _frame(spark, _rows(1, 2, KT1, mult=10) + _rows(1, 2, KT2, mult=100))
+    out = bt.latest(df).orderBy("valid_time").collect()
+    assert [r.value for r in out] == [0.0, 100.0]
+
+
+def test_latest_tiebreaks_on_change_time(spark):
+    # Same kt, later change_time (a correction) wins.
+    df = _frame(spark, _rows(1, 2, KT1, mult=10, ct=CT1) + _rows(1, 2, KT1, mult=100, ct=CT2))
+    out = bt.latest(df).orderBy("valid_time").collect()
+    assert [r.value for r in out] == [0.0, 100.0]
+
+
+def test_overlapping_returns_all_kts(spark):
+    df = _frame(spark, _rows(1, 2, KT1, mult=10) + _rows(1, 2, KT2, mult=100))
+    out = bt.overlapping(df)
+    assert out.count() == 4
+    assert set(out.columns) == {"series_id", "knowledge_time", "valid_time", "value"}
+
+
+def test_overlapping_collapses_corrections(spark):
+    df = _frame(spark, _rows(1, 2, KT1, mult=10, ct=CT1) + _rows(1, 2, KT1, mult=100, ct=CT2))
+    out = bt.overlapping(df).orderBy("valid_time").collect()
+    assert [r.value for r in out] == [0.0, 100.0]
+
+
+def test_latest_changes_chain(spark):
+    # Two valid_times, initial write + correction under same kt.
+    df = _frame(spark, _rows(1, 2, KT1, mult=1, ct=CT1) + _rows(1, 2, KT1, mult=1, ct=CT2))
+    # second batch has SAME values → duplicate states collapse; expect 2 rows.
+    out = bt.latest_changes(df)
+    assert out.count() == 2
+
+    df2 = _frame(
+        spark,
+        _rows(1, 2, KT1, mult=1, ct=CT1) + [[1, BASE + timedelta(hours=i), KT1, CT2, float(i) + 100, "", "", "medium"] for i in range(2)],
+    )
+    out2 = bt.latest_changes(df2).orderBy("valid_time", "change_time").collect()
+    assert [r.value for r in out2] == [0.0, 100.0, 1.0, 101.0]
+    assert "change_time" in bt.latest_changes(df2).columns
+
+
+def test_latest_changes_only_winning_kt(spark):
+    # Corrections of an OLD kt never surface in the latest chain.
+    df = _frame(spark, _rows(1, 1, KT1, mult=1, ct=CT1) + _rows(1, 1, KT2, mult=7, ct=CT1))
+    out = bt.latest_changes(df).collect()
+    assert len(out) == 1 and out[0].value == 0.0
+
+
+def test_overlapping_changes_full_audit(spark):
+    df = _frame(
+        spark,
+        [
+            [1, BASE, KT1, CT1, 1.0, "", "", "medium"],
+            [1, BASE, KT1, CT2, 5.0, "", "", "medium"],  # correction of kt1
+            [1, BASE, KT2, CT2, 9.0, "", "", "medium"],  # separate vintage
+        ],
+    )
+    out = bt.overlapping_changes(df)
+    assert out.count() == 3
+
+
+def test_filters_half_open_ranges(spark):
+    df = _frame(spark, _rows(1, 4, KT1))
+    out = bt.apply_filters(df, start_valid=BASE + timedelta(hours=1), end_valid=BASE + timedelta(hours=3))
+    assert out.count() == 2
+    out2 = bt.apply_filters(df, series_ids=[2])
+    assert out2.count() == 0
+    out3 = bt.apply_filters(df, retention=["medium", "short"])
+    assert out3.count() == 4
+    out4 = bt.apply_filters(df, start_known=KT1 + timedelta(seconds=1))
+    assert out4.count() == 0
+
+
+def test_retention_prune(spark):
+    df = _frame(spark, _rows(1, 3, KT1, retention="short") + _rows(1, 3, KT1, mult=100, retention="medium", ct=CT2))
+    short = bt.latest(bt.apply_filters(df, retention="short")).orderBy("valid_time").collect()
+    med = bt.latest(bt.apply_filters(df, retention="medium")).orderBy("valid_time").collect()
+    assert [r.value for r in short] == [0.0, 1.0, 2.0]
+    assert [r.value for r in med] == [0.0, 100.0, 200.0]
+
+
+def test_relative_cutoff_day_ahead(spark):
+    # Day-ahead market style: forecasts for day D must be issued by D-1 12:00.
+    vt = datetime(2025, 1, 2, 10)
+    early_kt = datetime(2025, 1, 1, 11)  # before cutoff (Jan 1 12:00)
+    late_kt = datetime(2025, 1, 1, 13)  # after cutoff
+    df = _frame(
+        spark,
+        [
+            [1, vt, early_kt, CT1, 1.0, "", "", "medium"],
+            [1, vt, late_kt, CT1, 2.0, "", "", "medium"],
+        ],
+    )
+    wl, off, sw = bt.resolve_relative_params(days_ahead=1, time_of_day=dt_time(12), start_valid=datetime(2025, 1, 2))
+    out = bt.relative_cutoff(df, window_length=wl, issue_offset=off, start_window=sw).collect()
+    assert len(out) == 1 and out[0].value == 1.0
+
+
+def test_relative_param_validation():
+    with pytest.raises(ValueError, match="Cannot mix"):
+        bt.resolve_relative_params(days_ahead=1, time_of_day=dt_time(12), window_length=timedelta(days=1))
+    with pytest.raises(ValueError, match="together"):
+        bt.resolve_relative_params(days_ahead=1)
+    with pytest.raises(ValueError, match="start_window"):
+        bt.resolve_relative_params(window_length=timedelta(days=1), issue_offset=timedelta(0))
+
+
+def test_nan_null_roundtrip(spark):
+    import pyspark.sql.functions as F
+
+    df = _frame(spark, _rows(1, 3, KT1))
+    df = df.withColumn("value", F.when(F.col("valid_time") == BASE, float("nan")).otherwise(F.col("value")))
+    out = bt.nan_to_null(bt.latest(df)).orderBy("valid_time").collect()
+    assert out[0].value is None
+    assert [r.value for r in out[1:]] == [1.0, 2.0]
+
+
+def test_meta_semi_join(spark):
+    df = _frame(spark, _rows(1, 2, KT1) + _rows(2, 2, KT1, mult=5) + _rows(3, 2, KT1, mult=7))
+    meta = spark.createDataFrame(
+        [
+            (1, "Grid/A/T01", "power", "actual", "medium"),
+            (2, "Grid/A/T02", "power", "forecast", "medium"),
+            (3, "Grid/B/T01", "power", "actual", "medium"),
+        ],
+        ["series_id", "path", "name", "data_type", "retention"],
+    )
+    spec = bt.SeriesMeta(root_path="Grid/A")
+    out = bt.filter_by_meta(df, meta, spec)
+    assert sorted({r.series_id for r in out.collect()}) == [1, 2]
+
+    spec2 = bt.SeriesMeta(root_path="Grid/A", data_type="actual")
+    out2 = bt.filter_by_meta(df, meta, spec2)
+    assert sorted({r.series_id for r in out2.collect()}) == [1]
+
+    with pytest.raises(ValueError, match="needs one of"):
+        bt.resolve_meta(meta, bt.SeriesMeta())

@@ -1,0 +1,100 @@
+"""Testdata loaders + the deterministic events → bitemporal derivation.
+
+The driver's correctness gate runs each Spark query and its DuckDB oracle
+side-by-side over the same TPC-H-ish parquet tables. The bitemporal
+operators need a ``series_values``-shaped input, so we derive one from the
+``events`` table with arithmetic that is expressible identically in both
+engines. ``BITEMPORAL_ORACLE_SQL`` is the DuckDB-side twin of
+:func:`bitemporal_frame` — keep the two in lockstep.
+
+Derivation (see SURVEY.md §4): each event becomes one observed revision of
+series ``user_id`` for the hour bucket of ``ts``; the knowledge time lags
+``ts`` by ``event_id % 4`` hours (so several knowledge vintages exist per
+(series, hour)), and the write/correction time is the event time itself.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLE_NAMES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events":
+        # events.ts is INT64 TIMESTAMP(NANOS); with nanosAsLong it arrives as
+        # raw ns. Truncate to µs with *integer* division (ns exceed 2^53, so
+        # float division would lose precision) — same floor DuckDB applies.
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str, names: list[str] | None = None) -> dict[str, DataFrame]:
+    return {n: load_table(spark, sf_dir, n) for n in names or TABLE_NAMES}
+
+
+#: event_type → retention tier (arbitrary but fixed; exercises tier pruning).
+_RETENTION_CASE = {
+    "click": "short",
+    "view": "short",
+    "purchase": "long",
+    "signup": "forever",
+    "error": "medium",
+}
+
+
+def bitemporal_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events → series_values-shaped frame (deterministic, oracle-mirrored)."""
+    ev = load_table(spark, sf_dir, "events")
+    ret = F.when(F.col("event_type") == "click", "short")
+    for k, v in _RETENTION_CASE.items():
+        if k != "click":
+            ret = ret.when(F.col("event_type") == k, v)
+    ret = ret.otherwise("medium")
+    ts = F.col("ts").cast("timestamp")  # NTZ parquet → session-UTC timestamp
+    return ev.select(
+        F.col("user_id").alias("series_id"),
+        F.date_trunc("hour", ts).alias("valid_time"),
+        (ts - F.make_interval(hours=(F.col("event_id") % 4).cast("int"))).alias("knowledge_time"),
+        ts.alias("change_time"),
+        F.col("value"),
+        ret.alias("retention"),
+        F.col("event_type").alias("changed_by"),
+        F.col("props").alias("annotation"),
+    )
+
+
+#: DuckDB twin of :func:`bitemporal_frame` — used as a CTE in oracle SQL.
+BITEMPORAL_ORACLE_SQL = """
+SELECT
+    user_id                                AS series_id,
+    date_trunc('hour', ts)                 AS valid_time,
+    ts - to_hours(event_id % 4)            AS knowledge_time,
+    ts                                     AS change_time,
+    value                                  AS value,
+    CASE event_type
+        WHEN 'click'    THEN 'short'
+        WHEN 'view'     THEN 'short'
+        WHEN 'purchase' THEN 'long'
+        WHEN 'signup'   THEN 'forever'
+        ELSE 'medium'
+    END                                    AS retention,
+    event_type                             AS changed_by,
+    props                                  AS annotation
+FROM events
+"""

@@ -1,0 +1,338 @@
+"""Bitemporal read operators — pure DataFrame → DataFrame transforms.
+
+Re-expresses the reference's 3-dimensional read path (timedb/read.py) as
+declarative Spark plans. Output shape by flag combination matches
+timedb/read.py:3-13:
+
+    latest(df)               -> (series_id, valid_time, value)
+    overlapping(df)          -> (series_id, knowledge_time, valid_time, value)
+    latest_changes(df)       -> (series_id, valid_time, change_time, value,
+                                 changed_by, annotation)
+    overlapping_changes(df)  -> (series_id, valid_time, knowledge_time,
+                                 change_time, value, changed_by, annotation)
+
+Scale notes (100 TB posture):
+
+- ClickHouse's ``argMax(value, (kt, ct))`` (read.py:240) and ``LIMIT 1 BY``
+  (read.py:310) become ``F.max_by(value, F.struct(kt, ct))`` inside a
+  ``groupBy`` — a hash aggregate with **map-side partial aggregation**, so
+  each executor collapses its own revisions before the single shuffle on the
+  group key. A window-function formulation would force a full sort of every
+  partition; the aggregate form shuffles only one row per (group, mapper).
+- The correction-chain collapse (read.py:264-267 ``lagInFrame``) genuinely
+  needs ordering within (series_id[, knowledge_time], valid_time) groups, so
+  it uses a ``lag`` window — but partitioned on fine-grained keys, which
+  parallelizes across executors and never sorts globally.
+- All filter helpers are plain column predicates, applied *before*
+  aggregation so Catalyst pushes them into the parquet scan
+  (``PushedFilters``) and prunes ``(retention, vt_month)`` partitions.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+from dataclasses import dataclass
+from datetime import datetime, time as dt_time, timedelta
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# Filters (ref: timedb/read.py:183-224 ``_where``)
+# ---------------------------------------------------------------------------
+
+
+def apply_filters(
+    df: DataFrame,
+    *,
+    series_ids: Sequence[int] | None = None,
+    retention: str | Sequence[str] | None = None,
+    start_valid: datetime | None = None,
+    end_valid: datetime | None = None,
+    start_known: datetime | None = None,
+    end_known: datetime | None = None,
+) -> DataFrame:
+    """Conjunction of the reference's WHERE filters.
+
+    Range semantics match read.py:212-223: valid/knowledge ranges are
+    half-open ``[start, end)``. All predicates are simple comparisons →
+    parquet predicate pushdown + (retention) partition pruning for free.
+    """
+    conds: list[Column] = []
+    if series_ids is not None:
+        conds.append(F.col("series_id").isin([int(s) for s in series_ids]))
+    if retention is not None:
+        tiers = [retention] if isinstance(retention, str) else list(retention)
+        conds.append(F.col("retention").isin(tiers))
+    if start_valid is not None:
+        conds.append(F.col("valid_time") >= F.lit(start_valid))
+    if end_valid is not None:
+        conds.append(F.col("valid_time") < F.lit(end_valid))
+    if start_known is not None:
+        conds.append(F.col("knowledge_time") >= F.lit(start_known))
+    if end_known is not None:
+        conds.append(F.col("knowledge_time") < F.lit(end_known))
+    for c in conds:
+        df = df.filter(c)
+    return df
+
+
+# ---------------------------------------------------------------------------
+# Meta-resolved series sets (ref: timedb/read.py:73-180 PgEngineMeta)
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class SeriesMeta:
+    """Address a series set through a metadata DataFrame instead of an
+    explicit id array — the Spark analogue of the reference's ``PgEngineMeta``
+    (read.py:73-105). Exactly one addressing field must be set; ``data_type``
+    and ``name`` narrow the set (scalar or set-valued, matching
+    read.py:108-115's ``=`` / ``IN`` split).
+
+    The reference resolves ids through a PostgreSQL engine table collapsed to
+    a scalar CTE so ClickHouse evaluates it once (read.py:118-131). On Spark
+    the same one-pass semantics fall out of a **broadcast left-semi join**:
+    the metadata frame is catalog-sized, so it broadcasts, and the big fact
+    scan is filtered map-side with zero extra shuffles.
+    """
+
+    root_path: str | None = None
+    paths: tuple[str, ...] | None = None
+    node_uuids: tuple[str, ...] | None = None
+    edge_uuids: tuple[str, ...] | None = None
+    edge_triple: tuple[str, str, str] | None = None
+    edge_triples: tuple[tuple[str, str, str], ...] | None = None
+    data_type: str | tuple[str, ...] | None = None
+    name: str | tuple[str, ...] | None = None
+
+
+def _scalar_or_set(col: str, value: str | tuple[str, ...]) -> Column:
+    # ref read.py:108-115 — ``=`` for scalars, ``IN`` for sets.
+    if isinstance(value, str):
+        return F.col(col) == value
+    return F.col(col).isin(list(value))
+
+
+def resolve_meta(meta_df: DataFrame, spec: SeriesMeta) -> DataFrame:
+    """Filter the metadata frame down to the addressed series rows.
+
+    Addressing semantics mirror read.py:133-169, including the documented
+    *cartesian superset* behaviour of set-valued ``edge_triples`` (three
+    single-column INs, read.py:152-165).
+    """
+    if spec.root_path is not None:
+        prefix = spec.root_path.rstrip("/") + "/"
+        cond = (F.col("path") == spec.root_path) | F.col("path").startswith(prefix)
+    elif spec.paths is not None:
+        cond = F.col("path").isin(list(spec.paths))
+    elif spec.node_uuids is not None:
+        cond = F.col("node_uuid").isin(list(spec.node_uuids))
+    elif spec.edge_uuids is not None:
+        cond = F.col("edge_uuid").isin(list(spec.edge_uuids))
+    elif spec.edge_triple is not None:
+        f, t, e = spec.edge_triple
+        cond = (F.col("from_path") == f) & (F.col("to_path") == t) & (F.col("edge_type") == e)
+    elif spec.edge_triples is not None:
+        cond = (
+            F.col("from_path").isin(sorted({t[0] for t in spec.edge_triples}))
+            & F.col("to_path").isin(sorted({t[1] for t in spec.edge_triples}))
+            & F.col("edge_type").isin(sorted({t[2] for t in spec.edge_triples}))
+        )
+    else:
+        raise ValueError(
+            "SeriesMeta needs one of root_path / paths / node_uuids / edge_uuids / edge_triple / edge_triples."
+        )
+
+    if spec.data_type is not None:
+        cond = cond & _scalar_or_set("data_type", spec.data_type)
+    if spec.name is not None:
+        cond = cond & _scalar_or_set("name", spec.name)
+    return meta_df.filter(cond)
+
+
+def filter_by_meta(df: DataFrame, meta_df: DataFrame, spec: SeriesMeta) -> DataFrame:
+    """Restrict ``df`` to the meta-resolved series set.
+
+    Matches the reference's ``series_id IN _meta.1 AND retention IN _meta.2``
+    (read.py:204-210): ids come from the resolved rows; retentions are the
+    *distinct* tiers of those rows (a deliberate superset, like CH's
+    ``groupUniqArray(retention)``). Both semi-joins broadcast.
+    """
+    resolved = resolve_meta(meta_df, spec)
+    ids = F.broadcast(resolved.select("series_id").distinct())
+    df = df.join(ids, on="series_id", how="left_semi")
+    if "retention" in resolved.columns and "retention" in df.columns:
+        tiers = F.broadcast(resolved.select("retention").distinct())
+        df = df.join(tiers, on="retention", how="left_semi")
+    return df
+
+
+# ---------------------------------------------------------------------------
+# Latest reads — one row per (series_id, valid_time)
+# ---------------------------------------------------------------------------
+
+_STATE = ("value", "annotation", "changed_by")
+
+
+def latest(df: DataFrame) -> DataFrame:
+    """Latest value per (series_id, valid_time).
+
+    The struct max_by picks the row with the largest (knowledge_time,
+    change_time) — latest issue, latest correction within it. Parity with
+    ``argMax(value, (knowledge_time, change_time))`` (read.py:232-247);
+    executes as a partial-aggregable hash aggregate.
+    """
+    return df.groupBy("series_id", "valid_time").agg(
+        F.max_by("value", F.struct("knowledge_time", "change_time")).alias("value")
+    )
+
+
+def latest_changes(df: DataFrame) -> DataFrame:
+    """Correction chain of the winning knowledge_time per (series_id,
+    valid_time); consecutive duplicate states collapsed.
+
+    Parity with read.py:250-287: the inner max(knowledge_time) per (sid, vt)
+    plays the reference's semi-join role, then a lag window ordered by
+    change_time emits only real state transitions. The winning-kt filter is
+    a self-contained window max (no second scan of the source, unlike the
+    reference's embedded-twice WHERE).
+    """
+    w_kt = Window.partitionBy("series_id", "valid_time")
+    w_chain = Window.partitionBy("series_id", "valid_time").orderBy("change_time")
+    state = F.struct(*_STATE)
+    return (
+        df.withColumn("_max_kt", F.max("knowledge_time").over(w_kt))
+        .filter(F.col("knowledge_time") == F.col("_max_kt"))
+        .withColumn("_prev", F.lag(state).over(w_chain))
+        .filter(F.col("_prev").isNull() | ~_state_eq(F.col("_prev")))
+        .select("series_id", "valid_time", "change_time", "value", "changed_by", "annotation")
+    )
+
+
+def _state_eq(prev: Column) -> Column:
+    """Null-safe + NaN-safe equality of the (value, annotation, changed_by)
+    state tuple against its lag — the reference's ``IS NOT DISTINCT FROM``
+    over a CH tuple (read.py:278-279). ``eqNullSafe`` treats NaN == NaN the
+    way the storage sentinel requires."""
+    return (
+        F.col("value").eqNullSafe(prev["value"])
+        & F.col("annotation").eqNullSafe(prev["annotation"])
+        & F.col("changed_by").eqNullSafe(prev["changed_by"])
+    )
+
+
+# ---------------------------------------------------------------------------
+# Overlapping reads — one row per (series_id, valid_time, knowledge_time)
+# ---------------------------------------------------------------------------
+
+
+def overlapping(df: DataFrame) -> DataFrame:
+    """One row per (series_id, knowledge_time, valid_time); the row with the
+    largest change_time wins within the group.
+
+    Parity with the reference's ORDER BY … LIMIT 1 BY streaming pass
+    (read.py:295-317) — same result as its documented ``argMax(value,
+    change_time)`` equivalence, expressed as the aggregate directly so Spark
+    runs it with map-side combine instead of a global sort.
+    """
+    return df.groupBy("series_id", "knowledge_time", "valid_time").agg(
+        F.max_by("value", "change_time").alias("value")
+    )
+
+
+def overlapping_changes(df: DataFrame) -> DataFrame:
+    """Full 3D audit: every state transition per (series_id, kt, vt).
+
+    Parity with read.py:320-344.
+    """
+    w_chain = Window.partitionBy("series_id", "knowledge_time", "valid_time").orderBy("change_time")
+    state = F.struct(*_STATE)
+    return (
+        df.withColumn("_prev", F.lag(state).over(w_chain))
+        .filter(F.col("_prev").isNull() | ~_state_eq(F.col("_prev")))
+        .select("series_id", "valid_time", "knowledge_time", "change_time", "value", "changed_by", "annotation")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Relative read (ref: timedb/read.py:352-396, 461-527)
+# ---------------------------------------------------------------------------
+
+
+def relative_cutoff(
+    df: DataFrame,
+    *,
+    window_length: timedelta,
+    issue_offset: timedelta,
+    start_window: datetime,
+) -> DataFrame:
+    """Per-window point-in-time read: keep only rows whose knowledge_time is
+    at or before the issue cutoff of their valid_time's window, then latest.
+
+    The cutoff is ``window_start(vt) + issue_offset`` where window_start
+    aligns vt to ``window_length``-sized buckets anchored at
+    ``start_window`` — parity with CH's ``toStartOfInterval(vt, interval,
+    origin) + offset`` (read.py:386-391). Pure column arithmetic on epoch
+    seconds (window/offset are whole seconds in the reference too), so the
+    predicate stays inside codegen and combines with pushed-down scans.
+    """
+    w = int(window_length.total_seconds())
+    off = int(issue_offset.total_seconds())
+    sw = F.unix_timestamp(F.lit(start_window).cast("timestamp"))
+    vt_s = F.unix_timestamp(F.col("valid_time"))
+    win_start = sw + F.floor((vt_s - sw) / F.lit(w)) * F.lit(w)
+    cutoff = F.timestamp_seconds(win_start + F.lit(off))
+    return latest(df.filter(F.col("knowledge_time") <= cutoff))
+
+
+def resolve_relative_params(
+    *,
+    window_length: timedelta | None = None,
+    issue_offset: timedelta | None = None,
+    start_window: datetime | None = None,
+    start_valid: datetime | None = None,
+    days_ahead: int | None = None,
+    time_of_day: dt_time | None = None,
+) -> tuple[timedelta, timedelta, datetime]:
+    """Normalize the two parameterizations of read_relative.
+
+    Exact port of the argument-resolution semantics (read.py:475-498): the
+    daily sugar ``(days_ahead, time_of_day)`` maps to a 1-day window whose
+    issue offset is ``time_of_day - days_ahead`` anchored the midnight before
+    ``start_valid``; mixing the two forms raises.
+    """
+    using_daily = days_ahead is not None or time_of_day is not None
+    using_explicit = window_length is not None or issue_offset is not None
+    if using_daily and using_explicit:
+        raise ValueError("Cannot mix (days_ahead, time_of_day) with (window_length, issue_offset). Use one set.")
+    if using_daily:
+        if days_ahead is None or time_of_day is None:
+            raise ValueError("Both days_ahead and time_of_day must be provided together.")
+        if start_valid is None:
+            raise ValueError("start_valid is required when using days_ahead/time_of_day.")
+        window_length = timedelta(days=1)
+        issue_offset = timedelta(
+            hours=time_of_day.hour,
+            minutes=time_of_day.minute,
+            seconds=time_of_day.second,
+            microseconds=time_of_day.microsecond,
+        ) - timedelta(days=days_ahead)
+        start_window = start_valid.replace(hour=0, minute=0, second=0, microsecond=0) - timedelta(days=1)
+    else:
+        if window_length is None or issue_offset is None:
+            raise ValueError("Both window_length and issue_offset are required.")
+        start_window = start_window if start_window is not None else start_valid
+        if start_window is None:
+            raise ValueError("start_window is required when start_valid is not provided.")
+    return window_length, issue_offset, start_window
+
+
+# ---------------------------------------------------------------------------
+# Null sentinel (ref: timedb/read.py:57-67)
+# ---------------------------------------------------------------------------
+
+
+def nan_to_null(df: DataFrame, col: str = "value") -> DataFrame:
+    """NaN is the storage sentinel for null; reads surface it as null."""
+    return df.withColumn(col, F.when(F.isnan(F.col(col)), F.lit(None)).otherwise(F.col(col)))

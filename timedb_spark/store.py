@@ -1,0 +1,141 @@
+"""Append-only partitioned-parquet store for the bitemporal tables.
+
+The reference stores rows in ClickHouse MergeTree partitioned by
+``(retention, toYYYYMM(valid_time))`` with a per-tier TTL that drops whole
+partitions (ref: timedb/sql/ch_create_tables.sql). This store re-expresses
+that layout as parquet directory partitioning:
+
+    <root>/series_values/retention=<tier>/vt_month=<YYYYMM>/part-*.parquet
+    <root>/run_series/part-*.parquet
+
+- Retention- and month-filtered reads prune at the directory level — the
+  Spark analogue of CH part pruning.
+- Within files, rows are sorted by (series_id, valid_time, knowledge_time,
+  change_time) — the reference's ORDER BY key — so parquet row-group
+  min/max statistics act as a sparse primary index for series/time
+  predicates.
+- TTL expiry (:meth:`Store.apply_retention`) deletes whole expired
+  ``(retention, vt_month)`` directories, never rewriting data, exactly like
+  CH's partition-drop TTL with its ``retention != 'forever'`` guard.
+
+At 100 TB this layout means: a read for one tier + one month touches one
+directory; a read for N series inside it skips row groups via zone maps; a
+TTL sweep is O(#partitions) metadata work with zero data IO.
+"""
+
+from __future__ import annotations
+
+import shutil
+from datetime import date, datetime, timedelta, timezone
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from timedb_spark.schema import (
+    RETENTION_TTL_DAYS,
+    RUN_SERIES_SCHEMA,
+    SERIES_VALUES_SCHEMA,
+)
+
+_SORT_KEY = ["series_id", "valid_time", "knowledge_time", "change_time"]
+
+
+class Store:
+    """Filesystem-backed parquet store (works unchanged on HDFS/S3 paths for
+    the create/append/read surface; TTL dir deletes use local fs here)."""
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = Path(root)
+        self.values_path = self.root / "series_values"
+        self.run_series_path = self.root / "run_series"
+
+    # -- schema management (ref: timedb/client.py:106-120) -----------------
+
+    def create(self) -> None:
+        """Create both tables (empty partitioned datasets)."""
+        self.root.mkdir(parents=True, exist_ok=True)
+        if not self.values_path.exists():
+            empty = self.spark.createDataFrame([], SERIES_VALUES_SCHEMA)
+            self._write_values(empty)
+        if not self.run_series_path.exists():
+            empty_rs = self.spark.createDataFrame([], RUN_SERIES_SCHEMA)
+            empty_rs.write.mode("append").parquet(str(self.run_series_path))
+
+    def delete(self) -> None:
+        """Drop both tables."""
+        for p in (self.values_path, self.run_series_path):
+            if p.exists():
+                shutil.rmtree(p)
+
+    # -- writes ------------------------------------------------------------
+
+    def _write_values(self, df: DataFrame) -> None:
+        (
+            df.withColumn("vt_month", F.date_format("valid_time", "yyyyMM"))
+            .repartition("retention", "vt_month")
+            .sortWithinPartitions(*_SORT_KEY)
+            .write.partitionBy("retention", "vt_month")
+            .mode("append")
+            .parquet(str(self.values_path))
+        )
+
+    def append_values(self, df: DataFrame) -> None:
+        self._write_values(df.select([f.name for f in SERIES_VALUES_SCHEMA.fields]))
+
+    def append_run_series(self, df: DataFrame) -> None:
+        df.select("series_id", "run_id", "first_seen").write.mode("append").parquet(str(self.run_series_path))
+
+    # -- reads -------------------------------------------------------------
+
+    def read_values(self) -> DataFrame:
+        # NOTE: StructType.add mutates in place — build the read schema fresh
+        # so the shared SERIES_VALUES_SCHEMA constant is never modified.
+        read_schema = T.StructType(
+            list(SERIES_VALUES_SCHEMA.fields) + [T.StructField("vt_month", T.StringType(), True)]
+        )
+        return self.spark.read.schema(read_schema).parquet(str(self.values_path))
+
+    def prune_months(self, df: DataFrame, start_valid: datetime | None, end_valid: datetime | None) -> DataFrame:
+        """Partition pruning on vt_month derived from a valid_time range —
+        the analogue of CH pruning parts by the partition key."""
+        if start_valid is not None:
+            df = df.filter(F.col("vt_month") >= start_valid.strftime("%Y%m"))
+        if end_valid is not None:
+            df = df.filter(F.col("vt_month") <= end_valid.strftime("%Y%m"))
+        return df
+
+    def read_run_series(self) -> DataFrame:
+        """Deduped mapping — latest ``first_seen`` per (series_id, run_id),
+        the read-time equivalent of ReplacingMergeTree(first_seen)."""
+        raw = self.spark.read.schema(RUN_SERIES_SCHEMA).parquet(str(self.run_series_path))
+        return raw.groupBy("series_id", "run_id").agg(F.max("first_seen").alias("first_seen"))
+
+    # -- TTL (ref DDL TTL ... DELETE WHERE retention != 'forever') ---------
+
+    def apply_retention(self, now: datetime | None = None) -> list[str]:
+        """Drop whole expired (retention, vt_month) partitions.
+
+        A month partition is expired when even its *last* instant is past the
+        tier's TTL horizon (matches CH evaluating ``toDate(valid_time) + ttl
+        < today`` for every row in the part). 'forever' is excluded before
+        any evaluation, like the DDL's DELETE WHERE guard. Returns dropped
+        partition dirs (relative)."""
+        today = (now or datetime.now(timezone.utc)).date()
+        dropped: list[str] = []
+        for tier_dir in sorted(self.values_path.glob("retention=*")):
+            tier = tier_dir.name.split("=", 1)[1]
+            ttl_days = RETENTION_TTL_DAYS.get(tier)
+            if ttl_days is None:  # 'forever'
+                continue
+            for month_dir in sorted(tier_dir.glob("vt_month=*")):
+                ym = month_dir.name.split("=", 1)[1]
+                year, month = int(ym[:4]), int(ym[4:])
+                nxt = date(year + (month == 12), month % 12 + 1, 1)
+                last_day = nxt - timedelta(days=1)
+                if last_day + timedelta(days=ttl_days) < today:
+                    shutil.rmtree(month_dir)
+                    dropped.append(f"retention={tier}/vt_month={ym}")
+        return dropped

@@ -1,0 +1,101 @@
+"""Local driver-mimic: run every __spark_entry__ query against its DuckDB
+oracle at a given scale factor and report row-count / column / value parity.
+
+Usage: python tools/parity.py [sf_dir] [query ...]
+
+Normalization mirrors the driver contract: columns sorted by name, rows
+compared as an order-insensitive multiset, floats rounded to 9 significant
+digits, timestamps as ISO strings.
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+import time
+from datetime import date, datetime
+
+import duckdb
+
+sys.path.insert(0, "/root/repo")
+
+import __spark_entry__ as entrymod  # noqa: E402
+from timedb_spark.io.tables import TABLE_NAMES  # noqa: E402
+from timedb_spark.session import get_spark  # noqa: E402
+
+
+def _norm_cell(v):
+    if v is None:
+        return "∅"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        if v == 0:
+            return "0"
+        return f"{v:.9g}"
+    if isinstance(v, datetime):
+        return v.replace(tzinfo=None).isoformat()
+    if isinstance(v, date):
+        return v.isoformat()
+    return str(v)
+
+
+def _norm_rows(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    return sorted("|".join(_norm_cell(r[i]) for i in order) for r in rows)
+
+
+def run(sf_dir: str, only: list[str] | None = None) -> bool:
+    spark = get_spark("parity")
+    con = duckdb.connect()
+    for t in TABLE_NAMES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+
+    queries = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    ok_all = True
+    for name, fn in queries.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        sdf = fn(spark, sf_dir)
+        s_rows = sdf.collect()
+        s_cols = sdf.columns
+        t_spark = time.time() - t0
+        if name not in oracles:
+            print(f"  {name:32s} rows={len(s_rows):7d}  (rows-only, no oracle)  [{t_spark:.1f}s]")
+            continue
+        t0 = time.time()
+        rel = con.sql(oracles[name])
+        d_cols = rel.columns
+        d_rows = rel.fetchall()
+        t_duck = time.time() - t0
+
+        ok = True
+        msgs = []
+        if sorted(s_cols) != sorted(d_cols):
+            ok = False
+            msgs.append(f"cols spark={sorted(s_cols)} duck={sorted(d_cols)}")
+        if len(s_rows) != len(d_rows):
+            ok = False
+            msgs.append(f"rowcount spark={len(s_rows)} duck={len(d_rows)}")
+        if ok:
+            ns, nd = _norm_rows(s_cols, [tuple(r) for r in s_rows]), _norm_rows(d_cols, d_rows)
+            if ns != nd:
+                ok = False
+                diff = [(a, b) for a, b in zip(ns, nd) if a != b][:3]
+                extra_s = [x for x in ns if x not in set(nd)][:3]
+                msgs.append(f"values differ; first diffs={diff or extra_s}")
+        status = "OK " if ok else "FAIL"
+        print(f"  {name:32s} {status} rows={len(s_rows):7d}  [spark {t_spark:.1f}s / duck {t_duck:.1f}s]" + ("  " + "; ".join(msgs) if msgs else ""))
+        ok_all = ok_all and ok
+    return ok_all
+
+
+if __name__ == "__main__":
+    args = sys.argv[1:]
+    sf = args[0] if args and "/" in args[0] else "/root/testdata/sf0.01"
+    only = [a for a in args if "/" not in a] or None
+    ok = run(sf, only)
+    print("PARITY:", "ALL OK" if ok else "FAILURES")
+    sys.exit(0 if ok else 1)
