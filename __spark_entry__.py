@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from timedb_spark.io.tables import BITEMPORAL_ORACLE_SQL, bitemporal_frame, load_table
+from timedb_spark.operators import analytics
 from timedb_spark.operators import bitemporal as bt
 
 _SV = BITEMPORAL_ORACLE_SQL
@@ -151,6 +152,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bt_read_meta_scope": _q_read_meta_scope,
         "bt_run_series": _q_run_series,
         "bt_write_skip_unchanged": _q_write_skip_unchanged,
+        "tpch_q1": analytics.tpch_q1,
+        "tpch_q3": analytics.tpch_q3,
+        "tpch_q5": analytics.tpch_q5,
+        "events_window": analytics.events_window,
+        "asof_join": analytics.asof_join,
     }
 
 
@@ -300,4 +306,9 @@ def oracle_sql() -> dict[str, str]:
               ON i.series_id = s.series_id AND i.valid_time = s.valid_time
             WHERE s.stored_value IS NULL OR i.value IS DISTINCT FROM s.stored_value
         """,
+        "tpch_q1": analytics.TPCH_Q1_SQL,
+        "tpch_q3": analytics.TPCH_Q3_SQL,
+        "tpch_q5": analytics.TPCH_Q5_SQL,
+        "events_window": analytics.EVENTS_WINDOW_SQL,
+        "asof_join": analytics.ASOF_JOIN_SQL,
     }

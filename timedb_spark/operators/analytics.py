@@ -1,0 +1,258 @@
+"""Analytics core — TPC-H-style queries + time-series analytics over the
+testdata star schema. These are the bench headliners and the proof that the
+engine's general SQL path (joins, aggregates, windows) is Spark-idiomatic.
+
+Numeric determinism convention (for the DuckDB oracle value-hash): monetary
+doubles are cast to DECIMAL(18,2) **per row before summing** — decimal sums
+are exact and order-independent, so Spark's partial aggregation and DuckDB's
+single-threaded fold produce bit-identical results. Final outputs convert
+back to double via round(cast(.. as double), n). Averages divide the exact
+decimal sum (as double) by the count — one deterministic double division.
+
+Scale notes: every query keeps filters ahead of joins (pushdown), broadcasts
+dimension tables explicitly, and aggregates with map-side combine. No UDFs,
+no collects.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from timedb_spark.io.tables import load_table
+
+_DEC = "decimal(18,2)"
+
+
+def _d(col: str):
+    return F.col(col).cast(_DEC)
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q1 — pricing summary report (adapted to the slim lineitem schema)
+# ---------------------------------------------------------------------------
+
+
+def tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    disc = F.lit(1).cast(_DEC) - _d("l_discount")
+    charge_mult = F.lit(1).cast(_DEC) + _d("l_tax")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum(_d("l_quantity")).cast("double"), 2).alias("sum_qty"),
+            F.round(F.sum(_d("l_extendedprice")).cast("double"), 2).alias("sum_base_price"),
+            F.round(F.sum(_d("l_extendedprice") * disc).cast("double"), 4).alias("sum_disc_price"),
+            F.round(F.sum(_d("l_extendedprice") * disc * charge_mult).cast("double"), 6).alias("sum_charge"),
+            F.round(F.sum(_d("l_quantity")).cast("double") / F.count(F.lit(1)), 6).alias("avg_qty"),
+            F.round(F.sum(_d("l_extendedprice")).cast("double") / F.count(F.lit(1)), 6).alias("avg_price"),
+            F.round(F.sum(_d("l_discount")).cast("double") / F.count(F.lit(1)), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+TPCH_Q1_SQL = """
+SELECT
+    l_returnflag,
+    l_linestatus,
+    round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_qty,
+    round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_base_price,
+    round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE), 4) AS sum_disc_price,
+    round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) * (CAST(1 AS DECIMAL(18,2)) + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE), 6) AS sum_charge,
+    round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*), 6) AS avg_qty,
+    round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*), 6) AS avg_price,
+    round(CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / count(*), 6) AS avg_disc,
+    count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q3 — shipping priority (3-way join, agg, top-N)
+# ---------------------------------------------------------------------------
+
+_Q3_CUT = "1995-03-15"
+
+
+def tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderdate") < F.lit(_Q3_CUT).cast("timestamp"))
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > F.lit(_Q3_CUT).cast("timestamp"))
+    disc = F.lit(1).cast(_DEC) - _d("l_discount")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.round(F.sum(_d("l_extendedprice") * disc).cast("double"), 4).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+TPCH_Q3_SQL = f"""
+SELECT l_orderkey, o_orderdate, o_orderpriority,
+       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE), 4) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '{_Q3_CUT} 00:00:00'
+  AND l_shipdate  > TIMESTAMP '{_Q3_CUT} 00:00:00'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+"""
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q5-style — revenue by nation (5-way join through the star schema)
+# ---------------------------------------------------------------------------
+
+
+def tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1994-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-01-01").cast("timestamp"))
+    )
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    disc = F.lit(1).cast(_DEC) - _d("l_discount")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        # TPC-H Q5's "local supplier" twist: customer and supplier share a nation.
+        .filter(F.col("c_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(F.round(F.sum(_d("l_extendedprice") * disc).cast("double"), 4).alias("revenue"))
+    )
+
+
+TPCH_Q5_SQL = """
+SELECT n_name,
+       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE), 4) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey  = c_custkey
+JOIN supplier ON l_suppkey  = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE o_orderdate >= TIMESTAMP '1994-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1996-01-01 00:00:00'
+  AND c_nationkey = s_nationkey
+GROUP BY n_name
+"""
+
+
+# ---------------------------------------------------------------------------
+# events_window — tumbling-window aggregation (batch twin of the streaming op)
+# ---------------------------------------------------------------------------
+
+
+def events_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.window(F.col("ts").cast("timestamp"), "6 hours").start.alias("window_start"),
+            F.col("event_type"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.approx_count_distinct("user_id").alias("approx_users"),  # not oracle-compared
+            F.round(F.sum(_d("value")).cast("double"), 2).alias("sum_value"),
+        )
+        .drop("approx_users")
+    )
+
+
+EVENTS_WINDOW_SQL = """
+SELECT make_timestamp((epoch_us(ts) // 21600000000) * 21600000000) AS window_start,
+       event_type,
+       count(*) AS n_events,
+       round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# asof_join — enrich each event with the user's most recent prior order
+# ---------------------------------------------------------------------------
+
+
+def asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of join: for every event, the latest order of the same
+    user (user_id ≡ custkey) with o_orderdate <= ts — the canonical TSDB
+    enrichment. Spark-first formulation: union the two sides tagged by kind,
+    one window pass carries the last order forward, no range-explosion join.
+
+    At scale this is a single shuffle on (user_id) + an in-partition sort —
+    the same cost profile as one repartition+sort, versus the naive
+    inequality-join which Catalyst can only run as a broadcast-nested-loop.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("user_id").alias("uid"), F.col("ts").cast("timestamp").alias("t"),
+        F.col("event_id"), F.col("value"),
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("uid"), F.col("o_orderdate").cast("timestamp").alias("t"),
+        F.col("o_orderkey"), F.col("o_totalprice"),
+    )
+    from pyspark.sql import Window
+
+    tagged = orders.select(
+        "uid", "t", F.lit(0).alias("kind"), F.col("o_orderkey"), F.col("o_totalprice"),
+        F.lit(None).cast("long").alias("event_id"), F.lit(None).cast("double").alias("value"),
+    ).unionByName(
+        ev.select(
+            "uid", "t", F.lit(1).alias("kind"), F.lit(None).cast("long").alias("o_orderkey"),
+            F.lit(None).cast("double").alias("o_totalprice"), "event_id", "value",
+        )
+    )
+    # Orders sort before events at the same instant (kind 0 < 1) → "<=" semantics.
+    # o_orderkey tiebreaks same-timestamp orders deterministically (highest wins).
+    w = (
+        Window.partitionBy("uid")
+        .orderBy("t", "kind", F.col("o_orderkey").asc_nulls_last())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    enriched = tagged.select(
+        "*",
+        F.last("o_orderkey", ignorenulls=True).over(w).alias("last_orderkey"),
+        F.last("o_totalprice", ignorenulls=True).over(w).alias("last_totalprice"),
+    ).filter(F.col("kind") == 1)
+    return enriched.select(
+        F.col("event_id"),
+        F.col("uid").alias("user_id"),
+        F.col("value"),
+        F.col("last_orderkey").alias("o_orderkey"),
+        F.col("last_totalprice").alias("o_totalprice"),
+    )
+
+
+ASOF_JOIN_SQL = """
+WITH ev AS (
+    SELECT event_id, user_id, ts, value FROM events
+),
+best AS (
+    SELECT event_id, o_orderkey, o_totalprice FROM (
+        SELECT e.event_id, o.o_orderkey, o.o_totalprice,
+               row_number() OVER (PARTITION BY e.event_id
+                                  ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+        FROM ev e JOIN orders o
+          ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+    ) t WHERE rn = 1
+)
+SELECT e.event_id, e.user_id, e.value, b.o_orderkey, b.o_totalprice
+FROM ev e
+LEFT JOIN best b USING (event_id)
+"""
