@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from timedb_spark.io.tables import BITEMPORAL_ORACLE_SQL, bitemporal_frame, load_table
-from timedb_spark.operators import analytics
+from timedb_spark.operators import analytics, dedup, similarity, text
 from timedb_spark.operators import bitemporal as bt
 
 _SV = BITEMPORAL_ORACLE_SQL
@@ -157,6 +157,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q5": analytics.tpch_q5,
         "events_window": analytics.events_window,
         "asof_join": analytics.asof_join,
+        "text_tokens": text.text_tokens,
+        "text_quality": text.text_quality,
+        "text_langid": text.text_langid,
+        "text_fingerprint": text.text_fingerprint,
+        "dedup_exact": dedup.dedup_exact,
+        "dedup_ngram_jaccard": dedup.dedup_ngram_jaccard,
+        "dedup_minhash": dedup.dedup_minhash,
+        "dedup_simhash": dedup.dedup_simhash,
+        "dedup_embedding": dedup.dedup_embedding,
+        "ann_bruteforce": similarity.ann_bruteforce,
+        "ann_lsh": similarity.ann_lsh,
     }
 
 
@@ -311,4 +322,15 @@ def oracle_sql() -> dict[str, str]:
         "tpch_q5": analytics.TPCH_Q5_SQL,
         "events_window": analytics.EVENTS_WINDOW_SQL,
         "asof_join": analytics.ASOF_JOIN_SQL,
+        "text_tokens": text.TEXT_TOKENS_SQL,
+        "text_quality": text.TEXT_QUALITY_SQL,
+        "text_langid": text.TEXT_LANGID_SQL,
+        "text_fingerprint": text.TEXT_FINGERPRINT_SQL,
+        "dedup_exact": dedup.DEDUP_EXACT_SQL,
+        "dedup_ngram_jaccard": dedup.DEDUP_NGRAM_SQL,
+        "dedup_minhash": dedup.DEDUP_MINHASH_SQL,
+        "dedup_simhash": dedup.DEDUP_SIMHASH_SQL,
+        "dedup_embedding": dedup.DEDUP_EMBEDDING_SQL,
+        "ann_bruteforce": similarity.ANN_BRUTEFORCE_SQL,
+        # ann_lsh: rows-only (approximate operator; recall measured in tests)
     }

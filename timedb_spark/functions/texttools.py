@@ -1,0 +1,111 @@
+"""Column-level text primitives shared by the text-analysis and dedup
+operators.
+
+Everything here is built from JVM-side ``pyspark.sql.functions`` only — no
+Python UDFs — so the operators stay inside whole-stage codegen and scale
+linearly with executors. Each primitive has an exact DuckDB-SQL twin used by
+the oracle queries (the md5-based hashing keeps the two engines bit-equal).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+#: BPE-ish tokenizer: words | numbers | single punctuation marks.
+BPE_TOKEN_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+#: Tiny per-language stopword regexes for the langid heuristic.
+LANG_STOPWORDS = {
+    "en": r"\b(the|a|of|and|to|in|is)\b",
+    "de": r"\b(der|die|das|und|ist|von)\b",
+    "es": r"\b(el|la|de|los|y|que)\b",
+    "fr": r"\b(le|les|et|des|un|une)\b",
+}
+
+_FP_MULT = 1000003
+_FP_MOD = 2147483647
+
+
+def ws_tokens(text: Column) -> Column:
+    """Whitespace tokens of the trimmed text."""
+    return F.split(F.trim(text), r"\s+")
+
+
+def bpe_tokens_count(text: Column) -> Column:
+    return F.size(F.regexp_extract_all(text, F.lit(BPE_TOKEN_PATTERN), 0))
+
+
+def punct_count(text: Column) -> Column:
+    return F.size(F.regexp_extract_all(text, F.lit(r"[^A-Za-z0-9\s]"), 0))
+
+
+def stopword_count(text: Column, pattern: str) -> Column:
+    return F.size(F.regexp_extract_all(F.lower(text), F.lit(pattern), 0))
+
+
+def shingles(tokens: Column, n: int = 5) -> Column:
+    """Word n-gram shingles as space-joined strings (distinct not applied).
+
+    Sequence-index formulation — no explode, the whole array pipeline stays
+    one projection: shingle i = tokens[i .. i+n-1].
+    """
+    return F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(tokens) - n, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(tokens, i + 1, n)),
+    )
+
+
+def nibble(c: Column) -> Column:
+    """Hex char → 0..15 via strpos arithmetic (identical in DuckDB)."""
+    return F.instr(F.lit("0123456789abcdef"), c) - 1
+
+
+def token_hash(t: Column) -> Column:
+    """24-bit integer hash of a token: first 6 hex nibbles of md5."""
+    h = F.md5(t)
+    out = F.lit(0).cast("long")
+    for j in range(1, 7):
+        out = out * 16 + nibble(F.substring(h, j, 1)).cast("long")
+    return out
+
+
+def fingerprint(tokens: Column) -> Column:
+    """Polynomial rolling hash over token hashes — the document fingerprint.
+
+    fold(acc=0; acc*1000003 + token_hash mod 2^31-1). Exact integer
+    arithmetic, so Spark's fold and DuckDB's list_reduce agree bit-for-bit.
+    """
+    return F.aggregate(
+        tokens,
+        F.lit(0).cast("long"),
+        lambda acc, t: (acc * _FP_MULT + token_hash(t)) % _FP_MOD,
+    )
+
+
+def minhash_signature(shingle_arr: Column, k: int = 16) -> Column:
+    """MinHash signature: for seed i, the lexicographic min of
+    md5('<i>:' || shingle). String-min of hex digests is engine-neutral
+    (no integer conversion needed) and each seed is an independent
+    permutation approximation."""
+    # NB: factory closure, not a default-arg lambda — PySpark dispatches on
+    # lambda arity, and an extra defaulted param turns transform's element
+    # lambda into the (element, index) form.
+    def _salted(i: int):
+        return lambda s: F.md5(F.concat(F.lit(f"{i}:"), s))
+
+    return F.array(*[F.array_min(F.transform(shingle_arr, _salted(i))) for i in range(k)])
+
+
+def simhash32(tokens: Column) -> Column:
+    """32-bit SimHash: bit j is the sign of the sum over tokens of
+    (2*lsb(nibble_j(md5(token))) - 1). Built as 32 aggregate expressions over
+    the token array — exact integer arithmetic, engine-neutral."""
+    def _bit_folder(j: int):
+        return lambda acc, t: acc + (nibble(F.substring(F.md5(t), j + 1, 1)) % 2) * 2 - 1
+
+    sig = F.lit(0).cast("long")
+    for j in range(32):
+        bit_sum = F.aggregate(tokens, F.lit(0).cast("long"), _bit_folder(j))
+        sig = sig + F.when(bit_sum > 0, F.lit(2**j).cast("long")).otherwise(F.lit(0).cast("long"))
+    return sig

@@ -1,0 +1,382 @@
+"""Deduplication operators (SURVEY §2c/§2d) — exact, n-gram Jaccard,
+MinHash+LSH, SimHash, and embedding-cosine near-dup.
+
+The testdata has no natural duplicates, so every dedup query runs over a
+*corpus* with deterministically planted copies (exact at doc_id%7 → +200000,
+near at doc_id%10 → +100000 with appended tokens) — derived identically in
+Spark and the DuckDB oracle. The operators themselves are corpus-agnostic.
+
+Scale design: every candidate-pair generator is a *blocked* self-join
+(shared shingle / LSH band / simhash byte-band / coarse label) — never an
+O(n²) cross join. The verify step runs only on the candidate set. All
+hashing is md5-based column arithmetic: JVM codegen on Spark, bit-equal in
+the oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from timedb_spark.functions import texttools as tt
+from timedb_spark.functions import vectors as vx
+from timedb_spark.io.tables import load_table
+
+# ---------------------------------------------------------------------------
+# Corpus with planted duplicates
+# ---------------------------------------------------------------------------
+
+_NEAR_SUFFIX = " qq zz yy xx"
+
+
+def doc_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    near = (
+        docs.filter(F.col("doc_id") % 10 == 0)
+        .select((F.col("doc_id") + 100000).alias("doc_id"), F.concat(F.col("text"), F.lit(_NEAR_SUFFIX)).alias("text"))
+    )
+    exact = docs.filter(F.col("doc_id") % 7 == 0).select((F.col("doc_id") + 200000).alias("doc_id"), "text")
+    return docs.unionByName(near).unionByName(exact)
+
+
+DOC_CORPUS_SQL = f"""
+SELECT doc_id, text FROM documents
+UNION ALL
+SELECT doc_id + 100000 AS doc_id, text || '{_NEAR_SUFFIX}' AS text FROM documents WHERE doc_id % 10 = 0
+UNION ALL
+SELECT doc_id + 200000 AS doc_id, text FROM documents WHERE doc_id % 7 = 0
+"""
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup — hash groupBy
+# ---------------------------------------------------------------------------
+
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicate groups on whitespace-normalized lowered text.
+
+    One groupBy on the md5 key (map-side partial agg); group members stay
+    distributed — no collect. Output: one row per member of a group with
+    size > 1, with the group's min doc_id as group_id.
+    """
+    corpus = doc_corpus(spark, sf_dir)
+    norm = F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " "))
+    keyed = corpus.select("doc_id", F.md5(norm).alias("text_key"))
+    groups = keyed.groupBy("text_key").agg(
+        F.min("doc_id").alias("group_id"), F.count(F.lit(1)).alias("group_size")
+    ).filter(F.col("group_size") > 1)
+    return keyed.join(groups, "text_key").select("doc_id", "group_id", "group_size")
+
+
+DEDUP_EXACT_SQL = rf"""
+WITH corpus AS ({DOC_CORPUS_SQL}),
+keyed AS (
+    SELECT doc_id, md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS text_key
+    FROM corpus
+),
+groups AS (
+    SELECT text_key, min(doc_id) AS group_id, count(*) AS group_size
+    FROM keyed GROUP BY text_key HAVING count(*) > 1
+)
+SELECT k.doc_id, g.group_id, g.group_size
+FROM keyed k JOIN groups g USING (text_key)
+"""
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard dedup — shared-shingle blocking + exact verify
+# ---------------------------------------------------------------------------
+
+_JACCARD_TAU = 0.5
+_SHINGLE_N = 5
+
+
+def _shingled(corpus: DataFrame) -> DataFrame:
+    # Two projections on purpose: the shingle lambda must reference the
+    # materialized token *attribute*, not the split() expression — otherwise
+    # each of the ~n slice lambdas re-runs the tokenizer (O(n²) per doc;
+    # measured 188 s → 11 s at sf0.01 for the pair query).
+    return corpus.select("doc_id", tt.ws_tokens(F.col("text")).alias("toks")).select(
+        "doc_id", F.array_distinct(tt.shingles(F.col("toks"), _SHINGLE_N)).alias("sh")
+    )
+
+
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Jaccard ≥ τ over word-5-gram shingle sets; candidate pairs are
+    blocked on shared shingles (equi-join, shuffle on shingle key) so the
+    pair space is bounded by co-occurrence, not n²."""
+    sh = _shingled(doc_corpus(spark, sf_dir))
+    sizes = sh.select("doc_id", F.size("sh").alias("n_sh"))
+    ex = sh.select("doc_id", F.explode("sh").alias("s"))
+    a = ex.alias("a")
+    b = ex.alias("b")
+    inter = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
+    jac = F.col("inter").cast("double") / (F.col("na") + F.col("nb") - F.col("inter"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+        .filter(F.col("jaccard") >= _JACCARD_TAU)
+    )
+
+
+_SHINGLED_SQL = rf"""
+SELECT doc_id,
+       list_distinct(list_transform(
+           range(1, greatest(len(w) - {_SHINGLE_N - 1}, 1) + 1),
+           i -> array_to_string(w[i:i+{_SHINGLE_N - 1}], ' '))) AS sh
+FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM corpus)
+"""
+
+DEDUP_NGRAM_SQL = rf"""
+WITH corpus AS ({DOC_CORPUS_SQL}),
+shingled AS ({_SHINGLED_SQL}),
+sizes AS (SELECT doc_id, len(sh) AS n_sh FROM shingled),
+ex AS (SELECT doc_id, unnest(sh) AS s FROM shingled),
+inter AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+    FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+)
+SELECT doc_a, doc_b,
+       round(CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE round(CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter), 6) >= {_JACCARD_TAU}
+"""
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH dedup
+# ---------------------------------------------------------------------------
+
+_MH_K = 16
+_MH_BANDS = 4
+_MH_ROWS = _MH_K // _MH_BANDS
+
+
+def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(k=16) signatures → LSH banding (4 bands × 4 rows) → candidate
+    pairs share a band → exact-Jaccard verify ≥ τ.
+
+    The LSH join is the 100 TB path: pair generation is an equi-join on
+    (band_idx, band_key) — each band bucket holds only colliding docs, so
+    shuffle volume is O(n·bands), never O(n²)."""
+    sh = _shingled(doc_corpus(spark, sf_dir))
+    sig = sh.select("doc_id", "sh", tt.minhash_signature(F.col("sh"), _MH_K).alias("sig"))
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band_idx"),
+                        F.md5(F.concat_ws("|", F.slice(F.col("sig"), i * _MH_ROWS + 1, _MH_ROWS))).alias("band_key"),
+                    )
+                    for i in range(_MH_BANDS)
+                ]
+            )
+        ).alias("band"),
+    ).select("doc_id", "band.band_idx", "band.band_key")
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sizes = sh.select("doc_id", F.size("sh").alias("n_sh"))
+    ex = sh.select("doc_id", F.explode("sh").alias("s"))
+    inter = (
+        ex.alias("x")
+        .join(cand, F.col("x.doc_id") == F.col("doc_a"))
+        .join(ex.alias("y"), (F.col("y.doc_id") == F.col("doc_b")) & (F.col("x.s") == F.col("y.s")))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
+    jac = F.col("inter").cast("double") / (F.col("na") + F.col("nb") - F.col("inter"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+        .filter(F.col("jaccard") >= _JACCARD_TAU)
+    )
+
+
+_SIG_SQL = f"""
+SELECT doc_id, sh,
+       list_transform(range(0, {_MH_K}),
+           i -> list_aggregate(list_transform(sh, s -> md5(CAST(i AS VARCHAR) || ':' || s)), 'min')) AS sig
+FROM shingled
+"""
+
+DEDUP_MINHASH_SQL = rf"""
+WITH corpus AS ({DOC_CORPUS_SQL}),
+shingled AS ({_SHINGLED_SQL}),
+sig AS ({_SIG_SQL}),
+bands AS (
+    SELECT doc_id, i AS band_idx,
+           md5(array_to_string(sig[1 + i*{_MH_ROWS} : (i+1)*{_MH_ROWS}], '|')) AS band_key
+    FROM sig, unnest(range(0, {_MH_BANDS})) AS t(i)
+),
+cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a JOIN bands b
+      ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+),
+ex AS (SELECT doc_id, unnest(sh) AS s FROM shingled),
+sizes AS (SELECT doc_id, len(sh) AS n_sh FROM shingled),
+inter AS (
+    SELECT c.doc_a, c.doc_b, count(*) AS inter
+    FROM cand c
+    JOIN ex x ON x.doc_id = c.doc_a
+    JOIN ex y ON y.doc_id = c.doc_b AND y.s = x.s
+    GROUP BY c.doc_a, c.doc_b
+)
+SELECT doc_a, doc_b,
+       round(CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE round(CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter), 6) >= {_JACCARD_TAU}
+"""
+
+
+# ---------------------------------------------------------------------------
+# SimHash dedup
+# ---------------------------------------------------------------------------
+
+_SIMHASH_MAX_HAMMING = 3
+
+
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash; candidates share one of four 8-bit byte-bands
+    (guarantees recall for hamming ≤ 3 by pigeonhole: 4 bands, ≤3 differing
+    bits → some band intact); verify bit_count(xor) ≤ 3."""
+    corpus = doc_corpus(spark, sf_dir)
+    sigs = corpus.select("doc_id", tt.ws_tokens(F.col("text")).alias("toks")).select(
+        "doc_id", tt.simhash32(F.col("toks")).alias("sig")
+    )
+    bands = sigs.select(
+        "doc_id",
+        "sig",
+        F.explode(
+            F.array(*[F.struct(F.lit(i).alias("band_idx"), (F.shiftright("sig", 8 * i) % 256).alias("byte")) for i in range(4)])
+        ).alias("band"),
+    ).select("doc_id", "sig", "band.band_idx", "band.byte")
+    a = bands.alias("a")
+    b = bands.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.byte") == F.col("b.byte"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"),
+                F.col("a.sig").alias("sig_a"), F.col("b.sig").alias("sig_b"))
+        .distinct()
+    )
+    ham = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    return pairs.select("doc_a", "doc_b", ham.alias("hamming")).filter(F.col("hamming") <= _SIMHASH_MAX_HAMMING)
+
+
+_TOKEN_HASH_NIBBLE = "(strpos('0123456789abcdef', substr(md5(t), {j}, 1)) - 1)"
+
+_SIMHASH_BITSUM = " , ".join(
+    f"list_sum(list_transform(w, t -> ({_TOKEN_HASH_NIBBLE.format(j=j + 1)} % 2) * 2 - 1)) AS bs{j}" for j in range(32)
+)
+_SIMHASH_SIGSUM = " + ".join(f"(CASE WHEN bs{j} > 0 THEN {2**j} ELSE 0 END)" for j in range(32))
+
+DEDUP_SIMHASH_SQL = rf"""
+WITH corpus AS ({DOC_CORPUS_SQL}),
+tok AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM corpus),
+bitsums AS (SELECT doc_id, {_SIMHASH_BITSUM} FROM tok),
+sigs AS (SELECT doc_id, CAST({_SIMHASH_SIGSUM} AS BIGINT) AS sig FROM bitsums),
+bands AS (
+    SELECT doc_id, sig, i AS band_idx, (sig >> (8*i)) % 256 AS byte
+    FROM sigs, unnest(range(0, 4)) AS t(i)
+),
+pairs AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, a.sig AS sig_a, b.sig AS sig_b
+    FROM bands a JOIN bands b
+      ON a.band_idx = b.band_idx AND a.byte = b.byte AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, bit_count(xor(sig_a, sig_b)) AS hamming
+FROM pairs
+WHERE bit_count(xor(sig_a, sig_b)) <= {_SIMHASH_MAX_HAMMING}
+"""
+
+
+# ---------------------------------------------------------------------------
+# Embedding-cosine near-dup
+# ---------------------------------------------------------------------------
+
+_EMB_TAU = 0.8
+
+
+def emb_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantized embedding corpus with planted near-dups: vec_id%10 → copy at
+    +100000 with the first component shifted by +0.5 (exact int +500000)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.select("vec_id", "label", vx.quantize(F.col("embedding")).alias("q"))
+    near = base.filter(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        "label",
+        F.concat(F.array(F.element_at(F.col("q"), 1) + 500000), F.slice(F.col("q"), 2, 1_000_000)).alias("q"),
+    )
+    return base.unionByName(near)
+
+
+EMB_CORPUS_SQL = f"""
+SELECT vec_id, label, {vx.QUANTIZE_SQL.format(v='embedding')} AS q FROM embeddings
+UNION ALL
+SELECT vec_id + 100000 AS vec_id, label,
+       list_concat([{vx.QUANTIZE_SQL.format(v='embedding')}[1] + 500000],
+                   {vx.QUANTIZE_SQL.format(v='embedding')}[2:len(embedding)]) AS q
+FROM embeddings WHERE vec_id % 10 = 0
+"""
+
+
+def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cosine ≥ τ near-dup pairs, blocked on the coarse cluster label (the
+    IVF-style blocking key — at 100 TB the blocker would be a trained
+    centroid assignment; the join shape is identical)."""
+    c = emb_corpus(spark, sf_dir)
+    a = c.alias("a")
+    b = c.alias("b")
+    cos = vx.cosine_q(F.col("a.q"), F.col("b.q"))
+    return (
+        a.join(b, (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") < F.col("b.vec_id")))
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.round(cos, 6).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= _EMB_TAU)
+    )
+
+
+DEDUP_EMBEDDING_SQL = f"""
+WITH corpus AS ({EMB_CORPUS_SQL})
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       round({vx.cosine_q_sql('a.q', 'b.q')}, 6) AS cosine
+FROM corpus a JOIN corpus b
+  ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE round({vx.cosine_q_sql('a.q', 'b.q')}, 6) >= {_EMB_TAU}
+"""
