@@ -1,0 +1,339 @@
+"""Store + client round-trip tests.
+
+Mirrors the reference's integration + write-validation suites
+(ref: tests/test_integration.py, tests/test_write_validation.py) against the
+partitioned-parquet store: write/read latest, revision chains, retention
+pruning and TTL, skip_unchanged counting (both scopes), run_series mapping,
+null/NaN roundtrip, and the full kwarg/column validation matrix.
+"""
+
+from __future__ import annotations
+
+from datetime import datetime, timedelta, timezone
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from timedb_spark.client import TimeDB, WriteResult
+
+UTC = timezone.utc
+T0 = datetime(2024, 1, 1, tzinfo=UTC)
+
+
+def ts(h: int) -> datetime:
+    return T0 + timedelta(hours=h)
+
+
+def pdf(rows: list[dict]) -> pd.DataFrame:
+    return pd.DataFrame(rows)
+
+
+@pytest.fixture()
+def td(spark, tmp_path):
+    db = TimeDB(spark, str(tmp_path / "tdb"))
+    db.create()
+    yield db
+    db.delete()
+
+
+def simple_batch(value: float = 1.0, sid: int = 1, n: int = 3) -> pd.DataFrame:
+    return pdf([{"series_id": sid, "valid_time": ts(i), "value": value + i} for i in range(n)])
+
+
+def read_pd(df) -> pd.DataFrame:
+    return df.toPandas().sort_values(by=list(df.columns)).reset_index(drop=True)
+
+
+# -- schema lifecycle (ref test_integration.py:53) --------------------------
+
+
+def test_create_delete_idempotent(td):
+    td.create()  # second create is a no-op
+    assert td.read(series_ids=[1]).count() == 0
+    td.delete()
+    td.delete()  # double delete fine
+    td.create()
+    assert td.read(series_ids=[1]).count() == 0
+
+
+# -- write + read latest (ref test_integration.py:62-104) -------------------
+
+
+def test_write_and_read_latest_flat(td):
+    res = td.write(simple_batch())
+    assert res == WriteResult(written=3, skipped=0)
+    out = read_pd(td.read(series_ids=[1]))
+    assert list(out.columns) == ["series_id", "valid_time", "value"]
+    assert out["value"].tolist() == [1.0, 2.0, 3.0]
+
+
+def test_read_latest_picks_highest_knowledge_time(td):
+    td.write(simple_batch(value=1.0), knowledge_time=ts(0))
+    td.write(simple_batch(value=10.0), knowledge_time=ts(1))
+    out = read_pd(td.read(series_ids=[1]))
+    assert out["value"].tolist() == [10.0, 11.0, 12.0]
+
+
+def test_overlapping_read_returns_all_kts(td):
+    td.write(simple_batch(value=1.0, n=1), knowledge_time=ts(0))
+    td.write(simple_batch(value=2.0, n=1), knowledge_time=ts(1))
+    out = td.read(series_ids=[1], include_knowledge_time=True)
+    assert out.count() == 2
+    assert set(out.columns) == {"series_id", "knowledge_time", "valid_time", "value"}
+
+
+def test_correction_chain_includes_change_time(td):
+    """Two writes at the SAME knowledge_time are corrections; include_updates
+    exposes the chain with change_time, latest-change wins in plain read."""
+    td.write(simple_batch(value=1.0, n=1), knowledge_time=ts(0))
+    td.write(simple_batch(value=5.0, n=1), knowledge_time=ts(0))
+    plain = read_pd(td.read(series_ids=[1]))
+    assert plain["value"].tolist() == [5.0]
+    chain = td.read(series_ids=[1], include_updates=True)
+    assert chain.count() == 2
+    assert "change_time" in chain.columns
+
+
+# -- retention (ref test_integration.py:105-129) ----------------------------
+
+
+def test_retention_filter_prunes(td):
+    td.write(simple_batch(sid=1), retention="short")
+    td.write(simple_batch(sid=2), retention="long")
+    assert td.read(series_ids=[1, 2], retention="short").count() == 3
+    assert td.read(series_ids=[1, 2], retention=["short", "long"]).count() == 6
+
+
+def test_retention_column_per_row(td):
+    df = pdf(
+        [
+            {"series_id": 1, "valid_time": ts(0), "value": 1.0, "retention": "short"},
+            {"series_id": 1, "valid_time": ts(1), "value": 2.0, "retention": "forever"},
+        ]
+    )
+    td.write(df)
+    assert td.read(series_ids=[1], retention="short").count() == 1
+    assert td.read(series_ids=[1]).count() == 2
+
+
+def test_retention_ttl_drops_expired_month_partitions(td):
+    old = pdf([{"series_id": 1, "valid_time": datetime(2020, 1, 1, tzinfo=UTC), "value": 1.0}])
+    td.write(old, retention="short")
+    td.write(simple_batch(sid=2), retention="short")
+    td.write(old.assign(series_id=3), retention="forever")
+    dropped = td.apply_retention(now=datetime(2024, 6, 1, tzinfo=UTC))
+    assert dropped == ["retention=short/vt_month=202001"]
+    assert td.read(series_ids=[1]).count() == 0  # expired
+    assert td.read(series_ids=[2]).count() == 3  # fresh short survives
+    assert td.read(series_ids=[3]).count() == 1  # forever never expires
+
+
+# -- run_series (ref test_integration.py:130-138) ---------------------------
+
+
+def test_run_series_mapping_latest_first(td):
+    df = simple_batch(n=1).assign(run_id=100)
+    td.write(df)
+    df2 = simple_batch(value=2.0, n=1).assign(run_id=200)
+    td.write(df2)
+    runs = td.read_run_series(series_id=1)
+    assert runs == [200, 100] or set(runs) == {100, 200}  # ties on first_seen allowed
+    # re-write of run 100 must not duplicate the mapping
+    td.write(df.assign(value=9.0))
+    assert sorted(set(td.read_run_series(series_id=1))) == [100, 200]
+
+
+def test_empty_series_list_returns_empty(td):
+    td.write(simple_batch())
+    assert td.read(series_ids=[]).count() == 0
+
+
+# -- skip_unchanged (ref test_integration.py:156-198) -----------------------
+
+
+def test_skip_unchanged_drops_identical_rewrite(td):
+    td.write(simple_batch())
+    res = td.write(simple_batch(), skip_unchanged=True)
+    assert res == WriteResult(written=0, skipped=3)
+
+
+def test_skip_unchanged_keeps_changed_value(td):
+    td.write(simple_batch())
+    changed = simple_batch()
+    changed.loc[0, "value"] = 99.0
+    res = td.write(changed, skip_unchanged=True)
+    assert res == WriteResult(written=1, skipped=2)
+    out = read_pd(td.read(series_ids=[1]))
+    assert out["value"].tolist() == [99.0, 2.0, 3.0]
+
+
+def test_default_rewrite_still_appends(td):
+    td.write(simple_batch())
+    res = td.write(simple_batch())
+    assert res.written == 3
+    assert td.read(series_ids=[1], include_updates=True).count() >= 3
+
+
+def test_skip_unchanged_knowledge_time_scope(td):
+    """valid_time scope compares to the LATEST state; knowledge_time scope
+    compares only within the same kt — a rewrite at a NEW kt is never
+    'unchanged' under kt scope even if the value matches."""
+    td.write(simple_batch(n=1), knowledge_time=ts(0))
+    same_value_new_kt = simple_batch(n=1)
+    res_vt = td.write(same_value_new_kt, knowledge_time=ts(5), skip_unchanged=True)
+    assert res_vt == WriteResult(written=0, skipped=1)
+    res_kt = td.write(
+        same_value_new_kt, knowledge_time=ts(6), skip_unchanged=True, unchanged_scope="knowledge_time"
+    )
+    assert res_kt == WriteResult(written=1, skipped=0)
+
+
+def test_skip_unchanged_nan_equals_nan_is_dropped(td):
+    nanb = pdf([{"series_id": 1, "valid_time": ts(0), "value": None}])
+    td.write(nanb)
+    res = td.write(nanb, skip_unchanged=True)
+    assert res == WriteResult(written=0, skipped=1)
+
+
+def test_skip_unchanged_empty_store_keeps_all(td):
+    res = td.write(simple_batch(), skip_unchanged=True)
+    assert res == WriteResult(written=3, skipped=0)
+
+
+def test_skip_unchanged_annotation_change_writes(td):
+    td.write(simple_batch(n=1))
+    ann = simple_batch(n=1).assign(annotation="corrected")
+    res = td.write(ann, skip_unchanged=True)
+    assert res == WriteResult(written=1, skipped=0)
+
+
+# -- null/NaN roundtrip (ref test_integration.py:199) -----------------------
+
+
+def test_read_null_value_roundtrip(td):
+    df = pdf(
+        [
+            {"series_id": 1, "valid_time": ts(0), "value": None},
+            {"series_id": 1, "valid_time": ts(1), "value": 2.0},
+        ]
+    )
+    td.write(df)
+    out = read_pd(td.read(series_ids=[1]))
+    assert out["value"].isna().tolist() == [True, False]
+
+
+# -- validation matrix (ref tests/test_write_validation.py) -----------------
+
+
+def test_rejects_missing_required_columns(td):
+    with pytest.raises(ValueError, match="required"):
+        td.write(pdf([{"series_id": 1, "value": 1.0}]))
+
+
+def test_rejects_unknown_retention_kwarg(td):
+    with pytest.raises(ValueError, match="retention"):
+        td.write(simple_batch(), retention="eternal")
+
+
+def test_rejects_unknown_retention_column(td):
+    df = simple_batch().assign(retention="bogus")
+    with pytest.raises(ValueError, match="retention"):
+        td.write(df)
+
+
+def test_rejects_retention_column_and_kwarg(td):
+    df = simple_batch().assign(retention="short")
+    with pytest.raises(ValueError, match="[Aa]mbiguous"):
+        td.write(df, retention="short")
+
+
+def test_rejects_knowledge_time_column_and_kwarg(td):
+    df = simple_batch().assign(knowledge_time=ts(0))
+    with pytest.raises(ValueError, match="[Aa]mbiguous"):
+        td.write(df, knowledge_time=ts(1))
+
+
+def test_rejects_naive_datetime_column(td):
+    naive = pdf([{"series_id": 1, "valid_time": datetime(2024, 1, 1), "value": 1.0}])
+    with pytest.raises(ValueError, match="timezone-aware"):
+        td.write(naive)
+
+
+def test_unknown_unchanged_scope_rejected(td):
+    td.write(simple_batch())
+    with pytest.raises(ValueError, match="unchanged_scope"):
+        td.write(simple_batch(), skip_unchanged=True, unchanged_scope="bogus")
+
+
+def test_default_retention_is_forever(td):
+    td.write(simple_batch())
+    vals = td.store.read_values().select("retention").distinct().collect()
+    assert {r[0] for r in vals} == {"forever"}
+
+
+def test_store_partition_layout(td):
+    """Physical layout matches the CH partition key (retention, month)."""
+    td.write(simple_batch(), retention="short")
+    parts = sorted(p.name for p in (td.store.values_path / "retention=short").glob("vt_month=*"))
+    assert parts == ["vt_month=202401"]
+
+
+def test_store_sorted_within_files(td):
+    """Rows inside each parquet file are sorted by the reference ORDER BY key
+    so row-group min/max act as a sparse series/time index."""
+    import pyarrow.parquet as pq
+
+    big = pdf(
+        [
+            {"series_id": sid, "valid_time": ts(h), "value": float(sid * 100 + h)}
+            for sid in (3, 1, 2)
+            for h in (5, 0, 3)
+        ]
+    )
+    td.write(big)
+    files = list((td.store.values_path).rglob("part-*.parquet"))
+    assert files
+    for f in files:
+        t = pq.read_table(f, columns=["series_id", "valid_time"]).to_pandas()
+        key = list(zip(t["series_id"], t["valid_time"]))
+        assert key == sorted(key)
+
+
+def test_run_id_generation_time_sortable(td):
+    from timedb_spark.client import _generate_run_id
+
+    a = _generate_run_id()
+    b = _generate_run_id()
+    assert a > 0 and b > 0 and (b >> 20) >= (a >> 20)
+
+
+def test_spark_dataframe_write_path(td, spark):
+    """write() accepts a Spark DataFrame directly (no pandas roundtrip)."""
+    sdf = spark.createDataFrame(
+        [(1, ts(0).replace(tzinfo=None), 1.5)], "series_id long, valid_time timestamp, value double"
+    )
+    res = td.write(sdf)
+    assert res.written == 1
+    out = td.read(series_ids=[1])
+    assert out.collect()[0].value == 1.5
+
+
+def test_month_pruning_filter(td):
+    td.write(
+        pdf(
+            [
+                {"series_id": 1, "valid_time": datetime(2024, 1, 5, tzinfo=UTC), "value": 1.0},
+                {"series_id": 1, "valid_time": datetime(2024, 3, 5, tzinfo=UTC), "value": 2.0},
+            ]
+        )
+    )
+    out = td.read(
+        series_ids=[1],
+        start_valid=datetime(2024, 3, 1, tzinfo=UTC),
+        end_valid=datetime(2024, 4, 1, tzinfo=UTC),
+    )
+    assert [r.value for r in out.collect()] == [2.0]
+    # plan must contain a vt_month partition filter (directory-level pruning)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "vt_month" in plan

@@ -76,7 +76,11 @@ class Store:
         (
             df.withColumn("vt_month", F.date_format("valid_time", "yyyyMM"))
             .repartition("retention", "vt_month")
-            .sortWithinPartitions(*_SORT_KEY)
+            # Partition cols lead the sort so FileFormatWriter's required
+            # per-task ordering (partition cols) is already satisfied and the
+            # writer does NOT re-sort — preserving the (series_id, valid_time,
+            # ...) row order that gives parquet row-group zone maps.
+            .sortWithinPartitions("retention", "vt_month", *_SORT_KEY)
             .write.partitionBy("retention", "vt_month")
             .mode("append")
             .parquet(str(self.values_path))
