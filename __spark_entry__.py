@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from timedb_spark.io.tables import BITEMPORAL_ORACLE_SQL, bitemporal_frame, load_table
-from timedb_spark.operators import analytics, dedup, similarity, text
+from timedb_spark.operators import analytics, dedup, multimodal, similarity, text
 from timedb_spark.operators import bitemporal as bt
 
 _SV = BITEMPORAL_ORACLE_SQL
@@ -131,6 +131,13 @@ def _q_write_skip_unchanged(spark: SparkSession, sf_dir: str) -> DataFrame:
     return j.filter(keep).select("series_id", "valid_time", "value")
 
 
+def _q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column decode + feature extraction over mapInPandas (rows-only:
+    the numpy decode is checked against a local recompute in tests)."""
+    docs = multimodal.attach_payload(load_table(spark, sf_dir, "documents"))
+    return multimodal.decode_features(docs)
+
+
 # ---------------------------------------------------------------------------
 # Contract functions
 # ---------------------------------------------------------------------------
@@ -168,6 +175,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding": dedup.dedup_embedding,
         "ann_bruteforce": similarity.ann_bruteforce,
         "ann_lsh": similarity.ann_lsh,
+        "multimodal_meta": multimodal.multimodal_meta,
+        "multimodal_decode": _q_multimodal_decode,
     }
 
 
@@ -333,4 +342,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_embedding": dedup.DEDUP_EMBEDDING_SQL,
         "ann_bruteforce": similarity.ANN_BRUTEFORCE_SQL,
         # ann_lsh: rows-only (approximate operator; recall measured in tests)
+        "multimodal_meta": multimodal.MULTIMODAL_META_SQL,
+        # multimodal_decode: rows-only (numpy decode inside mapInPandas;
+        # verified against a local numpy recompute in tests/test_multimodal.py)
     }
