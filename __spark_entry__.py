@@ -131,6 +131,54 @@ def _q_write_skip_unchanged(spark: SparkSession, sf_dir: str) -> DataFrame:
     return j.filter(keep).select("series_id", "valid_time", "value")
 
 
+def _stage_stream_dir(spark: SparkSession, sf_dir: str, df: DataFrame, tag: str, n_files: int) -> str:
+    """Stage a deterministic multi-file parquet 'landing zone' for a file-
+    source stream (one staging per (sf_dir, tag), reused across calls)."""
+    import hashlib
+    import os
+    import tempfile
+
+    key = hashlib.md5(f"{sf_dir}|{tag}".encode()).hexdigest()[:12]
+    d = os.path.join(tempfile.gettempdir(), f"timedb_stream_{tag}_{key}")
+    marker = os.path.join(d, "_STAGED")
+    if not os.path.exists(marker):
+        df.repartition(n_files).write.mode("overwrite").parquet(d)
+        open(marker, "w").close()
+    return d
+
+
+def _q_stream_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of events_window, drained with availableNow — final
+    complete-mode aggregates equal the batch/SQL oracle."""
+    from timedb_spark import streaming as st
+    from timedb_spark.streaming.windows import EVENTS_STREAM_SCHEMA
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", F.col("ts").cast("timestamp").alias("ts"), "user_id", "event_type", "value"
+    )
+    d = _stage_stream_dir(spark, sf_dir, ev, "events", 6)
+    stream = spark.readStream.schema(EVENTS_STREAM_SCHEMA).option("maxFilesPerTrigger", 2).parquet(d)
+    return st.run_available_now(st.windowed_events_agg(stream), "complete")
+
+
+def _q_stream_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful streaming latest (applyInPandasWithState), drained and
+    collapsed to each key's final emission — equals the batch bt_read_latest
+    oracle."""
+    from timedb_spark import streaming as st
+
+    sv = bitemporal_frame(spark, sf_dir).select(
+        "series_id", "valid_time", "knowledge_time", "change_time", "value"
+    )
+    d = _stage_stream_dir(spark, sf_dir, sv, "sv", 4)
+    stream = spark.readStream.schema(sv.schema).option("maxFilesPerTrigger", 1).parquet(d)
+    out = st.run_available_now(st.stream_latest_state(stream), "update")
+    # update mode re-emits on change; the last emission per key is the final
+    # state (memory-sink arrival order is batch order).
+    final = out.withColumn("_emit", F.monotonically_increasing_id())
+    return final.groupBy("series_id", "valid_time").agg(F.max_by("value", "_emit").alias("value"))
+
+
 def _q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-column decode + feature extraction over mapInPandas (rows-only:
     the numpy decode is checked against a local recompute in tests)."""
@@ -177,6 +225,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh": similarity.ann_lsh,
         "multimodal_meta": multimodal.multimodal_meta,
         "multimodal_decode": _q_multimodal_decode,
+        "stream_window": _q_stream_window,
+        "stream_latest_state": _q_stream_latest_state,
     }
 
 
@@ -345,4 +395,14 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_meta": multimodal.MULTIMODAL_META_SQL,
         # multimodal_decode: rows-only (numpy decode inside mapInPandas;
         # verified against a local numpy recompute in tests/test_multimodal.py)
+        "stream_window": analytics.EVENTS_WINDOW_SQL,
+        "stream_latest_state": f"""
+            WITH sv AS ({_SV})
+            SELECT series_id, valid_time, value FROM (
+                SELECT series_id, valid_time, value,
+                       row_number() OVER (PARTITION BY series_id, valid_time
+                                          ORDER BY knowledge_time DESC, change_time DESC) AS rn
+                FROM sv
+            ) t WHERE rn = 1
+        """,
     }
