@@ -1,0 +1,99 @@
+"""Plan-shape tests (SURVEY §6): the scale properties — pushdown, pruning,
+broadcasts, bounded shuffles — asserted on the real optimized plans."""
+
+from __future__ import annotations
+
+from datetime import datetime, timedelta, timezone
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+import __spark_entry__ as entry
+from timedb_spark import plans
+from timedb_spark.client import TimeDB
+from timedb_spark.io.tables import load_table
+from timedb_spark.operators import analytics
+
+
+def test_tpch_q3_broadcasts_customer(spark, sf_dir):
+    df = analytics.tpch_q3(spark, sf_dir)
+    plans.assert_broadcast_joins(df, 1)
+    plans.assert_no_cartesian(df)
+
+
+def test_tpch_q5_broadcasts_dims(spark, sf_dir):
+    df = analytics.tpch_q5(spark, sf_dir)
+    plans.assert_broadcast_joins(df, 2)  # region+nation (+supplier) stay broadcast
+    plans.assert_no_cartesian(df)
+
+
+def test_tpch_q1_filter_pushdown_and_pruning(spark, sf_dir):
+    df = analytics.tpch_q1(spark, sf_dir)
+    plans.assert_pushed_filter(df, "l_shipdate")
+    # q1 needs 7 lineitem cols; the scan must not read all 16
+    plans.assert_column_pruned(df, {"l_returnflag": 8})
+    plans.assert_max_shuffles(df, 1)  # one partial-agg shuffle, nothing else
+
+
+def test_events_window_single_shuffle(spark, sf_dir):
+    df = analytics.events_window(spark, sf_dir)
+    plans.assert_max_shuffles(df, 1)
+
+
+def test_store_read_pushes_partition_and_data_filters(spark, tmp_path):
+    db = TimeDB(spark, str(tmp_path / "t"))
+    db.create()
+    UTC = timezone.utc
+    rows = pd.DataFrame(
+        [
+            {
+                "series_id": s,
+                "valid_time": datetime(2024, m, 5, tzinfo=UTC),
+                "value": float(s * m),
+            }
+            for s in (1, 2)
+            for m in (1, 2, 3)
+        ]
+    )
+    db.write(rows, retention="short")
+    out = db.read(
+        series_ids=[1],
+        retention="short",
+        start_valid=datetime(2024, 2, 1, tzinfo=UTC),
+        end_valid=datetime(2024, 3, 1, tzinfo=UTC),
+    )
+    # directory-level: retention + vt_month are partition filters;
+    # row-group-level: series_id + valid_time reach PushedFilters.
+    part = " ".join(plans.partition_filters(out))
+    assert "retention" in part and "vt_month" in part
+    plans.assert_pushed_filter(out, "series_id", "valid_time")
+    db.delete()
+
+
+def test_bt_read_latest_no_window_sort(spark, sf_dir):
+    """The latest collapse must be a partial-aggregable max_by (SortAggregate/
+    HashAggregate), never a row_number window sort."""
+    df = entry.queries()["bt_read_latest"](spark, sf_dir)
+    plan = plans.formatted_plan(df)
+    assert "Window" not in plan, "latest uses a window sort — should be max_by aggregation"
+
+
+def test_dedup_minhash_no_cartesian(spark, sf_dir):
+    df = entry.queries()["dedup_minhash"](spark, sf_dir)
+    plans.assert_no_cartesian(df)
+
+
+def test_ann_bruteforce_broadcasts_queries(spark, sf_dir):
+    df = entry.queries()["ann_bruteforce"](spark, sf_dir)
+    # query-vector side must be broadcast: nested-loop join is fine but it
+    # must be a Broadcast NLJ, not a cartesian shuffle.
+    plan = plans.formatted_plan(df)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    plans.assert_no_cartesian(df)
+
+
+def test_asof_join_bounded_shuffles(spark, sf_dir):
+    df = entry.queries()["asof_join"](spark, sf_dir)
+    plans.assert_no_cartesian(df)
+    assert plans.num_shuffles(df) <= 3  # union-side exchange + window partition

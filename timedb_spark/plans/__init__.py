@@ -1,0 +1,97 @@
+"""Plan inspection + assertion helpers (SURVEY §6 — scale hygiene as tests).
+
+At 100 TB the difference between a good and a bad run is plan shape:
+filters reaching the parquet scan, small sides broadcast, whole-stage
+codegen spans covering the hot path, no stray cartesian products. These
+helpers turn those properties into pytest assertions so a regression in
+plan shape fails CI, not the cluster.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame
+
+
+def formatted_plan(df: DataFrame) -> str:
+    """`EXPLAIN FORMATTED` text of the optimized physical plan."""
+    return df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
+
+
+def executed_plan(df: DataFrame) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def pushed_filters(df: DataFrame) -> list[str]:
+    """All PushedFilters entries across the plan's parquet scans."""
+    out: list[str] = []
+    for m in re.finditer(r"PushedFilters: \[([^\]]*)\]", formatted_plan(df)):
+        out.extend(s.strip() for s in m.group(1).split(",") if s.strip())
+    return out
+
+
+def partition_filters(df: DataFrame) -> list[str]:
+    out: list[str] = []
+    for m in re.finditer(r"PartitionFilters: \[([^\]]*)\]", formatted_plan(df)):
+        out.extend(s.strip() for s in m.group(1).split(",") if s.strip())
+    return out
+
+
+def read_schemas(df: DataFrame) -> list[str]:
+    """ReadSchema of each scan — the column-pruning witness."""
+    return re.findall(r"ReadSchema: (\S+)", formatted_plan(df))
+
+
+def count_ops(df: DataFrame, op: str) -> int:
+    """Count physical nodes of a type via their detail headers ``(id) Op`` —
+    each node appears exactly once there (the tree rendering would double-
+    count)."""
+    return len(re.findall(rf"^\(\d+\) {re.escape(op)}\b", formatted_plan(df), re.MULTILINE))
+
+
+def num_shuffles(df: DataFrame) -> int:
+    return count_ops(df, "Exchange")  # BroadcastExchange headers don't match
+
+
+def wholestage_codegen_ids(df: DataFrame) -> set[str]:
+    return set(re.findall(r"WholeStageCodegen \((\d+)\)", formatted_plan(df)))
+
+
+# -- assertions --------------------------------------------------------------
+
+
+def assert_pushed_filter(df: DataFrame, *fragments: str) -> None:
+    """Each fragment must appear in some pushed (data or partition) filter."""
+    hay = " ; ".join(pushed_filters(df) + partition_filters(df))
+    missing = [f for f in fragments if f.lower() not in hay.lower()]
+    assert not missing, f"filters not pushed to scan: {missing}\nplan filters: {hay}"
+
+
+def assert_column_pruned(df: DataFrame, table_cols: dict[str, int]) -> None:
+    """Every scan must read at most the stated number of columns
+    (``{schema_fragment: max_cols}`` keyed by a column name identifying the
+    scan)."""
+    schemas = read_schemas(df)
+    for frag, max_cols in table_cols.items():
+        for s in schemas:
+            if frag in s:
+                n = s.count(":")
+                assert n <= max_cols, f"scan containing {frag!r} reads {n} cols (> {max_cols}): {s}"
+                break
+        else:
+            raise AssertionError(f"no scan with column {frag!r}; schemas: {schemas}")
+
+
+def assert_broadcast_joins(df: DataFrame, at_least: int) -> None:
+    n = count_ops(df, "BroadcastHashJoin")
+    assert n >= at_least, f"expected >= {at_least} broadcast joins, plan has {n}"
+
+
+def assert_no_cartesian(df: DataFrame) -> None:
+    assert count_ops(df, "CartesianProduct") == 0, "plan contains a CartesianProduct"
+
+
+def assert_max_shuffles(df: DataFrame, n: int) -> None:
+    got = num_shuffles(df)
+    assert got <= n, f"plan has {got} shuffle Exchanges (> {n})"
