@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from timedb_spark.io.tables import BITEMPORAL_ORACLE_SQL, bitemporal_frame, load_table
-from timedb_spark.operators import analytics, dedup, multimodal, similarity, text
+from timedb_spark.operators import analytics, dedup, multimodal, similarity, text, timeseries
 from timedb_spark.operators import bitemporal as bt
 
 _SV = BITEMPORAL_ORACLE_SQL
@@ -227,6 +227,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_decode": _q_multimodal_decode,
         "stream_window": _q_stream_window,
         "stream_latest_state": _q_stream_latest_state,
+        "ts_resample_locf": timeseries.resample_locf_events,
+        "ts_interpolate_linear": timeseries.interpolate_linear_events,
+        "ts_rollup_multires": timeseries.rollup_multires,
+        "ts_sessionize": timeseries.sessionize,
+        "ts_range_join": timeseries.range_join_events,
+        "ts_topk_users": timeseries.topk_users,
+        "ts_quantiles": timeseries.quantiles_by_type,
     }
 
 
@@ -395,6 +402,13 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_meta": multimodal.MULTIMODAL_META_SQL,
         # multimodal_decode: rows-only (numpy decode inside mapInPandas;
         # verified against a local numpy recompute in tests/test_multimodal.py)
+        "ts_resample_locf": timeseries.RESAMPLE_LOCF_SQL,
+        "ts_interpolate_linear": timeseries.INTERPOLATE_SQL,
+        "ts_rollup_multires": timeseries.ROLLUP_MULTIRES_SQL,
+        "ts_sessionize": timeseries.SESSIONIZE_SQL,
+        "ts_range_join": timeseries.RANGE_JOIN_SQL,
+        "ts_topk_users": timeseries.TOPK_USERS_SQL,
+        "ts_quantiles": timeseries.QUANTILES_SQL,
         "stream_window": analytics.EVENTS_WINDOW_SQL,
         "stream_latest_state": f"""
             WITH sv AS ({_SV})

@@ -1,0 +1,406 @@
+"""Time-series analytics operators over ``events`` (SURVEY §2f).
+
+The query surface a TimeDB user reaches for right after the bitemporal
+reads: regular-grid resampling with gap-fill (locf + linear interpolation),
+multi-resolution rollups, gap-timeout sessionization, binned range joins,
+top-k heavy hitters and exact quantiles.
+
+Scale posture:
+- grids are generated with ``sequence``+``explode`` (JVM, pipelined — never
+  a driver loop);
+- gap-fill/interpolation use windows partitioned by ``series`` — fine-
+  grained keys ⇒ parallel sorts, no global sort anywhere;
+- the range join is BINNED: both sides bucketed to days, the interval side
+  exploded over its (bounded) day span, equi-join on the bucket, refined by
+  the exact predicate — a shuffle-hash/sort-merge join at scale instead of
+  the O(n·m) broadcast-nested-loop Spark would otherwise pick;
+- rollup uses GROUPING SETS — one shuffle for all resolutions (partial aggs
+  combine map-side).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from timedb_spark.io.tables import load_table
+
+
+def _d(col: str):
+    return F.col(col).cast("decimal(18,2)")
+
+
+# ---------------------------------------------------------------------------
+# resample + gap-fill + interpolation
+# ---------------------------------------------------------------------------
+
+
+def resample_locf(
+    series: DataFrame,
+    *,
+    key: str = "series_id",
+    ts: str = "valid_time",
+    value: str = "value",
+    step: str = "1 hour",
+) -> DataFrame:
+    """Regular-grid resample with last-observation-carried-forward.
+
+    Grid = every ``step`` tick in the key's own [min, max] span (sequence +
+    explode — one row per tick, generated where the data lives). Observed
+    values land on their truncated tick via a left join collapse; holes fill
+    from the previous observation with an unbounded-preceding last_value.
+    """
+    tick = F.date_trunc("hour", F.col(ts)).alias("tick")
+    obs = series.select(F.col(key), tick, F.col(value)).groupBy(key, "tick").agg(F.max(value).alias("_obs"))
+    span = series.groupBy(key).agg(
+        F.date_trunc("hour", F.min(ts)).alias("_lo"), F.date_trunc("hour", F.max(ts)).alias("_hi")
+    )
+    grid = span.select(key, F.explode(F.sequence("_lo", "_hi", F.expr(f"interval {step}"))).alias("tick"))
+    joined = grid.join(obs, on=[key, "tick"], how="left")
+    w = Window.partitionBy(key).orderBy("tick").rowsBetween(Window.unboundedPreceding, 0)
+    return joined.select(
+        F.col(key),
+        F.col("tick").alias(ts),
+        F.last("_obs", ignorenulls=True).over(w).alias(value),
+        F.col("_obs").isNull().alias("gap_filled"),
+    )
+
+
+def interpolate_linear(
+    series: DataFrame,
+    *,
+    key: str = "series_id",
+    ts: str = "valid_time",
+    value: str = "value",
+    step: str = "1 hour",
+) -> DataFrame:
+    """Regular-grid resample with LINEAR interpolation between observations
+    (endpoints carry; interior gaps get the time-weighted blend).
+
+    Same grid as :func:`resample_locf`; the interpolation needs the previous
+    and next observed (tick, value) — two windowed last/first_value passes
+    over the SAME (key × tick) partitioning, so Catalyst reuses one sort.
+    """
+    tick = F.date_trunc("hour", F.col(ts)).alias("tick")
+    obs = series.select(F.col(key), tick, F.col(value)).groupBy(key, "tick").agg(F.max(value).alias("_obs"))
+    span = series.groupBy(key).agg(
+        F.date_trunc("hour", F.min(ts)).alias("_lo"), F.date_trunc("hour", F.max(ts)).alias("_hi")
+    )
+    grid = span.select(key, F.explode(F.sequence("_lo", "_hi", F.expr(f"interval {step}"))).alias("tick"))
+    joined = grid.join(obs, on=[key, "tick"], how="left")
+
+    wb = Window.partitionBy(key).orderBy("tick").rowsBetween(Window.unboundedPreceding, 0)
+    wf = Window.partitionBy(key).orderBy("tick").rowsBetween(0, Window.unboundedFollowing)
+    obs_struct = F.when(F.col("_obs").isNotNull(), F.struct(F.col("tick").alias("t"), F.col("_obs").alias("v")))
+    prev = F.last(obs_struct, ignorenulls=True).over(wb)
+    nxt = F.first(obs_struct, ignorenulls=True).over(wf)
+    # integer microseconds on both sides (== oracle's epoch_us) so the
+    # interpolation's double arithmetic is bit-identical to DuckDB's
+    t = F.unix_micros("tick")
+    t0, v0 = F.unix_micros(prev["t"]), prev["v"]
+    t1, v1 = F.unix_micros(nxt["t"]), nxt["v"]
+    interp = F.when(F.col("_obs").isNotNull(), F.col("_obs")).otherwise(
+        F.when(prev.isNull(), v1)
+        .when(nxt.isNull(), v0)
+        .otherwise(v0 + (v1 - v0) * (t - t0) / F.nullif(t1 - t0, F.lit(0)))
+    )
+    # floor(x*1e6+0.5)/1e6 instead of round(): identical halfway behaviour in
+    # every engine (Spark HALF_UPs the decimal repr, DuckDB rounds the scaled
+    # double — they disagree on exact .5 ulps like 65.4046875)
+    r6 = F.floor(interp * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+    return joined.select(
+        F.col(key), F.col("tick").alias(ts), r6.alias(value), F.col("_obs").isNull().alias("gap_filled")
+    )
+
+
+# ---------------------------------------------------------------------------
+# multi-resolution rollup (hypertable continuous-aggregate analogue)
+# ---------------------------------------------------------------------------
+
+
+def rollup_multires(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour + day + month aggregates of events in ONE pass via GROUPING SETS
+    (one shuffle; partial aggs combine map-side — the Spark-native analogue
+    of a hypertable's stacked continuous aggregates)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.date_trunc("hour", "ts").alias("h"),
+        F.date_trunc("day", "ts").alias("d"),
+        F.date_trunc("month", "ts").alias("m"),
+        "value",
+    )
+    ev.createOrReplaceTempView("_ev_rollup")
+    return spark.sql(
+        """
+        SELECT event_type,
+               CASE WHEN h IS NOT NULL THEN 'hour' WHEN d IS NOT NULL THEN 'day' ELSE 'month' END AS resolution,
+               coalesce(h, d, m) AS bucket,
+               count(*) AS n_events,
+               round(cast(sum(cast(value AS decimal(18,2))) AS double), 2) AS sum_value
+        FROM _ev_rollup
+        GROUP BY event_type, GROUPING SETS ((event_type, h), (event_type, d), (event_type, m))
+        """
+    ).drop("event_type1")
+
+
+ROLLUP_MULTIRES_SQL = """
+WITH ev AS (
+    SELECT event_type,
+           date_trunc('hour', ts)  AS h,
+           date_trunc('day', ts)   AS d,
+           date_trunc('month', ts) AS m,
+           value
+    FROM events
+)
+SELECT event_type,
+       CASE WHEN h IS NOT NULL THEN 'hour' WHEN d IS NOT NULL THEN 'day' ELSE 'month' END AS resolution,
+       coalesce(h, d, m) AS bucket,
+       count(*) AS n_events,
+       round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_value
+FROM ev
+GROUP BY GROUPING SETS ((event_type, h), (event_type, d), (event_type, m))
+"""
+
+
+# ---------------------------------------------------------------------------
+# sessionization
+# ---------------------------------------------------------------------------
+
+
+def sessionize(spark: SparkSession, sf_dir: str, *, gap_minutes: int = 30) -> DataFrame:
+    """Gap-timeout sessions per user: a new session starts when the gap to
+    the previous event exceeds ``gap_minutes``. lag + running sum over the
+    per-user time order — per-user partitions keep the sorts parallel."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    new_sess = F.when(gap.isNull() | (gap > gap_minutes * 60), 1).otherwise(0)
+    sessions = ev.withColumn("_new", new_sess).withColumn(
+        "session_seq", F.sum("_new").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    return sessions.groupBy("user_id", "session_seq").agg(
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum(_d("value")).cast("double"), 2).alias("sum_value"),
+    )
+
+
+SESSIONIZE_SQL = """
+WITH g AS (
+    SELECT user_id, event_id, ts, value,
+           CASE WHEN lag(ts) OVER w IS NULL
+                  OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 30*60*1000000
+                THEN 1 ELSE 0 END AS new_sess
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s AS (
+    SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS session_seq
+    FROM g
+)
+SELECT user_id, session_seq,
+       min(ts) AS session_start, max(ts) AS session_end,
+       count(*) AS n_events,
+       round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_value
+FROM s GROUP BY user_id, session_seq
+"""
+
+
+# ---------------------------------------------------------------------------
+# binned range join
+# ---------------------------------------------------------------------------
+
+
+def range_join_events(spark: SparkSession, sf_dir: str, *, hours: int = 3) -> DataFrame:
+    """Each event joined to the SAME user's strictly-later events within the
+    following ``hours`` (half-open (ts, ts+hours]) — "what happened next"
+    fact-fact interval join.
+
+    Binned: the probe side explodes over the hour-buckets its interval
+    touches (bounded by ``hours``+1 rows), equi-join on (user, hour-bucket),
+    exact refine — the standard trick that turns an inequality join into a
+    shuffle equi-join (sort-merge/hash at scale) instead of the O(n·m)
+    broadcast-nested-loop Spark would otherwise pick.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    left = ev.select("event_id", F.col("user_id").alias("k"), F.col("ts").alias("ev_ts"))
+    right = ev.select(F.col("user_id").alias("k"), F.col("ts").alias("r_ts"), F.col("value").alias("r_value"))
+    # probe side: one row per hour bucket the interval (ev_ts, ev_ts+hours] touches
+    left_b = left.withColumn(
+        "bucket",
+        F.explode(
+            F.sequence(
+                F.date_trunc("hour", "ev_ts"),
+                F.date_trunc("hour", F.col("ev_ts") + F.expr(f"interval {hours} hours")),
+                F.expr("interval 1 hour"),
+            )
+        ),
+    )
+    right_b = right.withColumn("bucket", F.date_trunc("hour", "r_ts"))
+    j = left_b.join(right_b, on=["k", "bucket"]).filter(
+        (F.col("r_ts") > F.col("ev_ts"))
+        & (F.col("r_ts") <= F.col("ev_ts") + F.expr(f"interval {hours} hours"))
+    )
+    return j.groupBy("event_id").agg(
+        F.count(F.lit(1)).alias("n_later"),
+        F.round(F.sum(_d("r_value")).cast("double"), 2).alias("sum_later_value"),
+    )
+
+
+RANGE_JOIN_SQL = """
+SELECT e.event_id,
+       count(*) AS n_later,
+       round(CAST(sum(CAST(r.value AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_later_value
+FROM events e
+JOIN events r
+  ON r.user_id = e.user_id
+ AND r.ts >  e.ts
+ AND r.ts <= e.ts + INTERVAL 3 HOUR
+GROUP BY e.event_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# top-k heavy hitters + exact quantiles
+# ---------------------------------------------------------------------------
+
+
+def topk_users(spark: SparkSession, sf_dir: str, *, k: int = 25) -> DataFrame:
+    """Exact top-k users by event count (deterministic tiebreak on user_id).
+    groupBy + a single TakeOrderedAndProject — no full sort materializes."""
+    ev = load_table(spark, sf_dir, "events")
+    counts = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum(_d("value")).cast("double"), 2).alias("sum_value"),
+    )
+    return counts.orderBy(F.col("n_events").desc(), F.col("user_id")).limit(k)
+
+
+TOPK_USERS_SQL = """
+SELECT user_id, count(*) AS n_events,
+       round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_value
+FROM events
+GROUP BY user_id
+ORDER BY n_events DESC, user_id
+LIMIT 25
+"""
+
+
+def quantiles_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact continuous quantiles of value per event_type. Spark
+    ``percentile`` == DuckDB ``quantile_cont`` (linear interpolation). The
+    exact form shuffles values per group; at 100 TB swap in
+    ``percentile_approx`` (t-digest sketch, map-side combinable) — same API,
+    bounded memory."""
+    ev = load_table(spark, sf_dir, "events")
+    pct = F.percentile("value", F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99)))
+    return ev.groupBy("event_type").agg(
+        F.round(pct[0], 6).alias("p50"),
+        F.round(pct[1], 6).alias("p90"),
+        F.round(pct[2], 6).alias("p99"),
+    )
+
+
+QUANTILES_SQL = """
+SELECT event_type,
+       round(quantile_cont(value, 0.5), 6)  AS p50,
+       round(quantile_cont(value, 0.9), 6)  AS p90,
+       round(quantile_cont(value, 0.99), 6) AS p99
+FROM events
+GROUP BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# driver-contract wrappers for the grid ops (events → series shape)
+# ---------------------------------------------------------------------------
+
+
+def _hourly_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse per-user hourly series derived from events: mean value of each
+    user's events in hours ≡ 0 or 1 (mod 3) — leaves real holes to fill."""
+    ev = load_table(spark, sf_dir, "events")
+    keep = (F.hour("ts") % 3) < 2
+    return (
+        ev.filter(keep)
+        .groupBy(F.col("user_id").alias("series_id"), F.date_trunc("hour", "ts").alias("valid_time"))
+        .agg(F.round(F.avg("value"), 6).alias("value"))
+    )
+
+
+_HOURLY_SERIES_SQL = """
+SELECT user_id AS series_id,
+       date_trunc('hour', ts) AS valid_time,
+       round(avg(value), 6) AS value
+FROM events
+WHERE hour(ts) % 3 < 2
+GROUP BY 1, 2
+"""
+
+
+def resample_locf_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return resample_locf(_hourly_series(spark, sf_dir))
+
+
+RESAMPLE_LOCF_SQL = f"""
+WITH s AS ({_HOURLY_SERIES_SQL}),
+span AS (
+    SELECT series_id, min(valid_time) AS lo, max(valid_time) AS hi FROM s GROUP BY series_id
+),
+grid AS (
+    SELECT series_id, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS tick FROM span
+),
+j AS (
+    SELECT g.series_id, g.tick, s.value AS obs
+    FROM grid g LEFT JOIN s ON s.series_id = g.series_id AND s.valid_time = g.tick
+)
+SELECT series_id, tick AS valid_time,
+       last_value(obs IGNORE NULLS) OVER (PARTITION BY series_id ORDER BY tick
+                                          ROWS UNBOUNDED PRECEDING) AS value,
+       obs IS NULL AS gap_filled
+FROM j
+"""
+
+
+def interpolate_linear_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return interpolate_linear(_hourly_series(spark, sf_dir))
+
+
+INTERPOLATE_SQL = f"""
+WITH s AS ({_HOURLY_SERIES_SQL}),
+span AS (
+    SELECT series_id, min(valid_time) AS lo, max(valid_time) AS hi FROM s GROUP BY series_id
+),
+grid AS (
+    SELECT series_id, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS tick FROM span
+),
+j AS (
+    SELECT g.series_id, g.tick, s.value AS obs
+    FROM grid g LEFT JOIN s ON s.series_id = g.series_id AND s.valid_time = g.tick
+),
+pn AS (
+    SELECT *,
+           last_value(CASE WHEN obs IS NOT NULL THEN tick END IGNORE NULLS)
+               OVER wb AS pt,
+           last_value(obs IGNORE NULLS) OVER wb AS pv,
+           first_value(CASE WHEN obs IS NOT NULL THEN tick END IGNORE NULLS)
+               OVER wf AS nt,
+           first_value(obs IGNORE NULLS) OVER wf AS nv
+    FROM j
+    WINDOW wb AS (PARTITION BY series_id ORDER BY tick ROWS UNBOUNDED PRECEDING),
+           wf AS (PARTITION BY series_id ORDER BY tick
+                  ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT series_id, tick AS valid_time,
+       floor((CASE WHEN obs IS NOT NULL THEN obs
+                   WHEN pt IS NULL THEN nv
+                   WHEN nt IS NULL THEN pv
+                   ELSE pv + (nv - pv) * (epoch_us(tick) - epoch_us(pt))
+                             / nullif(epoch_us(nt) - epoch_us(pt), 0)
+              END) * 1e6 + 0.5) / 1e6 AS value,
+       obs IS NULL AS gap_filled
+FROM pn
+"""
