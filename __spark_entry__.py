@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from timedb_spark.io.tables import BITEMPORAL_ORACLE_SQL, bitemporal_frame, load_table
-from timedb_spark.operators import analytics, dedup, multimodal, similarity, text, timeseries
+from timedb_spark.operators import analytics, dedup, multimodal, sampling, similarity, text, timeseries
 from timedb_spark.operators import bitemporal as bt
 
 _SV = BITEMPORAL_ORACLE_SQL
@@ -209,7 +209,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bt_write_skip_unchanged": _q_write_skip_unchanged,
         "tpch_q1": analytics.tpch_q1,
         "tpch_q3": analytics.tpch_q3,
+        "tpch_q4": analytics.tpch_q4,
         "tpch_q5": analytics.tpch_q5,
+        "tpch_q6": analytics.tpch_q6,
+        "tpch_q10": analytics.tpch_q10,
+        "tpch_q18": analytics.tpch_q18,
         "events_window": analytics.events_window,
         "asof_join": analytics.asof_join,
         "text_tokens": text.text_tokens,
@@ -221,6 +225,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash": dedup.dedup_minhash,
         "dedup_simhash": dedup.dedup_simhash,
         "dedup_embedding": dedup.dedup_embedding,
+        "dedup_clusters": dedup.dedup_clusters,
+        "sample_stratified": sampling.sample_stratified,
+        "train_split": sampling.train_split,
+        "shard_assign": sampling.shard_assign,
+        "pack_documents": sampling.pack_documents,
         "ann_bruteforce": similarity.ann_bruteforce,
         "ann_lsh": similarity.ann_lsh,
         "multimodal_meta": multimodal.multimodal_meta,
@@ -385,7 +394,11 @@ def oracle_sql() -> dict[str, str]:
         """,
         "tpch_q1": analytics.TPCH_Q1_SQL,
         "tpch_q3": analytics.TPCH_Q3_SQL,
+        "tpch_q4": analytics.TPCH_Q4_SQL,
         "tpch_q5": analytics.TPCH_Q5_SQL,
+        "tpch_q6": analytics.TPCH_Q6_SQL,
+        "tpch_q10": analytics.TPCH_Q10_SQL,
+        "tpch_q18": analytics.TPCH_Q18_SQL,
         "events_window": analytics.EVENTS_WINDOW_SQL,
         "asof_join": analytics.ASOF_JOIN_SQL,
         "text_tokens": text.TEXT_TOKENS_SQL,
@@ -397,6 +410,12 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash": dedup.DEDUP_MINHASH_SQL,
         "dedup_simhash": dedup.DEDUP_SIMHASH_SQL,
         "dedup_embedding": dedup.DEDUP_EMBEDDING_SQL,
+        "dedup_clusters": dedup.DEDUP_CLUSTERS_SQL,
+        "sample_stratified": sampling.SAMPLE_STRATIFIED_SQL,
+        "train_split": sampling.TRAIN_SPLIT_SQL,
+        "shard_assign": sampling.SHARD_ASSIGN_SQL,
+        # pack_documents: rows-only (greedy sequential fold inside
+        # applyInPandas; invariants verified in tests/test_sampling.py)
         "ann_bruteforce": similarity.ANN_BRUTEFORCE_SQL,
         # ann_lsh: rows-only (approximate operator; recall measured in tests)
         "multimodal_meta": multimodal.MULTIMODAL_META_SQL,

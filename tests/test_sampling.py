@@ -1,0 +1,66 @@
+"""Tests for deterministic sampling / splits / sharding / packing and
+connected-components dedup clustering."""
+
+from pyspark.sql import functions as F
+
+from timedb_spark.io.tables import load_table
+from timedb_spark.operators import dedup, sampling
+
+
+def test_train_split_covers_every_doc_and_is_deterministic(spark, sf_dir):
+    out = sampling.train_split(spark, sf_dir)
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    rows = out.collect()
+    assert len(rows) == n_docs
+    splits = {r.split for r in rows}
+    assert splits <= {"train", "val", "test"}
+    again = {(r.doc_id, r.split) for r in sampling.train_split(spark, sf_dir).collect()}
+    assert {(r.doc_id, r.split) for r in rows} == again
+    # rough proportions: train should dominate (12/16 expected)
+    n_train = sum(1 for r in rows if r.split == "train")
+    assert n_train > n_docs * 0.6
+
+
+def test_sample_stratified_subset_and_fraction(spark, sf_dir):
+    total = load_table(spark, sf_dir, "documents").count()
+    sampled = sampling.sample_stratified(spark, sf_dir).agg(F.sum("n_sampled")).collect()[0][0]
+    # 4/16 hex buckets ≈ 25%, generous tolerance at small n
+    assert 0.10 * total < sampled < 0.45 * total
+
+
+def test_shard_assign_partitions_all_docs(spark, sf_dir):
+    total = load_table(spark, sf_dir, "documents").count()
+    shards = sampling.shard_assign(spark, sf_dir).collect()
+    assert sum(r.n_docs for r in shards) == total
+    assert all(0 <= r.shard < sampling.N_SHARDS for r in shards)
+
+
+def test_pack_documents_invariants(spark, sf_dir):
+    budget = sampling.PACK_BUDGET_TOKENS
+    docs = load_table(spark, sf_dir, "documents").select(
+        "source", F.size(F.split(F.trim("text"), r"\s+")).alias("n_tokens")
+    )
+    n_docs = docs.count()
+    packs = sampling.pack_documents(spark, sf_dir).collect()
+    # every doc lands in exactly one pack
+    assert sum(r.n_docs for r in packs) == n_docs
+    # token totals conserved
+    assert sum(r.total_tokens for r in packs) == docs.agg(F.sum("n_tokens")).collect()[0][0]
+    # no pack exceeds the budget unless it is a single oversized doc
+    for r in packs:
+        assert r.total_tokens <= budget or r.n_docs == 1
+    # deterministic across invocations
+    again = sorted((r.source, r.pack_id, r.n_docs, r.total_tokens) for r in sampling.pack_documents(spark, sf_dir).collect())
+    assert sorted((r.source, r.pack_id, r.n_docs, r.total_tokens) for r in packs) == again
+
+
+def test_dedup_clusters_consistent_with_pairs(spark, sf_dir):
+    pairs = dedup.dedup_minhash(spark, sf_dir).select("doc_a", "doc_b").collect()
+    clusters = {r.doc_id: r.cluster_id for r in dedup.dedup_clusters(spark, sf_dir).collect()}
+    # every paired doc is labelled, pair endpoints share a cluster
+    for p in pairs:
+        assert clusters[p.doc_a] == clusters[p.doc_b]
+    # cluster_id is the component minimum → a member equal to its label exists
+    for cid in set(clusters.values()):
+        members = [d for d, c in clusters.items() if c == cid]
+        assert min(members) == cid

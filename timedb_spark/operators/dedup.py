@@ -380,3 +380,70 @@ FROM corpus a JOIN corpus b
   ON a.label = b.label AND a.vec_id < b.vec_id
 WHERE round({vx.cosine_q_sql('a.q', 'b.q')}, 6) >= {_EMB_TAU}
 """
+
+
+# ---------------------------------------------------------------------------
+# connected-components dup clustering (the step after pair generation:
+# pairs → transitive groups → keep one doc per group)
+# ---------------------------------------------------------------------------
+
+
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collapse the minhash dup-pair graph into clusters: every doc that
+    appears in a dup pair labelled with the minimum doc_id reachable from it
+    (cluster_id), i.e. connected components.
+
+    Spark-side: iterative min-label propagation — each round every node
+    takes min(own label, neighbours' labels); converges in O(graph diameter)
+    rounds (near-dup clusters are shallow in practice). Each round is one
+    shuffle join; ``localCheckpoint`` truncates the growing lineage so round
+    N's plan doesn't replay rounds 1..N-1 — the standard Spark iterative-
+    algorithm pattern (GraphX connected-components does the same with
+    large-star/small-star to bound skew at billion-edge scale).
+
+    Oracle: recursive CTE computing the same reachability fixpoint.
+    """
+    pairs = (
+        dedup_minhash(spark, sf_dir).select("doc_a", "doc_b").localCheckpoint(eager=True)
+    )
+    edges = pairs.union(pairs.select(F.col("doc_b"), F.col("doc_a"))).toDF("src", "dst").localCheckpoint(eager=True)
+    labels = edges.select(F.col("src").alias("doc_id")).distinct().withColumn("lbl", F.col("doc_id"))
+    while True:
+        nbr_min = (
+            edges.join(labels, edges.src == labels.doc_id)
+            .groupBy(F.col("dst").alias("doc_id"))
+            .agg(F.min("lbl").alias("nbr_lbl"))
+        )
+        new_labels = (
+            labels.join(nbr_min, "doc_id", "left")
+            .select("doc_id", F.least("lbl", "nbr_lbl").alias("lbl"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.lbl") != F.col("o.lbl"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select("doc_id", F.col("lbl").alias("cluster_id"))
+
+
+DEDUP_CLUSTERS_SQL = rf"""
+WITH RECURSIVE pairs AS ({DEDUP_MINHASH_SQL}),
+edges AS (
+    SELECT doc_a AS src, doc_b AS dst FROM pairs
+    UNION ALL
+    SELECT doc_b, doc_a FROM pairs
+),
+walk(node, lbl) AS (
+    SELECT DISTINCT src, src FROM edges
+    UNION
+    SELECT e.dst, w.lbl FROM walk w JOIN edges e ON e.src = w.node
+)
+SELECT node AS doc_id, min(lbl) AS cluster_id
+FROM walk
+GROUP BY node
+"""

@@ -1,0 +1,158 @@
+"""Deterministic sampling / splitting / sharding / packing for training-data
+pipelines (SURVEY §2g).
+
+Everything here is HASH-deterministic, not RNG-based: the keep/assign
+decision is a pure function of the row key (md5 hex prefix), so results are
+reproducible across runs, engines (the DuckDB oracle computes the same md5),
+cluster sizes and partitionings — the property a 100 TB training-data
+pipeline actually needs (resumable, auditable, no seed-plumbing).
+
+Scale posture: every op is a narrow map over the scan (hash + compare — no
+shuffle at all for sample/split/shard beyond the final summary agg), so
+they pipeline into whatever reads follow. Packing shuffles once on the
+group key, then packs greedily inside each group via applyInPandas.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from timedb_spark.io.tables import load_table
+
+# md5 of the stringified key: first hex char uniform over 16 buckets.
+# String-compare semantics are identical in Spark and DuckDB (lowercase hex).
+
+
+def _hx(col, n=1):
+    return F.substring(F.md5(F.col(col).cast("string")), 1, n)
+
+
+# ---------------------------------------------------------------------------
+# stratified deterministic sample
+# ---------------------------------------------------------------------------
+
+
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """~25% deterministic sample of documents within every (lang, source)
+    stratum: keep rows whose md5(doc_id) starts with 0-3. Pure map — the
+    filter rides the scan; no shuffle until the per-stratum summary."""
+    docs = load_table(spark, sf_dir, "documents")
+    kept = docs.filter(_hx("doc_id").isin("0", "1", "2", "3"))
+    return kept.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_sampled"),
+        F.sum("n_chars").alias("sampled_chars"),
+        F.min("doc_id").alias("min_doc_id"),
+        F.max("doc_id").alias("max_doc_id"),
+    )
+
+
+SAMPLE_STRATIFIED_SQL = """
+SELECT lang, source,
+       count(*) AS n_sampled,
+       sum(n_chars) AS sampled_chars,
+       min(doc_id) AS min_doc_id,
+       max(doc_id) AS max_doc_id
+FROM documents
+WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0','1','2','3')
+GROUP BY lang, source
+"""
+
+
+# ---------------------------------------------------------------------------
+# train / val / test split
+# ---------------------------------------------------------------------------
+
+
+def train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 12/2/2-sixteenths train/val/test assignment per doc.
+    Returns every doc with its split — the row-level contract a downstream
+    trainer consumes; leakage-free because assignment is content-key-pure."""
+    docs = load_table(spark, sf_dir, "documents")
+    h = _hx("doc_id")
+    split = (
+        F.when(h.isin("c", "d"), "val").when(h.isin("e", "f"), "test").otherwise("train")
+    )
+    return docs.select("doc_id", "lang", "source", split.alias("split"))
+
+
+TRAIN_SPLIT_SQL = """
+SELECT doc_id, lang, source,
+       CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('c','d') THEN 'val'
+            WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('e','f') THEN 'test'
+            ELSE 'train' END AS split
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# shard assignment
+# ---------------------------------------------------------------------------
+
+N_SHARDS = 8
+
+
+def shard_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-shard documents into N_SHARDS balanced output shards (the
+    write-side layout step before a training job reads them back): shard =
+    first-two-hex-chars mod N. Summary per shard proves balance."""
+    docs = load_table(spark, sf_dir, "documents")
+    shard = F.conv(_hx("doc_id", 2), 16, 10).cast("int") % N_SHARDS
+    return (
+        docs.select(shard.alias("shard"), "n_chars")
+        .groupBy("shard")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("n_chars").alias("total_chars"))
+    )
+
+
+SHARD_ASSIGN_SQL = f"""
+SELECT CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS INTEGER) % {N_SHARDS} AS shard,
+       count(*) AS n_docs,
+       sum(n_chars) AS total_chars
+FROM documents
+GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# greedy context-window packing (rows-only: imperative per-group logic)
+# ---------------------------------------------------------------------------
+
+PACK_BUDGET_TOKENS = 512
+
+
+def pack_documents(spark: SparkSession, sf_dir: str, *, budget: int = PACK_BUDGET_TOKENS) -> DataFrame:
+    """Greedy sequence packing: concatenate documents (per source, in doc_id
+    order) into packs of at most ``budget`` whitespace-tokens — the step that
+    turns a deduped corpus into fixed-length training sequences.
+
+    Deterministic: groups are whole sources, order inside a group is doc_id;
+    the greedy fold is sequential per group. One shuffle (groupBy source),
+    Arrow-batched pandas inside. An oversized single doc gets its own pack
+    (never split, never dropped).
+    """
+    docs = load_table(spark, sf_dir, "documents").select(
+        "source", "doc_id", F.size(F.split(F.trim("text"), r"\s+")).alias("n_tokens")
+    )
+
+    def _pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id").reset_index(drop=True)
+        src = pdf["source"].iloc[0]
+        pack_ids, pid, used = [], 0, 0
+        for t in pdf["n_tokens"]:
+            if used > 0 and used + t > budget:
+                pid, used = pid + 1, 0
+            pack_ids.append(pid)
+            used += t
+        pdf["pack_id"] = pack_ids
+        out = pdf.groupby("pack_id").agg(n_docs=("doc_id", "size"), total_tokens=("n_tokens", "sum"))
+        out = out.reset_index()
+        out["source"] = src
+        return out[["source", "pack_id", "n_docs", "total_tokens"]]
+
+    return (
+        docs.repartition("source")
+        .groupBy("source")
+        .applyInPandas(_pack, "source string, pack_id long, n_docs long, total_tokens long")
+    )
