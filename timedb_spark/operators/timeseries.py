@@ -79,8 +79,12 @@ def interpolate_linear(
     (endpoints carry; interior gaps get the time-weighted blend).
 
     Same grid as :func:`resample_locf`; the interpolation needs the previous
-    and next observed (tick, value) — two windowed last/first_value passes
-    over the SAME (key × tick) partitioning, so Catalyst reuses one sort.
+    and next observed (tick, value). Both are RUNNING ``last ignore nulls``
+    scans — forward for prev, over a DESCENDING ordering for next. A
+    ``first_value`` over a ``(0, unboundedFollowing)`` frame would be the
+    natural spelling, but Spark evaluates shrinking frames by recomputing
+    the aggregate per row — O(n²) per partition; two O(n) running scans
+    (one extra sort) stay linear at 100 TB partition sizes.
     """
     tick = F.date_trunc("hour", F.col(ts)).alias("tick")
     obs = series.select(F.col(key), tick, F.col(value)).groupBy(key, "tick").agg(F.max(value).alias("_obs"))
@@ -91,10 +95,10 @@ def interpolate_linear(
     joined = grid.join(obs, on=[key, "tick"], how="left")
 
     wb = Window.partitionBy(key).orderBy("tick").rowsBetween(Window.unboundedPreceding, 0)
-    wf = Window.partitionBy(key).orderBy("tick").rowsBetween(0, Window.unboundedFollowing)
+    wf = Window.partitionBy(key).orderBy(F.col("tick").desc()).rowsBetween(Window.unboundedPreceding, 0)
     obs_struct = F.when(F.col("_obs").isNotNull(), F.struct(F.col("tick").alias("t"), F.col("_obs").alias("v")))
     prev = F.last(obs_struct, ignorenulls=True).over(wb)
-    nxt = F.first(obs_struct, ignorenulls=True).over(wf)
+    nxt = F.last(obs_struct, ignorenulls=True).over(wf)
     # integer microseconds on both sides (== oracle's epoch_us) so the
     # interpolation's double arithmetic is bit-identical to DuckDB's
     t = F.unix_micros("tick")
