@@ -115,6 +115,21 @@ def _q_run_series(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rs.groupBy("series_id", "run_id").agg(F.max("first_seen").alias("first_seen"))
 
 
+_SNAP_T = datetime(2024, 1, 15, 12)
+_DIFF_T1 = datetime(2024, 1, 10)
+_DIFF_T2 = datetime(2024, 1, 20)
+
+
+def _q_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Knowledge-time time-travel: the latest state as known at _SNAP_T."""
+    return bt.snapshot(bitemporal_frame(spark, sf_dir), _SNAP_T)
+
+
+def _q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diff of the _DIFF_T1 vs _DIFF_T2 knowledge snapshots."""
+    return bt.snapshot_diff(bitemporal_frame(spark, sf_dir), _DIFF_T1, _DIFF_T2)
+
+
 def _q_write_skip_unchanged(spark: SparkSession, sf_dir: str) -> DataFrame:
     """skip_unchanged=True write-filter semantics (ref write.py:172-233) as a
     query: 'stored' = events rows with even event_id, 'incoming' = the latest
@@ -207,13 +222,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bt_read_meta_scope": _q_read_meta_scope,
         "bt_run_series": _q_run_series,
         "bt_write_skip_unchanged": _q_write_skip_unchanged,
+        "bt_snapshot": _q_snapshot,
+        "bt_snapshot_diff": _q_snapshot_diff,
         "tpch_q1": analytics.tpch_q1,
         "tpch_q3": analytics.tpch_q3,
         "tpch_q4": analytics.tpch_q4,
         "tpch_q5": analytics.tpch_q5,
         "tpch_q6": analytics.tpch_q6,
         "tpch_q10": analytics.tpch_q10,
+        "tpch_q14": analytics.tpch_q14,
         "tpch_q18": analytics.tpch_q18,
+        "tpch_q19": analytics.tpch_q19,
+        "tpch_q22": analytics.tpch_q22,
         "events_window": analytics.events_window,
         "asof_join": analytics.asof_join,
         "text_tokens": text.text_tokens,
@@ -243,6 +263,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_range_join": timeseries.range_join_events,
         "ts_topk_users": timeseries.topk_users,
         "ts_quantiles": timeseries.quantiles_by_type,
+        "ts_ohlc": timeseries.ohlc_bars,
+        "ts_moving_stats": timeseries.moving_stats,
+        "ts_anomaly_zscore": timeseries.anomaly_zscore,
+        "ts_gap_detect": timeseries.gap_detect,
     }
 
 
@@ -392,13 +416,50 @@ def oracle_sql() -> dict[str, str]:
               ON i.series_id = s.series_id AND i.valid_time = s.valid_time
             WHERE s.stored_value IS NULL OR i.value IS DISTINCT FROM s.stored_value
         """,
+        "bt_snapshot": f"""
+            WITH sv AS ({_SV})
+            SELECT series_id, valid_time, value FROM (
+                SELECT series_id, valid_time, value,
+                       row_number() OVER (PARTITION BY series_id, valid_time
+                                          ORDER BY knowledge_time DESC, change_time DESC) AS rn
+                FROM sv
+                WHERE knowledge_time <= TIMESTAMP '2024-01-15 12:00:00'
+            ) t WHERE rn = 1
+        """,
+        "bt_snapshot_diff": f"""
+            WITH sv AS ({_SV}),
+            s1 AS (
+                SELECT series_id, valid_time, value AS value_t1, 1 AS in_t1 FROM (
+                    SELECT series_id, valid_time, value,
+                           row_number() OVER (PARTITION BY series_id, valid_time
+                                              ORDER BY knowledge_time DESC, change_time DESC) AS rn
+                    FROM sv WHERE knowledge_time <= TIMESTAMP '2024-01-10 00:00:00'
+                ) t WHERE rn = 1
+            ),
+            s2 AS (
+                SELECT series_id, valid_time, value AS value_t2 FROM (
+                    SELECT series_id, valid_time, value,
+                           row_number() OVER (PARTITION BY series_id, valid_time
+                                              ORDER BY knowledge_time DESC, change_time DESC) AS rn
+                    FROM sv WHERE knowledge_time <= TIMESTAMP '2024-01-20 00:00:00'
+                ) t WHERE rn = 1
+            )
+            SELECT s2.series_id, s2.valid_time, s1.value_t1, s2.value_t2,
+                   CASE WHEN s1.in_t1 IS NULL THEN 'added' ELSE 'changed' END AS change_kind
+            FROM s2 LEFT JOIN s1
+              ON s2.series_id = s1.series_id AND s2.valid_time = s1.valid_time
+            WHERE s1.in_t1 IS NULL OR s2.value_t2 IS DISTINCT FROM s1.value_t1
+        """,
         "tpch_q1": analytics.TPCH_Q1_SQL,
         "tpch_q3": analytics.TPCH_Q3_SQL,
         "tpch_q4": analytics.TPCH_Q4_SQL,
         "tpch_q5": analytics.TPCH_Q5_SQL,
         "tpch_q6": analytics.TPCH_Q6_SQL,
         "tpch_q10": analytics.TPCH_Q10_SQL,
+        "tpch_q14": analytics.TPCH_Q14_SQL,
         "tpch_q18": analytics.TPCH_Q18_SQL,
+        "tpch_q19": analytics.TPCH_Q19_SQL,
+        "tpch_q22": analytics.TPCH_Q22_SQL,
         "events_window": analytics.EVENTS_WINDOW_SQL,
         "asof_join": analytics.ASOF_JOIN_SQL,
         "text_tokens": text.TEXT_TOKENS_SQL,
@@ -428,6 +489,10 @@ def oracle_sql() -> dict[str, str]:
         "ts_range_join": timeseries.RANGE_JOIN_SQL,
         "ts_topk_users": timeseries.TOPK_USERS_SQL,
         "ts_quantiles": timeseries.QUANTILES_SQL,
+        "ts_ohlc": timeseries.OHLC_SQL,
+        "ts_moving_stats": timeseries.MOVING_STATS_SQL,
+        "ts_anomaly_zscore": timeseries.ANOMALY_ZSCORE_SQL,
+        "ts_gap_detect": timeseries.GAP_DETECT_SQL,
         "stream_window": analytics.EVENTS_WINDOW_SQL,
         "stream_latest_state": f"""
             WITH sv AS ({_SV})

@@ -123,3 +123,114 @@ def test_rollup_resolutions_consistent(spark, sf_dir):
     )
     totals = {r.resolution: r.n for r in agg}
     assert totals["hour"] == totals["day"] == totals["month"]
+
+
+# ---------------------------------------------------------------------------
+# snapshot / snapshot_diff (bitemporal time-travel)
+# ---------------------------------------------------------------------------
+
+
+def _sv(spark, rows):
+    from timedb_spark.operators import bitemporal  # noqa: F401
+
+    return spark.createDataFrame(
+        rows, "series_id int, valid_time timestamp, knowledge_time timestamp, change_time timestamp, value double"
+    )
+
+
+def test_snapshot_drops_later_knowledge(spark):
+    from timedb_spark.operators import bitemporal as bt
+
+    df = _sv(
+        spark,
+        [
+            (1, T(0), T(1), T(1), 10.0),   # known at 01:00
+            (1, T(0), T(5), T(5), 99.0),   # revision known at 05:00
+            (2, T(0), T(6), T(6), 7.0),    # series appears only after cutoff
+        ],
+    )
+    out = {(r.series_id, r.valid_time): r.value for r in bt.snapshot(df, T(3)).collect()}
+    assert out == {(1, T(0)): 10.0}  # revision + series 2 not yet known
+
+
+def test_snapshot_diff_kinds(spark):
+    from timedb_spark.operators import bitemporal as bt
+
+    df = _sv(
+        spark,
+        [
+            (1, T(0), T(1), T(1), 10.0),   # unchanged between cutoffs
+            (2, T(0), T(1), T(1), 20.0),
+            (2, T(0), T(4), T(4), 25.0),   # revised between t1=T2h and t2=T6h
+            (3, T(0), T(5), T(5), 30.0),   # added after t1
+        ],
+    )
+    rows = {r.series_id: (r.value_t1, r.value_t2, r.change_kind) for r in bt.snapshot_diff(df, T(2), T(6)).collect()}
+    assert 1 not in rows  # unchanged → not in diff
+    assert rows[2] == (20.0, 25.0, "changed")
+    assert rows[3] == (None, 30.0, "added")
+
+
+# ---------------------------------------------------------------------------
+# OHLC / moving stats / zscore / gap detect on tiny frames
+# ---------------------------------------------------------------------------
+
+
+def _events(spark, rows):
+    return spark.createDataFrame(rows, "event_id long, ts timestamp, user_id long, event_type string, value double")
+
+
+def test_ohlc_open_close_ordering(tmp_path, spark):
+    # same-hour ticks: open = earliest (ts, event_id), close = latest
+    df = _events(
+        spark,
+        [
+            (2, T(1, 10), 1, "a", 5.0),
+            (1, T(1, 10), 1, "a", 3.0),   # same ts as event 2 → event_id breaks tie
+            (3, T(1, 50), 1, "a", 9.0),
+            (4, T(2, 0), 1, "a", 1.0),    # next hour → own bar
+        ],
+    )
+    import timedb_spark.operators.timeseries as tsmod
+
+    okey = F.struct(F.col("ts"), F.col("event_id"))
+    out = (
+        df.groupBy("user_id", F.date_trunc("hour", "ts").alias("bucket"))
+        .agg(
+            F.min_by("value", okey).alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by("value", okey).alias("close"),
+            F.count(F.lit(1)).alias("n_ticks"),
+        )
+        .collect()
+    )
+    bars = {r.bucket: r for r in out}
+    b1 = bars[T(1)]
+    assert (b1.open, b1.high, b1.low, b1.close, b1.n_ticks) == (3.0, 9.0, 3.0, 9.0, 3)
+    assert bars[T(2)].open == bars[T(2)].close == 1.0
+
+
+def test_gap_detect_threshold(spark):
+    from timedb_spark.operators.timeseries import gap_detect  # noqa: F401 (signature check)
+
+    df = _events(
+        spark,
+        [
+            (1, T(0), 1, "a", 0.0),
+            (2, T(1), 1, "a", 0.0),    # 1h gap — below 2h threshold
+            (3, T(5), 1, "a", 0.0),    # 4h gap — reported
+        ],
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(w)
+    us = F.unix_micros("ts") - F.unix_micros(prev)
+    out = (
+        df.select("user_id", prev.alias("gap_start"), F.col("ts").alias("gap_end"), us.alias("_us"))
+        .filter(F.col("_us") > 120 * 60 * 1_000_000)
+        .collect()
+    )
+    assert len(out) == 1
+    assert out[0].gap_start == T(1) and out[0].gap_end == T(5)

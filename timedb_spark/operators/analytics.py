@@ -400,3 +400,124 @@ JOIN customer ON o_custkey = c_custkey
 ORDER BY o_totalprice DESC, o_orderkey
 LIMIT 100
 """
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q14 (adapted) — promo revenue ratio. The testdata p_type vocabulary
+# has no 'PROMO%' class; 'ECONOMY' plays its role. lineitem filters on the
+# shipdate month before the join; part is broadcast.
+# ---------------------------------------------------------------------------
+
+
+def tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-03-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = _d("l_extendedprice") * (F.lit(1).cast(_DEC) - _d("l_discount"))
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    return j.agg(
+        F.round(
+            F.lit(100.0)
+            * F.sum(F.when(F.col("p_type") == "ECONOMY", rev).otherwise(F.lit(0).cast(_DEC))).cast("double")
+            / F.sum(rev).cast("double"),
+            6,
+        ).alias("promo_revenue_pct")
+    )
+
+
+TPCH_Q14_SQL = """
+SELECT round(
+         100.0 * CAST(sum(CASE WHEN p_type = 'ECONOMY'
+                               THEN CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))
+                               ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+             / CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE),
+         6) AS promo_revenue_pct
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+"""
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q19 (adapted) — discounted revenue over a disjunction of
+# (brand, size, quantity) predicate branches. The OR-of-ANDs sits on the
+# joined row; part is broadcast, lineitem never shuffles.
+# ---------------------------------------------------------------------------
+
+
+def tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    b = F.col("p_brand")
+    s = F.col("p_size")
+    q = F.col("l_quantity")
+    cond = (
+        ((b == "Brand#12") & s.between(1, 15) & q.between(1, 11))
+        | ((b == "Brand#23") & s.between(1, 25) & q.between(10, 20))
+        | ((b == "Brand#34") & s.between(1, 35) & q.between(20, 30))
+    )
+    rev = _d("l_extendedprice") * (F.lit(1).cast(_DEC) - _d("l_discount"))
+    return j.filter(cond).agg(F.round(F.sum(rev).cast("double"), 4).alias("revenue"))
+
+
+TPCH_Q19_SQL = """
+SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE), 4) AS revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 30)
+"""
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q22 (adapted) — global market opportunity: per market segment, the
+# well-funded customers (acctbal above the segment's positive average) with
+# no RECENT order (none since 2000-01-01 — every sf0.01 customer has ordered
+# at least once, so the classic never-ordered form is vacuous here). The
+# per-segment averages are a tiny aggregate broadcast back; "no recent
+# order" is a left-anti join against the date-filtered orders keys (filter
+# pushed to the scan before the anti join).
+# ---------------------------------------------------------------------------
+
+
+def tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp"))
+        .select("o_custkey")
+        .distinct()
+    )
+    seg_avg = (
+        cust.filter(F.col("c_acctbal") > 0)
+        .groupBy("c_mktsegment")
+        .agg((F.sum(_d("c_acctbal")).cast("double") / F.count(F.lit(1))).alias("avg_bal"))
+    )
+    rich = cust.join(F.broadcast(seg_avg), on="c_mktsegment").filter(F.col("c_acctbal") > F.col("avg_bal"))
+    no_orders = rich.join(orders, rich.c_custkey == orders.o_custkey, "left_anti")
+    return no_orders.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("numcust"),
+        F.round(F.sum(_d("c_acctbal")).cast("double"), 2).alias("totacctbal"),
+    )
+
+
+TPCH_Q22_SQL = """
+WITH seg_avg AS (
+    SELECT c_mktsegment,
+           CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_bal
+    FROM customer WHERE c_acctbal > 0 GROUP BY c_mktsegment
+)
+SELECT c.c_mktsegment,
+       count(*) AS numcust,
+       round(CAST(sum(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE), 2) AS totacctbal
+FROM customer c
+JOIN seg_avg s ON c.c_mktsegment = s.c_mktsegment
+WHERE c.c_acctbal > s.avg_bal
+  AND NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+GROUP BY c.c_mktsegment
+"""

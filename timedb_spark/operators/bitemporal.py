@@ -336,3 +336,37 @@ def resolve_relative_params(
 def nan_to_null(df: DataFrame, col: str = "value") -> DataFrame:
     """NaN is the storage sentinel for null; reads surface it as null."""
     return df.withColumn(col, F.when(F.isnan(F.col(col)), F.lit(None)).otherwise(F.col(col)))
+
+
+def snapshot(df: DataFrame, asof_knowledge: "datetime") -> DataFrame:
+    """Time-travel read: the world as it was KNOWN at ``asof_knowledge`` —
+    drop everything learned later, then collapse to latest. The knowledge-
+    time filter is a plain pushdown predicate (reaches the parquet scan);
+    the collapse is the same partial-aggregable max_by as :func:`latest`.
+    Parity: read.py's end_knowledge bound + latest collapse.
+    """
+    return latest(df.filter(F.col("knowledge_time") <= F.lit(asof_knowledge)))
+
+
+def snapshot_diff(df: DataFrame, t1: "datetime", t2: "datetime") -> DataFrame:
+    """What changed between two knowledge-time snapshots (t1 < t2): per
+    (series_id, valid_time) the t1 and t2 values plus a change kind
+    ('added' | 'changed'). Append-only store ⇒ t1 keys ⊆ t2 keys, so a left
+    join from the t2 snapshot covers the full diff; both snapshots reuse the
+    same (series_id, valid_time) shuffle partitioning.
+    """
+    s1 = snapshot(df, t1).withColumnRenamed("value", "value_t1").withColumn("_in_t1", F.lit(True))
+    s2 = snapshot(df, t2).withColumnRenamed("value", "value_t2")
+    j = s2.join(s1, on=["series_id", "valid_time"], how="left")
+    added = F.col("_in_t1").isNull()  # key absent at t1 (≠ a stored null value)
+    changed = ~F.col("value_t2").eqNullSafe(F.col("value_t1"))
+    return (
+        j.filter(added | changed)
+        .select(
+            "series_id",
+            "valid_time",
+            "value_t1",
+            "value_t2",
+            F.when(added, "added").otherwise("changed").alias("change_kind"),
+        )
+    )

@@ -408,3 +408,126 @@ SELECT series_id, tick AS valid_time,
        obs IS NULL AS gap_filled
 FROM pn
 """
+
+
+# ---------------------------------------------------------------------------
+# OHLC bars, moving stats, anomaly flags, gap detection
+# ---------------------------------------------------------------------------
+
+
+def ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly OHLC candles per user — the canonical TSDB downsample.
+
+    open/close are ``min_by``/``max_by`` over the (ts, event_id) order —
+    plain hash aggregation with map-side partial combine, no window sort
+    anywhere (the same argmax pattern as the bitemporal latest read).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    okey = F.struct(F.col("ts"), F.col("event_id"))
+    return ev.groupBy("user_id", F.date_trunc("hour", "ts").alias("bucket")).agg(
+        F.min_by("value", okey).alias("open"),
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+        F.max_by("value", okey).alias("close"),
+        F.count(F.lit(1)).alias("n_ticks"),
+    )
+
+
+OHLC_SQL = """
+WITH b AS (
+    SELECT user_id, date_trunc('hour', ts) AS bucket, value,
+           row_number() OVER (PARTITION BY user_id, date_trunc('hour', ts)
+                              ORDER BY ts, event_id) AS ra,
+           row_number() OVER (PARTITION BY user_id, date_trunc('hour', ts)
+                              ORDER BY ts DESC, event_id DESC) AS rd
+    FROM events
+)
+SELECT user_id, bucket,
+       max(CASE WHEN ra = 1 THEN value END) AS open,
+       max(value) AS high,
+       min(value) AS low,
+       max(CASE WHEN rd = 1 THEN value END) AS close,
+       count(*) AS n_ticks
+FROM b GROUP BY user_id, bucket
+"""
+
+
+def moving_stats(spark: SparkSession, sf_dir: str, *, n: int = 24) -> DataFrame:
+    """Trailing-``n``-event moving average / min / max per user (deterministic
+    (ts, event_id) order). Sliding ROWS frame — O(n·w) per partition, w
+    bounded at 24; per-user partitions keep the sorts parallel at scale."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-(n - 1), 0)
+    return ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.round(F.avg("value").over(w), 6).alias("mov_avg"),
+        F.min("value").over(w).alias("mov_min"),
+        F.max("value").over(w).alias("mov_max"),
+        F.count(F.lit(1)).over(w).alias("n_in_window"),
+    )
+
+
+MOVING_STATS_SQL = """
+SELECT user_id, event_id, ts,
+       round(avg(value) OVER w, 6) AS mov_avg,
+       min(value) OVER w AS mov_min,
+       max(value) OVER w AS mov_max,
+       count(*) OVER w AS n_in_window
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 23 PRECEDING AND CURRENT ROW)
+"""
+
+
+def anomaly_zscore(spark: SparkSession, sf_dir: str, *, threshold: float = 2.5) -> DataFrame:
+    """Per-user z-score outliers: |value − μ_user| > t·σ_user. Whole-partition
+    stats come from an unbounded window (computed ONCE per partition — not a
+    shrinking frame), so the op is one shuffle, no self-join."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    mu = F.avg("value").over(w)
+    sd = F.stddev_samp("value").over(w)
+    z = (F.col("value") - mu) / sd
+    return (
+        ev.select("user_id", "event_id", "ts", "value", F.round(z, 4).alias("zscore"))
+        .filter(F.abs(F.col("zscore")) > threshold)
+    )
+
+
+ANOMALY_ZSCORE_SQL = """
+SELECT user_id, event_id, ts, value, zscore FROM (
+    SELECT user_id, event_id, ts, value,
+           round((value - avg(value) OVER w) / stddev_samp(value) OVER w, 4) AS zscore
+    FROM events
+    WINDOW w AS (PARTITION BY user_id)
+) t WHERE abs(zscore) > 2.5
+"""
+
+
+def gap_detect(spark: SparkSession, sf_dir: str, *, min_gap_minutes: int = 120) -> DataFrame:
+    """Silence gaps per user: consecutive-event spacings above the threshold,
+    reported as (gap_start, gap_end, gap_minutes). lag over the per-user time
+    order; integer-µs arithmetic keeps it exact in every engine."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(w)
+    gap_us = F.unix_micros("ts") - F.unix_micros(prev)
+    return (
+        ev.select("user_id", prev.alias("gap_start"), F.col("ts").alias("gap_end"), gap_us.alias("_us"))
+        .filter(F.col("_us") > min_gap_minutes * 60 * 1_000_000)
+        .select("user_id", "gap_start", "gap_end", (F.col("_us") / 60_000_000.0).alias("gap_minutes"))
+    )
+
+
+GAP_DETECT_SQL = """
+SELECT user_id, gap_start, gap_end, us / 60000000.0 AS gap_minutes FROM (
+    SELECT user_id,
+           lag(ts) OVER w AS gap_start,
+           ts AS gap_end,
+           epoch_us(ts) - epoch_us(lag(ts) OVER w) AS us
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+) t WHERE us > CAST(120 AS BIGINT) * 60 * 1000000
+"""
