@@ -1,0 +1,111 @@
+"""ANN operators (SURVEY §2d): contract checks on the driver testdata plus a
+planted-cluster recall test.
+
+The synthetic ``embeddings`` table is isotropic noise (same-label and
+cross-label mean cosine are both ≈0), so recall-vs-bruteforce on it is
+uninformative — ANY pruning strategy scores ~k/n there. The honest recall
+measurement plants real cluster structure (10 tight clusters in 64-d) in a
+tmp parquet with the production schema and requires the approximate paths to
+recover the planted neighbours.
+"""
+
+import math
+import os
+
+import numpy as np
+import pytest
+
+from timedb_spark.operators import similarity as sim
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _by_query(rows):
+    out = {}
+    for r in rows:
+        out.setdefault(r.query_id, set()).add(r.neighbor_id)
+    return out
+
+
+def _recall(approx, truth):
+    hits = sum(len(approx.get(q, set()) & t) for q, t in truth.items())
+    return hits / sum(len(t) for t in truth.values())
+
+
+# ---------------------------------------------------------------------------
+# contracts on the driver testdata
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def truth(spark):
+    return _by_query(sim.ann_bruteforce(spark, SF_DIR).collect())
+
+
+def test_bruteforce_shape(spark, truth):
+    # top-5 per query, no self-matches
+    assert set(len(v) for v in truth.values()) == {5}
+    for q, t in truth.items():
+        assert q not in t
+
+
+def test_ivf_topk_rank_contract(spark):
+    rows = sim.ann_ivf(spark, SF_DIR).collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r)
+    for q, rs in by_q.items():
+        rs.sort(key=lambda r: r.rank)
+        assert [r.rank for r in rs] == list(range(1, len(rs) + 1))
+        cosines = [r.cosine for r in rs]
+        assert cosines == sorted(cosines, reverse=True)
+
+
+# ---------------------------------------------------------------------------
+# planted-cluster recall
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def clustered_dir(spark, tmp_path_factory):
+    """embeddings.parquet with 10 planted clusters × 50 vectors (center +
+    small noise), production schema (vec_id, embedding float[], label)."""
+    rng = np.random.default_rng(7)
+    centers = rng.normal(size=(10, 64))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    rows = []
+    vid = 0
+    for lab in range(10):
+        for _ in range(50):
+            v = centers[lab] + rng.normal(scale=0.05, size=64)
+            rows.append((vid, [float(x) for x in v.astype(np.float32)], lab))
+            vid += 1
+    d = str(tmp_path_factory.mktemp("clustered"))
+    spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(d, "embeddings.parquet"))
+    return d
+
+
+@pytest.fixture(scope="module")
+def clustered_truth(spark, clustered_dir):
+    return _by_query(sim.ann_bruteforce(spark, clustered_dir).collect())
+
+
+def test_planted_truth_is_intra_cluster(clustered_truth):
+    # brute force on planted data: every true neighbour shares the query's
+    # cluster (vec_id // 50) — the structure the approximate paths must keep
+    for q, t in clustered_truth.items():
+        assert all(n // 50 == q // 50 for n in t), (q, t)
+
+
+def test_lsh_recall_on_clustered(spark, clustered_dir, clustered_truth):
+    approx = _by_query(sim.ann_lsh(spark, clustered_dir).collect())
+    r = _recall(approx, clustered_truth)
+    assert r >= 0.8, f"LSH recall {r:.2f} below floor on clustered data"
+
+
+def test_ivf_recall_on_clustered(spark, clustered_dir, clustered_truth):
+    approx = _by_query(sim.ann_ivf(spark, clustered_dir).collect())
+    r = _recall(approx, clustered_truth)
+    assert r >= 0.8, f"IVF recall {r:.2f} below floor on clustered data"
