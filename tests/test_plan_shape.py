@@ -97,3 +97,42 @@ def test_asof_join_bounded_shuffles(spark, sf_dir):
     df = entry.queries()["asof_join"](spark, sf_dir)
     plans.assert_no_cartesian(df)
     assert plans.num_shuffles(df) <= 3  # union-side exchange + window partition
+
+
+def test_tpch_q14_q19_broadcast_part_and_pushdown(spark, sf_dir):
+    df14 = analytics.tpch_q14(spark, sf_dir)
+    plans.assert_broadcast_joins(df14, 1)
+    plans.assert_pushed_filter(df14, "l_shipdate")
+    plans.assert_max_shuffles(df14, 1)  # broadcast join + single scalar agg
+    df19 = analytics.tpch_q19(spark, sf_dir)
+    plans.assert_broadcast_joins(df19, 1)
+    # the OR-of-ANDs quantity bounds must reach the lineitem scan
+    plans.assert_pushed_filter(df19, "l_quantity")
+    plans.assert_no_cartesian(df19)
+
+
+def test_tpch_q22_recent_order_filter_pushed(spark, sf_dir):
+    df = analytics.tpch_q22(spark, sf_dir)
+    plans.assert_pushed_filter(df, "o_orderdate")
+    plans.assert_broadcast_joins(df, 2)  # seg_avg broadcast + broadcast anti join
+    plans.assert_no_cartesian(df)
+
+
+def test_snapshot_knowledge_filter_in_plan(spark, sf_dir):
+    # the kt <= T cutoff must sit under the aggregate, not above it
+    q = entry.queries()["bt_snapshot"]
+    df = q(spark, sf_dir)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    agg_pos = plan.find("Aggregate")
+    filt_pos = plan.find("knowledge_time")
+    assert agg_pos != -1 and filt_pos != -1 and filt_pos > agg_pos
+
+
+def test_ohlc_single_shuffle_partial_agg(spark, sf_dir):
+    from timedb_spark.operators import timeseries
+
+    df = timeseries.ohlc_bars(spark, sf_dir)
+    plans.assert_max_shuffles(df, 1)
+    # partial (map-side) combine before the exchange
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "partial_min_by" in plan or "partial_min" in plan

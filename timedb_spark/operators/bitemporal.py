@@ -180,8 +180,12 @@ def latest(df: DataFrame) -> DataFrame:
 
     The struct max_by picks the row with the largest (knowledge_time,
     change_time) — latest issue, latest correction within it. Parity with
-    ``argMax(value, (knowledge_time, change_time))`` (read.py:232-247);
-    executes as a partial-aggregable hash aggregate.
+    ``argMax(value, (knowledge_time, change_time))`` (read.py:232-247).
+    Struct-keyed max_by executes as a sort-based aggregate (struct buffers
+    aren't Tungsten-mutable), but keeps map-side PARTIAL combine: every
+    partition collapses to one row per (series_id, valid_time) before the
+    shuffle — at 100 TB the revision history never crosses the wire, unlike
+    a window row_number which shuffles every raw row.
     """
     return df.groupBy("series_id", "valid_time").agg(
         F.max_by("value", F.struct("knowledge_time", "change_time")).alias("value")

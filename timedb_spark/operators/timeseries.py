@@ -418,9 +418,12 @@ FROM pn
 def ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hourly OHLC candles per user — the canonical TSDB downsample.
 
-    open/close are ``min_by``/``max_by`` over the (ts, event_id) order —
-    plain hash aggregation with map-side partial combine, no window sort
-    anywhere (the same argmax pattern as the bitemporal latest read).
+    open/close are ``min_by``/``max_by`` over the (ts, event_id) order (the
+    same argmax pattern as the bitemporal latest read). Struct-keyed
+    min_by/max_by executes as a sort-based aggregate, but still with
+    map-side PARTIAL combine — each partition collapses to one row per
+    (user, hour) before the shuffle, which is the part that matters at
+    100 TB; the sort is per-partition, never global.
     """
     ev = load_table(spark, sf_dir, "events")
     okey = F.struct(F.col("ts"), F.col("event_id"))
