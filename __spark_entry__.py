@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from timedb_spark.io.tables import BITEMPORAL_ORACLE_SQL, bitemporal_frame, load_table
-from timedb_spark.operators import analytics, dedup, multimodal, sampling, similarity, text, timeseries
+from timedb_spark.operators import analytics, dedup, multimodal, pipeline, sampling, similarity, text, timeseries
 from timedb_spark.operators import bitemporal as bt
 
 _SV = BITEMPORAL_ORACLE_SQL
@@ -246,6 +246,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": dedup.dedup_simhash,
         "dedup_embedding": dedup.dedup_embedding,
         "dedup_clusters": dedup.dedup_clusters,
+        "pipeline_clean": pipeline.pipeline_clean,
         "sample_stratified": sampling.sample_stratified,
         "train_split": sampling.train_split,
         "shard_assign": sampling.shard_assign,
@@ -473,6 +474,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_simhash": dedup.DEDUP_SIMHASH_SQL,
         "dedup_embedding": dedup.DEDUP_EMBEDDING_SQL,
         "dedup_clusters": dedup.DEDUP_CLUSTERS_SQL,
+        "pipeline_clean": pipeline.PIPELINE_CLEAN_SQL,
         "sample_stratified": sampling.SAMPLE_STRATIFIED_SQL,
         "train_split": sampling.TRAIN_SPLIT_SQL,
         "shard_assign": sampling.SHARD_ASSIGN_SQL,
