@@ -194,6 +194,18 @@ def _q_stream_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     return final.groupBy("series_id", "valid_time").agg(F.max_by("value", "_emit").alias("value"))
 
 
+def _q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ingestion dedup drained with availableNow — the final
+    unique-document count equals the batch count(distinct key) oracle."""
+    from timedb_spark import streaming as st
+    from timedb_spark.streaming.dedup import DOCUMENTS_STREAM_SCHEMA
+
+    docs = load_table(spark, sf_dir, "documents")
+    d = _stage_stream_dir(spark, sf_dir, docs, "docs", 5)
+    stream = spark.readStream.schema(DOCUMENTS_STREAM_SCHEMA).option("maxFilesPerTrigger", 2).parquet(d)
+    return st.run_available_now(st.stream_dedup(stream), "complete")
+
+
 def _q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-column decode + feature extraction over mapInPandas (rows-only:
     the numpy decode is checked against a local recompute in tests)."""
@@ -258,6 +270,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_decode": _q_multimodal_decode,
         "stream_window": _q_stream_window,
         "stream_latest_state": _q_stream_latest_state,
+        "stream_dedup": _q_stream_dedup,
         "ts_resample_locf": timeseries.resample_locf_events,
         "ts_interpolate_linear": timeseries.interpolate_linear_events,
         "ts_rollup_multires": timeseries.rollup_multires,
@@ -498,6 +511,10 @@ def oracle_sql() -> dict[str, str]:
         "ts_anomaly_zscore": timeseries.ANOMALY_ZSCORE_SQL,
         "ts_gap_detect": timeseries.GAP_DETECT_SQL,
         "stream_window": analytics.EVENTS_WINDOW_SQL,
+        "stream_dedup": r"""
+            SELECT count(DISTINCT md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g')))) AS n_unique_docs
+            FROM documents
+        """,
         "stream_latest_state": f"""
             WITH sv AS ({_SV})
             SELECT series_id, valid_time, value FROM (

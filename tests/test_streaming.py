@@ -112,3 +112,25 @@ def test_stream_latest_state_matches_batch_latest(spark, sf_dir, tmp_path):
     matches = sum(1 for k, v in exp.items() if got.get(k) == v or (v != v and got.get(k) != got.get(k)))
     assert len(got) == len(exp)
     assert matches == len(exp)
+
+
+def test_stream_dedup_batch_slicing_invariant(spark, sf_dir, tmp_path):
+    """Streaming dedup's final unique count equals batch count(distinct) and
+    does not depend on how micro-batches slice the feed."""
+    from timedb_spark.io.tables import load_table
+    from timedb_spark.streaming.dedup import DOCUMENTS_STREAM_SCHEMA, stream_dedup, text_key
+
+    docs = load_table(spark, sf_dir, "documents")
+    d = str(tmp_path / "docs")
+    docs.repartition(6).write.mode("overwrite").parquet(d)
+    expected = docs.select(text_key(F.col("text")).alias("k")).distinct().count()
+
+    for files_per_trigger in (1, 3):
+        stream = (
+            spark.readStream.schema(DOCUMENTS_STREAM_SCHEMA)
+            .option("maxFilesPerTrigger", files_per_trigger)
+            .parquet(d)
+        )
+        name = _run_to_memory(stream_dedup(stream), "complete")
+        rows = spark.table(name).collect()
+        assert rows[-1].n_unique_docs == expected

@@ -14,11 +14,13 @@ from pyspark.sql import DataFrame
 
 from timedb_spark.streaming.windows import stream_events_window, windowed_events_agg
 from timedb_spark.streaming.state import stream_latest_state
+from timedb_spark.streaming.dedup import stream_dedup
 
 __all__ = [
     "stream_events_window",
     "windowed_events_agg",
     "stream_latest_state",
+    "stream_dedup",
     "run_available_now",
 ]
 
