@@ -83,29 +83,57 @@ def fingerprint(tokens: Column) -> Column:
     )
 
 
-def minhash_signature(shingle_arr: Column, k: int = 16) -> Column:
-    """MinHash signature: for seed i, the lexicographic min of
-    md5('<i>:' || shingle). String-min of hex digests is engine-neutral
-    (no integer conversion needed) and each seed is an independent
-    permutation approximation."""
+#: modulus for the affine MinHash family (2^31 − 1; products with 31-bit
+#: coefficients stay under 2^63 in both engines)
+MH_P = 2_147_483_647
+
+
+def mh_params(k: int) -> list[tuple[int, int]]:
+    """Deterministic affine coefficients (a_i, b_i) for the k MinHash
+    permutations — plain arithmetic, identical in Python and inline SQL."""
+    return [(((i * 2654435761 + 1) % MH_P) or 1, (i * 40503 + 7) % MH_P) for i in range(k)]
+
+
+def base_hash(s: Column) -> Column:
+    """One strong 31-bit hash per shingle: first 15 md5 hex digits as int,
+    reduced mod MH_P. The single md5 call per shingle — the k permutations
+    are cheap affine mixes of this value."""
+    return (F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long") % MH_P).cast("long")
+
+
+BASE_HASH_SQL = "((('0x' || substr(md5({s}), 1, 15))::BIGINT) % 2147483647)"
+
+
+def minhash_signature(base_arr: Column, k: int = 16) -> Column:
+    """MinHash signature from a MATERIALIZED base-hash array: element i is
+    min over shingles of (a_i·h + b_i) mod MH_P.
+
+    One md5 per shingle total (vs k salted md5s): the classic
+    one-hash + affine-permutations family. Callers must project the
+    ``base_hash`` array into its own column first — referenced k times, it
+    escapes CollapseProject, so the md5 pass runs once."""
     # NB: factory closure, not a default-arg lambda — PySpark dispatches on
     # lambda arity, and an extra defaulted param turns transform's element
     # lambda into the (element, index) form.
-    def _salted(i: int):
-        return lambda s: F.md5(F.concat(F.lit(f"{i}:"), s))
+    def _mix(a: int, b: int):
+        return lambda h: (h * F.lit(a) + F.lit(b)) % MH_P
 
-    return F.array(*[F.array_min(F.transform(shingle_arr, _salted(i))) for i in range(k)])
+    return F.array(*[F.array_min(F.transform(base_arr, _mix(a, b))) for a, b in mh_params(k)])
 
 
-def simhash32(tokens: Column) -> Column:
-    """32-bit SimHash: bit j is the sign of the sum over tokens of
-    (2*lsb(nibble_j(md5(token))) - 1). Built as 32 aggregate expressions over
-    the token array — exact integer arithmetic, engine-neutral."""
+def simhash32(digests: Column) -> Column:
+    """32-bit SimHash from a MATERIALIZED per-token md5-digest array: bit j
+    is the sign of the sum over tokens of (2*lsb(nibble_j(digest)) - 1).
+    Exact integer arithmetic, engine-neutral.
+
+    Callers must project ``transform(tokens, md5)`` into its own column
+    first — the digest array is referenced by 32 folds, so CollapseProject
+    keeps it materialized and each token is hashed ONCE (not 32×)."""
     def _bit_folder(j: int):
-        return lambda acc, t: acc + (nibble(F.substring(F.md5(t), j + 1, 1)) % 2) * 2 - 1
+        return lambda acc, d: acc + (nibble(F.substring(d, j + 1, 1)) % 2) * 2 - 1
 
     sig = F.lit(0).cast("long")
     for j in range(32):
-        bit_sum = F.aggregate(tokens, F.lit(0).cast("long"), _bit_folder(j))
+        bit_sum = F.aggregate(digests, F.lit(0).cast("long"), _bit_folder(j))
         sig = sig + F.when(bit_sum > 0, F.lit(2**j).cast("long")).otherwise(F.lit(0).cast("long"))
     return sig

@@ -169,9 +169,12 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The LSH join is the 100 TB path: pair generation is an equi-join on
     (band_idx, band_key) — each band bucket holds only colliding docs, so
-    shuffle volume is O(n·bands), never O(n²)."""
+    shuffle volume is O(n·bands), never O(n²). Hashing is one md5 per
+    shingle (materialized base-hash column) + k affine mixes — not k salted
+    md5 passes."""
     sh = _shingled(doc_corpus(spark, sf_dir))
-    sig = sh.select("doc_id", "sh", tt.minhash_signature(F.col("sh"), _MH_K).alias("sig"))
+    based = sh.select("doc_id", "sh", F.transform("sh", tt.base_hash).alias("hs"))
+    sig = based.select("doc_id", "sh", tt.minhash_signature(F.col("hs"), _MH_K).alias("sig"))
     bands = sig.select(
         "doc_id",
         F.explode(
@@ -179,7 +182,14 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
                 *[
                     F.struct(
                         F.lit(i).alias("band_idx"),
-                        F.md5(F.concat_ws("|", F.slice(F.col("sig"), i * _MH_ROWS + 1, _MH_ROWS))).alias("band_key"),
+                        F.md5(
+                            F.concat_ws(
+                                "|",
+                                F.transform(
+                                    F.slice(F.col("sig"), i * _MH_ROWS + 1, _MH_ROWS), lambda x: x.cast("string")
+                                ),
+                            )
+                        ).alias("band_key"),
                     )
                     for i in range(_MH_BANDS)
                 ]
@@ -220,9 +230,8 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SIG_SQL = f"""
 SELECT doc_id, sh,
-       list_transform(range(0, {_MH_K}),
-           i -> list_aggregate(list_transform(sh, s -> md5(CAST(i AS VARCHAR) || ':' || s)), 'min')) AS sig
-FROM shingled
+       [{", ".join(f"list_aggregate(list_transform(hs, h -> (h * {a} + {b}) % {tt.MH_P}), 'min')" for a, b in tt.mh_params(_MH_K))}] AS sig
+FROM (SELECT doc_id, sh, list_transform(sh, s -> {tt.BASE_HASH_SQL.format(s='s')}) AS hs FROM shingled)
 """
 
 DEDUP_MINHASH_SQL = rf"""
@@ -269,8 +278,12 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     (guarantees recall for hamming ≤ 3 by pigeonhole: 4 bands, ≤3 differing
     bits → some band intact); verify bit_count(xor) ≤ 3."""
     corpus = doc_corpus(spark, sf_dir)
-    sigs = corpus.select("doc_id", tt.ws_tokens(F.col("text")).alias("toks")).select(
-        "doc_id", tt.simhash32(F.col("toks")).alias("sig")
+    sigs = (
+        corpus.select("doc_id", tt.ws_tokens(F.col("text")).alias("toks"))
+        # digest array in its own projection: 32 bit-folds reference it, so
+        # each token is md5-hashed once, not 32×
+        .select("doc_id", F.transform("toks", F.md5).alias("digs"))
+        .select("doc_id", tt.simhash32(F.col("digs")).alias("sig"))
     )
     bands = sigs.select(
         "doc_id",
@@ -296,17 +309,18 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select("doc_a", "doc_b", ham.alias("hamming")).filter(F.col("hamming") <= _SIMHASH_MAX_HAMMING)
 
 
-_TOKEN_HASH_NIBBLE = "(strpos('0123456789abcdef', substr(md5(t), {j}, 1)) - 1)"
+_TOKEN_HASH_NIBBLE = "(strpos('0123456789abcdef', substr(d, {j}, 1)) - 1)"
 
 _SIMHASH_BITSUM = " , ".join(
-    f"list_sum(list_transform(w, t -> ({_TOKEN_HASH_NIBBLE.format(j=j + 1)} % 2) * 2 - 1)) AS bs{j}" for j in range(32)
+    f"list_sum(list_transform(digs, d -> ({_TOKEN_HASH_NIBBLE.format(j=j + 1)} % 2) * 2 - 1)) AS bs{j}" for j in range(32)
 )
 _SIMHASH_SIGSUM = " + ".join(f"(CASE WHEN bs{j} > 0 THEN {2**j} ELSE 0 END)" for j in range(32))
 
 DEDUP_SIMHASH_SQL = rf"""
 WITH corpus AS ({DOC_CORPUS_SQL}),
 tok AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM corpus),
-bitsums AS (SELECT doc_id, {_SIMHASH_BITSUM} FROM tok),
+dig AS (SELECT doc_id, list_transform(w, t -> md5(t)) AS digs FROM tok),
+bitsums AS (SELECT doc_id, {_SIMHASH_BITSUM} FROM dig),
 sigs AS (SELECT doc_id, CAST({_SIMHASH_SIGSUM} AS BIGINT) AS sig FROM bitsums),
 bands AS (
     SELECT doc_id, sig, i AS band_idx, (sig >> (8*i)) % 256 AS byte
