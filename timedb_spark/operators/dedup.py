@@ -97,8 +97,19 @@ def _shingled(corpus: DataFrame) -> DataFrame:
     # materialized token *attribute*, not the split() expression — otherwise
     # each of the ~n slice lambdas re-runs the tokenizer (O(n²) per doc;
     # measured 188 s → 11 s at sf0.01 for the pair query).
-    return corpus.select("doc_id", tt.ws_tokens(F.col("text")).alias("toks")).select(
-        "doc_id", F.array_distinct(tt.shingles(F.col("toks"), _SHINGLE_N)).alias("sh")
+    #
+    # persist(): the shingled frame feeds several plan branches (signature/
+    # banding, set sizes, and BOTH sides of the verify join) and Spark does
+    # not share common subplans across branches — unpersisted, the
+    # tokenize+shingle+hash pass re-runs up to 5×. MEMORY_AND_DISK spills
+    # cleanly at 100 TB; the frame is doc_id + shingle array, a fraction of
+    # the raw text scan it replaces.
+    from pyspark import StorageLevel
+
+    return (
+        corpus.select("doc_id", tt.ws_tokens(F.col("text")).alias("toks"))
+        .select("doc_id", F.array_distinct(tt.shingles(F.col("toks"), _SHINGLE_N)).alias("sh"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
 
 
