@@ -381,11 +381,16 @@ FROM embeddings WHERE vec_id % 10 = 0
 def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cosine ≥ τ near-dup pairs, blocked on the coarse cluster label (the
     IVF-style blocking key — at 100 TB the blocker would be a trained
-    centroid assignment; the join shape is identical)."""
-    c = emb_corpus(spark, sf_dir)
+    centroid assignment; the join shape is identical).
+
+    Each vector's norm is computed ONCE before the join (pairs only pay one
+    dot product, not three — norms are per-row, dots are per-pair, and the
+    pair count is quadratic in bucket size). Same double arithmetic as
+    ``cosine_q``, so the oracle stays bit-identical."""
+    c = emb_corpus(spark, sf_dir).withColumn("nq", F.sqrt(vx.norm_sq_q(F.col("q")).cast("double")))
     a = c.alias("a")
     b = c.alias("b")
-    cos = vx.cosine_q(F.col("a.q"), F.col("b.q"))
+    cos = vx.dot_q(F.col("a.q"), F.col("b.q")) / (F.col("a.nq") * F.col("b.nq"))
     return (
         a.join(b, (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") < F.col("b.vec_id")))
         .select(
@@ -397,13 +402,18 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_EMB_DOT = vx.DOT_Q_SQL.format(a="a.q", b="b.q")
+
 DEDUP_EMBEDDING_SQL = f"""
-WITH corpus AS ({EMB_CORPUS_SQL})
+WITH base AS ({EMB_CORPUS_SQL}),
+corpus AS (
+    SELECT *, sqrt(CAST({vx.DOT_Q_SQL.format(a='q', b='q')} AS DOUBLE)) AS nq FROM base
+)
 SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-       round({vx.cosine_q_sql('a.q', 'b.q')}, 6) AS cosine
+       round(CAST({_EMB_DOT} AS DOUBLE) / (a.nq * b.nq), 6) AS cosine
 FROM corpus a JOIN corpus b
   ON a.label = b.label AND a.vec_id < b.vec_id
-WHERE round({vx.cosine_q_sql('a.q', 'b.q')}, 6) >= {_EMB_TAU}
+WHERE round(CAST({_EMB_DOT} AS DOUBLE) / (a.nq * b.nq), 6) >= {_EMB_TAU}
 """
 
 
