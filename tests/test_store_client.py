@@ -337,3 +337,49 @@ def test_month_pruning_filter(td):
     # plan must contain a vt_month partition filter (directory-level pruning)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "vt_month" in plan
+
+
+def test_compact_merges_files_and_preserves_data(spark, tmp_path):
+    """Many small appends fragment a partition; compact() rewrites it into
+    one sorted file with identical data and leaves other partitions alone."""
+    from datetime import datetime, timezone
+
+    import pandas as pd
+
+    from timedb_spark.client import TimeDB
+
+    UTC = timezone.utc
+    db = TimeDB(spark, str(tmp_path / "t"))
+    db.create()
+    for batch in range(6):  # 6 appends → ≥6 files in the Jan partition
+        db.write(
+            pd.DataFrame(
+                {
+                    "series_id": [batch, batch + 10],
+                    "valid_time": [datetime(2024, 1, 1 + batch, tzinfo=UTC)] * 2,
+                    "value": [float(batch), float(batch) + 0.5],
+                }
+            ),
+            retention="short",
+            knowledge_time=datetime(2024, 1, 20, batch, tzinfo=UTC),
+        )
+    part = tmp_path / "t" / "series_values" / "retention=short" / "vt_month=202401"
+    n_before = len(list(part.glob("*.parquet")))
+    assert n_before >= 6
+
+    before = {tuple(r) for r in db.read(series_ids=list(range(20))).collect()}
+    done = db.compact()
+    assert "retention=short/vt_month=202401" in done
+    assert len(list(part.glob("*.parquet"))) == 1
+    after = {tuple(r) for r in db.read(series_ids=list(range(20))).collect()}
+    assert after == before
+
+    # compacted file is sorted by the store sort key
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(str(next(part.glob("*.parquet"))), columns=["series_id", "valid_time"])
+    rows = list(zip(t.column(0).to_pylist(), t.column(1).to_pylist()))
+    assert rows == sorted(rows)
+
+    # second compact is a no-op (already ≤ threshold)
+    assert db.compact() == []

@@ -87,6 +87,10 @@ class TimeDB:
     def apply_retention(self, now: datetime | None = None) -> list[str]:
         return self.store.apply_retention(now)
 
+    def compact(self, *, max_files_per_partition: int = 4) -> list[str]:
+        """Merge fragmented partitions into sorted files (see Store.compact)."""
+        return self.store.compact(max_files_per_partition=max_files_per_partition)
+
     # ------------------------------------------------------------------
     # Write (ref: timedb/write.py:236-368)
     # ------------------------------------------------------------------

@@ -117,6 +117,43 @@ class Store:
         raw = self.spark.read.schema(RUN_SERIES_SCHEMA).parquet(str(self.run_series_path))
         return raw.groupBy("series_id", "run_id").agg(F.max("first_seen").alias("first_seen"))
 
+    # -- compaction (the CH background-merge / OPTIMIZE analogue) ----------
+
+    def compact(self, *, max_files_per_partition: int = 4, target_files: int = 1) -> list[str]:
+        """Rewrite fragmented ``(retention, vt_month)`` partitions into
+        ``target_files`` sorted files each.
+
+        Interleaved appends leave many small files per partition AND destroy
+        the global (series_id, valid_time, …) clustering inside it — each
+        append is sorted only within itself, so row-group zone maps degrade
+        as appends accumulate. Compaction restores both: one read + sorted
+        rewrite per fragmented partition, partition-at-a-time (bounded
+        memory; any partition is independent, so a 100 TB store compacts in
+        parallel by partition with no coordination). Readers of OTHER
+        partitions are unaffected; like CH's OPTIMIZE, the swap is per
+        partition. Returns the rewritten partition dirs (relative)."""
+        compacted: list[str] = []
+        tmp_root = self.root / "_compact_tmp"
+        for tier_dir in sorted(self.values_path.glob("retention=*")):
+            for month_dir in sorted(tier_dir.glob("vt_month=*")):
+                files = list(month_dir.glob("*.parquet"))
+                if len(files) <= max_files_per_partition:
+                    continue
+                tmp = tmp_root / tier_dir.name / month_dir.name
+                (
+                    self.spark.read.parquet(str(month_dir))
+                    .repartition(target_files)
+                    .sortWithinPartitions(*_SORT_KEY)
+                    .write.mode("overwrite")
+                    .parquet(str(tmp))
+                )
+                shutil.rmtree(month_dir)
+                tmp.rename(month_dir)
+                compacted.append(f"{tier_dir.name}/{month_dir.name}")
+        if tmp_root.exists():
+            shutil.rmtree(tmp_root)
+        return compacted
+
     # -- TTL (ref DDL TTL ... DELETE WHERE retention != 'forever') ---------
 
     def apply_retention(self, now: datetime | None = None) -> list[str]:
