@@ -1,0 +1,149 @@
+"""As-of join variants (SURVEY §2b): forward and tolerance-bounded forms.
+
+All three directions use the same Spark-first shape as
+``analytics.asof_join`` (the backward headliner): UNION the two sides
+tagged by kind, one window pass per user carries the other side's latest
+(or, scanned in reverse, next) row — a single shuffle on the key plus an
+in-partition sort. The naive inequality join would be a broadcast-nested-
+loop; the binned form (timeseries.range_join_events) is the equi-join
+alternative when BOTH sides are large and the window's carry semantics
+don't fit.
+
+Domain note: the forward / tolerance queries join events to events
+(next purchase; last click within 2 h) — the orders table ends decades
+before the events stream starts, so order-based forward/tolerance joins
+would be vacuously null/constant.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from timedb_spark.io.tables import load_table
+
+
+def asof_forward_next_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For every event: the same user's NEXT purchase event (strictly later
+    ts; earliest wins, event_id tiebreak). Reverse-time scan: ordered by
+    t DESC, a running last-ignore-nulls of purchase payloads yields the
+    earliest strictly-later purchase."""
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("ts").alias("t"),
+        F.lit(1).alias("kind"),
+        F.struct(F.col("ts").alias("pt"), F.col("event_id").alias("pid"), F.col("value").alias("pv")).alias("p"),
+        F.lit(None).cast("long").alias("event_id"),
+    )
+    probes = ev.select(
+        "user_id",
+        F.col("ts").alias("t"),
+        F.lit(0).alias("kind"),
+        F.lit(None).cast("struct<pt:timestamp,pid:long,pv:double>").alias("p"),
+        "event_id",
+    )
+    # Scan order (t DESC): the carried `last` is the most recently scanned
+    # purchase = the earliest strictly-later one.
+    # - strict ">": at equal t the probe (kind 0) scans FIRST (kind ASC), so
+    #   same-instant purchases stay out of its frame;
+    # - tiebreak: equal-(t) purchases scan in pid DESC order so the LAST
+    #   scanned — the carried winner — is the smallest pid (oracle: ORDER BY
+    #   ts ASC, event_id ASC).
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("t").desc(), F.col("kind").asc(), F.col("p.pid").desc_nulls_last())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    enriched = (
+        purchases.unionByName(probes)
+        .select("*", F.last("p", ignorenulls=True).over(w).alias("np"))
+        .filter(F.col("kind") == 0)
+    )
+    return enriched.select(
+        "event_id",
+        "user_id",
+        F.col("np.pid").alias("next_purchase_id"),
+        F.col("np.pt").alias("next_purchase_ts"),
+        F.col("np.pv").alias("next_purchase_value"),
+    )
+
+
+ASOF_FORWARD_SQL = """
+WITH best AS (
+    SELECT event_id, pid, pt, pv FROM (
+        SELECT e.event_id, p.event_id AS pid, p.ts AS pt, p.value AS pv,
+               row_number() OVER (PARTITION BY e.event_id
+                                  ORDER BY p.ts ASC, p.event_id ASC) AS rn
+        FROM events e JOIN events p
+          ON p.user_id = e.user_id AND p.event_type = 'purchase' AND p.ts > e.ts
+    ) t WHERE rn = 1
+)
+SELECT e.event_id, e.user_id,
+       b.pid AS next_purchase_id, b.pt AS next_purchase_ts, b.pv AS next_purchase_value
+FROM events e LEFT JOIN best b USING (event_id)
+"""
+
+_TOL_MINUTES = 120
+
+
+def asof_tolerance_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For every event: the same user's most recent STRICTLY-earlier click
+    within a 2-hour tolerance (latest wins, event_id tiebreak); NULL when the
+    nearest click is older than the tolerance. Forward scan carries the last
+    click struct; the tolerance is a post-filter on the carried timestamp —
+    same single-shuffle cost as the unbounded backward join."""
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("ts").alias("t"),
+        F.lit(0).alias("kind"),
+        F.struct(F.col("ts").alias("ct"), F.col("event_id").alias("cid"), F.col("value").alias("cv")).alias("c"),
+        F.lit(None).cast("long").alias("event_id"),
+    )
+    probes = ev.select(
+        "user_id",
+        F.col("ts").alias("t"),
+        F.lit(1).alias("kind"),
+        F.lit(None).cast("struct<ct:timestamp,cid:long,cv:double>").alias("c"),
+        "event_id",
+    )
+    # Scan order (t ASC): the carried `last` is the most recent earlier click.
+    # - strict "<": at equal t the probe (kind 1) scans FIRST (kind DESC), so
+    #   same-instant clicks stay out of its frame;
+    # - tiebreak: equal-(t) clicks scan in cid DESC order so the carried
+    #   winner is the smallest cid (oracle: ORDER BY ts DESC, event_id ASC).
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("t").asc(), F.col("kind").desc(), F.col("c.cid").desc_nulls_last())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    lc = F.last("c", ignorenulls=True).over(w)
+    enriched = clicks.unionByName(probes).select("*", lc.alias("lc")).filter(F.col("kind") == 1)
+    within = F.unix_micros(F.col("t")) - F.unix_micros(F.col("lc.ct")) <= _TOL_MINUTES * 60 * 1_000_000
+    keep = F.col("lc").isNotNull() & within
+    return enriched.select(
+        "event_id",
+        "user_id",
+        F.when(keep, F.col("lc.cid")).alias("last_click_id"),
+        F.when(keep, F.col("lc.ct")).alias("last_click_ts"),
+        F.when(keep, F.col("lc.cv")).alias("last_click_value"),
+    )
+
+
+ASOF_TOLERANCE_SQL = f"""
+WITH best AS (
+    SELECT event_id, cid, ct, cv FROM (
+        SELECT e.event_id, c.event_id AS cid, c.ts AS ct, c.value AS cv,
+               row_number() OVER (PARTITION BY e.event_id
+                                  ORDER BY c.ts DESC, c.event_id ASC) AS rn
+        FROM events e JOIN events c
+          ON c.user_id = e.user_id AND c.event_type = 'click'
+         AND c.ts < e.ts
+         AND epoch_us(e.ts) - epoch_us(c.ts) <= CAST({_TOL_MINUTES} AS BIGINT) * 60 * 1000000
+    ) t WHERE rn = 1
+)
+SELECT e.event_id, e.user_id,
+       b.cid AS last_click_id, b.ct AS last_click_ts, b.cv AS last_click_value
+FROM events e LEFT JOIN best b USING (event_id)
+"""
