@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from timedb_spark.io.tables import BITEMPORAL_ORACLE_SQL, bitemporal_frame, load_table
-from timedb_spark.operators import analytics, asof, dedup, multimodal, pipeline, sampling, similarity, text, timeseries
+from timedb_spark.operators import analytics, asof, dedup, funnel, multimodal, pipeline, sampling, similarity, text, timeseries
 from timedb_spark.operators import bitemporal as bt
 
 _SV = BITEMPORAL_ORACLE_SQL
@@ -250,6 +250,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join": analytics.asof_join,
         "asof_forward": asof.asof_forward_next_purchase,
         "asof_tolerance": asof.asof_tolerance_last_click,
+        "events_funnel": funnel.events_funnel,
         "text_tokens": text.text_tokens,
         "text_quality": text.text_quality,
         "text_langid": text.text_langid,
@@ -481,6 +482,7 @@ def oracle_sql() -> dict[str, str]:
         "asof_join": analytics.ASOF_JOIN_SQL,
         "asof_forward": asof.ASOF_FORWARD_SQL,
         "asof_tolerance": asof.ASOF_TOLERANCE_SQL,
+        "events_funnel": funnel.EVENTS_FUNNEL_SQL,
         "text_tokens": text.TEXT_TOKENS_SQL,
         "text_quality": text.TEXT_QUALITY_SQL,
         "text_langid": text.TEXT_LANGID_SQL,
