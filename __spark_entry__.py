@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from timedb_spark.io.tables import BITEMPORAL_ORACLE_SQL, bitemporal_frame, load_table
-from timedb_spark.operators import analytics, asof, dedup, funnel, multimodal, pipeline, sampling, similarity, text, timeseries
+from timedb_spark.operators import analytics, asof, dedup, funnel, multimodal, pipeline, sampling, similarity, text, timeseries, tpch_ext
 from timedb_spark.operators import bitemporal as bt
 
 _SV = BITEMPORAL_ORACLE_SQL
@@ -246,6 +246,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q18": analytics.tpch_q18,
         "tpch_q19": analytics.tpch_q19,
         "tpch_q22": analytics.tpch_q22,
+        "tpch_q2": tpch_ext.tpch_q2,
+        "tpch_q7": tpch_ext.tpch_q7,
+        "tpch_q8": tpch_ext.tpch_q8,
+        "tpch_q9": tpch_ext.tpch_q9,
+        "tpch_q11": tpch_ext.tpch_q11,
+        "tpch_q12": tpch_ext.tpch_q12,
+        "tpch_q13": tpch_ext.tpch_q13,
+        "tpch_q15": tpch_ext.tpch_q15,
+        "tpch_q16": tpch_ext.tpch_q16,
+        "tpch_q17": tpch_ext.tpch_q17,
+        "tpch_q20": tpch_ext.tpch_q20,
+        "tpch_q21": tpch_ext.tpch_q21,
         "events_window": analytics.events_window,
         "asof_join": analytics.asof_join,
         "asof_forward": asof.asof_forward_next_purchase,
@@ -478,6 +490,18 @@ def oracle_sql() -> dict[str, str]:
         "tpch_q18": analytics.TPCH_Q18_SQL,
         "tpch_q19": analytics.TPCH_Q19_SQL,
         "tpch_q22": analytics.TPCH_Q22_SQL,
+        "tpch_q2": tpch_ext.TPCH_Q2_SQL,
+        "tpch_q7": tpch_ext.TPCH_Q7_SQL,
+        "tpch_q8": tpch_ext.TPCH_Q8_SQL,
+        "tpch_q9": tpch_ext.TPCH_Q9_SQL,
+        "tpch_q11": tpch_ext.TPCH_Q11_SQL,
+        "tpch_q12": tpch_ext.TPCH_Q12_SQL,
+        "tpch_q13": tpch_ext.TPCH_Q13_SQL,
+        "tpch_q15": tpch_ext.TPCH_Q15_SQL,
+        "tpch_q16": tpch_ext.TPCH_Q16_SQL,
+        "tpch_q17": tpch_ext.TPCH_Q17_SQL,
+        "tpch_q20": tpch_ext.TPCH_Q20_SQL,
+        "tpch_q21": tpch_ext.TPCH_Q21_SQL,
         "events_window": analytics.EVENTS_WINDOW_SQL,
         "asof_join": analytics.ASOF_JOIN_SQL,
         "asof_forward": asof.ASOF_FORWARD_SQL,

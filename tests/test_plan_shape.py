@@ -136,3 +136,35 @@ def test_ohlc_single_shuffle_partial_agg(spark, sf_dir):
     # partial (map-side) combine before the exchange
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "partial_min_by" in plan or "partial_min" in plan
+
+
+def test_tpch_q21_exists_rewrite_shape(spark, sf_dir):
+    """The EXISTS/NOT-EXISTS pair must compile to aggregations + semi joins,
+    never a correlated row-wise self-join explosion."""
+    from timedb_spark.operators import tpch_ext
+
+    df = tpch_ext.tpch_q21(spark, sf_dir)
+    plans.assert_no_cartesian(df)
+    plan = plans.formatted_plan(df)
+    assert "LeftSemi" in plan
+    plans.assert_broadcast_joins(df, 1)  # supplier⋈nation side broadcasts
+
+
+def test_tpch_q2_single_pass_no_rescan(spark, sf_dir):
+    """The correlated per-part min is a window over the filtered candidates —
+    lineitem must be scanned once, dims broadcast."""
+    from timedb_spark.operators import tpch_ext
+
+    df = tpch_ext.tpch_q2(spark, sf_dir)
+    plan = plans.formatted_plan(df)
+    assert sum(1 for ln in plan.splitlines() if "lineitem" in ln and "Location" in ln) == 1
+    plans.assert_broadcast_joins(df, 2)
+
+
+def test_tpch_q17_avg_broadcast_back(spark, sf_dir):
+    """Per-part average joins back via broadcast — no fact-fact shuffle join."""
+    from timedb_spark.operators import tpch_ext
+
+    df = tpch_ext.tpch_q17(spark, sf_dir)
+    plans.assert_broadcast_joins(df, 2)
+    plans.assert_no_cartesian(df)
