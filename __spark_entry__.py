@@ -72,6 +72,17 @@ def _q_read_relative(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bt.relative_cutoff(bitemporal_frame(spark, sf_dir), window_length=wl, issue_offset=off, start_window=sw)
 
 
+def _q_backtest_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Same intraday-auction parameterization as bt_read_relative: forecasts
+    # issued 2h into each 6h window, scored against the final latest state.
+    return bt.backtest_error(
+        bitemporal_frame(spark, sf_dir),
+        window_length=timedelta(hours=6),
+        issue_offset=timedelta(hours=2),
+        start_window=datetime(2024, 1, 1),
+    )
+
+
 def _meta_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic metadata catalog derived from events' user ids —
     mirrored by _META_ORACLE below."""
@@ -236,6 +247,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bt_write_skip_unchanged": _q_write_skip_unchanged,
         "bt_snapshot": _q_snapshot,
         "bt_snapshot_diff": _q_snapshot_diff,
+        "bt_backtest_error": _q_backtest_error,
         "tpch_q1": analytics.tpch_q1,
         "tpch_q3": analytics.tpch_q3,
         "tpch_q4": analytics.tpch_q4,
@@ -396,6 +408,45 @@ def oracle_sql() -> dict[str, str]:
                                           ORDER BY knowledge_time DESC, change_time DESC) AS rn
                 FROM f
             ) t WHERE rn = 1
+        """,
+        "bt_backtest_error": f"""
+            WITH sv AS ({_SV}),
+            cut AS (
+                SELECT *,
+                       (epoch_us(TIMESTAMP '2024-01-01 00:00:00')//1000000
+                        + ((epoch_us(valid_time)//1000000 - epoch_us(TIMESTAMP '2024-01-01 00:00:00')//1000000) // 21600) * 21600
+                        + 7200) AS cutoff_s
+                FROM sv
+            ),
+            forecast AS (
+                SELECT series_id, valid_time, value AS forecast FROM (
+                    SELECT series_id, valid_time, value,
+                           row_number() OVER (PARTITION BY series_id, valid_time
+                                              ORDER BY knowledge_time DESC, change_time DESC) AS rn
+                    FROM cut WHERE epoch_us(knowledge_time) <= cutoff_s * 1000000
+                ) t WHERE rn = 1
+            ),
+            actual AS (
+                SELECT series_id, valid_time, value AS actual FROM (
+                    SELECT series_id, valid_time, value,
+                           row_number() OVER (PARTITION BY series_id, valid_time
+                                              ORDER BY knowledge_time DESC, change_time DESC) AS rn
+                    FROM sv
+                ) t WHERE rn = 1
+            )
+            SELECT series_id,
+                   count(*) AS n_points,
+                   round(CAST(sum(abs(err)) AS DOUBLE) / count(*), 6) AS mae,
+                   round(sqrt(CAST(sum(err2) AS DOUBLE) / count(*)), 6) AS rmse,
+                   round(CAST(sum(err) AS DOUBLE) / count(*), 6) AS bias
+            FROM (
+                SELECT f.series_id,
+                       CAST(round(f.forecast - a.actual, 6) AS DECIMAL(28,6)) AS err,
+                       CAST(round((f.forecast - a.actual) * (f.forecast - a.actual), 6) AS DECIMAL(28,6)) AS err2
+                FROM forecast f JOIN actual a
+                  ON f.series_id = a.series_id AND f.valid_time = a.valid_time
+            ) e
+            GROUP BY series_id
         """,
         "bt_read_meta_scope": f"""
             WITH sv AS ({_SV}),

@@ -179,3 +179,40 @@ def test_meta_semi_join(spark):
 
     with pytest.raises(ValueError, match="needs one of"):
         bt.resolve_meta(meta, bt.SeriesMeta())
+
+
+def test_backtest_error_hand_computed(spark):
+    # Series 1, one daily window starting BASE, cutoff at BASE+2h.
+    # vt = BASE: forecast issued at kt=BASE+1h says 10.0; actual (kt=BASE+5h,
+    # too late for the cutoff) is 12.0 -> err = -2.
+    # vt = BASE+1h (same window): forecast 5.0 at kt=BASE+2h (exactly at
+    # cutoff, inclusive); actual corrected to 5.0 as well -> err = 0.
+    rows = [
+        [1, BASE, BASE + timedelta(hours=1), CT1, 10.0, "", "", "medium"],
+        [1, BASE, BASE + timedelta(hours=5), CT1, 12.0, "", "", "medium"],
+        [1, BASE + timedelta(hours=1), BASE + timedelta(hours=2), CT1, 5.0, "", "", "medium"],
+    ]
+    df = _frame(spark, rows)
+    out = bt.backtest_error(
+        df, window_length=timedelta(days=1), issue_offset=timedelta(hours=2), start_window=BASE
+    ).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.n_points == 2
+    assert r.mae == pytest.approx(1.0)          # (|-2| + 0) / 2
+    assert r.rmse == pytest.approx(2**0.5)      # sqrt((4 + 0)/2)
+    assert r.bias == pytest.approx(-1.0)        # (-2 + 0) / 2
+
+
+def test_backtest_error_skips_unmatched_windows(spark):
+    # A valid_time whose only revision arrives after the cutoff has no
+    # forecast row -> inner join drops it from the metrics.
+    rows = [
+        [1, BASE, BASE + timedelta(hours=1), CT1, 10.0, "", "", "medium"],
+        [2, BASE, BASE + timedelta(hours=23), CT1, 7.0, "", "", "medium"],
+    ]
+    df = _frame(spark, rows)
+    out = bt.backtest_error(
+        df, window_length=timedelta(days=1), issue_offset=timedelta(hours=2), start_window=BASE
+    ).collect()
+    assert [r.series_id for r in out] == [1]

@@ -374,3 +374,54 @@ def snapshot_diff(df: DataFrame, t1: "datetime", t2: "datetime") -> DataFrame:
             F.when(added, "added").otherwise("changed").alias("change_kind"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Backtest error metrics — the query a forecasting TimeDB user runs next:
+# how good were the forecasts that were available at issue time?
+# ---------------------------------------------------------------------------
+
+
+def backtest_error(
+    df: DataFrame,
+    *,
+    window_length: timedelta,
+    issue_offset: timedelta,
+    start_window: datetime,
+) -> DataFrame:
+    """Per-series forecast-accuracy metrics: compare the point-in-time state
+    (what :func:`relative_cutoff` would have served at each window's issue
+    cutoff — the "forecast") against the final latest state (the "actual").
+
+    Composes the reference's read_relative (read.py:461-527) with read
+    latest (read.py:232-247) the way its energy-forecasting users do in
+    client code; here it is ONE Spark plan.
+
+    Output: (series_id, n_points, mae, rmse, bias).
+
+    Scale notes: both sides are max_by aggregations over the same scan,
+    hash-partitioned on (series_id, valid_time) — the equi-join reuses that
+    partitioning with no extra exchange, then the per-series rollup is one
+    more (much smaller) shuffle. Error terms are rounded per row and summed
+    as DECIMAL so the aggregate is exact and order-independent (the oracle
+    hash-matches regardless of partitioning).
+    """
+    forecast = relative_cutoff(
+        df, window_length=window_length, issue_offset=issue_offset, start_window=start_window
+    ).withColumnRenamed("value", "forecast")
+    actual = latest(df).withColumnRenamed("value", "actual")
+    err = F.round(F.col("forecast") - F.col("actual"), 6).cast("decimal(28,6)")
+    err2 = F.round((F.col("forecast") - F.col("actual")) * (F.col("forecast") - F.col("actual")), 6).cast(
+        "decimal(28,6)"
+    )
+    n = F.count(F.lit(1))
+    return (
+        forecast.join(actual, ["series_id", "valid_time"])
+        .groupBy("series_id")
+        .agg(
+            n.alias("n_points"),
+            F.round(F.sum(F.abs(err)).cast("double") / n, 6).alias("mae"),
+            F.round(F.sqrt(F.sum(err2).cast("double") / n), 6).alias("rmse"),
+            F.round(F.sum(err).cast("double") / n, 6).alias("bias"),
+        )
+    )
