@@ -309,6 +309,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_moving_stats": timeseries.moving_stats,
         "ts_anomaly_zscore": timeseries.anomaly_zscore,
         "ts_gap_detect": timeseries.gap_detect,
+        "ts_corr": timeseries.corr_matrix,
+        "ts_seasonal_naive": timeseries.seasonal_naive,
     }
 
 
@@ -591,6 +593,8 @@ def oracle_sql() -> dict[str, str]:
         "ts_moving_stats": timeseries.MOVING_STATS_SQL,
         "ts_anomaly_zscore": timeseries.ANOMALY_ZSCORE_SQL,
         "ts_gap_detect": timeseries.GAP_DETECT_SQL,
+        "ts_corr": timeseries.CORR_MATRIX_SQL,
+        "ts_seasonal_naive": timeseries.SEASONAL_NAIVE_SQL,
         "stream_window": analytics.EVENTS_WINDOW_SQL,
         "stream_dedup": r"""
             SELECT count(DISTINCT md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g')))) AS n_unique_docs

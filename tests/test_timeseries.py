@@ -234,3 +234,47 @@ def test_gap_detect_threshold(spark):
     )
     assert len(out) == 1
     assert out[0].gap_start == T(1) and out[0].gap_end == T(5)
+
+
+def test_corr_matrix_bounds_and_pairs(spark, sf_dir):
+    from timedb_spark.operators.timeseries import corr_matrix
+
+    out = corr_matrix(spark, sf_dir).collect()
+    # 5 event types -> C(5,2) ordered pairs, each correlation in [-1, 1]
+    assert len(out) == 10
+    assert all(r.type_a < r.type_b for r in out)
+    assert all(-1.0 <= r.corr <= 1.0 for r in out)
+
+
+def test_corr_matrix_perfect_correlation(spark, sf_dir, tmp_path):
+    # Construct two perfectly correlated types via a tiny synthetic events
+    # table written through the same reader path.
+    import pandas as pd
+    from datetime import datetime, timedelta
+
+    rows = []
+    for i in range(6):
+        ts = datetime(2024, 1, 1) + timedelta(hours=i)
+        rows.append((i * 2, ts, 1, "x", float(i)))
+        rows.append((i * 2 + 1, ts, 1, "y", 2.0 * i + 3.0))  # y = 2x + 3
+    pdf = pd.DataFrame(rows, columns=["event_id", "ts", "user_id", "event_type", "value"])
+    pdf["props"] = ""
+    d = str(tmp_path / "sf")
+    import os
+
+    os.makedirs(d)
+    pdf.to_parquet(os.path.join(d, "events.parquet"))
+    from timedb_spark.operators.timeseries import corr_matrix
+
+    out = corr_matrix(spark, d).collect()
+    assert len(out) == 1
+    assert out[0].corr == pytest.approx(1.0)
+
+
+def test_seasonal_naive_exact_lag(spark, sf_dir):
+    from timedb_spark.operators.timeseries import seasonal_naive
+
+    out = seasonal_naive(spark, sf_dir).collect()
+    assert len(out) > 0
+    for r in out:
+        assert r.rmse >= r.mae >= 0.0  # RMSE dominates MAE by Jensen

@@ -534,3 +534,121 @@ SELECT user_id, gap_start, gap_end, us / 60000000.0 AS gap_minutes FROM (
     WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ) t WHERE us > CAST(120 AS BIGINT) * 60 * 1000000
 """
+
+
+# ---------------------------------------------------------------------------
+# Cross-series correlation matrix (which signals move together?)
+# ---------------------------------------------------------------------------
+
+
+def corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlation between the hourly sums of each
+    event_type — the "which sensors co-move" query.
+
+    Determinism: ``corr()``'s streaming co-moment accumulation is
+    order-dependent in the low bits, so instead the five co-moment sums
+    (Σx, Σy, Σxy, Σx², Σy²) are aggregated as EXACT decimals and the
+    correlation is assembled from them in one deterministic double
+    expression — bit-identical across partitionings and engines.
+
+    Scale: the full scan collapses to a bounded frame (hours × types) before
+    the self-join, and the pair join broadcasts — no fact-fact shuffle.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        F.date_trunc("hour", "ts").alias("h"), F.col("event_type").alias("etype")
+    ).agg(F.sum(_d("value")).alias("v"))
+    a = hourly.select(F.col("h"), F.col("etype").alias("type_a"), F.col("v").alias("va"))
+    b = hourly.select(F.col("h").alias("hb"), F.col("etype").alias("type_b"), F.col("v").alias("vb"))
+    pairs = a.join(F.broadcast(b), (a.h == b.hb) & (F.col("type_a") < F.col("type_b")))
+    g = pairs.groupBy("type_a", "type_b").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("va").alias("sx"),
+        F.sum("vb").alias("sy"),
+        F.sum(F.col("va") * F.col("vb")).alias("sxy"),
+        F.sum(F.col("va") * F.col("va")).alias("sxx"),
+        F.sum(F.col("vb") * F.col("vb")).alias("syy"),
+    )
+    n = F.col("n").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxy, sxx, syy = (F.col(c).cast("double") for c in ("sxy", "sxx", "syy"))
+    corr = (n * sxy - sx * sy) / F.sqrt(n * sxx - sx * sx) / F.sqrt(n * syy - sy * sy)
+    return g.select("type_a", "type_b", F.col("n").alias("n_points"), F.round(corr, 6).alias("corr"))
+
+
+CORR_MATRIX_SQL = """
+WITH hourly AS (
+    SELECT date_trunc('hour', ts) AS h, event_type AS etype,
+           sum(CAST(value AS DECIMAL(18,2))) AS v
+    FROM events GROUP BY 1, 2
+),
+g AS (
+    SELECT a.etype AS type_a, b.etype AS type_b,
+           count(*) AS n,
+           sum(a.v) AS sx, sum(b.v) AS sy,
+           sum(a.v * b.v) AS sxy, sum(a.v * a.v) AS sxx, sum(b.v * b.v) AS syy
+    FROM hourly a JOIN hourly b ON a.h = b.h AND a.etype < b.etype
+    GROUP BY 1, 2
+)
+SELECT type_a, type_b, n AS n_points,
+       round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+             / sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)), 6) AS corr
+FROM g
+"""
+
+
+# ---------------------------------------------------------------------------
+# Seasonal-naive forecast skill (value now vs same hour last week)
+# ---------------------------------------------------------------------------
+
+
+def seasonal_naive(spark: SparkSession, sf_dir: str, *, period_hours: int = 168) -> DataFrame:
+    """Per-series error of the seasonal-naive forecast ŷ(t) = y(t - period):
+    the baseline every forecasting pipeline scores against.
+
+    The lagged side is the SAME bounded hourly aggregate with its timestamps
+    shifted forward by one period, equi-joined back — no window sort, no
+    per-row lag over raw events. Error terms are rounded per row and summed
+    as DECIMAL (order-independent, oracle-exact).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        F.col("user_id").alias("series_id"), F.date_trunc("hour", "ts").alias("h")
+    ).agg(F.sum(_d("value")).cast("double").alias("v"))
+    shift = F.timestamp_seconds(F.unix_timestamp("h") + period_hours * 3600)
+    past = hourly.select(F.col("series_id").alias("p_sid"), shift.alias("h_fore"), F.col("v").alias("v_past"))
+    err_d = F.round(F.col("v") - F.col("v_past"), 6).cast("decimal(28,6)")
+    err2_d = F.round((F.col("v") - F.col("v_past")) * (F.col("v") - F.col("v_past")), 6).cast("decimal(28,6)")
+    n = F.count(F.lit(1))
+    return (
+        hourly.join(past, (hourly.series_id == past.p_sid) & (hourly.h == past.h_fore))
+        .groupBy("series_id")
+        .agg(
+            n.alias("n_points"),
+            F.round(F.sum(F.abs(err_d)).cast("double") / n, 6).alias("mae"),
+            F.round(F.sqrt(F.sum(err2_d).cast("double") / n), 6).alias("rmse"),
+        )
+    )
+
+
+SEASONAL_NAIVE_SQL = """
+WITH hourly AS (
+    SELECT user_id AS series_id, date_trunc('hour', ts) AS h,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS v
+    FROM events GROUP BY 1, 2
+),
+j AS (
+    SELECT cur.series_id,
+           CAST(round(cur.v - past.v, 6) AS DECIMAL(28,6)) AS err,
+           CAST(round((cur.v - past.v) * (cur.v - past.v), 6) AS DECIMAL(28,6)) AS err2
+    FROM hourly cur JOIN hourly past
+      ON cur.series_id = past.series_id
+     AND cur.h = past.h + INTERVAL 168 HOUR
+)
+SELECT series_id, count(*) AS n_points,
+       round(CAST(sum(abs(err)) AS DOUBLE) / count(*), 6) AS mae,
+       round(sqrt(CAST(sum(err2) AS DOUBLE) / count(*)), 6) AS rmse
+FROM j
+GROUP BY series_id
+"""
