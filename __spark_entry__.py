@@ -217,6 +217,22 @@ def _q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return st.run_available_now(st.stream_dedup(stream), "complete")
 
 
+def _q_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming gap-timeout sessionization (EventTimeTimeout) drained with
+    availableNow. Deterministic output: sessions closed by data plus sessions
+    timed out by the final watermark — exactly the SQL-oracle predicate over
+    the batch sessionize result."""
+    from timedb_spark import streaming as st
+    from timedb_spark.streaming.windows import EVENTS_STREAM_SCHEMA
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", F.col("ts").cast("timestamp").alias("ts"), "user_id", "event_type", "value"
+    )
+    d = _stage_stream_dir(spark, sf_dir, ev, "events", 6)
+    stream = spark.readStream.schema(EVENTS_STREAM_SCHEMA).parquet(d)
+    return st.run_available_now(st.stream_sessionize(stream), "append")
+
+
 def _q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-column decode + feature extraction over mapInPandas (rows-only:
     the numpy decode is checked against a local recompute in tests)."""
@@ -298,6 +314,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_window": _q_stream_window,
         "stream_latest_state": _q_stream_latest_state,
         "stream_dedup": _q_stream_dedup,
+        "stream_sessionize": _q_stream_sessionize,
         "ts_resample_locf": timeseries.resample_locf_events,
         "ts_interpolate_linear": timeseries.interpolate_linear_events,
         "ts_rollup_multires": timeseries.rollup_multires,
@@ -608,5 +625,38 @@ def oracle_sql() -> dict[str, str]:
                                           ORDER BY knowledge_time DESC, change_time DESC) AS rn
                 FROM sv
             ) t WHERE rn = 1
+        """,
+        # Emitted sessions of one availableNow drain: closed by data
+        # (not the user's last session) OR timed out by the final watermark
+        # (end + gap behind max event time, at ms resolution).
+        "stream_sessionize": """
+            WITH g AS (
+                SELECT user_id, event_id, ts, value,
+                       CASE WHEN lag(ts) OVER w IS NULL
+                              OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 30*60*1000000
+                            THEN 1 ELSE 0 END AS new_sess
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ),
+            s AS (
+                SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                              ROWS UNBOUNDED PRECEDING) AS session_seq
+                FROM g
+            ),
+            agg AS (
+                SELECT user_id, session_seq,
+                       min(ts) AS session_start, max(ts) AS session_end,
+                       count(*) AS n_events,
+                       round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_value
+                FROM s GROUP BY user_id, session_seq
+            ),
+            m AS (
+                SELECT *, max(session_seq) OVER (PARTITION BY user_id) AS mx FROM agg
+            ),
+            wm AS (SELECT epoch_us(max(ts)) // 1000 AS wm_ms FROM events)
+            SELECT user_id, session_start, session_end, n_events, sum_value
+            FROM m, wm
+            WHERE session_seq < mx
+               OR (epoch_us(session_end) + 30*60*1000000) // 1000 < wm_ms
         """,
     }

@@ -9,6 +9,7 @@ from __future__ import annotations
 import uuid
 
 import pytest
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from timedb_spark.io.tables import bitemporal_frame, load_table
@@ -112,6 +113,99 @@ def test_stream_latest_state_matches_batch_latest(spark, sf_dir, tmp_path):
     matches = sum(1 for k, v in exp.items() if got.get(k) == v or (v != v and got.get(k) != got.get(k)))
     assert len(got) == len(exp)
     assert matches == len(exp)
+
+
+def test_stream_sessionize_drain_matches_batch(spark, sf_dir, events_dir):
+    """One availableNow drain emits exactly: sessions closed by data (a later
+    same-user event beyond the gap) ∪ sessions timed out by the final
+    watermark (end + gap behind max event time). Deterministic, and equal to
+    a pure-SQL predicate over the batch sessionize result."""
+    from timedb_spark.operators import timeseries
+    from timedb_spark.streaming.sessions import stream_sessionize
+
+    stream = spark.readStream.schema(EVENTS_STREAM_SCHEMA).parquet(events_dir)
+    name = _run_to_memory(stream_sessionize(stream), "append")
+    got = {
+        (r.user_id, r.session_start, r.session_end, r.n_events, round(r.sum_value, 2))
+        for r in spark.table(name).collect()
+    }
+
+    ev = spark.read.schema(EVENTS_STREAM_SCHEMA).parquet(events_dir)
+    wm_ms = ev.agg(F.floor(F.unix_micros(F.max("ts")) / 1000)).first()[0]
+    sess = timeseries.sessionize(spark, sf_dir)
+    w_mx = F.max("session_seq").over(Window.partitionBy("user_id"))
+    closed_by_data = F.col("session_seq") < F.col("_mx")
+    timed_out = F.floor((F.unix_micros("session_end") + 1800 * 1_000_000) / 1000) < F.lit(wm_ms)
+    exp_df = sess.withColumn("_mx", w_mx).filter(closed_by_data | timed_out)
+    exp = {
+        (r.user_id, r.session_start, r.session_end, r.n_events, round(r.sum_value, 2))
+        for r in exp_df.collect()
+    }
+    assert got == exp and len(got) > 100
+
+
+def test_stream_sessionize_timeout_flush(spark, tmp_path):
+    """Idle sessions flush via EventTimeTimeout as the watermark advances:
+    checkpointed restarts with watermark-advancing sentinels eventually emit
+    EVERY session, exactly once."""
+    from timedb_spark.streaming.sessions import stream_sessionize
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    cols = "event_id long, ts string, user_id long, event_type string, value double"
+
+    def _append(rows):
+        df = spark.createDataFrame(rows, cols)
+        df.select(
+            "event_id", F.col("ts").cast("timestamp").alias("ts"), "user_id", "event_type", "value"
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    def _run():
+        stream = spark.readStream.schema(EVENTS_STREAM_SCHEMA).parquet(src)
+        q = (
+            stream_sessionize(stream)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        rows = spark.read.parquet(out).filter(F.col("user_id") < 900).collect()
+        return {(r.user_id, r.session_start.isoformat(), r.session_end.isoformat(), r.n_events) for r in rows}
+
+    # user 1: sessions [00:00,00:10] and [02:00]; user 2: [00:05] and [03:00,03:10]
+    _append(
+        [
+            (1, "2024-01-01 00:00:00", 1, "a", 1.0),
+            (2, "2024-01-01 00:10:00", 1, "a", 1.0),
+            (3, "2024-01-01 02:00:00", 1, "a", 1.0),
+            (4, "2024-01-01 00:05:00", 2, "a", 1.0),
+            (5, "2024-01-01 03:00:00", 2, "a", 1.0),
+            (6, "2024-01-01 03:10:00", 2, "a", 1.0),
+        ]
+    )
+    # Run 1's final watermark is 03:10 → user 1's idle [02:00] session
+    # (deadline 02:30) times out within the drain; user 2's [03:00,03:10]
+    # (deadline 03:40) stays open in state.
+    got1 = _run()
+    assert got1 == {
+        (1, "2024-01-01T00:00:00", "2024-01-01T00:10:00", 2),
+        (1, "2024-01-01T02:00:00", "2024-01-01T02:00:00", 1),
+        (2, "2024-01-01T00:05:00", "2024-01-01T00:05:00", 1),
+    }
+
+    # A later sentinel event advances the watermark past the open session's
+    # deadline; the checkpointed restart flushes it — exactly once.
+    _append([(7, "2024-01-02 00:00:00", 999, "a", 1.0)])
+    got2 = _run()
+    assert got2 == got1 | {(2, "2024-01-01T03:00:00", "2024-01-01T03:10:00", 2)}
+
+    _append([(8, "2024-01-03 00:00:00", 998, "a", 1.0)])
+    got3 = _run()  # nothing left to flush for real users; no duplicates
+    assert got3 == got2
 
 
 def test_stream_dedup_batch_slicing_invariant(spark, sf_dir, tmp_path):

@@ -15,12 +15,14 @@ from pyspark.sql import DataFrame
 from timedb_spark.streaming.windows import stream_events_window, windowed_events_agg
 from timedb_spark.streaming.state import stream_latest_state
 from timedb_spark.streaming.dedup import stream_dedup
+from timedb_spark.streaming.sessions import stream_sessionize
 
 __all__ = [
     "stream_events_window",
     "windowed_events_agg",
     "stream_latest_state",
     "stream_dedup",
+    "stream_sessionize",
     "run_available_now",
 ]
 

@@ -1,0 +1,136 @@
+"""Streaming gap-timeout sessionization — the streaming twin of
+``operators.timeseries.sessionize`` (ClickHouse/TimescaleDB session-window
+analogue over an unbounded event feed).
+
+Semantics (identical to the batch op): a session is a maximal run of a
+user's events where consecutive gaps are ≤ ``gap_minutes``. A session is
+EMITTED when it closes, which happens two ways:
+
+* **closed by data** — a later event for the same user arrives with a gap
+  larger than the threshold (emitted immediately, no watermark needed);
+* **closed by time** — no further event arrives and the event-time
+  watermark passes ``session_end + gap`` (``GroupStateTimeout.
+  EventTimeTimeout`` flush), so idle users' last sessions still land.
+
+State per user is ONE open-session tuple (start, end, n, sum_cents) — O(1)
+per live user, bounded by the watermark: once a user's open session times
+out the key is removed. At 100 TB-feed scale state size tracks *concurrent
+users*, not history.
+
+Value sums are kept as integer cents (decimal-exact, order-independent) to
+match the batch op's ``sum(CAST(value AS DECIMAL(18,2)))``.
+
+End-of-stream contract (the part that makes this oracle-comparable, noted
+in SURVEY §7 round-2 candidates): with a bounded drain the final open
+session per user never times out — the deterministic output of one
+``availableNow`` run is exactly *batch sessions minus each user's last*,
+which is what the SQL oracle computes. A checkpoint restart with a
+watermark-advancing sentinel then flushes the remainder
+(``tests/test_streaming.py::test_stream_sessionize_timeout_flush``).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("session_start", T.TimestampType()),
+        T.StructField("session_end", T.TimestampType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("sum_value", T.DoubleType()),
+    ]
+)
+
+# open session: [start_us, end_us, n_events, sum_cents]
+STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("start_us", T.LongType()),
+        T.StructField("end_us", T.LongType()),
+        T.StructField("n", T.LongType()),
+        T.StructField("sum_cents", T.LongType()),
+    ]
+)
+
+
+def _emit_row(user_id: int, s: tuple) -> pd.DataFrame:
+    return pd.DataFrame(
+        {
+            "user_id": [int(user_id)],
+            "session_start": [pd.Timestamp(s[0] * 1000)],
+            "session_end": [pd.Timestamp(s[1] * 1000)],
+            "n_events": [int(s[2])],
+            "sum_value": [round(s[3] / 100.0, 2)],
+        }
+    )
+
+
+def _make_update(gap_us: int):
+    def _update(key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        if state.hasTimedOut:
+            if state.exists:
+                yield _emit_row(user_id, state.get)
+            state.remove()
+            return
+
+        import numpy as np
+
+        frames = [pdf for pdf in pdfs if len(pdf)]
+        if not frames:
+            return
+        pdf = pd.concat(frames) if len(frames) > 1 else frames[0]
+        order = np.lexsort((pdf["event_id"].values, pdf["ts"].values))
+        ts_us = pdf["ts"].values.astype("datetime64[us]").astype("int64")[order]
+        cents = np.rint(pdf["value"].values[order] * 100).astype("int64")
+
+        open_s = list(state.get) if state.exists else None
+        for i in range(len(ts_us)):
+            t = int(ts_us[i])
+            if open_s is None:
+                open_s = [t, t, 0, 0]
+            elif t - open_s[1] > gap_us:
+                yield _emit_row(user_id, tuple(open_s))
+                open_s = [t, t, 0, 0]
+            open_s[0] = min(open_s[0], t)
+            open_s[1] = max(open_s[1], t)
+            open_s[2] += 1
+            open_s[3] += int(cents[i])
+
+        state.update(tuple(open_s))
+        # Close by time once the watermark passes end + gap. The timestamp
+        # must sit ahead of the current watermark; if the session is already
+        # expired relative to it, flush now instead of parking the key.
+        deadline_ms = (open_s[1] + gap_us) // 1000 + 1
+        if deadline_ms <= state.getCurrentWatermarkMs():
+            yield _emit_row(user_id, tuple(open_s))
+            state.remove()
+        else:
+            state.setTimeoutTimestamp(deadline_ms)
+
+    return _update
+
+
+def stream_sessionize(
+    events_stream: DataFrame, *, gap_minutes: int = 30, delay: str = "0 seconds"
+) -> DataFrame:
+    """events-shaped stream (``event_id, ts, user_id, event_type, value``) →
+    closed sessions, append mode. Event-time watermark on ``ts`` both bounds
+    late data and drives the idle-session timeout flush."""
+    return (
+        events_stream.withWatermark("ts", delay)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _make_update(gap_minutes * 60 * 1_000_000),
+            outputStructType=OUTPUT_SCHEMA,
+            stateStructType=STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
