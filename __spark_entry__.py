@@ -295,6 +295,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": text.text_quality,
         "text_langid": text.text_langid,
         "text_fingerprint": text.text_fingerprint,
+        "text_tfidf": text.text_tfidf,
         "dedup_exact": dedup.dedup_exact,
         "dedup_ngram_jaccard": dedup.dedup_ngram_jaccard,
         "dedup_minhash": dedup.dedup_minhash,
@@ -328,6 +329,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_gap_detect": timeseries.gap_detect,
         "ts_corr": timeseries.corr_matrix,
         "ts_seasonal_naive": timeseries.seasonal_naive,
+        "ts_histogram": timeseries.value_histogram,
+        "ts_ewma": timeseries.ewma,
     }
 
 
@@ -581,6 +584,7 @@ def oracle_sql() -> dict[str, str]:
         "text_quality": text.TEXT_QUALITY_SQL,
         "text_langid": text.TEXT_LANGID_SQL,
         "text_fingerprint": text.TEXT_FINGERPRINT_SQL,
+        "text_tfidf": text.TEXT_TFIDF_SQL,
         "dedup_exact": dedup.DEDUP_EXACT_SQL,
         "dedup_ngram_jaccard": dedup.DEDUP_NGRAM_SQL,
         "dedup_minhash": dedup.DEDUP_MINHASH_SQL,
@@ -612,6 +616,8 @@ def oracle_sql() -> dict[str, str]:
         "ts_gap_detect": timeseries.GAP_DETECT_SQL,
         "ts_corr": timeseries.CORR_MATRIX_SQL,
         "ts_seasonal_naive": timeseries.SEASONAL_NAIVE_SQL,
+        "ts_histogram": timeseries.VALUE_HISTOGRAM_SQL,
+        "ts_ewma": timeseries.EWMA_SQL,
         "stream_window": analytics.EVENTS_WINDOW_SQL,
         "stream_dedup": r"""
             SELECT count(DISTINCT md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g')))) AS n_unique_docs

@@ -64,3 +64,36 @@ def test_dedup_clusters_consistent_with_pairs(spark, sf_dir):
     for cid in set(clusters.values()):
         members = [d for d, c in clusters.items() if c == cid]
         assert min(members) == cid
+
+
+def test_tfidf_ranks_rare_terms_first(spark, tmp_path):
+    """A term unique to one doc outranks corpus-wide terms there; ranking is
+    (score desc, term asc) deterministic."""
+    import os
+
+    import pandas as pd
+
+    from timedb_spark.operators.text import text_tfidf
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": ["zebra common common", "common other", "common other"],
+            "lang": ["en"] * 3,
+            "source": ["s"] * 3,
+            "n_chars": [19, 12, 12],
+        }
+    )
+    d = str(tmp_path / "sf")
+    os.makedirs(d)
+    docs.to_parquet(os.path.join(d, "documents.parquet"))
+
+    out = text_tfidf(spark, d).collect()
+    top = {r.doc_id: r.term for r in out if r.rank == 1}
+    # doc 1: zebra df=1 score=1*3e6; common tf=2 df=3 score=2e6 → zebra wins
+    assert top[1] == "zebra"
+    # docs 2/3: other (df=2, 1.5e6) beats common (df=3, 1e6)
+    assert top[2] == "other" and top[3] == "other"
+    d1 = {r.term: (r.tf, r.df, r.score) for r in out if r.doc_id == 1}
+    assert d1["zebra"] == (1, 1, 3_000_000)
+    assert d1["common"] == (2, 3, 2_000_000)

@@ -278,3 +278,40 @@ def test_seasonal_naive_exact_lag(spark, sf_dir):
     assert len(out) > 0
     for r in out:
         assert r.rmse >= r.mae >= 0.0  # RMSE dominates MAE by Jensen
+
+
+def test_histogram_exact_integer_binning(spark, tmp_path):
+    import os
+
+    import pandas as pd
+
+    rows = [(i, T(0, i % 60), 1, "x", float(i)) for i in range(20)]
+    pdf = pd.DataFrame(rows, columns=["event_id", "ts", "user_id", "event_type", "value"])
+    pdf["props"] = ""
+    d = str(tmp_path / "sf")
+    os.makedirs(d)
+    pdf.to_parquet(os.path.join(d, "events.parquet"))
+
+    out = ts.value_histogram(spark, d).collect()
+    bins = {r.bin: r for r in out}
+    assert sum(r.n for r in out) == 20
+    assert min(bins) == 0 and max(bins) == 19  # extremes land in edge bins
+    for r in out:
+        assert 0 <= r.bin < 20 and r.bin_min_value <= r.bin_max_value
+
+
+def test_ewma_hand_computed(spark, tmp_path):
+    import os
+
+    import pandas as pd
+
+    rows = [(1, T(0), 1, "x", 10.0), (2, T(1), 1, "x", 20.0), (3, T(2), 1, "x", 40.0)]
+    pdf = pd.DataFrame(rows, columns=["event_id", "ts", "user_id", "event_type", "value"])
+    pdf["props"] = ""
+    d = str(tmp_path / "sf")
+    os.makedirs(d)
+    pdf.to_parquet(os.path.join(d, "events.parquet"))
+
+    got = {r.event_id: r.ewma for r in ts.ewma(spark, d).collect()}
+    # s1=10; s2=.75*10+.25*20=12.5; s3=.75*12.5+.25*40=19.375 (exact dyadics)
+    assert got == {1: 10.0, 2: 12.5, 3: 19.375}

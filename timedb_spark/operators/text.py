@@ -162,3 +162,65 @@ SELECT doc_id,
                    (a, b) -> (a * 1000003 + b) % 2147483647) AS fingerprint
 FROM tok
 """
+
+
+# ---------------------------------------------------------------------------
+# tf-idf term relevance
+# ---------------------------------------------------------------------------
+
+
+def text_tfidf(spark: SparkSession, sf_dir: str, *, top_n: int = 3) -> DataFrame:
+    """Top-N most distinctive terms per document by rarity-weighted term
+    frequency — tf × (N/df), the ln-free tf-idf variant (monotone in idf for
+    a fixed tf), kept in exact integer arithmetic so the per-document ranking
+    is bit-identical across engines (no float-ulp rank flips at the gate).
+
+    Scale shape: explode → (doc, term) partial-agg tf [shuffle 1];
+    vocabulary df is a tiny map-side-combined agg [shuffle 2] that comes
+    back as a broadcast join; corpus size N rides along as a broadcast
+    1-row cross join (never a driver collect); final per-doc ranking
+    repartitions by doc_id only [shuffle 3]. No step is quadratic in corpus
+    size and the vocab never sits on one node.
+    """
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(F.regexp_extract_all(F.lower("text"), F.lit("[a-z]+"), 0)).alias("term")
+    )
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(df), "term")
+        .join(F.broadcast(n))
+        .withColumn("score", F.expr("tf * ((1000000 * n_docs) div df)"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_n)
+        .select("doc_id", "term", "tf", "df", "score", "rank")
+    )
+
+
+TEXT_TFIDF_SQL = """
+WITH tok AS (
+    SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS term
+    FROM documents
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+n AS (SELECT count(*) AS n_docs FROM documents),
+scored AS (
+    SELECT tf.doc_id, tf.term, tf.tf, df.df,
+           tf.tf * ((1000000 * n.n_docs) // df.df) AS score
+    FROM tf JOIN df USING (term), n
+),
+r AS (
+    SELECT *, row_number() OVER (PARTITION BY doc_id
+                                 ORDER BY score DESC, term) AS rank
+    FROM scored
+)
+SELECT doc_id, term, tf, df, score, rank FROM r WHERE rank <= 3
+"""

@@ -652,3 +652,96 @@ SELECT series_id, count(*) AS n_points,
 FROM j
 GROUP BY series_id
 """
+
+
+def value_histogram(spark: SparkSession, sf_dir: str, *, n_bins: int = 20) -> DataFrame:
+    """Equal-width value histogram per event type — the data-profiling
+    primitive (ClickHouse ``histogram()`` / numeric_histogram analogue), as
+    two aggregations: a tiny per-type min/max that broadcasts back onto the
+    scan, then the binned count.
+
+    Bin assignment is exact integer arithmetic over cent-quantized values
+    (``(v-min)*n // (max-min+1)``) — no float boundary, so bin membership is
+    bit-identical across engines and stable under any evaluation order.
+    Scale shape: pass 1 is a map-side-combined 5-row agg; pass 2 is one
+    shuffle on (type, bin). Nothing global, nothing sorted.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    cents = (_d("value") * 100).cast("long")
+    vals = ev.select("event_type", cents.alias("c"))
+    bounds = vals.groupBy("event_type").agg(
+        F.min("c").alias("min_c"), F.max("c").alias("max_c")
+    )
+    binned = vals.join(F.broadcast(bounds), "event_type").withColumn(
+        "bin",
+        F.expr(f"CAST(((c - min_c) * {n_bins}) div (max_c - min_c + 1) AS INT)"),
+    )
+    return binned.groupBy("event_type", "bin").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.min("c") / 100.0, 2).alias("bin_min_value"),
+        F.round(F.max("c") / 100.0, 2).alias("bin_max_value"),
+    )
+
+
+VALUE_HISTOGRAM_SQL = """
+WITH v AS (
+    SELECT event_type, CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+    FROM events
+),
+b AS (SELECT event_type, min(c) AS min_c, max(c) AS max_c FROM v GROUP BY event_type),
+binned AS (
+    SELECT v.event_type, v.c,
+           CAST(((v.c - b.min_c) * 20) // (b.max_c - b.min_c + 1) AS INT) AS bin
+    FROM v JOIN b USING (event_type)
+)
+SELECT event_type, bin, count(*) AS n,
+       round(min(c) / 100.0, 2) AS bin_min_value,
+       round(max(c) / 100.0, 2) AS bin_max_value
+FROM binned GROUP BY event_type, bin
+"""
+
+
+def ewma(spark: SparkSession, sf_dir: str, *, span: int = 24, alpha: float = 0.25) -> DataFrame:
+    """Trailing exponential moving average per user (the monitoring
+    dashboard smoother; pandas ``ewm``/ClickHouse
+    ``exponentialMovingAverage`` analogue), over a bounded 24-event frame.
+
+    The recursion s ← α·x + (1-α)·s is a left fold over the frame's values
+    seeded with its oldest element — ``F.aggregate`` here, ``list_reduce``
+    in the oracle: identical operation order, so the doubles agree
+    bit-for-bit across engines. The frame is ROWS-bounded (24 doubles per
+    row in flight), so the window carries O(span) state — no unbounded
+    running aggregate, partitions stay spillable at 100 TB.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-(span - 1), 0)
+    )
+    arr = F.collect_list("value").over(w)
+    fold = F.aggregate(
+        F.slice(arr, 2, span),
+        F.element_at(arr, 1),
+        lambda acc, x: acc * (1.0 - alpha) + x * alpha,
+    )
+    # floor-scale instead of round: the fold's doubles are bit-identical
+    # across engines, but round() tie modes differ (HALF_UP vs HALF_EVEN)
+    # and 2-decimal inputs × dyadic α make exact .5 ties common.
+    return ev.select(
+        "user_id", "ts", "event_id", "value",
+        (F.floor(fold * 1e6) / 1e6).alias("ewma"),
+    )
+
+
+EWMA_SQL = """
+WITH arr AS (
+    SELECT user_id, ts, event_id, value,
+           list(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN 23 PRECEDING AND CURRENT ROW) AS a
+    FROM events
+)
+SELECT user_id, ts, event_id, value,
+       floor(list_reduce(a, (acc, x) -> acc * 0.75 + x * 0.25) * 1e6) / 1e6 AS ewma
+FROM arr
+"""
