@@ -290,6 +290,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join": analytics.asof_join,
         "asof_forward": asof.asof_forward_next_purchase,
         "asof_tolerance": asof.asof_tolerance_last_click,
+        "asof_nearest": asof.asof_nearest_purchase,
         "events_funnel": funnel.events_funnel,
         "text_tokens": text.text_tokens,
         "text_quality": text.text_quality,
@@ -579,6 +580,7 @@ def oracle_sql() -> dict[str, str]:
         "asof_join": analytics.ASOF_JOIN_SQL,
         "asof_forward": asof.ASOF_FORWARD_SQL,
         "asof_tolerance": asof.ASOF_TOLERANCE_SQL,
+        "asof_nearest": asof.ASOF_NEAREST_SQL,
         "events_funnel": funnel.EVENTS_FUNNEL_SQL,
         "text_tokens": text.TEXT_TOKENS_SQL,
         "text_quality": text.TEXT_QUALITY_SQL,

@@ -208,6 +208,47 @@ def test_stream_sessionize_timeout_flush(spark, tmp_path):
     assert got3 == got2
 
 
+def test_stream_latest_state_v2_matches_batch_latest(spark, sf_dir, tmp_path):
+    """transformWithStateInPandas (state API v2, RocksDB store) agrees with
+    the batch bt.latest collapse — same contract as the v1 test."""
+    from timedb_spark.streaming import state_v2
+    from timedb_spark.streaming.state_v2 import stream_latest_state_v2
+
+    if not state_v2._HAVE_TWS:
+        pytest.skip("transformWithStateInPandas needs protobuf (not in container)")
+
+    d = str(tmp_path / "sv")
+    sv = bitemporal_frame(spark, sf_dir).select(
+        "series_id", "valid_time", "knowledge_time", "change_time", "value"
+    )
+    sv.repartition(2).write.mode("overwrite").parquet(d)
+
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        stream = spark.readStream.schema(sv.schema).option("maxFilesPerTrigger", 1).parquet(d)
+        name = _run_to_memory(stream_latest_state_v2(stream), "update")
+        out = spark.table(name).withColumn("_emit", F.monotonically_increasing_id())
+        got = {
+            (r.series_id, r.valid_time): r.value
+            for r in out.groupBy("series_id", "valid_time")
+            .agg(F.max_by("value", "_emit").alias("value"))
+            .collect()
+        }
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+    exp = {(r.series_id, r.valid_time): r.value for r in bt.latest(sv).collect()}
+    assert len(got) == len(exp)
+    matches = sum(1 for k, v in exp.items() if got.get(k) == v or (v != v and got.get(k) != got.get(k)))
+    assert matches == len(exp)
+
+
 def test_stream_dedup_batch_slicing_invariant(spark, sf_dir, tmp_path):
     """Streaming dedup's final unique count equals batch count(distinct) and
     does not depend on how micro-batches slice the feed."""

@@ -147,3 +147,84 @@ SELECT e.event_id, e.user_id,
        b.cid AS last_click_id, b.ct AS last_click_ts, b.cv AS last_click_value
 FROM events e LEFT JOIN best b USING (event_id)
 """
+
+
+def asof_nearest_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For every non-purchase event: the same user's nearest purchase in
+    EITHER direction by |Δt| (ties → the earlier purchase, then smallest
+    event_id). pandas ``merge_asof(direction='nearest')`` analogue.
+
+    Shape: ONE union + ONE hash partitioning on user_id, two in-partition
+    window sorts (forward scan carries latest-≤, reverse scan carries
+    earliest->), then an arithmetic argmin between the two carried structs.
+    No inequality self-join anywhere.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("ts").alias("t"),
+        F.lit(0).alias("kind"),
+        F.struct(F.col("ts").alias("pt"), F.col("event_id").alias("pid"), F.col("value").alias("pv")).alias("p"),
+        F.lit(None).cast("long").alias("event_id"),
+    )
+    probes = ev.filter(F.col("event_type") != "purchase").select(
+        "user_id",
+        F.col("ts").alias("t"),
+        F.lit(1).alias("kind"),
+        F.lit(None).cast("struct<pt:timestamp,pid:long,pv:double>").alias("p"),
+        "event_id",
+    )
+    u = purchases.unionByName(probes)
+    # backward (≤): purchases scan first at equal t (kind asc); equal-t
+    # purchases scan pid DESC so the carried winner is the smallest pid.
+    w_back = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("t").asc(), F.col("kind").asc(), F.col("p.pid").desc_nulls_last())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    # forward (strict >): probes scan first at equal t (kind asc on the
+    # reversed scan), same smallest-pid tiebreak.
+    w_fwd = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("t").desc(), F.col("kind").asc(), F.col("p.pid").desc_nulls_last())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    enriched = (
+        u.select("*", F.last("p", ignorenulls=True).over(w_back).alias("bp"))
+        .select("*", F.last("p", ignorenulls=True).over(w_fwd).alias("fp"))
+        .filter(F.col("kind") == 1)
+    )
+    d_back = F.unix_micros("t") - F.unix_micros("bp.pt")
+    d_fwd = F.unix_micros("fp.pt") - F.unix_micros("t")
+    take_back = F.col("fp").isNull() | (F.col("bp").isNotNull() & (d_back <= d_fwd))
+    best = F.when(take_back, F.col("bp")).otherwise(F.col("fp"))
+    return enriched.select(
+        "event_id",
+        "user_id",
+        best.pid.alias("nearest_purchase_id"),
+        best.pt.alias("nearest_purchase_ts"),
+        best.pv.alias("nearest_purchase_value"),
+    )
+
+
+ASOF_NEAREST_SQL = """
+WITH cand AS (
+    SELECT e.event_id AS eid, p.event_id AS pid, p.ts AS pt, p.value AS pv,
+           abs(epoch_us(e.ts) - epoch_us(p.ts)) AS dist
+    FROM events e JOIN events p
+      ON p.user_id = e.user_id AND p.event_type = 'purchase'
+    WHERE e.event_type <> 'purchase'
+),
+best AS (
+    SELECT eid, pid, pt, pv FROM (
+        SELECT *, row_number() OVER (PARTITION BY eid
+                                     ORDER BY dist, pt, pid) AS rn
+        FROM cand
+    ) t WHERE rn = 1
+)
+SELECT e.event_id, e.user_id,
+       b.pid AS nearest_purchase_id, b.pt AS nearest_purchase_ts,
+       b.pv AS nearest_purchase_value
+FROM events e LEFT JOIN best b ON b.eid = e.event_id
+WHERE e.event_type <> 'purchase'
+"""

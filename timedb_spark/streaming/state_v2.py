@@ -1,0 +1,91 @@
+"""Spark 4 state API v2 (``transformWithStateInPandas``) twin of
+``streaming.state.stream_latest_state``.
+
+Same semantics — per ``(series_id, valid_time)`` key keep the argmax of
+``value`` over ``(knowledge_time, change_time)``, emit on change — but on
+the new ``StatefulProcessor`` API: typed ``ValueState`` handles, explicit
+init/close lifecycle, RocksDB-backed state store (required by the API; also
+the store you'd run at 100 TB — changelog checkpointing + bounded memory,
+vs the HDFS-backed in-memory map of the v1 API).
+
+Why keep both: v1 (``applyInPandasWithState``) is the portable baseline;
+v2 is where Spark's stateful processing is headed (timers, multiple state
+variables, TTL on state, initial-state bootstrap). The per-key Python
+dispatch cost is the same order — the win is operational (state-store
+lifecycle), not per-row CPU.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+
+from timedb_spark.streaming.state import OUTPUT_SCHEMA, STATE_SCHEMA
+
+try:  # Spark ≥ 4.0 AND protobuf present (the v2 state-server protocol is
+    # protobuf-framed; without it the driver worker crashes at init).
+    import google.protobuf  # noqa: F401
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+
+    _HAVE_TWS = True
+except ImportError:  # pragma: no cover - older Spark / no protobuf
+    StatefulProcessor = object  # type: ignore[assignment,misc]
+    _HAVE_TWS = False
+
+
+class LatestStateProcessor(StatefulProcessor):
+    """argmax-by-(kt, ct) per key, ValueState-backed."""
+
+    def init(self, handle: "StatefulProcessorHandle") -> None:
+        self._state = handle.getValueState("latest", STATE_SCHEMA)
+
+    def handleInputRows(
+        self, key: tuple, rows: Iterator[pd.DataFrame], timerValues
+    ) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        best = tuple(self._state.get()) if self._state.exists() else None
+        changed = False
+        for pdf in rows:
+            if not len(pdf):
+                continue
+            kt = pdf["knowledge_time"].values.astype("datetime64[us]").astype("int64")
+            ct = pdf["change_time"].values.astype("datetime64[us]").astype("int64")
+            i = int(np.lexsort((ct, kt))[-1])
+            cand = (int(kt[i]), int(ct[i]), float(pdf["value"].iloc[i]))
+            if best is None or cand[:2] > best[:2]:
+                best = cand
+                changed = True
+        if changed and best is not None:
+            self._state.update(best)
+            sid, vt = key
+            yield pd.DataFrame(
+                {
+                    "series_id": [int(sid)],
+                    "valid_time": [pd.Timestamp(vt)],
+                    "value": [best[2]],
+                    "knowledge_time": [pd.Timestamp(best[0] * 1000)],
+                    "change_time": [pd.Timestamp(best[1] * 1000)],
+                }
+            )
+
+    def close(self) -> None:
+        pass
+
+
+def stream_latest_state_v2(sv_stream: DataFrame) -> DataFrame:
+    """``series_values``-shaped stream → latest state per key on the v2
+    state API. Caller must enable the RocksDB state store provider
+    (``spark.sql.streaming.stateStore.providerClass``)."""
+    if not _HAVE_TWS:
+        raise NotImplementedError(
+            "transformWithStateInPandas requires Spark >= 4.0 with protobuf installed"
+        )
+    return sv_stream.groupBy("series_id", "valid_time").transformWithStateInPandas(
+        statefulProcessor=LatestStateProcessor(),
+        outputStructType=OUTPUT_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )
