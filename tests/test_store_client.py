@@ -426,3 +426,66 @@ def test_partition_stats_footer_only(spark, tmp_path):
     assert stats[("long", "202401")]["n_rows"] == 1
     total = sum(s["n_rows"] for s in stats.values())
     assert total == db.read(series_ids=[2, 5, 7, 9]).count()
+
+
+# ---------------------------------------------------------------------------
+# CSV / JSON landing-zone ingestion
+# ---------------------------------------------------------------------------
+
+
+def test_csv_landing_quarantine_and_ingest(spark, tmp_path):
+    from timedb_spark import TimeDB
+    from timedb_spark.io.ingest import ingest_landing, read_csv_landing
+
+    land = tmp_path / "land"
+    land.mkdir()
+    (land / "batch1.csv").write_text(
+        "series_id,valid_time,value,retention\n"
+        "1,2024-01-02T03:00:00+00:00,10.5,short\n"
+        "1,2024-01-02T05:00:00+01:00,11.5,\n"        # offset != UTC → 04:00 UTC
+        "2,2024-01-02T03:00:00+00:00,,long\n"        # null value → NaN path, OK
+        "3,2024-01-02 03:00:00,1.0,short\n"          # no offset → quarantined
+        "4,2024-01-02T03:00:00+00:00,abc,short\n"    # bad value → quarantined
+        "x,2024-01-02T03:00:00+00:00,1.0,short\n"    # bad series_id → quarantined
+        "5,2024-01-02T03:00:00+00:00,1.0,weekly\n"   # bad retention → quarantined
+    )
+
+    batch = read_csv_landing(spark, str(land))
+    db = TimeDB(spark, str(tmp_path / "store"))
+    db.create()
+    res = ingest_landing(db, batch)
+    assert res.written == 3 and res.quarantined == 4
+
+    reasons = {r.reject_reason for r in batch.bad.collect()}
+    assert reasons == {"bad_valid_time_or_no_offset", "bad_value", "bad_series_id", "bad_retention"}
+
+    got = db.read(series_ids=[1, 2, 3, 4, 5]).collect()
+    assert {r.series_id for r in got} == {1, 2}
+    s1 = sorted([r for r in got if r.series_id == 1], key=lambda r: r.valid_time)
+    # the +01:00 row normalized to 04:00 UTC (offset arithmetic applied)
+    assert [(r.valid_time.hour, r.value) for r in s1] == [(3, 10.5), (4, 11.5)]
+    # per-row retention honored, null retention → default tier
+    ret = {r.series_id: r.retention for r in db.store.read_values().collect()}
+    assert ret[2] == "long"
+
+
+def test_json_landing_malformed_lines_captured(spark, tmp_path):
+    from timedb_spark import TimeDB
+    from timedb_spark.io.ingest import ingest_landing, read_json_landing
+
+    land = tmp_path / "land"
+    land.mkdir()
+    (land / "b.jsonl").write_text(
+        '{"series_id": 7, "valid_time": "2024-03-01T00:00:00+00:00", "value": 1.25}\n'
+        '{"series_id": 7, "valid_time": "2024-03-01T01:00:00+00:00", "value": 2.5}\n'
+        "{this is not json\n"
+    )
+    batch = read_json_landing(spark, str(land))
+    db = TimeDB(spark, str(tmp_path / "store"))
+    db.create()
+    res = ingest_landing(db, batch, retention="medium")
+    assert res.written == 2 and res.quarantined == 1
+    bad = batch.bad.collect()
+    assert bad[0].reject_reason == "malformed_record" and "not json" in bad[0].raw
+    vals = sorted(r.value for r in db.read(series_ids=[7]).collect())
+    assert vals == [1.25, 2.5]
