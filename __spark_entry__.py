@@ -233,6 +233,21 @@ def _q_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return st.run_available_now(st.stream_sessionize(stream), "append")
 
 
+def _q_stream_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ordered funnel (stateful, event-time timers) drained with
+    availableNow. Deterministic: depth-3 on purchase arrival, depth-1/2 via
+    the click+horizon timer once the final watermark passes."""
+    from timedb_spark import streaming as st
+    from timedb_spark.streaming.windows import EVENTS_STREAM_SCHEMA
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", F.col("ts").cast("timestamp").alias("ts"), "user_id", "event_type", "value"
+    )
+    d = _stage_stream_dir(spark, sf_dir, ev, "events", 6)
+    stream = spark.readStream.schema(EVENTS_STREAM_SCHEMA).parquet(d)
+    return st.run_available_now(st.stream_funnel(stream), "append")
+
+
 def _q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-column decode + feature extraction over mapInPandas (rows-only:
     the numpy decode is checked against a local recompute in tests)."""
@@ -317,6 +332,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_latest_state": _q_stream_latest_state,
         "stream_dedup": _q_stream_dedup,
         "stream_sessionize": _q_stream_sessionize,
+        "stream_funnel": _q_stream_funnel,
         "ts_resample_locf": timeseries.resample_locf_events,
         "ts_interpolate_linear": timeseries.interpolate_linear_events,
         "ts_rollup_multires": timeseries.rollup_multires,
@@ -666,5 +682,47 @@ def oracle_sql() -> dict[str, str]:
             FROM m, wm
             WHERE session_seq < mx
                OR (epoch_us(session_end) + 30*60*1000000) // 1000 < wm_ms
+        """,
+        # Drain contract: depth-3 funnels always emit (purchase arrival);
+        # depth-1/2 emit once click+horizon is behind the final watermark.
+        "stream_funnel": """
+            WITH clicks AS (
+                SELECT event_id AS click_id, user_id, ts AS ct FROM events
+                WHERE event_type = 'click'
+            ),
+            v1 AS (
+                SELECT click_id, user_id, ct, view_id, vt FROM (
+                    SELECT c.click_id, c.user_id, c.ct, v.event_id AS view_id, v.ts AS vt,
+                           row_number() OVER (PARTITION BY c.click_id ORDER BY v.ts, v.event_id) AS rn
+                    FROM clicks c JOIN events v
+                      ON v.user_id = c.user_id AND v.event_type = 'view'
+                     AND v.ts > c.ct
+                     AND epoch_us(v.ts) - epoch_us(c.ct) <= CAST(24 AS BIGINT) * 3600 * 1000000
+                ) t WHERE rn = 1
+            ),
+            p1 AS (
+                SELECT click_id, purchase_id FROM (
+                    SELECT v1.click_id, p.event_id AS purchase_id,
+                           row_number() OVER (PARTITION BY v1.click_id ORDER BY p.ts, p.event_id) AS rn
+                    FROM v1 JOIN events p
+                      ON p.user_id = v1.user_id AND p.event_type = 'purchase'
+                     AND p.ts > v1.vt
+                     AND epoch_us(p.ts) - epoch_us(v1.ct) <= CAST(24 AS BIGINT) * 3600 * 1000000
+                ) t WHERE rn = 1
+            ),
+            f AS (
+                SELECT c.click_id, c.user_id, c.ct, v1.view_id, p1.purchase_id,
+                       CASE WHEN p1.purchase_id IS NOT NULL THEN 3
+                            WHEN v1.view_id IS NOT NULL THEN 2
+                            ELSE 1 END AS funnel_depth
+                FROM clicks c
+                LEFT JOIN v1 ON v1.click_id = c.click_id
+                LEFT JOIN p1 ON p1.click_id = c.click_id
+            ),
+            wm AS (SELECT epoch_us(max(ts)) // 1000 AS wm_ms FROM events)
+            SELECT click_id, user_id, view_id, purchase_id, funnel_depth
+            FROM f, wm
+            WHERE funnel_depth = 3
+               OR (epoch_us(ct) + CAST(24 AS BIGINT) * 3600 * 1000000) // 1000 < wm_ms
         """,
     }

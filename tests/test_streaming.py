@@ -249,6 +249,38 @@ def test_stream_latest_state_v2_matches_batch_latest(spark, sf_dir, tmp_path):
     assert matches == len(exp)
 
 
+def test_stream_funnel_matches_batch_predicate(spark, sf_dir, events_dir):
+    """Drained streaming funnel == batch funnel filtered to the drain
+    contract (depth-3 always; depth-1/2 once click+horizon is behind the
+    final watermark)."""
+    from timedb_spark.operators.funnel import events_funnel
+    from timedb_spark.streaming.funnel import stream_funnel
+
+    stream = spark.readStream.schema(EVENTS_STREAM_SCHEMA).parquet(events_dir)
+    name = _run_to_memory(stream_funnel(stream), "append")
+    got = {
+        (r.click_id, r.view_id, r.purchase_id, r.funnel_depth)
+        for r in spark.table(name).collect()
+    }
+
+    ev = spark.read.schema(EVENTS_STREAM_SCHEMA).parquet(events_dir)
+    wm_ms = ev.agg(F.floor(F.unix_micros(F.max("ts")) / 1000)).first()[0]
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), F.col("ts").alias("ct")
+    )
+    horizon_us = 24 * 3600 * 1_000_000
+    batch = events_funnel(spark, sf_dir).join(clicks, "click_id")
+    emitted = (F.col("funnel_depth") == 3) | (
+        F.floor((F.unix_micros("ct") + horizon_us) / 1000) < F.lit(wm_ms)
+    )
+    exp = {
+        (r.click_id, r.view_id, r.purchase_id, r.funnel_depth)
+        for r in batch.filter(emitted).collect()
+    }
+    assert got == exp and len(got) > 50
+    assert {d for (_, _, _, d) in got} == {1, 2, 3}
+
+
 def test_stream_dedup_batch_slicing_invariant(spark, sf_dir, tmp_path):
     """Streaming dedup's final unique count equals batch count(distinct) and
     does not depend on how micro-batches slice the feed."""

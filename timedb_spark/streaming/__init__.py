@@ -16,6 +16,7 @@ from timedb_spark.streaming.windows import stream_events_window, windowed_events
 from timedb_spark.streaming.state import stream_latest_state
 from timedb_spark.streaming.dedup import stream_dedup
 from timedb_spark.streaming.sessions import stream_sessionize
+from timedb_spark.streaming.funnel import stream_funnel
 
 __all__ = [
     "stream_events_window",
@@ -23,6 +24,7 @@ __all__ = [
     "stream_latest_state",
     "stream_dedup",
     "stream_sessionize",
+    "stream_funnel",
     "run_available_now",
 ]
 
