@@ -489,3 +489,55 @@ def test_json_landing_malformed_lines_captured(spark, tmp_path):
     assert bad[0].reject_reason == "malformed_record" and "not json" in bad[0].raw
     vals = sorted(r.value for r in db.read(series_ids=[7]).collect())
     assert vals == [1.25, 2.5]
+
+
+# ---------------------------------------------------------------------------
+# metadata-only count fast path
+# ---------------------------------------------------------------------------
+
+
+def test_fast_count_metadata_only_and_edge_scan(spark, tmp_path):
+    from datetime import datetime, timezone
+
+    import pandas as pd
+
+    from timedb_spark import TimeDB
+
+    db = TimeDB(spark, str(tmp_path / "store"))
+    db.create()
+    rows = []
+    sid = 0
+    for month, n in ((1, 10), (2, 20), (3, 30)):
+        for d in range(n):
+            rows.append((sid, datetime(2024, month, d % 27 + 1, 12, tzinfo=timezone.utc), float(d)))
+            sid += 1
+    pdf = pd.DataFrame(rows, columns=["series_id", "valid_time", "value"])
+    db.write(pdf.iloc[:15], retention="short")
+    db.write(pdf.iloc[15:], retention="long")
+
+    def scan_count(**kw):
+        df = db.store.read_values()
+        if "retention" in kw:
+            df = df.filter(df.retention == kw["retention"])
+        if "start_valid" in kw:
+            df = df.filter(df.valid_time >= kw["start_valid"].replace(tzinfo=None))
+        if "end_valid" in kw:
+            df = df.filter(df.valid_time < kw["end_valid"].replace(tzinfo=None))
+        return df.count()
+
+    # whole-store / whole-tier: answered from footers, no edge months
+    assert db.count() == 60 == scan_count()
+    assert db.count(retention="short") == scan_count(retention="short") == 15
+    assert db.store._last_fast_count_scanned == []
+
+    # month-aligned range: still metadata-only
+    feb = datetime(2024, 2, 1, tzinfo=timezone.utc)
+    mar = datetime(2024, 3, 1, tzinfo=timezone.utc)
+    assert db.count(start_valid=feb, end_valid=mar) == scan_count(start_valid=feb, end_valid=mar) == 20
+    assert db.store._last_fast_count_scanned == []
+
+    # misaligned boundary: only the cut months are scanned
+    mid_feb = datetime(2024, 2, 15, tzinfo=timezone.utc)
+    got = db.count(start_valid=mid_feb)
+    assert got == scan_count(start_valid=mid_feb)
+    assert {ym for (_, ym) in db.store._last_fast_count_scanned} == {"202402"}

@@ -95,6 +95,20 @@ class TimeDB:
         """Footer-only per-partition stats (see Store.partition_stats)."""
         return self.store.partition_stats()
 
+    def count(
+        self,
+        *,
+        retention: str | Sequence[str] | None = None,
+        start_valid: datetime | None = None,
+        end_valid: datetime | None = None,
+    ) -> int:
+        """Row count under tier/time predicates, answered from partition
+        metadata except for boundary months (see Store.fast_count)."""
+        tiers = retention if retention is None or isinstance(retention, str) else set(retention)
+        return self.store.fast_count(
+            retention=tiers, start_valid=_strip_tz(start_valid), end_valid=_strip_tz(end_valid)
+        )
+
     # ------------------------------------------------------------------
     # Write (ref: timedb/write.py:236-368)
     # ------------------------------------------------------------------

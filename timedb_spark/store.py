@@ -232,3 +232,56 @@ class Store:
                     shutil.rmtree(month_dir)
                     dropped.append(f"retention={tier}/vt_month={ym}")
         return dropped
+
+    # -- metadata-only query answering --------------------------------------
+
+    def fast_count(
+        self,
+        *,
+        retention: str | set[str] | None = None,
+        start_valid: datetime | None = None,
+        end_valid: datetime | None = None,
+    ) -> int:
+        """count(*) under (retention tier, valid_time range) predicates with
+        footer metadata wherever the predicate aligns to partition
+        boundaries: months fully inside ``[start_valid, end_valid)`` are
+        answered from :meth:`partition_stats` row counts (zero data IO);
+        only the boundary months — at most two per tier — fall back to a
+        partition-pruned scan. Over a year of data the scan touches ≤2
+        months regardless of store size; whole-tier and whole-store counts
+        touch no data at all. The ClickHouse analogue is answering count()
+        from part metadata."""
+        tiers = {retention} if isinstance(retention, str) else (set(retention) if retention else None)
+        total = 0
+        edge_months: list[tuple[str, str]] = []  # (tier, yyyymm)
+        for p in self.partition_stats():
+            if tiers is not None and p["retention"] not in tiers:
+                continue
+            ym = p["vt_month"]
+            m_start = datetime(int(ym[:4]), int(ym[4:]), 1)
+            nxt = date(m_start.year + (m_start.month == 12), m_start.month % 12 + 1, 1)
+            m_end = datetime(nxt.year, nxt.month, nxt.day)
+            if (end_valid is not None and m_start >= end_valid) or (
+                start_valid is not None and m_end <= start_valid
+            ):
+                continue  # pruned whole
+            inside = (start_valid is None or start_valid <= m_start) and (
+                end_valid is None or m_end <= end_valid
+            )
+            if inside:
+                total += p["n_rows"]
+            else:
+                edge_months.append((p["retention"], ym))
+        if edge_months:
+            df = self.read_values()
+            cond = F.lit(False)
+            for tier, ym in edge_months:
+                cond = cond | ((F.col("retention") == tier) & (F.col("vt_month") == ym))
+            df = df.filter(cond)
+            if start_valid is not None:
+                df = df.filter(F.col("valid_time") >= start_valid)
+            if end_valid is not None:
+                df = df.filter(F.col("valid_time") < end_valid)
+            total += df.count()
+        self._last_fast_count_scanned = edge_months  # test/observability hook
+        return total
