@@ -141,6 +141,12 @@ def _q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bt.snapshot_diff(bitemporal_frame(spark, sf_dir), _DIFF_T1, _DIFF_T2)
 
 
+def _q_value_at(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-axis bitemporal pin: value in effect at _SNAP_T as known at
+    _DIFF_T2 (single max_by aggregation, both cutoffs pushed down)."""
+    return bt.value_at(bitemporal_frame(spark, sf_dir), _SNAP_T, _DIFF_T2)
+
+
 def _q_write_skip_unchanged(spark: SparkSession, sf_dir: str) -> DataFrame:
     """skip_unchanged=True write-filter semantics (ref write.py:172-233) as a
     query: 'stored' = events rows with even event_id, 'incoming' = the latest
@@ -278,6 +284,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bt_write_skip_unchanged": _q_write_skip_unchanged,
         "bt_snapshot": _q_snapshot,
         "bt_snapshot_diff": _q_snapshot_diff,
+        "bt_value_at": _q_value_at,
         "bt_backtest_error": _q_backtest_error,
         "tpch_q1": analytics.tpch_q1,
         "tpch_q3": analytics.tpch_q3,
@@ -348,6 +355,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_seasonal_naive": timeseries.seasonal_naive,
         "ts_histogram": timeseries.value_histogram,
         "ts_ewma": timeseries.ewma,
+        "ts_rate": timeseries.counter_rate,
+        "events_cohort": timeseries.retention_cohort,
     }
 
 
@@ -570,6 +579,21 @@ def oracle_sql() -> dict[str, str]:
               ON s2.series_id = s1.series_id AND s2.valid_time = s1.valid_time
             WHERE s1.in_t1 IS NULL OR s2.value_t2 IS DISTINCT FROM s1.value_t1
         """,
+        "bt_value_at": f"""
+            WITH sv AS ({_SV})
+            SELECT series_id, effective_valid_time, known_at, value FROM (
+                SELECT series_id,
+                       valid_time AS effective_valid_time,
+                       knowledge_time AS known_at,
+                       value,
+                       row_number() OVER (PARTITION BY series_id
+                                          ORDER BY valid_time DESC, knowledge_time DESC,
+                                                   change_time DESC, value DESC) AS rn
+                FROM sv
+                WHERE valid_time <= TIMESTAMP '2024-01-15 12:00:00'
+                  AND knowledge_time <= TIMESTAMP '2024-01-20 00:00:00'
+            ) t WHERE rn = 1
+        """,
         "tpch_q1": analytics.TPCH_Q1_SQL,
         "tpch_q3": analytics.TPCH_Q3_SQL,
         "tpch_q4": analytics.TPCH_Q4_SQL,
@@ -636,6 +660,8 @@ def oracle_sql() -> dict[str, str]:
         "ts_seasonal_naive": timeseries.SEASONAL_NAIVE_SQL,
         "ts_histogram": timeseries.VALUE_HISTOGRAM_SQL,
         "ts_ewma": timeseries.EWMA_SQL,
+        "ts_rate": timeseries.COUNTER_RATE_SQL,
+        "events_cohort": timeseries.RETENTION_COHORT_SQL,
         "stream_window": analytics.EVENTS_WINDOW_SQL,
         "stream_dedup": r"""
             SELECT count(DISTINCT md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g')))) AS n_unique_docs

@@ -216,3 +216,33 @@ def test_backtest_error_skips_unmatched_windows(spark):
         df, window_length=timedelta(days=1), issue_offset=timedelta(hours=2), start_window=BASE
     ).collect()
     assert [r.series_id for r in out] == [1]
+
+
+def test_value_at_two_axis_pin(spark):
+    """value_at pins both axes: newest valid_time ≤ T wins, and within it
+    only revisions known by K count."""
+    rows = [
+        # series 1: vt 00:00 revised at KT1 (v=10) and KT2 (v=11);
+        #           vt 02:00 known only at KT2 (v=20)
+        [1, BASE, KT1, CT1, 10.0, "", "", "medium"],
+        [1, BASE, KT2, CT1, 11.0, "", "", "medium"],
+        [1, BASE + timedelta(hours=2), KT2, CT1, 20.0, "", "", "medium"],
+        # series 2: only a later-valid observation, outside the valid pin
+        [2, BASE + timedelta(hours=5), KT1, CT1, 99.0, "", "", "medium"],
+    ]
+    df = _frame(spark, rows)
+    T = BASE + timedelta(hours=1)
+
+    # as known at KT2: vt 02:00 exists but is > T → vt 00:00 wins with its
+    # latest revision 11.0
+    out = {r.series_id: r for r in bt.value_at(df, T, KT2).collect()}
+    assert out[1].value == 11.0 and out[1].effective_valid_time == BASE
+    assert 2 not in out  # nothing in effect at T for series 2
+
+    # as known at KT1: the KT2 revision is not yet known → 10.0
+    out1 = {r.series_id: r for r in bt.value_at(df, T, KT1).collect()}
+    assert out1[1].value == 10.0 and out1[1].known_at == KT1
+
+    # pin late enough to see vt 02:00 as the effective observation
+    out2 = {r.series_id: r for r in bt.value_at(df, BASE + timedelta(hours=3), KT2).collect()}
+    assert out2[1].value == 20.0 and out2[1].effective_valid_time == BASE + timedelta(hours=2)

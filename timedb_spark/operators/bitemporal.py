@@ -425,3 +425,32 @@ def backtest_error(
             F.round(F.sum(err).cast("double") / n, 6).alias("bias"),
         )
     )
+
+
+def value_at(df: DataFrame, valid_instant: "datetime", asof_knowledge: "datetime") -> DataFrame:
+    """Fully-bitemporal point read: each series' value in effect AT
+    ``valid_instant`` AS KNOWN AT ``asof_knowledge`` — the two-axis pin
+    (TimescaleDB locf-at-point / SQL:2011 ``FOR SYSTEM_TIME AS OF`` ×
+    application-time ``AS OF`` composed).
+
+    One map-side-combinable aggregation: both cutoffs are pushdown
+    predicates, then a single ``max_by`` keyed by the lexicographic
+    ``struct(valid_time, knowledge_time, change_time)`` picks the newest
+    effective observation and its winning revision in the same pass — the
+    "latest vt, then latest (kt, ct) within it" two-level argmax with no
+    window sort and no second shuffle.
+    """
+    pinned = df.filter(
+        (F.col("valid_time") <= F.lit(valid_instant))
+        & (F.col("knowledge_time") <= F.lit(asof_knowledge))
+    )
+    # value as the last key component: a deterministic tiebreak should two
+    # revisions ever share the full (vt, kt, ct) coordinate.
+    key = F.struct("valid_time", "knowledge_time", "change_time", "value")
+    win = F.max_by(F.struct("valid_time", "knowledge_time", "value"), key)
+    v = win.getField("value")
+    return pinned.groupBy("series_id").agg(
+        win.getField("valid_time").alias("effective_valid_time"),
+        win.getField("knowledge_time").alias("known_at"),
+        F.when(F.isnan(v), F.lit(None)).otherwise(v).alias("value"),
+    )

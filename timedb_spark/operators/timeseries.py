@@ -745,3 +745,97 @@ SELECT user_id, ts, event_id, value,
        floor(list_reduce(a, (acc, x) -> acc * 0.75 + x * 0.25) * 1e6) / 1e6 AS ewma
 FROM arr
 """
+
+
+def counter_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user value rate between consecutive samples with counter-reset
+    detection — the PromQL ``rate()`` / ClickHouse ``runningDifference``
+    analogue, treating ``value`` as a cumulative counter that may reset to a
+    lower value (process restart): a negative delta counts from zero.
+
+    Exact arithmetic end to end: cent-quantized value deltas over integer-µs
+    time deltas, rate floor-scaled to 6 decimals (dodges round-tie modes).
+    One window sort per user partition; no self-join.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    cents = (_d("value") * 100).cast("long")
+    prev_c = F.lag(cents).over(w)
+    prev_t = F.lag("ts").over(w)
+    dt_us = F.unix_micros("ts") - F.unix_micros(prev_t)
+    # reset: counter dropped → the increase since the reset is the new value
+    inc_c = F.when(cents >= prev_c, cents - prev_c).otherwise(cents)
+    rate = F.floor((inc_c / 100.0) / (dt_us / 1_000_000.0) * 1e6) / 1e6
+    return ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.when(prev_t.isNotNull(), inc_c / 100.0).alias("increase"),
+        F.when(prev_t.isNotNull() & (dt_us > 0), rate).alias("rate_per_s"),
+        (cents < prev_c).alias("reset"),
+    )
+
+
+COUNTER_RATE_SQL = """
+WITH w AS (
+    SELECT user_id, event_id, ts,
+           CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c,
+           lag(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+               OVER win AS prev_c,
+           lag(ts) OVER win AS prev_t
+    FROM events
+    WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+d AS (
+    SELECT *, epoch_us(ts) - epoch_us(prev_t) AS dt_us,
+           CASE WHEN c >= prev_c THEN c - prev_c ELSE c END AS inc_c
+    FROM w
+)
+SELECT user_id, event_id, ts,
+       CASE WHEN prev_t IS NOT NULL THEN inc_c / 100.0 END AS increase,
+       CASE WHEN prev_t IS NOT NULL AND dt_us > 0
+            THEN floor((inc_c / 100.0) / (dt_us / 1000000.0) * 1e6) / 1e6
+       END AS rate_per_s,
+       c < prev_c AS reset
+FROM d
+"""
+
+
+def retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention-cohort matrix: users grouped by first-activity week
+    (cohort), counted distinct in each subsequent activity week offset —
+    the product-analytics staple.
+
+    Shape: first-seen is ONE map-side-combined agg on user_id; the activity
+    grid reuses the same (user, week) pre-aggregation; the cohort join is on
+    user_id (co-partitioned with the first agg's output). Distinct counts
+    happen on the already-deduped (user, week) frame — no count(distinct)
+    shuffle explosion at 100 TB.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    uw = ev.select("user_id", F.date_trunc("week", "ts").alias("wk")).distinct()
+    first = uw.groupBy("user_id").agg(F.min("wk").alias("cohort_wk"))
+    j = uw.join(first, "user_id")
+    week_off = (
+        (F.unix_micros("wk") - F.unix_micros("cohort_wk")) / (7 * 24 * 3600 * 1_000_000)
+    ).cast("int")
+    return (
+        j.groupBy("cohort_wk", week_off.alias("week_offset"))
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
+RETENTION_COHORT_SQL = """
+WITH uw AS (
+    SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS TIMESTAMP) AS wk FROM events
+),
+first AS (
+    SELECT user_id, min(wk) AS cohort_wk FROM uw GROUP BY user_id
+)
+SELECT first.cohort_wk,
+       CAST((epoch_us(uw.wk) - epoch_us(first.cohort_wk))
+            // (7 * 24 * 3600 * CAST(1000000 AS BIGINT)) AS INT) AS week_offset,
+       count(*) AS n_users
+FROM uw JOIN first USING (user_id)
+GROUP BY 1, 2
+"""
