@@ -296,6 +296,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q18": analytics.tpch_q18,
         "tpch_q19": analytics.tpch_q19,
         "tpch_q22": analytics.tpch_q22,
+        "basket_pairs": analytics.basket_pairs,
         "tpch_q2": tpch_ext.tpch_q2,
         "tpch_q7": tpch_ext.tpch_q7,
         "tpch_q8": tpch_ext.tpch_q8,
@@ -324,6 +325,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash": dedup.dedup_minhash,
         "dedup_simhash": dedup.dedup_simhash,
         "dedup_embedding": dedup.dedup_embedding,
+        "dedup_editdist": dedup.dedup_editdist,
         "dedup_clusters": dedup.dedup_clusters,
         "pipeline_clean": pipeline.pipeline_clean,
         "sample_stratified": sampling.sample_stratified,
@@ -604,6 +606,7 @@ def oracle_sql() -> dict[str, str]:
         "tpch_q18": analytics.TPCH_Q18_SQL,
         "tpch_q19": analytics.TPCH_Q19_SQL,
         "tpch_q22": analytics.TPCH_Q22_SQL,
+        "basket_pairs": analytics.BASKET_PAIRS_SQL,
         "tpch_q2": tpch_ext.TPCH_Q2_SQL,
         "tpch_q7": tpch_ext.TPCH_Q7_SQL,
         "tpch_q8": tpch_ext.TPCH_Q8_SQL,
@@ -632,6 +635,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash": dedup.DEDUP_MINHASH_SQL,
         "dedup_simhash": dedup.DEDUP_SIMHASH_SQL,
         "dedup_embedding": dedup.DEDUP_EMBEDDING_SQL,
+        "dedup_editdist": dedup.DEDUP_EDITDIST_SQL,
         "dedup_clusters": dedup.DEDUP_CLUSTERS_SQL,
         "pipeline_clean": pipeline.PIPELINE_CLEAN_SQL,
         "sample_stratified": sampling.SAMPLE_STRATIFIED_SQL,

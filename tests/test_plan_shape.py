@@ -168,3 +168,46 @@ def test_tpch_q17_avg_broadcast_back(spark, sf_dir):
     df = tpch_ext.tpch_q17(spark, sf_dir)
     plans.assert_broadcast_joins(df, 2)
     plans.assert_no_cartesian(df)
+
+
+def test_text_tfidf_broadcasts_df_and_n(spark, sf_dir):
+    from timedb_spark.operators.text import text_tfidf
+
+    df = text_tfidf(spark, sf_dir)
+    plans.assert_broadcast_joins(df, 1)  # vocabulary df
+    # corpus-size N is a 1-row broadcast nested loop, never a cartesian
+    assert plans.count_ops(df, "BroadcastNestedLoopJoin") == 1
+    plans.assert_no_cartesian(df)
+
+
+def test_ts_histogram_broadcast_bounds_two_shuffles(spark, sf_dir):
+    from timedb_spark.operators.timeseries import value_histogram
+
+    df = value_histogram(spark, sf_dir)
+    plans.assert_broadcast_joins(df, 1)  # per-type min/max broadcast back
+    # tiny bounds agg + final (type, bin) agg — nothing else shuffles
+    plans.assert_max_shuffles(df, 2)
+
+
+def test_bt_value_at_pushdown_no_window(spark, sf_dir):
+    from datetime import datetime
+
+    from timedb_spark.io.tables import bitemporal_frame
+    from timedb_spark.operators import bitemporal as bt
+
+    df = bt.value_at(
+        bitemporal_frame(spark, sf_dir), datetime(2024, 1, 15, 12), datetime(2024, 1, 20)
+    )
+    s = plans.formatted_plan(df)
+    assert "Window" not in s  # pure max_by aggregation, no window sort
+    plans.assert_max_shuffles(df, 1)
+    plans.assert_pushed_filter(df, "ts")  # valid/knowledge cutoffs reach the scan
+
+
+def test_events_cohort_dedup_before_distinct_count(spark, sf_dir):
+    from timedb_spark.operators.timeseries import retention_cohort
+
+    df = retention_cohort(spark, sf_dir)
+    s = plans.formatted_plan(df)
+    assert "Expand" not in s  # no count(distinct) expand — pre-deduped frame
+    plans.assert_no_cartesian(df)

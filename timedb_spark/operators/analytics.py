@@ -521,3 +521,34 @@ WHERE c.c_acctbal > s.avg_bal
                     AND o.o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
 GROUP BY c.c_mktsegment
 """
+
+
+def basket_pairs(spark: SparkSession, sf_dir: str, *, min_support: int = 2) -> DataFrame:
+    """Frequent co-purchased part pairs (market-basket mining over
+    lineitem): parts appearing in the same order, pair support counted
+    across orders.
+
+    Scale shape: the pair generator is a self-join on l_orderkey —
+    co-partitioned, and bounded per order by the order's line count (≤7 in
+    TPC-H), so the blow-up is O(k²) per basket, never O(n²) global. The
+    deduped (order, part) frame shrinks the join inputs first; support
+    filtering happens in the same final partial-agg pass.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_a"))
+    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_b"))
+    pairs = a.join(b, "ok").filter(F.col("part_a") < F.col("part_b"))
+    return (
+        pairs.groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("support"))
+        .filter(F.col("support") >= min_support)
+    )
+
+
+BASKET_PAIRS_SQL = """
+WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, count(*) AS support
+FROM op a JOIN op b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+GROUP BY 1, 2
+HAVING count(*) >= 2
+"""

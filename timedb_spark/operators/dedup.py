@@ -482,3 +482,58 @@ SELECT node AS doc_id, min(lbl) AS cluster_id
 FROM walk
 GROUP BY node
 """
+
+
+# ---------------------------------------------------------------------------
+# Edit-distance near-dup — prefix-blocked Levenshtein
+# ---------------------------------------------------------------------------
+
+_EDIT_MAX = 12
+_EDIT_PREFIX = 24
+
+
+def dedup_editdist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs by bounded Levenshtein distance — the fuzzy-match
+    complement to the token-set metrics (catches small in-place edits that
+    shingle Jaccard over-penalizes on short docs).
+
+    Candidate blocking: normalized 24-char prefix (small edits deep in the
+    doc leave the prefix intact — exactly the planted-suffix shape; prefix
+    edits are SimHash/MinHash territory). The self-join is an equi-join on
+    the block key — never O(n²) — and the quadratic-cost levenshtein()
+    runs only on in-block pairs. Both engines implement the identical
+    unit-cost Wagner-Fischer metric, so distances agree exactly.
+    """
+    corpus = doc_corpus(spark, sf_dir)
+    norm = F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " "))
+    keyed = corpus.select(
+        "doc_id", norm.alias("_n"), F.substring(norm, 1, _EDIT_PREFIX).alias("_blk")
+    )
+    a = keyed.select(
+        F.col("doc_id").alias("doc_a"), F.col("_n").alias("_na"), F.col("_blk")
+    )
+    b = keyed.select(
+        F.col("doc_id").alias("doc_b"), F.col("_n").alias("_nb"), F.col("_blk")
+    )
+    pairs = a.join(b, "_blk").filter(F.col("doc_a") < F.col("doc_b"))
+    dist = F.levenshtein("_na", "_nb")
+    return (
+        pairs.withColumn("edit_distance", dist)
+        .filter((F.col("edit_distance") <= _EDIT_MAX) & (F.col("edit_distance") > 0))
+        .select("doc_a", "doc_b", "edit_distance")
+    )
+
+
+DEDUP_EDITDIST_SQL = rf"""
+WITH corpus AS ({DOC_CORPUS_SQL}),
+keyed AS (
+    SELECT doc_id,
+           lower(regexp_replace(trim(text), '\s+', ' ', 'g')) AS n,
+           substr(lower(regexp_replace(trim(text), '\s+', ' ', 'g')), 1, {_EDIT_PREFIX}) AS blk
+    FROM corpus
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       levenshtein(a.n, b.n) AS edit_distance
+FROM keyed a JOIN keyed b ON a.blk = b.blk AND a.doc_id < b.doc_id
+WHERE levenshtein(a.n, b.n) BETWEEN 1 AND {_EDIT_MAX}
+"""
