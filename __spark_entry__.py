@@ -359,6 +359,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_ewma": timeseries.ewma,
         "ts_rate": timeseries.counter_rate,
         "events_cohort": timeseries.retention_cohort,
+        "ts_m4": timeseries.m4_downsample,
     }
 
 
@@ -666,6 +667,7 @@ def oracle_sql() -> dict[str, str]:
         "ts_ewma": timeseries.EWMA_SQL,
         "ts_rate": timeseries.COUNTER_RATE_SQL,
         "events_cohort": timeseries.RETENTION_COHORT_SQL,
+        "ts_m4": timeseries.M4_SQL,
         "stream_window": analytics.EVENTS_WINDOW_SQL,
         "stream_dedup": r"""
             SELECT count(DISTINCT md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g')))) AS n_unique_docs

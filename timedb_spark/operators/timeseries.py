@@ -839,3 +839,49 @@ SELECT first.cohort_wk,
 FROM uw JOIN first USING (user_id)
 GROUP BY 1, 2
 """
+
+
+def m4_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M4 visualization downsampling: per (user, hour bucket) the first,
+    last, min and max samples — the four points that make a line chart of
+    the bucket pixel-exact (Jugel et al., VLDB 2014). The TSDB dashboard
+    primitive (Timescale/InfluxDB downsample path).
+
+    Pure min_by/max_by hash aggregation keyed by (ts, event_id) structs —
+    map-side partial, ONE shuffle, no window sort; same shape as OHLC but
+    carrying the coordinates needed for exact rendering.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    okey = F.struct(F.col("ts"), F.col("event_id"))
+    vkey = F.struct(_d("value").alias("v"), F.col("ts"), F.col("event_id"))
+    return ev.groupBy("user_id", F.date_trunc("hour", "ts").alias("bucket")).agg(
+        F.min_by("value", okey).alias("v_first"),
+        F.max_by("value", okey).alias("v_last"),
+        F.min_by("value", vkey).alias("v_min"),
+        F.max_by("value", vkey).alias("v_max"),
+        F.unix_micros(F.min_by("ts", vkey)).alias("t_min_us"),
+        F.unix_micros(F.max_by("ts", vkey)).alias("t_max_us"),
+        F.count(F.lit(1)).alias("n_samples"),
+    )
+
+
+M4_SQL = """
+WITH w AS (
+    SELECT user_id, date_trunc('hour', ts) AS bucket, value, ts, event_id,
+           row_number() OVER (win ORDER BY ts, event_id) AS rf,
+           row_number() OVER (win ORDER BY ts DESC, event_id DESC) AS rl,
+           row_number() OVER (win ORDER BY CAST(value AS DECIMAL(18,2)), ts, event_id) AS rmin,
+           row_number() OVER (win ORDER BY CAST(value AS DECIMAL(18,2)) DESC, ts DESC, event_id DESC) AS rmax
+    FROM events
+    WINDOW win AS (PARTITION BY user_id, date_trunc('hour', ts))
+)
+SELECT user_id, bucket,
+       max(CASE WHEN rf = 1 THEN value END) AS v_first,
+       max(CASE WHEN rl = 1 THEN value END) AS v_last,
+       max(CASE WHEN rmin = 1 THEN value END) AS v_min,
+       max(CASE WHEN rmax = 1 THEN value END) AS v_max,
+       max(CASE WHEN rmin = 1 THEN epoch_us(ts) END) AS t_min_us,
+       max(CASE WHEN rmax = 1 THEN epoch_us(ts) END) AS t_max_us,
+       count(*) AS n_samples
+FROM w GROUP BY 1, 2
+"""
