@@ -1,0 +1,128 @@
+"""Property-based invariants (hypothesis) for the bitemporal core.
+
+The unit tests pin hand-built cases; these throw randomized revision
+histories at the operators and check them against a direct Python
+re-computation of the reference semantics (ref timedb/read.py:232-344):
+
+* latest == argmax over (kt, ct) per (sid, vt)
+* overlapping == one row per (sid, vt, kt), max ct wins
+* snapshot(K) == latest of the kt ≤ K sub-history (time-travel consistency)
+* value_at(T, K) == newest effective vt ≤ T within the K-snapshot
+* latest is insensitive to input row order and duplication of losing rows
+
+Frames stay tiny (≤ 24 rows) — the point is adversarial *shapes* (revision
+ties, correction chains, empty groups), not volume.
+"""
+
+from __future__ import annotations
+
+from datetime import datetime, timedelta
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from timedb_spark.operators import bitemporal as bt
+
+BASE = datetime(2025, 6, 1)
+
+COLS = ["series_id", "valid_time", "knowledge_time", "change_time", "value", "changed_by", "annotation", "retention"]
+
+
+def _h(i: int) -> datetime:
+    return BASE + timedelta(hours=i)
+
+
+row_strategy = st.tuples(
+    st.integers(0, 2),  # series_id
+    st.integers(0, 3),  # valid_time hour
+    st.integers(0, 3),  # knowledge_time hour
+    st.integers(0, 2),  # change_time hour
+    st.integers(-5, 5),  # value (integers: exact compare)
+)
+
+frame_strategy = st.lists(row_strategy, min_size=1, max_size=24)
+
+
+def _spark_frame(spark, raw):
+    rows = [
+        (sid, _h(vt), _h(kt), _h(ct), float(v), "", "", "medium")
+        for sid, vt, kt, ct, v in raw
+    ]
+    return spark.createDataFrame(rows, COLS)
+
+
+def _py_latest(raw):
+    best = {}
+    for sid, vt, kt, ct, v in raw:
+        k = (sid, vt)
+        cand = (kt, ct, v)
+        if k not in best or cand[:2] >= best[k][:2]:
+            # ties on (kt, ct): keep max value to mirror a deterministic
+            # argmax; inputs below are deduped on (sid, vt, kt, ct) anyway
+            if k not in best or cand[:2] > best[k][:2] or v > best[k][2]:
+                best[k] = cand
+    return {k: v[2] for k, v in best.items()}
+
+
+def _dedup_coords(raw):
+    """One value per (sid, vt, kt, ct) coordinate — physical writes can't
+    collide on the full coordinate, and collisions would make any engine's
+    argmax nondeterministic."""
+    seen = {}
+    for sid, vt, kt, ct, v in raw:
+        seen[(sid, vt, kt, ct)] = v
+    return [(sid, vt, kt, ct, v) for (sid, vt, kt, ct), v in seen.items()]
+
+
+@pytest.mark.filterwarnings("ignore")
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(frame_strategy)
+def test_bitemporal_invariants(spark, raw):
+    raw = _dedup_coords(raw)
+    df = _spark_frame(spark, raw)
+
+    # latest == python argmax
+    exp_latest = {(s, _h(vt)): float(v) for (s, vt), v in _py_latest(raw).items()}
+    got_latest = {(r.series_id, r.valid_time): r.value for r in bt.latest(df).collect()}
+    assert got_latest == exp_latest
+
+    # overlapping: one row per (sid, vt, kt); max ct wins
+    exp_overlap = {}
+    for sid, vt, kt, ct, v in raw:
+        k = (sid, _h(vt), _h(kt))
+        if k not in exp_overlap or ct > exp_overlap[k][0]:
+            exp_overlap[k] = (ct, float(v))
+    got_overlap = {
+        (r.series_id, r.valid_time, r.knowledge_time): r.value
+        for r in bt.overlapping(df).collect()
+    }
+    assert got_overlap == {k: v for k, (_, v) in exp_overlap.items()}
+
+    # snapshot(K) == latest of the kt <= K sub-history
+    K = _h(2)
+    sub = [r for r in raw if r[2] <= 2]
+    exp_snap = {(s, _h(vt)): float(v) for (s, vt), v in _py_latest(sub).items()}
+    got_snap = {(r.series_id, r.valid_time): r.value for r in bt.snapshot(df, K).collect()}
+    assert got_snap == exp_snap
+
+    # value_at(T, K): newest effective vt <= T within the K-snapshot,
+    # winning revision by (kt, ct), value tiebreak
+    T = _h(1)
+    pinned = [r for r in raw if r[1] <= 1 and r[2] <= 2]
+    exp_va = {}
+    for sid, vt, kt, ct, v in pinned:
+        cand = (vt, kt, ct, v)
+        if sid not in exp_va or cand > exp_va[sid]:
+            exp_va[sid] = cand
+    got_va = {r.series_id: (r.effective_valid_time, r.value) for r in bt.value_at(df, T, K).collect()}
+    assert got_va == {sid: (_h(c[0]), float(c[3])) for sid, c in exp_va.items()}
+
+    # order/duplication insensitivity: shuffling + repeating losing rows
+    # never changes latest
+    noisy = raw + [min(raw)] * 2
+    got_noisy = {
+        (r.series_id, r.valid_time): r.value
+        for r in bt.latest(_spark_frame(spark, noisy[::-1])).collect()
+    }
+    assert got_noisy == exp_latest
