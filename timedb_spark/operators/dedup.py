@@ -516,6 +516,13 @@ def dedup_editdist(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("doc_b"), F.col("_n").alias("_nb"), F.col("_blk")
     )
     pairs = a.join(b, "_blk").filter(F.col("doc_a") < F.col("doc_b"))
+    # length-gap prefilter: levenshtein ≥ |len(a)-len(b)|, so this prunes
+    # result-neutrally BEFORE the O(len²) distance — the guard that keeps
+    # boilerplate-prefix blocks (common in real corpora) from going
+    # quadratic on long documents.
+    pairs = pairs.filter(
+        F.abs(F.length("_na") - F.length("_nb")) <= _EDIT_MAX
+    )
     dist = F.levenshtein("_na", "_nb")
     return (
         pairs.withColumn("edit_distance", dist)
@@ -535,5 +542,6 @@ keyed AS (
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
        levenshtein(a.n, b.n) AS edit_distance
 FROM keyed a JOIN keyed b ON a.blk = b.blk AND a.doc_id < b.doc_id
-WHERE levenshtein(a.n, b.n) BETWEEN 1 AND {_EDIT_MAX}
+WHERE abs(length(a.n) - length(b.n)) <= {_EDIT_MAX}
+  AND levenshtein(a.n, b.n) BETWEEN 1 AND {_EDIT_MAX}
 """
