@@ -315,3 +315,42 @@ def test_ewma_hand_computed(spark, tmp_path):
     got = {r.event_id: r.ewma for r in ts.ewma(spark, d).collect()}
     # s1=10; s2=.75*10+.25*20=12.5; s3=.75*12.5+.25*40=19.375 (exact dyadics)
     assert got == {1: 10.0, 2: 12.5, 3: 19.375}
+
+
+def test_approx_quantiles_within_tolerance_of_exact(spark, sf_dir):
+    """The 100 TB swap-in for ts_quantiles: percentile_approx (t-digest
+    sketch, mergeable map-side — no global sort) stays within the sketch
+    accuracy bound of the exact percentiles on real data."""
+    from timedb_spark.io.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    acc = 1000  # guarantees rank error ≤ n/acc
+    approx = ev.groupBy("event_type").agg(
+        F.expr(f"percentile_approx(value, array(0.5, 0.9, 0.99), {acc})").alias("approx"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    # the sketch contract is a RANK bound, not a value bound (tails are
+    # sparse): the returned value's true rank must sit within n/acc of the
+    # target rank (+1 row of discreteness slack)
+    vals = ev.select("event_type", "value").collect()
+    by_type: dict[str, list[float]] = {}
+    for r in vals:
+        by_type.setdefault(r.event_type, []).append(r.value)
+    for r in approx.collect():
+        xs = sorted(by_type[r.event_type])
+        for q, a in zip((0.5, 0.9, 0.99), r.approx):
+            rank = sum(1 for x in xs if x <= a)
+            assert abs(rank - q * r.n) <= r.n / acc + 1, (r.event_type, q, a, rank, r.n)
+
+
+def test_approx_distinct_within_hll_error(spark, sf_dir):
+    """approx_count_distinct (HLL++, mergeable — the count-distinct that
+    scales) lands within its configured relative error of the exact count."""
+    from timedb_spark.io.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    got = ev.agg(
+        F.countDistinct("user_id").alias("exact"),
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx"),
+    ).first()
+    assert abs(got.approx - got.exact) / got.exact <= 0.06  # 3× rsd envelope
