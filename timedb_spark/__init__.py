@@ -16,8 +16,20 @@ Reference parity map: see SURVEY.md §2; per-function docstrings cite
 reference file:line.
 """
 
-from timedb_spark.client import TimeDB, WriteResult
+from timedb_spark import profiling
+from timedb_spark.client import TimeDB, UnchangedScope, WriteResult
+from timedb_spark.operators.bitemporal import SeriesMeta
 from timedb_spark.schema import RETENTION_TIERS
 from timedb_spark.session import get_spark
 
-__all__ = ["RETENTION_TIERS", "TimeDB", "WriteResult", "get_spark"]
+#: mirrors the reference's public surface (timedb/__init__.py:24-31):
+#: PgEngineMeta → SeriesMeta, TimeDBClient → TimeDB, rest one-to-one.
+__all__ = [
+    "RETENTION_TIERS",
+    "SeriesMeta",
+    "TimeDB",
+    "UnchangedScope",
+    "WriteResult",
+    "get_spark",
+    "profiling",
+]
