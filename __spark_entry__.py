@@ -326,6 +326,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": dedup.dedup_simhash,
         "dedup_embedding": dedup.dedup_embedding,
         "dedup_editdist": dedup.dedup_editdist,
+        "contamination_check": pipeline.contamination_check,
         "dedup_clusters": dedup.dedup_clusters,
         "pipeline_clean": pipeline.pipeline_clean,
         "sample_stratified": sampling.sample_stratified,
@@ -360,6 +361,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_rate": timeseries.counter_rate,
         "events_cohort": timeseries.retention_cohort,
         "ts_m4": timeseries.m4_downsample,
+        "ts_decompose": timeseries.seasonal_decompose,
     }
 
 
@@ -637,6 +639,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_simhash": dedup.DEDUP_SIMHASH_SQL,
         "dedup_embedding": dedup.DEDUP_EMBEDDING_SQL,
         "dedup_editdist": dedup.DEDUP_EDITDIST_SQL,
+        "contamination_check": pipeline.CONTAMINATION_SQL,
         "dedup_clusters": dedup.DEDUP_CLUSTERS_SQL,
         "pipeline_clean": pipeline.PIPELINE_CLEAN_SQL,
         "sample_stratified": sampling.SAMPLE_STRATIFIED_SQL,
@@ -668,6 +671,7 @@ def oracle_sql() -> dict[str, str]:
         "ts_rate": timeseries.COUNTER_RATE_SQL,
         "events_cohort": timeseries.RETENTION_COHORT_SQL,
         "ts_m4": timeseries.M4_SQL,
+        "ts_decompose": timeseries.SEASONAL_DECOMPOSE_SQL,
         "stream_window": analytics.EVENTS_WINDOW_SQL,
         "stream_dedup": r"""
             SELECT count(DISTINCT md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g')))) AS n_unique_docs

@@ -85,3 +85,70 @@ SELECT doc_id, lang, source, quality_score,
 FROM scored
 WHERE quality_score >= {QUALITY_FLOOR}
 """
+
+
+# ---------------------------------------------------------------------------
+# benchmark-contamination detection
+# ---------------------------------------------------------------------------
+
+_CONTAM_N = 8
+_CONTAM_MIN_SHARED = 3
+
+
+def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Test-set contamination scan — the pretraining-hygiene gate: flag
+    corpus documents sharing ≥ 3 distinct word-8-gram shingles with any
+    benchmark document (benchmark = doc_id % 97, the held-out eval slice).
+
+    Scale shape: the benchmark side is ~1% of the corpus → its exploded
+    shingle set BROADCASTS; the corpus side streams through one shuffle on
+    (doc, bench) for the overlap count. Contaminated docs surface with the
+    offending benchmark id and the shared-shingle count — the decontam
+    delete-list, not just a boolean. 8-grams (vs the dedup 5-grams) bias
+    toward verbatim leakage over topical similarity.
+    """
+    from timedb_spark.operators.dedup import doc_corpus
+
+    corpus = doc_corpus(spark, sf_dir)
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    shingled = corpus.select(
+        "doc_id", F.array_distinct(tt.shingles(toks, _CONTAM_N)).alias("sh")
+    )
+    is_bench = (F.col("doc_id") % 97 == 0) & (F.col("doc_id") < 100000)
+    bench_sh = (
+        shingled.filter(is_bench)
+        .select(F.col("doc_id").alias("bench_doc_id"), F.explode("sh").alias("s"))
+    )
+    scan_sh = shingled.filter(~is_bench).select("doc_id", F.explode("sh").alias("s"))
+    return (
+        scan_sh.join(F.broadcast(bench_sh), "s")
+        .groupBy("doc_id", "bench_doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared_shingles"))
+        .filter(F.col("n_shared_shingles") >= _CONTAM_MIN_SHARED)
+    )
+
+
+from timedb_spark.operators.dedup import DOC_CORPUS_SQL as _CORPUS_SQL  # noqa: E402
+
+CONTAMINATION_SQL = rf"""
+WITH corpus AS ({_CORPUS_SQL}),
+shingled AS (
+    SELECT doc_id,
+           list_distinct(list_transform(
+               range(1, greatest(len(w) - {_CONTAM_N - 1}, 1) + 1),
+               i -> array_to_string(w[i:i+{_CONTAM_N - 1}], ' '))) AS sh
+    FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM corpus)
+),
+bench AS (
+    SELECT doc_id AS bench_doc_id, unnest(sh) AS s FROM shingled
+    WHERE doc_id % 97 = 0 AND doc_id < 100000
+),
+scan AS (
+    SELECT doc_id, unnest(sh) AS s FROM shingled
+    WHERE NOT (doc_id % 97 = 0 AND doc_id < 100000)
+)
+SELECT scan.doc_id, bench.bench_doc_id, count(*) AS n_shared_shingles
+FROM scan JOIN bench USING (s)
+GROUP BY 1, 2
+HAVING count(*) >= {_CONTAM_MIN_SHARED}
+"""

@@ -885,3 +885,71 @@ SELECT user_id, bucket,
        count(*) AS n_samples
 FROM w GROUP BY 1, 2
 """
+
+
+def seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical additive decomposition of each user's hourly series:
+    trend (centered ±12 h moving average) + seasonal (hour-of-day mean of
+    the detrended values) + residual — the statsmodels
+    ``seasonal_decompose`` shape, re-expressed exactly.
+
+    All three components live in integer micro-units (cents × 10⁴) so both
+    engines agree bit-for-bit: the window average and the seasonal mean are
+    integer divisions (truncation toward zero — Spark ``div`` == DuckDB
+    ``//``), never float accumulations. One window over (user, hour order)
+    + one (user, hour-of-day) agg joined back — two shuffles total, both on
+    fine-grained keys.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        F.col("user_id").alias("series_id"), F.date_trunc("hour", "ts").alias("h")
+    ).agg(F.sum((_d("value") * 100).cast("long")).alias("c"))
+    w = Window.partitionBy("series_id").orderBy("h").rowsBetween(-12, 12)
+    t = hourly.select(
+        "series_id",
+        "h",
+        "c",
+        F.expr("sum(c) OVER (PARTITION BY series_id ORDER BY h ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)").alias("_tsum"),
+        F.count(F.lit(1)).over(w).alias("_tn"),
+    ).withColumn("trend_micro", F.expr("(_tsum * 10000) div _tn"))
+    t = t.withColumn("detr_micro", F.col("c") * 10000 - F.col("trend_micro"))
+    seas = t.groupBy(
+        F.col("series_id").alias("s_sid"), F.hour("h").alias("hod")
+    ).agg(F.expr("sum(detr_micro) div count(1)").alias("seasonal_micro"))
+    out = t.join(
+        seas, (t.series_id == seas.s_sid) & (F.hour(t.h) == seas.hod)
+    ).select(
+        "series_id",
+        "h",
+        (F.col("c") / 100.0).alias("value"),
+        "trend_micro",
+        "seasonal_micro",
+        (F.col("detr_micro") - F.col("seasonal_micro")).alias("resid_micro"),
+    )
+    return out
+
+
+SEASONAL_DECOMPOSE_SQL = """
+WITH hourly AS (
+    SELECT user_id AS series_id, date_trunc('hour', ts) AS h,
+           sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS c
+    FROM events GROUP BY 1, 2
+),
+t AS (
+    SELECT series_id, h, c,
+           (sum(c) OVER win * 10000) // count(*) OVER win AS trend_micro
+    FROM hourly
+    WINDOW win AS (PARTITION BY series_id ORDER BY h
+                   ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)
+),
+d AS (SELECT *, c * 10000 - trend_micro AS detr_micro FROM t),
+seas AS (
+    SELECT series_id, extract(hour FROM h) AS hod,
+           sum(detr_micro) // count(*) AS seasonal_micro
+    FROM d GROUP BY 1, 2
+)
+SELECT d.series_id, d.h, d.c / 100.0 AS value,
+       d.trend_micro, seas.seasonal_micro,
+       d.detr_micro - seas.seasonal_micro AS resid_micro
+FROM d JOIN seas ON seas.series_id = d.series_id AND seas.hod = extract(hour FROM d.h)
+"""
