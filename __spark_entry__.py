@@ -202,8 +202,11 @@ def _q_stream_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     sv = bitemporal_frame(spark, sf_dir).select(
         "series_id", "valid_time", "knowledge_time", "change_time", "value"
     )
+    # 2 files/trigger → 2 micro-batches: exercises cross-batch state at
+    # half the per-key Python dispatch of 1-file batches (wall time here
+    # scales with keys × batches, not rows — see streaming/state.py).
     d = _stage_stream_dir(spark, sf_dir, sv, "sv", 4)
-    stream = spark.readStream.schema(sv.schema).option("maxFilesPerTrigger", 1).parquet(d)
+    stream = spark.readStream.schema(sv.schema).option("maxFilesPerTrigger", 2).parquet(d)
     out = st.run_available_now(st.stream_latest_state(stream), "update")
     # update mode re-emits on change; the last emission per key is the final
     # state (memory-sink arrival order is batch order).
@@ -297,6 +300,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q19": analytics.tpch_q19,
         "tpch_q22": analytics.tpch_q22,
         "basket_pairs": analytics.basket_pairs,
+        "events_window_sliding": analytics.events_window_sliding,
         "tpch_q2": tpch_ext.tpch_q2,
         "tpch_q7": tpch_ext.tpch_q7,
         "tpch_q8": tpch_ext.tpch_q8,
@@ -610,6 +614,7 @@ def oracle_sql() -> dict[str, str]:
         "tpch_q19": analytics.TPCH_Q19_SQL,
         "tpch_q22": analytics.TPCH_Q22_SQL,
         "basket_pairs": analytics.BASKET_PAIRS_SQL,
+        "events_window_sliding": analytics.EVENTS_WINDOW_SLIDING_SQL,
         "tpch_q2": tpch_ext.TPCH_Q2_SQL,
         "tpch_q7": tpch_ext.TPCH_Q7_SQL,
         "tpch_q8": tpch_ext.TPCH_Q8_SQL,

@@ -541,3 +541,32 @@ def test_fast_count_metadata_only_and_edge_scan(spark, tmp_path):
     got = db.count(start_valid=mid_feb)
     assert got == scan_count(start_valid=mid_feb)
     assert {ym for (_, ym) in db.store._last_fast_count_scanned} == {"202402"}
+
+
+def test_delete_series_rewrites_only_affected_partitions(spark, tmp_path):
+    from datetime import datetime, timezone
+
+    import pandas as pd
+
+    from timedb_spark import TimeDB
+
+    db = TimeDB(spark, str(tmp_path / "store"))
+    db.create()
+    UTC2 = timezone.utc
+    rows = [
+        # series 1 and 2 in Jan; series 50 alone in Feb (disjoint id range)
+        {"series_id": 1, "valid_time": datetime(2024, 1, 1, tzinfo=UTC2), "value": 1.0},
+        {"series_id": 1, "valid_time": datetime(2024, 1, 2, tzinfo=UTC2), "value": 2.0},
+        {"series_id": 2, "valid_time": datetime(2024, 1, 1, tzinfo=UTC2), "value": 3.0},
+        {"series_id": 50, "valid_time": datetime(2024, 2, 1, tzinfo=UTC2), "value": 4.0},
+    ]
+    db.write(pd.DataFrame(rows), retention="long")
+
+    rewritten = db.delete_series([1])
+    # only the January partition can contain series 1 — February untouched
+    assert rewritten == ["retention=long/vt_month=202401"]
+    assert db.read(series_ids=[1]).count() == 0
+    assert db.read(series_ids=[2]).count() == 1          # survivor in same partition
+    assert db.read(series_ids=[50]).count() == 1         # untouched partition
+    assert db.read_run_series(series_id=1) == []         # mapping forgotten
+    assert db.count() == 2

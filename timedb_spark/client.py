@@ -95,6 +95,12 @@ class TimeDB:
         """Footer-only per-partition stats (see Store.partition_stats)."""
         return self.store.partition_stats()
 
+    def delete_series(self, series_ids: Sequence[int]) -> list[str]:
+        """Right-to-erasure: remove the given series from series_values and
+        run_series, rewriting only partitions whose zone maps can contain
+        them (see Store.delete_series)."""
+        return self.store.delete_series(series_ids)
+
     def count(
         self,
         *,

@@ -552,3 +552,37 @@ FROM op a JOIN op b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
 GROUP BY 1, 2
 HAVING count(*) >= 2
 """
+
+
+def events_window_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hopping-window aggregation: 6 h windows sliding every 2 h, so each
+    event lands in 3 overlapping windows (`F.window(ts, "6 hours",
+    "2 hours")` — the Structured-Streaming window spec in batch form).
+
+    Spark expands each row into its window memberships before the ONE
+    shuffle (an Expand node, ×3 rows map-side — the partial aggs still
+    combine before the exchange); the oracle mirrors the expansion with a
+    3-element hop generator.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.window(F.col("ts").cast("timestamp"), "6 hours", "2 hours").start.alias("window_start"),
+        F.col("event_type"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum(_d("value")).cast("double"), 2).alias("sum_value"),
+    )
+
+
+EVENTS_WINDOW_SLIDING_SQL = """
+WITH hops AS (
+    SELECT event_type, value,
+           make_timestamp((epoch_us(ts) // 7200000000 - h.i) * 7200000000) AS window_start
+    FROM events, (SELECT unnest(range(0, 3)) AS i) h
+)
+SELECT window_start, event_type,
+       count(*) AS n_events,
+       round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_value
+FROM hops
+GROUP BY 1, 2
+"""

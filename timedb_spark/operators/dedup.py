@@ -523,7 +523,9 @@ def dedup_editdist(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = pairs.filter(
         F.abs(F.length("_na") - F.length("_nb")) <= _EDIT_MAX
     )
-    dist = F.levenshtein("_na", "_nb")
+    # threshold form: banded DP, O(len·k) per pair instead of O(len²) —
+    # returns -1 beyond the bound, which the BETWEEN filter drops.
+    dist = F.levenshtein("_na", "_nb", _EDIT_MAX)
     return (
         pairs.withColumn("edit_distance", dist)
         .filter((F.col("edit_distance") <= _EDIT_MAX) & (F.col("edit_distance") > 0))

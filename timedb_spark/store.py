@@ -285,3 +285,62 @@ class Store:
             total += df.count()
         self._last_fast_count_scanned = edge_months  # test/observability hook
         return total
+
+    # -- targeted delete (GDPR / right-to-erasure path) ---------------------
+
+    def delete_series(self, series_ids: "set[int] | list[int]") -> list[str]:
+        """Erase specific series everywhere: rewrite ONLY the partitions
+        whose footer (series_id min/max) stats can contain a target id —
+        the anti-join rewrite never touches innocent partitions, so at
+        100 TB the cost is proportional to where the series actually
+        lives, not store size. Partition-at-a-time like :meth:`compact`
+        (independent partitions ⇒ trivially parallel). Returns rewritten
+        partition dirs (relative)."""
+        targets = sorted(set(int(s) for s in series_ids))
+        if not targets:
+            return []
+        import pyarrow.parquet as pq
+
+        rewritten: list[str] = []
+        tmp_root = self.root / "_delete_tmp"
+        for tier_dir in sorted(self.values_path.glob("retention=*")):
+            for month_dir in sorted(tier_dir.glob("vt_month=*")):
+                lo = hi = None
+                for f in month_dir.glob("*.parquet"):
+                    md = pq.ParquetFile(f).metadata
+                    idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+                    for rg in range(md.num_row_groups):
+                        st = md.row_group(rg).column(idx["series_id"]).statistics
+                        if st is None or not st.has_min_max:
+                            lo, hi = None, None  # stats missing → must scan
+                            break
+                        lo = st.min if lo is None else min(lo, st.min)
+                        hi = st.max if hi is None else max(hi, st.max)
+                    else:
+                        continue
+                    break
+                if lo is not None and not any(lo <= t <= hi for t in targets):
+                    continue  # zone maps prove the series is absent
+                df = self.spark.read.parquet(str(month_dir)).filter(
+                    ~F.col("series_id").isin(targets)
+                )
+                tmp = tmp_root / tier_dir.name / month_dir.name
+                df.repartition(1).sortWithinPartitions(*_SORT_KEY).write.mode(
+                    "overwrite"
+                ).parquet(str(tmp))
+                shutil.rmtree(month_dir)
+                tmp.rename(month_dir)
+                rewritten.append(f"{tier_dir.name}/{month_dir.name}")
+        if tmp_root.exists():
+            shutil.rmtree(tmp_root)
+        # the run_series mapping must forget the series too
+        if self.run_series_path.exists() and any(self.run_series_path.glob("*.parquet")):
+            rs = self.spark.read.parquet(str(self.run_series_path)).filter(
+                ~F.col("series_id").isin(targets)
+            )
+            tmp_rs = tmp_root / "run_series"
+            rs.write.mode("overwrite").parquet(str(tmp_rs))
+            shutil.rmtree(self.run_series_path)
+            tmp_rs.rename(self.run_series_path)
+            shutil.rmtree(tmp_root, ignore_errors=True)
+        return rewritten
