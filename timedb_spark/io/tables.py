@@ -19,6 +19,7 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.types import LongType
 
 TABLE_NAMES = [
     "region",
@@ -37,10 +38,15 @@ TABLE_NAMES = [
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events":
-        # events.ts is INT64 TIMESTAMP(NANOS); with nanosAsLong it arrives as
-        # raw ns. Truncate to µs with *integer* division (ns exceed 2^53, so
-        # float division would lose precision) — same floor DuckDB applies.
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        # events.ts has shipped as either INT64 TIMESTAMP(NANOS) (arrives as
+        # raw ns under nanosAsLong — truncate to µs with *integer* division;
+        # ns exceed 2^53 so float division would lose precision) or plain
+        # TIMESTAMP(MICROS)/NTZ. Normalize both to session-UTC timestamp.
+        dt = df.schema["ts"].dataType
+        if isinstance(dt, LongType):
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        else:
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 
