@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from timedb_spark.io.tables import BITEMPORAL_ORACLE_SQL, bitemporal_frame, load_table
-from timedb_spark.operators import analytics, asof, dedup, funnel, multimodal, pipeline, sampling, similarity, text, timeseries, tpch_ext
+from timedb_spark.operators import analytics, asof, dedup, forecasting, funnel, multimodal, pipeline, sampling, similarity, text, timeseries, tpch_ext
 from timedb_spark.operators import bitemporal as bt
 
 _SV = BITEMPORAL_ORACLE_SQL
@@ -289,6 +289,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bt_snapshot_diff": _q_snapshot_diff,
         "bt_value_at": _q_value_at,
         "bt_backtest_error": _q_backtest_error,
+        "bt_forecast_vintage": forecasting.forecast_vintage,
+        "bt_restatements": forecasting.restatements,
         "tpch_q1": analytics.tpch_q1,
         "tpch_q3": analytics.tpch_q3,
         "tpch_q4": analytics.tpch_q4,
@@ -318,12 +320,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_forward": asof.asof_forward_next_purchase,
         "asof_tolerance": asof.asof_tolerance_last_click,
         "asof_nearest": asof.asof_nearest_purchase,
+        "events_attribution": asof.attribution_last_touch,
         "events_funnel": funnel.events_funnel,
         "text_tokens": text.text_tokens,
         "text_quality": text.text_quality,
         "text_langid": text.text_langid,
         "text_fingerprint": text.text_fingerprint,
         "text_tfidf": text.text_tfidf,
+        "text_repetition": text.text_repetition,
+        "text_pii": text.text_pii,
         "dedup_exact": dedup.dedup_exact,
         "dedup_ngram_jaccard": dedup.dedup_ngram_jaccard,
         "dedup_minhash": dedup.dedup_minhash,
@@ -366,6 +371,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_cohort": timeseries.retention_cohort,
         "ts_m4": timeseries.m4_downsample,
         "ts_decompose": timeseries.seasonal_decompose,
+        "ts_calendar_features": forecasting.calendar_features,
+        "ts_changepoint": forecasting.changepoint,
     }
 
 
@@ -603,6 +610,8 @@ def oracle_sql() -> dict[str, str]:
                   AND knowledge_time <= TIMESTAMP '2024-01-20 00:00:00'
             ) t WHERE rn = 1
         """,
+        "bt_forecast_vintage": forecasting.forecast_vintage_sql(_SV),
+        "bt_restatements": forecasting.restatements_sql(_SV),
         "tpch_q1": analytics.TPCH_Q1_SQL,
         "tpch_q3": analytics.TPCH_Q3_SQL,
         "tpch_q4": analytics.TPCH_Q4_SQL,
@@ -632,12 +641,15 @@ def oracle_sql() -> dict[str, str]:
         "asof_forward": asof.ASOF_FORWARD_SQL,
         "asof_tolerance": asof.ASOF_TOLERANCE_SQL,
         "asof_nearest": asof.ASOF_NEAREST_SQL,
+        "events_attribution": asof.ATTRIBUTION_SQL,
         "events_funnel": funnel.EVENTS_FUNNEL_SQL,
         "text_tokens": text.TEXT_TOKENS_SQL,
         "text_quality": text.TEXT_QUALITY_SQL,
         "text_langid": text.TEXT_LANGID_SQL,
         "text_fingerprint": text.TEXT_FINGERPRINT_SQL,
         "text_tfidf": text.TEXT_TFIDF_SQL,
+        "text_repetition": text.TEXT_REPETITION_SQL,
+        "text_pii": text.TEXT_PII_SQL,
         "dedup_exact": dedup.DEDUP_EXACT_SQL,
         "dedup_ngram_jaccard": dedup.DEDUP_NGRAM_SQL,
         "dedup_minhash": dedup.DEDUP_MINHASH_SQL,
@@ -677,6 +689,8 @@ def oracle_sql() -> dict[str, str]:
         "events_cohort": timeseries.RETENTION_COHORT_SQL,
         "ts_m4": timeseries.M4_SQL,
         "ts_decompose": timeseries.SEASONAL_DECOMPOSE_SQL,
+        "ts_calendar_features": forecasting.CALENDAR_FEATURES_SQL,
+        "ts_changepoint": forecasting.CHANGEPOINT_SQL,
         "stream_window": analytics.EVENTS_WINDOW_SQL,
         "stream_dedup": r"""
             SELECT count(DISTINCT md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g')))) AS n_unique_docs

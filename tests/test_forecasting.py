@@ -1,0 +1,116 @@
+"""Unit tests for timedb_spark.operators.forecasting + attribution on tiny
+frames with hand-computed expectations (vintage cutoffs, lag-frame
+semantics on sparse grids, planted mean shifts, attribution windows).
+"""
+
+from datetime import datetime, timedelta
+
+import pandas as pd
+
+from timedb_spark.operators import asof
+from timedb_spark.operators import forecasting as fc
+
+
+def _events_dir(tmp_path, rows):
+    import os
+
+    pdf = pd.DataFrame(rows, columns=["event_id", "ts", "user_id", "event_type", "value"])
+    pdf["props"] = ""
+    d = str(tmp_path / "sf")
+    os.makedirs(d)
+    pdf.to_parquet(os.path.join(d, "events.parquet"))
+    return d
+
+
+def test_forecast_vintage_cutoffs_hand_computed(spark, tmp_path):
+    # One (series 1, hour 10:00) point with three knowledge vintages:
+    # event_id % 4 is the knowledge lag in hours (see io.tables).
+    t = lambda m: datetime(2024, 1, 1, 10, m)
+    d = _events_dir(
+        tmp_path,
+        [
+            (100, t(30), 1, "x", 1.0),  # kt = 10:30 (lag 0)  → final
+            (101, t(20), 1, "x", 2.0),  # kt = 09:20 (lag 1)  → latest ≤ vt
+            (103, t(10), 1, "x", 3.0),  # kt = 07:10 (lag 3)  → only ≤ vt-1h
+        ],
+    )
+    [r] = fc.forecast_vintage(spark, d).collect()
+    assert r.series_id == 1 and r.valid_time == datetime(2024, 1, 1, 10)
+    assert r.n_vintages == 3
+    assert r.v_final == 1.0
+    assert r.v_h0 == 2.0  # as known at 10:00
+    assert r.v_h1 == 3.0  # as known at 09:00
+    assert r.v_h2 == 3.0  # as known at 08:00
+
+
+def test_restatements_counts(spark, tmp_path):
+    t = lambda h, m: datetime(2024, 1, 1, h, m)
+    d = _events_dir(
+        tmp_path,
+        [
+            (100, t(10, 30), 1, "x", 1.0),  # kt 10:30
+            (101, t(10, 20), 1, "x", 2.0),  # kt 09:20 → 2nd vintage, same point
+            (200, t(12, 0), 1, "x", 5.0),  # unrevised point
+            (300, t(9, 0), 2, "x", 7.0),  # other series
+        ],
+    )
+    out = {r.series_id: r for r in fc.restatements(spark, d).collect()}
+    s1 = out[1]
+    assert (s1.n_points, s1.n_obs, s1.n_revised_points, s1.max_vintages) == (2, 3, 1, 2)
+    # series 2: single obs, kt == ts == vt ⇒ lead 0; event 300 has lag 300%4=0
+    assert out[2].avg_first_lead_h == 0.0
+
+
+def test_calendar_features_sparse_lags(spark, tmp_path):
+    # Hours 0 and 1 observed, hour 2 dropped by the %3 filter, hours 3,4
+    # observed: lag_1h at hour 4 sees hour 3; at hour 3 sees NOTHING (hour 2
+    # missing) — a ROWS-offset lag would wrongly return hour 1.
+    t = lambda h: datetime(2024, 1, 1, h)
+    d = _events_dir(tmp_path, [(i, t(h), 1, "x", float(10 * h)) for i, h in enumerate([0, 1, 3, 4])])
+    out = {r.valid_time.hour: r for r in fc.calendar_features(spark, d).collect()}
+    assert set(out) == {0, 1, 3, 4}
+    assert out[1].lag_1h == 0.0
+    assert out[3].lag_1h is None  # hour 2 missing → exact RANGE lag is null
+    assert out[4].lag_1h == 30.0
+    # 2024-01-01 is a Monday; 0=Sunday convention ⇒ day_of_week == 1
+    assert out[0].day_of_week == 1 and out[0].is_weekend is False
+    assert out[4].hour_of_day == 4
+
+
+def test_changepoint_planted_shift(spark, tmp_path):
+    # Values 10.0 then 50.0; observations only at hour-of-day % 3 < 2 (the
+    # hourly-series filter). Windows are observation-indexed, so the planted
+    # shift must flag with mean_shift near +40 at the boundary.
+    base = datetime(2024, 1, 1)
+    rows = []
+    i = 0
+    for h in range(120):
+        ts = base + timedelta(hours=h)
+        if ts.hour % 3 < 2:
+            rows.append((i * 4, ts, 1, "x", 10.0 if i < 40 else 50.0))  # id*4 → lag 0
+            i += 1
+    d = _events_dir(tmp_path, rows)
+    out = fc.changepoint(spark, d).collect()
+    assert out, "planted shift not detected"
+    best = max(out, key=lambda r: abs(r.mean_shift))
+    assert best.mean_shift == 40.0 and best.pre_mean == 10.0 and best.post_mean == 50.0
+    # the exact boundary observation (index 40) is the argmax
+    assert sum(1 for r in out if abs(r.mean_shift) == 40.0) == 1
+
+
+def test_attribution_last_touch_window(spark, tmp_path):
+    t0 = datetime(2024, 1, 1)
+    d = _events_dir(
+        tmp_path,
+        [
+            (1, t0, 1, "click", 0.0),
+            (2, t0 + timedelta(hours=1), 1, "purchase", 100.0),  # attributed
+            (3, t0 + timedelta(days=10), 1, "purchase", 50.0),  # click too old
+            (4, t0, 2, "purchase", 30.0),  # no click at all
+        ],
+    )
+    out = {r.user_id: r for r in asof.attribution_last_touch(spark, d).collect()}
+    u1, u2 = out[1], out[2]
+    assert (u1.n_purchases, u1.n_attributed) == (2, 1)
+    assert (u1.attributed_revenue, u1.organic_revenue) == (100.0, 50.0)
+    assert (u2.n_purchases, u2.n_attributed, u2.attributed_revenue, u2.organic_revenue) == (1, 0, 0.0, 30.0)

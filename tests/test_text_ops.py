@@ -1,0 +1,93 @@
+"""Unit tests for the text repetition + PII operators.
+
+The synthetic documents corpus contains no PII, so the driver-facing parity
+check only proves the no-op path; the POSITIVE path — crafted emails / SSNs
+/ IPs / phones detected and redacted identically in Spark and DuckDB — is
+pinned here with a DuckDB mini-oracle over the same crafted rows.
+"""
+
+import os
+
+import duckdb
+import pandas as pd
+from pyspark.sql import functions as F
+
+from timedb_spark.operators import text as tx
+
+_PII_ROWS = [
+    (1, "contact john.doe@example.com or 192.168.1.1"),
+    (2, "ssn 123-45-6789 phone +1 555 123 4567"),
+    (3, "clean text with no identifiers at all"),
+    (4, "two mails a@b.io c.d@e-f.org and 10.0.0.255 10.1.2.3"),
+]
+
+
+def _pii_frame(spark):
+    return spark.createDataFrame(_PII_ROWS, "doc_id long, text string")
+
+
+def test_pii_counts_hand_computed(spark):
+    df = _pii_frame(spark)
+    counts = {
+        k: F.size(F.regexp_extract_all(F.col("text"), F.lit(p), 0)).alias(k)
+        for k, p in tx.PII_PATTERNS.items()
+    }
+    got = {r.doc_id: r for r in df.select("doc_id", *counts.values()).collect()}
+    assert (got[1].email, got[1].ipv4, got[1].ssn, got[1].phone) == (1, 1, 0, 0)
+    # the SSN digit-run also matches the loose phone shape — counts are
+    # independent per kind (scrub order is what disambiguates redaction)
+    assert (got[2].email, got[2].ipv4, got[2].ssn, got[2].phone) == (0, 0, 1, 2)
+    assert (got[3].email, got[3].ipv4, got[3].ssn, got[3].phone) == (0, 0, 0, 0)
+    assert (got[4].email, got[4].ipv4) == (2, 2)
+
+
+def test_pii_scrub_hand_computed(spark):
+    df = _pii_frame(spark)
+    got = {r.doc_id: r.clean for r in df.select("doc_id", tx.pii_scrub(F.col("text")).alias("clean")).collect()}
+    assert got[1] == "contact <EMAIL> or <IPV4>"
+    assert got[2] == "ssn <SSN> phone <PHONE>"
+    assert got[3] == _PII_ROWS[2][1]
+    assert got[4] == "two mails <EMAIL> <EMAIL> and <IPV4> <IPV4>"
+
+
+def test_pii_spark_matches_duckdb_on_positive_rows(spark):
+    """Cross-engine regex parity on rows that actually contain PII — the
+    guarantee the corpus-level gate can't give."""
+    df = _pii_frame(spark)
+    counts = {
+        k: F.size(F.regexp_extract_all(F.col("text"), F.lit(p), 0)).alias(f"n_{k}")
+        for k, p in tx.PII_PATTERNS.items()
+    }
+    spark_rows = sorted(
+        tuple(r) for r in df.select("doc_id", *counts.values(), tx.pii_scrub(F.col("text")).alias("clean")).collect()
+    )
+    con = duckdb.connect()
+    con.register("documents", pd.DataFrame(_PII_ROWS, columns=["doc_id", "text"]))
+    scrub = "text"
+    for kind in tx.PII_SCRUB_ORDER:
+        scrub = f"regexp_replace({scrub}, '{tx.PII_PATTERNS[kind]}', '<{kind.upper()}>', 'g')"
+    cols = ", ".join(f"len(regexp_extract_all(text, '{p}')) AS n_{k}" for k, p in tx.PII_PATTERNS.items())
+    duck_rows = sorted(tuple(r) for r in con.sql(f"SELECT doc_id, {cols}, {scrub} AS clean FROM documents").fetchall())
+    assert spark_rows == duck_rows
+
+
+def test_repetition_hand_computed(spark, tmp_path):
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [1, 2],
+            "text": ["a b a b c", "x y z w"],
+            "lang": ["en", "en"],
+            "source": ["s", "s"],
+            "n_chars": [9, 7],
+        }
+    )
+    d = str(tmp_path / "sf")
+    os.makedirs(d)
+    pdf.to_parquet(os.path.join(d, "documents.parquet"))
+    out = {r.doc_id: r for r in tx.text_repetition(spark, d).collect()}
+    d1 = out[1]  # bigrams: ab ba ab bc → top "a b"×2 of 4, 3 distinct
+    assert (d1.n_bigrams, d1.top_bigram_n) == (4, 2)
+    assert (d1.top_bigram_frac, d1.dup_bigram_frac) == (0.5, 0.25)
+    assert (d1.n_trigrams, d1.dup_trigram_frac) == (3, 0.0)
+    d2 = out[2]  # all unique
+    assert (d2.n_bigrams, d2.top_bigram_n, d2.dup_bigram_frac) == (3, 1, 0.0)

@@ -228,3 +228,85 @@ SELECT e.event_id, e.user_id,
 FROM events e LEFT JOIN best b ON b.eid = e.event_id
 WHERE e.event_type <> 'purchase'
 """
+
+
+_ATTR_DAYS = 7
+
+
+def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch marketing attribution: each purchase's revenue is credited
+    to the same user's most recent click within a 7-day lookback; purchases
+    with no in-window click count as organic. Output is the per-user report.
+
+    Shape: the as-of carry (union + ONE window per user) resolves the
+    attribution join without an inequality self-join; the per-user report is
+    then a map-side-combined groupBy on the SAME user_id partitioning, so
+    AQE can pipeline the two without a second full shuffle. Revenue sums are
+    exact DECIMAL(18,2) (cross-engine bit-equal), surfaced as round-2
+    doubles."""
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("ts").alias("t"),
+        F.lit(0).alias("kind"),
+        F.struct(F.col("ts").alias("ct"), F.col("event_id").alias("cid")).alias("c"),
+        F.lit(None).cast("double").alias("revenue"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("ts").alias("t"),
+        F.lit(1).alias("kind"),
+        F.lit(None).cast("struct<ct:timestamp,cid:long>").alias("c"),
+        F.col("value").alias("revenue"),
+    )
+    # same carry discipline as asof_tolerance_last_click: strict "<" via
+    # kind DESC at equal t; smallest-cid tiebreak via cid DESC scan order.
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("t").asc(), F.col("kind").desc(), F.col("c.cid").desc_nulls_last())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    lc = F.last("c", ignorenulls=True).over(w)
+    touched = clicks.unionByName(purchases).select("*", lc.alias("lc")).filter(F.col("kind") == 1)
+    within = (
+        F.unix_micros(F.col("t")) - F.unix_micros(F.col("lc.ct"))
+        <= F.lit(_ATTR_DAYS).cast("long") * 86400 * 1_000_000
+    )
+    attributed = F.col("lc").isNotNull() & within
+    rev = F.col("revenue").cast("decimal(18,2)")
+    zero = F.lit(0).cast("decimal(18,2)")
+    return touched.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_purchases"),
+        F.sum(attributed.cast("int")).alias("n_attributed"),
+        F.round(F.sum(F.when(attributed, rev).otherwise(zero)).cast("double"), 2).alias("attributed_revenue"),
+        F.round(F.sum(F.when(~attributed, rev).otherwise(zero)).cast("double"), 2).alias("organic_revenue"),
+    )
+
+
+ATTRIBUTION_SQL = f"""
+WITH purchases AS (
+    SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase'
+),
+best AS (
+    SELECT event_id, ct FROM (
+        SELECT p.event_id, c.ts AS ct,
+               row_number() OVER (PARTITION BY p.event_id
+                                  ORDER BY c.ts DESC, c.event_id ASC) AS rn
+        FROM purchases p JOIN events c
+          ON c.user_id = p.user_id AND c.event_type = 'click'
+         AND c.ts < p.ts
+         AND epoch_us(p.ts) - epoch_us(c.ts) <= CAST({_ATTR_DAYS} AS BIGINT) * 86400 * 1000000
+    ) t WHERE rn = 1
+)
+SELECT p.user_id,
+       count(*) AS n_purchases,
+       sum(CASE WHEN b.ct IS NOT NULL THEN 1 ELSE 0 END) AS n_attributed,
+       round(CAST(sum(CASE WHEN b.ct IS NOT NULL
+                           THEN CAST(p.value AS DECIMAL(18,2))
+                           ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE), 2) AS attributed_revenue,
+       round(CAST(sum(CASE WHEN b.ct IS NULL
+                           THEN CAST(p.value AS DECIMAL(18,2))
+                           ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE), 2) AS organic_revenue
+FROM purchases p LEFT JOIN best b USING (event_id)
+GROUP BY p.user_id
+"""

@@ -1,0 +1,291 @@
+"""Forecasting-workflow operators over the bitemporal frame + hourly series.
+
+The queries a forecasting team (the reference's audience — rebase-energy
+builds energy-forecast tooling) runs on top of the bitemporal reads:
+
+- ``forecast_vintage``  — how the value for each (series, hour) evolved
+  across knowledge horizons (the "forecast vintage" pivot; generalizes
+  read_relative to several cutoffs in ONE pass).
+- ``restatements``      — per-series audit: how often points get revised,
+  how many vintages exist, how early knowledge first arrives.
+- ``calendar_features`` — the supervised-learning feature matrix (lag +
+  calendar features) fed to a downstream forecast model.
+- ``changepoint``       — rolling mean-shift detection (CUSUM-style
+  two-window contrast) over the hourly series.
+
+Scale posture: vintage + restatements are groupBy aggregations keyed by the
+fine-grained (series_id, valid_time) — map-side partial combine, one
+shuffle (restatements adds a second, tiny, per-series reduce). The feature
+matrix and changepoint use ONE window sort per series partition; the three
+lag frames / two contrast frames share the same (partition, order) so Spark
+evaluates them in a single WindowExec pass. No self-joins anywhere:
+time-shifted lookups are RANGE frames on an integer hour axis, not
+shifted equi-joins.
+
+Ref parity anchors: read_relative semantics (timedb/read.py:352-396) —
+vintage generalizes its single cutoff; the revision-chain model
+(timedb/read.py:250-287) — restatements quantifies it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from timedb_spark.io.tables import bitemporal_frame
+from timedb_spark.operators.timeseries import _HOURLY_SERIES_SQL, _hourly_series
+
+# ---------------------------------------------------------------------------
+# forecast vintages: value as known h hours before the valid hour
+# ---------------------------------------------------------------------------
+
+#: Knowledge horizons (hours before valid_time) pivoted per point.
+VINTAGE_HORIZONS = (0, 1, 2)
+
+
+def forecast_vintage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per (series, valid hour): the final value plus the value as known at
+    each horizon's cutoff (vt - h). ONE groupBy — each horizon is a
+    conditional ``max_by`` whose ordering is NULL outside the cutoff (null
+    orderings are ignored by max_by in both Spark and DuckDB), so the whole
+    vintage pivot costs a single map-side-combined shuffle instead of one
+    relative-cutoff read per horizon."""
+    sv = bitemporal_frame(spark, sf_dir)
+    aggs = [
+        F.max_by("value", F.struct("knowledge_time", "change_time")).alias("v_final"),
+        F.count_distinct("knowledge_time").alias("n_vintages"),
+    ]
+    for h in VINTAGE_HORIZONS:
+        cond = F.col("knowledge_time") <= F.col("valid_time") - F.expr(f"INTERVAL {h} HOUR")
+        aggs.append(
+            F.max_by(
+                F.when(cond, F.col("value")),
+                F.when(cond, F.struct("knowledge_time", "change_time")),
+            ).alias(f"v_h{h}")
+        )
+    return sv.groupBy("series_id", "valid_time").agg(*aggs)
+
+
+def _vintage_cte(h: int) -> str:
+    return f"""
+    SELECT series_id, valid_time, value FROM (
+        SELECT series_id, valid_time, value,
+               row_number() OVER (PARTITION BY series_id, valid_time
+                                  ORDER BY knowledge_time DESC, change_time DESC) AS rn
+        FROM sv WHERE knowledge_time <= valid_time - to_hours({h})
+    ) t WHERE rn = 1
+    """
+
+
+def forecast_vintage_sql(sv_sql: str) -> str:
+    joins = "\n".join(
+        f"LEFT JOIN h{h} ON h{h}.series_id = b.series_id AND h{h}.valid_time = b.valid_time"
+        for h in VINTAGE_HORIZONS
+    )
+    ctes = ",\n".join(f"h{h} AS ({_vintage_cte(h)})" for h in VINTAGE_HORIZONS)
+    sel = ", ".join(f"h{h}.value AS v_h{h}" for h in VINTAGE_HORIZONS)
+    return f"""
+    WITH sv AS ({sv_sql}),
+    b AS (
+        SELECT series_id, valid_time, count(DISTINCT knowledge_time) AS n_vintages
+        FROM sv GROUP BY series_id, valid_time
+    ),
+    f AS (
+        SELECT series_id, valid_time, value FROM (
+            SELECT series_id, valid_time, value,
+                   row_number() OVER (PARTITION BY series_id, valid_time
+                                      ORDER BY knowledge_time DESC, change_time DESC) AS rn
+            FROM sv
+        ) t WHERE rn = 1
+    ),
+    {ctes}
+    SELECT b.series_id, b.valid_time, f.value AS v_final, b.n_vintages, {sel}
+    FROM b
+    JOIN f ON f.series_id = b.series_id AND f.valid_time = b.valid_time
+    {joins}
+    """
+
+
+# ---------------------------------------------------------------------------
+# restatement audit: revision pressure per series
+# ---------------------------------------------------------------------------
+
+
+def restatements(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per series: points, observations, revised points (>1 knowledge
+    vintage), max vintages, and the mean first-knowledge lead in hours
+    (positive = first estimate arrived BEFORE the valid hour started).
+
+    Two-level aggregation: the first groupBy is keyed by the fine
+    (series_id, valid_time) — partial combine collapses history before the
+    shuffle; the per-series reduce then runs on |points|, not |rows|."""
+    sv = bitemporal_frame(spark, sf_dir)
+    per_point = sv.groupBy("series_id", "valid_time").agg(
+        F.count(F.lit(1)).alias("n_obs"),
+        F.count_distinct("knowledge_time").alias("n_vintages"),
+        F.min("knowledge_time").alias("first_kt"),
+    )
+    lead_us = F.unix_micros("valid_time") - F.unix_micros("first_kt")
+    per_series = per_point.groupBy("series_id").agg(
+        F.count(F.lit(1)).alias("n_points"),
+        F.sum("n_obs").alias("n_obs"),
+        F.sum(F.when(F.col("n_vintages") > 1, 1).otherwise(0)).alias("n_revised_points"),
+        F.max("n_vintages").alias("max_vintages"),
+        F.sum(lead_us).alias("_lead_us"),
+    )
+    # exact integer µs sum → double division is deterministic cross-engine;
+    # floor(x*1e6+0.5)/1e6 rounding (identical halfway mode in both engines)
+    avg_h = F.col("_lead_us").cast("double") / F.col("n_points") / F.lit(3.6e9)
+    return per_series.select(
+        "series_id",
+        "n_points",
+        "n_obs",
+        "n_revised_points",
+        "max_vintages",
+        (F.floor(avg_h * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)).alias("avg_first_lead_h"),
+    )
+
+
+def restatements_sql(sv_sql: str) -> str:
+    return f"""
+    WITH sv AS ({sv_sql}),
+    per_point AS (
+        SELECT series_id, valid_time,
+               count(*) AS n_obs,
+               count(DISTINCT knowledge_time) AS n_vintages,
+               min(knowledge_time) AS first_kt
+        FROM sv GROUP BY series_id, valid_time
+    )
+    SELECT series_id,
+           count(*) AS n_points,
+           sum(n_obs) AS n_obs,
+           sum(CASE WHEN n_vintages > 1 THEN 1 ELSE 0 END) AS n_revised_points,
+           max(n_vintages) AS max_vintages,
+           floor((CAST(sum(epoch_us(valid_time) - epoch_us(first_kt)) AS DOUBLE)
+                  / count(*) / 3.6e9) * 1e6 + 0.5) / 1e6 AS avg_first_lead_h
+    FROM per_point GROUP BY series_id
+    """
+
+
+# ---------------------------------------------------------------------------
+# supervised feature matrix: lags + calendar
+# ---------------------------------------------------------------------------
+
+
+def calendar_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The model-input matrix for an hourly forecaster: target ``y`` with
+    1 h / 24 h / 168 h lags and integer calendar features.
+
+    Lags are RANGE frames on an integer hour axis — exact time-shifted
+    lookups on the SPARSE series (a missing hour yields NULL, never the
+    wrong row, which a ROWS-offset ``lag`` would silently return). All
+    three frames share one (series, hour) sort; no self-joins. Calendar
+    fields are pure integer arithmetic on the hour index (epoch day 0 =
+    Thursday ⇒ dow = (d + 4) % 7 with 0 = Sunday) — identical cross-engine,
+    no timezone/locale functions involved."""
+    s = _hourly_series(spark, sf_dir).withColumn("h", F.expr("unix_micros(valid_time) div 3600000000"))
+    w = Window.partitionBy("series_id").orderBy("h")
+    out = s.select(
+        "series_id",
+        "valid_time",
+        (F.col("h") % 24).alias("hour_of_day"),
+        F.expr("(h div 24 + 4) % 7").alias("day_of_week"),
+        F.expr("(h div 24 + 4) % 7 IN (0, 6)").alias("is_weekend"),
+        F.max("value").over(w.rangeBetween(-1, -1)).alias("lag_1h"),
+        F.max("value").over(w.rangeBetween(-24, -24)).alias("lag_24h"),
+        F.max("value").over(w.rangeBetween(-168, -168)).alias("lag_168h"),
+        F.col("value").alias("y"),
+    )
+    return out
+
+
+CALENDAR_FEATURES_SQL = f"""
+WITH s AS ({_HOURLY_SERIES_SQL}),
+hx AS (SELECT *, epoch_us(valid_time) // 3600000000 AS h FROM s)
+SELECT series_id, valid_time,
+       h % 24 AS hour_of_day,
+       (h // 24 + 4) % 7 AS day_of_week,
+       (h // 24 + 4) % 7 IN (0, 6) AS is_weekend,
+       max(value) OVER (PARTITION BY series_id ORDER BY h
+                        RANGE BETWEEN 1 PRECEDING AND 1 PRECEDING) AS lag_1h,
+       max(value) OVER (PARTITION BY series_id ORDER BY h
+                        RANGE BETWEEN 24 PRECEDING AND 24 PRECEDING) AS lag_24h,
+       max(value) OVER (PARTITION BY series_id ORDER BY h
+                        RANGE BETWEEN 168 PRECEDING AND 168 PRECEDING) AS lag_168h,
+       value AS y
+FROM hx
+"""
+
+
+# ---------------------------------------------------------------------------
+# changepoint: two-window mean-shift contrast
+# ---------------------------------------------------------------------------
+
+#: observations per contrast window (trailing vs leading)
+CHANGEPOINT_WIN = 24
+#: flag when |post_mean - pre_mean| ≥ this
+CHANGEPOINT_THRESHOLD = 12.0
+
+
+def changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean-shift candidates per series: at each observation, contrast the
+    trailing-24 and leading-24 observation means; emit points where the
+    shift magnitude clears the threshold and both windows are full.
+
+    Window sums are exact DECIMAL(18,6) (the hourly values are round-6, so
+    the decimal cast is lossless) ⇒ the means are `exact-integer / count`
+    double divisions — deterministic across engines. Both frames ride one
+    per-series sort; windows are observation-indexed (ROWS), which is the
+    robust choice on a sparse series."""
+    s = _hourly_series(spark, sf_dir)
+    dv = F.col("value").cast("decimal(18,6)")
+    w = Window.partitionBy("series_id").orderBy("valid_time")
+    pre_w = w.rowsBetween(-CHANGEPOINT_WIN, -1)
+    post_w = w.rowsBetween(0, CHANGEPOINT_WIN - 1)
+    df = s.select(
+        "series_id",
+        "valid_time",
+        F.sum(dv).over(pre_w).alias("_pre_sum"),
+        F.count(F.lit(1)).over(pre_w).alias("_pre_n"),
+        F.sum(dv).over(post_w).alias("_post_sum"),
+        F.count(F.lit(1)).over(post_w).alias("_post_n"),
+    )
+    pre_mean = F.col("_pre_sum").cast("double") / F.col("_pre_n")
+    post_mean = F.col("_post_sum").cast("double") / F.col("_post_n")
+    shift = post_mean - pre_mean
+    r6 = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)  # noqa: E731
+    return (
+        df.filter((F.col("_pre_n") == CHANGEPOINT_WIN) & (F.col("_post_n") == CHANGEPOINT_WIN))
+        .filter(F.abs(shift) >= CHANGEPOINT_THRESHOLD)
+        .select(
+            "series_id",
+            "valid_time",
+            r6(pre_mean).alias("pre_mean"),
+            r6(post_mean).alias("post_mean"),
+            r6(shift).alias("mean_shift"),
+        )
+    )
+
+
+CHANGEPOINT_SQL = f"""
+WITH s AS ({_HOURLY_SERIES_SQL}),
+win AS (
+    SELECT series_id, valid_time,
+           sum(CAST(value AS DECIMAL(18,6))) OVER pre  AS pre_sum,
+           count(*) OVER pre  AS pre_n,
+           sum(CAST(value AS DECIMAL(18,6))) OVER post AS post_sum,
+           count(*) OVER post AS post_n
+    FROM s
+    WINDOW pre  AS (PARTITION BY series_id ORDER BY valid_time
+                    ROWS BETWEEN {CHANGEPOINT_WIN} PRECEDING AND 1 PRECEDING),
+           post AS (PARTITION BY series_id ORDER BY valid_time
+                    ROWS BETWEEN CURRENT ROW AND {CHANGEPOINT_WIN - 1} FOLLOWING)
+)
+SELECT series_id, valid_time,
+       floor((CAST(pre_sum AS DOUBLE) / pre_n) * 1e6 + 0.5) / 1e6 AS pre_mean,
+       floor((CAST(post_sum AS DOUBLE) / post_n) * 1e6 + 0.5) / 1e6 AS post_mean,
+       floor((CAST(post_sum AS DOUBLE) / post_n - CAST(pre_sum AS DOUBLE) / pre_n) * 1e6 + 0.5) / 1e6 AS mean_shift
+FROM win
+WHERE pre_n = {CHANGEPOINT_WIN} AND post_n = {CHANGEPOINT_WIN}
+  AND abs(CAST(post_sum AS DOUBLE) / post_n - CAST(pre_sum AS DOUBLE) / pre_n) >= {CHANGEPOINT_THRESHOLD}
+"""

@@ -8,7 +8,7 @@ with no shuffle at all except where a groupBy is the point.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from timedb_spark.functions import texttools as tt
@@ -224,3 +224,150 @@ r AS (
 )
 SELECT doc_id, term, tf, df, score, rank FROM r WHERE rank <= 3
 """
+
+
+# ---------------------------------------------------------------------------
+# repetition signals (Gopher-style quality filters)
+# ---------------------------------------------------------------------------
+
+
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals per document: word bigram/trigram
+    totals, the top n-gram's share, and the duplicate-n-gram fraction —
+    the "most common 2-gram fraction" / "duplicate n-gram fraction" filters
+    from the Gopher data-quality rules (Rae et al. 2021, table A1).
+
+    Shape: ONE explode over both gram lengths tagged by ``n`` → fine-keyed
+    (doc, n, gram) count with map-side combine → ONE per-doc conditional
+    pivot. Shuffle volume is O(total grams), never quadratic; the gram
+    arrays are built with the shared sequence-index shingle helper (no
+    per-gram regex work)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", tt.ws_tokens(F.col("text")).alias("w"))
+    grams = toks.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                F.struct(F.lit(2).alias("n"), tt.shingles(F.col("w"), 2).alias("g")),
+                F.struct(F.lit(3).alias("n"), tt.shingles(F.col("w"), 3).alias("g")),
+            )
+        ).alias("ng"),
+    ).select("doc_id", F.col("ng.n").alias("n"), F.explode("ng.g").alias("g"))
+    counts = grams.groupBy("doc_id", "n", "g").agg(F.count(F.lit(1)).alias("c"))
+
+    def _n(col_n: int, expr):
+        return F.when(F.col("n") == col_n, expr)
+
+    per_doc = counts.groupBy("doc_id").agg(
+        F.sum(_n(2, F.col("c"))).alias("n_bigrams"),
+        F.max(_n(2, F.col("c"))).alias("top_bigram_n"),
+        F.sum(_n(2, F.lit(1))).alias("_d2"),
+        F.sum(_n(3, F.col("c"))).alias("n_trigrams"),
+        F.sum(_n(3, F.lit(1))).alias("_d3"),
+    )
+    r6 = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)  # noqa: E731
+    return per_doc.select(
+        "doc_id",
+        "n_bigrams",
+        "top_bigram_n",
+        r6(F.col("top_bigram_n").cast("double") / F.col("n_bigrams")).alias("top_bigram_frac"),
+        r6(1 - F.col("_d2").cast("double") / F.col("n_bigrams")).alias("dup_bigram_frac"),
+        "n_trigrams",
+        r6(1 - F.col("_d3").cast("double") / F.col("n_trigrams")).alias("dup_trigram_frac"),
+    )
+
+
+TEXT_REPETITION_SQL = r"""
+WITH tok AS (
+    SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents
+),
+grams AS (
+    SELECT doc_id, 2 AS n,
+           unnest(list_transform(range(1, greatest(len(w) - 1, 1) + 1),
+                                 i -> array_to_string(w[i:i+1], ' '))) AS g
+    FROM tok
+    UNION ALL
+    SELECT doc_id, 3 AS n,
+           unnest(list_transform(range(1, greatest(len(w) - 2, 1) + 1),
+                                 i -> array_to_string(w[i:i+2], ' '))) AS g
+    FROM tok
+),
+counts AS (SELECT doc_id, n, g, count(*) AS c FROM grams GROUP BY doc_id, n, g),
+per_doc AS (
+    SELECT doc_id,
+           sum(CASE WHEN n = 2 THEN c END) AS n_bigrams,
+           max(CASE WHEN n = 2 THEN c END) AS top_bigram_n,
+           sum(CASE WHEN n = 2 THEN 1 END) AS d2,
+           sum(CASE WHEN n = 3 THEN c END) AS n_trigrams,
+           sum(CASE WHEN n = 3 THEN 1 END) AS d3
+    FROM counts GROUP BY doc_id
+)
+SELECT doc_id, n_bigrams, top_bigram_n,
+       floor(CAST(top_bigram_n AS DOUBLE) / n_bigrams * 1e6 + 0.5) / 1e6 AS top_bigram_frac,
+       floor((1 - CAST(d2 AS DOUBLE) / n_bigrams) * 1e6 + 0.5) / 1e6 AS dup_bigram_frac,
+       n_trigrams,
+       floor((1 - CAST(d3 AS DOUBLE) / n_trigrams) * 1e6 + 0.5) / 1e6 AS dup_trigram_frac
+FROM per_doc
+"""
+
+
+# ---------------------------------------------------------------------------
+# PII scan + scrub
+# ---------------------------------------------------------------------------
+
+#: PII patterns — constructs restricted to the Java-regex ∩ RE2 common
+#: subset (no backrefs/lookaround) so Spark and the DuckDB oracle agree.
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ssn": r"\b\d{3}-\d{2}-\d{4}\b",
+    "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+    "phone": r"\+?\d[\d\- ]{7,}\d",
+}
+
+#: Scrub order matters (an SSN also looks phone-ish): most-specific first.
+PII_SCRUB_ORDER = ("email", "ssn", "ipv4", "phone")
+
+
+def pii_scrub(text: Column) -> Column:
+    """Redact every PII match with ``<KIND>`` tokens, most-specific first."""
+    out = text
+    for kind in PII_SCRUB_ORDER:
+        out = F.regexp_replace(out, PII_PATTERNS[kind], f"<{kind.upper()}>")
+    return out
+
+
+def text_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scan + scrub per document: match counts per kind plus the md5 of
+    the redacted text (the synthetic corpus is PII-free, so this doubles as
+    a cross-engine no-op-scrub proof; the positive path — crafted emails /
+    SSNs / IPs / phones detected and redacted — is pinned by unit tests
+    against a DuckDB mini-oracle). Pure projection: rides the scan, no
+    shuffle, trivially parallel at 100 TB."""
+    docs = load_table(spark, sf_dir, "documents")
+    text = F.col("text")
+    counts = {k: F.size(F.regexp_extract_all(text, F.lit(p), 0)) for k, p in PII_PATTERNS.items()}
+    total = sum(list(counts.values())[1:], start=list(counts.values())[0])
+    return docs.select(
+        "doc_id",
+        *[counts[k].alias(f"n_{k}") for k in PII_SCRUB_ORDER],
+        total.alias("pii_total"),
+        F.md5(pii_scrub(text)).alias("clean_hash"),
+    )
+
+
+def _pii_scrub_sql(col: str) -> str:
+    out = col
+    for kind in PII_SCRUB_ORDER:
+        out = f"regexp_replace({out}, '{PII_PATTERNS[kind]}', '<{kind.upper()}>', 'g')"
+    return out
+
+
+TEXT_PII_SQL = rf"""
+SELECT doc_id,
+       {", ".join(f"len(regexp_extract_all(text, '{PII_PATTERNS[k]}')) AS n_{k}" for k in PII_SCRUB_ORDER)},
+       {" + ".join(f"len(regexp_extract_all(text, '{PII_PATTERNS[k]}'))" for k in PII_SCRUB_ORDER)} AS pii_total,
+       md5({_pii_scrub_sql("text")}) AS clean_hash
+FROM documents
+"""
+
+
