@@ -18,7 +18,7 @@ from datetime import datetime, timedelta
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from timedb_spark.io.tables import BITEMPORAL_ORACLE_SQL, bitemporal_frame, load_table
+from timedb_spark.io.tables import BITEMPORAL_ORACLE_SQL, INTERVAL_ORACLE_SQL, bitemporal_frame, interval_frame, load_table
 from timedb_spark.operators import analytics, asof, dedup, forecasting, funnel, multimodal, pipeline, sampling, similarity, text, timeseries, tpch_ext
 from timedb_spark.operators import bitemporal as bt
 
@@ -145,6 +145,15 @@ def _q_value_at(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-axis bitemporal pin: value in effect at _SNAP_T as known at
     _DIFF_T2 (single max_by aggregation, both cutoffs pushed down)."""
     return bt.value_at(bitemporal_frame(spark, sf_dir), _SNAP_T, _DIFF_T2)
+
+
+_INTERVAL_T = datetime(2024, 1, 15, 12, 30)
+
+
+def _q_interval_at(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-validity read: the observation in effect at _INTERVAL_T
+    under [valid_time, valid_time_end) semantics."""
+    return bt.interval_at(interval_frame(spark, sf_dir), _INTERVAL_T)
 
 
 def _q_write_skip_unchanged(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -288,6 +297,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bt_snapshot": _q_snapshot,
         "bt_snapshot_diff": _q_snapshot_diff,
         "bt_value_at": _q_value_at,
+        "bt_interval_at": _q_interval_at,
         "bt_backtest_error": _q_backtest_error,
         "bt_forecast_vintage": forecasting.forecast_vintage,
         "bt_restatements": forecasting.restatements,
@@ -367,6 +377,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_seasonal_naive": timeseries.seasonal_naive,
         "ts_histogram": timeseries.value_histogram,
         "ts_ewma": timeseries.ewma,
+        "ts_holt": timeseries.holt,
         "ts_rate": timeseries.counter_rate,
         "events_cohort": timeseries.retention_cohort,
         "ts_m4": timeseries.m4_downsample,
@@ -612,6 +623,21 @@ def oracle_sql() -> dict[str, str]:
         """,
         "bt_forecast_vintage": forecasting.forecast_vintage_sql(_SV),
         "bt_restatements": forecasting.restatements_sql(_SV),
+        "bt_interval_at": f"""
+            WITH sv AS ({INTERVAL_ORACLE_SQL}),
+            covering AS (
+                SELECT * FROM sv
+                WHERE valid_time <= TIMESTAMP '2024-01-15 12:30:00'
+                  AND valid_time_end > TIMESTAMP '2024-01-15 12:30:00'
+            )
+            SELECT series_id, valid_time, valid_time_end, value FROM (
+                SELECT series_id, valid_time, valid_time_end, value,
+                       row_number() OVER (PARTITION BY series_id
+                                          ORDER BY valid_time DESC, knowledge_time DESC,
+                                                   change_time DESC, value DESC) AS rn
+                FROM covering
+            ) t WHERE rn = 1
+        """,
         "tpch_q1": analytics.TPCH_Q1_SQL,
         "tpch_q3": analytics.TPCH_Q3_SQL,
         "tpch_q4": analytics.TPCH_Q4_SQL,
@@ -685,6 +711,7 @@ def oracle_sql() -> dict[str, str]:
         "ts_seasonal_naive": timeseries.SEASONAL_NAIVE_SQL,
         "ts_histogram": timeseries.VALUE_HISTOGRAM_SQL,
         "ts_ewma": timeseries.EWMA_SQL,
+        "ts_holt": timeseries.HOLT_SQL,
         "ts_rate": timeseries.COUNTER_RATE_SQL,
         "events_cohort": timeseries.RETENTION_COHORT_SQL,
         "ts_m4": timeseries.M4_SQL,

@@ -98,6 +98,39 @@ def test_changepoint_planted_shift(spark, tmp_path):
     assert sum(1 for r in out if abs(r.mean_shift) == 40.0) == 1
 
 
+def test_holt_hand_computed(spark, tmp_path):
+    from timedb_spark.operators import timeseries as ts
+
+    t = lambda h: datetime(2024, 1, 1, h)
+    d = _events_dir(tmp_path, [(1, t(0), 1, "x", 10.0), (2, t(1), 1, "x", 20.0), (3, t(2), 1, "x", 40.0)])
+    got = {r.event_id: (r.holt_level, r.holt_forecast) for r in ts.holt(spark, d).collect()}
+    # α=β=0.5, seed (l=10, b=0):
+    # x=20: l=.5·20+.5·10=15, b=.5·5=2.5 → forecast 17.5
+    # x=40: l=.5·40+.5·17.5=28.75, b=.5·13.75+.5·2.5=8.125 → forecast 36.875
+    assert got == {1: (10.0, 10.0), 2: (15.0, 17.5), 3: (28.75, 36.875)}
+
+
+def test_interval_at_overlap_arbitration(spark, tmp_path):
+    from timedb_spark.io.tables import interval_frame
+    from timedb_spark.operators import bitemporal as bt
+
+    # id%3 sets interval hours (1+), id%4 the knowledge lag (io.tables).
+    t = lambda h, m=0: datetime(2024, 1, 1, h, m)
+    d = _events_dir(
+        tmp_path,
+        [
+            (1, t(10), 1, "x", 2.0),  # [10,12) covers 11:30, kt 09:00
+            (3, t(11), 1, "x", 3.0),  # [11,12) covers, kt 08:00 — newer vt wins
+            (7, t(11, 40), 1, "x", 4.0),  # [11,13) covers, same vt, kt 08:40 — newest revision wins
+            (6, t(9), 2, "x", 9.0),  # [09,10) does NOT cover → series 2 absent
+        ],
+    )
+    out = bt.interval_at(interval_frame(spark, d), t(11, 30)).collect()
+    assert len(out) == 1
+    [r] = out
+    assert (r.series_id, r.valid_time, r.valid_time_end, r.value) == (1, t(11), t(13), 4.0)
+
+
 def test_attribution_last_touch_window(spark, tmp_path):
     t0 = datetime(2024, 1, 1)
     d = _events_dir(

@@ -85,6 +85,38 @@ def bitemporal_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def interval_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """:func:`bitemporal_frame` plus a bounded validity interval — the
+    reference's ``valid_time_end`` column (DDL: series_values.valid_time_end)
+    made non-degenerate: each observation is valid for 1–3 hours
+    (1 + event_id % 3), so intervals from neighbouring hours genuinely
+    overlap and an instant query must arbitrate."""
+    ev = load_table(spark, sf_dir, "events")
+    ts = F.col("ts").cast("timestamp")
+    vt = F.date_trunc("hour", ts)
+    return ev.select(
+        F.col("user_id").alias("series_id"),
+        vt.alias("valid_time"),
+        (vt + F.make_interval(hours=(1 + F.col("event_id") % 3).cast("int"))).alias("valid_time_end"),
+        (ts - F.make_interval(hours=(F.col("event_id") % 4).cast("int"))).alias("knowledge_time"),
+        ts.alias("change_time"),
+        F.col("value"),
+    )
+
+
+#: DuckDB twin of :func:`interval_frame`.
+INTERVAL_ORACLE_SQL = """
+SELECT
+    user_id                                              AS series_id,
+    date_trunc('hour', ts)                               AS valid_time,
+    date_trunc('hour', ts) + to_hours(1 + event_id % 3)  AS valid_time_end,
+    ts - to_hours(event_id % 4)                          AS knowledge_time,
+    ts                                                   AS change_time,
+    value                                                AS value
+FROM events
+"""
+
+
 #: DuckDB twin of :func:`bitemporal_frame` — used as a CTE in oracle SQL.
 BITEMPORAL_ORACLE_SQL = """
 SELECT

@@ -454,3 +454,27 @@ def value_at(df: DataFrame, valid_instant: "datetime", asof_knowledge: "datetime
         win.getField("knowledge_time").alias("known_at"),
         F.when(F.isnan(v), F.lit(None)).otherwise(v).alias("value"),
     )
+
+
+def interval_at(df: DataFrame, at: "datetime") -> DataFrame:
+    """Interval-validity point read: each series' observation whose
+    ``[valid_time, valid_time_end)`` interval COVERS instant ``at``, latest
+    fact first — the reference's ``valid_time_end`` column (DDL
+    ch_create_tables.sql:33) given its application-time-period semantics
+    (SQL:2011 application-time ``CONTAINS``).
+
+    Overlapping intervals are arbitrated by the same two-level argmax as
+    :func:`value_at` — newest effective ``valid_time``, then newest
+    ``(knowledge_time, change_time)`` revision within it — in ONE map-side-
+    combinable ``max_by``; both interval bounds are pushdown predicates, so
+    at 100 TB the scan prunes to the partitions whose zone maps can cover
+    ``at``."""
+    covering = df.filter((F.col("valid_time") <= F.lit(at)) & (F.col("valid_time_end") > F.lit(at)))
+    key = F.struct("valid_time", "knowledge_time", "change_time", "value")
+    win = F.max_by(F.struct("valid_time", "valid_time_end", "value"), key)
+    v = win.getField("value")
+    return covering.groupBy("series_id").agg(
+        win.getField("valid_time").alias("valid_time"),
+        win.getField("valid_time_end").alias("valid_time_end"),
+        F.when(F.isnan(v), F.lit(None)).otherwise(v).alias("value"),
+    )

@@ -747,6 +747,71 @@ FROM arr
 """
 
 
+_HOLT_ALPHA = 0.5
+_HOLT_BETA = 0.5
+_HOLT_SPAN = 24
+
+
+def holt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt's linear (double exponential) smoothing per user over a bounded
+    trailing frame — the trend-aware upgrade of :func:`ewma`, emitting the
+    smoothed level and the one-step-ahead forecast (level + trend).
+
+    The 2-state recursion  l' = α·x + (1-α)(l+b);  b' = β(l'-l) + (1-β)b  is
+    a left fold whose accumulator is a 2-element double array — ``F.aggregate``
+    with an array zero on Spark, ``list_reduce`` over array-wrapped elements
+    in the oracle (the init state is prepended; each value rides as [x, 0]).
+    Dyadic α/β keep the double arithmetic bit-identical across engines; the
+    frame is ROWS-bounded so the window carries O(span) state. Seeded with
+    (l₀ = oldest value, b₀ = 0) — the standard zero-trend init."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-(_HOLT_SPAN - 1), 0)
+    arr = F.collect_list("value").over(w)
+    a, b_ = _HOLT_ALPHA, _HOLT_BETA
+
+    def _step(acc, x):
+        l_, tr = F.element_at(acc, 1), F.element_at(acc, 2)
+        lp = a * x + (1.0 - a) * (l_ + tr)
+        return F.array(lp, b_ * (lp - l_) + (1.0 - b_) * tr)
+
+    fold = F.aggregate(F.slice(arr, 2, _HOLT_SPAN), F.array(F.element_at(arr, 1), F.lit(0.0)), _step)
+    level, trend = F.element_at(fold, 1), F.element_at(fold, 2)
+    # floor-scale (not round): bit-identical folds, engine-divergent tie modes
+    return ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "value",
+        (F.floor(level * 1e6) / 1e6).alias("holt_level"),
+        (F.floor((level + trend) * 1e6) / 1e6).alias("holt_forecast"),
+    )
+
+
+HOLT_SQL = f"""
+WITH arr AS (
+    SELECT user_id, ts, event_id, value,
+           list(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN {_HOLT_SPAN - 1} PRECEDING AND CURRENT ROW) AS a
+    FROM events
+),
+folded AS (
+    SELECT user_id, ts, event_id, value,
+           list_reduce(
+               list_prepend([a[1], 0.0], list_transform(a[2:], x -> [x, 0.0])),
+               (acc, x) -> [
+                   {_HOLT_ALPHA} * x[1] + {1.0 - _HOLT_ALPHA} * (acc[1] + acc[2]),
+                   {_HOLT_BETA} * (({_HOLT_ALPHA} * x[1] + {1.0 - _HOLT_ALPHA} * (acc[1] + acc[2])) - acc[1])
+                   + {1.0 - _HOLT_BETA} * acc[2]
+               ]) AS s
+    FROM arr
+)
+SELECT user_id, ts, event_id, value,
+       floor(s[1] * 1e6) / 1e6 AS holt_level,
+       floor((s[1] + s[2]) * 1e6) / 1e6 AS holt_forecast
+FROM folded
+"""
+
+
 def counter_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user value rate between consecutive samples with counter-reset
     detection — the PromQL ``rate()`` / ClickHouse ``runningDifference``
