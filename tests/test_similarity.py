@@ -109,3 +109,23 @@ def test_ivf_recall_on_clustered(spark, clustered_dir, clustered_truth):
     approx = _by_query(sim.ann_ivf(spark, clustered_dir).collect())
     r = _recall(approx, clustered_truth)
     assert r >= 0.8, f"IVF recall {r:.2f} below floor on clustered data"
+
+
+def test_pq_recall_on_clustered(spark, clustered_dir, clustered_truth):
+    # ADC over 8×16 integer codebooks: coarse, but planted clusters are far
+    # apart relative to the quantization error, so recall must hold.
+    approx = _by_query(sim.ann_pq(spark, clustered_dir).collect())
+    r = _recall(approx, clustered_truth)
+    assert r >= 0.8, f"PQ recall {r:.2f} below floor on clustered data"
+
+
+def test_pq_rank_contract(spark, sf_dir):
+    rows = sim.ann_pq(spark, sf_dir).collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r)
+    for q, rs in by_q.items():
+        rs.sort(key=lambda r: r.rank)
+        assert [r.rank for r in rs] == list(range(1, len(rs) + 1))
+        cosines = [r.cosine for r in rs]
+        assert cosines == sorted(cosines, reverse=True)  # exact-rescored order

@@ -193,6 +193,177 @@ def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PQ_M = 8  # subspaces
+_PQ_K = 16  # centroids per subspace
+_PQ_DSUB = 8  # dims per subspace (= dim / M)
+_PQ_SHORTLIST = 10 * _TOP_K  # ADC candidates re-ranked exactly
+
+
+def ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization top-k (ADC): each vector is compressed to M
+    subspace centroid ids; query-time scoring is a per-subspace distance
+    TABLE lookup summed over subspaces (Jégou et al., TPAMI'11) — never a
+    full-vector scan.
+
+    Codebook training is deterministic k-means: STRIDED seed vectors
+    (vec_id = c·⌊n/K⌋ — spread across the id range, so diverse data yields
+    diverse seeds; a modulo seeding would average every stratum to the
+    global mean and collapse the codebook — PQ, unlike IVF, has no
+    true-distance rescue, the codebook IS the distance) + one Lloyd
+    refinement with elementwise integer-mean centroids. Assignment is
+    exact-integer squared-L2 argmin, so the DuckDB oracle is bit-identical.
+    At 100 TB the codes table is M small ints per vector (50–100× smaller
+    than the raw embeddings — the part of the index that must stay hot),
+    the distance table is queries×M×K rows (broadcast), and ADC scoring is
+    one broadcast equi-join on (subspace, code) + a map-side-combinable
+    sum. Recall vs brute force is measured on planted clusters in tests."""
+    from pyspark import StorageLevel
+
+    vecs = _quantized(spark, sf_dir)
+    # persist(): the subvector frame feeds five plan branches (seeds, both
+    # assignment passes, the Lloyd recompute) and Spark does not share
+    # common subplans — unpersisted, the scan+explode+slice re-runs per
+    # branch. Same discipline as dedup._shingled.
+    sub = (
+        vecs.select("vec_id", "q", F.explode(F.sequence(F.lit(0), F.lit(_PQ_M - 1))).alias("m"))
+        .select("vec_id", "m", F.expr(f"slice(q, m * {_PQ_DSUB} + 1, {_PQ_DSUB})").alias("sq"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+
+    def l2sq(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        )
+
+    # strided seeds: vector c·⌊n/K⌋ is subspace-m's initial centroid c
+    n1 = vecs.agg(F.count(F.lit(1)).alias("n"))  # 1-row broadcast, no collect
+    cb0 = (
+        sub.join(F.broadcast(n1))
+        .filter((F.col("vec_id") % F.expr(f"n div {_PQ_K}") == 0) & (F.expr(f"vec_id div (n div {_PQ_K})") < _PQ_K))
+        .select("m", F.expr(f"vec_id div (n div {_PQ_K})").alias("cell"), F.col("sq").alias("cq"))
+    )
+
+    # one Lloyd step: assign to nearest seed, recompute integer-mean centroids
+    ad0 = sub.join(F.broadcast(cb0), "m").select(
+        "vec_id", "m", "cell", l2sq(F.col("sq"), F.col("cq")).alias("d")
+    )
+    codes0 = ad0.groupBy("vec_id", "m").agg(F.min_by("cell", F.struct("d", "cell")).alias("cell"))
+    comp = sub.join(codes0, ["vec_id", "m"]).select("m", "cell", F.posexplode("sq").alias("j", "x"))
+    cbc = comp.groupBy("m", "cell", "j").agg(
+        F.floor(F.sum("x").cast("double") / F.count(F.lit(1)) + F.lit(0.5)).cast("long").alias("c")
+    )
+    cb = cbc.groupBy("m", "cell").agg(
+        F.transform(F.array_sort(F.collect_list(F.struct("j", "c"))), lambda s: s.c).alias("cq")
+    )
+
+    # assignment distances double as the query distance table (ADC is
+    # asymmetric in the ORIGINAL space; here queries are table vectors, so
+    # their per-cell distances are exactly the assignment distances)
+    ad = (
+        sub.join(F.broadcast(cb), "m")
+        .select("vec_id", "m", "cell", l2sq(F.col("sq"), F.col("cq")).alias("d"))
+        .persist(StorageLevel.MEMORY_AND_DISK)  # feeds codes AND the query distance table
+    )
+    codes = ad.groupBy("vec_id", "m").agg(F.min_by("cell", F.struct("d", "cell")).alias("code"))
+    qdist = ad.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("m").alias("qm"), F.col("cell").alias("qcell"), F.col("d").alias("qd")
+    )
+
+    adc = (
+        codes.join(F.broadcast(qdist), (F.col("m") == F.col("qm")) & (F.col("code") == F.col("qcell")))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", "vec_id")
+        .agg(F.sum("qd").alias("adist"))
+    )
+    # ADC shortlist → exact rescore (the IVFADC re-ranking stage): near-dup
+    # vectors share codes, so ADC distances tie inside a cluster — the
+    # shortlist (10×k) recovers the candidates, the exact cosine ranks them.
+    ws = Window.partitionBy("query_id").orderBy(F.col("adist").asc(), F.col("vec_id"))
+    short = adc.withColumn("srn", F.row_number().over(ws)).filter(F.col("srn") <= _PQ_SHORTLIST)
+    qv = vecs.filter(F.col("vec_id") < _N_QUERIES).select(F.col("vec_id").alias("query_id"), F.col("q").alias("qv"))
+    rescored = (
+        short.select("query_id", "vec_id")
+        .join(vecs.select("vec_id", "q"), "vec_id")
+        .join(F.broadcast(qv), "query_id")
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), vx.cosine_q(F.col("qv"), F.col("q")).alias("_cos"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("_cos").desc(), F.col("neighbor_id"))
+    return (
+        rescored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _TOP_K)
+        .select("query_id", "neighbor_id", F.round(F.col("_cos"), 6).alias("cosine"), "rank")
+    )
+
+
+ANN_PQ_SQL = f"""
+WITH vecs AS (
+    SELECT vec_id, {vx.QUANTIZE_SQL.format(v='embedding')} AS q FROM embeddings
+),
+comp AS (
+    SELECT vec_id, (i - 1) // {_PQ_DSUB} AS m, (i - 1) % {_PQ_DSUB} AS j, q[i] AS x
+    FROM vecs CROSS JOIN (SELECT unnest(range(1, {_PQ_M * _PQ_DSUB} + 1)) AS i) idx
+),
+n1 AS (SELECT count(*) AS n FROM vecs),
+cb0 AS (
+    SELECT m, vec_id // (n // {_PQ_K}) AS cell, j, x AS c
+    FROM comp, n1
+    WHERE vec_id % (n // {_PQ_K}) = 0 AND vec_id // (n // {_PQ_K}) < {_PQ_K}
+),
+ad0 AS (
+    SELECT comp.vec_id, comp.m, cb0.cell, sum((comp.x - cb0.c) * (comp.x - cb0.c)) AS d
+    FROM comp JOIN cb0 ON comp.m = cb0.m AND comp.j = cb0.j
+    GROUP BY comp.vec_id, comp.m, cb0.cell
+),
+codes0 AS (
+    SELECT vec_id, m, cell FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id, m ORDER BY d, cell) AS rn FROM ad0
+    ) t WHERE rn = 1
+),
+cb AS (
+    SELECT comp.m, codes0.cell, comp.j,
+           CAST(floor(CAST(sum(comp.x) AS DOUBLE) / count(*) + 0.5) AS BIGINT) AS c
+    FROM comp JOIN codes0 ON comp.vec_id = codes0.vec_id AND comp.m = codes0.m
+    GROUP BY comp.m, codes0.cell, comp.j
+),
+ad AS (
+    SELECT comp.vec_id, comp.m, cb.cell, sum((comp.x - cb.c) * (comp.x - cb.c)) AS d
+    FROM comp JOIN cb ON comp.m = cb.m AND comp.j = cb.j
+    GROUP BY comp.vec_id, comp.m, cb.cell
+),
+codes AS (
+    SELECT vec_id, m, cell AS code FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id, m ORDER BY d, cell) AS rn FROM ad
+    ) t WHERE rn = 1
+),
+qdist AS (SELECT vec_id AS query_id, m, cell, d AS qd FROM ad WHERE vec_id < {_N_QUERIES}),
+adc AS (
+    SELECT q.query_id, c.vec_id AS neighbor_id, sum(q.qd) AS adist
+    FROM codes c JOIN qdist q ON c.m = q.m AND c.code = q.cell
+    WHERE c.vec_id != q.query_id
+    GROUP BY q.query_id, c.vec_id
+),
+short AS (
+    SELECT query_id, neighbor_id FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY adist, neighbor_id) AS srn
+        FROM adc
+    ) t WHERE srn <= {_PQ_SHORTLIST}
+),
+rescored AS (
+    SELECT s.query_id, s.neighbor_id, {vx.cosine_q_sql('qv.q', 'nv.q')} AS c
+    FROM short s
+    JOIN vecs nv ON nv.vec_id = s.neighbor_id
+    JOIN vecs qv ON qv.vec_id = s.query_id
+),
+r AS (
+    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY c DESC, neighbor_id) AS rank
+    FROM rescored
+)
+SELECT query_id, neighbor_id, round(c, 6) AS cosine, rank FROM r WHERE rank <= {_TOP_K}
+"""
+
+
 _IVF_DIM = 64
 
 ANN_IVF_SQL = f"""
