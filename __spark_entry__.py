@@ -331,6 +331,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_tolerance": asof.asof_tolerance_last_click,
         "asof_nearest": asof.asof_nearest_purchase,
         "events_attribution": asof.attribution_last_touch,
+        "events_markov": analytics.events_markov,
         "events_funnel": funnel.events_funnel,
         "text_tokens": text.text_tokens,
         "text_quality": text.text_quality,
@@ -375,6 +376,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_anomaly_zscore": timeseries.anomaly_zscore,
         "ts_gap_detect": timeseries.gap_detect,
         "ts_corr": timeseries.corr_matrix,
+        "ts_autocorr": timeseries.autocorr,
         "ts_seasonal_naive": timeseries.seasonal_naive,
         "ts_histogram": timeseries.value_histogram,
         "ts_ewma": timeseries.ewma,
@@ -669,6 +671,7 @@ def oracle_sql() -> dict[str, str]:
         "asof_tolerance": asof.ASOF_TOLERANCE_SQL,
         "asof_nearest": asof.ASOF_NEAREST_SQL,
         "events_attribution": asof.ATTRIBUTION_SQL,
+        "events_markov": analytics.EVENTS_MARKOV_SQL,
         "events_funnel": funnel.EVENTS_FUNNEL_SQL,
         "text_tokens": text.TEXT_TOKENS_SQL,
         "text_quality": text.TEXT_QUALITY_SQL,
@@ -710,6 +713,7 @@ def oracle_sql() -> dict[str, str]:
         "ts_anomaly_zscore": timeseries.ANOMALY_ZSCORE_SQL,
         "ts_gap_detect": timeseries.GAP_DETECT_SQL,
         "ts_corr": timeseries.CORR_MATRIX_SQL,
+        "ts_autocorr": timeseries.AUTOCORR_SQL,
         "ts_seasonal_naive": timeseries.SEASONAL_NAIVE_SQL,
         "ts_histogram": timeseries.VALUE_HISTOGRAM_SQL,
         "ts_ewma": timeseries.EWMA_SQL,

@@ -147,3 +147,25 @@ def test_attribution_last_touch_window(spark, tmp_path):
     assert (u1.n_purchases, u1.n_attributed) == (2, 1)
     assert (u1.attributed_revenue, u1.organic_revenue) == (100.0, 50.0)
     assert (u2.n_purchases, u2.n_attributed, u2.attributed_revenue, u2.organic_revenue) == (1, 0, 0.0, 30.0)
+
+
+def test_events_markov_hand_computed(spark, tmp_path):
+    from timedb_spark.operators import analytics
+
+    t0 = datetime(2024, 1, 1)
+    d = _events_dir(
+        tmp_path,
+        [
+            (1, t0, 1, "click", 0.0),
+            (2, t0 + timedelta(minutes=1), 1, "view", 0.0),
+            (3, t0 + timedelta(minutes=2), 1, "view", 0.0),
+            (4, t0 + timedelta(minutes=3), 1, "purchase", 0.0),
+            (5, t0, 2, "click", 0.0),  # single event → no transition
+        ],
+    )
+    out = {(r.prev_type, r.next_type): (r.n, r.p_transition) for r in analytics.events_markov(spark, d).collect()}
+    assert out == {
+        ("click", "view"): (1, 1.0),
+        ("view", "view"): (1, 0.5),
+        ("view", "purchase"): (1, 0.5),
+    }

@@ -586,3 +586,45 @@ SELECT window_start, event_type,
 FROM hops
 GROUP BY 1, 2
 """
+
+
+def events_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-type transition matrix (first-order user-journey Markov chain):
+    for every consecutive (prev → next) pair within a user's event stream,
+    the count and the row-normalized transition probability.
+
+    Shape: ONE window ``lag`` per user (fine-grained partitions, parallel
+    sorts), then a map-side-combined count on the tiny (prev, next) grid;
+    the per-prev totals come from a second aggregation of the GRID (25
+    rows), not a second pass over events. Probability is an exact-integer
+    count ratio rounded with the cross-engine-stable floor formula."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    steps = ev.select(
+        F.col("event_type").alias("next_type"), F.lag("event_type").over(w).alias("prev_type")
+    ).filter(F.col("prev_type").isNotNull())
+    grid = steps.groupBy("prev_type", "next_type").agg(F.count(F.lit(1)).alias("n"))
+    totals = grid.groupBy("prev_type").agg(F.sum("n").alias("row_total"))
+    out = grid.join(F.broadcast(totals), "prev_type")
+    p = F.floor(F.col("n").cast("double") / F.col("row_total") * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+    return out.select("prev_type", "next_type", "n", p.alias("p_transition"))
+
+
+EVENTS_MARKOV_SQL = """
+WITH steps AS (
+    SELECT event_type AS next_type,
+           lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+    FROM events
+),
+grid AS (
+    SELECT prev_type, next_type, count(*) AS n
+    FROM steps WHERE prev_type IS NOT NULL
+    GROUP BY prev_type, next_type
+),
+totals AS (SELECT prev_type, sum(n) AS row_total FROM grid GROUP BY prev_type)
+SELECT g.prev_type, g.next_type, g.n,
+       floor(CAST(g.n AS DOUBLE) / t.row_total * 1e6 + 0.5) / 1e6 AS p_transition
+FROM grid g JOIN totals t USING (prev_type)
+"""

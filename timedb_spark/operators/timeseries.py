@@ -598,6 +598,76 @@ FROM g
 """
 
 
+_ACF_LAGS = (1, 24)
+
+
+def autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-series lag-k autocorrelation (the ACF a forecaster reads first)
+    at the hourly grain, for k ∈ {1, 24} — persistence vs daily seasonality.
+
+    Same determinism discipline as :func:`corr_matrix`: co-moment sums over
+    EXACT decimals, one double expression at the end (never the streaming
+    ``corr()`` accumulator). Lag pairing is a shifted equi-join on the
+    integer hour axis of the BOUNDED hourly frame (both lags ride one
+    small cross join — no window sort, no fact-scale shuffle); pairs only
+    exist where both hours were observed, so n varies per (series, lag)."""
+    s = _hourly_series(spark, sf_dir).withColumn("h", F.expr("unix_micros(valid_time) div 3600000000"))
+    dv = F.col("value").cast("decimal(18,6)")
+    base = s.select("series_id", "h", dv.alias("v"))
+    lagged = base.select(
+        F.col("series_id").alias("sid_l"),
+        F.col("v").alias("vl"),
+        F.explode(F.array(*[F.lit(k) for k in _ACF_LAGS])).alias("lag"),
+        F.col("h").alias("hl"),
+    )
+    pairs = base.join(
+        lagged, (F.col("series_id") == F.col("sid_l")) & (F.col("h") == F.col("hl") + F.col("lag"))
+    ).select(F.col("series_id").alias("sid"), "lag", F.col("v").alias("x"), F.col("vl").alias("y"))
+    g = pairs.groupBy(F.col("sid").alias("series_id"), "lag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    n = F.col("n").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxy, sxx, syy = (F.col(c).cast("double") for c in ("sxy", "sxx", "syy"))
+    r = (n * sxy - sx * sy) / F.sqrt(n * sxx - sx * sx) / F.sqrt(n * syy - sy * sy)
+    return g.filter(F.col("n") >= 4).select(
+        "series_id", "lag", F.col("n").alias("n_pairs"), F.round(r, 6).alias("acf")
+    )
+
+
+AUTOCORR_SQL = f"""
+WITH s AS ({_HOURLY_SERIES_SQL}),
+base AS (
+    SELECT series_id, epoch_us(valid_time) // 3600000000 AS h,
+           CAST(value AS DECIMAL(18,6)) AS v
+    FROM s
+),
+pairs AS (
+    SELECT a.series_id AS sid, k.lag, a.v AS x, b.v AS y
+    FROM base a
+    JOIN (SELECT unnest([{", ".join(str(k) for k in _ACF_LAGS)}]) AS lag) k ON TRUE
+    JOIN base b ON b.series_id = a.series_id AND b.h = a.h - k.lag
+),
+g AS (
+    SELECT sid AS series_id, lag,
+           count(*) AS n,
+           sum(x) AS sx, sum(y) AS sy,
+           sum(x * y) AS sxy, sum(x * x) AS sxx, sum(y * y) AS syy
+    FROM pairs GROUP BY 1, 2
+)
+SELECT series_id, lag, n AS n_pairs,
+       round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+             / sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)), 6) AS acf
+FROM g WHERE n >= 4
+"""
+
+
 # ---------------------------------------------------------------------------
 # Seasonal-naive forecast skill (value now vs same hour last week)
 # ---------------------------------------------------------------------------
