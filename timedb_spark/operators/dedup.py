@@ -288,6 +288,8 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """32-bit SimHash; candidates share one of four 8-bit byte-bands
     (guarantees recall for hamming ≤ 3 by pigeonhole: 4 bands, ≤3 differing
     bits → some band intact); verify bit_count(xor) ≤ 3."""
+    from pyspark import StorageLevel
+
     corpus = doc_corpus(spark, sf_dir)
     sigs = (
         corpus.select("doc_id", tt.ws_tokens(F.col("text")).alias("toks"))
@@ -295,6 +297,10 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         # each token is md5-hashed once, not 32×
         .select("doc_id", F.transform("toks", F.md5).alias("digs"))
         .select("doc_id", tt.simhash32(F.col("digs")).alias("sig"))
+        # persist(): the signature frame feeds BOTH sides of the band
+        # self-join — unpersisted, the tokenize+md5+32-fold pass runs twice.
+        # (doc_id, long) rows: negligible memory, halves the hash work.
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     bands = sigs.select(
         "doc_id",

@@ -1,28 +1,30 @@
 """Stateful latest-per-series streaming read — the streaming twin of
 ``operators.bitemporal.latest``.
 
-Each ``(series_id, valid_time)`` key keeps ONE small state tuple: the
-winning ``(knowledge_time, change_time, value)`` so far (argmax by
-``(kt, ct)``, exactly the batch ``max_by`` semantics). Every micro-batch
-emits the keys whose winner changed (update mode).
+State is keyed by ``series_id`` and holds the per-``valid_time`` winning
+``(knowledge_time, change_time, value)`` map (argmax by ``(kt, ct)``,
+exactly the batch ``max_by`` semantics) as parallel arrays. Every
+micro-batch emits the (series, hour) rows whose winner changed (update
+mode).
 
 Scale posture: state size is O(#live (series,hour) keys) × ~32 bytes — a
 bounded hot-state cache, not a history; the full history lives in the
 store, this operator serves the "current state, now" query that a batch
 read would answer with a full-scan collapse.
 
-Throughput note: ``applyInPandasWithState`` invokes Python once per key per
-micro-batch, so wall time scales with distinct keys touched, not rows —
-per-batch argmax is vectorized, but the per-key call overhead dominates
-when nearly every key appears in every batch (the synthetic-test worst
-case). On a real feed where a micro-batch touches a small fraction of live
-series, the same code is state-bound, not overhead-bound.
+Throughput note: ``applyInPandasWithState`` invokes Python once per KEY per
+micro-batch, so the keying choice is the wall-clock lever. Keying by
+``(series_id, valid_time)`` dispatches once per touched hour (~10⁵ calls
+per batch on the synthetic feed — measured 21 s at sf0.1); keying by
+``series_id`` with the hour map in state dispatches once per touched
+series (~10³) and does the per-hour argmax vectorized inside the call.
+Same semantics, ~10× fewer Python round-trips. The shuffle key stays as
+fine-grained as the real parallelism needs (series count ≫ cores).
 """
 
 from __future__ import annotations
 
 from collections.abc import Iterator
-from typing import Any
 
 import pandas as pd
 from pyspark.sql import DataFrame
@@ -39,19 +41,16 @@ OUTPUT_SCHEMA = T.StructType(
     ]
 )
 
-# state: winning (kt, ct) as epoch-µs longs + value (µs longs: GroupState
-# round-trips primitives losslessly; no tz ambiguity).
+# state: per-hour winners as parallel arrays (vt/kt/ct as epoch-µs longs:
+# GroupState round-trips primitives losslessly; no tz ambiguity).
 STATE_SCHEMA = T.StructType(
     [
-        T.StructField("kt_us", T.LongType()),
-        T.StructField("ct_us", T.LongType()),
-        T.StructField("value", T.DoubleType()),
+        T.StructField("vt_us", T.ArrayType(T.LongType())),
+        T.StructField("kt_us", T.ArrayType(T.LongType())),
+        T.StructField("ct_us", T.ArrayType(T.LongType())),
+        T.StructField("value", T.ArrayType(T.DoubleType())),
     ]
 )
-
-
-def _us(ts: Any) -> int:
-    return int(pd.Timestamp(ts).value // 1000)
 
 
 def _update_latest(
@@ -59,29 +58,51 @@ def _update_latest(
 ) -> Iterator[pd.DataFrame]:
     import numpy as np
 
-    best = state.get if state.exists else None  # (kt_us, ct_us, value)
-    changed = False
+    if state.exists:
+        vt_a, kt_a, ct_a, val_a = state.get
+        cur = {v: (k, c, x) for v, k, c, x in zip(vt_a, kt_a, ct_a, val_a)}
+    else:
+        cur = {}
+    changed: dict[int, tuple] = {}
     for pdf in pdfs:
         if not len(pdf):
             continue
-        # vectorized argmax of (kt, ct): lexsort keys are (secondary, primary)
+        vt = pdf["valid_time"].values.astype("datetime64[us]").astype("int64")
         kt = pdf["knowledge_time"].values.astype("datetime64[us]").astype("int64")
         ct = pdf["change_time"].values.astype("datetime64[us]").astype("int64")
-        i = int(np.lexsort((ct, kt))[-1])
-        cand = (int(kt[i]), int(ct[i]), float(pdf["value"].iloc[i]))
-        if best is None or cand[:2] > best[:2]:
-            best = cand
-            changed = True
-    if changed and best is not None:
-        state.update(best)
-        sid, vt = key
+        val = pdf["value"].values
+        # vectorized per-hour argmax of (kt, ct): lexsort (last key primary),
+        # then the last row of each equal-vt run is that hour's batch winner
+        order = np.lexsort((ct, kt, vt))
+        vts = vt[order]
+        run_ends = np.nonzero(np.r_[vts[1:] != vts[:-1], True])[0]
+        for e in run_ends:
+            i = int(order[e])
+            v = int(vt[i])
+            cand = (int(kt[i]), int(ct[i]), float(val[i]))
+            best = cur.get(v)
+            if best is None or cand[:2] > best[:2]:
+                cur[v] = cand
+                changed[v] = cand
+    if changed:
+        vts_s = sorted(cur)
+        state.update(
+            (
+                [int(v) for v in vts_s],
+                [cur[v][0] for v in vts_s],
+                [cur[v][1] for v in vts_s],
+                [cur[v][2] for v in vts_s],
+            )
+        )
+        sid = int(key[0])
+        ch = sorted(changed)
         yield pd.DataFrame(
             {
-                "series_id": [int(sid)],
-                "valid_time": [pd.Timestamp(vt)],
-                "value": [best[2]],
-                "knowledge_time": [pd.Timestamp(best[0] * 1000)],
-                "change_time": [pd.Timestamp(best[1] * 1000)],
+                "series_id": [sid] * len(ch),
+                "valid_time": [pd.Timestamp(v * 1000) for v in ch],
+                "value": [changed[v][2] for v in ch],
+                "knowledge_time": [pd.Timestamp(changed[v][0] * 1000) for v in ch],
+                "change_time": [pd.Timestamp(changed[v][1] * 1000) for v in ch],
             }
         )
 
@@ -89,7 +110,7 @@ def _update_latest(
 def stream_latest_state(sv_stream: DataFrame) -> DataFrame:
     """``series_values``-shaped stream → per-(series, valid_time) latest
     state, emitted on change. Update output mode."""
-    return sv_stream.groupBy("series_id", "valid_time").applyInPandasWithState(
+    return sv_stream.groupBy("series_id").applyInPandasWithState(
         _update_latest,
         outputStructType=OUTPUT_SCHEMA,
         stateStructType=STATE_SCHEMA,
