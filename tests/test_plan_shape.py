@@ -211,3 +211,64 @@ def test_events_cohort_dedup_before_distinct_count(spark, sf_dir):
     s = plans.formatted_plan(df)
     assert "Expand" not in s  # no count(distinct) expand — pre-deduped frame
     plans.assert_no_cartesian(df)
+
+
+def test_calendar_features_one_window_two_shuffles(spark, sf_dir):
+    # hourly partial-agg shuffle + the per-series window repartition; all
+    # three RANGE lag frames must ride ONE Window operator (one sort)
+    from timedb_spark.operators import forecasting as fc
+
+    df = fc.calendar_features(spark, sf_dir)
+    plans.assert_max_shuffles(df, 2)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # three RANGE frame definitions, all inside a single Window exec node
+    assert plan.count("windowspecdefinition") == 3
+    assert plan.count("+- Window") == 1
+
+
+def test_forecast_vintage_partial_agg(spark, sf_dir):
+    # every horizon is a conditional max_by inside the SAME aggregation —
+    # partial_max_by must appear (map-side combine before the shuffle)
+    from timedb_spark.operators import forecasting as fc
+
+    df = fc.forecast_vintage(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "partial_max_by" in plan
+    plans.assert_no_cartesian(df)
+
+
+def test_attribution_single_event_shuffle_plus_agg(spark, sf_dir):
+    # union + ONE window partitioning on user_id + the report groupBy —
+    # never an inequality self-join (no cartesian / BNLJ)
+    from timedb_spark.operators import asof
+
+    df = asof.attribution_last_touch(spark, sf_dir)
+    plans.assert_no_cartesian(df)
+    plans.assert_max_shuffles(df, 2)
+
+
+def test_ann_pq_broadcasts_codebook_and_distance_table(spark, sf_dir):
+    from timedb_spark.operators import similarity as sim
+
+    df = sim.ann_pq(spark, sf_dir)
+    plans.assert_broadcast_joins(df, 3)  # seeds→cb0, cb, qdist (+qv rescore)
+    plans.assert_no_cartesian(df)
+
+
+def test_text_pii_no_shuffle(spark, sf_dir):
+    from timedb_spark.operators import text as tx
+
+    df = tx.text_pii(spark, sf_dir)
+    plans.assert_max_shuffles(df, 0)  # pure projection rides the scan
+
+
+def test_interval_at_pushes_both_bounds(spark, sf_dir):
+    from datetime import datetime as _dt
+
+    from timedb_spark.io.tables import interval_frame
+    from timedb_spark.operators import bitemporal as bt
+
+    df = bt.interval_at(interval_frame(spark, sf_dir), _dt(2024, 1, 15, 12, 30))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "partial_max_by" in plan  # one map-side-combinable argmax, no window
+    assert "Window" not in plan
