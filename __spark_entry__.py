@@ -374,6 +374,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_ohlc": timeseries.ohlc_bars,
         "ts_moving_stats": timeseries.moving_stats,
         "ts_anomaly_zscore": timeseries.anomaly_zscore,
+        "ts_anomaly_mad": timeseries.mad_anomaly,
         "ts_gap_detect": timeseries.gap_detect,
         "ts_corr": timeseries.corr_matrix,
         "ts_autocorr": timeseries.autocorr,
@@ -711,6 +712,7 @@ def oracle_sql() -> dict[str, str]:
         "ts_ohlc": timeseries.OHLC_SQL,
         "ts_moving_stats": timeseries.MOVING_STATS_SQL,
         "ts_anomaly_zscore": timeseries.ANOMALY_ZSCORE_SQL,
+        "ts_anomaly_mad": timeseries.MAD_ANOMALY_SQL,
         "ts_gap_detect": timeseries.GAP_DETECT_SQL,
         "ts_corr": timeseries.CORR_MATRIX_SQL,
         "ts_autocorr": timeseries.AUTOCORR_SQL,

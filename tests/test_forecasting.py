@@ -169,3 +169,16 @@ def test_events_markov_hand_computed(spark, tmp_path):
         ("view", "view"): (1, 0.5),
         ("view", "purchase"): (1, 0.5),
     }
+
+
+def test_mad_anomaly_planted_outlier(spark, tmp_path):
+    from timedb_spark.operators import timeseries as ts
+
+    t0 = datetime(2024, 1, 1)
+    rows = [(i, t0 + timedelta(minutes=i), 1, "click", 10.0 + (i % 3) - 1) for i in range(30)]
+    rows.append((99, t0 + timedelta(hours=2), 1, "click", 1000.0))  # the outlier
+    d = _events_dir(tmp_path, rows)
+    out = ts.mad_anomaly(spark, d).collect()
+    assert [r.event_id for r in out] == [99]
+    [r] = out
+    assert r.value == 1000.0 and r.mad <= 1.0 and r.dev > 900

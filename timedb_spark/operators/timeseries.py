@@ -317,6 +317,50 @@ FROM events
 GROUP BY event_type
 """
 
+_MAD_K = 5.0
+
+
+def mad_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outliers per event_type via median absolute deviation:
+    flag rows with |x − median| > k·MAD — the heavy-tail-safe complement to
+    :func:`anomaly_zscore` (mean/std are themselves dragged by the outliers
+    they're meant to find; median/MAD are 50%-breakdown robust).
+
+    Two grouped exact percentiles (Spark ``percentile`` == DuckDB
+    ``quantile_cont``, parity proven by ts_quantiles), each broadcast back —
+    the flag is a scan-side filter, no per-row shuffle. At 100 TB swap the
+    exact percentile for ``percentile_approx`` (t-digest, map-side
+    combinable) exactly as in ts_quantiles."""
+    ev = load_table(spark, sf_dir, "events")
+    med = ev.groupBy("event_type").agg(F.percentile("value", F.lit(0.5)).alias("med"))
+    dev = ev.join(F.broadcast(med), "event_type").withColumn("dev", F.abs(F.col("value") - F.col("med")))
+    mad = dev.groupBy("event_type").agg(F.percentile("dev", F.lit(0.5)).alias("mad"))
+    out = dev.join(F.broadcast(mad), "event_type").filter(F.col("dev") > F.lit(_MAD_K) * F.col("mad"))
+    return out.select(
+        "event_id",
+        "event_type",
+        "value",
+        F.round("med", 6).alias("med"),
+        F.round("mad", 6).alias("mad"),
+        F.round("dev", 6).alias("dev"),
+    )
+
+
+MAD_ANOMALY_SQL = f"""
+WITH med AS (
+    SELECT event_type, quantile_cont(value, 0.5) AS med FROM events GROUP BY event_type
+),
+dev AS (
+    SELECT e.event_id, e.event_type, e.value, m.med, abs(e.value - m.med) AS dev
+    FROM events e JOIN med m USING (event_type)
+),
+mad AS (SELECT event_type, quantile_cont(dev, 0.5) AS mad FROM dev GROUP BY event_type)
+SELECT d.event_id, d.event_type, d.value,
+       round(d.med, 6) AS med, round(m.mad, 6) AS mad, round(d.dev, 6) AS dev
+FROM dev d JOIN mad m USING (event_type)
+WHERE d.dev > {_MAD_K} * m.mad
+"""
+
 
 # ---------------------------------------------------------------------------
 # driver-contract wrappers for the grid ops (events → series shape)
