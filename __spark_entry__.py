@@ -357,6 +357,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh": similarity.ann_lsh,
         "ann_ivf": similarity.ann_ivf,
         "ann_pq": similarity.ann_pq,
+        "embed_kmeans": similarity.embed_kmeans,
         "multimodal_meta": multimodal.multimodal_meta,
         "multimodal_decode": _q_multimodal_decode,
         "stream_window": _q_stream_window,
@@ -699,6 +700,7 @@ def oracle_sql() -> dict[str, str]:
         # ann_lsh: rows-only (approximate operator; recall measured in tests)
         "ann_ivf": similarity.ANN_IVF_SQL,
         "ann_pq": similarity.ANN_PQ_SQL,
+        "embed_kmeans": similarity.EMBED_KMEANS_SQL,
         "multimodal_meta": multimodal.MULTIMODAL_META_SQL,
         # multimodal_decode: rows-only (numpy decode inside mapInPandas;
         # verified against a local numpy recompute in tests/test_multimodal.py)

@@ -129,3 +129,15 @@ def test_pq_rank_contract(spark, sf_dir):
         assert [r.rank for r in rs] == list(range(1, len(rs) + 1))
         cosines = [r.cosine for r in rs]
         assert cosines == sorted(cosines, reverse=True)  # exact-rescored order
+
+
+def test_kmeans_purity_on_clustered(spark, clustered_dir):
+    # 16 deterministic k-means cells over 10 planted clusters: each cell
+    # should be dominated by one label (clusters may split, not blend)
+    rows = sim.embed_kmeans(spark, clustered_dir).collect()
+    assert len(rows) == 500
+    by_cell = {}
+    for r in rows:
+        by_cell.setdefault(r.cluster, []).append(r.vec_id // 50)  # true label
+    pure = sum(max(labels.count(l) for l in set(labels)) for labels in by_cell.values())
+    assert pure / 500 >= 0.9, f"k-means purity {pure/500:.2f} below floor"

@@ -65,9 +65,12 @@ def test_stream_window_drops_beyond_watermark(spark, tmp_path):
     rows1 = [(1, "2024-01-01 00:30:00", 1, "a", 1.0), (2, "2024-01-02 00:00:00", 1, "a", 1.0)]
     rows2 = [(3, "2024-01-01 01:00:00", 1, "a", 100.0)]  # > 1h behind max ts
     df1 = spark.createDataFrame(rows1, "event_id long, ts string, user_id long, event_type string, value double")
-    df1.select("event_id", F.col("ts").cast("timestamp").alias("ts"), "user_id", "event_type", "value").write.mode(
-        "append"
-    ).parquet(d)
+    # coalesce(1): both rows MUST land in one file — with maxFilesPerTrigger=1
+    # a two-file write makes batch order (and thus which row the watermark
+    # drops) depend on nondeterministic file listing order.
+    df1.select("event_id", F.col("ts").cast("timestamp").alias("ts"), "user_id", "event_type", "value").coalesce(
+        1
+    ).write.mode("append").parquet(d)
     stream = (
         spark.readStream.schema(EVENTS_STREAM_SCHEMA).option("maxFilesPerTrigger", 1).parquet(d)
     )

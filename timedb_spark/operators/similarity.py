@@ -364,6 +364,105 @@ SELECT query_id, neighbor_id, round(c, 6) AS cosine, rank FROM r WHERE rank <= {
 """
 
 
+_KM_K = 16
+_KM_ITERS = 2
+
+
+def embed_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic k-means over the full embedding vectors: cluster id +
+    exact squared distance per vector — the semantic-bucketing primitive a
+    curation pipeline uses for domain mixing, semantic dedup scoping, and
+    diversity sampling.
+
+    Training is the same fully-deterministic recipe as ann_pq's codebooks,
+    on whole vectors: strided seed vectors (c·⌊n/K⌋) + fixed Lloyd
+    iterations with elementwise integer-mean centroids; assignment is
+    exact-integer squared-L2 argmin with a cell-id tiebreak ⇒ bit-identical
+    DuckDB oracle. Per iteration: K centroids broadcast against one scan
+    (map-side distance fold), an argmin aggregate, and a tiny (K×dim)
+    re-mean — no iteration ever shuffles the vectors themselves, so the
+    loop cost at 100 TB is iterations × one codegen'd scan."""
+    vecs = _quantized(spark, sf_dir)
+
+    def l2sq(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        )
+
+    n1 = vecs.agg(F.count(F.lit(1)).alias("n"))
+    cb = (
+        vecs.join(F.broadcast(n1))
+        .filter((F.col("vec_id") % F.expr(f"n div {_KM_K}") == 0) & (F.expr(f"vec_id div (n div {_KM_K})") < _KM_K))
+        .select(F.expr(f"vec_id div (n div {_KM_K})").alias("cell"), F.col("q").alias("cq"))
+    )
+    for _ in range(_KM_ITERS):
+        ad = vecs.join(F.broadcast(cb)).select("vec_id", "q", "cell", l2sq(F.col("q"), F.col("cq")).alias("d"))
+        assign = ad.groupBy("vec_id").agg(F.min_by("cell", F.struct("d", "cell")).alias("cell"))
+        comp = vecs.join(assign, "vec_id").select("cell", F.posexplode("q").alias("j", "x"))
+        cbc = comp.groupBy("cell", "j").agg(
+            F.floor(F.sum("x").cast("double") / F.count(F.lit(1)) + F.lit(0.5)).cast("long").alias("c")
+        )
+        cb = cbc.groupBy("cell").agg(
+            F.transform(F.array_sort(F.collect_list(F.struct("j", "c"))), lambda s: s.c).alias("cq")
+        )
+    final = vecs.join(F.broadcast(cb)).select("vec_id", "cell", l2sq(F.col("q"), F.col("cq")).alias("d"))
+    w = Window.partitionBy("vec_id").orderBy(F.col("d").asc(), F.col("cell").asc())
+    return (
+        final.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", F.col("cell").alias("cluster"), F.col("d").alias("dist_sq"))
+    )
+
+
+def _km_assign_cte(cb: str, out: str) -> str:
+    return f"""
+{out}_d AS (
+    SELECT comp.vec_id, {cb}.cell, sum((comp.x - {cb}.c) * (comp.x - {cb}.c)) AS d
+    FROM comp JOIN {cb} ON comp.j = {cb}.j
+    GROUP BY comp.vec_id, {cb}.cell
+),
+{out} AS (
+    SELECT vec_id, cell, d FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn FROM {out}_d
+    ) t WHERE rn = 1
+)"""
+
+
+def _km_mean_cte(assign: str, out: str) -> str:
+    return f"""
+{out} AS (
+    SELECT {assign}.cell, comp.j,
+           CAST(floor(CAST(sum(comp.x) AS DOUBLE) / count(*) + 0.5) AS BIGINT) AS c
+    FROM comp JOIN {assign} ON comp.vec_id = {assign}.vec_id
+    GROUP BY {assign}.cell, comp.j
+)"""
+
+
+EMBED_KMEANS_SQL = f"""
+WITH vecs AS (
+    SELECT vec_id, {{q}} AS q FROM embeddings
+),
+comp AS (
+    SELECT vec_id, i - 1 AS j, q[i] AS x
+    FROM vecs CROSS JOIN (SELECT unnest(range(1, 65)) AS i) idx
+),
+n1 AS (SELECT count(*) AS n FROM vecs),
+cb0 AS (
+    SELECT vec_id // (n // {_KM_K}) AS cell, j, x AS c
+    FROM comp, n1
+    WHERE vec_id % (n // {_KM_K}) = 0 AND vec_id // (n // {_KM_K}) < {_KM_K}
+),
+{_km_assign_cte("cb0", "a0")},
+{_km_mean_cte("a0", "cb1")},
+{_km_assign_cte("cb1", "a1")},
+{_km_mean_cte("a1", "cb2")},
+{_km_assign_cte("cb2", "af")}
+SELECT vec_id, cell AS cluster, CAST(d AS BIGINT) AS dist_sq FROM af
+""".format(q=vx.QUANTIZE_SQL.format(v="embedding"))
+
+
 _IVF_DIM = 64
 
 ANN_IVF_SQL = f"""
