@@ -350,6 +350,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": dedup.dedup_clusters,
         "pipeline_clean": pipeline.pipeline_clean,
         "sample_stratified": sampling.sample_stratified,
+        "sample_mix": sampling.sample_mix,
         "train_split": sampling.train_split,
         "shard_assign": sampling.shard_assign,
         "pack_documents": sampling.pack_documents,
@@ -692,6 +693,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_clusters": dedup.DEDUP_CLUSTERS_SQL,
         "pipeline_clean": pipeline.PIPELINE_CLEAN_SQL,
         "sample_stratified": sampling.SAMPLE_STRATIFIED_SQL,
+        "sample_mix": sampling.SAMPLE_MIX_SQL,
         "train_split": sampling.TRAIN_SPLIT_SQL,
         "shard_assign": sampling.SHARD_ASSIGN_SQL,
         # pack_documents: rows-only (greedy sequential fold inside

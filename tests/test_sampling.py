@@ -97,3 +97,18 @@ def test_tfidf_ranks_rare_terms_first(spark, tmp_path):
     d1 = {r.term: (r.tf, r.df, r.score) for r in out if r.doc_id == 1}
     assert d1["zebra"] == (1, 1, 3_000_000)
     assert d1["common"] == (2, 3, 2_000_000)
+
+
+def test_sample_mix_thins_dominant_language(spark, sf_dir):
+    from timedb_spark.io.tables import load_table
+    from timedb_spark.operators.sampling import MIX_SIXTEENTHS, sample_mix
+
+    before = {r.lang: r.n for r in load_table(spark, sf_dir, "documents").groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    after = {r.lang: r.n for r in sample_mix(spark, sf_dir).groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    for lang, n_before in before.items():
+        rate = MIX_SIXTEENTHS.get(lang, 16)
+        if rate == 16:
+            assert after[lang] == n_before  # kept whole
+        else:
+            # md5-nibble thinning: within binomial slack of the target rate
+            assert abs(after[lang] - n_before * rate / 16) <= 4 * (n_before ** 0.5)

@@ -156,3 +156,39 @@ def pack_documents(spark: SparkSession, sf_dir: str, *, budget: int = PACK_BUDGE
         .groupBy("source")
         .applyInPandas(_pack, "source string, pack_id long, n_docs long, total_tokens long")
     )
+
+
+# ---------------------------------------------------------------------------
+# domain-mixture rebalance
+# ---------------------------------------------------------------------------
+
+#: per-language keep rate in sixteenths (md5 first-nibble buckets): the
+#: over-represented language is thinned toward a balanced mix, the rest kept.
+MIX_SIXTEENTHS = {"en": 6, "de": 16, "es": 16, "fr": 16, "zh": 16}
+
+
+def sample_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture rebalancing — the "data mixing" step of corpus
+    building: each language stratum keeps a deterministic md5-bucket
+    fraction chosen to pull the corpus toward the target mix (here: thin
+    the dominant language, keep the rest). Same scale posture as
+    sample_stratified: the keep decision is a pure per-row map riding the
+    scan; no shuffle at all (row-level output, hash-verified by the gate)."""
+    from timedb_spark.functions import texttools as tt
+
+    docs = load_table(spark, sf_dir, "documents")
+    nib = tt.nibble(_hx("doc_id"))
+    rate = F.lit(16)
+    for lang, r in MIX_SIXTEENTHS.items():
+        rate = F.when(F.col("lang") == lang, F.lit(r)).otherwise(rate)
+    return docs.filter(nib < rate).select("doc_id", "lang", "source", "n_chars")
+
+
+_MIX_RATE_CASE = " ".join(f"WHEN lang = '{k}' THEN {v}" for k, v in MIX_SIXTEENTHS.items())
+
+SAMPLE_MIX_SQL = f"""
+SELECT doc_id, lang, source, n_chars
+FROM documents
+WHERE (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1)
+      < (CASE {_MIX_RATE_CASE} ELSE 16 END)
+"""
