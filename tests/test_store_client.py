@@ -570,3 +570,28 @@ def test_delete_series_rewrites_only_affected_partitions(spark, tmp_path):
     assert db.read(series_ids=[50]).count() == 1         # untouched partition
     assert db.read_run_series(series_id=1) == []         # mapping forgotten
     assert db.count() == 2
+
+
+# -- concurrency (ref test_write_concurrency.py) -----------------------------
+
+
+def test_concurrent_writes_all_land(td):
+    """Parallel writers to one store lose nothing (the reference's
+    sessionless-parallel-insert guarantee, ref tests/test_write_concurrency
+    .py): each append writes its own files, so no writer can clobber
+    another; every row and every run id must surface on read-back."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    def write_batch(sid: int) -> WriteResult:
+        return td.write(simple_batch(sid * 100.0, sid=sid), retention="short")
+
+    with ThreadPoolExecutor(max_workers=4) as ex:
+        results = list(ex.map(write_batch, [1, 2, 3, 4]))
+    assert all(r == WriteResult(3, 0) for r in results)
+
+    out = td.read(series_ids=[1, 2, 3, 4]).collect()
+    assert len(out) == 12  # 4 series × 3 hours, none lost
+    got = {(r.series_id, r.valid_time.hour): r.value for r in out}
+    assert got[(2, 1)] == 201.0 and got[(4, 2)] == 402.0
+    # one distinct run id per concurrent batch
+    assert sum(len(td.read_run_series(series_id=s)) for s in (1, 2, 3, 4)) == 4

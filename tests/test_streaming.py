@@ -304,3 +304,22 @@ def test_stream_dedup_batch_slicing_invariant(spark, sf_dir, tmp_path):
         name = _run_to_memory(stream_dedup(stream), "complete")
         rows = spark.table(name).collect()
         assert rows[-1].n_unique_docs == expected
+
+
+def test_stream_sliding_window_matches_batch(spark, events_dir):
+    """Hopping-window streaming drain (complete mode) == the same function
+    run as a batch on the same files — the 'write batch logic, run it on a
+    stream' contract for overlapping windows."""
+    from timedb_spark.streaming.windows import windowed_events_agg_sliding
+
+    stream = spark.readStream.schema(EVENTS_STREAM_SCHEMA).option("maxFilesPerTrigger", 2).parquet(events_dir)
+    name = _run_to_memory(windowed_events_agg_sliding(stream), "complete")
+    got = {
+        (r.window_start, r.event_type): (r.n_events, r.sum_value) for r in spark.table(name).collect()
+    }
+    ev = spark.read.schema(EVENTS_STREAM_SCHEMA).parquet(events_dir)
+    exp = {
+        (r.window_start, r.event_type): (r.n_events, r.sum_value)
+        for r in windowed_events_agg_sliding(ev).collect()
+    }
+    assert got == exp and len(got) > 50

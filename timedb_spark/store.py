@@ -25,7 +25,9 @@ TTL sweep is O(#partitions) metadata work with zero data IO.
 
 from __future__ import annotations
 
+import os
 import shutil
+import uuid
 from datetime import date, datetime, timedelta, timezone
 from pathlib import Path
 
@@ -71,8 +73,34 @@ class Store:
                 shutil.rmtree(p)
 
     # -- writes ------------------------------------------------------------
+    #
+    # Concurrency: every append writes to its OWN staging directory first,
+    # then publishes the finished files into the dataset with atomic per-file
+    # renames. Direct `mode("append")` writes from concurrent jobs share
+    # Hadoop's `_temporary/0` staging under the destination — one job's
+    # commit/cleanup deletes the other's in-flight task files (observed as
+    # FileNotFoundException under parallel writers). Isolated staging gives
+    # the reference's sessionless-parallel-insert guarantee (parallel writers
+    # lose nothing); part filenames carry the writing job's UUID so
+    # publishers can't collide. Cross-FILE atomicity of one batch is the same
+    # as the v1 committer's (file-at-a-time); a table format (Delta/Iceberg)
+    # is the drop-in upgrade when a 100 TB deployment needs atomic multi-file
+    # commits + snapshot isolation.
+
+    def _publish(self, stage: Path, target: Path) -> None:
+        target.mkdir(parents=True, exist_ok=True)
+        for src in sorted(stage.rglob("*.parquet")):
+            rel = src.relative_to(stage)
+            dest = target / rel
+            dest.parent.mkdir(parents=True, exist_ok=True)
+            os.replace(src, dest)
+        shutil.rmtree(stage, ignore_errors=True)
+
+    def _stage_dir(self) -> Path:
+        return self.root / "_staging" / uuid.uuid4().hex
 
     def _write_values(self, df: DataFrame) -> None:
+        stage = self._stage_dir()
         (
             df.withColumn("vt_month", F.date_format("valid_time", "yyyyMM"))
             .repartition("retention", "vt_month")
@@ -82,15 +110,18 @@ class Store:
             # ...) row order that gives parquet row-group zone maps.
             .sortWithinPartitions("retention", "vt_month", *_SORT_KEY)
             .write.partitionBy("retention", "vt_month")
-            .mode("append")
-            .parquet(str(self.values_path))
+            .mode("overwrite")
+            .parquet(str(stage))
         )
+        self._publish(stage, self.values_path)
 
     def append_values(self, df: DataFrame) -> None:
         self._write_values(df.select([f.name for f in SERIES_VALUES_SCHEMA.fields]))
 
     def append_run_series(self, df: DataFrame) -> None:
-        df.select("series_id", "run_id", "first_seen").write.mode("append").parquet(str(self.run_series_path))
+        stage = self._stage_dir()
+        df.select("series_id", "run_id", "first_seen").write.mode("overwrite").parquet(str(stage))
+        self._publish(stage, self.run_series_path)
 
     # -- reads -------------------------------------------------------------
 

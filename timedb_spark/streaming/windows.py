@@ -44,6 +44,22 @@ def windowed_events_agg(events: DataFrame, *, window: str = "6 hours", delay: st
     return agg.select(F.col("win.start").alias("window_start"), "event_type", "n_events", "sum_value")
 
 
+def windowed_events_agg_sliding(
+    events: DataFrame, *, window: str = "6 hours", slide: str = "2 hours", delay: str = "1 hour"
+) -> DataFrame:
+    """Hopping-window twin of :func:`windowed_events_agg` (the streaming
+    form of analytics.events_window_sliding): each row lands in
+    window/slide overlapping windows via the map-side Expand, then ONE
+    watermark-bounded stateful aggregation — state holds only windows the
+    watermark hasn't closed."""
+    src = events.withWatermark("ts", delay) if events.isStreaming else events
+    agg = src.groupBy(F.window("ts", window, slide).alias("win"), "event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum(F.col("value").cast("decimal(18,2)")).cast("double"), 2).alias("sum_value"),
+    )
+    return agg.select(F.col("win.start").alias("window_start"), "event_type", "n_events", "sum_value")
+
+
 def stream_events_window(
     spark: SparkSession,
     source_dir: str,
