@@ -349,6 +349,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination_check": pipeline.contamination_check,
         "dedup_clusters": dedup.dedup_clusters,
         "pipeline_clean": pipeline.pipeline_clean,
+        "profile_table": pipeline.profile_table,
         "sample_stratified": sampling.sample_stratified,
         "sample_mix": sampling.sample_mix,
         "train_split": sampling.train_split,
@@ -692,6 +693,7 @@ def oracle_sql() -> dict[str, str]:
         "contamination_check": pipeline.CONTAMINATION_SQL,
         "dedup_clusters": dedup.DEDUP_CLUSTERS_SQL,
         "pipeline_clean": pipeline.PIPELINE_CLEAN_SQL,
+        "profile_table": pipeline.PROFILE_TABLE_SQL,
         "sample_stratified": sampling.SAMPLE_STRATIFIED_SQL,
         "sample_mix": sampling.SAMPLE_MIX_SQL,
         "train_split": sampling.TRAIN_SPLIT_SQL,

@@ -152,3 +152,68 @@ FROM scan JOIN bench USING (s)
 GROUP BY 1, 2
 HAVING count(*) >= {_CONTAM_MIN_SHARED}
 """
+
+
+# ---------------------------------------------------------------------------
+# table profiling (the data-quality scan)
+# ---------------------------------------------------------------------------
+
+#: lineitem columns profiled (int / string / timestamp — one of each shape).
+PROFILE_COLS = ["l_orderkey", "l_suppkey", "l_returnflag", "l_linestatus", "l_shipdate"]
+
+
+def profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column profile of ``lineitem`` in ONE scan: row count, null
+    count, exact distinct count, min/max (computed on the NATIVE type, then
+    stringified — a string-side min would order ints lexicographically).
+    The first thing a data-quality pipeline runs against a new drop.
+
+    One wide aggregation (Spark expands the multi-distinct internally but
+    still reads the data once), then a 1-row explode into long format. At
+    100 TB swap ``count_distinct`` for ``approx_count_distinct`` (HLL,
+    map-side combinable — error bound proven in tests/test_timeseries.py's
+    sketch checks)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in PROFILE_COLS:
+        aggs += [
+            F.sum(F.col(c).isNull().cast("long")).alias(f"{c}__nulls"),
+            F.count_distinct(F.col(c)).alias(f"{c}__nd"),
+            F.min(F.col(c)).cast("string").alias(f"{c}__min"),
+            F.max(F.col(c)).cast("string").alias(f"{c}__max"),
+        ]
+    one = li.agg(*aggs)
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("column"),
+                F.col("n_rows").alias("n_rows"),
+                F.col(f"{c}__nulls").alias("n_nulls"),
+                F.col(f"{c}__nd").alias("n_distinct"),
+                F.col(f"{c}__min").alias("min_value"),
+                F.col(f"{c}__max").alias("max_value"),
+            )
+            for c in PROFILE_COLS
+        ]
+    )
+    return one.select(F.explode(rows).alias("p")).select("p.*")
+
+
+_PROFILE_AGGS = ", ".join(
+    f"sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS {c}__nulls, "
+    f"count(DISTINCT {c}) AS {c}__nd, "
+    f"CAST(min({c}) AS VARCHAR) AS {c}__min, "
+    f"CAST(max({c}) AS VARCHAR) AS {c}__max"
+    for c in PROFILE_COLS
+)
+
+_PROFILE_ROWS = " UNION ALL ".join(
+    f"SELECT '{c}' AS column, n_rows, {c}__nulls AS n_nulls, {c}__nd AS n_distinct, "
+    f"{c}__min AS min_value, {c}__max AS max_value FROM one"
+    for c in PROFILE_COLS
+)
+
+PROFILE_TABLE_SQL = f"""
+WITH one AS (SELECT count(*) AS n_rows, {_PROFILE_AGGS} FROM lineitem)
+{_PROFILE_ROWS}
+"""
