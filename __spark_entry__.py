@@ -332,6 +332,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_nearest": asof.asof_nearest_purchase,
         "events_attribution": asof.attribution_last_touch,
         "events_markov": analytics.events_markov,
+        "events_json": analytics.events_json,
+        "graph_pagerank": analytics.graph_pagerank,
         "events_funnel": funnel.events_funnel,
         "text_tokens": text.text_tokens,
         "text_quality": text.text_quality,
@@ -676,6 +678,8 @@ def oracle_sql() -> dict[str, str]:
         "asof_nearest": asof.ASOF_NEAREST_SQL,
         "events_attribution": asof.ATTRIBUTION_SQL,
         "events_markov": analytics.EVENTS_MARKOV_SQL,
+        "events_json": analytics.EVENTS_JSON_SQL,
+        "graph_pagerank": analytics.GRAPH_PAGERANK_SQL,
         "events_funnel": funnel.EVENTS_FUNNEL_SQL,
         "text_tokens": text.TEXT_TOKENS_SQL,
         "text_quality": text.TEXT_QUALITY_SQL,

@@ -628,3 +628,107 @@ SELECT g.prev_type, g.next_type, g.n,
        floor(CAST(g.n AS DOUBLE) / t.row_total * 1e6 + 0.5) / 1e6 AS p_transition
 FROM grid g JOIN totals t USING (prev_type)
 """
+
+
+def events_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured extraction: pull the integer ``k`` out of the JSON
+    ``props`` payload and aggregate per (event_type, k-decade) — the
+    schema-on-read pattern for property bags. ``get_json_object`` is a
+    JVM-side codegen'd path expression (no UDF); extraction + bucketing
+    ride the scan, then ONE map-side-combined shuffle on the tiny grid. At
+    100 TB prefer ``from_json`` with an explicit schema when several keys
+    are pulled (one parse instead of one per path)."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return (
+        ev.select("event_type", k.alias("k"), "value")
+        .filter(F.col("k").isNotNull())
+        .groupBy("event_type", F.expr("k div 10").alias("k_decade"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").alias("k_sum"),
+            F.round(F.sum(_d("value")).cast("double"), 2).alias("sum_value"),
+        )
+    )
+
+
+EVENTS_JSON_SQL = """
+SELECT event_type,
+       CAST(json_extract_string(props, '$.k') AS BIGINT) // 10 AS k_decade,
+       count(*) AS n,
+       sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_sum,
+       round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_value
+FROM events
+WHERE json_extract_string(props, '$.k') IS NOT NULL
+GROUP BY 1, 2
+"""
+
+
+_PR_ITERS = 3
+_PR_SCALE = 1_000_000
+
+
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-iteration PageRank over the co-purchase part graph (the
+    iterative-propagation family member beyond dedup_clusters' connected
+    components): rank flows along undirected co-purchase edges with 0.85
+    damping for 3 synchronous iterations.
+
+    Exact-integer arithmetic throughout — ranks are 1e6-scaled ints and the
+    update is r' = 0.15·S + (17·Σ(r_u div deg_u)) div 20, so partial-sum
+    ORDER never matters and the DuckDB oracle is bit-identical (float
+    PageRank would drift in the low bits per partitioning). Scale shape per
+    iteration: one co-partitioned join of the edge list with the rank table
+    on src + one map-side-combined sum on dst — the degree table joins once
+    outside the loop; the edge list never re-shuffles if the (src) hash
+    partitioning is reused, which AQE preserves here. With many iterations
+    at 100 TB, persist/checkpoint the degree-annotated edge list (and
+    localCheckpoint ranks to truncate lineage); at 3 iterations the chained
+    plan evaluates in one pass and a persist barrier measured net-negative."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_a"))
+    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_b"))
+    pairs = a.join(b, "ok").filter(F.col("part_a") < F.col("part_b")).select("part_a", "part_b").distinct()
+    edges = pairs.select(F.col("part_a").alias("src"), F.col("part_b").alias("dst")).unionByName(
+        pairs.select(F.col("part_b").alias("src"), F.col("part_a").alias("dst"))
+    )
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    ed = edges.join(deg, "src")
+    ranks = deg.select(F.col("src").alias("node"), F.lit(_PR_SCALE).cast("long").alias("r"))
+    for _ in range(_PR_ITERS):
+        contrib = ed.join(ranks, ed.src == ranks.node).select("dst", F.expr("r div deg").alias("c"))
+        ranks = contrib.groupBy(F.col("dst").alias("node")).agg(
+            (F.lit(150_000) + F.expr(f"(17 * sum(c)) div 20")).alias("r")
+        )
+    return ranks.select("node", F.col("r").alias("rank"))
+
+
+def _pr_iter_sql(prev: str, out: str) -> str:
+    return f"""
+{out} AS (
+    SELECT e.dst AS node, 150000 + (17 * sum(r.r // d.deg)) // 20 AS r
+    FROM edges e
+    JOIN deg d ON d.src = e.src
+    JOIN {prev} r ON r.node = e.src
+    GROUP BY e.dst
+)"""
+
+
+GRAPH_PAGERANK_SQL = f"""
+WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+pairs AS (
+    SELECT DISTINCT a.l_partkey AS part_a, b.l_partkey AS part_b
+    FROM op a JOIN op b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+edges AS (
+    SELECT part_a AS src, part_b AS dst FROM pairs
+    UNION
+    SELECT part_b AS src, part_a AS dst FROM pairs
+),
+deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+r0 AS (SELECT src AS node, CAST({_PR_SCALE} AS BIGINT) AS r FROM deg),
+{_pr_iter_sql("r0", "r1")},
+{_pr_iter_sql("r1", "r2")},
+{_pr_iter_sql("r2", "r3")}
+SELECT node, r AS rank FROM r3
+"""
