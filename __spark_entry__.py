@@ -334,6 +334,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_markov": analytics.events_markov,
         "events_json": analytics.events_json,
         "graph_pagerank": analytics.graph_pagerank,
+        "events_pivot": analytics.events_pivot,
+        "events_rank": analytics.events_rank,
         "events_funnel": funnel.events_funnel,
         "text_tokens": text.text_tokens,
         "text_quality": text.text_quality,
@@ -680,6 +682,8 @@ def oracle_sql() -> dict[str, str]:
         "events_markov": analytics.EVENTS_MARKOV_SQL,
         "events_json": analytics.EVENTS_JSON_SQL,
         "graph_pagerank": analytics.GRAPH_PAGERANK_SQL,
+        "events_pivot": analytics.EVENTS_PIVOT_SQL,
+        "events_rank": analytics.EVENTS_RANK_SQL,
         "events_funnel": funnel.EVENTS_FUNNEL_SQL,
         "text_tokens": text.TEXT_TOKENS_SQL,
         "text_quality": text.TEXT_QUALITY_SQL,

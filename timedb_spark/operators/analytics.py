@@ -16,7 +16,7 @@ no collects.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from timedb_spark.io.tables import load_table
@@ -731,4 +731,74 @@ r0 AS (SELECT src AS node, CAST({_PR_SCALE} AS BIGINT) AS r FROM deg),
 {_pr_iter_sql("r1", "r2")},
 {_pr_iter_sql("r2", "r3")}
 SELECT node, r AS rank FROM r3
+"""
+
+
+_PIVOT_TYPES = ["click", "view", "purchase", "signup", "error"]
+
+
+def events_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily event-type pivot (long → wide): one row per day, one revenue
+    column per event type. ``.pivot()`` with an EXPLICIT value list — the
+    implicit form runs a distinct-scan first to discover columns, which is
+    a whole extra pass at 100 TB; pinned values compile straight to
+    conditional aggregates in ONE map-side-combined shuffle."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.date_trunc("day", "ts").alias("day"))
+        .pivot("event_type", _PIVOT_TYPES)
+        .agg(F.round(F.sum(_d("value")).cast("double"), 2))
+        .select("day", *_PIVOT_TYPES)
+    )
+
+
+EVENTS_PIVOT_SQL = f"""
+SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+       {", ".join(
+           "round(CAST(sum(CASE WHEN event_type = '" + t + "' THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE), 2) AS " + t
+           for t in _PIVOT_TYPES)}
+FROM events
+GROUP BY 1
+"""
+
+
+def events_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL ranking-function family in one query: per event_type, users
+    ranked by exact-decimal total spend with ``rank`` (gapped),
+    ``dense_rank``, and ``ntile(4)`` spend quartiles; top-10 per type.
+
+    ONE aggregation shuffle on the fine (type, user) key, then one window
+    sort per type partition. Ties broken inside the ORDER BY by user_id so
+    every ranking function is deterministic cross-engine."""
+    ev = load_table(spark, sf_dir, "events")
+    spend = ev.groupBy("event_type", "user_id").agg(
+        F.round(F.sum(_d("value")).cast("double"), 2).alias("total_spend")
+    )
+    w = Window.partitionBy("event_type").orderBy(F.col("total_spend").desc(), F.col("user_id"))
+    ranked = spend.select(
+        "event_type",
+        "user_id",
+        "total_spend",
+        F.rank().over(w).alias("spend_rank"),
+        F.dense_rank().over(w).alias("spend_dense_rank"),
+        F.ntile(4).over(w).alias("spend_quartile"),
+    )
+    return ranked.filter(F.col("spend_rank") <= 10)
+
+
+EVENTS_RANK_SQL = """
+WITH spend AS (
+    SELECT event_type, user_id,
+           round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS total_spend
+    FROM events GROUP BY 1, 2
+),
+ranked AS (
+    SELECT event_type, user_id, total_spend,
+           rank()       OVER w AS spend_rank,
+           dense_rank() OVER w AS spend_dense_rank,
+           ntile(4)     OVER w AS spend_quartile
+    FROM spend
+    WINDOW w AS (PARTITION BY event_type ORDER BY total_spend DESC, user_id)
+)
+SELECT * FROM ranked WHERE spend_rank <= 10
 """
