@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from timedb_spark.io.tables import BITEMPORAL_ORACLE_SQL, INTERVAL_ORACLE_SQL, bitemporal_frame, interval_frame, load_table
+from timedb_spark.streaming.joins import STREAM_JOIN_SQL
 from timedb_spark.operators import analytics, asof, dedup, forecasting, funnel, multimodal, pipeline, sampling, similarity, text, timeseries, tpch_ext
 from timedb_spark.operators import bitemporal as bt
 
@@ -266,6 +267,28 @@ def _q_stream_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return st.run_available_now(st.stream_funnel(stream), "append")
 
 
+def _q_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join drained with availableNow. The staged
+    landing files are NOT time-ordered, so a multi-batch replay would
+    (correctly) drop genuinely-late pairs behind the advancing watermark —
+    nondeterministic for the gate. A single-batch drain keeps the
+    stream-stream join machinery (state store, watermark eviction plan)
+    while emitting every pair: drain == batch interval join. The
+    micro-batch late-drop semantics are pinned separately in
+    tests/test_streaming.py."""
+    from timedb_spark.streaming import run_available_now
+    from timedb_spark.streaming.joins import stream_click_purchase_join
+    from timedb_spark.streaming.windows import EVENTS_STREAM_SCHEMA
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", F.col("ts").cast("timestamp").alias("ts"), "user_id", "event_type", "value"
+    )
+    d = _stage_stream_dir(spark, sf_dir, ev, "events", 6)
+    clicks = spark.readStream.schema(EVENTS_STREAM_SCHEMA).parquet(d).filter(F.col("event_type") == "click")
+    purchases = spark.readStream.schema(EVENTS_STREAM_SCHEMA).parquet(d).filter(F.col("event_type") == "purchase")
+    return run_available_now(stream_click_purchase_join(clicks, purchases), "append")
+
+
 def _q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-column decode + feature extraction over mapInPandas (rows-only:
     the numpy decode is checked against a local recompute in tests)."""
@@ -371,6 +394,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_dedup": _q_stream_dedup,
         "stream_sessionize": _q_stream_sessionize,
         "stream_funnel": _q_stream_funnel,
+        "stream_join": _q_stream_join,
         "ts_resample_locf": timeseries.resample_locf_events,
         "ts_interpolate_linear": timeseries.interpolate_linear_events,
         "ts_rollup_multires": timeseries.rollup_multires,
@@ -787,6 +811,7 @@ def oracle_sql() -> dict[str, str]:
             WHERE session_seq < mx
                OR (epoch_us(session_end) + 30*60*1000000) // 1000 < wm_ms
         """,
+        "stream_join": STREAM_JOIN_SQL,
         # Drain contract: depth-3 funnels always emit (purchase arrival);
         # depth-1/2 emit once click+horizon is behind the final watermark.
         "stream_funnel": """

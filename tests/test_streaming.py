@@ -323,3 +323,56 @@ def test_stream_sliding_window_matches_batch(spark, events_dir):
         for r in windowed_events_agg_sliding(ev).collect()
     }
     assert got == exp and len(got) > 50
+
+
+def test_stream_join_drain_matches_batch(spark, events_dir):
+    """Single-batch availableNow drain of the stream-stream interval join ==
+    the batch interval join (no row is behind the watermark inside one
+    batch, so nothing can be late)."""
+    from timedb_spark.streaming.joins import stream_click_purchase_join
+
+    def _src():
+        return spark.readStream.schema(EVENTS_STREAM_SCHEMA).parquet(events_dir)
+
+    stream = stream_click_purchase_join(
+        _src().filter(F.col("event_type") == "click"),
+        _src().filter(F.col("event_type") == "purchase"),
+    )
+    assert stream.isStreaming
+    name = _run_to_memory(stream, "append")
+    got = {(r.click_id, r.purchase_id) for r in spark.table(name).collect()}
+
+    ev = spark.read.schema(EVENTS_STREAM_SCHEMA).parquet(events_dir)
+    batch = stream_click_purchase_join(
+        ev.filter(F.col("event_type") == "click"), ev.filter(F.col("event_type") == "purchase")
+    )
+    exp = {(r.click_id, r.purchase_id) for r in batch.collect()}
+    assert got == exp and len(got) > 5
+
+
+def test_stream_join_multibatch_drops_only_late_pairs(spark, events_dir):
+    """Multi-batch replay of UNORDERED files: the watermark advances between
+    batches, so pairs whose purchase arrives behind it are (correctly)
+    dropped as late — the result must be a SUBSET of the batch join, and
+    every in-order pair must still be present."""
+    from timedb_spark.streaming.joins import stream_click_purchase_join
+
+    def _src():
+        return spark.readStream.schema(EVENTS_STREAM_SCHEMA).option("maxFilesPerTrigger", 2).parquet(events_dir)
+
+    name = _run_to_memory(
+        stream_click_purchase_join(
+            _src().filter(F.col("event_type") == "click"),
+            _src().filter(F.col("event_type") == "purchase"),
+        ),
+        "append",
+    )
+    got = {(r.click_id, r.purchase_id) for r in spark.table(name).collect()}
+    ev = spark.read.schema(EVENTS_STREAM_SCHEMA).parquet(events_dir)
+    exp = {
+        (r.click_id, r.purchase_id)
+        for r in stream_click_purchase_join(
+            ev.filter(F.col("event_type") == "click"), ev.filter(F.col("event_type") == "purchase")
+        ).collect()
+    }
+    assert got <= exp and len(got) >= 3  # never invents pairs; drops only late ones
