@@ -157,6 +157,12 @@ def _q_interval_at(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bt.interval_at(interval_frame(spark, sf_dir), _INTERVAL_T)
 
 
+def _q_interval_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal NORMALIZE: per-series maximal coverage spans of the
+    [valid_time, valid_time_end) intervals."""
+    return bt.interval_merge(interval_frame(spark, sf_dir))
+
+
 def _q_write_skip_unchanged(spark: SparkSession, sf_dir: str) -> DataFrame:
     """skip_unchanged=True write-filter semantics (ref write.py:172-233) as a
     query: 'stored' = events rows with even event_id, 'incoming' = the latest
@@ -321,6 +327,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bt_snapshot_diff": _q_snapshot_diff,
         "bt_value_at": _q_value_at,
         "bt_interval_at": _q_interval_at,
+        "bt_interval_merge": _q_interval_merge,
         "bt_backtest_error": _q_backtest_error,
         "bt_forecast_vintage": forecasting.forecast_vintage,
         "bt_restatements": forecasting.restatements,
@@ -672,6 +679,31 @@ def oracle_sql() -> dict[str, str]:
                                                    change_time DESC, value DESC) AS rn
                 FROM covering
             ) t WHERE rn = 1
+        """,
+        "bt_interval_merge": f"""
+            WITH sv AS ({INTERVAL_ORACLE_SQL}),
+            iv AS (SELECT DISTINCT series_id, valid_time, valid_time_end FROM sv),
+            m AS (
+                SELECT series_id, valid_time, valid_time_end,
+                       CASE WHEN max(valid_time_end) OVER wprev IS NULL
+                              OR valid_time > max(valid_time_end) OVER wprev
+                            THEN 1 ELSE 0 END AS ni
+                FROM iv
+                WINDOW wprev AS (PARTITION BY series_id
+                                 ORDER BY valid_time, valid_time_end
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+            ),
+            i AS (
+                SELECT *, sum(ni) OVER (PARTITION BY series_id
+                                        ORDER BY valid_time, valid_time_end
+                                        ROWS UNBOUNDED PRECEDING) AS island
+                FROM m
+            )
+            SELECT series_id, island,
+                   min(valid_time) AS span_start,
+                   max(valid_time_end) AS span_end,
+                   count(*) AS n_intervals
+            FROM i GROUP BY series_id, island
         """,
         "tpch_q1": analytics.TPCH_Q1_SQL,
         "tpch_q3": analytics.TPCH_Q3_SQL,

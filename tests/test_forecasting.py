@@ -182,3 +182,25 @@ def test_mad_anomaly_planted_outlier(spark, tmp_path):
     assert [r.event_id for r in out] == [99]
     [r] = out
     assert r.value == 1000.0 and r.mad <= 1.0 and r.dev > 900
+
+
+def test_interval_merge_islands(spark, tmp_path):
+    from timedb_spark.io.tables import interval_frame
+    from timedb_spark.operators import bitemporal as bt
+
+    # id%3 → duration 1+id%3 hours (io.tables): build [10,12) [11,12) (overlap),
+    # [12,13) (adjacent → merges), [20,21) (separate island)
+    t = lambda h: datetime(2024, 1, 1, h)
+    d = _events_dir(
+        tmp_path,
+        [
+            (1, t(10), 1, "x", 1.0),  # [10,12)
+            (3, t(11), 1, "x", 1.0),  # [11,12) overlaps
+            (6, t(12), 1, "x", 1.0),  # [12,13) adjacent — merges
+            (9, t(20), 1, "x", 1.0),  # [20,21) separate
+        ],
+    )
+    out = sorted(
+        ((r.span_start, r.span_end, r.n_intervals) for r in bt.interval_merge(interval_frame(spark, d)).collect())
+    )
+    assert out == [(t(10), t(13), 3), (t(20), t(21), 1)]

@@ -478,3 +478,31 @@ def interval_at(df: DataFrame, at: "datetime") -> DataFrame:
         win.getField("valid_time_end").alias("valid_time_end"),
         F.when(F.isnan(v), F.lit(None)).otherwise(v).alias("value"),
     )
+
+
+def interval_merge(df: DataFrame) -> DataFrame:
+    """Temporal NORMALIZE (SQL:2011) / gaps-and-islands: collapse each
+    series' overlapping-or-adjacent ``[valid_time, valid_time_end)``
+    intervals into maximal contiguous spans, with the interval count per
+    span — the coverage view of an interval-valid store ("when was this
+    series covered at all, and by how many observations").
+
+    Shape: distinct intervals → ONE window sort per series evaluating both
+    passes (the trailing running-max of ends that detects island starts,
+    and the running island-id sum) → a map-side-combined span aggregate.
+    Adjacent intervals (end == next start) merge; integer-µs comparisons
+    keep the island boundaries bit-identical cross-engine."""
+    iv = df.select("series_id", "valid_time", "valid_time_end").distinct()
+    order = [F.col("valid_time"), F.col("valid_time_end")]
+    w_prev = Window.partitionBy("series_id").orderBy(*order).rowsBetween(Window.unboundedPreceding, -1)
+    w_run = Window.partitionBy("series_id").orderBy(*order).rowsBetween(Window.unboundedPreceding, 0)
+    prev_max_end = F.max("valid_time_end").over(w_prev)
+    new_island = (prev_max_end.isNull() | (F.col("valid_time") > prev_max_end)).cast("int")
+    islands = iv.select(
+        "series_id", "valid_time", "valid_time_end", F.sum(new_island).over(w_run).alias("island")
+    )
+    return islands.groupBy("series_id", "island").agg(
+        F.min("valid_time").alias("span_start"),
+        F.max("valid_time_end").alias("span_end"),
+        F.count(F.lit(1)).alias("n_intervals"),
+    )
