@@ -297,8 +297,10 @@ def _q_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-column decode + feature extraction over mapInPandas (rows-only:
-    the numpy decode is checked against a local recompute in tests)."""
-    docs = multimodal.attach_payload(load_table(spark, sf_dir, "documents"))
+    the decode is checked against a local recompute in tests). Every 7th doc
+    carries a REAL stdlib-decoded PNG payload (chunk walk + inflate +
+    unfilter), the rest the raw fakeimg format — one plumbing, two codecs."""
+    docs = multimodal.attach_payload_mixed(load_table(spark, sf_dir, "documents"))
     return multimodal.decode_features(docs)
 
 
@@ -313,60 +315,27 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Registration order IS the correctness-gate rotation: the driver checks
+    the first 50 entries, so each round front-loads the queries most in need
+    of a driver row (see SURVEY.md §7 rotation note).
+
+    Round-2 window (first 50): the 5 round-1 hash-red queries (oracle
+    HUGEINT→BIGINT casts to prove the fix) + 45 never-driver-checked
+    queries spanning §2c/2d/2e/2f. Deferred to the round-3 window: the
+    remaining 14 ts_* queries, the 3 rows-only entries, and the round-1
+    greens (kept green locally via tools/parity.py)."""
     return {
-        "bt_read_latest": _q_read_latest,
-        "bt_read_overlapping": _q_read_overlapping,
-        "bt_read_latest_changes": _q_read_latest_changes,
-        "bt_read_overlapping_changes": _q_read_overlapping_changes,
-        "bt_read_filtered": _q_read_filtered,
-        "bt_read_relative": _q_read_relative,
-        "bt_read_meta_scope": _q_read_meta_scope,
-        "bt_run_series": _q_run_series,
-        "bt_write_skip_unchanged": _q_write_skip_unchanged,
-        "bt_snapshot": _q_snapshot,
-        "bt_snapshot_diff": _q_snapshot_diff,
-        "bt_value_at": _q_value_at,
-        "bt_interval_at": _q_interval_at,
+        # -- round-1 hash-red, oracles fixed (HUGEINT casts) --------------
         "bt_interval_merge": _q_interval_merge,
-        "bt_backtest_error": _q_backtest_error,
-        "bt_forecast_vintage": forecasting.forecast_vintage,
         "bt_restatements": forecasting.restatements,
-        "tpch_q1": analytics.tpch_q1,
-        "tpch_q3": analytics.tpch_q3,
-        "tpch_q4": analytics.tpch_q4,
-        "tpch_q5": analytics.tpch_q5,
-        "tpch_q6": analytics.tpch_q6,
-        "tpch_q10": analytics.tpch_q10,
-        "tpch_q14": analytics.tpch_q14,
-        "tpch_q18": analytics.tpch_q18,
-        "tpch_q19": analytics.tpch_q19,
-        "tpch_q22": analytics.tpch_q22,
-        "basket_pairs": analytics.basket_pairs,
-        "events_window_sliding": analytics.events_window_sliding,
-        "tpch_q2": tpch_ext.tpch_q2,
-        "tpch_q7": tpch_ext.tpch_q7,
-        "tpch_q8": tpch_ext.tpch_q8,
-        "tpch_q9": tpch_ext.tpch_q9,
-        "tpch_q11": tpch_ext.tpch_q11,
-        "tpch_q12": tpch_ext.tpch_q12,
-        "tpch_q13": tpch_ext.tpch_q13,
-        "tpch_q15": tpch_ext.tpch_q15,
-        "tpch_q16": tpch_ext.tpch_q16,
-        "tpch_q17": tpch_ext.tpch_q17,
-        "tpch_q20": tpch_ext.tpch_q20,
-        "tpch_q21": tpch_ext.tpch_q21,
-        "events_window": analytics.events_window,
-        "asof_join": analytics.asof_join,
-        "asof_forward": asof.asof_forward_next_purchase,
-        "asof_tolerance": asof.asof_tolerance_last_click,
-        "asof_nearest": asof.asof_nearest_purchase,
         "events_attribution": asof.attribution_last_touch,
-        "events_markov": analytics.events_markov,
         "events_json": analytics.events_json,
         "graph_pagerank": analytics.graph_pagerank,
+        # -- never driver-checked: events family (§2b tail) ----------------
         "events_pivot": analytics.events_pivot,
         "events_rank": analytics.events_rank,
         "events_funnel": funnel.events_funnel,
+        # -- never driver-checked: §2c dedup + text -----------------------
         "text_tokens": text.text_tokens,
         "text_quality": text.text_quality,
         "text_langid": text.text_langid,
@@ -380,52 +349,104 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": dedup.dedup_simhash,
         "dedup_embedding": dedup.dedup_embedding,
         "dedup_editdist": dedup.dedup_editdist,
-        "contamination_check": pipeline.contamination_check,
         "dedup_clusters": dedup.dedup_clusters,
+        "contamination_check": pipeline.contamination_check,
         "pipeline_clean": pipeline.pipeline_clean,
         "profile_table": pipeline.profile_table,
         "sample_stratified": sampling.sample_stratified,
         "sample_mix": sampling.sample_mix,
         "train_split": sampling.train_split,
         "shard_assign": sampling.shard_assign,
-        "pack_documents": sampling.pack_documents,
+        # -- never driver-checked: §2d similarity + multimodal ------------
         "ann_bruteforce": similarity.ann_bruteforce,
-        "ann_lsh": similarity.ann_lsh,
         "ann_ivf": similarity.ann_ivf,
         "ann_pq": similarity.ann_pq,
         "embed_kmeans": similarity.embed_kmeans,
         "multimodal_meta": multimodal.multimodal_meta,
-        "multimodal_decode": _q_multimodal_decode,
+        # -- never driver-checked: §2e streaming --------------------------
         "stream_window": _q_stream_window,
         "stream_latest_state": _q_stream_latest_state,
         "stream_dedup": _q_stream_dedup,
         "stream_sessionize": _q_stream_sessionize,
         "stream_funnel": _q_stream_funnel,
         "stream_join": _q_stream_join,
+        # -- never driver-checked: §2f time-series (first 10 of 24) -------
         "ts_resample_locf": timeseries.resample_locf_events,
         "ts_interpolate_linear": timeseries.interpolate_linear_events,
         "ts_rollup_multires": timeseries.rollup_multires,
         "ts_sessionize": timeseries.sessionize,
+        "ts_ohlc": timeseries.ohlc_bars,
+        "ts_ewma": timeseries.ewma,
+        "ts_rate": timeseries.counter_rate,
+        "ts_corr": timeseries.corr_matrix,
+        "ts_decompose": timeseries.seasonal_decompose,
+        "ts_calendar_features": forecasting.calendar_features,
+        # ==== end of the 50-query round-2 gate window ====================
+        # -- §2f remainder (round-3 window head) --------------------------
         "ts_range_join": timeseries.range_join_events,
         "ts_topk_users": timeseries.topk_users,
         "ts_quantiles": timeseries.quantiles_by_type,
-        "ts_ohlc": timeseries.ohlc_bars,
         "ts_moving_stats": timeseries.moving_stats,
         "ts_anomaly_zscore": timeseries.anomaly_zscore,
         "ts_anomaly_mad": timeseries.mad_anomaly,
         "ts_gap_detect": timeseries.gap_detect,
-        "ts_corr": timeseries.corr_matrix,
         "ts_autocorr": timeseries.autocorr,
         "ts_seasonal_naive": timeseries.seasonal_naive,
         "ts_histogram": timeseries.value_histogram,
-        "ts_ewma": timeseries.ewma,
         "ts_holt": timeseries.holt,
-        "ts_rate": timeseries.counter_rate,
         "events_cohort": timeseries.retention_cohort,
         "ts_m4": timeseries.m4_downsample,
-        "ts_decompose": timeseries.seasonal_decompose,
-        "ts_calendar_features": forecasting.calendar_features,
         "ts_changepoint": forecasting.changepoint,
+        # -- rows-only entries (no SQL oracle possible) -------------------
+        "pack_documents": sampling.pack_documents,
+        "ann_lsh": similarity.ann_lsh,
+        "multimodal_decode": _q_multimodal_decode,
+        # -- round-1 driver-green (kept green via tools/parity.py) --------
+        "bt_read_latest": _q_read_latest,
+        "bt_read_overlapping": _q_read_overlapping,
+        "bt_read_latest_changes": _q_read_latest_changes,
+        "bt_read_overlapping_changes": _q_read_overlapping_changes,
+        "bt_read_filtered": _q_read_filtered,
+        "bt_read_relative": _q_read_relative,
+        "bt_read_meta_scope": _q_read_meta_scope,
+        "bt_run_series": _q_run_series,
+        "bt_write_skip_unchanged": _q_write_skip_unchanged,
+        "bt_snapshot": _q_snapshot,
+        "bt_snapshot_diff": _q_snapshot_diff,
+        "bt_value_at": _q_value_at,
+        "bt_interval_at": _q_interval_at,
+        "bt_backtest_error": _q_backtest_error,
+        "bt_forecast_vintage": forecasting.forecast_vintage,
+        "tpch_q1": analytics.tpch_q1,
+        "tpch_q2": tpch_ext.tpch_q2,
+        "tpch_q3": analytics.tpch_q3,
+        "tpch_q4": analytics.tpch_q4,
+        "tpch_q5": analytics.tpch_q5,
+        "tpch_q6": analytics.tpch_q6,
+        "tpch_q7": tpch_ext.tpch_q7,
+        "tpch_q8": tpch_ext.tpch_q8,
+        "tpch_q9": tpch_ext.tpch_q9,
+        "tpch_q10": analytics.tpch_q10,
+        "tpch_q11": tpch_ext.tpch_q11,
+        "tpch_q12": tpch_ext.tpch_q12,
+        "tpch_q13": tpch_ext.tpch_q13,
+        "tpch_q14": analytics.tpch_q14,
+        "tpch_q15": tpch_ext.tpch_q15,
+        "tpch_q16": tpch_ext.tpch_q16,
+        "tpch_q17": tpch_ext.tpch_q17,
+        "tpch_q18": analytics.tpch_q18,
+        "tpch_q19": analytics.tpch_q19,
+        "tpch_q20": tpch_ext.tpch_q20,
+        "tpch_q21": tpch_ext.tpch_q21,
+        "tpch_q22": analytics.tpch_q22,
+        "basket_pairs": analytics.basket_pairs,
+        "events_window": analytics.events_window,
+        "events_window_sliding": analytics.events_window_sliding,
+        "events_markov": analytics.events_markov,
+        "asof_join": analytics.asof_join,
+        "asof_forward": asof.asof_forward_next_purchase,
+        "asof_tolerance": asof.asof_tolerance_last_click,
+        "asof_nearest": asof.asof_nearest_purchase,
     }
 
 
@@ -694,9 +715,12 @@ def oracle_sql() -> dict[str, str]:
                                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
             ),
             i AS (
-                SELECT *, sum(ni) OVER (PARTITION BY series_id
-                                        ORDER BY valid_time, valid_time_end
-                                        ROWS UNBOUNDED PRECEDING) AS island
+                -- CAST: DuckDB widens the running integer sum to HUGEINT;
+                -- Spark emits bigint and the gate's value hash is
+                -- type-sensitive, so pin the oracle to BIGINT.
+                SELECT *, CAST(sum(ni) OVER (PARTITION BY series_id
+                                             ORDER BY valid_time, valid_time_end
+                                             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS island
                 FROM m
             )
             SELECT series_id, island,

@@ -1,0 +1,60 @@
+"""Guard against DuckDB integer type-widening in the oracle SQL.
+
+Round-1 lesson: the driver's correctness hash is TYPE-sensitive. DuckDB
+widens `sum()` over integers to HUGEINT (int128) while Spark emits bigint,
+so an oracle whose output column binds as HUGEINT hash-fails even when
+every value is equal (CORRECTNESS_r01: bt_interval_merge, bt_restatements,
+events_attribution, events_json, graph_pagerank — all value-equal, all
+hash-red). Fix pattern: `CAST(sum(...) AS BIGINT)` on every integer-sum
+output column.
+
+This test binds EVERY oracle query with `DESCRIBE` (no execution) against
+the sf0.001 tables and fails if any output column is HUGEINT/UHUGEINT —
+so a newly added oracle can never re-introduce the failure mode.
+"""
+
+from __future__ import annotations
+
+import os
+
+import duckdb
+import pytest
+
+import __spark_entry__ as entrymod
+from timedb_spark.io.tables import TABLE_NAMES
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR_SMALL", "/root/testdata/sf0.001")
+
+BANNED_TYPES = {"HUGEINT", "UHUGEINT", "INT128", "UINT128"}
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    for t in TABLE_NAMES:
+        c.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')")
+    return c
+
+
+def test_no_hugeint_in_any_oracle(con):
+    oracles = entrymod.oracle_sql()
+    assert oracles, "oracle_sql() returned nothing"
+    offenders: dict[str, list[tuple[str, str]]] = {}
+    for name, sql in oracles.items():
+        desc = con.sql(f"DESCRIBE ({sql})").fetchall()
+        bad = [(col, typ) for col, typ, *_ in desc if typ.upper() in BANNED_TYPES]
+        if bad:
+            offenders[name] = bad
+    assert not offenders, f"oracle output columns widen to int128 (will hash-fail the gate): {offenders}"
+
+
+def test_every_query_has_oracle_or_documented_exemption(con):
+    """Every queries() entry either has an oracle or is on the explicit
+    rows-only list (non-SQL-expressible by design, judge sees the weaker
+    check)."""
+    rows_only = {"pack_documents", "ann_lsh", "multimodal_decode"}
+    qs = set(entrymod.queries())
+    oracles = set(entrymod.oracle_sql())
+    missing = qs - oracles - rows_only
+    assert not missing, f"queries without oracle_sql and not documented rows-only: {sorted(missing)}"
+    assert not (oracles - qs), f"orphan oracles: {sorted(oracles - qs)}"

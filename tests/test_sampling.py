@@ -112,3 +112,41 @@ def test_sample_mix_thins_dominant_language(spark, sf_dir):
         else:
             # md5-nibble thinning: within binomial slack of the target rate
             assert abs(after[lang] - n_before * rate / 16) <= 4 * (n_before ** 0.5)
+
+
+def test_pack_documents_giant_source_bounded_groups(spark, tmp_path):
+    """A single dominant source (the norm in web corpora) must split across
+    many bounded first-level groups — never one giant pandas frame — while
+    preserving the packing invariants."""
+    import pandas as pd
+
+    n = 5000
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(n),
+            "source": ["megacrawl"] * (n - 10) + ["tiny"] * 10,
+            "text": ["tok " * (5 + i % 40) for i in range(n)],
+        }
+    )
+    d = tmp_path / "sf_giant"
+    d.mkdir()
+    spark.createDataFrame(pdf).write.parquet(str(d / "documents.parquet"))
+
+    budget, bucket_docs = 64, 100
+    out = sampling.pack_documents(spark, str(d), budget=budget, bucket_docs=bucket_docs).collect()
+
+    # conservation: every doc in exactly one pack, tokens conserved
+    assert sum(r.n_docs for r in out) == n
+    assert sum(r.total_tokens for r in out) == sum(5 + i % 40 for i in range(n))
+    # budget respected (oversized single docs exempt — none planted here)
+    assert all(r.total_tokens <= budget for r in out)
+    # the giant source actually spans many first-level buckets: pack ids are
+    # bucket-major (bucket * bucket_docs + local), so distinct buckets appear
+    mega_buckets = {r.pack_id // bucket_docs for r in out if r.source == "megacrawl"}
+    assert len(mega_buckets) >= (n - 10) // bucket_docs
+    # deterministic across invocations
+    again = sorted(
+        (r.source, r.pack_id, r.n_docs, r.total_tokens)
+        for r in sampling.pack_documents(spark, str(d), budget=budget, bucket_docs=bucket_docs).collect()
+    )
+    assert sorted((r.source, r.pack_id, r.n_docs, r.total_tokens) for r in out) == again

@@ -238,25 +238,27 @@ class TimeDB:
     def _filter_unchanged(self, stamped: DataFrame, *, scope: UnchangedScope) -> DataFrame:
         """Drop rows whose latest stored state already matches (parity:
         timedb/write.py:172-233). One bounded read-back: the stored side is
-        pruned to the batch's series set, retention tiers, and
+        pruned to the batch's series/retention set (broadcast semi-join —
+        never a collected ``isin`` literal list, which would break the
+        driver/plan on a backfill touching millions of series) and the
         [min_vt, max_vt] valid_time slab before the latest-state collapse,
-        then joined to the batch on the scope key."""
+        then joined to the batch on the scope key.
+
+        The only driver round-trip is the 2-scalar (min_vt, max_vt) agg that
+        feeds month-partition pruning — bounded at any batch size."""
         bounds = stamped.agg(
             F.min("valid_time").alias("min_vt"),
             F.max("valid_time").alias("max_vt"),
-            F.collect_set("series_id").alias("sids"),
-            F.collect_set("retention").alias("rets"),
         ).collect()[0]
         if bounds.min_vt is None:
             return stamped
 
+        batch_keys = stamped.select("series_id", "retention").distinct()
         stored = self.store.read_values().filter(
-            F.col("series_id").isin([int(s) for s in bounds.sids])
-            & F.col("retention").isin(list(bounds.rets))
-            & (F.col("valid_time") >= F.lit(bounds.min_vt))
-            & (F.col("valid_time") <= F.lit(bounds.max_vt))
+            (F.col("valid_time") >= F.lit(bounds.min_vt)) & (F.col("valid_time") <= F.lit(bounds.max_vt))
         )
         stored = self.store.prune_months(stored, bounds.min_vt, bounds.max_vt)
+        stored = stored.join(F.broadcast(batch_keys), on=["series_id", "retention"], how="left_semi")
 
         keys = ["series_id", "valid_time"]
         if scope == "knowledge_time":
@@ -268,7 +270,10 @@ class TimeDB:
             F.max_by(F.struct(F.col("value"), F.col("annotation"), F.col("changed_by")), order).alias("_st")
         )
 
-        j = stamped.join(F.broadcast(latest_state), on=keys, how="left")
+        # No forced broadcast: latest_state is ≤ the batch's key count, which
+        # is small for reference-style batches (AQE broadcasts it) but can be
+        # huge on a backfill — AQE picks the right physical join either way.
+        j = stamped.join(latest_state, on=keys, how="left")
         val_same = F.col("value").eqNullSafe(F.col("_st.value"))  # NaN-safe (sentinel equality)
         same = (
             val_same

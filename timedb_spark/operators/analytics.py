@@ -643,7 +643,9 @@ def events_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         ev.select("event_type", k.alias("k"), "value")
         .filter(F.col("k").isNotNull())
-        .groupBy("event_type", F.expr("k div 10").alias("k_decade"))
+        # floor(k/10), not `k div 10`: Spark's div truncates toward zero while
+        # DuckDB's // floors, so negative k would land in different decades.
+        .groupBy("event_type", F.floor(F.col("k") / F.lit(10)).cast("long").alias("k_decade"))
         .agg(
             F.count(F.lit(1)).alias("n"),
             F.sum("k").alias("k_sum"),
@@ -656,7 +658,7 @@ EVENTS_JSON_SQL = """
 SELECT event_type,
        CAST(json_extract_string(props, '$.k') AS BIGINT) // 10 AS k_decade,
        count(*) AS n,
-       sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_sum,
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum,
        round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_value
 FROM events
 WHERE json_extract_string(props, '$.k') IS NOT NULL
@@ -706,7 +708,9 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _pr_iter_sql(prev: str, out: str) -> str:
     return f"""
 {out} AS (
-    SELECT e.dst AS node, 150000 + (17 * sum(r.r // d.deg)) // 20 AS r
+    -- CAST: sum() widens to HUGEINT in DuckDB; keep every iteration's rank
+    -- column BIGINT so the final hash matches Spark's bigint.
+    SELECT e.dst AS node, CAST(150000 + (17 * sum(r.r // d.deg)) // 20 AS BIGINT) AS r
     FROM edges e
     JOIN deg d ON d.src = e.src
     JOIN {prev} r ON r.node = e.src

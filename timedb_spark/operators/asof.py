@@ -300,7 +300,9 @@ best AS (
 )
 SELECT p.user_id,
        count(*) AS n_purchases,
-       sum(CASE WHEN b.ct IS NOT NULL THEN 1 ELSE 0 END) AS n_attributed,
+       -- CAST: integer sum() widens to HUGEINT in DuckDB; the gate hash is
+       -- type-sensitive, Spark emits bigint.
+       CAST(sum(CASE WHEN b.ct IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_attributed,
        round(CAST(sum(CASE WHEN b.ct IS NOT NULL
                            THEN CAST(p.value AS DECIMAL(18,2))
                            ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE), 2) AS attributed_revenue,

@@ -51,8 +51,13 @@ def forecast_vintage(spark: SparkSession, sf_dir: str) -> DataFrame:
     vintage pivot costs a single map-side-combined shuffle instead of one
     relative-cutoff read per horizon."""
     sv = bitemporal_frame(spark, sf_dir)
+    # value joins the ordering struct as the final tiebreak: two revisions can
+    # share (kt, ct) exactly (same user_id/ts/event_id%4 in the derived frame),
+    # and without it the winner is partitioning-dependent — same reason
+    # bitemporal.value_at/interval_at key their argmax on (..., value).
+    key = F.struct("knowledge_time", "change_time", "value")
     aggs = [
-        F.max_by("value", F.struct("knowledge_time", "change_time")).alias("v_final"),
+        F.max_by("value", key).alias("v_final"),
         F.count_distinct("knowledge_time").alias("n_vintages"),
     ]
     for h in VINTAGE_HORIZONS:
@@ -60,7 +65,7 @@ def forecast_vintage(spark: SparkSession, sf_dir: str) -> DataFrame:
         aggs.append(
             F.max_by(
                 F.when(cond, F.col("value")),
-                F.when(cond, F.struct("knowledge_time", "change_time")),
+                F.when(cond, key),
             ).alias(f"v_h{h}")
         )
     return sv.groupBy("series_id", "valid_time").agg(*aggs)
@@ -71,7 +76,7 @@ def _vintage_cte(h: int) -> str:
     SELECT series_id, valid_time, value FROM (
         SELECT series_id, valid_time, value,
                row_number() OVER (PARTITION BY series_id, valid_time
-                                  ORDER BY knowledge_time DESC, change_time DESC) AS rn
+                                  ORDER BY knowledge_time DESC, change_time DESC, value DESC) AS rn
         FROM sv WHERE knowledge_time <= valid_time - to_hours({h})
     ) t WHERE rn = 1
     """
@@ -94,7 +99,7 @@ def forecast_vintage_sql(sv_sql: str) -> str:
         SELECT series_id, valid_time, value FROM (
             SELECT series_id, valid_time, value,
                    row_number() OVER (PARTITION BY series_id, valid_time
-                                      ORDER BY knowledge_time DESC, change_time DESC) AS rn
+                                      ORDER BY knowledge_time DESC, change_time DESC, value DESC) AS rn
             FROM sv
         ) t WHERE rn = 1
     ),
@@ -158,8 +163,10 @@ def restatements_sql(sv_sql: str) -> str:
     )
     SELECT series_id,
            count(*) AS n_points,
-           sum(n_obs) AS n_obs,
-           sum(CASE WHEN n_vintages > 1 THEN 1 ELSE 0 END) AS n_revised_points,
+           -- CAST: integer sum() widens to HUGEINT in DuckDB; Spark emits
+           -- bigint and the gate hash is type-sensitive.
+           CAST(sum(n_obs) AS BIGINT) AS n_obs,
+           CAST(sum(CASE WHEN n_vintages > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_revised_points,
            max(n_vintages) AS max_vintages,
            floor((CAST(sum(epoch_us(valid_time) - epoch_us(first_kt)) AS DOUBLE)
                   / count(*) / 3.6e9) * 1e6 + 0.5) / 1e6 AS avg_first_lead_h

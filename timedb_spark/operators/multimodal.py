@@ -33,8 +33,144 @@ from timedb_spark.io.tables import load_table
 MAGIC = "FAKEIMG1"
 _CHANNELS = 3
 
-#: formats the decoder understands; anything else is a stub.
-SUPPORTED_FORMATS = {"fakeimg"}
+#: formats the decoder understands; anything else raises loudly.
+#: ``png`` is decoded by the stdlib-only codec below (zlib + struct — no
+#: image library needed); ``fakeimg`` is the synthetic bulk-path format.
+SUPPORTED_FORMATS = {"fakeimg", "png"}
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+_PNG_CHANNELS = {0: 1, 2: 3, 6: 4}  # gray / RGB / RGBA
+
+
+# ---------------------------------------------------------------------------
+# stdlib PNG codec (decode + encode) — a REAL format, no image libs
+# ---------------------------------------------------------------------------
+
+
+def decode_png(payload: bytes):
+    """Decode an 8-bit non-interlaced PNG (gray/RGB/RGBA) to pixel bytes.
+
+    Pure stdlib (struct + zlib) + numpy unfiltering: chunk walk → IHDR parse
+    → concatenated-IDAT inflate → per-scanline filter reversal (all five
+    filter types: None/Sub/Up/Average/Paeth). Returns
+    ``(pixels_2d, width, height, channels)`` with pixels shaped
+    ``(height, width*channels)`` uint8.
+
+    Sub/Up are vectorized; Average/Paeth run a per-byte loop — fine for the
+    thumbnail-sized payloads here, and the mapInPandas plumbing is identical
+    when a C decoder (PIL/libvips) is dropped in for production images.
+    """
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if payload[:8] != _PNG_SIG:
+        raise ValueError("bad PNG signature")
+    pos, idat = 8, []
+    width = height = bit_depth = color_type = None
+    while pos + 8 <= len(payload):
+        (ln,), typ = struct.unpack(">I", payload[pos : pos + 4]), payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + ln]
+        if zlib.crc32(typ + data) & 0xFFFFFFFF != struct.unpack(">I", payload[pos + 8 + ln : pos + 12 + ln])[0]:
+            raise ValueError(f"bad CRC in {typ!r} chunk")
+        pos += 12 + ln
+        if typ == b"IHDR":
+            width, height, bit_depth, color_type, _comp, _filt, interlace = struct.unpack(">IIBBBBB", data)
+            if bit_depth != 8 or interlace != 0 or color_type not in _PNG_CHANNELS:
+                raise NotImplementedError(
+                    f"PNG variant not supported by the stdlib codec: depth={bit_depth} "
+                    f"color={color_type} interlace={interlace}"
+                )
+        elif typ == b"IDAT":
+            idat.append(data)
+        elif typ == b"IEND":
+            break
+    if width is None or not idat:
+        raise ValueError("truncated PNG: missing IHDR/IDAT")
+    channels = _PNG_CHANNELS[color_type]
+    stride, bpp = width * channels, channels
+    raw = zlib.decompress(b"".join(idat))
+    if len(raw) != height * (stride + 1):
+        raise ValueError("PNG data length mismatch")
+    out = np.zeros((height, stride), dtype=np.uint8)
+    for y in range(height):
+        f = raw[y * (stride + 1)]
+        line = np.frombuffer(raw[y * (stride + 1) + 1 : (y + 1) * (stride + 1)], dtype=np.uint8).astype(np.int64)
+        prior = out[y - 1].astype(np.int64) if y else np.zeros(stride, dtype=np.int64)
+        if f == 0:
+            rec = line
+        elif f == 1:  # Sub: per-lane running sum
+            rec = line.reshape(-1, bpp).cumsum(axis=0).reshape(-1)
+        elif f == 2:  # Up
+            rec = line + prior
+        elif f in (3, 4):  # Average / Paeth: sequential dependency chain
+            rec = np.zeros(stride, dtype=np.int64)
+            for x in range(stride):
+                a = rec[x - bpp] if x >= bpp else 0
+                b = prior[x]
+                if f == 3:
+                    rec[x] = (line[x] + ((a + b) >> 1)) & 0xFF
+                else:
+                    c = prior[x - bpp] if x >= bpp else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                    rec[x] = (line[x] + pred) & 0xFF
+        else:
+            raise ValueError(f"unknown PNG filter {f}")
+        out[y] = rec & 0xFF
+    return out, width, height, channels
+
+
+def encode_png(pixels, width: int, height: int, channels: int = _CHANNELS, row_filter: int = 0) -> bytes:
+    """Encode pixel bytes (shape ``(height, width*channels)`` uint8) as a
+    valid 8-bit PNG using only struct + zlib. ``row_filter`` applies one of
+    the five PNG filters to every scanline (exercised by the round-trip
+    tests; filter 0 is the fast path)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    color_type = {1: 0, 3: 2, 4: 6}[channels]
+    px = np.asarray(pixels, dtype=np.uint8).reshape(height, width * channels)
+    bpp = channels
+    lines = []
+    for y in range(height):
+        line = px[y].astype(np.int64)
+        prior = px[y - 1].astype(np.int64) if y else np.zeros_like(line)
+        left = np.concatenate([np.zeros(bpp, dtype=np.int64), line[:-bpp]]) if line.size > bpp else np.zeros_like(line)
+        pleft = (
+            np.concatenate([np.zeros(bpp, dtype=np.int64), prior[:-bpp]]) if line.size > bpp else np.zeros_like(line)
+        )
+        if row_filter == 0:
+            filt = line
+        elif row_filter == 1:
+            filt = line - left
+        elif row_filter == 2:
+            filt = line - prior
+        elif row_filter == 3:
+            filt = line - ((left + prior) >> 1)
+        elif row_filter == 4:
+            p = left + prior - pleft
+            pa, pb, pc = np.abs(p - left), np.abs(p - prior), np.abs(p - pleft)
+            pred = np.where((pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prior, pleft))
+            filt = line - pred
+        else:
+            raise ValueError(f"unknown PNG filter {row_filter}")
+        lines.append(bytes([row_filter]) + (filt & 0xFF).astype(np.uint8).tobytes())
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return struct.pack(">I", len(data)) + typ + data + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(b"".join(lines), 6))
+        + chunk(b"IEND", b"")
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -85,10 +221,13 @@ FEATURES_SCHEMA = T.StructType(
 
 
 def _decode_one(payload: bytes, fmt: str, width: int, height: int):
-    """Decode a single payload to a pixel array.
+    """Decode a single payload to a flat float pixel array.
 
-    Real formats (jpeg/png/wav/...) would dispatch to PIL/libav here — not in
-    this container, so they are stubbed loudly rather than faked silently.
+    ``png`` runs the stdlib codec (real chunk walk, inflate, unfiltering)
+    and cross-checks the IHDR dimensions against the typed metadata columns;
+    ``fakeimg`` is the synthetic raw format. Other formats (jpeg/wav/...)
+    would dispatch to PIL/libav — not in this container, so they raise
+    loudly rather than fake silently.
     """
     import numpy as np
 
@@ -96,6 +235,11 @@ def _decode_one(payload: bytes, fmt: str, width: int, height: int):
         raise NotImplementedError(
             f"decoder for format {fmt!r} requires an image/audio library not present in this container"
         )
+    if fmt == "png":
+        px2d, w, h, _c = decode_png(bytes(payload))
+        if (w, h) != (width, height):
+            raise ValueError(f"PNG IHDR {w}x{h} != metadata {width}x{height}")
+        return px2d.reshape(-1).astype(np.float64)
     if payload[:8] != MAGIC.encode():
         raise ValueError("bad magic")
     px = np.frombuffer(payload[8:], dtype=np.uint8).astype(np.float64)
@@ -103,6 +247,52 @@ def _decode_one(payload: bytes, fmt: str, width: int, height: int):
     if px.size != expected:
         raise ValueError(f"payload size {px.size} != w*h*c {expected}")
     return px
+
+
+def keystream_pixels(doc_id: int, width: int, height: int):
+    """The deterministic pseudo-pixel stream for a doc id — the Python twin
+    of the JVM md5-keystream expression in :func:`attach_payload` (hex chars
+    of repeated md5(doc_id) used as ascii bytes)."""
+    import hashlib
+
+    import numpy as np
+
+    n = width * height * _CHANNELS
+    hx = hashlib.md5(str(doc_id).encode()).hexdigest()
+    body = (hx * (n // 32 + 1))[:n]
+    return np.frombuffer(body.encode(), dtype=np.uint8)
+
+
+def attach_payload_mixed(docs: DataFrame, *, png_every: int = 7) -> DataFrame:
+    """:func:`attach_payload`, but every ``png_every``-th doc carries a REAL
+    PNG encoding of its keystream pixels instead of the raw fakeimg bytes —
+    so the decode path exercises the genuine chunk-walk/inflate/unfilter
+    codec inside the same mapInPandas plumbing.
+
+    The PNG re-encode itself is an Arrow-batched ``mapInPandas`` (row-local,
+    no shuffle); pixel content is identical between the two formats for the
+    same doc id, which the tests exploit (decoded features must match the
+    fakeimg features bit-for-bit)."""
+    from pyspark.sql import types as TT
+
+    base = attach_payload(docs)
+    schema = TT.StructType(base.schema.fields)
+
+    def reencode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            is_png = (pdf["doc_id"] % png_every) == 0
+            if is_png.any():
+                pdf = pdf.copy()
+                enc = [
+                    encode_png(keystream_pixels(int(r.doc_id), int(r.width), int(r.height)).reshape(int(r.height), -1),
+                               int(r.width), int(r.height))
+                    for r in pdf[is_png].itertuples(index=False)
+                ]
+                pdf.loc[is_png, "payload"] = pd.Series(enc, index=pdf.index[is_png], dtype=object)
+                pdf.loc[is_png, "fmt"] = "png"
+            yield pdf
+
+    return base.mapInPandas(reencode, schema=schema)
 
 
 def decode_features(df: DataFrame, *, thumb_grid: int = 2) -> DataFrame:
@@ -180,8 +370,8 @@ def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 MULTIMODAL_META_SQL = """
 SELECT 'fakeimg' AS fmt,
        count(*) AS n_docs,
-       sum(8 + (8 + doc_id % 9) * (8 + (doc_id // 3) % 7) * 3) AS total_bytes,
-       sum((8 + doc_id % 9) * (8 + (doc_id // 3) % 7) * 3) AS total_pixels,
+       CAST(sum(8 + (8 + doc_id % 9) * (8 + (doc_id // 3) % 7) * 3) AS BIGINT) AS total_bytes,
+       CAST(sum((8 + doc_id % 9) * (8 + (doc_id // 3) % 7) * 3) AS BIGINT) AS total_pixels,
        min(8 + doc_id % 9) AS min_width,
        max(8 + (doc_id // 3) % 7) AS max_height
 FROM documents

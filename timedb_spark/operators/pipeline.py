@@ -199,8 +199,10 @@ def profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     return one.select(F.explode(rows).alias("p")).select("p.*")
 
 
+# CAST on the null-count sums: integer sum() widens to HUGEINT in DuckDB;
+# Spark emits bigint and the gate hash is type-sensitive.
 _PROFILE_AGGS = ", ".join(
-    f"sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS {c}__nulls, "
+    f"CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS {c}__nulls, "
     f"count(DISTINCT {c}) AS {c}__nd, "
     f"CAST(min({c}) AS VARCHAR) AS {c}__min, "
     f"CAST(max({c}) AS VARCHAR) AS {c}__max"

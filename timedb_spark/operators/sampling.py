@@ -51,7 +51,7 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
 SAMPLE_STRATIFIED_SQL = """
 SELECT lang, source,
        count(*) AS n_sampled,
-       sum(n_chars) AS sampled_chars,
+       CAST(sum(n_chars) AS BIGINT) AS sampled_chars,
        min(doc_id) AS min_doc_id,
        max(doc_id) AS max_doc_id
 FROM documents
@@ -109,7 +109,7 @@ def shard_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 SHARD_ASSIGN_SQL = f"""
 SELECT CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS INTEGER) % {N_SHARDS} AS shard,
        count(*) AS n_docs,
-       sum(n_chars) AS total_chars
+       CAST(sum(n_chars) AS BIGINT) AS total_chars
 FROM documents
 GROUP BY 1
 """
@@ -121,41 +121,95 @@ GROUP BY 1
 
 PACK_BUDGET_TOKENS = 512
 
+#: docs per first-level pack bucket — bounds every pandas group regardless of
+#: how skewed the per-source document counts are.
+PACK_BUCKET_DOCS = 4096
 
-def pack_documents(spark: SparkSession, sf_dir: str, *, budget: int = PACK_BUDGET_TOKENS) -> DataFrame:
-    """Greedy sequence packing: concatenate documents (per source, in doc_id
-    order) into packs of at most ``budget`` whitespace-tokens — the step that
-    turns a deduped corpus into fixed-length training sequences.
 
-    Deterministic: groups are whole sources, order inside a group is doc_id;
-    the greedy fold is sequential per group. One shuffle (groupBy source),
-    Arrow-batched pandas inside. An oversized single doc gets its own pack
-    (never split, never dropped).
+def pack_documents(
+    spark: SparkSession, sf_dir: str, *, budget: int = PACK_BUDGET_TOKENS, bucket_docs: int = PACK_BUCKET_DOCS
+) -> DataFrame:
+    """Greedy sequence packing: concatenate documents into packs of at most
+    ``budget`` whitespace-tokens — the step that turns a deduped corpus into
+    fixed-length training sequences.
+
+    Two-level, skew-proof shape (a single dominant source is the NORM in web
+    corpora, and a per-source fold would make it one pandas group / one task
+    / one OOM at 100 TB):
+
+    1. **Bucket fold** — groups are ``(source, doc_id div bucket_docs)``, so
+       every pandas group holds ≤ ``bucket_docs`` rows no matter how big the
+       source is; the greedy fold runs in doc_id order inside each bucket.
+       Each bucket's trailing partial pack is flagged.
+    2. **Tail merge** — per source, ONE row per bucket (the trailing pack)
+       flows to a second, tiny ``applyInPandas`` that greedily merges
+       consecutive tails in bucket order. Work is O(#buckets), i.e. 4096×
+       smaller than the corpus — the sequential step no longer scales with
+       source size.
+
+    Deterministic and partitioning-independent: pack ids are derived from
+    (bucket, in-bucket index) arithmetic (unique, stable, opaque — NOT
+    contiguous), never from task order. An oversized single doc still gets
+    its own pack (never split, never dropped). Invariants (conservation,
+    budget, determinism, giant-source boundedness) are pinned in
+    tests/test_sampling.py.
     """
     docs = load_table(spark, sf_dir, "documents").select(
-        "source", "doc_id", F.size(F.split(F.trim("text"), r"\s+")).alias("n_tokens")
+        "source",
+        "doc_id",
+        F.size(F.split(F.trim("text"), r"\s+")).alias("n_tokens"),
+        (F.col("doc_id") / bucket_docs).cast("long").alias("bucket"),
     )
 
-    def _pack(pdf: pd.DataFrame) -> pd.DataFrame:
+    def _pack_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("doc_id").reset_index(drop=True)
-        src = pdf["source"].iloc[0]
         pack_ids, pid, used = [], 0, 0
         for t in pdf["n_tokens"]:
             if used > 0 and used + t > budget:
                 pid, used = pid + 1, 0
             pack_ids.append(pid)
             used += t
-        pdf["pack_id"] = pack_ids
-        out = pdf.groupby("pack_id").agg(n_docs=("doc_id", "size"), total_tokens=("n_tokens", "sum"))
-        out = out.reset_index()
-        out["source"] = src
-        return out[["source", "pack_id", "n_docs", "total_tokens"]]
+        pdf["local_pid"] = pack_ids
+        out = pdf.groupby("local_pid").agg(n_docs=("doc_id", "size"), total_tokens=("n_tokens", "sum")).reset_index()
+        out["source"] = pdf["source"].iloc[0]
+        out["bucket"] = pdf["bucket"].iloc[0]
+        out["is_tail"] = out["local_pid"] == out["local_pid"].max()
+        return out[["source", "bucket", "local_pid", "n_docs", "total_tokens", "is_tail"]]
 
-    return (
-        docs.repartition("source")
-        .groupBy("source")
-        .applyInPandas(_pack, "source string, pack_id long, n_docs long, total_tokens long")
+    bucketed = docs.groupBy("source", "bucket").applyInPandas(
+        _pack_bucket, "source string, bucket long, local_pid long, n_docs long, total_tokens long, is_tail boolean"
     )
+    # local_pid < bucket_docs (every pack holds ≥ 1 doc) ⇒ this id is unique
+    # per source and reproduces the single-fold ordering (bucket-major).
+    pid_expr = (F.col("bucket") * bucket_docs + F.col("local_pid")).alias("pack_id")
+    complete = bucketed.filter(~F.col("is_tail")).select("source", pid_expr, "n_docs", "total_tokens")
+
+    def _merge_tails(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("bucket").reset_index(drop=True)
+        rows, cur = [], None
+        for r in pdf.itertuples():
+            if cur is not None and cur["total_tokens"] + r.total_tokens <= budget:
+                cur["n_docs"] += r.n_docs
+                cur["total_tokens"] += r.total_tokens
+            else:
+                if cur is not None:
+                    rows.append(cur)
+                cur = {
+                    "source": r.source,
+                    "pack_id": r.bucket * bucket_docs + r.local_pid,
+                    "n_docs": r.n_docs,
+                    "total_tokens": r.total_tokens,
+                }
+        if cur is not None:
+            rows.append(cur)
+        return pd.DataFrame(rows, columns=["source", "pack_id", "n_docs", "total_tokens"])
+
+    merged = (
+        bucketed.filter(F.col("is_tail"))
+        .groupBy("source")
+        .applyInPandas(_merge_tails, "source string, pack_id long, n_docs long, total_tokens long")
+    )
+    return complete.unionByName(merged)
 
 
 # ---------------------------------------------------------------------------

@@ -294,12 +294,14 @@ grams AS (
 ),
 counts AS (SELECT doc_id, n, g, count(*) AS c FROM grams GROUP BY doc_id, n, g),
 per_doc AS (
+    -- CAST: integer sum() widens to HUGEINT in DuckDB; the gate hash is
+    -- type-sensitive, Spark emits bigint.
     SELECT doc_id,
-           sum(CASE WHEN n = 2 THEN c END) AS n_bigrams,
+           CAST(sum(CASE WHEN n = 2 THEN c END) AS BIGINT) AS n_bigrams,
            max(CASE WHEN n = 2 THEN c END) AS top_bigram_n,
-           sum(CASE WHEN n = 2 THEN 1 END) AS d2,
-           sum(CASE WHEN n = 3 THEN c END) AS n_trigrams,
-           sum(CASE WHEN n = 3 THEN 1 END) AS d3
+           CAST(sum(CASE WHEN n = 2 THEN 1 END) AS BIGINT) AS d2,
+           CAST(sum(CASE WHEN n = 3 THEN c END) AS BIGINT) AS n_trigrams,
+           CAST(sum(CASE WHEN n = 3 THEN 1 END) AS BIGINT) AS d3
     FROM counts GROUP BY doc_id
 )
 SELECT doc_id, n_bigrams, top_bigram_n,

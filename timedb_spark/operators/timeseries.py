@@ -201,8 +201,8 @@ WITH g AS (
     WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ),
 s AS (
-    SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                  ROWS UNBOUNDED PRECEDING) AS session_seq
+    SELECT *, CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
     FROM g
 )
 SELECT user_id, session_seq,
@@ -1111,12 +1111,12 @@ def seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
 SEASONAL_DECOMPOSE_SQL = """
 WITH hourly AS (
     SELECT user_id AS series_id, date_trunc('hour', ts) AS h,
-           sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS c
+           CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS c
     FROM events GROUP BY 1, 2
 ),
 t AS (
     SELECT series_id, h, c,
-           (sum(c) OVER win * 10000) // count(*) OVER win AS trend_micro
+           CAST((sum(c) OVER win * 10000) // count(*) OVER win AS BIGINT) AS trend_micro
     FROM hourly
     WINDOW win AS (PARTITION BY series_id ORDER BY h
                    ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)
@@ -1124,7 +1124,7 @@ t AS (
 d AS (SELECT *, c * 10000 - trend_micro AS detr_micro FROM t),
 seas AS (
     SELECT series_id, extract(hour FROM h) AS hod,
-           sum(detr_micro) // count(*) AS seasonal_micro
+           CAST(sum(detr_micro) // count(*) AS BIGINT) AS seasonal_micro
     FROM d GROUP BY 1, 2
 )
 SELECT d.series_id, d.h, d.c / 100.0 AS value,
