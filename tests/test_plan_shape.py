@@ -272,3 +272,30 @@ def test_interval_at_pushes_both_bounds(spark, sf_dir):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "partial_max_by" in plan  # one map-side-combinable argmax, no window
     assert "Window" not in plan
+
+
+def test_ts_corr_bounded_join_no_window(spark, sf_dir):
+    """Pairwise correlation must self-join only the BOUNDED hourly aggregate
+    (broadcast — never a fact-fact shuffle join), compute co-moments as
+    aggregations (no window sort), and stay within 3 shuffles total:
+    hourly collapse, pair grouping, final assembly."""
+    from timedb_spark.operators import timeseries
+
+    df = timeseries.corr_matrix(spark, sf_dir)
+    plan = plans.formatted_plan(df)
+    assert "Window" not in plan, "corr uses a window sort — should be pure aggregation"
+    plans.assert_no_cartesian(df)
+    plans.assert_broadcast_joins(df, 1)  # the bounded hourly side broadcasts
+    plans.assert_max_shuffles(df, 3)
+
+
+def test_ts_decompose_fine_keyed_shuffles_only(spark, sf_dir):
+    """Trend/seasonal decomposition: the ±12h trend window and seasonal
+    means must ride fine-grained (series, hour)-keyed exchanges — four
+    shuffles total, hour-of-day means broadcast back, no cartesian."""
+    from timedb_spark.operators import timeseries
+
+    df = timeseries.seasonal_decompose(spark, sf_dir)
+    plans.assert_no_cartesian(df)
+    plans.assert_broadcast_joins(df, 1)  # tiny (series, hod) seasonal grid
+    plans.assert_max_shuffles(df, 4)

@@ -1,0 +1,102 @@
+"""ContinuousAggregate: incremental manifest-diff refresh of the hourly
+rollup (timedb_spark/rollup.py) — correctness vs full recompute, bounded
+incremental scans, full-recompute fallback on deletes."""
+
+from __future__ import annotations
+
+from datetime import datetime, timezone
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from timedb_spark.client import TimeDB
+from timedb_spark.rollup import ContinuousAggregate, _hourly_partial
+
+UTC = timezone.utc
+
+
+def _batch(series: int, day: int, hours=(0, 0, 1), base: float = 1.0) -> pd.DataFrame:
+    return pd.DataFrame(
+        {
+            "series_id": [series] * len(hours),
+            "valid_time": pd.to_datetime(
+                [datetime(2024, 1, day, h, 30, tzinfo=UTC) for h in hours]
+            ),
+            "value": [base + i for i in range(len(hours))],
+        }
+    )
+
+
+@pytest.fixture()
+def db(spark, tmp_path):
+    d = TimeDB(spark, str(tmp_path / "ca"), table_format="snapshot")
+    d.create()
+    yield d
+    d.delete()
+
+
+def _expect(db):
+    """Full recompute straight off the store — the refresh oracle."""
+    rows = (
+        _hourly_partial(db.store.read_values())
+        .select(
+            "series_id",
+            "bucket",
+            "n",
+            "vmin",
+            "vmax",
+            F.round((F.col("vsum") / F.col("n")).cast("double"), 6).alias("vavg"),
+        )
+        .collect()
+    )
+    return sorted((r.series_id, r.bucket, r.n, r.vmin, r.vmax, r.vavg) for r in rows)
+
+
+def _got(ca):
+    return sorted(
+        (r.series_id, r.bucket, r.n, r.vmin, r.vmax, r.vavg) for r in ca.read().collect()
+    )
+
+
+def test_incremental_refresh_matches_full_recompute(db):
+    ca = ContinuousAggregate(db.store)
+    db.write(_batch(1, 1), retention="short")
+    r1 = ca.refresh()
+    assert r1["mode"] == "full"  # first refresh materializes
+    assert _got(ca) == _expect(db)
+
+    db.write(_batch(1, 1, hours=(0, 2), base=10.0), retention="short")  # overlaps hour 0
+    db.write(_batch(2, 3), retention="short")
+    r2 = ca.refresh()
+    assert r2["mode"] == "incremental"
+    assert _got(ca) == _expect(db)
+    # merged bucket: hour-0 of series 1 now counts rows from both batches
+    merged = [t for t in _got(ca) if t[0] == 1 and t[1].hour == 0]
+    assert merged and merged[0][2] == 3  # 2 rows batch1-hour0 + 1 row batch2
+
+
+def test_incremental_scan_is_bounded_by_new_commits(db):
+    ca = ContinuousAggregate(db.store)
+    for day in (1, 2, 3, 4):
+        db.write(_batch(1, day), retention="short")
+    ca.refresh()
+    n_total_files = len(db.store._load()[1])
+    db.write(_batch(1, 5), retention="short")
+    r = ca.refresh()
+    assert r["mode"] == "incremental"
+    assert 0 < r["files_scanned"] < n_total_files  # only the new commit's files
+    assert _got(ca) == _expect(db)
+    assert ca.refresh()["mode"] == "noop"
+
+
+def test_delete_triggers_full_recompute_and_stays_correct(db):
+    ca = ContinuousAggregate(db.store)
+    db.write(_batch(1, 1), retention="short")
+    db.write(_batch(2, 1), retention="short")
+    ca.refresh()
+    db.store.delete_series([1])
+    r = ca.refresh()
+    assert r["mode"] == "full"  # removed files → decomposable merge can't subtract
+    assert _got(ca) == _expect(db)
+    assert all(t[0] != 1 for t in _got(ca))

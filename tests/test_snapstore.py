@@ -1,0 +1,142 @@
+"""SnapshotStore: atomic multi-file commits, optimistic concurrency,
+snapshot isolation, time travel, vacuum (timedb_spark/snapstore.py).
+
+Stronger guarantees than the reference's sessionless parallel inserts
+(ref tests/test_write_concurrency.py): whole batches become visible
+atomically, and rewrite ops never disturb pinned readers.
+"""
+
+from __future__ import annotations
+
+from concurrent.futures import ThreadPoolExecutor
+from datetime import datetime, timezone
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from timedb_spark.client import TimeDB
+from timedb_spark.snapstore import SnapshotStore
+
+UTC = timezone.utc
+
+
+def _batch(series: int, month: int, n: int = 3, base: float = 0.0) -> pd.DataFrame:
+    return pd.DataFrame(
+        {
+            "series_id": [series] * n,
+            "valid_time": pd.to_datetime([datetime(2024, month, d + 1, tzinfo=UTC) for d in range(n)]),
+            "value": [base + d for d in range(n)],
+        }
+    )
+
+
+@pytest.fixture()
+def db(spark, tmp_path):
+    d = TimeDB(spark, str(tmp_path / "snap"), table_format="snapshot")
+    d.create()
+    yield d
+    d.delete()
+
+
+def test_roundtrip_and_version_history(db):
+    db.write(_batch(1, 1), retention="short")
+    db.write(_batch(2, 2), retention="long")
+    assert db.read(series_ids=[1, 2]).count() == 6
+    vs = db.store.versions()
+    assert [v["op"] for v in vs] == ["create", "append", "append"]
+    assert vs[-1]["n_files"] > vs[1]["n_files"]
+
+
+def test_unmanifested_files_are_invisible(db, spark):
+    """A file that lands in the dataset directory WITHOUT a manifest commit
+    (crashed writer) must not be readable — the atomicity property."""
+    db.write(_batch(1, 1), retention="short")
+    before = db.store.read_values().count()
+    # simulate a crashed writer: copy a real data file to a new name
+    part = next(db.store.values_path.glob("retention=*/vt_month=*"))
+    src = next(part.glob("*.parquet"))
+    orphan = part / "orphan-crashed-writer.parquet"
+    orphan.write_bytes(src.read_bytes())
+    assert db.store.read_values().count() == before  # invisible
+    assert db.store.partition_stats()[0]["n_files"] == 1  # stats ignore it too
+
+
+def test_time_travel_reads_old_versions(db):
+    db.write(_batch(1, 1, base=0.0), retention="short")
+    v1 = db.store.versions()[-1]["version"]
+    db.write(_batch(1, 1, base=100.0), retention="short")
+    latest = db.store.read_values()
+    pinned = db.store.read_values(version=v1)
+    assert latest.count() == 6 and pinned.count() == 3
+    assert pinned.agg(F.max("value")).collect()[0][0] < 100
+
+
+def test_concurrent_writers_lose_nothing(spark, tmp_path):
+    """8 parallel writers: every batch's rows present, version chain is
+    contiguous (each commit won exactly one version)."""
+    db = TimeDB(spark, str(tmp_path / "conc"), table_format="snapshot")
+    db.create()
+
+    def w(i: int):
+        db.write(_batch(i, 1 + i % 3, base=float(i)), retention="short")
+
+    with ThreadPoolExecutor(8) as ex:
+        list(ex.map(w, range(8)))
+    out = db.read(series_ids=list(range(8)))
+    assert out.count() == 24
+    assert {r.series_id for r in out.select("series_id").distinct().collect()} == set(range(8))
+    versions = [v["version"] for v in db.store.versions()]
+    assert versions == list(range(1, 10))  # create + 8 appends, no gaps
+    db.delete()
+
+
+def test_snapshot_isolation_under_delete_and_compact(db):
+    for i in range(3):
+        db.write(_batch(1, 1, base=10.0 * i), retention="short")
+    db.write(_batch(2, 1), retention="short")
+    v_before = db.store.versions()[-1]["version"]
+
+    assert db.store.delete_series([1]) != []
+    assert db.store.compact(max_files_per_partition=0) != []
+
+    # latest: series 1 gone, compacted
+    latest = db.store.read_values()
+    assert latest.filter(F.col("series_id") == 1).count() == 0
+    assert latest.count() == 3
+    # pinned reader still sees the pre-delete world, consistently
+    pinned = db.store.read_values(version=v_before)
+    assert pinned.filter(F.col("series_id") == 1).count() == 9
+    assert pinned.count() == 12
+    ops = [v["op"] for v in db.store.versions()]
+    assert ops[-2:] == ["delete_series", "compact"]
+
+
+def test_ttl_is_a_manifest_swap_then_vacuum_reclaims(db):
+    db.write(_batch(1, 1), retention="short")  # Jan 2024 + 180d TTL << now
+    db.write(_batch(2, 6), retention="forever")
+    v_before = db.store.versions()[-1]["version"]
+    dropped = db.store.apply_retention(now=datetime(2026, 1, 1, tzinfo=UTC))
+    assert dropped and "retention=short" in dropped[0]
+    assert db.store.read_values().count() == 3  # forever rows only
+    # old version still reads the expired rows (files not yet deleted)
+    assert db.store.read_values(version=v_before).count() == 6
+
+    n_files_before = sum(1 for _ in db.store.values_path.rglob("*.parquet"))
+    stats = db.store.vacuum(keep_last=1)
+    assert stats["removed_files"] > 0
+    assert sum(1 for _ in db.store.values_path.rglob("*.parquet")) < n_files_before
+    assert db.store.read_values().count() == 3  # latest unaffected
+    with pytest.raises(ValueError, match="vacuum"):
+        db.store.read_values(version=v_before)
+
+
+def test_client_surface_unchanged_on_snapshot_format(db):
+    """The full client surface (write/skip_unchanged/read/read_relative/
+    fast_count) runs unchanged over the snapshot store."""
+    db.write(_batch(1, 1), retention="short")
+    r = db.write(_batch(1, 1), retention="short", skip_unchanged=True)
+    assert (r.written, r.skipped) == (0, 3)
+    assert db.read(series_ids=[1]).count() == 3
+    assert db.count(retention="short") == 3
+    assert isinstance(db.store, SnapshotStore)

@@ -376,3 +376,46 @@ def test_stream_join_multibatch_drops_only_late_pairs(spark, events_dir):
         ).collect()
     }
     assert got <= exp and len(got) >= 3  # never invents pairs; drops only late ones
+
+
+def test_stream_join_ordered_multibatch_equals_batch(spark, sf_dir, tmp_path):
+    """IN-ORDER landing files drained in ≥3 micro-batches: the inner
+    interval join must emit EXACTLY the batch-join pairs (nothing late ⇒
+    nothing dropped), while the watermark genuinely advances between
+    batches (so join state was evicted along the way) — the deterministic
+    multi-batch contract behind the stream_join_ordered gate query."""
+    from timedb_spark.io.tables import load_table
+    from timedb_spark.streaming import run_available_now_progress, stage_ordered_landing
+    from timedb_spark.streaming.joins import stream_click_purchase_join
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", F.col("ts").cast("timestamp").alias("ts"), "user_id", "event_type", "value"
+    )
+    d = stage_ordered_landing(ev, str(tmp_path / "ordered"), 6, "ts")
+
+    def _src():
+        return spark.readStream.schema(EVENTS_STREAM_SCHEMA).option("maxFilesPerTrigger", 2).parquet(d)
+
+    out, progress = run_available_now_progress(
+        stream_click_purchase_join(
+            _src().filter(F.col("event_type") == "click"),
+            _src().filter(F.col("event_type") == "purchase"),
+        ),
+        "append",
+    )
+    got = {(r.click_id, r.purchase_id) for r in out.collect()}
+
+    batch_ev = spark.read.schema(EVENTS_STREAM_SCHEMA).parquet(d)
+    exp = {
+        (r.click_id, r.purchase_id)
+        for r in stream_click_purchase_join(
+            batch_ev.filter(F.col("event_type") == "click"),
+            batch_ev.filter(F.col("event_type") == "purchase"),
+        ).collect()
+    }
+    assert got == exp and len(got) > 5  # exact equality, not subset
+
+    data_batches = [p for p in progress if p["numInputRows"] > 0]
+    assert len(data_batches) >= 3  # 6 files / 2 per trigger
+    wms = [p["eventTime"].get("watermark") for p in data_batches]
+    assert len({w for w in wms if w}) >= 2  # watermark advanced between batches

@@ -68,11 +68,25 @@ def _strip_tz(x: datetime | None) -> datetime | None:
 
 
 class TimeDB:
-    """Spark-native TimeDB client over a partitioned parquet store."""
+    """Spark-native TimeDB client over a partitioned parquet store.
 
-    def __init__(self, spark: SparkSession, root: str):
+    ``table_format="snapshot"`` switches the fact table to the
+    manifest-committed :class:`~timedb_spark.snapstore.SnapshotStore`:
+    atomic multi-file batch visibility, snapshot isolation under
+    compaction/deletes, and storage-level time travel
+    (``db.store.read_values(version=K)``, ``db.store.vacuum()``). The
+    default ``"directory"`` format keeps the v1 per-file-rename store."""
+
+    def __init__(self, spark: SparkSession, root: str, *, table_format: str = "directory"):
         self.spark = spark
-        self.store = Store(spark, root)
+        if table_format == "snapshot":
+            from timedb_spark.snapstore import SnapshotStore
+
+            self.store: Store = SnapshotStore(spark, root)
+        elif table_format == "directory":
+            self.store = Store(spark, root)
+        else:
+            raise ValueError(f"Unknown table_format {table_format!r}. Valid values: 'directory', 'snapshot'.")
 
     # ------------------------------------------------------------------
     # Schema (ref: timedb/client.py:106-120)

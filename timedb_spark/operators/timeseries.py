@@ -46,24 +46,30 @@ def resample_locf(
 ) -> DataFrame:
     """Regular-grid resample with last-observation-carried-forward.
 
-    Grid = every ``step`` tick in the key's own [min, max] span (sequence +
-    explode — one row per tick, generated where the data lives). Observed
-    values land on their truncated tick via a left join collapse; holes fill
-    from the previous observation with an unbounded-preceding last_value.
+    Gap-pair generation, NOT grid-then-join: each observation knows its
+    successor via ONE ``lead`` window, then explodes exactly the ticks it
+    covers — ``[its tick, next tick)`` (the final observation emits only
+    itself). The output is identical to the materialize-[min,max]-grid +
+    left-join formulation (the grid's endpoints ARE observations), but the
+    plan drops a whole aggregation (span), a grid/obs shuffle join, and the
+    carry window: one shuffle for the tick collapse, one per-key sort,
+    explode rides the scan. The carried value is simply the exploding row's
+    own observation.
     """
     tick = F.date_trunc("hour", F.col(ts)).alias("tick")
     obs = series.select(F.col(key), tick, F.col(value)).groupBy(key, "tick").agg(F.max(value).alias("_obs"))
-    span = series.groupBy(key).agg(
-        F.date_trunc("hour", F.min(ts)).alias("_lo"), F.date_trunc("hour", F.max(ts)).alias("_hi")
-    )
-    grid = span.select(key, F.explode(F.sequence("_lo", "_hi", F.expr(f"interval {step}"))).alias("tick"))
-    joined = grid.join(obs, on=[key, "tick"], how="left")
-    w = Window.partitionBy(key).orderBy("tick").rowsBetween(Window.unboundedPreceding, 0)
-    return joined.select(
-        F.col(key),
-        F.col("tick").alias(ts),
-        F.last("_obs", ignorenulls=True).over(w).alias(value),
-        F.col("_obs").isNull().alias("gap_filled"),
+    w = Window.partitionBy(key).orderBy("tick")
+    nxt = F.lead("tick").over(w)
+    end = F.when(nxt.isNull(), F.col("tick")).otherwise(nxt - F.expr(f"interval {step}"))
+    return (
+        obs.select(F.col(key), F.col("tick").alias("_src"), F.col("_obs"), end.alias("_end"))
+        .select(
+            F.col(key),
+            F.explode(F.sequence("_src", "_end", F.expr(f"interval {step}"))).alias(ts),
+            F.col("_obs").alias(value),
+            F.col("_src"),
+        )
+        .select(key, ts, value, (F.col(ts) != F.col("_src")).alias("gap_filled"))
     )
 
 
@@ -78,44 +84,49 @@ def interpolate_linear(
     """Regular-grid resample with LINEAR interpolation between observations
     (endpoints carry; interior gaps get the time-weighted blend).
 
-    Same grid as :func:`resample_locf`; the interpolation needs the previous
-    and next observed (tick, value). Both are RUNNING ``last ignore nulls``
-    scans — forward for prev, over a DESCENDING ordering for next. A
-    ``first_value`` over a ``(0, unboundedFollowing)`` frame would be the
-    natural spelling, but Spark evaluates shrinking frames by recomputing
-    the aggregate per row — O(n²) per partition; two O(n) running scans
-    (one extra sort) stay linear at 100 TB partition sizes.
+    Same gap-pair generation as :func:`resample_locf` — each observation
+    carries its successor's (tick, value) from ONE ``lead`` window and
+    explodes the ticks it covers, so BOTH interpolation endpoints arrive
+    with the exploding row. This replaces the old grid-join + two
+    opposite-direction carry windows (and sidesteps Spark's O(n²)
+    shrinking-frame evaluation entirely): one shuffle, one per-key sort.
+    Grid endpoints are observations, so the "no previous obs" case of the
+    grid formulation cannot occur; the final observation (no successor)
+    emits only itself.
     """
     tick = F.date_trunc("hour", F.col(ts)).alias("tick")
     obs = series.select(F.col(key), tick, F.col(value)).groupBy(key, "tick").agg(F.max(value).alias("_obs"))
-    span = series.groupBy(key).agg(
-        F.date_trunc("hour", F.min(ts)).alias("_lo"), F.date_trunc("hour", F.max(ts)).alias("_hi")
+    w = Window.partitionBy(key).orderBy("tick")
+    nxt_t = F.lead("tick").over(w)
+    nxt_v = F.lead("_obs").over(w)
+    end = F.when(nxt_t.isNull(), F.col("tick")).otherwise(nxt_t - F.expr(f"interval {step}"))
+    g = obs.select(
+        F.col(key),
+        F.col("tick").alias("_src"),
+        F.col("_obs"),
+        nxt_t.alias("_nt"),
+        nxt_v.alias("_nv"),
+        end.alias("_end"),
+    ).select(
+        F.col(key),
+        F.explode(F.sequence("_src", "_end", F.expr(f"interval {step}"))).alias("tick"),
+        "_src",
+        "_obs",
+        "_nt",
+        "_nv",
     )
-    grid = span.select(key, F.explode(F.sequence("_lo", "_hi", F.expr(f"interval {step}"))).alias("tick"))
-    joined = grid.join(obs, on=[key, "tick"], how="left")
-
-    wb = Window.partitionBy(key).orderBy("tick").rowsBetween(Window.unboundedPreceding, 0)
-    wf = Window.partitionBy(key).orderBy(F.col("tick").desc()).rowsBetween(Window.unboundedPreceding, 0)
-    obs_struct = F.when(F.col("_obs").isNotNull(), F.struct(F.col("tick").alias("t"), F.col("_obs").alias("v")))
-    prev = F.last(obs_struct, ignorenulls=True).over(wb)
-    nxt = F.last(obs_struct, ignorenulls=True).over(wf)
     # integer microseconds on both sides (== oracle's epoch_us) so the
     # interpolation's double arithmetic is bit-identical to DuckDB's
-    t = F.unix_micros("tick")
-    t0, v0 = F.unix_micros(prev["t"]), prev["v"]
-    t1, v1 = F.unix_micros(nxt["t"]), nxt["v"]
-    interp = F.when(F.col("_obs").isNotNull(), F.col("_obs")).otherwise(
-        F.when(prev.isNull(), v1)
-        .when(nxt.isNull(), v0)
-        .otherwise(v0 + (v1 - v0) * (t - t0) / F.nullif(t1 - t0, F.lit(0)))
+    t, t0, t1 = F.unix_micros("tick"), F.unix_micros("_src"), F.unix_micros("_nt")
+    on_obs = F.col("tick") == F.col("_src")
+    interp = F.when(on_obs, F.col("_obs")).otherwise(
+        F.col("_obs") + (F.col("_nv") - F.col("_obs")) * (t - t0) / F.nullif(t1 - t0, F.lit(0))
     )
     # floor(x*1e6+0.5)/1e6 instead of round(): identical halfway behaviour in
     # every engine (Spark HALF_UPs the decimal repr, DuckDB rounds the scaled
     # double — they disagree on exact .5 ulps like 65.4046875)
     r6 = F.floor(interp * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
-    return joined.select(
-        F.col(key), F.col("tick").alias(ts), r6.alias(value), F.col("_obs").isNull().alias("gap_filled")
-    )
+    return g.select(F.col(key), F.col("tick").alias(ts), r6.alias(value), (~on_obs).alias("gap_filled"))
 
 
 # ---------------------------------------------------------------------------

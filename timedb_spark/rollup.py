@@ -1,0 +1,160 @@
+"""Continuous aggregate over the snapshot store: a materialized hourly
+rollup of ``series_values`` that refreshes INCREMENTALLY from manifest
+diffs — the TimescaleDB continuous-aggregate / materialized-view-refresh
+analogue, Spark-first.
+
+Why manifests make this cheap: an append commit lists exactly which data
+files it added, so a refresh aggregates ONLY the files committed since the
+last refreshed version and merges the partials into the materialized state
+(count/sum/min/max are all decomposable, avg derives at read). At 100 TB a
+daily refresh scans the day's files, never the table. Rewrite commits
+(compact / delete_series / ttl) remove files, which decomposable merges
+cannot subtract (min/max are not invertible) — those trigger a full
+recompute, detected from the manifest diff, and compaction does not change
+aggregate VALUES anyway (same rows, fewer files), so the recompute is a
+correctness fallback for deletes, not the steady-state path.
+
+The materialized state itself commits through a tiny manifest of its own
+(same O_EXCL pattern), so readers of the rollup see whole refreshes
+atomically and the refresh records which store version it reflects.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import uuid
+from datetime import datetime, timezone
+from pathlib import Path
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from timedb_spark.snapstore import SnapshotStore
+
+#: decimal type for exact, order-free partial sums
+_DSUM = "decimal(38,6)"
+
+
+def _hourly_partial(df: DataFrame) -> DataFrame:
+    """Decomposable per-(series, hour) partial: n / sum / min / max."""
+    return df.groupBy(
+        "series_id", F.date_trunc("hour", "valid_time").alias("bucket")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast(_DSUM)).alias("vsum"),
+        F.min("value").alias("vmin"),
+        F.max("value").alias("vmax"),
+    )
+
+
+def _merge_partials(df: DataFrame) -> DataFrame:
+    """Re-combine partials that share a (series, bucket) key."""
+    return df.groupBy("series_id", "bucket").agg(
+        F.sum("n").alias("n"),
+        F.sum("vsum").alias("vsum"),
+        F.min("vmin").alias("vmin"),
+        F.max("vmax").alias("vmax"),
+    )
+
+
+class ContinuousAggregate:
+    """Materialized hourly rollup bound to one :class:`SnapshotStore`."""
+
+    def __init__(self, store: SnapshotStore, name: str = "hourly"):
+        self.store = store
+        self.spark = store.spark
+        self.root = store.root / f"_rollup_{name}"
+        self.state_dir = self.root / "state"
+        self.meta_path = self.root / "META.json"
+
+    # -- state bookkeeping -------------------------------------------------
+
+    def _meta(self) -> dict:
+        if not self.meta_path.exists():
+            return {"refreshed_version": 0, "state": None, "files": []}
+        return json.loads(self.meta_path.read_text())
+
+    def _commit_meta(self, version: int, state_rel: str, files: list[str]) -> None:
+        self.root.mkdir(parents=True, exist_ok=True)
+        tmp = self.root / f".meta-{uuid.uuid4().hex}"
+        tmp.write_text(
+            json.dumps(
+                {
+                    "refreshed_version": version,
+                    "state": state_rel,
+                    "files": files,
+                    "refreshed_at": datetime.now(timezone.utc).isoformat(),
+                }
+            )
+        )
+        os.replace(tmp, self.meta_path)  # atomic: readers see old or new, never half
+
+    # -- refresh -----------------------------------------------------------
+
+    def refresh(self) -> dict:
+        """Bring the rollup up to the store's latest version.
+
+        Returns stats including the refresh ``mode`` ("noop" | "incremental"
+        | "full") and how many data files were scanned — the incremental
+        path's scan is bounded by the new commits, never the table."""
+        meta = self._meta()
+        cur_v, cur_files = self.store._load()
+        if cur_v == meta["refreshed_version"]:
+            return {"mode": "noop", "version": cur_v, "files_scanned": 0}
+        old_files = set(meta["files"])
+        new_files = [f for f in cur_files if f not in old_files]
+        removed = old_files - set(cur_files)
+
+        base = str(self.store.values_path)
+        if meta["state"] is not None and not removed:
+            mode = "incremental"
+            scanned = len(new_files)
+            if new_files:
+                delta = _hourly_partial(
+                    self.spark.read.option("basePath", base).parquet(*[f"{base}/{f}" for f in new_files])
+                )
+                prev = self.spark.read.parquet(str(self.root / meta["state"]))
+                merged = _merge_partials(prev.unionByName(delta))
+            else:
+                merged = self.spark.read.parquet(str(self.root / meta["state"]))
+        else:
+            # deletes/TTL removed files → decomposable merge can't subtract;
+            # recompute from the current manifest's file set.
+            mode = "full"
+            scanned = len(cur_files)
+            if cur_files:
+                merged = _hourly_partial(
+                    self.spark.read.option("basePath", base).parquet(*[f"{base}/{f}" for f in cur_files])
+                )
+            else:
+                merged = _hourly_partial(self.store.read_values())
+
+        state_rel = f"state/v{cur_v:012d}-{uuid.uuid4().hex[:8]}"
+        merged.write.mode("overwrite").parquet(str(self.root / state_rel))
+        old_state = meta["state"]
+        self._commit_meta(cur_v, state_rel, cur_files)
+        if old_state:
+            shutil.rmtree(self.root / old_state, ignore_errors=True)
+        return {"mode": mode, "version": cur_v, "files_scanned": scanned}
+
+    # -- reads -------------------------------------------------------------
+
+    def read(self) -> DataFrame:
+        """The materialized rollup (avg derived from exact partials)."""
+        meta = self._meta()
+        if meta["state"] is None:
+            raise ValueError("rollup has never been refreshed — call refresh() first")
+        df = self.spark.read.parquet(str(self.root / meta["state"]))
+        return df.select(
+            "series_id",
+            "bucket",
+            "n",
+            "vmin",
+            "vmax",
+            F.round((F.col("vsum") / F.col("n")).cast("double"), 6).alias("vavg"),
+        )
+
+    def refreshed_version(self) -> int:
+        return self._meta()["refreshed_version"]

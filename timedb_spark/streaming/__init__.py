@@ -47,3 +47,44 @@ def run_available_now(stream_df: DataFrame, output_mode: str, timeout_s: int = 6
     )
     q.awaitTermination(timeout_s)
     return spark.table(name)
+
+
+def stage_ordered_landing(df: DataFrame, path: str, n_files: int, order_col: str) -> str:
+    """Write ``df`` as an IN-ORDER file landing zone: ``n_files`` parquet
+    files range-partitioned on ``order_col`` (file k holds earlier values
+    than file k+1), with file modification times stamped in range order.
+
+    The mtime stamping is the load-bearing part: Spark's file stream source
+    replays files oldest-mtime-first, but a parallel write finishes its part
+    files in task-completion order — random mtimes — so without restamping,
+    a 'later' file can land in an early micro-batch, catapult the watermark
+    to end-of-data, and make every subsequent row late. part-0000k file
+    names already encode range order (partition id = range bucket), so
+    stamping follows the sorted paths."""
+    import os
+    import time
+
+    df.repartitionByRange(n_files, order_col).write.mode("overwrite").parquet(path)
+    parts = sorted(f for f in os.listdir(path) if f.startswith("part-") and f.endswith(".parquet"))
+    base = int(time.time()) - 10 * len(parts) - 60
+    for i, f in enumerate(parts):
+        os.utime(os.path.join(path, f), (base + 10 * i, base + 10 * i))
+    return path
+
+
+def run_available_now_progress(stream_df: DataFrame, output_mode: str, timeout_s: int = 600):
+    """:func:`run_available_now`, additionally returning the micro-batch
+    progress list — lets tests assert HOW the drain executed (number of
+    micro-batches, watermark advancement), not just the final rows."""
+    spark = stream_df.sparkSession
+    name = "drain_" + uuid.uuid4().hex[:12]
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_s)
+    progress = [p for p in q.recentProgress if p is not None]
+    return spark.table(name), progress
