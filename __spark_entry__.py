@@ -435,7 +435,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_decompose": timeseries.seasonal_decompose,
         "stream_join_ordered": _q_stream_join_ordered,
         # ==== end of the 50-query round-2 gate window ====================
-        # -- §2f remainder (round-3 window head) --------------------------
+        # -- §2f remainder + round-2 additions (round-3 window head) ------
+        "events_session_window": timeseries.session_window_agg,
+        "text_script": text.text_script,
         "ts_calendar_features": forecasting.calendar_features,
         "ts_range_join": timeseries.range_join_events,
         "ts_topk_users": timeseries.topk_users,
@@ -854,6 +856,8 @@ def oracle_sql() -> dict[str, str]:
         "ts_interpolate_linear": timeseries.INTERPOLATE_SQL,
         "ts_rollup_multires": timeseries.ROLLUP_MULTIRES_SQL,
         "ts_sessionize": timeseries.SESSIONIZE_SQL,
+        "events_session_window": timeseries.SESSION_WINDOW_SQL,
+        "text_script": text.TEXT_SCRIPT_SQL,
         "ts_range_join": timeseries.RANGE_JOIN_SQL,
         "ts_topk_users": timeseries.TOPK_USERS_SQL,
         "ts_quantiles": timeseries.QUANTILES_SQL,

@@ -140,3 +140,60 @@ def test_client_surface_unchanged_on_snapshot_format(db):
     assert db.read(series_ids=[1]).count() == 3
     assert db.count(retention="short") == 3
     assert isinstance(db.store, SnapshotStore)
+
+
+def test_txn_commit_is_idempotent(db, spark):
+    """The same (app_id, batch_id) pair commits at most once — a replayed
+    micro-batch changes neither versions nor rows."""
+    db.write(_batch(1, 1), retention="short")  # normal write for comparison
+    v0 = db.store.versions()[-1]["version"]
+
+    stamped = db.store.read_values().drop("vt_month")  # already-stamped rows
+    db.store.append_values(stamped, txn=("app", 7))
+    v1 = db.store.versions()[-1]["version"]
+    assert v1 == v0 + 1
+    n1 = db.store.read_values().count()
+
+    db.store.append_values(stamped, txn=("app", 7))  # replay: must be a no-op
+    assert db.store.versions()[-1]["version"] == v1
+    assert db.store.read_values().count() == n1
+
+    db.store.append_values(stamped, txn=("app", 8))  # next batch commits
+    assert db.store.versions()[-1]["version"] == v1 + 1
+
+
+def test_streaming_ingest_exactly_once(spark, tmp_path):
+    """availableNow stream → foreachBatch txn commits: all rows land, one
+    append version per micro-batch; a RESTART from the same checkpoint (no
+    new data) re-commits nothing; a forced replay of a committed batch id is
+    deduped by the store."""
+    from timedb_spark.streaming import stream_append_to_store
+
+    db = TimeDB(spark, str(tmp_path / "ing"), table_format="snapshot")
+    db.create()
+    # a stamped series_values landing zone, 3 files -> 3 micro-batches
+    seed = TimeDB(spark, str(tmp_path / "seed"), table_format="snapshot")
+    seed.create()
+    for i in range(3):
+        seed.write(_batch(i, 1 + i), retention="short")
+    sv = seed.store.read_values().drop("vt_month")
+    land = str(tmp_path / "land")
+    sv.repartition(3).write.parquet(land)
+
+    stream = spark.readStream.schema(sv.schema).option("maxFilesPerTrigger", 1).parquet(land)
+    ckpt = str(tmp_path / "ckpt")
+    n = stream_append_to_store(stream, db.store, checkpoint_dir=ckpt)
+    assert n >= 3
+    assert db.store.read_values().count() == 9
+    ops = [v["op"] for v in db.store.versions()]
+    assert ops.count("append") == n  # one atomic commit per batch
+
+    # restart from the same checkpoint: no new input -> nothing commits
+    stream2 = spark.readStream.schema(sv.schema).option("maxFilesPerTrigger", 1).parquet(land)
+    n2 = stream_append_to_store(stream2, db.store, checkpoint_dir=ckpt)
+    assert db.store.read_values().count() == 9
+    # forced replay of batch 0 (same app_id): deduped by the txn marker
+    db.store.append_values(sv.limit(3), txn=("timedb-ingest", 0))
+    assert db.store.read_values().count() == 9
+    seed.delete()
+    db.delete()

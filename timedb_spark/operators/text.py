@@ -164,6 +164,47 @@ FROM tok
 """
 
 
+def text_script(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-class / script profile per document — the charset signal a
+    corpus pipeline uses to route documents to per-script cleaning (CCNet
+    keeps a per-language/script pipeline) and to drop mojibake: exact counts
+    of latin letters, digits, whitespace and non-ASCII bytes-as-chars, plus
+    the latin fraction.
+
+    Pure projection (regexp_replace length-deltas, Java∩RE2-safe classes) —
+    rides the scan, zero shuffles, same posture as text_quality."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    n = F.length(t)
+    n_latin = n - F.length(F.regexp_replace(t, "[A-Za-z]", ""))
+    n_digit = n - F.length(F.regexp_replace(t, "[0-9]", ""))
+    n_space = n - F.length(F.regexp_replace(t, r"\s", ""))
+    n_nonascii = n - F.length(F.regexp_replace(t, "[^\x00-\x7F]", ""))
+    frac = F.floor(n_latin.cast("double") / F.nullif(n, F.lit(0)) * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+    return docs.select(
+        "doc_id",
+        n.alias("n_chars"),
+        n_latin.alias("n_latin"),
+        n_digit.alias("n_digit"),
+        n_space.alias("n_space"),
+        n_nonascii.alias("n_nonascii"),
+        frac.alias("latin_frac"),
+    )
+
+
+TEXT_SCRIPT_SQL = r"""
+SELECT doc_id,
+       length(text) AS n_chars,
+       length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')) AS n_latin,
+       length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS n_digit,
+       length(text) - length(regexp_replace(text, '\s', '', 'g')) AS n_space,
+       length(text) - length(regexp_replace(text, '[^\x00-\x7F]', '', 'g')) AS n_nonascii,
+       floor(CAST(length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')) AS DOUBLE)
+             / nullif(length(text), 0) * 1e6 + 0.5) / 1e6 AS latin_frac
+FROM documents
+"""
+
+
 # ---------------------------------------------------------------------------
 # tf-idf term relevance
 # ---------------------------------------------------------------------------

@@ -224,6 +224,51 @@ FROM s GROUP BY user_id, session_seq
 """
 
 
+def session_window_agg(spark: SparkSession, sf_dir: str, *, gap_minutes: int = 30) -> DataFrame:
+    """Gap-timeout sessions via Spark's BUILT-IN ``session_window`` — the
+    idiomatic spelling of :func:`sessionize` (and the one that transfers
+    unchanged to Structured Streaming, where session_window + watermark is
+    the native streaming sessionization).
+
+    Semantics note vs the lag formulation: each event extends its session's
+    window to ``ts + gap``; windows MERGE while they overlap, so a gap of
+    EXACTLY ``gap_minutes`` starts a new session (end-exclusive windows) —
+    the oracle therefore splits on ``>=`` where SESSIONIZE_SQL uses ``>``.
+    Plan: session_window compiles to a per-user sort + merging aggregation,
+    ONE shuffle on user_id — no running-sum window pass at all.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    sw = F.session_window("ts", f"{gap_minutes} minutes")
+    return ev.groupBy("user_id", sw).agg(
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum(_d("value")).cast("double"), 2).alias("sum_value"),
+    ).select("user_id", "session_start", "session_end", "n_events", "sum_value")
+
+
+SESSION_WINDOW_SQL = """
+WITH g AS (
+    SELECT user_id, event_id, ts, value,
+           CASE WHEN lag(ts) OVER w IS NULL
+                  OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 30*60*1000000
+                THEN 1 ELSE 0 END AS new_sess
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s AS (
+    SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS session_seq
+    FROM g
+)
+SELECT user_id,
+       min(ts) AS session_start, max(ts) AS session_end,
+       count(*) AS n_events,
+       round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_value
+FROM s GROUP BY user_id, session_seq
+"""
+
+
 # ---------------------------------------------------------------------------
 # binned range join
 # ---------------------------------------------------------------------------

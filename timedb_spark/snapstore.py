@@ -100,11 +100,30 @@ class SnapshotStore(Store):
         m = json.loads(self._manifest_path(v).read_text())
         return v, m["files"]
 
-    def _commit(self, *, add: list[str], remove: set[str], op: str) -> int:
+    def _txn_committed(self, txn: tuple[str, int]) -> bool:
+        """Has (app_id, txn_version) already landed in any live manifest?"""
+        app, ver = txn
+        for v in self._versions():
+            m = json.loads(self._manifest_path(v).read_text())
+            t = m.get("txn")
+            if t and t[0] == app and int(t[1]) == int(ver):
+                return True
+        return False
+
+    def _commit(self, *, add: list[str], remove: set[str], op: str, txn: tuple[str, int] | None = None) -> int:
         """Publish a new version via atomic manifest create; on a lost race,
-        recompute against the winner's file list and retry."""
+        recompute against the winner's file list and retry.
+
+        ``txn=(app_id, txn_version)`` makes the commit IDEMPOTENT: if any
+        live manifest already carries the same pair, the commit is a no-op
+        (returns the current version) — the Delta-style transactional-writer
+        dedup that gives a replayed streaming micro-batch exactly-once
+        semantics. The re-check runs inside the retry loop, so a writer that
+        loses the race to its own earlier attempt cannot double-commit."""
         self.manifest_dir.mkdir(parents=True, exist_ok=True)
         while True:
+            if txn is not None and self._txn_committed(txn):
+                return self._load()[0]
             cur_v, cur_files = self._load()
             files = [f for f in cur_files if f not in remove] + add
             m = {
@@ -114,6 +133,8 @@ class SnapshotStore(Store):
                 "files": files,
                 "committed_at": datetime.now(timezone.utc).isoformat(),
             }
+            if txn is not None:
+                m["txn"] = [txn[0], int(txn[1])]
             try:
                 with open(self._manifest_path(cur_v + 1), "x") as fh:
                     json.dump(m, fh)
@@ -129,12 +150,19 @@ class SnapshotStore(Store):
         if not self._versions():
             self._commit(add=[], remove=set(), op="create")
 
-    def _write_values(self, df: DataFrame) -> None:
+    def append_values(self, df: DataFrame, *, txn: tuple[str, int] | None = None) -> None:
+        self._write_values(df.select([f.name for f in SERIES_VALUES_SCHEMA.fields]), txn=txn)
+
+    def _write_values(self, df: DataFrame, txn: tuple[str, int] | None = None) -> None:
         """Stage → rename files into the dataset → ONE manifest commit.
 
         Files are invisible to readers until the manifest lands, so a batch
         spanning many partitions/files appears atomically (the v1 store's
-        per-file renames can expose partial batches)."""
+        per-file renames can expose partial batches). With ``txn``, a replay
+        of an already-committed batch stages files but commits nothing (the
+        orphans are invisible and vacuum reclaims them)."""
+        if txn is not None and self._txn_committed(txn):
+            return  # replayed batch — skip even the staging work
         stage = self._stage_dir()
         (
             df.withColumn("vt_month", F.date_format("valid_time", "yyyyMM"))
@@ -154,7 +182,7 @@ class SnapshotStore(Store):
             added.append(str(rel))
         shutil.rmtree(stage, ignore_errors=True)
         if added:
-            self._commit(add=added, remove=set(), op="append")
+            self._commit(add=added, remove=set(), op="append", txn=txn)
 
     # -- reads -------------------------------------------------------------
 
@@ -351,7 +379,9 @@ class SnapshotStore(Store):
     def vacuum(self, *, keep_last: int = 1) -> dict:
         """Truncate history to the last ``keep_last`` versions and delete
         data files no kept version references. Returns counts. After vacuum,
-        time travel reaches only the kept versions (older reads raise)."""
+        time travel reaches only the kept versions (older reads raise), and
+        txn idempotence markers in truncated manifests are forgotten — keep
+        ``keep_last`` above any streaming checkpoint's replay horizon."""
         vs = self._versions()
         keep = set(vs[-keep_last:]) if vs else set()
         referenced: set[str] = set()

@@ -17,6 +17,7 @@ from timedb_spark.streaming.state import stream_latest_state
 from timedb_spark.streaming.dedup import stream_dedup
 from timedb_spark.streaming.sessions import stream_sessionize
 from timedb_spark.streaming.funnel import stream_funnel
+from timedb_spark.streaming.ingest import stream_append_to_store
 
 __all__ = [
     "stream_events_window",
@@ -25,6 +26,7 @@ __all__ = [
     "stream_dedup",
     "stream_sessionize",
     "stream_funnel",
+    "stream_append_to_store",
     "run_available_now",
 ]
 
