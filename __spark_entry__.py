@@ -438,6 +438,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- §2f remainder + round-2 additions (round-3 window head) ------
         "events_session_window": timeseries.session_window_agg,
         "text_script": text.text_script,
+        "dedup_semantic": similarity.dedup_semantic,
         "ts_calendar_features": forecasting.calendar_features,
         "ts_range_join": timeseries.range_join_events,
         "ts_topk_users": timeseries.topk_users,
@@ -849,6 +850,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivf": similarity.ANN_IVF_SQL,
         "ann_pq": similarity.ANN_PQ_SQL,
         "embed_kmeans": similarity.EMBED_KMEANS_SQL,
+        "dedup_semantic": similarity.DEDUP_SEMANTIC_SQL,
         "multimodal_meta": multimodal.MULTIMODAL_META_SQL,
         # multimodal_decode: rows-only (numpy decode inside mapInPandas;
         # verified against a local numpy recompute in tests/test_multimodal.py)

@@ -141,3 +141,26 @@ def test_kmeans_purity_on_clustered(spark, clustered_dir):
         by_cell.setdefault(r.cluster, []).append(r.vec_id // 50)  # true label
     pure = sum(max(labels.count(l) for l in set(labels)) for labels in by_cell.values())
     assert pure / 500 >= 0.9, f"k-means purity {pure/500:.2f} below floor"
+
+
+def test_dedup_semantic_drops_planted_dups(spark, sf_dir):
+    """Planted near-copies (vec_id + 100000, cosine ≈ 1 with their base)
+    must be dropped; their lower-id base must be kept; decisions are
+    cluster-scoped and deterministic."""
+    from timedb_spark.operators.similarity import dedup_semantic
+
+    out = {r.vec_id: r for r in dedup_semantic(spark, sf_dir).collect()}
+    planted = [v for v in out if v >= 100000]
+    assert planted
+    # the PRECISE contract: a planted copy sharing its base's cluster is
+    # always dropped (cosine ≈ 1 ≥ τ, base has the lower id); a copy whose
+    # shifted first component flipped its cluster assignment escapes — the
+    # documented cluster-scoped recall loss of SemDeDup.
+    same_cluster = [v for v in planted if out[v].cluster == out[v - 100000].cluster]
+    assert same_cluster  # the common case must be exercised
+    for v in same_cluster:
+        assert not out[v].keep and out[v].n_dup_lower >= 1
+    dropped = [v for v in planted if not out[v].keep]
+    assert len(dropped) >= len(same_cluster)  # cross-cluster dups may still be caught
+    again = {r.vec_id: (r.cluster, r.keep) for r in dedup_semantic(spark, sf_dir).collect()}
+    assert {v: (r.cluster, r.keep) for v, r in out.items()} == again

@@ -382,7 +382,13 @@ def embed_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     (map-side distance fold), an argmin aggregate, and a tiny (K×dim)
     re-mean — no iteration ever shuffles the vectors themselves, so the
     loop cost at 100 TB is iterations × one codegen'd scan."""
-    vecs = _quantized(spark, sf_dir)
+    return _kmeans_assign(_quantized(spark, sf_dir))
+
+
+def _kmeans_assign(vecs: DataFrame) -> DataFrame:
+    """The deterministic-Lloyd core of :func:`embed_kmeans` over any
+    ``(vec_id, q)`` frame — also the clustering stage of
+    :func:`dedup_semantic`."""
 
     def l2sq(a, b):
         return F.aggregate(
@@ -507,3 +513,95 @@ ranked AS (
 SELECT query_id, neighbor_id, round(c, 6) AS cosine, rank
 FROM ranked WHERE rank <= {_TOP_K}
 """
+
+
+# ---------------------------------------------------------------------------
+# semantic dedup (SemDeDup, Abbas et al. 2023): kmeans-scoped cosine dedup
+# ---------------------------------------------------------------------------
+
+
+def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup composition: deterministic k-means buckets the corpus
+    semantically, then cosine near-dups are resolved ONLY within each
+    cluster — a vector is dropped when a LOWER-id vector in its cluster has
+    cosine ≥ τ with it ("keep the first"; no transitive closure, so the
+    decision is one bounded self-join, not an iterative CC pass).
+
+    Scale shape: the clustering never shuffles vectors (broadcast
+    centroids); the pair join is blocked on the LEARNED cluster id — at
+    100 TB the candidate set is Σ|cluster|², controlled by K, instead of
+    n². Runs over the planted-near-dup corpus (dedup.emb_corpus) so the
+    keep/drop decision is exercised for real; exact-integer dot/norm +
+    round-6 keeps the full DuckDB oracle bit-identical (the kmeans CTE
+    chain is the embed_kmeans oracle re-based onto the corpus)."""
+    from timedb_spark.operators.dedup import _EMB_TAU, emb_corpus
+
+    vecs = emb_corpus(spark, sf_dir).select("vec_id", "q")
+    km = _kmeans_assign(vecs).select("vec_id", "cluster")
+    c = (
+        vecs.join(km, "vec_id")
+        .withColumn("nq", F.sqrt(vx.norm_sq_q(F.col("q")).cast("double")))
+    )
+    a, b = c.alias("a"), c.alias("b")
+    cos = F.round(vx.dot_q(F.col("a.q"), F.col("b.q")) / (F.col("a.nq") * F.col("b.nq")), 6)
+    dup_counts = (
+        a.join(
+            b,
+            (F.col("a.cluster") == F.col("b.cluster")) & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .filter(cos >= _EMB_TAU)
+        .groupBy(F.col("b.vec_id").alias("vec_id"))
+        .agg(F.count(F.lit(1)).alias("n_dup_lower"))
+    )
+    return (
+        c.join(dup_counts, "vec_id", "left")
+        .select(
+            "vec_id",
+            "cluster",
+            F.coalesce("n_dup_lower", F.lit(0)).alias("n_dup_lower"),
+            (F.coalesce("n_dup_lower", F.lit(0)) == 0).alias("keep"),
+        )
+    )
+
+
+def _semantic_sql() -> str:
+    from timedb_spark.operators.dedup import _EMB_TAU, EMB_CORPUS_SQL
+
+    dot = vx.DOT_Q_SQL.format(a="a.q", b="b.q")
+    return f"""
+WITH corpus AS ({EMB_CORPUS_SQL}),
+vecs AS (SELECT vec_id, q FROM corpus),
+comp AS (
+    SELECT vec_id, i - 1 AS j, q[i] AS x
+    FROM vecs CROSS JOIN (SELECT unnest(range(1, 65)) AS i) idx
+),
+n1 AS (SELECT count(*) AS n FROM vecs),
+cb0 AS (
+    SELECT vec_id // (n // {_KM_K}) AS cell, j, x AS c
+    FROM comp, n1
+    WHERE vec_id % (n // {_KM_K}) = 0 AND vec_id // (n // {_KM_K}) < {_KM_K}
+),
+{_km_assign_cte("cb0", "a0")},
+{_km_mean_cte("a0", "cb1")},
+{_km_assign_cte("cb1", "a1")},
+{_km_mean_cte("a1", "cb2")},
+{_km_assign_cte("cb2", "af")},
+cl AS (
+    SELECT v.vec_id, v.q, af.cell AS cluster,
+           sqrt(CAST({vx.DOT_Q_SQL.format(a='v.q', b='v.q')} AS DOUBLE)) AS nq
+    FROM vecs v JOIN af ON af.vec_id = v.vec_id
+),
+dups AS (
+    SELECT b.vec_id, count(*) AS n_dup_lower
+    FROM cl a JOIN cl b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+    WHERE round(CAST({dot} AS DOUBLE) / (a.nq * b.nq), 6) >= {_EMB_TAU}
+    GROUP BY b.vec_id
+)
+SELECT cl.vec_id, cl.cluster,
+       CAST(coalesce(d.n_dup_lower, 0) AS BIGINT) AS n_dup_lower,
+       coalesce(d.n_dup_lower, 0) = 0 AS keep
+FROM cl LEFT JOIN dups d ON d.vec_id = cl.vec_id
+"""
+
+
+DEDUP_SEMANTIC_SQL = _semantic_sql()
