@@ -595,3 +595,64 @@ def test_concurrent_writes_all_land(td):
     assert got[(2, 1)] == 201.0 and got[(4, 2)] == 402.0
     # one distinct run id per concurrent batch
     assert sum(len(td.read_run_series(series_id=s)) for s in (1, 2, 3, 4)) == 4
+
+
+def test_stream_landing_exactly_once_with_quarantine(spark, tmp_path):
+    """Streaming landing ingest: good rows commit to the snapshot store
+    exactly once across micro-batches AND across a checkpoint restart;
+    quarantined rows land per-batch with their raw text; a forced replay of
+    a committed batch id is a whole-write no-op."""
+    from timedb_spark import TimeDB
+    from timedb_spark.io.ingest import stream_csv_landing, stream_landing_to_store
+
+    land = tmp_path / "land"
+    land.mkdir()
+    (land / "a.csv").write_text(
+        "series_id,valid_time,value,retention\n"
+        "1,2024-01-02T03:00:00+00:00,10.5,short\n"
+        "3,2024-01-02 03:00:00,1.0,short\n"  # no offset -> quarantined
+    )
+    (land / "b.csv").write_text(
+        "series_id,valid_time,value,retention\n"
+        "2,2024-01-03T03:00:00+00:00,20.5,long\n"
+        "x,2024-01-03T03:00:00+00:00,1.0,short\n"  # bad series_id -> quarantined
+    )
+
+    db = TimeDB(spark, str(tmp_path / "store"), table_format="snapshot")
+    db.create()
+    qdir = str(tmp_path / "quarantine")
+    ckpt = str(tmp_path / "ckpt")
+
+    raw = stream_csv_landing(spark, str(land), max_files_per_trigger=1)
+    n = stream_landing_to_store(raw, db, checkpoint_dir=ckpt, quarantine_dir=qdir)
+    assert n >= 2  # one micro-batch per landing file
+    vals = db.store.read_values()
+    assert vals.count() == 2
+    assert {r.series_id for r in vals.select("series_id").collect()} == {1, 2}
+    quar = spark.read.parquet(qdir)
+    assert quar.count() == 2
+    assert {r.reject_reason for r in quar.collect()} == {"bad_valid_time_or_no_offset", "bad_series_id"}
+
+    # restart from the same checkpoint: no new files -> nothing recommitted
+    raw2 = stream_csv_landing(spark, str(land))
+    stream_landing_to_store(raw2, db, checkpoint_dir=ckpt, quarantine_dir=qdir)
+    assert db.store.read_values().count() == 2
+
+    # forced replay of an already-committed batch id: whole-write no-op
+    import pandas as pd
+    from datetime import datetime, timezone
+    replay = pd.DataFrame({
+        "series_id": [9],
+        "valid_time": [datetime(2024, 1, 5, tzinfo=timezone.utc)],
+        "value": [1.0],
+    })
+    res = db.write(replay, retention="short", txn=("timedb-landing", 0))
+    assert res == (0, 0)
+    assert db.store.read_values().count() == 2
+
+    # txn against the directory store is rejected loudly
+    plain = TimeDB(spark, str(tmp_path / "plain"))
+    plain.create()
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="snapshot"):
+        plain.write(replay, retention="short", txn=("app", 1))

@@ -141,6 +141,7 @@ class TimeDB:
         knowledge_time: datetime | None = None,
         skip_unchanged: bool = False,
         unchanged_scope: UnchangedScope = "valid_time",
+        txn: tuple[str, int] | None = None,
     ) -> WriteResult:
         """Write rows into ``series_values`` plus their ``run_series`` mapping.
 
@@ -156,9 +157,19 @@ class TimeDB:
         ``unchanged_scope`` (write.py:271-277).
         """
         with profiling._phase(profiling.PHASE_WRITE_TOTAL):
-            return self._write(df, retention, knowledge_time, skip_unchanged, unchanged_scope)
+            return self._write(df, retention, knowledge_time, skip_unchanged, unchanged_scope, txn)
 
-    def _write(self, df, retention, knowledge_time, skip_unchanged, unchanged_scope) -> WriteResult:
+    def _write(self, df, retention, knowledge_time, skip_unchanged, unchanged_scope, txn=None) -> WriteResult:
+        if txn is not None:
+            # Idempotent writer transaction (snapshot store only): a replayed
+            # (app_id, batch_id) write is a WHOLE-write no-op — values AND the
+            # run_series upsert — so streaming foreachBatch replays cannot
+            # restamp first_seen. Replays are sequential (same checkpointed
+            # query), so check-then-write has no concurrent-same-txn race.
+            if not hasattr(self.store, "_txn_committed"):
+                raise ValueError("txn writes require table_format='snapshot'")
+            if self.store._txn_committed(txn):
+                return WriteResult(written=0, skipped=0)
         with profiling._phase(profiling.PHASE_WRITE_NORMALIZE):
             if isinstance(df, pd.DataFrame):
                 _validate_pandas_tz(df)
@@ -238,7 +249,10 @@ class TimeDB:
         if written or skipped:
             with profiling._phase(profiling.PHASE_WRITE_SERIES_VALUES_INSERT):
                 if written:
-                    self.store.append_values(stamped)
+                    if txn is not None:
+                        self.store.append_values(stamped, txn=txn)
+                    else:
+                        self.store.append_values(stamped)
             with profiling._phase(profiling.PHASE_WRITE_RUN_SERIES_INSERT):
                 if written:
                     rs = (

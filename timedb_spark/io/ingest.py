@@ -138,3 +138,71 @@ def ingest_landing(db, batch: LandingBatch, **write_kwargs) -> IngestResult:
     # valid_time parsed with offset → session-tz instant; store is UTC.
     res = db.write(good, **write_kwargs)
     return IngestResult(written=res.written, quarantined=batch.bad.count())
+
+
+# ---------------------------------------------------------------------------
+# streaming landing ingestion (exactly-once, quarantine-preserving)
+# ---------------------------------------------------------------------------
+
+
+def stream_csv_landing(
+    spark: SparkSession, path: str, *, header: bool = True, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """The :func:`read_csv_landing` scan as a STREAM (same explicit schema,
+    PERMISSIVE + corrupt capture) — new landing files become micro-batches."""
+    reader = (
+        spark.readStream.schema(_landing_schema())
+        .option("header", header)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", _CORRUPT)
+    )
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.csv(path)
+
+
+def stream_landing_to_store(
+    raw_stream: DataFrame,
+    db,
+    *,
+    checkpoint_dir: str,
+    quarantine_dir: str,
+    app_id: str = "timedb-landing",
+    timeout_s: int = 600,
+) -> int:
+    """Drain a landing stream into the snapshot store with availableNow:
+    per micro-batch, good rows commit through the full client write path
+    (stamping, validation, run_series) under an idempotent
+    ``txn=(app_id, batch_id)``, and quarantined rows land in
+    ``quarantine_dir/batch_id=N`` with ``mode("overwrite")`` — BOTH sides
+    replay-safe, so a crash between sink write and checkpoint advance
+    duplicates nothing and loses nothing (malformed rows keep their raw
+    text for replay, matching the batch ingester's contract).
+
+    Returns the number of foreachBatch invocations this drain executed.
+    """
+    from timedb_spark.schema import DEFAULT_RETENTION
+
+    n_batches = 0
+
+    def _write(batch_df: DataFrame, batch_id: int) -> None:
+        nonlocal n_batches
+        n_batches += 1
+        split = _split_landing(batch_df)
+        good = split.good
+        if good.where(F.col("retention").isNotNull()).isEmpty():
+            good = good.drop("retention")
+        else:
+            good = good.withColumn("retention", F.coalesce("retention", F.lit(DEFAULT_RETENTION)))
+        if not good.isEmpty():
+            db.write(good, txn=(app_id, int(batch_id)))
+        split.bad.write.mode("overwrite").parquet(f"{quarantine_dir}/batch_id={batch_id}")
+
+    q = (
+        raw_stream.writeStream.foreachBatch(_write)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_s)
+    return n_batches

@@ -541,6 +541,11 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = (
         vecs.join(km, "vec_id")
         .withColumn("nq", F.sqrt(vx.norm_sq_q(F.col("q")).cast("double")))
+        # the clustered corpus feeds BOTH sides of the pair join; without a
+        # lineage cut the whole Lloyd chain is evaluated twice (and each
+        # chain re-reads the corpus per iteration) — checkpoint once, join
+        # the materialized result.
+        .localCheckpoint(eager=False)
     )
     a, b = c.alias("a"), c.alias("b")
     cos = F.round(vx.dot_q(F.col("a.q"), F.col("b.q")) / (F.col("a.nq") * F.col("b.nq")), 6)
