@@ -438,6 +438,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- §2f remainder + round-2 additions (round-3 window head) ------
         "events_session_window": timeseries.session_window_agg,
         "text_script": text.text_script,
+        "text_lm_score": text.text_lm_score,
         "dedup_semantic": similarity.dedup_semantic,
         "ts_calendar_features": forecasting.calendar_features,
         "ts_range_join": timeseries.range_join_events,
@@ -860,6 +861,7 @@ def oracle_sql() -> dict[str, str]:
         "ts_sessionize": timeseries.SESSIONIZE_SQL,
         "events_session_window": timeseries.SESSION_WINDOW_SQL,
         "text_script": text.TEXT_SCRIPT_SQL,
+        "text_lm_score": text.TEXT_LM_SCORE_SQL,
         "ts_range_join": timeseries.RANGE_JOIN_SQL,
         "ts_topk_users": timeseries.TOPK_USERS_SQL,
         "ts_quantiles": timeseries.QUANTILES_SQL,

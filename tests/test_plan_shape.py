@@ -299,3 +299,33 @@ def test_ts_decompose_fine_keyed_shuffles_only(spark, sf_dir):
     plans.assert_no_cartesian(df)
     plans.assert_broadcast_joins(df, 1)  # tiny (series, hod) seasonal grid
     plans.assert_max_shuffles(df, 4)
+
+
+def test_snapshot_store_read_keeps_pruning_and_pushdown(spark, tmp_path):
+    """The manifest read path (explicit file list + basePath) must preserve
+    BOTH directory-level partition pruning (retention, vt_month) and
+    row-group predicate pushdown — otherwise the ACID upgrade would be a
+    scale regression over the directory store."""
+    db = TimeDB(spark, str(tmp_path / "sp"), table_format="snapshot")
+    db.create()
+    UTC = timezone.utc
+    rows = pd.DataFrame(
+        [
+            {"series_id": s, "valid_time": datetime(2024, m, 5, tzinfo=UTC), "value": float(s * m)}
+            for s in (1, 2)
+            for m in (1, 2, 3)
+        ]
+    )
+    db.write(rows, retention="short")
+    db.write(rows.assign(value=rows.value + 1), retention="long")
+    out = db.read(
+        series_ids=[1],
+        retention="short",
+        start_valid=datetime(2024, 2, 1, tzinfo=UTC),
+        end_valid=datetime(2024, 3, 1, tzinfo=UTC),
+    )
+    part = " ".join(plans.partition_filters(out))
+    assert "retention" in part and "vt_month" in part
+    plans.assert_pushed_filter(out, "series_id", "valid_time")
+    assert out.count() == 1
+    db.delete()

@@ -91,3 +91,30 @@ def test_repetition_hand_computed(spark, tmp_path):
     assert (d1.n_trigrams, d1.dup_trigram_frac) == (3, 0.0)
     d2 = out[2]  # all unique
     assert (d2.n_bigrams, d2.top_bigram_n, d2.dup_bigram_frac) == (3, 1, 0.0)
+
+
+def test_lm_score_signal_direction(spark, tmp_path):
+    """A doc repeating corpus-common phrasing scores a high mean bigram
+    frequency; a doc of corpus-unique gibberish scores singleton_frac 1."""
+    import pandas as pd
+
+    from timedb_spark.operators.text import text_lm_score
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2, 3],
+            "text": [
+                "the cat sat on the mat",
+                "the cat sat on the mat",
+                "the cat sat on the mat",
+                "zx qv plorf wibble snarf",
+            ],
+        }
+    )
+    d = tmp_path / "sf_lm"
+    d.mkdir()
+    spark.createDataFrame(pdf).write.parquet(str(d / "documents.parquet"))
+    out = {r.doc_id: r for r in text_lm_score(spark, str(d)).collect()}
+    assert out[3].singleton_frac == 1.0
+    assert out[0].mean_bigram_freq == 3.0  # every bigram appears in 3 docs
+    assert out[0].singleton_frac == 0.0

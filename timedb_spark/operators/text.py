@@ -354,6 +354,66 @@ FROM per_doc
 """
 
 
+def text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-frequency fluency score per document — the exact-arithmetic
+    stand-in for n-gram language-model scoring (KenLM-style filtering):
+    how "typical" a document's word bigrams are of the corpus. Documents
+    whose bigrams are mostly singletons read as novel/garbled; high mean
+    corpus frequency reads as fluent/boilerplate. Emits the mean corpus
+    frequency of the doc's bigrams plus its singleton (corpus-unique)
+    fraction.
+
+    Scale shape: ONE bigram explode feeds both sides — the global frequency
+    table is a map-side-combined count on the SAME (g) key the join uses,
+    so the exploded frame shuffles once for the count and once for the
+    enrich join (AQE reuses the partitioning), then a per-doc agg. Exact
+    integer sums → bit-identical oracle; mean/frac via the
+    floor(x·1e6+0.5)/1e6 rounding used across the text ops."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", tt.ws_tokens(F.col("text")).alias("w"))
+    grams = toks.select("doc_id", F.explode(tt.shingles(F.col("w"), 2)).alias("g"))
+    freq = grams.groupBy("g").agg(F.count(F.lit(1)).alias("f"))
+    joined = grams.join(freq, "g")
+    r6 = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)  # noqa: E731
+    per_doc = joined.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.sum("f").alias("_fsum"),
+        F.sum(F.when(F.col("f") == 1, 1).otherwise(0)).alias("_n_singleton"),
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_bigrams",
+        r6(F.col("_fsum").cast("double") / F.col("n_bigrams")).alias("mean_bigram_freq"),
+        r6(F.col("_n_singleton").cast("double") / F.col("n_bigrams")).alias("singleton_frac"),
+    )
+
+
+TEXT_LM_SCORE_SQL = r"""
+WITH tok AS (
+    SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents
+),
+grams AS (
+    SELECT doc_id,
+           unnest(list_transform(range(1, greatest(len(w) - 1, 1) + 1),
+                                 i -> array_to_string(w[i:i+1], ' '))) AS g
+    FROM tok
+),
+freq AS (SELECT g, count(*) AS f FROM grams GROUP BY g),
+per_doc AS (
+    SELECT doc_id,
+           count(*) AS n_bigrams,
+           CAST(sum(f) AS BIGINT) AS fsum,
+           CAST(sum(CASE WHEN f = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_singleton
+    FROM grams JOIN freq USING (g)
+    GROUP BY doc_id
+)
+SELECT doc_id, n_bigrams,
+       floor(CAST(fsum AS DOUBLE) / n_bigrams * 1e6 + 0.5) / 1e6 AS mean_bigram_freq,
+       floor(CAST(n_singleton AS DOUBLE) / n_bigrams * 1e6 + 0.5) / 1e6 AS singleton_frac
+FROM per_doc
+"""
+
+
 # ---------------------------------------------------------------------------
 # PII scan + scrub
 # ---------------------------------------------------------------------------
