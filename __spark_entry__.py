@@ -180,7 +180,13 @@ def _q_write_skip_unchanged(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _stage_stream_dir(
-    spark: SparkSession, sf_dir: str, df: DataFrame, tag: str, n_files: int, order_col: str | None = None
+    spark: SparkSession,
+    sf_dir: str,
+    df: DataFrame,
+    tag: str,
+    n_files: int,
+    order_col: str | None = None,
+    src_table: str = "events",
 ) -> str:
     """Stage a deterministic multi-file parquet 'landing zone' for a file-
     source stream (one staging per (sf_dir, tag), reused across calls).
@@ -197,7 +203,18 @@ def _stage_stream_dir(
 
     from timedb_spark.streaming import stage_ordered_landing
 
-    key = hashlib.md5(f"{sf_dir}|{tag}".encode()).hexdigest()[:12]
+    # Key includes a fingerprint of the source table files (path/size/mtime):
+    # if the driver regenerates testdata in place, stale stagings self-evict
+    # instead of silently serving the previous round's rows.
+    src = os.path.join(sf_dir, f"{src_table}.parquet")
+    fp = "|".join(
+        f"{f}:{os.path.getsize(os.path.join(src, f))}:{int(os.path.getmtime(os.path.join(src, f)))}"
+        for f in sorted(os.listdir(src))
+        if f.endswith(".parquet")
+    ) if os.path.isdir(src) else (
+        f"{os.path.getsize(src)}:{int(os.path.getmtime(src))}" if os.path.exists(src) else "nosrc"
+    )
+    key = hashlib.md5(f"{sf_dir}|{tag}|{fp}".encode()).hexdigest()[:12]
     d = os.path.join(tempfile.gettempdir(), f"timedb_stream_{tag}_{key}")
     marker = os.path.join(d, "_STAGED")
     if not os.path.exists(marker):
@@ -267,7 +284,7 @@ def _q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from timedb_spark.streaming.dedup import DOCUMENTS_STREAM_SCHEMA
 
     docs = load_table(spark, sf_dir, "documents")
-    d = _stage_stream_dir(spark, sf_dir, docs, "docs", 5)
+    d = _stage_stream_dir(spark, sf_dir, docs, "docs", 5, src_table="documents")
     stream = spark.readStream.schema(DOCUMENTS_STREAM_SCHEMA).option("maxFilesPerTrigger", 2).parquet(d)
     return _drain_with_few_partitions(spark, st.stream_dedup(stream), "complete")
 

@@ -126,3 +126,54 @@ def test_bitemporal_invariants(spark, raw):
         for r in bt.latest(_spark_frame(spark, noisy[::-1])).collect()
     }
     assert got_noisy == exp_latest
+
+
+interval_strategy = st.lists(
+    st.tuples(
+        st.integers(0, 2),   # series_id
+        st.integers(0, 6),   # start hour
+        st.integers(1, 4),   # duration hours
+    ),
+    min_size=1,
+    max_size=20,
+)
+
+
+@pytest.mark.filterwarnings("ignore")
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(interval_strategy)
+def test_interval_merge_matches_python_sweep(spark, raw):
+    """Temporal NORMALIZE under random interval sets: islands, spans and
+    interval counts equal a pure-Python sweep-line merge (overlapping OR
+    adjacent intervals coalesce; strict gaps split)."""
+    ivals = sorted({(sid, s, s + d) for sid, s, d in raw})
+    rows = [
+        (sid, _h(s), _h(e), _h(0), _h(0), 1.0, "", "", "medium")
+        for sid, s, e in ivals
+    ]
+    df = spark.createDataFrame(
+        rows,
+        ["series_id", "valid_time", "valid_time_end", "knowledge_time", "change_time",
+         "value", "changed_by", "annotation", "retention"],
+    )
+
+    # python sweep: per series, sorted by (start, end); new island when
+    # start > max end seen so far
+    exp = {}
+    for sid in sorted({s for s, *_ in ivals}):
+        mine = sorted((s, e) for ssid, s, e in ivals if ssid == sid)
+        island, max_end = 0, None
+        for s, e in mine:
+            if max_end is None or s > max_end:
+                island += 1
+                exp[(sid, island)] = [s, e, 1]
+            else:
+                exp[(sid, island)][1] = max(exp[(sid, island)][1], e)
+                exp[(sid, island)][2] += 1
+            max_end = max(max_end, e) if max_end is not None else e
+
+    got = {
+        (r.series_id, r.island): [r.span_start, r.span_end, r.n_intervals]
+        for r in bt.interval_merge(df).collect()
+    }
+    assert got == {k: [_h(v[0]), _h(v[1]), v[2]] for k, v in exp.items()}
