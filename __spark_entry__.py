@@ -365,6 +365,16 @@ def _q_stream_join_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _drain_with_few_partitions(spark, stream_click_purchase_join(clicks, purchases), "append")
 
 
+def _q_multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio-modality plumbing (rows-only): REAL stdlib WAV payloads
+    (encode + decode through the `wave` module inside mapInPandas) with
+    per-clip duration/RMS/zero-crossing/peak features; decode cross-checks
+    the typed n_samples metadata. Verified against a local numpy recompute
+    in tests/test_multimodal.py."""
+    docs = multimodal.attach_audio_payload(load_table(spark, sf_dir, "documents"))
+    return multimodal.audio_features(docs)
+
+
 def _q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-column decode + feature extraction over mapInPandas (rows-only:
     the decode is checked against a local recompute in tests). Every 7th doc
@@ -476,6 +486,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_documents": sampling.pack_documents,
         "ann_lsh": similarity.ann_lsh,
         "multimodal_decode": _q_multimodal_decode,
+        "multimodal_audio": _q_multimodal_audio,
         # -- round-1 driver-green (kept green via tools/parity.py) --------
         "bt_read_latest": _q_read_latest,
         "bt_read_overlapping": _q_read_overlapping,

@@ -146,3 +146,44 @@ def test_mixed_payload_png_features_equal_fakeimg(spark, sf_dir):
         assert m.mean_px == p.mean_px and m.std_px == p.std_px and m.thumb == p.thumb
         if m.fmt == "png":
             assert m.n_bytes != p.n_bytes  # genuinely different wire format
+
+
+# ---------------------------------------------------------------------------
+# audio modality: stdlib WAV codec
+# ---------------------------------------------------------------------------
+
+
+def test_wav_roundtrip_and_features_match_local_recompute(spark, sf_dir):
+    import numpy as np
+
+    # codec roundtrip
+    samples = mm.keystream_samples(7, 300)
+    payload = mm.encode_wav(samples)
+    dec, rate, nch = mm.decode_wav(payload)
+    assert (rate, nch) == (8000, 1) and np.array_equal(dec, samples)
+
+    # Spark path: features equal a local numpy recompute
+    docs = load_table(spark, sf_dir, "documents").limit(25)
+    out = {r.doc_id: r for r in mm.audio_features(mm.attach_audio_payload(docs)).collect()}
+    assert len(out) == 25
+    for doc_id in list(out)[:5]:
+        r = out[doc_id]
+        s = mm.keystream_samples(doc_id, 256 + doc_id % 128).astype(np.float64)
+        assert r.n_samples == s.size
+        assert r.duration_ms == s.size * 1000.0 / 8000
+        assert abs(r.rms - float(np.sqrt((s * s).mean()))) < 1e-9
+        assert r.peak == int(np.abs(s).max())
+        zc = int(np.count_nonzero(np.signbit(s[1:]) != np.signbit(s[:-1])))
+        assert r.n_zero_crossings == zc
+
+
+def test_wav_rejects_non_pcm16(spark):
+    import io
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1); w.setsampwidth(1); w.setframerate(8000)
+        w.writeframes(b"\x00" * 16)
+    with pytest.raises(NotImplementedError, match="PCM16"):
+        mm.decode_wav(buf.getvalue())

@@ -1,10 +1,13 @@
 """Multimodal-column plumbing (SURVEY §2d): opaque ``binary`` payloads with
 typed metadata, decoded / feature-extracted via Arrow-batched ``mapInPandas``.
 
-The container has no image/audio libraries, so the *decoder* for real formats
-is stubbed (raises ``NotImplementedError``), and tests run against a
-deterministic fake format (``FAKEIMG1``) whose payload is generated JVM-side
-from ``doc_id``. Everything that matters at 100 TB is real:
+The container has no image/audio libraries, so two REAL formats are decoded
+with stdlib-only codecs — PNG (struct + zlib chunk walk, inflate, all five
+scanline filters) and PCM16 WAV (the ``wave`` module) — while the
+deterministic fake format (``FAKEIMG1``, payload generated JVM-side from
+``doc_id``) remains the zero-Python bulk path; anything else (jpeg, mp4)
+raises loudly rather than faking silently. Everything that matters at
+100 TB is real:
 
 - payload is a true ``binary`` column (Arrow ``large_binary`` over the wire),
 - metadata travels as typed columns (``width``/``height``/``channels``/
@@ -376,3 +379,138 @@ SELECT 'fakeimg' AS fmt,
        max(8 + (doc_id // 3) % 7) AS max_height
 FROM documents
 """
+
+
+# ---------------------------------------------------------------------------
+# audio modality: stdlib WAV codec + feature extraction
+# ---------------------------------------------------------------------------
+
+_WAV_RATE = 8000  # Hz
+
+
+def encode_wav(samples, rate: int = _WAV_RATE) -> bytes:
+    """PCM16 mono WAV from an int16 sample array — pure stdlib (``wave``)."""
+    import io
+    import wave
+
+    import numpy as np
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(np.asarray(samples, dtype="<i2").tobytes())
+    return buf.getvalue()
+
+
+def decode_wav(payload: bytes):
+    """WAV → (int16 samples, rate, n_channels). Real RIFF parsing via the
+    stdlib ``wave`` module — a genuine second-modality decoder alongside
+    the PNG codec; PCM16 only (the overwhelmingly common landing format)."""
+    import io
+    import wave
+
+    import numpy as np
+
+    with wave.open(io.BytesIO(bytes(payload)), "rb") as w:
+        if w.getsampwidth() != 2:
+            raise NotImplementedError("only PCM16 WAV is decoded here")
+        rate, nch = w.getframerate(), w.getnchannels()
+        raw = w.readframes(w.getnframes())
+    return np.frombuffer(raw, dtype="<i2"), rate, nch
+
+
+def keystream_samples(doc_id: int, n: int):
+    """Deterministic pseudo-audio: the doc's md5 keystream bytes
+    reinterpreted as ``n`` little-endian int16 samples — reproducible from
+    the doc id alone, like the image keystream."""
+    import hashlib
+
+    import numpy as np
+
+    need = 2 * n
+    hx = hashlib.md5(str(doc_id).encode()).hexdigest()
+    body = (hx * (need // 32 + 2))[:need].encode()
+    return np.frombuffer(body, dtype="<i2")
+
+
+def attach_audio_payload(docs: DataFrame, *, n_samples_base: int = 256) -> DataFrame:
+    """Attach a REAL WAV payload per doc: ``n_samples_base + doc_id % 128``
+    deterministic PCM16 samples encoded through the stdlib writer inside an
+    Arrow-batched ``mapInPandas`` (audio encode is inherently Python-side;
+    batches bound memory, rows never shuffle)."""
+    from pyspark.sql import types as TT
+
+    out_schema = TT.StructType(
+        [
+            TT.StructField("doc_id", TT.LongType()),
+            TT.StructField("fmt", TT.StringType()),
+            TT.StructField("n_samples", TT.IntegerType()),
+            TT.StructField("sample_rate", TT.IntegerType()),
+            TT.StructField("payload", TT.BinaryType()),
+        ]
+    )
+
+    base = docs.select("doc_id")
+
+    def enc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            n = (n_samples_base + pdf["doc_id"] % 128).astype(int)
+            payloads = [
+                encode_wav(keystream_samples(int(d), int(k))) for d, k in zip(pdf["doc_id"], n)
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "fmt": "wav",
+                    "n_samples": n,
+                    "sample_rate": _WAV_RATE,
+                    "payload": pd.Series(payloads, index=pdf.index, dtype=object),
+                }
+            )
+
+    return base.mapInPandas(enc, schema=out_schema)
+
+
+def audio_features(df: DataFrame) -> DataFrame:
+    """Decode WAV payloads and extract per-clip features: duration,
+    RMS level, zero-crossing count, peak amplitude. Cross-checked against
+    the typed metadata columns (n_samples) like the PNG path."""
+    from pyspark.sql import types as TT
+
+    schema = TT.StructType(
+        [
+            TT.StructField("doc_id", TT.LongType()),
+            TT.StructField("n_samples", TT.IntegerType()),
+            TT.StructField("duration_ms", TT.DoubleType()),
+            TT.StructField("rms", TT.DoubleType()),
+            TT.StructField("n_zero_crossings", TT.IntegerType()),
+            TT.StructField("peak", TT.IntegerType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples(index=False):
+                s, rate, _nch = decode_wav(bytes(row.payload))
+                if s.size != row.n_samples:
+                    raise ValueError(f"decoded {s.size} samples != metadata {row.n_samples}")
+                sf = s.astype(np.float64)
+                zc = int(np.count_nonzero(np.signbit(sf[1:]) != np.signbit(sf[:-1]))) if s.size > 1 else 0
+                out.append(
+                    (
+                        row.doc_id,
+                        int(s.size),
+                        float(s.size * 1000.0 / rate),
+                        float(np.sqrt((sf * sf).mean())) if s.size else 0.0,
+                        zc,
+                        int(np.abs(sf).max()) if s.size else 0,
+                    )
+                )
+            yield pd.DataFrame(out, columns=[f.name for f in schema.fields])
+
+    return df.mapInPandas(run, schema=schema)
