@@ -466,6 +466,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_session_window": timeseries.session_window_agg,
         "text_script": text.text_script,
         "text_lm_score": text.text_lm_score,
+        "events_paths": analytics.events_paths,
         "dedup_semantic": similarity.dedup_semantic,
         "ts_calendar_features": forecasting.calendar_features,
         "ts_range_join": timeseries.range_join_events,
@@ -487,6 +488,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh": similarity.ann_lsh,
         "multimodal_decode": _q_multimodal_decode,
         "multimodal_audio": _q_multimodal_audio,
+        "ts_lttb": timeseries.lttb_downsample,
         # -- round-1 driver-green (kept green via tools/parity.py) --------
         "bt_read_latest": _q_read_latest,
         "bt_read_overlapping": _q_read_overlapping,
@@ -846,6 +848,7 @@ def oracle_sql() -> dict[str, str]:
         "asof_nearest": asof.ASOF_NEAREST_SQL,
         "events_attribution": asof.ATTRIBUTION_SQL,
         "events_markov": analytics.EVENTS_MARKOV_SQL,
+        "events_paths": analytics.EVENTS_PATHS_SQL,
         "events_json": analytics.EVENTS_JSON_SQL,
         "graph_pagerank": analytics.GRAPH_PAGERANK_SQL,
         "events_pivot": analytics.EVENTS_PIVOT_SQL,

@@ -354,3 +354,49 @@ def test_approx_distinct_within_hll_error(spark, sf_dir):
         F.approx_count_distinct("user_id", rsd=0.02).alias("approx"),
     ).first()
     assert abs(got.approx - got.exact) / got.exact <= 0.06  # 3× rsd envelope
+
+
+def test_lttb_invariants_and_local_recompute(spark, sf_dir):
+    """LTTB: first/last kept, exactly min(n, n_out) points per series in
+    time order, deterministic, and the selection equals an independent
+    pure-python recompute for sampled series."""
+    import numpy as np
+
+    from timedb_spark.operators.timeseries import _hourly_series, lttb_downsample
+
+    n_out = 20
+    got = {}
+    for r in lttb_downsample(spark, sf_dir, n_out=n_out).collect():
+        got.setdefault(r.series_id, []).append((r.pt_index, r.valid_time, r.value))
+    src = {}
+    for r in _hourly_series(spark, sf_dir).collect():
+        src.setdefault(r.series_id, []).append((r.valid_time, r.value))
+
+    def py_lttb(pts):
+        pts = sorted(pts)
+        n = len(pts)
+        if n <= n_out:
+            return pts
+        x = np.array([p[0].timestamp() * 1e6 for p in pts])
+        y = np.array([p[1] for p in pts])
+        edges = [1 + int(i * (n - 2) / (n_out - 2)) for i in range(n_out - 1)]
+        idx = [0]
+        for b in range(n_out - 2):
+            lo, hi = edges[b], edges[b + 1]
+            nlo = edges[b + 1]
+            nhi = n if b == n_out - 3 else edges[b + 2]
+            ax, ay = x[nlo:nhi].mean(), y[nlo:nhi].mean()
+            p = idx[-1]
+            cand = np.arange(lo, hi)
+            area = np.abs((x[p] - ax) * (y[cand] - y[p]) - (x[p] - x[cand]) * (ay - y[p]))
+            idx.append(int(cand[int(area.argmax())]))
+        idx.append(n - 1)
+        return [pts[i] for i in idx]
+
+    assert set(got) == set(src)
+    for sid, sel in got.items():
+        sel = [t[1:] for t in sorted(sel)]
+        pts = sorted(src[sid])
+        assert len(sel) == min(len(pts), n_out)
+        assert sel[0] == pts[0] and sel[-1] == pts[-1]  # endpoints kept
+        assert sel == py_lttb(pts)  # exact match with independent recompute

@@ -630,6 +630,51 @@ FROM grid g JOIN totals t USING (prev_type)
 """
 
 
+def events_paths(spark: SparkSession, sf_dir: str, *, top_n: int = 25) -> DataFrame:
+    """Top user-journey trigrams: the most common 3-step event-type paths
+    (click→view→purchase, ...) with user reach — the "common paths" funnel
+    exploration query. TWO lags share ONE per-user window sort (a single
+    WindowExec pass), the path grid is tiny after the map-side-combined
+    count, and the top-N is a TakeOrderedAndProject with a deterministic
+    path tiebreak. Same single-sort posture as events_markov, one step
+    deeper."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    steps = ev.select(
+        "user_id",
+        F.lag("event_type", 2).over(w).alias("s1"),
+        F.lag("event_type", 1).over(w).alias("s2"),
+        F.col("event_type").alias("s3"),
+    ).filter(F.col("s1").isNotNull())
+    path = F.concat_ws(">", "s1", "s2", "s3")
+    agg = steps.groupBy(path.alias("path")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count_distinct("user_id").alias("n_users"),
+    )
+    return agg.orderBy(F.col("n").desc(), F.col("path")).limit(top_n)
+
+
+EVENTS_PATHS_SQL = """
+WITH steps AS (
+    SELECT user_id,
+           lag(event_type, 2) OVER w AS s1,
+           lag(event_type, 1) OVER w AS s2,
+           event_type AS s3
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT s1 || '>' || s2 || '>' || s3 AS path,
+       count(*) AS n,
+       count(DISTINCT user_id) AS n_users
+FROM steps WHERE s1 IS NOT NULL
+GROUP BY 1
+ORDER BY n DESC, path
+LIMIT 25
+"""
+
+
 def events_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi-structured extraction: pull the integer ``k`` out of the JSON
     ``props`` payload and aggregate per (event_type, k-decade) — the

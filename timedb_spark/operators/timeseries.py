@@ -269,6 +269,64 @@ FROM s GROUP BY user_id, session_seq
 """
 
 
+#: LTTB target points per series
+LTTB_POINTS = 50
+
+
+def lttb_downsample(spark: SparkSession, sf_dir: str, *, n_out: int = LTTB_POINTS) -> DataFrame:
+    """Largest-Triangle-Three-Buckets downsampling per series (Steinarsson
+    2013) — the perceptual line-chart downsampler complementing ts_m4's
+    min/max envelope: pick, per bucket, the point forming the largest
+    triangle with the previously selected point and the next bucket's
+    average.
+
+    The selection is a sequential greedy per series (each pick depends on
+    the previous), so it runs as an Arrow-batched ``applyInPandas`` over
+    series groups — the group is ONE series' render window (here ≤ a few
+    thousand points; a dashboard query is bounded by its time range), never
+    the raw table, so group size is a product contract, not a skew hazard.
+    First/last points always kept; ties break to the earliest point ⇒
+    deterministic. *rows-only* (sequential dependence is not expressible in
+    one SQL pass); invariants + a pure-python recompute are pinned in
+    tests/test_timeseries.py."""
+    import numpy as np
+    import pandas as pd
+
+    s = _hourly_series(spark, sf_dir)
+
+    def _lttb(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("valid_time").reset_index(drop=True)
+        n = len(pdf)
+        if n <= n_out:
+            idx = list(range(n))
+        else:
+            x = pdf["valid_time"].astype("int64").to_numpy(dtype=np.float64)
+            y = pdf["value"].to_numpy(dtype=np.float64)
+            edges = [1 + int(i * (n - 2) / (n_out - 2)) for i in range(n_out - 1)]
+            idx = [0]
+            for b in range(n_out - 2):
+                lo, hi = edges[b], edges[b + 1]
+                nlo, nhi = (edges[b + 1], edges[b + 2]) if b + 2 < len(edges) else (edges[b + 1], n - 1)
+                if b == n_out - 3:
+                    nhi = n  # last interior bucket averages through the tail
+                ax = x[nlo:nhi].mean() if nhi > nlo else x[n - 1]
+                ay = y[nlo:nhi].mean() if nhi > nlo else y[n - 1]
+                p = idx[-1]
+                cand = np.arange(lo, hi)
+                area = np.abs(
+                    (x[p] - ax) * (y[cand] - y[p]) - (x[p] - x[cand]) * (ay - y[p])
+                )
+                idx.append(int(cand[int(area.argmax())]))  # argmax ties -> first
+            idx.append(n - 1)
+        out = pdf.iloc[idx][["series_id", "valid_time", "value"]].copy()
+        out["pt_index"] = range(len(idx))
+        return out
+
+    return s.groupBy("series_id").applyInPandas(
+        _lttb, "series_id long, valid_time timestamp, value double, pt_index long"
+    )
+
+
 # ---------------------------------------------------------------------------
 # binned range join
 # ---------------------------------------------------------------------------
