@@ -467,6 +467,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_script": text.text_script,
         "text_lm_score": text.text_lm_score,
         "events_paths": analytics.events_paths,
+        "graph_triangles": analytics.graph_triangles,
         "dedup_semantic": similarity.dedup_semantic,
         "ts_calendar_features": forecasting.calendar_features,
         "ts_range_join": timeseries.range_join_events,
@@ -849,6 +850,7 @@ def oracle_sql() -> dict[str, str]:
         "events_attribution": asof.ATTRIBUTION_SQL,
         "events_markov": analytics.EVENTS_MARKOV_SQL,
         "events_paths": analytics.EVENTS_PATHS_SQL,
+        "graph_triangles": analytics.GRAPH_TRIANGLES_SQL,
         "events_json": analytics.EVENTS_JSON_SQL,
         "graph_pagerank": analytics.GRAPH_PAGERANK_SQL,
         "events_pivot": analytics.EVENTS_PIVOT_SQL,

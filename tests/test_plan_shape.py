@@ -329,3 +329,18 @@ def test_snapshot_store_read_keeps_pruning_and_pushdown(spark, tmp_path):
     plans.assert_pushed_filter(out, "series_id", "valid_time")
     assert out.count() == 1
     db.delete()
+
+
+def test_graph_triangles_orientations_agree_and_no_cartesian(spark, sf_dir):
+    """id- and degree-orientation enumerate the SAME triangle set (the flag
+    changes wedge generation, never membership), and neither plan contains
+    a cartesian product."""
+    from timedb_spark.operators import analytics
+
+    by_id = analytics.graph_triangles(spark, sf_dir)
+    by_deg = analytics.graph_triangles(spark, sf_dir, orient="degree")
+    plans.assert_no_cartesian(by_id)
+    plans.assert_no_cartesian(by_deg)
+    assert [(r.node, r.n_triangles) for r in by_id.collect()] == [
+        (r.node, r.n_triangles) for r in by_deg.collect()
+    ]
