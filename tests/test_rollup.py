@@ -100,3 +100,32 @@ def test_delete_triggers_full_recompute_and_stays_correct(db):
     assert r["mode"] == "full"  # removed files → decomposable merge can't subtract
     assert _got(ca) == _expect(db)
     assert all(t[0] != 1 for t in _got(ca))
+
+
+def test_rollup_composes_with_streaming_ingest(spark, tmp_path):
+    """End-to-end: micro-batches committed by the exactly-once streaming
+    sink are ordinary append commits, so the rollup refreshes INCREMENTALLY
+    over them and matches the full recompute."""
+    from timedb_spark.streaming import stream_append_to_store
+
+    db = TimeDB(spark, str(tmp_path / "sri"), table_format="snapshot")
+    db.create()
+    seed = TimeDB(spark, str(tmp_path / "seed2"), table_format="snapshot")
+    seed.create()
+    for i in range(3):
+        seed.write(_batch(i, 1 + i), retention="short")
+    sv = seed.store.read_values().drop("vt_month")
+    land = str(tmp_path / "land2")
+    sv.repartition(3).write.parquet(land)
+
+    ca = ContinuousAggregate(db.store)
+    db.write(_batch(9, 6), retention="short")  # pre-stream content
+    assert ca.refresh()["mode"] == "full"
+
+    stream = spark.readStream.schema(sv.schema).option("maxFilesPerTrigger", 1).parquet(land)
+    stream_append_to_store(stream, db.store, checkpoint_dir=str(tmp_path / "ck2"))
+    r = ca.refresh()
+    assert r["mode"] == "incremental"
+    assert _got(ca) == _expect(db)
+    seed.delete()
+    db.delete()

@@ -656,3 +656,73 @@ def test_stream_landing_exactly_once_with_quarantine(spark, tmp_path):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="snapshot"):
         plain.write(replay, retention="short", txn=("app", 1))
+
+
+def test_zorder_compaction_tiles_series_and_time(spark, tmp_path):
+    """Z-order compaction must leave every FILE covering a bounded 2-D tile
+    of (series, time) — both footer stats selective — where linear
+    series-major layout necessarily gives some file the partition's full
+    time span. Row content is unchanged either way."""
+    import pyarrow.parquet as pq
+
+    from timedb_spark import TimeDB
+
+    UTC = timezone.utc
+
+    def build(root):
+        db = TimeDB(spark, str(root))
+        db.create()
+        # 64 series x 64 hours (equal bit-width domains — the morton code's
+        # top bits then alternate dimensions) in one month partition
+        for chunk in range(4):
+            rows = pd.DataFrame(
+                [
+                    {
+                        "series_id": s,
+                        "valid_time": datetime(2024, 1, 1, tzinfo=UTC) + timedelta(hours=h),
+                        "value": float(s * 1000 + h),
+                    }
+                    for s in range(64)
+                    for h in range(chunk * 16, chunk * 16 + 16)
+                ]
+            )
+            db.write(rows, retention="short")
+        return db
+
+    def file_spans(db):
+        part = next(db.store.values_path.glob("retention=*/vt_month=*"))
+        spans = []
+        for f in sorted(part.glob("*.parquet")):
+            md = pq.ParquetFile(f).metadata
+            idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+            smin = smax = tmin = tmax = None
+            for rg in range(md.num_row_groups):
+                ss = md.row_group(rg).column(idx["series_id"]).statistics
+                ts = md.row_group(rg).column(idx["valid_time"]).statistics
+                smin = ss.min if smin is None else min(smin, ss.min)
+                smax = ss.max if smax is None else max(smax, ss.max)
+                tmin = ts.min if tmin is None else min(tmin, ts.min)
+                tmax = ts.max if tmax is None else max(tmax, ts.max)
+            spans.append((smax - smin, (tmax - tmin).total_seconds() / 3600))
+        return spans
+
+    z = build(tmp_path / "z")
+    before = sorted((r.series_id, r.valid_time, r.value) for r in z.store.read_values().collect())
+    assert z.compact() == []  # default threshold untouched at 4 files
+    assert z.store.compact(max_files_per_partition=0, target_files=16, cluster="zorder") != []
+    after = sorted((r.series_id, r.valid_time, r.value) for r in z.store.read_values().collect())
+    assert after == before  # clustering never changes content
+    zs = file_spans(z)
+    assert len(zs) == 16
+    # every z-ordered file is a PROPER 2-D tile: well under half of BOTH
+    # axis domains (16 files over a 64x64 grid -> ~16x16 tiles)
+    assert all(s_span < 32 and t_span < 32 for s_span, t_span in zs), zs
+
+    lin = build(tmp_path / "lin")
+    assert lin.store.compact(max_files_per_partition=0, target_files=16, cluster="linear") != []
+    ls = file_spans(lin)
+    # series-major: series spans are narrow but some file sweeps (nearly)
+    # the whole time range — the pruning gap z-order closes
+    assert any(t_span >= 60 for _, t_span in ls), ls
+    z.delete()
+    lin.delete()

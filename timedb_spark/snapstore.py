@@ -213,11 +213,13 @@ class SnapshotStore(Store):
             by_part.setdefault(os.path.dirname(f), []).append(f)
         return by_part
 
-    def compact(self, *, max_files_per_partition: int = 4, target_files: int = 1) -> list[str]:
+    def compact(self, *, max_files_per_partition: int = 4, target_files: int = 1, cluster: str = "linear") -> list[str]:
         """Compaction as a manifest swap: fragmented partitions are rewritten
         into fresh files, then ONE commit removes the old files and adds the
         new — readers pinned at older versions keep a consistent view (the
-        v1 store deletes the directory under them)."""
+        v1 store deletes the directory under them). ``cluster`` picks the
+        layout (linear primary-key order or series×time Z-order, see
+        Store._cluster_sort)."""
         _, files = self._load()
         add: list[str] = []
         remove: set[str] = set()
@@ -227,11 +229,13 @@ class SnapshotStore(Store):
                 continue
             tmp = self.root / "_compact_tmp" / uuid.uuid4().hex
             (
-                self.spark.read.option("basePath", str(self.values_path))
-                .parquet(*[str(self.values_path / f) for f in fs])
-                .drop("retention", "vt_month")
-                .repartition(target_files)
-                .sortWithinPartitions(*_SORT_KEY)
+                self._cluster_sort(
+                    self.spark.read.option("basePath", str(self.values_path))
+                    .parquet(*[str(self.values_path / f) for f in fs])
+                    .drop("retention", "vt_month"),
+                    cluster,
+                    target_files,
+                )
                 .write.mode("overwrite")
                 .parquet(str(tmp))
             )

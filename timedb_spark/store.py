@@ -202,7 +202,29 @@ class Store:
 
     # -- compaction (the CH background-merge / OPTIMIZE analogue) ----------
 
-    def compact(self, *, max_files_per_partition: int = 4, target_files: int = 1) -> list[str]:
+    def _cluster_sort(self, df: DataFrame, cluster: str, target_files: int) -> DataFrame:
+        """Compaction clustering strategies: ``linear`` restores the
+        reference's (series_id, valid_time, …) primary-key order (best for
+        single-series scans); ``zorder`` lays rows on the series×hour
+        Morton curve so BOTH series and time row-group zone maps stay
+        selective at once (the Delta OPTIMIZE-ZORDER analogue — right for
+        multi-series dashboard slices). Range-partitioning on the cluster
+        key keeps FILES disjoint in key space, not just row groups."""
+        if cluster == "zorder":
+            from timedb_spark.functions.zorder import series_time_zorder
+
+            z = series_time_zorder().alias("_z")
+            return (
+                df.withColumn("_z", z)
+                .repartitionByRange(target_files, "_z")
+                .sortWithinPartitions("_z")
+                .drop("_z")
+            )
+        if cluster == "linear":
+            return df.repartition(target_files).sortWithinPartitions(*_SORT_KEY)
+        raise ValueError(f"Unknown cluster {cluster!r}. Valid values: 'linear', 'zorder'.")
+
+    def compact(self, *, max_files_per_partition: int = 4, target_files: int = 1, cluster: str = "linear") -> list[str]:
         """Rewrite fragmented ``(retention, vt_month)`` partitions into
         ``target_files`` sorted files each.
 
@@ -214,7 +236,8 @@ class Store:
         memory; any partition is independent, so a 100 TB store compacts in
         parallel by partition with no coordination). Readers of OTHER
         partitions are unaffected; like CH's OPTIMIZE, the swap is per
-        partition. Returns the rewritten partition dirs (relative)."""
+        partition. ``cluster`` picks the layout (see :meth:`_cluster_sort`).
+        Returns the rewritten partition dirs (relative)."""
         compacted: list[str] = []
         tmp_root = self.root / "_compact_tmp"
         for tier_dir in sorted(self.values_path.glob("retention=*")):
@@ -224,9 +247,7 @@ class Store:
                     continue
                 tmp = tmp_root / tier_dir.name / month_dir.name
                 (
-                    self.spark.read.parquet(str(month_dir))
-                    .repartition(target_files)
-                    .sortWithinPartitions(*_SORT_KEY)
+                    self._cluster_sort(self.spark.read.parquet(str(month_dir)), cluster, target_files)
                     .write.mode("overwrite")
                     .parquet(str(tmp))
                 )
