@@ -123,7 +123,11 @@ def test_ttl_is_a_manifest_swap_then_vacuum_reclaims(db):
     assert db.store.read_values(version=v_before).count() == 6
 
     n_files_before = sum(1 for _ in db.store.values_path.rglob("*.parquet"))
-    stats = db.store.vacuum(keep_last=1)
+    # default grace window protects young DATA files (they could belong to
+    # an in-flight commit): history truncates but no file is deleted
+    assert db.store.vacuum(keep_last=1)["removed_files"] == 0
+    assert sum(1 for _ in db.store.values_path.rglob("*.parquet")) == n_files_before
+    stats = db.store.vacuum(keep_last=1, min_age_s=0)
     assert stats["removed_files"] > 0
     assert sum(1 for _ in db.store.values_path.rglob("*.parquet")) < n_files_before
     assert db.store.read_values().count() == 3  # latest unaffected

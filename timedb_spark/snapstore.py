@@ -380,21 +380,30 @@ class SnapshotStore(Store):
 
     # -- vacuum: the only destructive step ----------------------------------
 
-    def vacuum(self, *, keep_last: int = 1) -> dict:
+    def vacuum(self, *, keep_last: int = 1, min_age_s: float = 3600.0) -> dict:
         """Truncate history to the last ``keep_last`` versions and delete
         data files no kept version references. Returns counts. After vacuum,
         time travel reaches only the kept versions (older reads raise), and
         txn idempotence markers in truncated manifests are forgotten — keep
-        ``keep_last`` above any streaming checkpoint's replay horizon."""
+        ``keep_last`` above any streaming checkpoint's replay horizon.
+
+        ``min_age_s`` is the concurrent-writer guard (Delta's ``VACUUM
+        RETAIN``): a writer renames its staged files into the dataset
+        BEFORE its manifest commit, so an unreferenced-but-young file may
+        belong to an in-flight commit — only files older than the grace
+        window are deleted. Set 0 only when no writer can be active."""
+        import time as _t
+
         vs = self._versions()
         keep = set(vs[-keep_last:]) if vs else set()
         referenced: set[str] = set()
         for v in keep:
             referenced.update(self._load(v)[1])
+        cutoff = _t.time() - min_age_s
         removed_files = 0
         if self.values_path.exists():
             for p in self.values_path.rglob("*.parquet"):
-                if str(p.relative_to(self.values_path)) not in referenced:
+                if str(p.relative_to(self.values_path)) not in referenced and p.stat().st_mtime <= cutoff:
                     p.unlink()
                     removed_files += 1
             for d in sorted(self.values_path.rglob("*"), reverse=True):
