@@ -468,6 +468,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_lm_score": text.text_lm_score,
         "events_paths": analytics.events_paths,
         "graph_triangles": analytics.graph_triangles,
+        "bt_pinball_loss": forecasting.pinball_loss,
         "dedup_semantic": similarity.dedup_semantic,
         "ts_calendar_features": forecasting.calendar_features,
         "ts_range_join": timeseries.range_join_events,
@@ -775,6 +776,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "bt_forecast_vintage": forecasting.forecast_vintage_sql(_SV),
         "bt_restatements": forecasting.restatements_sql(_SV),
+        "bt_pinball_loss": forecasting.pinball_loss_sql(_SV),
         "bt_interval_at": f"""
             WITH sv AS ({INTERVAL_ORACLE_SQL}),
             covering AS (

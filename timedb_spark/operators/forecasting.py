@@ -175,6 +175,84 @@ def restatements_sql(sv_sql: str) -> str:
 
 
 # ---------------------------------------------------------------------------
+# pinball (quantile) loss: probabilistic-forecast evaluation
+# ---------------------------------------------------------------------------
+
+#: evaluated forecast quantiles
+PINBALL_QS = (0.1, 0.5, 0.9)
+
+
+def pinball_loss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pinball (quantile) loss per (series, quantile) — THE evaluation
+    metric for probabilistic energy forecasts (the reference's domain):
+    each point's revision chain doubles as an empirical predictive
+    distribution, its q-quantiles (exact linear interpolation — Spark
+    ``percentile`` == DuckDB ``quantile_cont``, parity proven by
+    ts_quantiles) are the quantile forecasts, and the final latest value is
+    the outcome. pinball_q = max(q·(y−f), (q−1)·(y−f)).
+
+    ONE fine-keyed groupBy computes all quantiles AND the final value
+    (map-side-combinable), quantiles explode from the array (no extra
+    pass), and the per-series reduce sums 1e-8-scaled integers — exact,
+    order-free, bit-identical to the oracle."""
+    sv = bitemporal_frame(spark, sf_dir)
+    qs = F.array(*[F.lit(q) for q in PINBALL_QS])
+    per_point = sv.groupBy("series_id", "valid_time").agg(
+        F.percentile("value", qs).alias("fq"),
+        F.max_by("value", F.struct("knowledge_time", "change_time", "value")).alias("y"),
+    )
+    z = per_point.select(
+        "series_id",
+        "y",
+        F.explode(F.arrays_zip(qs.alias("q"), F.col("fq").alias("f"))).alias("e"),
+    ).select("series_id", F.col("e.q").alias("q"), (F.col("y") - F.col("e.f")).alias("d"))
+    pb = F.greatest(F.col("q") * F.col("d"), (F.col("q") - 1) * F.col("d"))
+    pb8 = F.floor(pb * F.lit(1e8) + F.lit(0.5)).cast("long")
+    out = (
+        z.select("series_id", "q", pb8.alias("pb8"))
+        .groupBy("series_id", "q")
+        .agg(F.count(F.lit(1)).alias("n_points"), F.sum("pb8").alias("_s"))
+    )
+    mean6 = F.floor(F.col("_s").cast("double") / F.col("n_points") / F.lit(1e8) * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+    return out.select("series_id", "q", "n_points", mean6.alias("mean_pinball"))
+
+
+def pinball_loss_sql(sv_sql: str) -> str:
+    per_q = "\nUNION ALL\n".join(
+        f"SELECT series_id, {q} AS q, y - f[{i + 1}] AS d FROM per_point" for i, q in enumerate(PINBALL_QS)
+    )
+    return f"""
+    WITH sv AS ({sv_sql}),
+    fq AS (
+        SELECT series_id, valid_time,
+               quantile_cont(value, {list(PINBALL_QS)}) AS f
+        FROM sv GROUP BY series_id, valid_time
+    ),
+    fin AS (
+        SELECT series_id, valid_time, value AS y FROM (
+            SELECT series_id, valid_time, value,
+                   row_number() OVER (PARTITION BY series_id, valid_time
+                                      ORDER BY knowledge_time DESC, change_time DESC, value DESC) AS rn
+            FROM sv
+        ) t WHERE rn = 1
+    ),
+    per_point AS (
+        SELECT fq.series_id, fq.valid_time, fq.f, fin.y
+        FROM fq JOIN fin ON fin.series_id = fq.series_id AND fin.valid_time = fq.valid_time
+    ),
+    z AS ({per_q}),
+    pb AS (
+        SELECT series_id, q,
+               CAST(floor(greatest(q * d, (q - 1) * d) * 1e8 + 0.5) AS BIGINT) AS pb8
+        FROM z
+    )
+    SELECT series_id, q, count(*) AS n_points,
+           floor(CAST(sum(pb8) AS DOUBLE) / count(*) / 1e8 * 1e6 + 0.5) / 1e6 AS mean_pinball
+    FROM pb GROUP BY series_id, q
+    """
+
+
+# ---------------------------------------------------------------------------
 # supervised feature matrix: lags + calendar
 # ---------------------------------------------------------------------------
 
