@@ -33,11 +33,15 @@ __all__ = [
 
 def run_available_now(stream_df: DataFrame, output_mode: str, timeout_s: int = 600) -> DataFrame:
     """Drain a stream deterministically: ``trigger(availableNow)`` into a
-    memory sink, block until done, return the sink as a batch DataFrame.
+    memory sink, block until done, return the drained rows as a batch
+    DataFrame.
 
     The bridge that lets streaming operators answer batch-style correctness
     questions (and the driver's oracle gate): same code path as production,
-    bounded input."""
+    bounded input. The result is DETACHED from the sink (memory sinks hold
+    all rows on the driver for the session's lifetime — across a 100-query
+    sweep the leaked sinks degraded later queries) and the sink's temp view
+    is dropped, so each drain's memory is reclaimable once its result is."""
     spark = stream_df.sparkSession
     name = "drain_" + uuid.uuid4().hex[:12]
     q = (
@@ -48,7 +52,10 @@ def run_available_now(stream_df: DataFrame, output_mode: str, timeout_s: int = 6
         .start()
     )
     q.awaitTermination(timeout_s)
-    return spark.table(name)
+    sink = spark.table(name)
+    out = spark.createDataFrame(sink.collect(), sink.schema)
+    spark.catalog.dropTempView(name)
+    return out
 
 
 def stage_ordered_landing(df: DataFrame, path: str, n_files: int, order_col: str) -> str:
@@ -89,4 +96,7 @@ def run_available_now_progress(stream_df: DataFrame, output_mode: str, timeout_s
     )
     q.awaitTermination(timeout_s)
     progress = [p for p in q.recentProgress if p is not None]
-    return spark.table(name), progress
+    sink = spark.table(name)
+    out = spark.createDataFrame(sink.collect(), sink.schema)
+    spark.catalog.dropTempView(name)
+    return out, progress
