@@ -52,8 +52,16 @@ def run_available_now(stream_df: DataFrame, output_mode: str, timeout_s: int = 6
         .start()
     )
     q.awaitTermination(timeout_s)
+    out = _detach(spark, name)
+    return out
+
+
+def _detach(spark, name: str) -> DataFrame:
+    """Copy a memory-sink table into a plain DataFrame (Arrow both ways —
+    no per-row Python objects) and drop the sink's temp view, so the
+    drained rows don't stay pinned on the driver for the session's life."""
     sink = spark.table(name)
-    out = spark.createDataFrame(sink.collect(), sink.schema)
+    out = spark.createDataFrame(sink.toPandas(), schema=sink.schema)
     spark.catalog.dropTempView(name)
     return out
 
@@ -96,7 +104,4 @@ def run_available_now_progress(stream_df: DataFrame, output_mode: str, timeout_s
     )
     q.awaitTermination(timeout_s)
     progress = [p for p in q.recentProgress if p is not None]
-    sink = spark.table(name)
-    out = spark.createDataFrame(sink.collect(), sink.schema)
-    spark.catalog.dropTempView(name)
-    return out, progress
+    return _detach(spark, name), progress
