@@ -491,6 +491,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_decode": _q_multimodal_decode,
         "multimodal_audio": _q_multimodal_audio,
         "ts_lttb": timeseries.lttb_downsample,
+        "ts_holt_winters": timeseries.holt_winters,
         # -- round-1 driver-green (kept green via tools/parity.py) --------
         "bt_read_latest": _q_read_latest,
         "bt_read_overlapping": _q_read_overlapping,
@@ -911,6 +912,8 @@ def oracle_sql() -> dict[str, str]:
         "ts_histogram": timeseries.VALUE_HISTOGRAM_SQL,
         "ts_ewma": timeseries.EWMA_SQL,
         "ts_holt": timeseries.HOLT_SQL,
+        # ts_holt_winters: rows-only (full-series sequential recursion in
+        # applyInPandas; python recompute + seasonality tests)
         "ts_rate": timeseries.COUNTER_RATE_SQL,
         "events_cohort": timeseries.RETENTION_COHORT_SQL,
         "ts_m4": timeseries.M4_SQL,

@@ -52,7 +52,7 @@ def test_every_query_has_oracle_or_documented_exemption(con):
     """Every queries() entry either has an oracle or is on the explicit
     rows-only list (non-SQL-expressible by design, judge sees the weaker
     check)."""
-    rows_only = {"pack_documents", "ann_lsh", "multimodal_decode", "multimodal_audio", "ts_lttb"}
+    rows_only = {"pack_documents", "ann_lsh", "multimodal_decode", "multimodal_audio", "ts_lttb", "ts_holt_winters"}
     qs = set(entrymod.queries())
     oracles = set(entrymod.oracle_sql())
     missing = qs - oracles - rows_only

@@ -400,3 +400,63 @@ def test_lttb_invariants_and_local_recompute(spark, sf_dir):
         assert len(sel) == min(len(pts), n_out)
         assert sel[0] == pts[0] and sel[-1] == pts[-1]  # endpoints kept
         assert sel == py_lttb(pts)  # exact match with independent recompute
+
+
+def test_holt_winters_tracks_planted_seasonality(spark, tmp_path):
+    """On a strongly 24h-periodic series, the Holt-Winters one-step forecast
+    must converge onto the pattern after a couple of periods — mean |error|
+    over the last day a small fraction of the seasonal amplitude — and beat
+    the trend-only (holt-style) naive level forecast."""
+    import math
+
+    import pandas as pd
+
+    from timedb_spark.operators.timeseries import holt_winters
+
+    hours = 24 * 6
+    rows = []
+    eid = 0
+    for h in range(hours):
+        if h % 3 == 2:  # respect the _hourly_series sparsity pattern
+            continue
+        rows.append(
+            {
+                "event_id": eid,
+                "ts": pd.Timestamp("2024-01-01") + pd.Timedelta(hours=h),
+                "user_id": 1,
+                "event_type": "click",
+                "value": 100.0 + 50.0 * math.sin(2 * math.pi * (h % 24) / 24),
+                "props": "{}",
+            }
+        )
+        eid += 1
+    d = tmp_path / "sf_hw"
+    d.mkdir()
+    spark.createDataFrame(pd.DataFrame(rows)).write.parquet(str(d / "events.parquet"))
+
+    out = sorted(holt_winters(spark, str(d)).collect(), key=lambda r: r.valid_time)
+    # one-step contract on the dense LOCF grid: row t's hw_forecast
+    # predicts row t+1's value
+    tail = out[-25:]  # last day
+    errs = [abs(prev.hw_forecast - cur.value) for prev, cur in zip(tail, tail[1:])]
+    amplitude = 100.0
+    assert sum(errs) / len(errs) < 0.2 * amplitude
+    # a pure-level forecast (no seasonal term) cannot track the oscillation
+    level_errs = [abs(prev.hw_level - cur.value) for prev, cur in zip(tail, tail[1:])]
+    assert sum(errs) / len(errs) < 0.8 * (sum(level_errs) / len(level_errs))
+
+    # the pandas recursion equals an independent pure-python recompute
+    from timedb_spark.operators.timeseries import _HW_ALPHA, _HW_BETA, _HW_GAMMA, _HW_PERIOD
+
+    series = [(r.valid_time, r.value) for r in out]
+    level, trend, ring = series[0][1], 0.0, [0.0] * _HW_PERIOD
+    for i, (vt, x) in enumerate(series):
+        if i:
+            s_old = ring.pop(0)
+            lp = _HW_ALPHA * (x - s_old) + (1.0 - _HW_ALPHA) * (level + trend)
+            trend = _HW_BETA * (lp - level) + (1.0 - _HW_BETA) * trend
+            level = lp
+            ring.append(_HW_GAMMA * (x - level) + (1.0 - _HW_GAMMA) * s_old)
+        import math
+        assert out[i].hw_level == math.floor(level * 1e6) / 1e6
+        assert out[i].hw_forecast == math.floor((level + trend + ring[0]) * 1e6) / 1e6

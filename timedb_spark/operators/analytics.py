@@ -813,6 +813,10 @@ def graph_triangles(spark: SparkSession, sf_dir: str, *, top_n: int = 20, orient
     b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pb"))
     edges = (
         a.join(b, "ok").filter(F.col("pa") < F.col("pb")).select("pa", "pb").distinct()
+        # the edge list feeds three join sides (two wedge legs + the closing
+        # edge, plus degrees under orient="degree") — cut the lineage once
+        # so pair generation + distinct run a single time, not per use.
+        .localCheckpoint(eager=False)
     )
     if orient == "degree":
         und = edges.unionByName(edges.select(F.col("pb").alias("pa"), F.col("pa").alias("pb")))
