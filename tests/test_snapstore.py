@@ -201,3 +201,14 @@ def test_streaming_ingest_exactly_once(spark, tmp_path):
     assert db.store.read_values().count() == 9
     seed.delete()
     db.delete()
+
+
+def test_append_rejects_schema_drift(db, spark):
+    """A frame with a retyped column must fail loudly at append, never mix
+    schemas into the dataset."""
+    db.write(_batch(1, 1), retention="short")
+    good = db.store.read_values().drop("vt_month")
+    drifted = good.withColumn("value", F.col("value").cast("string"))
+    with pytest.raises(ValueError, match="schema drift"):
+        db.store.append_values(drifted)
+    assert db.store.read_values().count() == 3  # nothing landed

@@ -163,6 +163,16 @@ class SnapshotStore(Store):
         orphans are invisible and vacuum reclaims them)."""
         if txn is not None and self._txn_committed(txn):
             return  # replayed batch — skip even the staging work
+        # schema drift guard: the table's column/type contract is pinned by
+        # SERIES_VALUES_SCHEMA; a caller slipping through with renamed or
+        # retyped columns must fail loudly here, not corrupt the dataset
+        # with mixed-schema files readers discover much later.
+        expected = {(f.name, f.dataType.simpleString()) for f in SERIES_VALUES_SCHEMA.fields}
+        got = {(f.name, f.dataType.simpleString()) for f in df.schema.fields}
+        if got != expected:
+            raise ValueError(
+                f"append schema drift: unexpected={sorted(got - expected)} missing={sorted(expected - got)}"
+            )
         stage = self._stage_dir()
         (
             df.withColumn("vt_month", F.date_format("valid_time", "yyyyMM"))
