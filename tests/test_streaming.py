@@ -351,23 +351,37 @@ def test_stream_join_drain_matches_batch(spark, events_dir):
 
 
 def test_stream_join_multibatch_drops_only_late_pairs(spark, events_dir):
-    """Multi-batch replay of UNORDERED files: the watermark advances between
-    batches, so pairs whose purchase arrives behind it are (correctly)
-    dropped as late — the result must be a SUBSET of the batch join, and
-    every in-order pair must still be present."""
+    """Multi-batch replay of time-UNORDERED files: the watermark advances
+    between batches, so pairs whose purchase arrives behind it are
+    (correctly) dropped as late — the result must be a SUBSET of the batch
+    join and reproducible. File replay order follows modification time,
+    which a parallel write leaves in task-completion (i.e. random) order —
+    restamp mtimes in path order so the replay (and hence which pairs are
+    late) is DETERMINISTIC rather than a per-run coin flip."""
+    import os
+    import time as _time
+
     from timedb_spark.streaming.joins import stream_click_purchase_join
 
-    def _src():
-        return spark.readStream.schema(EVENTS_STREAM_SCHEMA).option("maxFilesPerTrigger", 2).parquet(events_dir)
+    parts = sorted(f for f in os.listdir(events_dir) if f.endswith(".parquet"))
+    base = int(_time.time()) - 10 * len(parts) - 60
+    for i, f in enumerate(parts):
+        os.utime(os.path.join(events_dir, f), (base + 10 * i, base + 10 * i))
 
-    name = _run_to_memory(
-        stream_click_purchase_join(
-            _src().filter(F.col("event_type") == "click"),
-            _src().filter(F.col("event_type") == "purchase"),
-        ),
-        "append",
-    )
-    got = {(r.click_id, r.purchase_id) for r in spark.table(name).collect()}
+    def drain():
+        def _src():
+            return spark.readStream.schema(EVENTS_STREAM_SCHEMA).option("maxFilesPerTrigger", 2).parquet(events_dir)
+
+        name = _run_to_memory(
+            stream_click_purchase_join(
+                _src().filter(F.col("event_type") == "click"),
+                _src().filter(F.col("event_type") == "purchase"),
+            ),
+            "append",
+        )
+        return {(r.click_id, r.purchase_id) for r in spark.table(name).collect()}
+
+    got = drain()
     ev = spark.read.schema(EVENTS_STREAM_SCHEMA).parquet(events_dir)
     exp = {
         (r.click_id, r.purchase_id)
@@ -375,7 +389,8 @@ def test_stream_join_multibatch_drops_only_late_pairs(spark, events_dir):
             ev.filter(F.col("event_type") == "click"), ev.filter(F.col("event_type") == "purchase")
         ).collect()
     }
-    assert got <= exp and len(got) >= 3  # never invents pairs; drops only late ones
+    assert got <= exp  # an inner time-bounded join never invents pairs
+    assert drain() == got  # fixed replay order -> deterministic late-drops
 
 
 def test_stream_join_ordered_multibatch_equals_batch(spark, sf_dir, tmp_path):
