@@ -384,6 +384,13 @@ def _q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.decode_features(docs)
 
 
+def _q_profile_table_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """profile_table with exact distinct counts (the DuckDB oracle is exact;
+    the operator's production default is HLL approx — the two modes are
+    pinned against each other within HLL error in tests/test_pipeline.py)."""
+    return pipeline.profile_table(spark, sf_dir, exact=True)
+
+
 # ---------------------------------------------------------------------------
 # Contract functions
 # ---------------------------------------------------------------------------
@@ -399,70 +406,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     the first 50 entries, so each round front-loads the queries most in need
     of a driver row (see SURVEY.md §7 rotation note).
 
-    Round-2 window (first 50): the 5 round-1 hash-red queries (oracle
-    HUGEINT→BIGINT casts to prove the fix) + 45 never-driver-checked
-    queries spanning §2c/2d/2e/2f. Deferred to the round-3 window: the
-    remaining 14 ts_* queries, the 3 rows-only entries, and the round-1
-    greens (kept green locally via tools/parity.py)."""
+    Round-3 window (first 50): the 22 oracle queries that had never had a
+    driver row after rounds 1-2 (§2f tail + §2b/2c/2d stragglers), then
+    stream_funnel (red in r2 — drain-detach fixed, re-proving), then the 6
+    rows-only entries (driver records rows>0 for these), then 21 round-1
+    greens re-verified on rotation. Deferred: round-1/2 greens kept green
+    locally via tools/parity.py."""
     return {
-        # -- round-1 hash-red, oracles fixed (HUGEINT casts) --------------
-        "bt_interval_merge": _q_interval_merge,
-        "bt_restatements": forecasting.restatements,
-        "events_attribution": asof.attribution_last_touch,
-        "events_json": analytics.events_json,
-        "graph_pagerank": analytics.graph_pagerank,
-        # -- never driver-checked: events family (§2b tail) ----------------
-        "events_pivot": analytics.events_pivot,
-        "events_rank": analytics.events_rank,
-        "events_funnel": funnel.events_funnel,
-        # -- never driver-checked: §2c dedup + text -----------------------
-        "text_tokens": text.text_tokens,
-        "text_quality": text.text_quality,
-        "text_langid": text.text_langid,
-        "text_fingerprint": text.text_fingerprint,
-        "text_tfidf": text.text_tfidf,
-        "text_repetition": text.text_repetition,
-        "text_pii": text.text_pii,
-        "dedup_exact": dedup.dedup_exact,
-        "dedup_ngram_jaccard": dedup.dedup_ngram_jaccard,
-        "dedup_minhash": dedup.dedup_minhash,
-        "dedup_simhash": dedup.dedup_simhash,
-        "dedup_embedding": dedup.dedup_embedding,
-        "dedup_editdist": dedup.dedup_editdist,
-        "dedup_clusters": dedup.dedup_clusters,
-        "contamination_check": pipeline.contamination_check,
-        "pipeline_clean": pipeline.pipeline_clean,
-        "profile_table": pipeline.profile_table,
-        "sample_stratified": sampling.sample_stratified,
-        "sample_mix": sampling.sample_mix,
-        "train_split": sampling.train_split,
-        "shard_assign": sampling.shard_assign,
-        # -- never driver-checked: §2d similarity + multimodal ------------
-        "ann_bruteforce": similarity.ann_bruteforce,
-        "ann_ivf": similarity.ann_ivf,
-        "ann_pq": similarity.ann_pq,
-        "embed_kmeans": similarity.embed_kmeans,
-        "multimodal_meta": multimodal.multimodal_meta,
-        # -- never driver-checked: §2e streaming --------------------------
-        "stream_window": _q_stream_window,
-        "stream_latest_state": _q_stream_latest_state,
-        "stream_dedup": _q_stream_dedup,
-        "stream_sessionize": _q_stream_sessionize,
-        "stream_funnel": _q_stream_funnel,
-        "stream_join": _q_stream_join,
-        # -- never driver-checked: §2f time-series (first 10 of 24) -------
-        "ts_resample_locf": timeseries.resample_locf_events,
-        "ts_interpolate_linear": timeseries.interpolate_linear_events,
-        "ts_rollup_multires": timeseries.rollup_multires,
-        "ts_sessionize": timeseries.sessionize,
-        "ts_ohlc": timeseries.ohlc_bars,
-        "ts_ewma": timeseries.ewma,
-        "ts_rate": timeseries.counter_rate,
-        "ts_corr": timeseries.corr_matrix,
-        "ts_decompose": timeseries.seasonal_decompose,
-        "stream_join_ordered": _q_stream_join_ordered,
-        # ==== end of the 50-query round-2 gate window ====================
-        # -- §2f remainder + round-2 additions (round-3 window head) ------
+        # -- never driver-checked after r1∪r2 (22 oracle queries) ---------
         "events_session_window": timeseries.session_window_agg,
         "text_script": text.text_script,
         "text_lm_score": text.text_lm_score,
@@ -485,6 +436,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_cohort": timeseries.retention_cohort,
         "ts_m4": timeseries.m4_downsample,
         "ts_changepoint": forecasting.changepoint,
+        # -- r2 red (drain-detach fixed: streaming/__init__.py:_detach) ---
+        "stream_funnel": _q_stream_funnel,
         # -- rows-only entries (no SQL oracle possible) -------------------
         "pack_documents": sampling.pack_documents,
         "ann_lsh": similarity.ann_lsh,
@@ -492,7 +445,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_audio": _q_multimodal_audio,
         "ts_lttb": timeseries.lttb_downsample,
         "ts_holt_winters": timeseries.holt_winters,
-        # -- round-1 driver-green (kept green via tools/parity.py) --------
+        # -- round-1 greens on re-verify rotation (21) --------------------
         "bt_read_latest": _q_read_latest,
         "bt_read_overlapping": _q_read_overlapping,
         "bt_read_latest_changes": _q_read_latest_changes,
@@ -509,10 +462,66 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bt_backtest_error": _q_backtest_error,
         "bt_forecast_vintage": forecasting.forecast_vintage,
         "tpch_q1": analytics.tpch_q1,
-        "tpch_q2": tpch_ext.tpch_q2,
         "tpch_q3": analytics.tpch_q3,
-        "tpch_q4": analytics.tpch_q4,
         "tpch_q5": analytics.tpch_q5,
+        "asof_join": analytics.asof_join,
+        "events_window": analytics.events_window,
+        "events_markov": analytics.events_markov,
+        # ==== end of the 50-query round-3 gate window ====================
+        # -- round-2 greens (kept green locally via tools/parity.py) ------
+        "bt_interval_merge": _q_interval_merge,
+        "bt_restatements": forecasting.restatements,
+        "events_attribution": asof.attribution_last_touch,
+        "events_json": analytics.events_json,
+        "graph_pagerank": analytics.graph_pagerank,
+        "events_pivot": analytics.events_pivot,
+        "events_rank": analytics.events_rank,
+        "events_funnel": funnel.events_funnel,
+        "text_tokens": text.text_tokens,
+        "text_quality": text.text_quality,
+        "text_langid": text.text_langid,
+        "text_fingerprint": text.text_fingerprint,
+        "text_tfidf": text.text_tfidf,
+        "text_repetition": text.text_repetition,
+        "text_pii": text.text_pii,
+        "dedup_exact": dedup.dedup_exact,
+        "dedup_ngram_jaccard": dedup.dedup_ngram_jaccard,
+        "dedup_minhash": dedup.dedup_minhash,
+        "dedup_simhash": dedup.dedup_simhash,
+        "dedup_embedding": dedup.dedup_embedding,
+        "dedup_editdist": dedup.dedup_editdist,
+        "dedup_clusters": dedup.dedup_clusters,
+        "contamination_check": pipeline.contamination_check,
+        "pipeline_clean": pipeline.pipeline_clean,
+        # exact=True: the DuckDB oracle counts exactly; the operator default
+        # is approx_count_distinct (no-Expand plan — see profile_table doc).
+        "profile_table": _q_profile_table_exact,
+        "sample_stratified": sampling.sample_stratified,
+        "sample_mix": sampling.sample_mix,
+        "train_split": sampling.train_split,
+        "shard_assign": sampling.shard_assign,
+        "ann_bruteforce": similarity.ann_bruteforce,
+        "ann_ivf": similarity.ann_ivf,
+        "ann_pq": similarity.ann_pq,
+        "embed_kmeans": similarity.embed_kmeans,
+        "multimodal_meta": multimodal.multimodal_meta,
+        "stream_window": _q_stream_window,
+        "stream_latest_state": _q_stream_latest_state,
+        "stream_dedup": _q_stream_dedup,
+        "stream_sessionize": _q_stream_sessionize,
+        "stream_join": _q_stream_join,
+        "ts_resample_locf": timeseries.resample_locf_events,
+        "ts_interpolate_linear": timeseries.interpolate_linear_events,
+        "ts_rollup_multires": timeseries.rollup_multires,
+        "ts_sessionize": timeseries.sessionize,
+        "ts_ohlc": timeseries.ohlc_bars,
+        "ts_ewma": timeseries.ewma,
+        "ts_rate": timeseries.counter_rate,
+        "ts_corr": timeseries.corr_matrix,
+        "ts_decompose": timeseries.seasonal_decompose,
+        "stream_join_ordered": _q_stream_join_ordered,
+        "tpch_q2": tpch_ext.tpch_q2,
+        "tpch_q4": analytics.tpch_q4,
         "tpch_q6": analytics.tpch_q6,
         "tpch_q7": tpch_ext.tpch_q7,
         "tpch_q8": tpch_ext.tpch_q8,
@@ -531,10 +540,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q21": tpch_ext.tpch_q21,
         "tpch_q22": analytics.tpch_q22,
         "basket_pairs": analytics.basket_pairs,
-        "events_window": analytics.events_window,
         "events_window_sliding": analytics.events_window_sliding,
-        "events_markov": analytics.events_markov,
-        "asof_join": analytics.asof_join,
         "asof_forward": asof.asof_forward_next_purchase,
         "asof_tolerance": asof.asof_tolerance_last_click,
         "asof_nearest": asof.asof_nearest_purchase,

@@ -129,6 +129,17 @@ def test_png_rejects_corruption():
         mm.decode_png(bytes(payload))
 
 
+def test_png_rejects_truncation_with_valueerror():
+    """A payload cut mid-chunk must raise the codec's own ValueError at any
+    cut point — never leak struct.error (short CRC slice) out of the
+    mapInPandas decode path."""
+    px = _rand_px(2, 4, 4 * 3)
+    payload = mm.encode_png(px, 4, 4, channels=3)
+    for cut in (9, 20, len(payload) // 2, len(payload) - 2):
+        with pytest.raises(ValueError, match="truncated"):
+            mm.decode_png(payload[:cut])
+
+
 def test_mixed_payload_png_features_equal_fakeimg(spark, sf_dir):
     """attach_payload_mixed re-encodes every 7th doc as a real PNG of the
     SAME keystream pixels — decoded features must be bit-identical to the

@@ -337,10 +337,57 @@ def test_graph_triangles_orientations_agree_and_no_cartesian(spark, sf_dir):
     a cartesian product."""
     from timedb_spark.operators import analytics
 
-    by_id = analytics.graph_triangles(spark, sf_dir)
+    by_id = analytics.graph_triangles(spark, sf_dir, orient="id")
     by_deg = analytics.graph_triangles(spark, sf_dir, orient="degree")
+    by_auto = analytics.graph_triangles(spark, sf_dir)  # default: auto-select
     plans.assert_no_cartesian(by_id)
     plans.assert_no_cartesian(by_deg)
-    assert [(r.node, r.n_triangles) for r in by_id.collect()] == [
-        (r.node, r.n_triangles) for r in by_deg.collect()
-    ]
+    plans.assert_no_cartesian(by_auto)
+    assert (
+        [(r.node, r.n_triangles) for r in by_id.collect()]
+        == [(r.node, r.n_triangles) for r in by_deg.collect()]
+        == [(r.node, r.n_triangles) for r in by_auto.collect()]
+    )
+
+
+def test_graph_triangles_orientation_auto_switch():
+    """The auto-selector flips to degree orientation exactly when a hub's
+    potential wedge volume (max_deg²) dominates the edge list: a star /
+    power-law graph picks 'degree', a uniform graph keeps zero-prep 'id'."""
+    from timedb_spark.operators.analytics import select_orientation
+
+    # 10k-edge uniform graph, max degree 20: 400 << 16*10000 -> id
+    assert select_orientation(20, 10_000) == "id"
+    # same edge count with a 10k-degree hub (star): 1e8 > 1.6e5 -> degree
+    assert select_orientation(10_000, 10_000) == "degree"
+    # boundary: max_deg² == hub_factor*m stays on the cheap path
+    assert select_orientation(400, 10_000) == "id"
+    assert select_orientation(401, 10_000) == "degree"
+    assert select_orientation(0, 0) == "id"  # empty graph
+
+
+def test_profile_table_approx_plans_no_expand(spark, sf_dir):
+    """Default (approx) profile must plan NO Expand node: N exact
+    multi-distincts in one agg multiply every input row ~(3N+2)x into the
+    shuffle — the 100 TB scale-killer. HLL sketches partial-aggregate like
+    any other agg. Exact mode (the oracle entry) keeps the Expand."""
+    from timedb_spark.operators.pipeline import profile_table
+
+    approx = profile_table(spark, sf_dir)
+    assert plans.count_ops(approx, "Expand") == 0
+    exact = profile_table(spark, sf_dir, exact=True)
+    assert plans.count_ops(exact, "Expand") >= 1  # proves the swap is load-bearing
+
+
+def test_profile_table_approx_within_hll_error(spark, sf_dir):
+    """approx mode agrees with exact mode: identical n_rows/nulls/min/max,
+    distinct counts within 3*rsd (rsd=0.02 -> 6%) relative error."""
+    from timedb_spark.operators.pipeline import profile_table
+
+    ex = {r.column: r for r in profile_table(spark, sf_dir, exact=True).collect()}
+    ap = {r.column: r for r in profile_table(spark, sf_dir).collect()}
+    assert set(ex) == set(ap)
+    for c, e in ex.items():
+        a = ap[c]
+        assert (a.n_rows, a.n_nulls, a.min_value, a.max_value) == (e.n_rows, e.n_nulls, e.min_value, e.max_value)
+        assert abs(a.n_distinct - e.n_distinct) <= max(3, 0.06 * e.n_distinct)

@@ -129,3 +129,30 @@ def test_rollup_composes_with_streaming_ingest(spark, tmp_path):
     assert _got(ca) == _expect(db)
     seed.delete()
     db.delete()
+
+
+def test_pinned_reader_survives_refresh_and_aged_states_gc(db):
+    """A reader holding the lazy DataFrame from read() (resolved against the
+    previous META) must still execute after a refresh swaps the state — the
+    old state dir is retained for state_retention_s, not deleted on swap.
+    Aged-out superseded states ARE collected by a later refresh's GC."""
+    db.write(_batch(1, 1))
+    ca = ContinuousAggregate(db.store)  # default 600s retention window
+    ca.refresh()
+    pinned = ca.read()  # lazy plan against the v1 state files
+
+    db.write(_batch(2, 2))
+    ca.refresh()  # swap: v1 state superseded but young -> kept on disk
+    assert pinned.count() == 2  # executes AFTER the swap, against old state
+    assert len(list(ca.state_dir.iterdir())) == 2
+
+    # age the window out: superseded states vanish, current one survives
+    ca.state_retention_s = 0.0
+    db.write(_batch(3, 3))
+    ca.refresh()
+    import json
+
+    cur = json.loads(ca.meta_path.read_text())["state"]
+    left = [d.name for d in ca.state_dir.iterdir()]
+    assert left == [cur.split("/", 1)[1]]
+    assert _got(ca) == _expect(db)

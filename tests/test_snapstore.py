@@ -212,3 +212,73 @@ def test_append_rejects_schema_drift(db, spark):
     with pytest.raises(ValueError, match="schema drift"):
         db.store.append_values(drifted)
     assert db.store.read_values().count() == 3  # nothing landed
+
+
+def test_txn_crash_between_values_and_run_series_loses_nothing(db):
+    """Exactly-once contract under a crash INSIDE the write: run_series must
+    land before the txn-marked values commit, because the txn marker makes a
+    replay a whole-write no-op. If the values commit carried the marker
+    first (the old order), a crash before run_series permanently lost the
+    batch's run_series mappings — every replay saw 'already committed' and
+    skipped the whole write."""
+    batch = _batch(5, 3).assign(run_id=777)
+
+    # simulate a crash AFTER run_series lands but BEFORE the values commit
+    real_append_values = db.store.append_values
+    calls = {"n": 0}
+
+    def crashing_append_values(df, **kw):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise RuntimeError("simulated crash before values commit")
+        return real_append_values(df, **kw)
+
+    db.store.append_values = crashing_append_values
+    try:
+        with pytest.raises(RuntimeError, match="simulated crash"):
+            db.write(batch, retention="short", txn=("app", 42))
+        # replay of the same (app_id, batch_id): must complete the write
+        res = db.write(batch, retention="short", txn=("app", 42))
+        assert res.written == 3
+        # a second replay is now a whole-write no-op
+        res2 = db.write(batch, retention="short", txn=("app", 42))
+        assert res2.written == 0 and res2.skipped == 0
+    finally:
+        db.store.append_values = real_append_values
+
+    # nothing lost: values landed exactly once, run_series mapping present
+    assert db.read(series_ids=[5]).count() == 3
+    assert db.read_run_series(series_id=5) == [777]
+
+
+def test_delete_series_rescans_after_lost_occ_race(db, spark):
+    """delete_series serializing AFTER a concurrent append must erase the
+    appended rows too: the commit is pinned to the scanned file list
+    (base_version), a lost race raises CommitConflict, and the op redoes
+    the scan/rewrite against the winner's manifest — never a blind
+    add/remove merge that lets the winner's files (containing the erased
+    series) survive."""
+    from timedb_spark.snapstore import SnapshotStore
+
+    db.write(_batch(1, 1), retention="short")
+    db.write(_batch(2, 1), retention="short")
+    store = db.store
+    real_commit = SnapshotStore._commit
+    state = {"injected": False}
+
+    def racy_commit(self, **kw):
+        if kw.get("op") == "delete_series" and not state["injected"]:
+            state["injected"] = True
+            # concurrent writer wins the race with MORE rows of series 1
+            db.write(_batch(1, 2, base=100.0), retention="short")
+        return real_commit(self, **kw)
+
+    store._commit = racy_commit.__get__(store)
+    try:
+        store.delete_series([1])
+    finally:
+        store.__dict__.pop("_commit", None)
+
+    assert state["injected"]  # the race actually happened
+    assert db.read(series_ids=[1]).count() == 0  # including the racer's rows
+    assert db.read(series_ids=[2]).count() == 3  # bystander untouched

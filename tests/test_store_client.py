@@ -726,3 +726,24 @@ def test_zorder_compaction_tiles_series_and_time(spark, tmp_path):
     assert any(t_span >= 60 for _, t_span in ls), ls
     z.delete()
     lin.delete()
+
+
+def test_filter_unchanged_plans_without_driver_actions(td, monkeypatch):
+    """_filter_unchanged must build its plan with ZERO driver round-trips:
+    month pruning rides a broadcast semi-join on the partition column and
+    the valid_time slab a 1-row broadcast — not collected literals. Guard:
+    any .collect()/.toPandas() during plan construction fails the test."""
+    from pyspark.sql import DataFrame
+
+    td.write(simple_batch())
+    stamped = td.store.read_values().drop("vt_month")
+
+    def _no_collect(self, *a, **k):
+        raise AssertionError("driver action during _filter_unchanged plan construction")
+
+    monkeypatch.setattr(DataFrame, "collect", _no_collect)
+    monkeypatch.setattr(DataFrame, "toPandas", _no_collect)
+    out = td._filter_unchanged(stamped, scope="valid_time")  # plan only
+    monkeypatch.undo()
+    # and the plan still computes the right answer: full rewrite -> all drop
+    assert out.count() == 0

@@ -434,3 +434,31 @@ def test_stream_join_ordered_multibatch_equals_batch(spark, sf_dir, tmp_path):
     assert len(data_batches) >= 3  # 6 files / 2 per trigger
     wms = [p["eventTime"].get("watermark") for p in data_batches]
     assert len({w for w in wms if w}) >= 2  # watermark advanced between batches
+
+
+def test_detach_independent_of_arrow_conf(spark, events_dir):
+    """Regression: the driver's session does NOT enable Arrow, and pandas
+    widens nullable long columns to float64 — the old toPandas()-based
+    _detach then failed ``LongType() can not accept 1652.0`` on any drained
+    output with nulls in a long column (stream_funnel's view_id). The
+    drain must be conf-independent (JVM-side detach), so run it with Arrow
+    OFF and assert nulls + longs survive."""
+    from timedb_spark.streaming import run_available_now
+    from timedb_spark.streaming.funnel import stream_funnel
+    from timedb_spark.streaming.windows import EVENTS_STREAM_SCHEMA
+
+    key = "spark.sql.execution.arrow.pyspark.enabled"
+    prev = spark.conf.get(key)
+    spark.conf.set(key, "false")
+    try:
+        stream = spark.readStream.schema(EVENTS_STREAM_SCHEMA).parquet(events_dir)
+        out = run_available_now(stream_funnel(stream), "append")
+        rows = out.collect()
+    finally:
+        spark.conf.set(key, prev)
+    assert len(rows) > 0
+    long_cols = [f.name for f in out.schema.fields if f.dataType.typeName() == "long"]
+    assert "view_id" in long_cols and "purchase_id" in long_cols
+    # null-bearing longs must round-trip as (python) ints/None, never floats
+    assert any(r.view_id is None for r in rows)
+    assert all(r.view_id is None or isinstance(r.view_id, int) for r in rows)

@@ -246,46 +246,58 @@ class TimeDB:
         else:
             written = stamped.count()
 
-        if written or skipped:
-            with profiling._phase(profiling.PHASE_WRITE_SERIES_VALUES_INSERT):
-                if written:
-                    if txn is not None:
-                        self.store.append_values(stamped, txn=txn)
-                    else:
-                        self.store.append_values(stamped)
+        if written:
+            # run_series FIRST, values (carrying the txn marker) second: the
+            # txn marker is what makes a replay a whole-write no-op, so
+            # everything the replay must not lose has to land before it. A
+            # crash after run_series but before the values commit replays
+            # the whole write — the run_series re-append is harmless
+            # (read_run_series dedups per (series_id, run_id); only
+            # first_seen restamps). The old order lost the batch's
+            # run_series mappings permanently on a crash in between.
             with profiling._phase(profiling.PHASE_WRITE_RUN_SERIES_INSERT):
-                if written:
-                    rs = (
-                        stamped.select("series_id", "run_id")
-                        .distinct()
-                        .withColumn("first_seen", F.lit(now).cast("timestamp"))
-                    )
-                    self.store.append_run_series(rs)
+                rs = (
+                    stamped.select("series_id", "run_id")
+                    .distinct()
+                    .withColumn("first_seen", F.lit(now).cast("timestamp"))
+                )
+                self.store.append_run_series(rs)
+            with profiling._phase(profiling.PHASE_WRITE_SERIES_VALUES_INSERT):
+                if txn is not None:
+                    self.store.append_values(stamped, txn=txn)
+                else:
+                    self.store.append_values(stamped)
         return WriteResult(written=written, skipped=skipped)
 
     def _filter_unchanged(self, stamped: DataFrame, *, scope: UnchangedScope) -> DataFrame:
         """Drop rows whose latest stored state already matches (parity:
         timedb/write.py:172-233). One bounded read-back: the stored side is
-        pruned to the batch's series/retention set (broadcast semi-join —
-        never a collected ``isin`` literal list, which would break the
-        driver/plan on a backfill touching millions of series) and the
-        [min_vt, max_vt] valid_time slab before the latest-state collapse,
-        then joined to the batch on the scope key.
+        pruned to the batch's series/retention set and month set (broadcast
+        semi-joins — never a collected ``isin`` literal list, which would
+        break the driver/plan on a backfill touching millions of series)
+        and the [min_vt, max_vt] valid_time slab before the latest-state
+        collapse, then joined to the batch on the scope key.
 
-        The only driver round-trip is the 2-scalar (min_vt, max_vt) agg that
-        feeds month-partition pruning — bounded at any batch size."""
-        bounds = stamped.agg(
-            F.min("valid_time").alias("min_vt"),
-            F.max("valid_time").alias("max_vt"),
-        ).collect()[0]
-        if bounds.min_vt is None:
-            return stamped
-
+        ZERO driver round-trips: the vt_month semi-join hands the file
+        source a runtime partition-pruning handle on the partition column
+        (the months are known once the tiny broadcast side materializes),
+        and the slab bounds ride a 1-row broadcast instead of collected
+        literals — the whole write path plans without an action. The month
+        SET is strictly narrower than the old [min_month, max_month] range
+        and outcome-equivalent: a stored row in a month the batch never
+        touches cannot equi-join any batch key downstream."""
         batch_keys = stamped.select("series_id", "retention").distinct()
-        stored = self.store.read_values().filter(
-            (F.col("valid_time") >= F.lit(bounds.min_vt)) & (F.col("valid_time") <= F.lit(bounds.max_vt))
+        months = stamped.select(F.date_format("valid_time", "yyyyMM").alias("vt_month")).distinct()
+        bounds = stamped.agg(
+            F.min("valid_time").alias("_min_vt"),
+            F.max("valid_time").alias("_max_vt"),
         )
-        stored = self.store.prune_months(stored, bounds.min_vt, bounds.max_vt)
+        stored = self.store.read_values().join(F.broadcast(months), on="vt_month", how="left_semi")
+        stored = (
+            stored.join(F.broadcast(bounds))  # 1-row: the slab bounds, JVM-side
+            .filter((F.col("valid_time") >= F.col("_min_vt")) & (F.col("valid_time") <= F.col("_max_vt")))
+            .drop("_min_vt", "_max_vt")
+        )
         stored = stored.join(F.broadcast(batch_keys), on=["series_id", "retention"], how="left_semi")
 
         keys = ["series_id", "valid_time"]

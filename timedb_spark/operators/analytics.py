@@ -783,7 +783,19 @@ SELECT node, r AS rank FROM r3
 """
 
 
-def graph_triangles(spark: SparkSession, sf_dir: str, *, top_n: int = 20, orient: str = "id") -> DataFrame:
+def select_orientation(max_deg: int, n_edges: int, *, hub_factor: float = 16.0) -> str:
+    """Pick the wedge orientation from two cheap graph stats.
+
+    Under id-orientation a single hub of degree d can own ~d²/2 wedges; the
+    enumeration is only safe when that term stays comparable to the O(m)
+    edge volume. Degree orientation (Suri & Vassilvitskii, WWW'11) bounds
+    total wedge volume at O(m^1.5) regardless of hubs, at the cost of three
+    prep joins. Switch when max_deg² exceeds ``hub_factor``·m — i.e. the
+    worst hub's potential wedges dominate the edge list itself."""
+    return "degree" if max_deg * max_deg > hub_factor * max(n_edges, 1) else "id"
+
+
+def graph_triangles(spark: SparkSession, sf_dir: str, *, top_n: int = 20, orient: str = "auto") -> DataFrame:
     """Triangle counting over the co-purchase part graph — the clustering/
     cohesion member of the graph family (pagerank = influence,
     dedup_clusters = connectivity, this = local density). Emits the top-N
@@ -795,19 +807,25 @@ def graph_triangles(spark: SparkSession, sf_dir: str, *, top_n: int = 20, orient
     per-node counts from ONE corner explode + map-side-combined count.
     ``orient`` picks the rank order:
 
-    - ``"id"`` (default): the canonical a<b<c order — zero prep cost,
-      wedge volume fine when degree is roughly uniform (true for the
-      TPC-H-style co-purchase graph: parts are uniform across baskets).
+    - ``"auto"`` (default): read two scalars off the edge list (max degree,
+      edge count — one extra agg over the already-checkpointed edges) and
+      let :func:`select_orientation` decide. A power-law co-purchase graph
+      flips to degree orientation before its hubs detonate the wedge join;
+      a uniform graph keeps the zero-prep id order. The 2-scalar collect is
+      a planning stat, the same class of decision AQE makes from runtime
+      statistics.
+    - ``"id"``: the canonical a<b<c order — zero prep cost, wedge volume
+      fine when degree is roughly uniform (true for the TPC-H-style
+      co-purchase graph: parts are uniform across baskets).
     - ``"degree"``: Suri & Vassilvitskii's (WWW'11) degree orientation —
       edges point low-(deg,id) → high, bounding out-degrees by ~√m so
       wedge volume is O(m^1.5) even with hub nodes. This is the 100 TB
-      switch for power-law graphs; measured here it only adds its three
-      prep joins (no hubs to defuse), which is exactly why it's a flag
-      and not the default.
+      path for power-law graphs; on this uniform graph it only adds its
+      three prep joins, which is why auto doesn't always pick it.
 
-    Both produce the identical triangle set (orientation changes
-    enumeration, not membership — pinned in tests); exact integers ⇒
-    bit-identical to the canonical-order oracle."""
+    All orientations produce the identical triangle set (orientation
+    changes enumeration, not membership — pinned in tests); exact integers
+    ⇒ bit-identical to the canonical-order oracle."""
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
     a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pa"))
     b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pb"))
@@ -818,6 +836,14 @@ def graph_triangles(spark: SparkSession, sf_dir: str, *, top_n: int = 20, orient
         # so pair generation + distinct run a single time, not per use.
         .localCheckpoint(eager=False)
     )
+    if orient == "auto":
+        stats = (
+            edges.select(F.explode(F.array("pa", "pb")).alias("node"))
+            .groupBy("node").agg(F.count(F.lit(1)).alias("deg"))
+            .agg(F.max("deg").alias("max_deg"), (F.sum("deg") / 2).cast("long").alias("m"))
+            .collect()[0]
+        )
+        orient = select_orientation(stats.max_deg or 0, stats.m or 0)
     if orient == "degree":
         und = edges.unionByName(edges.select(F.col("pb").alias("pa"), F.col("pa").alias("pb")))
         deg = und.groupBy(F.col("pa").alias("node")).agg(F.count(F.lit(1)).alias("deg"))

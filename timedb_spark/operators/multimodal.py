@@ -74,6 +74,11 @@ def decode_png(payload: bytes):
     width = height = bit_depth = color_type = None
     while pos + 8 <= len(payload):
         (ln,), typ = struct.unpack(">I", payload[pos : pos + 4]), payload[pos + 4 : pos + 8]
+        if pos + 12 + ln > len(payload):
+            # bound the data+CRC slice BEFORE unpacking: a truncated payload
+            # must raise the codec's own ValueError, not leak struct.error
+            # out of the mapInPandas decode path
+            raise ValueError("truncated PNG: chunk extends past end of payload")
         data = payload[pos + 8 : pos + 8 + ln]
         if zlib.crc32(typ + data) & 0xFFFFFFFF != struct.unpack(">I", payload[pos + 8 + ln : pos + 12 + ln])[0]:
             raise ValueError(f"bad CRC in {typ!r} chunk")

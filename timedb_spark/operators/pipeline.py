@@ -162,23 +162,28 @@ HAVING count(*) >= {_CONTAM_MIN_SHARED}
 PROFILE_COLS = ["l_orderkey", "l_suppkey", "l_returnflag", "l_linestatus", "l_shipdate"]
 
 
-def profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+def profile_table(spark: SparkSession, sf_dir: str, exact: bool = False) -> DataFrame:
     """Per-column profile of ``lineitem`` in ONE scan: row count, null
-    count, exact distinct count, min/max (computed on the NATIVE type, then
+    count, distinct count, min/max (computed on the NATIVE type, then
     stringified — a string-side min would order ints lexicographically).
     The first thing a data-quality pipeline runs against a new drop.
 
-    One wide aggregation (Spark expands the multi-distinct internally but
-    still reads the data once), then a 1-row explode into long format. At
-    100 TB swap ``count_distinct`` for ``approx_count_distinct`` (HLL,
-    map-side combinable — error bound proven in tests/test_timeseries.py's
-    sketch checks)."""
+    Distinct counts are ``approx_count_distinct`` (HLL++, rsd 2%) BY
+    DEFAULT: N exact multi-distincts in one agg make Spark plan an Expand
+    that multiplies every input row ~(3N+2)× into the shuffle — the 100 TB
+    scale-killer for this query. HLL sketches are map-side combinable, so
+    the approx plan is one ordinary partial/final agg with no Expand (plan
+    shape pinned in tests/test_pipeline.py). ``exact=True`` restores exact
+    counts for small data / oracle comparison."""
     li = load_table(spark, sf_dir, "lineitem")
+    nd = (lambda c: F.count_distinct(F.col(c))) if exact else (
+        lambda c: F.approx_count_distinct(F.col(c), rsd=0.02)
+    )
     aggs = [F.count(F.lit(1)).alias("n_rows")]
     for c in PROFILE_COLS:
         aggs += [
             F.sum(F.col(c).isNull().cast("long")).alias(f"{c}__nulls"),
-            F.count_distinct(F.col(c)).alias(f"{c}__nd"),
+            nd(c).alias(f"{c}__nd"),
             F.min(F.col(c)).cast("string").alias(f"{c}__min"),
             F.max(F.col(c)).cast("string").alias(f"{c}__max"),
         ]

@@ -62,12 +62,17 @@ def _merge_partials(df: DataFrame) -> DataFrame:
 class ContinuousAggregate:
     """Materialized hourly rollup bound to one :class:`SnapshotStore`."""
 
-    def __init__(self, store: SnapshotStore, name: str = "hourly"):
+    def __init__(self, store: SnapshotStore, name: str = "hourly", state_retention_s: float = 600.0):
         self.store = store
         self.spark = store.spark
         self.root = store.root / f"_rollup_{name}"
         self.state_dir = self.root / "state"
         self.meta_path = self.root / "META.json"
+        #: grace window before a superseded state dir is deleted — a reader
+        #: holding the lazy DataFrame from read() (resolved against the old
+        #: META) must be able to execute its action after the swap. Same
+        #: pinned-reader contract as the store's vacuum min_age_s.
+        self.state_retention_s = state_retention_s
 
     # -- state bookkeeping -------------------------------------------------
 
@@ -133,11 +138,28 @@ class ContinuousAggregate:
 
         state_rel = f"state/v{cur_v:012d}-{uuid.uuid4().hex[:8]}"
         merged.write.mode("overwrite").parquet(str(self.root / state_rel))
-        old_state = meta["state"]
         self._commit_meta(cur_v, state_rel, cur_files)
-        if old_state:
-            shutil.rmtree(self.root / old_state, ignore_errors=True)
+        self._gc_states(keep=state_rel)
         return {"mode": mode, "version": cur_v, "files_scanned": scanned}
+
+    def _gc_states(self, keep: str) -> int:
+        """Delete superseded state dirs AGED past the retention window —
+        never immediately on swap: a concurrent reader that resolved META
+        before the swap may execute its lazy plan against the old state
+        after it. Superseded-but-young states survive until a later
+        refresh's GC pass (the vacuum pattern, applied to rollup state)."""
+        import time as _t
+
+        if not self.state_dir.exists():
+            return 0
+        cutoff = _t.time() - self.state_retention_s
+        removed = 0
+        for d in self.state_dir.iterdir():
+            rel = f"state/{d.name}"
+            if rel != keep and d.is_dir() and d.stat().st_mtime <= cutoff:
+                shutil.rmtree(d, ignore_errors=True)
+                removed += 1
+        return removed
 
     # -- reads -------------------------------------------------------------
 

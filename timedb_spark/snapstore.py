@@ -53,6 +53,15 @@ from timedb_spark.schema import RETENTION_TTL_DAYS, SERIES_VALUES_SCHEMA
 from timedb_spark.store import _SORT_KEY, Store
 
 
+class CommitConflict(Exception):
+    """A rewrite op lost the OCC race: the file-list snapshot its rewrite
+    was computed against is no longer the latest version. The op must redo
+    its scan/rewrite against the new latest manifest — blindly merging
+    add/remove on top of the winner would let a concurrently-appended file
+    (which may contain rows the rewrite was supposed to erase or compact)
+    survive untouched."""
+
+
 class SnapshotStore(Store):
     """:class:`Store` with manifest-committed ``series_values``.
 
@@ -75,11 +84,22 @@ class SnapshotStore(Store):
             return []
         return sorted(int(p.stem[1:]) for p in self.manifest_dir.glob("v*.json"))
 
+    def _read_manifest(self, version: int) -> dict | None:
+        """Read one manifest, tolerating a concurrent vacuum unlinking it
+        between the caller's directory glob and this read (history
+        truncation must be safe under live readers) — None means 'gone'."""
+        try:
+            return json.loads(self._manifest_path(version).read_text())
+        except FileNotFoundError:
+            return None
+
     def versions(self) -> list[dict]:
         """Commit history (oldest first): version, op, file/row counts."""
         out = []
         for v in self._versions():
-            m = json.loads(self._manifest_path(v).read_text())
+            m = self._read_manifest(v)
+            if m is None:
+                continue  # vacuumed between glob and read
             out.append(
                 {
                     "version": v,
@@ -91,28 +111,49 @@ class SnapshotStore(Store):
         return out
 
     def _load(self, version: int | None = None) -> tuple[int, list[str]]:
-        vs = self._versions()
-        if not vs:
-            return 0, []
-        v = max(vs) if version is None else version
-        if v not in vs:
-            raise ValueError(f"version {v} not found (have {vs[0]}..{vs[-1]}; older may be vacuumed)")
-        m = json.loads(self._manifest_path(v).read_text())
-        return v, m["files"]
+        while True:
+            vs = self._versions()
+            if not vs:
+                return 0, []
+            v = max(vs) if version is None else version
+            if v not in vs:
+                raise ValueError(f"version {v} not found (have {vs[0]}..{vs[-1]}; older may be vacuumed)")
+            m = self._read_manifest(v)
+            if m is not None:
+                return v, m["files"]
+            if version is not None:
+                # the pinned version was vacuumed out from under the reader
+                raise ValueError(f"version {version} not found (vacuumed)")
+            # latest vanished ⇒ a concurrent vacuum kept a newer one: re-glob
 
     def _txn_committed(self, txn: tuple[str, int]) -> bool:
         """Has (app_id, txn_version) already landed in any live manifest?"""
         app, ver = txn
         for v in self._versions():
-            m = json.loads(self._manifest_path(v).read_text())
+            m = self._read_manifest(v)
+            if m is None:
+                continue  # vacuumed between glob and read
             t = m.get("txn")
             if t and t[0] == app and int(t[1]) == int(ver):
                 return True
         return False
 
-    def _commit(self, *, add: list[str], remove: set[str], op: str, txn: tuple[str, int] | None = None) -> int:
+    def _commit(
+        self,
+        *,
+        add: list[str],
+        remove: set[str],
+        op: str,
+        txn: tuple[str, int] | None = None,
+        base_version: int | None = None,
+    ) -> int:
         """Publish a new version via atomic manifest create; on a lost race,
-        recompute against the winner's file list and retry.
+        appends merge onto the winner's file list and retry (file sets are
+        disjoint, so the merge is always correct), while rewrite ops pass
+        ``base_version`` and get :class:`CommitConflict` instead — their
+        add/remove was computed against that exact file list, and the
+        winner's files may contain rows the rewrite should have covered.
+        The caller redoes the scan/rewrite against the new latest.
 
         ``txn=(app_id, txn_version)`` makes the commit IDEMPOTENT: if any
         live manifest already carries the same pair, the commit is a no-op
@@ -125,6 +166,10 @@ class SnapshotStore(Store):
             if txn is not None and self._txn_committed(txn):
                 return self._load()[0]
             cur_v, cur_files = self._load()
+            if base_version is not None and cur_v != base_version:
+                raise CommitConflict(
+                    f"{op}: base version {base_version} is stale (latest is {cur_v})"
+                )
             files = [f for f in cur_files if f not in remove] + add
             m = {
                 "version": cur_v + 1,
@@ -223,42 +268,64 @@ class SnapshotStore(Store):
             by_part.setdefault(os.path.dirname(f), []).append(f)
         return by_part
 
+    def _discard_staged(self, add: list[str]) -> None:
+        """Unlink a losing rewrite attempt's staged files — no manifest
+        references them yet, so removal is safe and saves them from
+        lingering until vacuum."""
+        for rel in add:
+            try:
+                (self.values_path / rel).unlink()
+            except FileNotFoundError:
+                pass
+
     def compact(self, *, max_files_per_partition: int = 4, target_files: int = 1, cluster: str = "linear") -> list[str]:
         """Compaction as a manifest swap: fragmented partitions are rewritten
         into fresh files, then ONE commit removes the old files and adds the
         new — readers pinned at older versions keep a consistent view (the
         v1 store deletes the directory under them). ``cluster`` picks the
         layout (linear primary-key order or series×time Z-order, see
-        Store._cluster_sort)."""
-        _, files = self._load()
-        add: list[str] = []
-        remove: set[str] = set()
-        compacted: list[str] = []
-        for part, fs in sorted(self._partition_files(files).items()):
-            if len(fs) <= max_files_per_partition:
-                continue
-            tmp = self.root / "_compact_tmp" / uuid.uuid4().hex
-            (
-                self._cluster_sort(
-                    self.spark.read.option("basePath", str(self.values_path))
-                    .parquet(*[str(self.values_path / f) for f in fs])
-                    .drop("retention", "vt_month"),
-                    cluster,
-                    target_files,
+        Store._cluster_sort).
+
+        The commit is pinned to the file list the rewrite read
+        (``base_version``): losing the OCC race to a concurrent append
+        redoes the whole scan/rewrite against the winner's manifest, so a
+        freshly appended fragment is either re-compacted or left for the
+        next run — never silently dropped from the new version."""
+        while True:
+            base_v, files = self._load()
+            add: list[str] = []
+            remove: set[str] = set()
+            compacted: list[str] = []
+            for part, fs in sorted(self._partition_files(files).items()):
+                if len(fs) <= max_files_per_partition:
+                    continue
+                tmp = self.root / "_compact_tmp" / uuid.uuid4().hex
+                (
+                    self._cluster_sort(
+                        self.spark.read.option("basePath", str(self.values_path))
+                        .parquet(*[str(self.values_path / f) for f in fs])
+                        .drop("retention", "vt_month"),
+                        cluster,
+                        target_files,
+                    )
+                    .write.mode("overwrite")
+                    .parquet(str(tmp))
                 )
-                .write.mode("overwrite")
-                .parquet(str(tmp))
-            )
-            for src in sorted(tmp.rglob("*.parquet")):
-                rel = f"{part}/compact-{uuid.uuid4().hex}-{src.name}"
-                os.replace(src, self.values_path / rel)
-                add.append(rel)
-            shutil.rmtree(tmp, ignore_errors=True)
-            remove.update(fs)
-            compacted.append(part)
-        if compacted:
-            self._commit(add=add, remove=remove, op="compact")
-        return compacted
+                for src in sorted(tmp.rglob("*.parquet")):
+                    rel = f"{part}/compact-{uuid.uuid4().hex}-{src.name}"
+                    os.replace(src, self.values_path / rel)
+                    add.append(rel)
+                shutil.rmtree(tmp, ignore_errors=True)
+                remove.update(fs)
+                compacted.append(part)
+            if not compacted:
+                return []
+            try:
+                self._commit(add=add, remove=remove, op="compact", base_version=base_v)
+                return compacted
+            except CommitConflict:
+                self._discard_staged(add)
+                continue
 
     def delete_series(self, series_ids: "set[int] | list[int]") -> list[str]:
         """Right-to-erasure as a manifest swap (same zone-map pruning as v1:
@@ -268,47 +335,57 @@ class SnapshotStore(Store):
         targets = sorted(set(int(s) for s in series_ids))
         if not targets:
             return []
-        _, files = self._load()
-        add: list[str] = []
-        remove: set[str] = set()
-        rewritten: list[str] = []
-        for part, fs in sorted(self._partition_files(files).items()):
-            lo = hi = None
-            have_stats = True
-            for f in fs:
-                md = pq.ParquetFile(self.values_path / f).metadata
-                idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
-                for rg in range(md.num_row_groups):
-                    st = md.row_group(rg).column(idx["series_id"]).statistics
-                    if st is None or not st.has_min_max:
-                        have_stats = False
+        while True:
+            base_v, files = self._load()
+            add: list[str] = []
+            remove: set[str] = set()
+            rewritten: list[str] = []
+            for part, fs in sorted(self._partition_files(files).items()):
+                lo = hi = None
+                have_stats = True
+                for f in fs:
+                    md = pq.ParquetFile(self.values_path / f).metadata
+                    idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+                    for rg in range(md.num_row_groups):
+                        st = md.row_group(rg).column(idx["series_id"]).statistics
+                        if st is None or not st.has_min_max:
+                            have_stats = False
+                            break
+                        lo = st.min if lo is None else min(lo, st.min)
+                        hi = st.max if hi is None else max(hi, st.max)
+                    if not have_stats:
                         break
-                    lo = st.min if lo is None else min(lo, st.min)
-                    hi = st.max if hi is None else max(hi, st.max)
-                if not have_stats:
-                    break
-            if have_stats and lo is not None and not any(lo <= t <= hi for t in targets):
-                continue  # zone maps prove absence — partition untouched
-            tmp = self.root / "_delete_tmp" / uuid.uuid4().hex
-            (
-                self.spark.read.option("basePath", str(self.values_path))
-                .parquet(*[str(self.values_path / f) for f in fs])
-                .filter(~F.col("series_id").isin(targets))
-                .drop("retention", "vt_month")
-                .repartition(1)
-                .sortWithinPartitions(*_SORT_KEY)
-                .write.mode("overwrite")
-                .parquet(str(tmp))
-            )
-            for src in sorted(tmp.rglob("*.parquet")):
-                rel = f"{part}/erase-{uuid.uuid4().hex}-{src.name}"
-                os.replace(src, self.values_path / rel)
-                add.append(rel)
-            shutil.rmtree(tmp, ignore_errors=True)
-            remove.update(fs)
-            rewritten.append(part)
-        if rewritten:
-            self._commit(add=add, remove=remove, op="delete_series")
+                if have_stats and lo is not None and not any(lo <= t <= hi for t in targets):
+                    continue  # zone maps prove absence — partition untouched
+                tmp = self.root / "_delete_tmp" / uuid.uuid4().hex
+                (
+                    self.spark.read.option("basePath", str(self.values_path))
+                    .parquet(*[str(self.values_path / f) for f in fs])
+                    .filter(~F.col("series_id").isin(targets))
+                    .drop("retention", "vt_month")
+                    .repartition(1)
+                    .sortWithinPartitions(*_SORT_KEY)
+                    .write.mode("overwrite")
+                    .parquet(str(tmp))
+                )
+                for src in sorted(tmp.rglob("*.parquet")):
+                    rel = f"{part}/erase-{uuid.uuid4().hex}-{src.name}"
+                    os.replace(src, self.values_path / rel)
+                    add.append(rel)
+                shutil.rmtree(tmp, ignore_errors=True)
+                remove.update(fs)
+                rewritten.append(part)
+            if not rewritten:
+                break
+            try:
+                # base_version pin: an erase that serializes AFTER a
+                # concurrent append must re-scan the winner's files — they
+                # may contain the very series being erased.
+                self._commit(add=add, remove=remove, op="delete_series", base_version=base_v)
+                break
+            except CommitConflict:
+                self._discard_staged(add)
+                continue
         # run_series mapping stays directory-based (see class docstring)
         if self.run_series_path.exists() and any(self.run_series_path.glob("*.parquet")):
             rs = self.spark.read.parquet(str(self.run_series_path)).filter(
@@ -326,23 +403,30 @@ class SnapshotStore(Store):
         drop out of the NEW version; their files stay on disk for pinned
         readers until :meth:`vacuum`."""
         today = (now or datetime.now(timezone.utc)).date()
-        _, files = self._load()
-        remove: set[str] = set()
-        dropped: list[str] = []
-        for part, fs in sorted(self._partition_files(files).items()):
-            fields = dict(kv.split("=", 1) for kv in part.split("/") if "=" in kv)
-            tier, ym = fields.get("retention"), fields.get("vt_month")
-            ttl_days = RETENTION_TTL_DAYS.get(tier)
-            if ttl_days is None or ym is None:
+        while True:
+            base_v, files = self._load()
+            remove: set[str] = set()
+            dropped: list[str] = []
+            for part, fs in sorted(self._partition_files(files).items()):
+                fields = dict(kv.split("=", 1) for kv in part.split("/") if "=" in kv)
+                tier, ym = fields.get("retention"), fields.get("vt_month")
+                ttl_days = RETENTION_TTL_DAYS.get(tier)
+                if ttl_days is None or ym is None:
+                    continue
+                year, month = int(ym[:4]), int(ym[4:])
+                nxt = date(year + (month == 12), month % 12 + 1, 1)
+                if (nxt - timedelta(days=1)) + timedelta(days=ttl_days) < today:
+                    remove.update(fs)
+                    dropped.append(part)
+            if not dropped:
+                return []
+            try:
+                # base_version pin: a concurrent append into an expired
+                # partition must be seen by the re-scan, not survive it.
+                self._commit(add=[], remove=remove, op="ttl", base_version=base_v)
+                return dropped
+            except CommitConflict:
                 continue
-            year, month = int(ym[:4]), int(ym[4:])
-            nxt = date(year + (month == 12), month % 12 + 1, 1)
-            if (nxt - timedelta(days=1)) + timedelta(days=ttl_days) < today:
-                remove.update(fs)
-                dropped.append(part)
-        if dropped:
-            self._commit(add=[], remove=remove, op="ttl")
-        return dropped
 
     # -- footer stats over the MANIFEST file set ----------------------------
 
@@ -422,6 +506,9 @@ class SnapshotStore(Store):
         removed_manifests = 0
         for v in vs:
             if v not in keep:
-                self._manifest_path(v).unlink()
-                removed_manifests += 1
+                try:
+                    self._manifest_path(v).unlink()
+                    removed_manifests += 1
+                except FileNotFoundError:
+                    pass  # a concurrent vacuum got there first
         return {"removed_files": removed_files, "removed_manifests": removed_manifests}

@@ -57,11 +57,19 @@ def run_available_now(stream_df: DataFrame, output_mode: str, timeout_s: int = 6
 
 
 def _detach(spark, name: str) -> DataFrame:
-    """Copy a memory-sink table into a plain DataFrame (Arrow both ways —
-    no per-row Python objects) and drop the sink's temp view, so the
-    drained rows don't stay pinned on the driver for the session's life."""
+    """Detach a memory-sink table into a standalone DataFrame and drop the
+    sink's temp view, so the drained rows don't stay pinned on the driver
+    for the session's life.
+
+    Detaches JVM-side (``localCheckpoint(eager=True)`` materialises the
+    rows into block storage and cuts the lineage back to the temp view) —
+    deliberately NOT a ``toPandas()``/``createDataFrame`` round-trip:
+    pandas widens nullable long columns to float64, and re-creating from
+    that in a session without Arrow enabled rejects the float-ified longs
+    (``LongType() can not accept 1652.0``). The JVM path is also cheaper:
+    no driver serialisation at all."""
     sink = spark.table(name)
-    out = spark.createDataFrame(sink.toPandas(), schema=sink.schema)
+    out = sink.localCheckpoint(eager=True)
     spark.catalog.dropTempView(name)
     return out
 

@@ -53,10 +53,20 @@ def run(sf_dir: str, only: list[str] | None = None) -> bool:
 
     queries = entrymod.queries()
     oracles = entrymod.oracle_sql()
+    if only:
+        unknown = sorted(set(only) - set(queries))
+        if unknown:
+            # An unmatched filter must never produce a vacuous "ALL OK" —
+            # a typo'd name (or a flag like --sf) selects nothing otherwise.
+            print(f"ERROR: unknown query name(s): {unknown}")
+            print(f"       registered: {sorted(queries)}")
+            return False
     ok_all = True
+    n_ran = 0
     for name, fn in queries.items():
         if only and name not in only:
             continue
+        n_ran += 1
         t0 = time.time()
         sdf = fn(spark, sf_dir)
         s_rows = sdf.collect()
@@ -89,6 +99,9 @@ def run(sf_dir: str, only: list[str] | None = None) -> bool:
         status = "OK " if ok else "FAIL"
         print(f"  {name:32s} {status} rows={len(s_rows):7d}  [spark {t_spark:.1f}s / duck {t_duck:.1f}s]" + ("  " + "; ".join(msgs) if msgs else ""))
         ok_all = ok_all and ok
+    if n_ran == 0:
+        print("ERROR: selection matched no queries")
+        return False
     return ok_all
 
 
