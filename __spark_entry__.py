@@ -438,13 +438,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_changepoint": forecasting.changepoint,
         # -- r2 red (drain-detach fixed: streaming/__init__.py:_detach) ---
         "stream_funnel": _q_stream_funnel,
+        # -- ts_holt_winters: upgraded rows-only → full oracle this round
+        #    (sequential recursion expressed as a DuckDB RECURSIVE CTE)
+        "ts_holt_winters": timeseries.holt_winters,
         # -- rows-only entries (no SQL oracle possible) -------------------
         "pack_documents": sampling.pack_documents,
         "ann_lsh": similarity.ann_lsh,
         "multimodal_decode": _q_multimodal_decode,
         "multimodal_audio": _q_multimodal_audio,
         "ts_lttb": timeseries.lttb_downsample,
-        "ts_holt_winters": timeseries.holt_winters,
         # -- round-1 greens on re-verify rotation (21) --------------------
         "bt_read_latest": _q_read_latest,
         "bt_read_overlapping": _q_read_overlapping,
@@ -918,6 +920,7 @@ def oracle_sql() -> dict[str, str]:
         "ts_histogram": timeseries.VALUE_HISTOGRAM_SQL,
         "ts_ewma": timeseries.EWMA_SQL,
         "ts_holt": timeseries.HOLT_SQL,
+        "ts_holt_winters": timeseries.HOLT_WINTERS_SQL,
         # ts_holt_winters: rows-only (full-series sequential recursion in
         # applyInPandas; python recompute + seasonality tests)
         "ts_rate": timeseries.COUNTER_RATE_SQL,

@@ -218,7 +218,7 @@ def test_stream_latest_state_v2_matches_batch_latest(spark, sf_dir, tmp_path):
     from timedb_spark.streaming.state_v2 import stream_latest_state_v2
 
     if not state_v2._HAVE_TWS:
-        pytest.skip("transformWithStateInPandas needs protobuf (not in container)")
+        pytest.skip(f"transformWithStateInPandas gated: missing {state_v2._TWS_MISSING}")
 
     d = str(tmp_path / "sv")
     sv = bitemporal_frame(spark, sf_dir).select(

@@ -1062,9 +1062,12 @@ def holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
     like ts_lttb. Input is the LOCF-resampled grid: a seasonal ring only
     means "m hours" when consecutive rows are one hour apart (on the
     sparse series it would track an observation-count pseudo-period —
-    caught by the planted-seasonality test). *rows-only*: sequential
-    cross-row state is not one-pass-SQL-expressible; a pure-python
-    recompute pins the arithmetic in tests."""
+    caught by the planted-seasonality test). Oracle: the same recursion as
+    a DuckDB RECURSIVE CTE carrying [level, trend, 24-slot ring] across
+    rn → rn+1 (HOLT_WINTERS_SQL) — sequential state is not ONE-PASS-SQL
+    expressible, but it is recursive-SQL expressible, which upgrades this
+    from rows-only to fully oracle-gated; the pure-python recompute in
+    tests stays as a second, engine-independent pin."""
     import pandas as pd
 
     grid = resample_locf(_hourly_series(spark, sf_dir)).drop("gap_filled")
@@ -1095,6 +1098,45 @@ def holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# The sequential recursion as a RECURSIVE CTE: one iteration advances every
+# series one grid row, carrying [level, trend, ring(24)] — total work is
+# O(total rows), recursion depth = longest series. Explicit ::DOUBLE casts
+# keep DuckDB's decimal literal inference out of the float recursion (the
+# arithmetic must match the python fold bit-for-bit up to the floor-scale).
+_HW_ZEROS = "[" + ", ".join(["0.0::DOUBLE"] * _HW_PERIOD) + "]"
+_HW_LP = (
+    f"{_HW_ALPHA}::DOUBLE * (n.value - h.ring[1]) "
+    f"+ {1.0 - _HW_ALPHA}::DOUBLE * (h.level + h.trend)"
+)
+HOLT_WINTERS_SQL = f"""
+WITH RECURSIVE s AS ({_HOURLY_SERIES_SQL}),
+span AS (SELECT series_id, min(valid_time) AS lo, max(valid_time) AS hi FROM s GROUP BY series_id),
+grid AS (SELECT series_id, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS tick FROM span),
+j AS (SELECT g.series_id, g.tick, s.value AS obs
+      FROM grid g LEFT JOIN s ON s.series_id = g.series_id AND s.valid_time = g.tick),
+g AS (
+    SELECT series_id, tick AS valid_time,
+           last_value(obs IGNORE NULLS) OVER (PARTITION BY series_id ORDER BY tick
+                                              ROWS UNBOUNDED PRECEDING) AS value,
+           row_number() OVER (PARTITION BY series_id ORDER BY tick) AS rn
+    FROM j
+),
+hw AS (
+    SELECT series_id, rn, valid_time, value,
+           value AS level, 0.0::DOUBLE AS trend, {_HW_ZEROS} AS ring
+    FROM g WHERE rn = 1
+    UNION ALL
+    SELECT n.series_id, n.rn, n.valid_time, n.value,
+           {_HW_LP} AS level,
+           {_HW_BETA}::DOUBLE * (({_HW_LP}) - h.level) + {1.0 - _HW_BETA}::DOUBLE * h.trend AS trend,
+           h.ring[2:] || [{_HW_GAMMA}::DOUBLE * (n.value - ({_HW_LP})) + {1.0 - _HW_GAMMA}::DOUBLE * h.ring[1]] AS ring
+    FROM hw h JOIN g n ON n.series_id = h.series_id AND n.rn = h.rn + 1
+)
+SELECT series_id, valid_time, value,
+       floor(level * 1e6) / 1e6 AS hw_level,
+       floor((level + trend + ring[1]) * 1e6) / 1e6 AS hw_forecast
+FROM hw
+"""
 
 
 def counter_rate(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -24,15 +24,23 @@ from pyspark.sql import DataFrame
 
 from timedb_spark.streaming.state import OUTPUT_SCHEMA, STATE_SCHEMA
 
-try:  # Spark ≥ 4.0 AND protobuf present (the v2 state-server protocol is
-    # protobuf-framed; without it the driver worker crashes at init).
+#: exact unmet precondition ("" when runnable) — surfaced in skip messages
+#: and the NotImplementedError so a probe records WHY the gate is closed.
+_TWS_MISSING = ""
+try:  # the v2 state-server protocol is protobuf-framed; without it the
+    # driver worker crashes at init.
     import google.protobuf  # noqa: F401
-    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+except ImportError:  # pragma: no cover - no protobuf in the environment
+    _TWS_MISSING = "python package 'protobuf' (import google.protobuf) not installed"
+if not _TWS_MISSING:
+    try:
+        from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+    except ImportError:  # pragma: no cover - Spark < 4.0
+        _TWS_MISSING = "pyspark.sql.streaming.StatefulProcessor (requires Spark >= 4.0)"
 
-    _HAVE_TWS = True
-except ImportError:  # pragma: no cover - older Spark / no protobuf
+_HAVE_TWS = not _TWS_MISSING
+if not _HAVE_TWS:
     StatefulProcessor = object  # type: ignore[assignment,misc]
-    _HAVE_TWS = False
 
 
 class LatestStateProcessor(StatefulProcessor):
@@ -81,7 +89,8 @@ def stream_latest_state_v2(sv_stream: DataFrame) -> DataFrame:
     (``spark.sql.streaming.stateStore.providerClass``)."""
     if not _HAVE_TWS:
         raise NotImplementedError(
-            "transformWithStateInPandas requires Spark >= 4.0 with protobuf installed"
+            f"transformWithStateInPandas unavailable: missing {_TWS_MISSING} "
+            "(re-probed at import; install the dep to unlock the v2 path)"
         )
     return sv_stream.groupBy("series_id", "valid_time").transformWithStateInPandas(
         statefulProcessor=LatestStateProcessor(),
