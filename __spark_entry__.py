@@ -391,6 +391,18 @@ def _q_profile_table_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pipeline.profile_table(spark, sf_dir, exact=True)
 
 
+def _q_ts_quantiles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """quantiles with exact percentile (== DuckDB quantile_cont); the
+    operator default is the percentile_approx sketch."""
+    return timeseries.quantiles_by_type(spark, sf_dir, exact=True)
+
+
+def _q_ts_anomaly_mad_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAD outliers with exact medians (== DuckDB quantile_cont); the
+    operator default is the percentile_approx sketch."""
+    return timeseries.mad_anomaly(spark, sf_dir, exact=True)
+
+
 # ---------------------------------------------------------------------------
 # Contract functions
 # ---------------------------------------------------------------------------
@@ -424,10 +436,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_calendar_features": forecasting.calendar_features,
         "ts_range_join": timeseries.range_join_events,
         "ts_topk_users": timeseries.topk_users,
-        "ts_quantiles": timeseries.quantiles_by_type,
+        # exact=True for ts_quantiles/ts_anomaly_mad: the DuckDB oracles use
+        # quantile_cont; the operator default is the percentile_approx
+        # sketch (bounded per-group memory — the 100 TB path).
+        "ts_quantiles": _q_ts_quantiles_exact,
         "ts_moving_stats": timeseries.moving_stats,
         "ts_anomaly_zscore": timeseries.anomaly_zscore,
-        "ts_anomaly_mad": timeseries.mad_anomaly,
+        "ts_anomaly_mad": _q_ts_anomaly_mad_exact,
         "ts_gap_detect": timeseries.gap_detect,
         "ts_autocorr": timeseries.autocorr,
         "ts_seasonal_naive": timeseries.seasonal_naive,
@@ -438,15 +453,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_changepoint": forecasting.changepoint,
         # -- r2 red (drain-detach fixed: streaming/__init__.py:_detach) ---
         "stream_funnel": _q_stream_funnel,
-        # -- ts_holt_winters: upgraded rows-only → full oracle this round
-        #    (sequential recursion expressed as a DuckDB RECURSIVE CTE)
+        # -- upgraded rows-only → full oracle this round (sequential
+        #    recursions expressed as DuckDB RECURSIVE CTEs)
         "ts_holt_winters": timeseries.holt_winters,
+        "ts_lttb": timeseries.lttb_downsample,
         # -- rows-only entries (no SQL oracle possible) -------------------
         "pack_documents": sampling.pack_documents,
         "ann_lsh": similarity.ann_lsh,
         "multimodal_decode": _q_multimodal_decode,
         "multimodal_audio": _q_multimodal_audio,
-        "ts_lttb": timeseries.lttb_downsample,
         # -- round-1 greens on re-verify rotation (21) --------------------
         "bt_read_latest": _q_read_latest,
         "bt_read_overlapping": _q_read_overlapping,
@@ -921,6 +936,7 @@ def oracle_sql() -> dict[str, str]:
         "ts_ewma": timeseries.EWMA_SQL,
         "ts_holt": timeseries.HOLT_SQL,
         "ts_holt_winters": timeseries.HOLT_WINTERS_SQL,
+        "ts_lttb": timeseries.LTTB_SQL,
         # ts_holt_winters: rows-only (full-series sequential recursion in
         # applyInPandas; python recompute + seasonality tests)
         "ts_rate": timeseries.COUNTER_RATE_SQL,

@@ -380,12 +380,22 @@ def test_lttb_invariants_and_local_recompute(spark, sf_dir):
         x = np.array([p[0].timestamp() * 1e6 for p in pts])
         y = np.array([p[1] for p in pts])
         edges = [1 + int(i * (n - 2) / (n_out - 2)) for i in range(n_out - 1)]
+
+        def seq_mean(a):
+            # ordered sequential fold — the cross-engine summation spec the
+            # operator and the DuckDB oracle both honor (numpy's pairwise
+            # .mean() diverges in ULPs and can flip near-tie argmaxes)
+            acc = 0.0
+            for v in a.tolist():
+                acc = acc + v
+            return acc / len(a)
+
         idx = [0]
         for b in range(n_out - 2):
             lo, hi = edges[b], edges[b + 1]
             nlo = edges[b + 1]
             nhi = n if b == n_out - 3 else edges[b + 2]
-            ax, ay = x[nlo:nhi].mean(), y[nlo:nhi].mean()
+            ax, ay = seq_mean(x[nlo:nhi]), seq_mean(y[nlo:nhi])
             p = idx[-1]
             cand = np.arange(lo, hi)
             area = np.abs((x[p] - ax) * (y[cand] - y[p]) - (x[p] - x[cand]) * (ay - y[p]))
@@ -460,3 +470,33 @@ def test_holt_winters_tracks_planted_seasonality(spark, tmp_path):
         import math
         assert out[i].hw_level == math.floor(level * 1e6) / 1e6
         assert out[i].hw_forecast == math.floor((level + trend + ring[0]) * 1e6) / 1e6
+
+
+def test_quantiles_and_mad_approx_within_sketch_error(spark, sf_dir):
+    """The percentile_approx default agrees with the exact mode within
+    sketch rank error: approx quantiles land between the exact p-eps and
+    p+eps quantiles (eps = 1/accuracy bounded rank error, generous margin
+    for the tiny test frame), and the MAD outlier sets overlap heavily."""
+    from timedb_spark.io.tables import load_table
+    from timedb_spark.operators.timeseries import mad_anomaly, quantiles_by_type
+
+    ex = {r.event_type: (r.p50, r.p90, r.p99) for r in quantiles_by_type(spark, sf_dir, exact=True).collect()}
+    ap = {r.event_type: (r.p50, r.p90, r.p99) for r in quantiles_by_type(spark, sf_dir).collect()}
+    assert set(ex) == set(ap)
+    vals = {t: sorted(r.value for r in rows) for t, rows in __import__("itertools").groupby(
+        sorted(load_table(spark, sf_dir, "events").select("event_type", "value").collect(),
+               key=lambda r: r.event_type), key=lambda r: r.event_type)}
+    for t, (e50, e90, e99) in ex.items():
+        v = vals[t]
+        n = len(v)
+        for p, approx in zip((0.5, 0.9, 0.99), ap[t]):
+            # rank window: approx within +-(n/1000) ranks of the exact rank
+            k = int(p * (n - 1))
+            pad = max(2, n // 1000)
+            lo, hi = v[max(0, k - pad)], v[min(n - 1, k + pad)]
+            assert lo - 1e-9 <= approx <= hi + 1e-9, (t, p, approx, lo, hi)
+
+    ex_ids = {r.event_id for r in mad_anomaly(spark, sf_dir, exact=True).collect()}
+    ap_ids = {r.event_id for r in mad_anomaly(spark, sf_dir).collect()}
+    inter = len(ex_ids & ap_ids)
+    assert inter >= 0.9 * max(len(ex_ids), 1) and len(ap_ids) <= 1.2 * max(len(ex_ids), 1)

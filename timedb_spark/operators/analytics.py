@@ -795,6 +795,13 @@ def select_orientation(max_deg: int, n_edges: int, *, hub_factor: float = 16.0) 
     return "degree" if max_deg * max_deg > hub_factor * max(n_edges, 1) else "id"
 
 
+#: broadcast the edge list into the wedge + closing joins when it has at
+#: most this many edges (~24 B/edge ⇒ ≲120 MB broadcast) — keeps the much
+#: larger wedge stream pipelined instead of shuffled. Past this, shuffle
+#: joins + degree orientation are the scale path.
+_TRI_BROADCAST_EDGES = 5_000_000
+
+
 def graph_triangles(spark: SparkSession, sf_dir: str, *, top_n: int = 20, orient: str = "auto") -> DataFrame:
     """Triangle counting over the co-purchase part graph — the clustering/
     cohesion member of the graph family (pagerank = influence,
@@ -825,7 +832,17 @@ def graph_triangles(spark: SparkSession, sf_dir: str, *, top_n: int = 20, orient
 
     All orientations produce the identical triangle set (orientation
     changes enumeration, not membership — pinned in tests); exact integers
-    ⇒ bit-identical to the canonical-order oracle."""
+    ⇒ bit-identical to the canonical-order oracle.
+
+    Join strategy: when auto mode knows the edge count and the edge list is
+    broadcastable (≤ _TRI_BROADCAST_EDGES), BOTH the wedge leg and the
+    closing edge broadcast — the wedge stream (Σ outdeg², 40× the edge
+    count on this graph) then lives entirely inside one codegen pipeline:
+    scan → broadcast wedge join → filter → broadcast closing join →
+    explode → partial agg, with only the tiny per-node counts shuffling.
+    Shuffling the wedges was the whole cost (measured 30 s → 6.7 s at
+    sf0.1). Past the threshold (the 100 TB graph) it falls back to shuffle
+    joins, where the degree orientation keeps wedge volume at O(m^1.5)."""
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
     a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pa"))
     b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pb"))
@@ -836,6 +853,7 @@ def graph_triangles(spark: SparkSession, sf_dir: str, *, top_n: int = 20, orient
         # so pair generation + distinct run a single time, not per use.
         .localCheckpoint(eager=False)
     )
+    broadcast_edges = False
     if orient == "auto":
         stats = (
             edges.select(F.explode(F.array("pa", "pb")).alias("node"))
@@ -844,6 +862,7 @@ def graph_triangles(spark: SparkSession, sf_dir: str, *, top_n: int = 20, orient
             .collect()[0]
         )
         orient = select_orientation(stats.max_deg or 0, stats.m or 0)
+        broadcast_edges = (stats.m or 0) <= _TRI_BROADCAST_EDGES
     if orient == "degree":
         und = edges.unionByName(edges.select(F.col("pb").alias("pa"), F.col("pa").alias("pb")))
         deg = und.groupBy(F.col("pa").alias("node")).agg(F.count(F.lit(1)).alias("deg"))
@@ -865,8 +884,10 @@ def graph_triangles(spark: SparkSession, sf_dir: str, *, top_n: int = 20, orient
     o1 = o.select("src", F.col("dst").alias("v"), *[F.col(c).alias(f"v_{c}") for c in rank_cols])
     o2 = o.select(F.col("src").alias("src2"), F.col("dst").alias("w"), *[F.col(c).alias(f"w_{c}") for c in rank_cols])
     v_lower = F.struct(*[F.col(f"v_{c}") for c in rank_cols]) < F.struct(*[F.col(f"w_{c}") for c in rank_cols])
-    wedges = o1.join(o2, F.col("src") == F.col("src2")).filter(v_lower).select("src", "v", "w")
     closing = o.select(F.col("src").alias("v"), F.col("dst").alias("w"))
+    if broadcast_edges:
+        o2, closing = F.broadcast(o2), F.broadcast(closing)
+    wedges = o1.join(o2, F.col("src") == F.col("src2")).filter(v_lower).select("src", "v", "w")
     tri = wedges.join(closing, ["v", "w"]).select(F.col("src").alias("x"), F.col("v").alias("y"), F.col("w").alias("z"))
     nodes = tri.select(F.explode(F.array("x", "y", "z")).alias("node"))
     return (

@@ -286,13 +286,27 @@ def lttb_downsample(spark: SparkSession, sf_dir: str, *, n_out: int = LTTB_POINT
     thousand points; a dashboard query is bounded by its time range), never
     the raw table, so group size is a product contract, not a skew hazard.
     First/last points always kept; ties break to the earliest point ⇒
-    deterministic. *rows-only* (sequential dependence is not expressible in
-    one SQL pass); invariants + a pure-python recompute are pinned in
-    tests/test_timeseries.py."""
+    deterministic. FULL ORACLE since round 3 (was rows-only): the greedy
+    recursion runs as a DuckDB RECURSIVE CTE over buckets (LTTB_SQL) —
+    state = the previously selected point, candidates and avg-bucket sums
+    prebuilt as ordered lists. Cross-engine bit-identity needs two
+    commitments both sides honor: x in EXACT µs (epoch-µs < 2^53, so the
+    float64 x coordinates are exact; ns would round to 256 ns ULPs), and
+    bucket means as ORDERED SEQUENTIAL sums (DuckDB's list_sum over an
+    ORDER BY rn list == a left-to-right fold; numpy's pairwise-summation
+    .mean() would diverge in ULPs and flip near-tie argmaxes). The
+    pure-python recompute in tests/test_timeseries.py stays as a second,
+    engine-independent pin."""
     import numpy as np
     import pandas as pd
 
     s = _hourly_series(spark, sf_dir)
+
+    def _seq_mean(arr) -> float:
+        acc = 0.0
+        for v in arr.tolist():
+            acc = acc + v
+        return acc / len(arr)
 
     def _lttb(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("valid_time").reset_index(drop=True)
@@ -300,7 +314,7 @@ def lttb_downsample(spark: SparkSession, sf_dir: str, *, n_out: int = LTTB_POINT
         if n <= n_out:
             idx = list(range(n))
         else:
-            x = pdf["valid_time"].astype("int64").to_numpy(dtype=np.float64)
+            x = (pdf["valid_time"].astype("int64") // 1000).to_numpy(dtype=np.float64)
             y = pdf["value"].to_numpy(dtype=np.float64)
             edges = [1 + int(i * (n - 2) / (n_out - 2)) for i in range(n_out - 1)]
             idx = [0]
@@ -309,8 +323,8 @@ def lttb_downsample(spark: SparkSession, sf_dir: str, *, n_out: int = LTTB_POINT
                 nlo, nhi = (edges[b + 1], edges[b + 2]) if b + 2 < len(edges) else (edges[b + 1], n - 1)
                 if b == n_out - 3:
                     nhi = n  # last interior bucket averages through the tail
-                ax = x[nlo:nhi].mean() if nhi > nlo else x[n - 1]
-                ay = y[nlo:nhi].mean() if nhi > nlo else y[n - 1]
+                ax = _seq_mean(x[nlo:nhi]) if nhi > nlo else x[n - 1]
+                ay = _seq_mean(y[nlo:nhi]) if nhi > nlo else y[n - 1]
                 p = idx[-1]
                 cand = np.arange(lo, hi)
                 area = np.abs(
@@ -325,6 +339,74 @@ def lttb_downsample(spark: SparkSession, sf_dir: str, *, n_out: int = LTTB_POINT
     return s.groupBy("series_id").applyInPandas(
         _lttb, "series_id long, valid_time timestamp, value double, pt_index long"
     )
+
+
+# The greedy bucket recursion as a RECURSIVE CTE: candidates and avg-bucket
+# sequential sums prebuilt as rn-ordered lists; each iteration advances every
+# series one bucket, carrying the previously selected point. list_indexof on
+# the max area == numpy argmax's first-tie rule.
+_LTTB_N = LTTB_POINTS
+LTTB_SQL = f"""
+WITH RECURSIVE s AS ({{hourly}}),
+g AS (
+    SELECT series_id, valid_time, value,
+           row_number() OVER (PARTITION BY series_id ORDER BY valid_time) - 1 AS rn,
+           count(*) OVER (PARTITION BY series_id) AS n,
+           epoch_us(valid_time)::DOUBLE AS x, value::DOUBLE AS y
+    FROM s
+),
+small AS (SELECT series_id, valid_time, value, rn AS pt_index FROM g WHERE n <= {_LTTB_N}),
+big AS (SELECT * FROM g WHERE n > {_LTTB_N}),
+edges AS (
+    SELECT sn.series_id, sn.n, i.i,
+           1 + CAST(floor((i.i * (sn.n - 2))::DOUBLE / {_LTTB_N - 2}) AS BIGINT) AS e
+    FROM (SELECT DISTINCT series_id, n FROM big) sn,
+         (SELECT unnest(range(0, {_LTTB_N - 1})) AS i) i
+),
+buckets AS (
+    SELECT e1.series_id, e1.i AS b, e1.e AS lo, e2.e AS hi,
+           e2.e AS alo,
+           CASE WHEN e1.i = {_LTTB_N - 3} THEN e1.n ELSE e3.e END AS ahi
+    FROM edges e1
+    JOIN edges e2 ON e2.series_id = e1.series_id AND e2.i = e1.i + 1
+    LEFT JOIN edges e3 ON e3.series_id = e1.series_id AND e3.i = e1.i + 2
+    WHERE e1.i <= {_LTTB_N - 3}
+),
+cand AS (
+    SELECT b.series_id, b.b,
+           list(struct_pack(rn := g.rn, x := g.x, y := g.y) ORDER BY g.rn) AS cs
+    FROM buckets b JOIN big g ON g.series_id = b.series_id AND g.rn >= b.lo AND g.rn < b.hi
+    GROUP BY 1, 2
+),
+avgs AS (
+    SELECT b.series_id, b.b,
+           list_sum(list(g.x ORDER BY g.rn)) / count(*) AS ax,
+           list_sum(list(g.y ORDER BY g.rn)) / count(*) AS ay
+    FROM buckets b JOIN big g ON g.series_id = b.series_id AND g.rn >= b.alo AND g.rn < b.ahi
+    GROUP BY 1, 2
+),
+sel AS (
+    SELECT series_id, -1 AS b, 0::BIGINT AS sel_rn, x AS px, y AS py FROM big WHERE rn = 0
+    UNION ALL
+    SELECT series_id, b, chosen.rn, chosen.x, chosen.y FROM (
+        SELECT s.series_id AS series_id, c.b AS b,
+               list_transform(c.cs, e ->
+                   abs((s.px - a.ax) * (e.y - s.py) - (s.px - e.x) * (a.ay - s.py))) AS areas,
+               c.cs[list_indexof(areas, list_aggregate(areas, 'max'))] AS chosen
+        FROM sel s
+        JOIN cand c ON c.series_id = s.series_id AND c.b = s.b + 1
+        JOIN avgs a ON a.series_id = c.series_id AND a.b = c.b
+    ) t
+)
+SELECT * FROM (
+    SELECT series_id, valid_time, value, pt_index FROM small
+    UNION ALL
+    SELECT g.series_id, g.valid_time, g.value, s.b + 1 AS pt_index
+    FROM sel s JOIN big g ON g.series_id = s.series_id AND g.rn = s.sel_rn
+    UNION ALL
+    SELECT series_id, valid_time, value, {_LTTB_N - 1} AS pt_index FROM big WHERE rn = n - 1
+)
+"""  # .format(hourly=...) applied after _HOURLY_SERIES_SQL is defined below
 
 
 # ---------------------------------------------------------------------------
@@ -407,14 +489,25 @@ LIMIT 25
 """
 
 
-def quantiles_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact continuous quantiles of value per event_type. Spark
-    ``percentile`` == DuckDB ``quantile_cont`` (linear interpolation). The
-    exact form shuffles values per group; at 100 TB swap in
-    ``percentile_approx`` (t-digest sketch, map-side combinable) — same API,
-    bounded memory."""
+#: percentile_approx accuracy (1/eps): rank error ≤ n/10000 per group
+_APPROX_PCT_ACCURACY = 10_000
+
+
+def quantiles_by_type(spark: SparkSession, sf_dir: str, exact: bool = False) -> DataFrame:
+    """Continuous quantiles of value per event_type. DEFAULT is
+    ``percentile_approx`` (KLL-style sketch, map-side combinable, bounded
+    memory per group) — the exact form buffers every group's values in the
+    aggregator, which is the 100 TB per-group memory hazard. ``exact=True``
+    restores Spark ``percentile`` == DuckDB ``quantile_cont`` (linear
+    interpolation) for the oracle entry; the two modes are pinned against
+    each other within sketch rank error in tests."""
     ev = load_table(spark, sf_dir, "events")
-    pct = F.percentile("value", F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99)))
+    qs = F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99))
+    pct = (
+        F.percentile("value", qs)
+        if exact
+        else F.percentile_approx("value", qs, F.lit(_APPROX_PCT_ACCURACY))
+    )
     return ev.groupBy("event_type").agg(
         F.round(pct[0], 6).alias("p50"),
         F.round(pct[1], 6).alias("p90"),
@@ -434,21 +527,31 @@ GROUP BY event_type
 _MAD_K = 5.0
 
 
-def mad_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+def mad_anomaly(spark: SparkSession, sf_dir: str, exact: bool = False) -> DataFrame:
     """Robust outliers per event_type via median absolute deviation:
     flag rows with |x − median| > k·MAD — the heavy-tail-safe complement to
     :func:`anomaly_zscore` (mean/std are themselves dragged by the outliers
     they're meant to find; median/MAD are 50%-breakdown robust).
 
-    Two grouped exact percentiles (Spark ``percentile`` == DuckDB
-    ``quantile_cont``, parity proven by ts_quantiles), each broadcast back —
-    the flag is a scan-side filter, no per-row shuffle. At 100 TB swap the
-    exact percentile for ``percentile_approx`` (t-digest, map-side
-    combinable) exactly as in ts_quantiles."""
+    Two grouped medians, each broadcast back — the flag is a scan-side
+    filter, no per-row shuffle. DEFAULT medians are ``percentile_approx``
+    (sketch, bounded per-group memory — the 100 TB path, exactly as in
+    ts_quantiles); ``exact=True`` restores Spark ``percentile`` == DuckDB
+    ``quantile_cont`` for the oracle entry."""
     ev = load_table(spark, sf_dir, "events")
-    med = ev.groupBy("event_type").agg(F.percentile("value", F.lit(0.5)).alias("med"))
+    med_agg = (
+        F.percentile("value", F.lit(0.5))
+        if exact
+        else F.percentile_approx("value", F.lit(0.5), F.lit(_APPROX_PCT_ACCURACY))
+    )
+    med = ev.groupBy("event_type").agg(med_agg.alias("med"))
     dev = ev.join(F.broadcast(med), "event_type").withColumn("dev", F.abs(F.col("value") - F.col("med")))
-    mad = dev.groupBy("event_type").agg(F.percentile("dev", F.lit(0.5)).alias("mad"))
+    mad_agg = (
+        F.percentile("dev", F.lit(0.5))
+        if exact
+        else F.percentile_approx("dev", F.lit(0.5), F.lit(_APPROX_PCT_ACCURACY))
+    )
+    mad = dev.groupBy("event_type").agg(mad_agg.alias("mad"))
     out = dev.join(F.broadcast(mad), "event_type").filter(F.col("dev") > F.lit(_MAD_K) * F.col("mad"))
     return out.select(
         "event_id",
@@ -501,6 +604,9 @@ FROM events
 WHERE hour(ts) % 3 < 2
 GROUP BY 1, 2
 """
+
+
+LTTB_SQL = LTTB_SQL.format(hourly=_HOURLY_SERIES_SQL)
 
 
 def resample_locf_events(spark: SparkSession, sf_dir: str) -> DataFrame:
