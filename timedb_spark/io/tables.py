@@ -21,6 +21,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import LongType
 
+from timedb_spark.session import ensure_package_shipped
+
 TABLE_NAMES = [
     "region",
     "nation",
@@ -36,6 +38,11 @@ TABLE_NAMES = [
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # The driver's gate builds its OWN session (unknown cwd, package not
+    # necessarily on the workers' path) — every query path starts here, so
+    # this is the choke point that guarantees workers can import the
+    # package's applyInPandas/mapInPandas functions (pickled by reference).
+    ensure_package_shipped(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events":
         # events.ts has shipped as either INT64 TIMESTAMP(NANOS) (arrives as

@@ -14,8 +14,49 @@ explicitly keeps local runs from creating 200 tiny tasks per shuffle.
 from __future__ import annotations
 
 import os
+import tempfile
+import zipfile
 
 from pyspark.sql import SparkSession
+
+#: applicationIds the package zip has already been shipped to (addPyFile is
+#: per-SparkContext; re-shipping the same file name would error on a restart
+#: of the same app id, so track by id, not by session object).
+_SHIPPED_APPS: set[str] = set()
+
+
+def ensure_package_shipped(spark: SparkSession) -> None:
+    """Make ``timedb_spark`` importable on Python workers regardless of the
+    driver's working directory.
+
+    Operators built on ``applyInPandas`` / ``mapInPandas`` /
+    ``applyInPandasWithState`` reference module-level functions, which
+    cloudpickle serialises BY REFERENCE — the worker must re-import
+    ``timedb_spark``. When the caller's session was created with a different
+    cwd (or on a real cluster where the package isn't installed on the
+    executors), that import fails with ``ModuleNotFoundError`` inside the
+    task. Shipping the package as a zip via ``addPyFile`` puts it on every
+    worker's ``sys.path`` — the Spark-idiomatic deploy path for driver-side
+    Python dependencies (same mechanism as ``spark-submit --py-files``).
+
+    Once per SparkContext; a no-op when already shipped.
+    """
+    sc = spark.sparkContext
+    app = sc.applicationId
+    if app in _SHIPPED_APPS:
+        return
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    fd, zpath = tempfile.mkstemp(prefix="timedb_spark_pkg_", suffix=".zip")
+    os.close(fd)
+    with zipfile.ZipFile(zpath, "w", zipfile.ZIP_DEFLATED) as zf:
+        for root, _dirs, files in os.walk(pkg_dir):
+            for f in sorted(files):
+                if f.endswith(".py"):
+                    full = os.path.join(root, f)
+                    rel = os.path.join("timedb_spark", os.path.relpath(full, pkg_dir))
+                    zf.write(full, rel)
+    sc.addPyFile(zpath)
+    _SHIPPED_APPS.add(app)
 
 
 def get_spark(app_name: str = "timedb_spark", *, extra_conf: dict[str, str] | None = None) -> SparkSession:
@@ -43,4 +84,6 @@ def get_spark(app_name: str = "timedb_spark", *, extra_conf: dict[str, str] | No
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
-    return builder.getOrCreate()
+    spark = builder.getOrCreate()
+    ensure_package_shipped(spark)
+    return spark
