@@ -485,6 +485,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_window": analytics.events_window,
         "events_markov": analytics.events_markov,
         # ==== end of the 50-query round-3 gate window ====================
+        # -- NEW this round (local-parity green; front-load in round 4) ---
+        "text_boilerplate": text.text_boilerplate,
+        "text_vocab": text.text_vocab,
+        "events_rfm": analytics.events_rfm,
+        "ann_range": similarity.ann_range,
+        "embed_pca": similarity.embed_pca,  # rows-only (eigh not SQL-able)
         # -- round-2 greens (kept green locally via tools/parity.py) ------
         "bt_interval_merge": _q_interval_merge,
         "bt_restatements": forecasting.restatements,
@@ -889,6 +895,12 @@ def oracle_sql() -> dict[str, str]:
         "text_tfidf": text.TEXT_TFIDF_SQL,
         "text_repetition": text.TEXT_REPETITION_SQL,
         "text_pii": text.TEXT_PII_SQL,
+        "text_boilerplate": text.TEXT_BOILERPLATE_SQL,
+        "text_vocab": text.TEXT_VOCAB_SQL,
+        "events_rfm": analytics.EVENTS_RFM_SQL,
+        "ann_range": similarity.ANN_RANGE_SQL,
+        # embed_pca: rows-only — eigendecomposition has no SQL oracle;
+        # pinned against a numpy full recompute in tests/test_similarity.py.
         "dedup_exact": dedup.DEDUP_EXACT_SQL,
         "dedup_ngram_jaccard": dedup.DEDUP_NGRAM_SQL,
         "dedup_minhash": dedup.DEDUP_MINHASH_SQL,

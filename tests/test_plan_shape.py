@@ -391,3 +391,48 @@ def test_profile_table_approx_within_hll_error(spark, sf_dir):
         a = ap[c]
         assert (a.n_rows, a.n_nulls, a.min_value, a.max_value) == (e.n_rows, e.n_nulls, e.min_value, e.max_value)
         assert abs(a.n_distinct - e.n_distinct) <= max(3, 0.06 * e.n_distinct)
+
+
+def test_events_rfm_broadcast_anchor_bounded_shuffles(spark, sf_dir):
+    from timedb_spark.operators import analytics as an
+
+    df = an.events_rfm(spark, sf_dir)
+    # the 1-row anchor join is condition-free -> Broadcast NLJ, never a
+    # shuffled cartesian
+    plan = plans.formatted_plan(df)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    plans.assert_no_cartesian(df)
+    plans.assert_pushed_filter(df, "event_type")
+
+
+def test_text_boilerplate_two_shuffles_no_join(spark, sf_dir):
+    from timedb_spark.operators import text as tx
+
+    df = tx.text_boilerplate(spark, sf_dir)
+    # explode -> window over shingle (1 shuffle) -> groupBy doc_id (1
+    # shuffle). The naive double-aggregate+join formulation plans 3+.
+    plans.assert_max_shuffles(df, 2)
+    plans.assert_no_cartesian(df)
+
+
+def test_ann_range_broadcast_no_shuffle(spark, sf_dir):
+    from timedb_spark.operators import similarity as sim
+
+    df = sim.ann_range(spark, sf_dir)
+    # != join condition -> Broadcast NLJ on the tiny query side
+    plan = plans.formatted_plan(df)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    # strictly cheaper than top-k: no per-query window grouping at all
+    plans.assert_max_shuffles(df, 0)
+
+
+def test_embed_pca_projection_stays_jvm(spark, sf_dir):
+    from timedb_spark.operators import similarity as sim
+
+    df = sim.embed_pca(spark, sf_dir)
+    # the projection itself is pure column expressions riding the scan: no
+    # shuffle, no Python eval in the OUTPUT plan (the one mapInPandas pass
+    # happens during fit, not in the returned projection).
+    plans.assert_max_shuffles(df, 0)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan

@@ -988,3 +988,79 @@ ranked AS (
 )
 SELECT * FROM ranked WHERE spend_rank <= 10
 """
+
+
+# ---------------------------------------------------------------------------
+# RFM segmentation (recency / frequency / monetary quintiles)
+# ---------------------------------------------------------------------------
+
+
+def events_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic RFM segmentation over purchase events: per user, seconds
+    since their last purchase (anchored at the corpus max event time so the
+    result is deterministic), purchase count, and rounded spend — then
+    quintile scores 1..5 per dimension (5 = best) and the concatenated
+    segment label ('555' = champions).
+
+    Scale shape: one per-user aggregation over the purchase subset (map-side
+    partial), the 1-row anchor broadcast in, and the ntile windows run over
+    the AGGREGATED per-user frame — |users| rows, orders of magnitude below
+    |events|; ties broken by user_id so every ordering is total and
+    engine-stable. Monetary is rounded BEFORE ranking so both engines rank
+    identical doubles.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    anchor = ev.agg(F.max(F.unix_micros(F.col("ts"))).alias("anchor_us"))
+    per_user = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            F.max(F.unix_micros(F.col("ts"))).alias("last_us"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.round(F.sum("value"), 6).alias("monetary"),
+        )
+        .join(F.broadcast(anchor))
+        .select(
+            "user_id",
+            F.expr("(anchor_us - last_us) div 1000000").alias("recency_s"),
+            "frequency",
+            "monetary",
+        )
+    )
+    # ascending "badness" orderings: ntile 5 = most recent / most frequent /
+    # highest spend. All run over the per-user aggregate, not the events.
+    r_w = Window.orderBy(F.desc("recency_s"), F.asc("user_id"))
+    f_w = Window.orderBy(F.asc("frequency"), F.asc("user_id"))
+    m_w = Window.orderBy(F.asc("monetary"), F.asc("user_id"))
+    return per_user.select(
+        "user_id",
+        "recency_s",
+        "frequency",
+        "monetary",
+        F.ntile(5).over(r_w).alias("r_score"),
+        F.ntile(5).over(f_w).alias("f_score"),
+        F.ntile(5).over(m_w).alias("m_score"),
+    ).withColumn(
+        "segment",
+        F.concat(F.col("r_score").cast("string"), F.col("f_score").cast("string"), F.col("m_score").cast("string")),
+    )
+
+
+EVENTS_RFM_SQL = """
+WITH anchor AS (SELECT max(epoch_us(ts)) AS anchor_us FROM events),
+per_user AS (
+    SELECT user_id,
+           (anchor_us - max(epoch_us(ts))) // 1000000 AS recency_s,
+           count(*) AS frequency,
+           round(sum(value), 6) AS monetary
+    FROM events, anchor
+    WHERE event_type = 'purchase'
+    GROUP BY user_id, anchor_us
+)
+SELECT user_id, recency_s, frequency, monetary,
+       ntile(5) OVER (ORDER BY recency_s DESC, user_id) AS r_score,
+       ntile(5) OVER (ORDER BY frequency ASC, user_id) AS f_score,
+       ntile(5) OVER (ORDER BY monetary ASC, user_id) AS m_score,
+       ntile(5) OVER (ORDER BY recency_s DESC, user_id) || ntile(5) OVER (ORDER BY frequency ASC, user_id) || ntile(5) OVER (ORDER BY monetary ASC, user_id) AS segment
+FROM per_user
+"""

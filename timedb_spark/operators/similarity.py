@@ -610,3 +610,122 @@ FROM cl LEFT JOIN dups d ON d.vec_id = cl.vec_id
 
 
 DEDUP_SEMANTIC_SQL = _semantic_sql()
+
+
+# ---------------------------------------------------------------------------
+# radius (range) search — all neighbours within a cosine threshold
+# ---------------------------------------------------------------------------
+
+_RANGE_TAU = 0.30
+
+
+def ann_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Radius search: every vector with cosine >= ``_RANGE_TAU`` to each
+    query vector (vec_id < ``_N_QUERIES``) — the dedup/contamination
+    companion to top-k ANN (top-k bounds the RESULT size, radius search
+    bounds the SIMILARITY, which is what "find everything near this
+    benchmark prompt" needs).
+
+    Same scale shape as ``ann_bruteforce``: queries broadcast, quantized
+    JVM-side dot products ride the scan, and the threshold filter is applied
+    in the same projection — no window, no shuffle of the vector side at
+    all (strictly cheaper than top-k, which needs the per-query grouping).
+    """
+    vecs = _quantized(spark, sf_dir)
+    queries = vecs.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("q").alias("qv")
+    )
+    return (
+        vecs.join(F.broadcast(queries), F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            vx.cosine_q(F.col("qv"), F.col("q")).alias("_cos"),
+        )
+        .filter(F.col("_cos") >= _RANGE_TAU)
+        .select("query_id", "neighbor_id", F.round(F.col("_cos"), 6).alias("cosine"))
+    )
+
+
+ANN_RANGE_SQL = f"""
+WITH vecs AS (
+    SELECT vec_id, {vx.QUANTIZE_SQL.format(v='embedding')} AS q FROM embeddings
+),
+queries AS (SELECT vec_id AS query_id, q AS qv FROM vecs WHERE vec_id < {_N_QUERIES}),
+scored AS (
+    SELECT query_id, v.vec_id AS neighbor_id,
+           {vx.cosine_q_sql('qv', 'v.q')} AS c
+    FROM vecs v JOIN queries ON v.vec_id != query_id
+)
+SELECT query_id, neighbor_id, round(c, 6) AS cosine
+FROM scored WHERE c >= {_RANGE_TAU}
+"""
+
+
+# ---------------------------------------------------------------------------
+# PCA — single-pass distributed covariance, driver eigh, JVM-side projection
+# ---------------------------------------------------------------------------
+
+_PCA_Q = 4
+
+
+def embed_pca(spark: SparkSession, sf_dir: str, q: int = _PCA_Q) -> DataFrame:
+    """Project embeddings onto their top-``q`` principal components.
+
+    The MLlib RowMatrix recipe re-expressed on DataFrames: one
+    ``mapInPandas`` pass emits per-batch moment partials (n, sum, X'X —
+    each O(d^2), INDEPENDENT of row count), the driver sums the partials
+    (the tree-aggregate endpoint; the collected payload is #partitions x
+    d^2 doubles, ~32 KB here), eigendecomposes the d x d covariance, and
+    broadcasts the components back as column literals so the projection is
+    a pure JVM ``zip_with``/``aggregate`` expression riding the scan. The
+    vectors themselves never shuffle and never leave the executors.
+
+    Component signs are fixed (largest-|coordinate| positive) so the output
+    is stable across eigensolver conventions. Correctness is pinned
+    rows-only + a numpy full recompute in tests (eigenvectors are not
+    SQL-expressible).
+    """
+    import numpy as np
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+
+    def _partials(it):
+        import numpy as _np
+        import pandas as _pd
+
+        for pdf in it:
+            if not len(pdf):
+                continue
+            X = _np.array(pdf["embedding"].tolist(), dtype=_np.float64)
+            yield _pd.DataFrame(
+                {"n": [len(X)], "s": [X.sum(axis=0).tolist()], "g": [(X.T @ X).ravel().tolist()]}
+            )
+
+    parts = emb.mapInPandas(_partials, schema="n long, s array<double>, g array<double>").collect()
+    n = sum(p["n"] for p in parts)
+    d = len(parts[0]["s"])
+    S = np.zeros(d)
+    G = np.zeros((d, d))
+    for p in parts:
+        S += np.array(p["s"])
+        G += np.array(p["g"]).reshape(d, d)
+    mean = S / n
+    cov = (G - np.outer(S, S) / n) / (n - 1)
+    _w, V = np.linalg.eigh(cov)
+    comps = []
+    for j in range(q):
+        v = V[:, -1 - j]
+        if v[int(np.argmax(np.abs(v)))] < 0:  # sign convention
+            v = -v
+        comps.append(v)
+
+    vec = F.col("embedding").cast("array<double>")
+    proj_cols = []
+    for j, c in enumerate(comps):
+        carr = F.array(*[F.lit(float(x)) for x in c])
+        dot = F.aggregate(
+            F.zip_with(vec, carr, lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x
+        )
+        proj_cols.append(F.round(dot - F.lit(float(mean @ c)), 6).alias(f"pc{j + 1}"))
+    return emb.select("vec_id", *proj_cols)

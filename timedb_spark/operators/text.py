@@ -474,3 +474,121 @@ FROM documents
 """
 
 
+
+
+# ---------------------------------------------------------------------------
+# boilerplate detection (corpus-frequency shingles)
+# ---------------------------------------------------------------------------
+
+_BOILER_N = 3
+_BOILER_MIN_DOCS = 5
+
+
+def text_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document boilerplate fraction: the share of a document's distinct
+    word 3-gram shingles that occur in >= ``_BOILER_MIN_DOCS`` distinct
+    documents corpus-wide (the C4/RefinedWeb-style boilerplate signal —
+    navigation chrome, license banners and template text repeat across
+    pages; unique prose does not).
+
+    Plan shape: explode distinct shingles once, then ONE window count over
+    the shingle key gives each row its corpus document-frequency — no second
+    scan and no join back (the naive formulation aggregates the exploded
+    frame twice and joins, shuffling it on the same key anyway). The only
+    shuffles are (shingle) then (doc_id), both on the exploded frame.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    sh = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(tt.shingles(tt.ws_tokens(F.col("text")), _BOILER_N))).alias("s"),
+    )
+    # distinct-per-doc shingles => count over the shingle partition IS the
+    # corpus document-frequency of that shingle.
+    df_w = Window.partitionBy("s")
+    marked = sh.withColumn("df", F.count(F.lit(1)).over(df_w))
+    return (
+        marked.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.count(F.when(F.col("df") >= _BOILER_MIN_DOCS, 1)).alias("n_boiler"),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_boiler",
+            F.round(F.col("n_boiler") / F.col("n_shingles"), 6).alias("boiler_ratio"),
+        )
+    )
+
+
+TEXT_BOILERPLATE_SQL = rf"""
+WITH toks AS (
+    SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents
+),
+sh AS (
+    SELECT DISTINCT doc_id,
+           array_to_string(list_slice(t, i, i + {_BOILER_N - 1}), ' ') AS s
+    FROM toks, LATERAL (
+        SELECT unnest(range(1, greatest(len(t) - {_BOILER_N - 1}, 1) + 1)) AS i
+    )
+),
+marked AS (
+    SELECT doc_id, count(*) OVER (PARTITION BY s) AS df FROM sh
+)
+SELECT doc_id,
+       count(*) AS n_shingles,
+       count(*) FILTER (df >= {_BOILER_MIN_DOCS}) AS n_boiler,
+       round(count(*) FILTER (df >= {_BOILER_MIN_DOCS}) / count(*), 6) AS boiler_ratio
+FROM marked
+GROUP BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# corpus vocabulary (tokenizer-training precursor)
+# ---------------------------------------------------------------------------
+
+
+def text_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus token vocabulary: per-token count, frequency rank, and the
+    cumulative share of the corpus covered by tokens up to that rank — the
+    curve a tokenizer-training / vocab-sizing pass reads off first.
+
+    The global window runs over the AGGREGATED vocabulary (|vocab| rows,
+    not |tokens|): at 100 TB the explode+count shuffles token-partitioned
+    and map-side combines; only the vocab-sized result is globally sorted.
+    Rank ties broken by token so the ordering is total and engine-stable.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    counts = (
+        docs.select(F.explode(tt.ws_tokens(F.col("text"))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.orderBy(F.desc("n"), F.asc("token"))
+    cum = Window.orderBy(F.desc("n"), F.asc("token")).rowsBetween(Window.unboundedPreceding, 0)
+    total = Window.partitionBy()
+    return counts.select(
+        "token",
+        "n",
+        F.row_number().over(w).alias("rank"),
+        F.round(F.sum("n").over(cum) / F.sum("n").over(total), 6).alias("cum_share"),
+    )
+
+
+TEXT_VOCAB_SQL = r"""
+WITH counts AS (
+    SELECT token, count(*) AS n
+    FROM (SELECT unnest(string_split_regex(trim(text), '\s+')) AS token FROM documents)
+    GROUP BY token
+)
+SELECT token, n,
+       row_number() OVER (ORDER BY n DESC, token) AS rank,
+       round(sum(n) OVER (ORDER BY n DESC, token ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             / sum(n) OVER (), 6) AS cum_share
+FROM counts
+"""
