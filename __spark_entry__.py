@@ -379,9 +379,19 @@ def _q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-column decode + feature extraction over mapInPandas (rows-only:
     the decode is checked against a local recompute in tests). Every 7th doc
     carries a REAL stdlib-decoded PNG payload (chunk walk + inflate +
-    unfilter), the rest the raw fakeimg format — one plumbing, two codecs."""
+    unfilter), the rest the raw fakeimg format — one plumbing, two codecs.
+
+    The ``thumb array<double>`` column is serialized to a deterministic
+    string for the gate (r3's one red row: the driver canonicalizes by
+    sorting every column and pandas cannot factorize list values —
+    CORRECTNESS_r03 ``TypeError: unhashable type: 'list'``). The typed
+    array stays on the operator itself; tests pin it against numpy."""
     docs = multimodal.attach_payload_mixed(load_table(spark, sf_dir, "documents"))
-    return multimodal.decode_features(docs)
+    feats = multimodal.decode_features(docs)
+    return feats.withColumn(
+        "thumb",
+        F.concat_ws("|", F.transform("thumb", lambda x: F.format_string("%.6f", x))),
+    )
 
 
 def _q_profile_table_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -401,6 +411,13 @@ def _q_ts_anomaly_mad_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MAD outliers with exact medians (== DuckDB quantile_cont); the
     operator default is the percentile_approx sketch."""
     return timeseries.mad_anomaly(spark, sf_dir, exact=True)
+
+
+def _q_events_rfm_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM with exact ntile quintiles (== DuckDB ntile); the operator's
+    production default is percentile_approx cut-points broadcast back —
+    zero global sorts (the r3 verdict's one new weak shape, fixed)."""
+    return analytics.events_rfm(spark, sf_dir, exact=True)
 
 
 # ---------------------------------------------------------------------------

@@ -995,7 +995,7 @@ SELECT * FROM ranked WHERE spend_rank <= 10
 # ---------------------------------------------------------------------------
 
 
-def events_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+def events_rfm(spark: SparkSession, sf_dir: str, *, exact: bool = False) -> DataFrame:
     """Classic RFM segmentation over purchase events: per user, seconds
     since their last purchase (anchored at the corpus max event time so the
     result is deterministic), purchase count, and rounded spend — then
@@ -1003,11 +1003,15 @@ def events_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
     segment label ('555' = champions).
 
     Scale shape: one per-user aggregation over the purchase subset (map-side
-    partial), the 1-row anchor broadcast in, and the ntile windows run over
-    the AGGREGATED per-user frame — |users| rows, orders of magnitude below
-    |events|; ties broken by user_id so every ordering is total and
-    engine-stable. Monetary is rounded BEFORE ranking so both engines rank
-    identical doubles.
+    partial), the 1-row anchor broadcast in. Default scoring computes the
+    four quintile cut-points per dimension with ``percentile_approx`` (one
+    tiny aggregate — 12 doubles), broadcasts them back, and assigns scores
+    with pure column expressions: ZERO global sorts, so the plan has no
+    "No Partition Defined for Window" single-task stage and survives 10⁸
+    users. ``exact=True`` keeps the engine-stable ``ntile`` path (three
+    unpartitioned windows over the |users|-sized aggregate, ties broken by
+    user_id) for the DuckDB oracle; the two modes are pinned against each
+    other in tests/test_analytics.py.
     """
     ev = load_table(spark, sf_dir, "events")
     anchor = ev.agg(F.max(F.unix_micros(F.col("ts"))).alias("anchor_us"))
@@ -1027,20 +1031,55 @@ def events_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
             "monetary",
         )
     )
-    # ascending "badness" orderings: ntile 5 = most recent / most frequent /
-    # highest spend. All run over the per-user aggregate, not the events.
-    r_w = Window.orderBy(F.desc("recency_s"), F.asc("user_id"))
-    f_w = Window.orderBy(F.asc("frequency"), F.asc("user_id"))
-    m_w = Window.orderBy(F.asc("monetary"), F.asc("user_id"))
-    return per_user.select(
-        "user_id",
-        "recency_s",
-        "frequency",
-        "monetary",
-        F.ntile(5).over(r_w).alias("r_score"),
-        F.ntile(5).over(f_w).alias("f_score"),
-        F.ntile(5).over(m_w).alias("m_score"),
-    ).withColumn(
+    if exact:
+        # ascending "badness" orderings: ntile 5 = most recent / most
+        # frequent / highest spend. All run over the per-user aggregate,
+        # not the events. Monetary is rounded BEFORE ranking so both
+        # engines rank identical doubles.
+        r_w = Window.orderBy(F.desc("recency_s"), F.asc("user_id"))
+        f_w = Window.orderBy(F.asc("frequency"), F.asc("user_id"))
+        m_w = Window.orderBy(F.asc("monetary"), F.asc("user_id"))
+        scored = per_user.select(
+            "user_id",
+            "recency_s",
+            "frequency",
+            "monetary",
+            F.ntile(5).over(r_w).alias("r_score"),
+            F.ntile(5).over(f_w).alias("f_score"),
+            F.ntile(5).over(m_w).alias("m_score"),
+        )
+    else:
+        # cut-point mode: percentile_approx(p=[.2,.4,.6,.8]) per dimension
+        # in ONE aggregate row, broadcast-joined back; score = 1 + #cuts
+        # strictly below the value (recency inverted: lower = better = 5).
+        probs = F.array(*[F.lit(p) for p in (0.2, 0.4, 0.6, 0.8)])
+        cuts = per_user.agg(
+            F.percentile_approx(F.col("recency_s").cast("double"), probs, 10000).alias("r_cuts"),
+            F.percentile_approx(F.col("frequency").cast("double"), probs, 10000).alias("f_cuts"),
+            F.percentile_approx(F.col("monetary"), probs, 10000).alias("m_cuts"),
+        )
+
+        def _score(value_col: str, cuts_col: str, *, invert: bool) -> F.Column:
+            rank = F.lit(1) + F.aggregate(
+                F.col(cuts_col),
+                F.lit(0),
+                lambda acc, c: acc + F.when(F.col(value_col).cast("double") > c, 1).otherwise(0),
+            )
+            return (F.lit(6) - rank) if invert else rank
+
+        scored = (
+            per_user.join(F.broadcast(cuts))
+            .select(
+                "user_id",
+                "recency_s",
+                "frequency",
+                "monetary",
+                _score("recency_s", "r_cuts", invert=True).alias("r_score"),
+                _score("frequency", "f_cuts", invert=False).alias("f_score"),
+                _score("monetary", "m_cuts", invert=False).alias("m_score"),
+            )
+        )
+    return scored.withColumn(
         "segment",
         F.concat(F.col("r_score").cast("string"), F.col("f_score").cast("string"), F.col("m_score").cast("string")),
     )
