@@ -388,9 +388,15 @@ def _q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     array stays on the operator itself; tests pin it against numpy."""
     docs = multimodal.attach_payload_mixed(load_table(spark, sf_dir, "documents"))
     feats = multimodal.decode_features(docs)
+    # coalesce inside the transform: concat_ws silently DROPS null elements,
+    # so [1.0, null, 2.0] would serialize like [1.0, 2.0] and mask a decode
+    # regression that produced nulls — placeholder keeps element count.
     return feats.withColumn(
         "thumb",
-        F.concat_ws("|", F.transform("thumb", lambda x: F.format_string("%.6f", x))),
+        F.concat_ws(
+            "|",
+            F.transform("thumb", lambda x: F.coalesce(F.format_string("%.6f", x), F.lit("NaN"))),
+        ),
     )
 
 
@@ -430,19 +436,125 @@ def entry(spark: SparkSession) -> DataFrame:
     return _q_read_latest(spark, "/root/testdata/sf0.001")
 
 
+#: queries() entries that have NO DuckDB oracle by design (non-SQL-expressible:
+#: greedy bin-packing, probabilistic LSH recall, binary codecs, eigen-solve).
+#: The driver records a weaker rows-only check for these; the pytest oracle
+#: contract derives its exemption set from THIS registry so the two can never
+#: drift (tests/test_oracle_types.py asserts ROWS_ONLY ∩ oracle_sql() == ∅).
+ROWS_ONLY = frozenset({
+    "pack_documents",       # greedy sequence packing (stateful scan)
+    "ann_lsh",              # probabilistic recall, pinned ≥0.8 in tests
+    "multimodal_decode",    # PNG codec inside mapInPandas
+    "multimodal_audio",     # WAV codec inside mapInPandas
+    "embed_pca",            # covariance partials + driver eigh
+})
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registration order IS the correctness-gate rotation: the driver checks
     the first 50 entries, so each round front-loads the queries most in need
     of a driver row (see SURVEY.md §7 rotation note).
 
-    Round-3 window (first 50): the 22 oracle queries that had never had a
-    driver row after rounds 1-2 (§2f tail + §2b/2c/2d stragglers), then
-    stream_funnel (red in r2 — drain-detach fixed, re-proving), then the 6
-    rows-only entries (driver records rows>0 for these), then 21 round-1
-    greens re-verified on rotation. Deferred: round-1/2 greens kept green
-    locally via tools/parity.py."""
+    Round-5 window (first 50): the five operators that landed in r3 but never
+    got a driver row (text_boilerplate, text_vocab, events_rfm — now wired to
+    the exact-ntile wrapper matching its oracle, ann_range, embed_pca
+    rows-only), then the 24 round-1-only greens (tpch q2-q22, asof variants,
+    basket_pairs, events_window_sliding — no driver row since round 1), then
+    21 round-2 greens on re-verify rotation. Deferred entries stay green
+    locally via tools/parity.py; the r3/r4 window queries (all hash-green in
+    CORRECTNESS_r03/r04) move to the tail."""
     return {
-        # -- never driver-checked after r1∪r2 (22 oracle queries) ---------
+        # -- r3 operators with no driver row yet (front-loaded, 2 rounds
+        #    overdue per VERDICT r4 task #3) ------------------------------
+        "text_boilerplate": text.text_boilerplate,
+        "text_vocab": text.text_vocab,
+        # exact=True: the oracle is DuckDB ntile(5); the operator default is
+        # percentile_approx cut-points (zero global sorts — the 100 TB path).
+        # r4 regression fix: the approx default was registered against the
+        # exact oracle and failed parity (VERDICT r4 #1).
+        "events_rfm": _q_events_rfm_exact,
+        "ann_range": similarity.ann_range,
+        "embed_pca": similarity.embed_pca,  # rows-only (eigh not SQL-able)
+        # -- round-1-only greens, no driver row since r1 (24) -------------
+        "tpch_q2": tpch_ext.tpch_q2,
+        "tpch_q4": analytics.tpch_q4,
+        "tpch_q6": analytics.tpch_q6,
+        "tpch_q7": tpch_ext.tpch_q7,
+        "tpch_q8": tpch_ext.tpch_q8,
+        "tpch_q9": tpch_ext.tpch_q9,
+        "tpch_q10": analytics.tpch_q10,
+        "tpch_q11": tpch_ext.tpch_q11,
+        "tpch_q12": tpch_ext.tpch_q12,
+        "tpch_q13": tpch_ext.tpch_q13,
+        "tpch_q14": analytics.tpch_q14,
+        "tpch_q15": tpch_ext.tpch_q15,
+        "tpch_q16": tpch_ext.tpch_q16,
+        "tpch_q17": tpch_ext.tpch_q17,
+        "tpch_q18": analytics.tpch_q18,
+        "tpch_q19": analytics.tpch_q19,
+        "tpch_q20": tpch_ext.tpch_q20,
+        "tpch_q21": tpch_ext.tpch_q21,
+        "tpch_q22": analytics.tpch_q22,
+        "basket_pairs": analytics.basket_pairs,
+        "events_window_sliding": analytics.events_window_sliding,
+        "asof_forward": asof.asof_forward_next_purchase,
+        "asof_tolerance": asof.asof_tolerance_last_click,
+        "asof_nearest": asof.asof_nearest_purchase,
+        # -- round-2 greens on re-verify rotation (21) --------------------
+        "bt_interval_merge": _q_interval_merge,
+        "bt_restatements": forecasting.restatements,
+        "events_attribution": asof.attribution_last_touch,
+        "events_json": analytics.events_json,
+        "graph_pagerank": analytics.graph_pagerank,
+        "events_pivot": analytics.events_pivot,
+        "events_rank": analytics.events_rank,
+        "events_funnel": funnel.events_funnel,
+        "text_tokens": text.text_tokens,
+        "text_quality": text.text_quality,
+        "text_langid": text.text_langid,
+        "text_fingerprint": text.text_fingerprint,
+        "text_tfidf": text.text_tfidf,
+        "text_repetition": text.text_repetition,
+        "text_pii": text.text_pii,
+        "dedup_exact": dedup.dedup_exact,
+        "dedup_ngram_jaccard": dedup.dedup_ngram_jaccard,
+        "dedup_minhash": dedup.dedup_minhash,
+        "dedup_simhash": dedup.dedup_simhash,
+        "dedup_embedding": dedup.dedup_embedding,
+        "dedup_editdist": dedup.dedup_editdist,
+        # ==== end of the 50-query round-5 gate window ====================
+        # -- round-2 greens (kept green locally via tools/parity.py) ------
+        "dedup_clusters": dedup.dedup_clusters,
+        "contamination_check": pipeline.contamination_check,
+        "pipeline_clean": pipeline.pipeline_clean,
+        # exact=True: the DuckDB oracle counts exactly; the operator default
+        # is approx_count_distinct (no-Expand plan — see profile_table doc).
+        "profile_table": _q_profile_table_exact,
+        "sample_stratified": sampling.sample_stratified,
+        "sample_mix": sampling.sample_mix,
+        "train_split": sampling.train_split,
+        "shard_assign": sampling.shard_assign,
+        "ann_bruteforce": similarity.ann_bruteforce,
+        "ann_ivf": similarity.ann_ivf,
+        "ann_pq": similarity.ann_pq,
+        "embed_kmeans": similarity.embed_kmeans,
+        "multimodal_meta": multimodal.multimodal_meta,
+        "stream_window": _q_stream_window,
+        "stream_latest_state": _q_stream_latest_state,
+        "stream_dedup": _q_stream_dedup,
+        "stream_sessionize": _q_stream_sessionize,
+        "stream_join": _q_stream_join,
+        "stream_join_ordered": _q_stream_join_ordered,
+        "ts_resample_locf": timeseries.resample_locf_events,
+        "ts_interpolate_linear": timeseries.interpolate_linear_events,
+        "ts_rollup_multires": timeseries.rollup_multires,
+        "ts_sessionize": timeseries.sessionize,
+        "ts_ohlc": timeseries.ohlc_bars,
+        "ts_ewma": timeseries.ewma,
+        "ts_rate": timeseries.counter_rate,
+        "ts_corr": timeseries.corr_matrix,
+        "ts_decompose": timeseries.seasonal_decompose,
+        # -- r3/r4 window greens (hash-green in CORRECTNESS_r03 AND r04) --
         "events_session_window": timeseries.session_window_agg,
         "text_script": text.text_script,
         "text_lm_score": text.text_lm_score,
@@ -468,18 +580,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_cohort": timeseries.retention_cohort,
         "ts_m4": timeseries.m4_downsample,
         "ts_changepoint": forecasting.changepoint,
-        # -- r2 red (drain-detach fixed: streaming/__init__.py:_detach) ---
         "stream_funnel": _q_stream_funnel,
-        # -- upgraded rows-only → full oracle this round (sequential
-        #    recursions expressed as DuckDB RECURSIVE CTEs)
         "ts_holt_winters": timeseries.holt_winters,
         "ts_lttb": timeseries.lttb_downsample,
-        # -- rows-only entries (no SQL oracle possible) -------------------
+        # -- rows-only entries (see ROWS_ONLY) ----------------------------
         "pack_documents": sampling.pack_documents,
         "ann_lsh": similarity.ann_lsh,
         "multimodal_decode": _q_multimodal_decode,
         "multimodal_audio": _q_multimodal_audio,
-        # -- round-1 greens on re-verify rotation (21) --------------------
+        # -- bitemporal core + headline (green r3 AND r4) -----------------
         "bt_read_latest": _q_read_latest,
         "bt_read_overlapping": _q_read_overlapping,
         "bt_read_latest_changes": _q_read_latest_changes,
@@ -501,89 +610,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join": analytics.asof_join,
         "events_window": analytics.events_window,
         "events_markov": analytics.events_markov,
-        # ==== end of the 50-query round-3 gate window ====================
-        # -- NEW this round (local-parity green; front-load in round 4) ---
-        "text_boilerplate": text.text_boilerplate,
-        "text_vocab": text.text_vocab,
-        "events_rfm": analytics.events_rfm,
-        "ann_range": similarity.ann_range,
-        "embed_pca": similarity.embed_pca,  # rows-only (eigh not SQL-able)
-        # -- round-2 greens (kept green locally via tools/parity.py) ------
-        "bt_interval_merge": _q_interval_merge,
-        "bt_restatements": forecasting.restatements,
-        "events_attribution": asof.attribution_last_touch,
-        "events_json": analytics.events_json,
-        "graph_pagerank": analytics.graph_pagerank,
-        "events_pivot": analytics.events_pivot,
-        "events_rank": analytics.events_rank,
-        "events_funnel": funnel.events_funnel,
-        "text_tokens": text.text_tokens,
-        "text_quality": text.text_quality,
-        "text_langid": text.text_langid,
-        "text_fingerprint": text.text_fingerprint,
-        "text_tfidf": text.text_tfidf,
-        "text_repetition": text.text_repetition,
-        "text_pii": text.text_pii,
-        "dedup_exact": dedup.dedup_exact,
-        "dedup_ngram_jaccard": dedup.dedup_ngram_jaccard,
-        "dedup_minhash": dedup.dedup_minhash,
-        "dedup_simhash": dedup.dedup_simhash,
-        "dedup_embedding": dedup.dedup_embedding,
-        "dedup_editdist": dedup.dedup_editdist,
-        "dedup_clusters": dedup.dedup_clusters,
-        "contamination_check": pipeline.contamination_check,
-        "pipeline_clean": pipeline.pipeline_clean,
-        # exact=True: the DuckDB oracle counts exactly; the operator default
-        # is approx_count_distinct (no-Expand plan — see profile_table doc).
-        "profile_table": _q_profile_table_exact,
-        "sample_stratified": sampling.sample_stratified,
-        "sample_mix": sampling.sample_mix,
-        "train_split": sampling.train_split,
-        "shard_assign": sampling.shard_assign,
-        "ann_bruteforce": similarity.ann_bruteforce,
-        "ann_ivf": similarity.ann_ivf,
-        "ann_pq": similarity.ann_pq,
-        "embed_kmeans": similarity.embed_kmeans,
-        "multimodal_meta": multimodal.multimodal_meta,
-        "stream_window": _q_stream_window,
-        "stream_latest_state": _q_stream_latest_state,
-        "stream_dedup": _q_stream_dedup,
-        "stream_sessionize": _q_stream_sessionize,
-        "stream_join": _q_stream_join,
-        "ts_resample_locf": timeseries.resample_locf_events,
-        "ts_interpolate_linear": timeseries.interpolate_linear_events,
-        "ts_rollup_multires": timeseries.rollup_multires,
-        "ts_sessionize": timeseries.sessionize,
-        "ts_ohlc": timeseries.ohlc_bars,
-        "ts_ewma": timeseries.ewma,
-        "ts_rate": timeseries.counter_rate,
-        "ts_corr": timeseries.corr_matrix,
-        "ts_decompose": timeseries.seasonal_decompose,
-        "stream_join_ordered": _q_stream_join_ordered,
-        "tpch_q2": tpch_ext.tpch_q2,
-        "tpch_q4": analytics.tpch_q4,
-        "tpch_q6": analytics.tpch_q6,
-        "tpch_q7": tpch_ext.tpch_q7,
-        "tpch_q8": tpch_ext.tpch_q8,
-        "tpch_q9": tpch_ext.tpch_q9,
-        "tpch_q10": analytics.tpch_q10,
-        "tpch_q11": tpch_ext.tpch_q11,
-        "tpch_q12": tpch_ext.tpch_q12,
-        "tpch_q13": tpch_ext.tpch_q13,
-        "tpch_q14": analytics.tpch_q14,
-        "tpch_q15": tpch_ext.tpch_q15,
-        "tpch_q16": tpch_ext.tpch_q16,
-        "tpch_q17": tpch_ext.tpch_q17,
-        "tpch_q18": analytics.tpch_q18,
-        "tpch_q19": analytics.tpch_q19,
-        "tpch_q20": tpch_ext.tpch_q20,
-        "tpch_q21": tpch_ext.tpch_q21,
-        "tpch_q22": analytics.tpch_q22,
-        "basket_pairs": analytics.basket_pairs,
-        "events_window_sliding": analytics.events_window_sliding,
-        "asof_forward": asof.asof_forward_next_purchase,
-        "asof_tolerance": asof.asof_tolerance_last_click,
-        "asof_nearest": asof.asof_nearest_purchase,
     }
 
 

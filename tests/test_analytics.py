@@ -1,0 +1,73 @@
+"""Pin tests for events_rfm's two scoring modes (VERDICT r4 task #1).
+
+The operator default is percentile_approx cut-point scoring (zero global
+sorts — the scale path); ``exact=True`` is the ntile path that matches the
+DuckDB oracle. These tests pin:
+
+1. On all-distinct data whose size is a multiple of 5, the two modes agree
+   EXACTLY (cut-points at accuracy=10000 are exact on small data, and each
+   value falls in the same quintile under both rules).
+2. On fully tied data the modes diverge BY DESIGN: cut-point scoring gives
+   every tied user the same score (quantile-threshold semantics) while ntile
+   splits ties across 5 near-equal buckets via the user_id tiebreak. The
+   divergence is documented in the operator docstring
+   (timedb_spark/operators/analytics.py events_rfm).
+"""
+
+import pandas as pd
+
+from timedb_spark.operators import analytics
+
+
+def _events_dir(tmp_path, rows):
+    pd.DataFrame(rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]).to_parquet(
+        tmp_path / "events.parquet"
+    )
+    return str(tmp_path)
+
+
+def _monotone_corpus(tmp_path):
+    """25 users; user u has u purchases of value u, last at day 1+u —
+    strictly increasing frequency/monetary, strictly decreasing recency,
+    no ties anywhere, 25 % 5 == 0."""
+    ev, eid = [], 0
+    for u in range(1, 26):
+        for _ in range(u):
+            ev.append((eid, pd.Timestamp(2024, 1, 1, tz="UTC") + pd.Timedelta(days=u), u, "purchase", float(u), "{}"))
+            eid += 1
+    ev.append((eid, pd.Timestamp(2024, 2, 1, tz="UTC"), 1, "click", 0.0, "{}"))  # anchor
+    return _events_dir(tmp_path, ev)
+
+
+def test_rfm_exact_and_approx_agree_on_untied_quintiles(spark, tmp_path):
+    d = _monotone_corpus(tmp_path)
+    approx = {r["user_id"]: r.asDict() for r in analytics.events_rfm(spark, d).collect()}
+    exact = {r["user_id"]: r.asDict() for r in analytics.events_rfm(spark, d, exact=True).collect()}
+    assert set(approx) == set(exact) == set(range(1, 26))
+    for u in approx:
+        assert approx[u] == exact[u], f"user {u}: approx {approx[u]} != exact {exact[u]}"
+    # and both match the hand computation: user u in quintile ceil(u/5)
+    for u in range(1, 26):
+        q = (u + 4) // 5
+        assert approx[u]["segment"] == f"{q}{q}{q}"
+
+
+def test_rfm_modes_diverge_on_ties_as_documented(spark, tmp_path):
+    # 10 users, one identical purchase each: every dimension fully tied.
+    ts = pd.Timestamp(2024, 1, 10, tz="UTC")
+    ev = [(u, ts, u, "purchase", 1.0, "{}") for u in range(1, 11)]
+    ev.append((99, pd.Timestamp(2024, 1, 20, tz="UTC"), 1, "click", 0.0, "{}"))  # anchor
+    d = _events_dir(tmp_path, ev)
+
+    approx = analytics.events_rfm(spark, d).collect()
+    # quantile-threshold semantics: all tied users score identically
+    # (cuts equal the common value; nothing is strictly above any cut for
+    # f/m, so score 1; recency inverted -> 5).
+    assert {(r["r_score"], r["f_score"], r["m_score"]) for r in approx} == {(5, 1, 1)}
+
+    exact = analytics.events_rfm(spark, d, exact=True).collect()
+    # ntile guarantees 5 near-equal buckets even under full ties: 10 users
+    # -> each score value appears exactly twice per dimension.
+    for col in ("r_score", "f_score", "m_score"):
+        scores = sorted(r[col] for r in exact)
+        assert scores == [1, 1, 2, 2, 3, 3, 4, 4, 5, 5], f"{col}: {scores}"

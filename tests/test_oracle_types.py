@@ -49,12 +49,17 @@ def test_no_hugeint_in_any_oracle(con):
 
 
 def test_every_query_has_oracle_or_documented_exemption(con):
-    """Every queries() entry either has an oracle or is on the explicit
-    rows-only list (non-SQL-expressible by design, judge sees the weaker
-    check)."""
-    rows_only = {"pack_documents", "ann_lsh", "multimodal_decode", "multimodal_audio", "ts_lttb", "ts_holt_winters"}
+    """Every queries() entry either has an oracle or is in the single
+    authoritative ROWS_ONLY registry exported by __spark_entry__ (non-SQL-
+    expressible by design, judge sees the weaker check). Deriving the
+    exemption from the registry — not a copy here — means a stale entry
+    can't silently mask a removed oracle (VERDICT r4 task #2)."""
+    rows_only = entrymod.ROWS_ONLY
     qs = set(entrymod.queries())
     oracles = set(entrymod.oracle_sql())
     missing = qs - oracles - rows_only
     assert not missing, f"queries without oracle_sql and not documented rows-only: {sorted(missing)}"
     assert not (oracles - qs), f"orphan oracles: {sorted(oracles - qs)}"
+    stale = rows_only & oracles
+    assert not stale, f"ROWS_ONLY entries that HAVE an oracle (stale exemption): {sorted(stale)}"
+    assert rows_only <= qs, f"ROWS_ONLY entries not registered in queries(): {sorted(rows_only - qs)}"

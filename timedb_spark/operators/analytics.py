@@ -1010,8 +1010,16 @@ def events_rfm(spark: SparkSession, sf_dir: str, *, exact: bool = False) -> Data
     "No Partition Defined for Window" single-task stage and survives 10⁸
     users. ``exact=True`` keeps the engine-stable ``ntile`` path (three
     unpartitioned windows over the |users|-sized aggregate, ties broken by
-    user_id) for the DuckDB oracle; the two modes are pinned against each
-    other in tests/test_analytics.py.
+    user_id) for the DuckDB oracle.
+
+    Semantics note (the two modes intentionally DIVERGE under ties): cut-point
+    scores are quantile-THRESHOLD scores — every user with the same value gets
+    the same score, and on heavily tied/skewed data the cuts can repeat (e.g.
+    frequency cuts [1,1,2,3]) so some score values are never assigned.
+    ``ntile`` instead guarantees 5 near-equal buckets by splitting ties via
+    the user_id tiebreak. The pin test (tests/test_analytics.py) asserts the
+    two modes agree wherever a value is strictly between distinct cut-points
+    and documents the tie divergence.
     """
     ev = load_table(spark, sf_dir, "events")
     anchor = ev.agg(F.max(F.unix_micros(F.col("ts"))).alias("anchor_us"))
