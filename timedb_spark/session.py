@@ -60,6 +60,14 @@ def ensure_package_shipped(spark: SparkSession) -> None:
 
 
 def get_spark(app_name: str = "timedb_spark", *, extra_conf: dict[str, str] | None = None) -> SparkSession:
+    # Probe for a google.protobuf runtime BEFORE the JVM launches: the state
+    # API v2 (transformWithStateInPandas) needs it in every Python worker,
+    # and worker environments (PYTHONPATH → sitecustomize shim) freeze at
+    # JVM start. No-op when pip protobuf exists or no runtime is found; the
+    # failure reason is recorded by streaming.state_v2 for skip messages.
+    from timedb_spark.streaming._proto_compat import ensure_protobuf
+
+    ensure_protobuf()
     cpus = os.environ.get("SPARK_GRAFT_CPUS") or str(os.cpu_count() or 4)
     builder = (
         SparkSession.builder.appName(app_name)

@@ -13,6 +13,13 @@ v2 is where Spark's stateful processing is headed (timers, multiple state
 variables, TTL on state, initial-state bootstrap). The per-key Python
 dispatch cost is the same order — the win is operational (state-store
 lifecycle), not per-row CPU.
+
+The v2 protocol is protobuf-framed, so every Spark Python process needs
+``google.protobuf``. ``_proto_compat.ensure_protobuf`` vendors a pure-Python
+runtime from a public SDK bundle on disk when pip protobuf is absent (see
+that module and ``_protoshim/sitecustomize.py``); the exact unmet
+precondition, when any, is recorded in ``_TWS_MISSING`` and surfaced in
+skip messages and the ``NotImplementedError`` gate.
 """
 
 from __future__ import annotations
@@ -21,33 +28,46 @@ from collections.abc import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import types as T
 
-from timedb_spark.streaming.state import OUTPUT_SCHEMA, STATE_SCHEMA
+from timedb_spark.streaming._proto_compat import ensure_protobuf
+from timedb_spark.streaming.state import OUTPUT_SCHEMA
 
 #: exact unmet precondition ("" when runnable) — surfaced in skip messages
 #: and the NotImplementedError so a probe records WHY the gate is closed.
-_TWS_MISSING = ""
-try:  # the v2 state-server protocol is protobuf-framed; without it the
-    # driver worker crashes at init.
-    import google.protobuf  # noqa: F401
-except ImportError:  # pragma: no cover - no protobuf in the environment
-    _TWS_MISSING = "python package 'protobuf' (import google.protobuf) not installed"
+_TWS_MISSING = ensure_protobuf()
 if not _TWS_MISSING:
     try:
         from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
     except ImportError:  # pragma: no cover - Spark < 4.0
         _TWS_MISSING = "pyspark.sql.streaming.StatefulProcessor (requires Spark >= 4.0)"
+if not _TWS_MISSING:
+    try:  # catches protobuf gencode/runtime VersionError, not just absence
+        from pyspark.sql.streaming.proto import StateMessage_pb2  # noqa: F401
+    except Exception as e:  # pragma: no cover - depends on runtime found
+        _TWS_MISSING = f"pyspark.sql.streaming.proto.StateMessage_pb2 unloadable: {e}"
 
 _HAVE_TWS = not _TWS_MISSING
 if not _HAVE_TWS:
     StatefulProcessor = object  # type: ignore[assignment,misc]
+
+#: per-key scalar state: the current argmax observation. v1's STATE_SCHEMA
+#: is array-shaped (it keys by series_id and tracks every valid_time in one
+#: state row); v2 keys by (series_id, valid_time) so state is 3 scalars.
+V2_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("kt_us", T.LongType()),
+        T.StructField("ct_us", T.LongType()),
+        T.StructField("value", T.DoubleType()),
+    ]
+)
 
 
 class LatestStateProcessor(StatefulProcessor):
     """argmax-by-(kt, ct) per key, ValueState-backed."""
 
     def init(self, handle: "StatefulProcessorHandle") -> None:
-        self._state = handle.getValueState("latest", STATE_SCHEMA)
+        self._state = handle.getValueState("latest", V2_STATE_SCHEMA)
 
     def handleInputRows(
         self, key: tuple, rows: Iterator[pd.DataFrame], timerValues
