@@ -436,3 +436,44 @@ def test_embed_pca_projection_stays_jvm(spark, sf_dir):
     plans.assert_max_shuffles(df, 0)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_filter_unchanged_plans_without_driver_actions(spark, tmp_path):
+    """skip_unchanged's read-back filter must PLAN with zero Spark jobs: the
+    month set, valid_time slab bounds, and batch-key pruning all ride
+    broadcast (semi-)joins, never collected literals (client.py
+    _filter_unchanged docstring). A regression to collect-driven pruning
+    would serialize the write path on a driver round-trip per batch —
+    catastrophic for a backfill touching millions of series."""
+    from datetime import datetime
+
+    db = TimeDB(spark, str(tmp_path / "tdb"))
+    db.create()
+    db.write(
+        pd.DataFrame(
+            [{"series_id": 1, "valid_time": pd.Timestamp("2024-01-01", tz="UTC"), "value": 1.0}]
+        ),
+        retention="short",
+    )
+    rows = [
+        (1, datetime(2024, 1, 1), 2.0, datetime(2024, 1, 2), datetime(2024, 1, 2), 7,
+         "short", "", "", datetime(2260, 1, 1)),
+        (1, datetime(2024, 1, 1, 1), 1.0, datetime(2024, 1, 2), datetime(2024, 1, 2), 7,
+         "short", "", "", datetime(2260, 1, 1)),
+    ]
+    cols = ["series_id", "valid_time", "value", "knowledge_time", "change_time",
+            "run_id", "retention", "changed_by", "annotation", "valid_time_end"]
+    stamped = spark.createDataFrame(rows, cols)
+
+    sc = spark.sparkContext
+    sc.setJobGroup("zero_action_probe", "plan-only")
+    try:
+        out = db._filter_unchanged(stamped, scope="valid_time")
+        _ = out.schema  # force full analysis/resolution, still no action
+    finally:
+        sc.setLocalProperty("spark.jobGroup.id", None)
+    assert list(sc.statusTracker().getJobIdsForGroup("zero_action_probe")) == []
+    # and the plan is the right one when it DOES run: changed value kept,
+    # new key kept (2 rows), identical rewrite dropped by other tests
+    assert out.count() == 2
+    db.delete()

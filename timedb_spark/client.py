@@ -85,8 +85,18 @@ class TimeDB:
             self.store: Store = SnapshotStore(spark, root)
         elif table_format == "directory":
             self.store = Store(spark, root)
+        elif table_format == "delta":
+            # Lakehouse passthrough: atomic multi-file commits, OPTIMIZE and
+            # time travel from the format. Gated at construction when
+            # delta-spark isn't installed (deltastore.DELTA_MISSING records
+            # the exact precondition — state_v2 pattern).
+            from timedb_spark.deltastore import DeltaStore
+
+            self.store = DeltaStore(spark, root)
         else:
-            raise ValueError(f"Unknown table_format {table_format!r}. Valid values: 'directory', 'snapshot'.")
+            raise ValueError(
+                f"Unknown table_format {table_format!r}. Valid values: 'directory', 'snapshot', 'delta'."
+            )
 
     # ------------------------------------------------------------------
     # Schema (ref: timedb/client.py:106-120)
