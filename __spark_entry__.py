@@ -365,6 +365,35 @@ def _q_stream_join_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _drain_with_few_partitions(spark, stream_click_purchase_join(clicks, purchases), "append")
 
 
+def _q_stream_latest_state_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful streaming latest on the Spark-4 state API v2
+    (transformWithStateInPandas + RocksDB state store) — same drain-and-
+    collapse contract as stream_latest_state, same latest-state oracle.
+    The v2 gate (protobuf runtime) is probed at session build; see
+    streaming/_proto_compat.py."""
+    from timedb_spark.streaming.state_v2 import stream_latest_state_v2
+
+    sv = bitemporal_frame(spark, sf_dir).select(
+        "series_id", "valid_time", "knowledge_time", "change_time", "value"
+    )
+    d = _stage_stream_dir(spark, sf_dir, sv, "sv", 4)
+    stream = spark.readStream.schema(sv.schema).option("maxFilesPerTrigger", 2).parquet(d)
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        out = _drain_with_few_partitions(spark, stream_latest_state_v2(stream), "update")
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+    final = out.withColumn("_emit", F.monotonically_increasing_id())
+    return final.groupBy("series_id", "valid_time").agg(F.max_by("value", "_emit").alias("value"))
+
+
 def _q_multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio-modality plumbing (rows-only): REAL stdlib WAV payloads
     (encode + decode through the `wave` module inside mapInPandas) with
@@ -541,6 +570,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_meta": multimodal.multimodal_meta,
         "stream_window": _q_stream_window,
         "stream_latest_state": _q_stream_latest_state,
+        # v2 state API twin (transformWithStateInPandas, RocksDB store) —
+        # unlocked in r5 via the vendored protobuf runtime; same oracle.
+        "stream_latest_state_v2": _q_stream_latest_state_v2,
         "stream_dedup": _q_stream_dedup,
         "stream_sessionize": _q_stream_sessionize,
         "stream_join": _q_stream_join,
@@ -1006,6 +1038,15 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "stream_latest_state": f"""
+            WITH sv AS ({_SV})
+            SELECT series_id, valid_time, value FROM (
+                SELECT series_id, valid_time, value,
+                       row_number() OVER (PARTITION BY series_id, valid_time
+                                          ORDER BY knowledge_time DESC, change_time DESC) AS rn
+                FROM sv
+            ) t WHERE rn = 1
+        """,
+        "stream_latest_state_v2": f"""
             WITH sv AS ({_SV})
             SELECT series_id, valid_time, value FROM (
                 SELECT series_id, valid_time, value,

@@ -18,6 +18,18 @@ reference file:line.
 
 from timedb_spark import profiling
 from timedb_spark.client import TimeDB, UnchangedScope, WriteResult
+
+# Probe for a google.protobuf runtime at package import: the state API v2
+# needs it in every Spark Python worker, and the worker environment
+# (PYTHONPATH -> sitecustomize shim) freezes when the JVM launches — which
+# external harnesses typically do AFTER importing this package but outside
+# our get_spark. Importing is the earliest hook we own. No-op when pip
+# protobuf exists or no vendorable runtime is found (the precise failure is
+# re-recorded by streaming.state_v2 for skip messages).
+from timedb_spark.streaming._proto_compat import ensure_protobuf as _ensure_protobuf
+
+_ensure_protobuf()
+del _ensure_protobuf
 from timedb_spark.operators.bitemporal import SeriesMeta
 from timedb_spark.schema import RETENTION_TIERS
 from timedb_spark.session import get_spark
