@@ -429,6 +429,24 @@ def _q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_multimodal_video(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video-modality plumbing under a FULL oracle: treat each payload as
+    ``height`` frames of ``width*channels`` bytes and keep every 4th frame
+    (operators/multimodal.py frame_sample — pure JVM posexplode+substring,
+    zero Python, zero shuffles). The fakeimg payload body is an md5-hex
+    keystream, so DuckDB reproduces the exact frame bytes from doc_id alone
+    (repeat(md5(..)) + substring) — binary plumbing under a value-hash gate,
+    not just rows-only. Frames cast to string for the gate (hex chars are
+    ASCII; the driver canonicalizer cannot factorize raw bytes)."""
+    docs = multimodal.attach_payload(load_table(spark, sf_dir, "documents"))
+    frames = multimodal.frame_sample(docs, every=4)
+    return frames.select(
+        "doc_id",
+        F.col("frame_idx").cast("int").alias("frame_idx"),
+        F.decode(F.col("frame"), "UTF-8").alias("frame"),
+    )
+
+
 def _q_profile_table_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """profile_table with exact distinct counts (the DuckDB oracle is exact;
     the operator's production default is HLL approx — the two modes are
@@ -568,6 +586,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_pq": similarity.ann_pq,
         "embed_kmeans": similarity.embed_kmeans,
         "multimodal_meta": multimodal.multimodal_meta,
+        # video-as-frames sampling under a FULL oracle (md5-keystream
+        # payloads are reproducible in SQL) — new in r5.
+        "multimodal_video": _q_multimodal_video,
         "stream_window": _q_stream_window,
         "stream_latest_state": _q_stream_latest_state,
         # v2 state API twin (transformWithStateInPandas, RocksDB store) —
@@ -999,6 +1020,31 @@ def oracle_sql() -> dict[str, str]:
         "embed_kmeans": similarity.EMBED_KMEANS_SQL,
         "dedup_semantic": similarity.DEDUP_SEMANTIC_SQL,
         "multimodal_meta": multimodal.MULTIMODAL_META_SQL,
+        # frame k of doc d = bytes [k*w*3, (k+1)*w*3) of the md5-hex
+        # keystream body (attach_payload's JVM expression, magic skipped).
+        "multimodal_video": """
+            WITH meta AS (
+                SELECT doc_id,
+                       (8 + doc_id % 9) AS width,
+                       (8 + (doc_id // 3) % 7) AS height
+                FROM documents
+            ), body AS (
+                SELECT doc_id, width, height,
+                       substring(
+                           repeat(md5(CAST(doc_id AS VARCHAR)),
+                                  CAST((width*height*3) // 32 + 1 AS INT)),
+                           1, width*height*3) AS body
+                FROM meta
+            ), frames AS (
+                SELECT doc_id, width, body,
+                       unnest(generate_series(0, height-1, 4)) AS frame_idx
+                FROM body
+            )
+            SELECT doc_id,
+                   CAST(frame_idx AS INT) AS frame_idx,
+                   substring(body, frame_idx*width*3 + 1, width*3) AS frame
+            FROM frames
+        """,
         # multimodal_decode: rows-only (numpy decode inside mapInPandas;
         # verified against a local numpy recompute in tests/test_multimodal.py)
         "ts_resample_locf": timeseries.RESAMPLE_LOCF_SQL,
