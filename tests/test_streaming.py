@@ -462,3 +462,129 @@ def test_detach_independent_of_arrow_conf(spark, events_dir):
     # null-bearing longs must round-trip as (python) ints/None, never floats
     assert any(r.view_id is None for r in rows)
     assert all(r.view_id is None or isinstance(r.view_id, int) for r in rows)
+
+
+def test_stream_sessionize_v2_matches_v1_drain(spark, sf_dir, events_dir):
+    """The v2-API sessionizer (transformWithStateInPandas, event-time
+    TIMERS, RocksDB store) emits exactly the v1 drain contract: sessions
+    closed by data ∪ sessions timed out by the final watermark — i.e. the
+    same set as stream_sessionize, proven against the same batch predicate."""
+    from timedb_spark.operators import timeseries
+    from timedb_spark.streaming import state_v2
+    from timedb_spark.streaming.state_v2 import stream_sessionize_v2
+
+    if not state_v2._HAVE_TWS:
+        pytest.skip(f"transformWithStateInPandas gated: missing {state_v2._TWS_MISSING}")
+
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        stream = spark.readStream.schema(EVENTS_STREAM_SCHEMA).parquet(events_dir)
+        name = _run_to_memory(stream_sessionize_v2(stream), "append")
+        got = {
+            (r.user_id, r.session_start, r.session_end, r.n_events, round(r.sum_value, 2))
+            for r in spark.table(name).collect()
+        }
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+
+    ev = spark.read.schema(EVENTS_STREAM_SCHEMA).parquet(events_dir)
+    wm_ms = ev.agg(F.floor(F.unix_micros(F.max("ts")) / 1000)).first()[0]
+    sess = timeseries.sessionize(spark, sf_dir)
+    w_mx = F.max("session_seq").over(Window.partitionBy("user_id"))
+    closed_by_data = F.col("session_seq") < F.col("_mx")
+    timed_out = F.floor((F.unix_micros("session_end") + 1800 * 1_000_000) / 1000) < F.lit(wm_ms)
+    exp_df = sess.withColumn("_mx", w_mx).filter(closed_by_data | timed_out)
+    exp = {
+        (r.user_id, r.session_start, r.session_end, r.n_events, round(r.sum_value, 2))
+        for r in exp_df.collect()
+    }
+    assert got == exp and len(got) > 100
+
+
+def test_stream_sessionize_v2_timer_extension_exactly_once(spark, tmp_path):
+    """Cross-batch session extension on the v2 API: extending an open
+    session must DELETE the stale timer (v2 timers are not replace-on-set
+    like v1's setTimeoutTimestamp) — a surviving stale timer would either
+    double-emit or emit a truncated session. Checkpointed restarts with a
+    watermark-advancing sentinel flush everything exactly once."""
+    from timedb_spark.streaming import state_v2
+    from timedb_spark.streaming.state_v2 import stream_sessionize_v2
+
+    if not state_v2._HAVE_TWS:
+        pytest.skip(f"transformWithStateInPandas gated: missing {state_v2._TWS_MISSING}")
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    cols = "event_id long, ts string, user_id long, event_type string, value double"
+
+    def _append(rows):
+        df = spark.createDataFrame(rows, cols)
+        df.select(
+            "event_id", F.col("ts").cast("timestamp").alias("ts"), "user_id", "event_type", "value"
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    def _run():
+        prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+        spark.conf.set(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+        )
+        try:
+            stream = spark.readStream.schema(EVENTS_STREAM_SCHEMA).parquet(src)
+            q = (
+                stream_sessionize_v2(stream)
+                .writeStream.format("parquet")
+                .option("path", out)
+                .option("checkpointLocation", ckpt)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(300)
+        finally:
+            if prev is None:
+                spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+            else:
+                spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+        rows = spark.read.parquet(out).filter(F.col("user_id") < 900).collect()
+        return sorted(
+            (r.user_id, r.session_start.isoformat(), r.session_end.isoformat(), r.n_events)
+            for r in rows
+        )
+
+    # batch 1: user 1 open session (2 events, 10 min apart), user 2 one event
+    _append([
+        (1, "2024-01-01 00:00:00", 1, "a", 1.0),
+        (2, "2024-01-01 00:10:00", 1, "a", 1.0),
+        (3, "2024-01-01 00:00:00", 2, "a", 1.0),
+    ])
+    got1 = _run()
+    assert got1 == []  # nothing closed, nothing timed out yet
+
+    # batch 2: user 1 extends within the gap (stale timer must be deleted)
+    _append([(4, "2024-01-01 00:20:00", 1, "a", 1.0)])
+    got2 = _run()
+    assert got2 == []
+
+    # batch 3: sentinel advances the watermark far past both deadlines —
+    # both sessions flush via timers, each exactly once, user 1's spanning
+    # all three of its events (a stale 00:10-deadline timer would have cut
+    # it at 2 events or emitted twice).
+    _append([(5, "2024-01-02 00:00:00", 999, "a", 1.0)])
+    got3 = _run()
+    assert got3 == [
+        (1, "2024-01-01T00:00:00", "2024-01-01T00:20:00", 3),
+        (2, "2024-01-01T00:00:00", "2024-01-01T00:00:00", 1),
+    ]
+
+    # batch 4: nothing left — no duplicates on a further watermark advance
+    _append([(6, "2024-01-03 00:00:00", 998, "a", 1.0)])
+    assert _run() == got3

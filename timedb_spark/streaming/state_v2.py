@@ -118,3 +118,122 @@ def stream_latest_state_v2(sv_stream: DataFrame) -> DataFrame:
         outputMode="Update",
         timeMode="None",
     )
+
+
+# ---------------------------------------------------------------------------
+# gap-timeout sessionization on the v2 API (event-time TIMERS — the feature
+# the v1 API lacks: v1 has exactly one timeout slot per key, v2 exposes
+# register/delete/list of arbitrarily many named-by-timestamp timers)
+# ---------------------------------------------------------------------------
+
+#: open session + the deadline of the timer we registered for it (v2 timers
+#: are not replace-on-set like v1's setTimeoutTimestamp, so extending a
+#: session must DELETE the stale timer — the deadline rides in state).
+SESSION_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("start_us", T.LongType()),
+        T.StructField("end_us", T.LongType()),
+        T.StructField("n", T.LongType()),
+        T.StructField("sum_cents", T.LongType()),
+        T.StructField("deadline_ms", T.LongType()),
+    ]
+)
+
+
+class SessionizeProcessor(StatefulProcessor):
+    """Same fold as streaming/sessions.py (closed-by-data emits inline,
+    idle sessions flushed when the event-time watermark passes end + gap),
+    re-expressed on ValueState + explicit timers."""
+
+    def __init__(self, gap_us: int):
+        self._gap_us = gap_us
+
+    def init(self, handle: "StatefulProcessorHandle") -> None:
+        self._handle = handle
+        self._state = handle.getValueState("open_session", SESSION_STATE_SCHEMA)
+
+    def handleInputRows(self, key, rows, timerValues):
+        from timedb_spark.streaming.sessions import _emit_row
+
+        import numpy as np
+
+        (user_id,) = key
+        frames = [pdf for pdf in rows if len(pdf)]
+        if not frames:
+            return
+        pdf = pd.concat(frames) if len(frames) > 1 else frames[0]
+        order = np.lexsort((pdf["event_id"].values, pdf["ts"].values))
+        ts_us = pdf["ts"].values.astype("datetime64[us]").astype("int64")[order]
+        cents = np.rint(pdf["value"].values[order] * 100).astype("int64")
+
+        if self._state.exists():
+            st = tuple(self._state.get())
+            open_s = [st[0], st[1], st[2], st[3]]
+            self._handle.deleteTimer(st[4])  # superseded deadline
+        else:
+            open_s = None
+        for i in range(len(ts_us)):
+            t = int(ts_us[i])
+            if open_s is None:
+                open_s = [t, t, 0, 0]
+            elif t - open_s[1] > self._gap_us:
+                yield _emit_row(user_id, tuple(open_s))
+                open_s = [t, t, 0, 0]
+            open_s[0] = min(open_s[0], t)
+            open_s[1] = max(open_s[1], t)
+            open_s[2] += 1
+            open_s[3] += int(cents[i])
+
+        deadline_ms = (open_s[1] + self._gap_us) // 1000 + 1
+        if deadline_ms <= timerValues.getCurrentWatermarkInMs():
+            # already expired relative to this batch's watermark: flush now
+            # instead of parking a timer that would never sit ahead of it.
+            yield _emit_row(user_id, tuple(open_s))
+            self._state.clear()
+        else:
+            self._state.update((open_s[0], open_s[1], open_s[2], open_s[3], deadline_ms))
+            self._handle.registerTimer(deadline_ms)
+
+    def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+        from timedb_spark.streaming.sessions import _emit_row
+
+        if not self._state.exists():
+            return
+        st = tuple(self._state.get())
+        # stale-timer guard: only flush if THIS timer is the session's
+        # current deadline (deleteTimer on extend should make this always
+        # true; belt and braces against reordered timer delivery).
+        if st[4] <= expiredTimerInfo.getExpiryTimeInMs():
+            (user_id,) = key
+            yield _emit_row(user_id, st[:4])
+            self._state.clear()
+
+    def close(self) -> None:
+        pass
+
+
+def stream_sessionize_v2(
+    events_stream: DataFrame, *, gap_minutes: int = 30, delay: str = "0 seconds"
+) -> DataFrame:
+    """events-shaped stream → closed sessions on the v2 state API, append
+    mode with event-time timers. Same drain contract as
+    ``streaming.sessions.stream_sessionize`` (closed-by-data ∪
+    timed-out-by-final-watermark). Caller must enable the RocksDB state
+    store provider."""
+    from timedb_spark.streaming.sessions import OUTPUT_SCHEMA as SESSION_OUTPUT_SCHEMA
+
+    if not _HAVE_TWS:
+        raise NotImplementedError(
+            f"transformWithStateInPandas unavailable: missing {_TWS_MISSING} "
+            "(re-probed at import; install the dep to unlock the v2 path)"
+        )
+    return (
+        events_stream.withWatermark("ts", delay)
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            statefulProcessor=SessionizeProcessor(gap_minutes * 60 * 1_000_000),
+            outputStructType=SESSION_OUTPUT_SCHEMA,
+            outputMode="Append",
+            timeMode="EventTime",
+        )
+    )
