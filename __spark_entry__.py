@@ -624,6 +624,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_bruteforce": similarity.ann_bruteforce,
         "ann_ivf": similarity.ann_ivf,
         "ann_pq": similarity.ann_pq,
+        # hybrid lexical+dense retrieval and int8 storage quantization —
+        # new in r5, both exact-math full oracles.
+        "ann_hybrid": similarity.ann_hybrid,
+        "embed_quantize": similarity.embed_quantize,
         "embed_kmeans": similarity.embed_kmeans,
         "multimodal_meta": multimodal.multimodal_meta,
         "stream_window": _q_stream_window,
@@ -1051,6 +1055,8 @@ def oracle_sql() -> dict[str, str]:
         # ann_lsh: rows-only (approximate operator; recall measured in tests)
         "ann_ivf": similarity.ANN_IVF_SQL,
         "ann_pq": similarity.ANN_PQ_SQL,
+        "ann_hybrid": similarity.ANN_HYBRID_SQL,
+        "embed_quantize": similarity.EMBED_QUANTIZE_SQL,
         "embed_kmeans": similarity.EMBED_KMEANS_SQL,
         "dedup_semantic": similarity.DEDUP_SEMANTIC_SQL,
         "multimodal_meta": multimodal.MULTIMODAL_META_SQL,

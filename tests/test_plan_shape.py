@@ -477,3 +477,25 @@ def test_filter_unchanged_plans_without_driver_actions(spark, tmp_path):
     # new key kept (2 rows), identical rewrite dropped by other tests
     assert out.count() == 2
     db.delete()
+
+
+def test_ann_hybrid_broadcast_single_window_shuffle(spark, sf_dir):
+    from timedb_spark.operators import similarity as sim
+
+    df = sim.ann_hybrid(spark, sf_dir)
+    plan = plans.formatted_plan(df)
+    # tiny query side broadcasts; the lexical leg rides the same projection
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    plans.assert_no_cartesian(df)
+    # doc-embedding key join + the per-query top-k window; the fusion must
+    # not add a shuffle beyond ann_bruteforce's shape
+    plans.assert_max_shuffles(df, 2)
+
+
+def test_embed_quantize_no_shuffle_stays_jvm(spark, sf_dir):
+    from timedb_spark.operators import similarity as sim
+
+    df = sim.embed_quantize(spark, sf_dir)
+    plans.assert_max_shuffles(df, 0)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan

@@ -164,3 +164,55 @@ def test_dedup_semantic_drops_planted_dups(spark, sf_dir):
     assert len(dropped) >= len(same_cluster)  # cross-cluster dups may still be caught
     again = {r.vec_id: (r.cluster, r.keep) for r in dedup_semantic(spark, sf_dir).collect()}
     assert {v: (r.cluster, r.keep) for v, r in out.items()} == again
+
+
+# ---------------------------------------------------------------------------
+# hybrid retrieval + int8 quantization (r5 additions)
+# ---------------------------------------------------------------------------
+
+
+def test_hybrid_matches_numpy_recompute(spark):
+    """ann_hybrid's fused score equals a local recompute: cosine on the
+    round(x*1e6) ints + Jaccard on distinct whitespace tokens, 0.5/0.5."""
+    got = {(r.query_id, r.neighbor_id): r.score for r in sim.ann_hybrid(spark, SF_DIR).collect()}
+    emb = {r.vec_id: np.array([round(x * 1e6) for x in r.embedding]) for r in
+           sim.load_table(spark, SF_DIR, "embeddings").collect()}
+    toks = {r.doc_id: set(r.text.strip().split()) for r in
+            sim.load_table(spark, SF_DIR, "documents").collect()}
+    for (q, n), s in got.items():
+        c = float(emb[q] @ emb[n]) / (math.sqrt(float(emb[q] @ emb[q])) * math.sqrt(float(emb[n] @ emb[n])))
+        j = len(toks[q] & toks[n]) / len(toks[q] | toks[n])
+        assert abs(s - (0.5 * c + 0.5 * j)) < 1e-5, (q, n)
+    # every query present with exactly top-k rows
+    per_q = {}
+    for (q, _n) in got:
+        per_q[q] = per_q.get(q, 0) + 1
+    assert set(per_q.values()) == {sim._TOP_K} and len(per_q) == sim._N_QUERIES
+
+
+def test_hybrid_beats_each_leg_on_its_blind_spot(spark):
+    """Sanity of the fusion: the hybrid ranking is NOT identical to the pure
+    dense ranking (the lexical leg moves at least one neighbour in or out) —
+    if it were, the fusion would be dead weight."""
+    dense = _by_query(sim.ann_bruteforce(spark, SF_DIR).collect())
+    hybrid = _by_query(sim.ann_hybrid(spark, SF_DIR).collect())
+    assert any(dense[q] != hybrid.get(q) for q in dense)
+
+
+def test_embed_quantize_roundtrip_error_bound(spark):
+    """int8 codes reconstruct within the half-step bound: every code is in
+    [-127, 127], |x*127 - code*amax| <= amax/2 per component (exact
+    half-away rounding), and sq_err equals the numpy recompute."""
+    rows = sim.embed_quantize(spark, SF_DIR).collect()
+    emb = {r.vec_id: np.array([round(x * 1e6) for x in r.embedding], dtype=np.int64) for r in
+           sim.load_table(spark, SF_DIR, "embeddings").collect()}
+    assert len(rows) == len(emb)
+    for r in rows:
+        q = emb[r.vec_id]
+        amax = max(int(np.abs(q).max()), 1)
+        assert r.amax == amax
+        codes = np.array(r.codes, dtype=np.int64)
+        assert codes.min() >= -127 and codes.max() <= 127
+        resid = q * 127 - codes * amax
+        assert int(np.abs(resid).max()) <= amax // 2 + 1  # half-step bound
+        assert r.sq_err == int((resid * resid).sum())

@@ -729,3 +729,136 @@ def embed_pca(spark: SparkSession, sf_dir: str, q: int = _PCA_Q) -> DataFrame:
         )
         proj_cols.append(F.round(dot - F.lit(float(mean @ c)), 6).alias(f"pc{j + 1}"))
     return emb.select("vec_id", *proj_cols)
+
+
+# ---------------------------------------------------------------------------
+# hybrid retrieval: lexical (token Jaccard) + dense (cosine) fusion
+# ---------------------------------------------------------------------------
+
+_HYBRID_ALPHA = 0.5  # dense weight; (1 - alpha) is the lexical weight
+
+
+def ann_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid top-k retrieval: fuse dense cosine similarity with lexical
+    token-set Jaccard — the RAG / contamination-check retrieval shape where
+    neither signal alone suffices (paraphrases beat lexical, rare exact
+    terms beat dense).
+
+    Documents and embeddings are keyed 1:1 (doc_id == vec_id). Score =
+    alpha * cosine + (1-alpha) * jaccard; cosine on the shared
+    round(x*1e6) integer quantization (functions/vectors.py), jaccard on
+    distinct whitespace tokens — set sizes are exact integers, so the only
+    float steps are the two final divisions and the weighted sum, the
+    same determinism convention as every ann_* oracle.
+
+    Plan shape: the tiny query side (vectors + token sets, vec_id < N)
+    broadcasts; candidates pay ONE projection each (dot product +
+    array_intersect against broadcast literals-sized arrays) and the
+    per-query top-k window — identical scale shape to ann_bruteforce, no
+    extra shuffle for the lexical leg."""
+    toks = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.array_distinct(F.split(F.trim(F.col("text")), r"\s+")).alias("toks")
+    )
+    vecs = _quantized(spark, sf_dir).join(
+        toks, F.col("vec_id") == F.col("doc_id"), "inner"
+    ).select("vec_id", "q", "toks")
+    queries = vecs.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("q").alias("qv"), F.col("toks").alias("qtoks")
+    )
+    inter = F.size(F.array_intersect(F.col("qtoks"), F.col("toks")))
+    union = F.size(F.col("qtoks")) + F.size(F.col("toks")) - inter
+    jac = inter.cast("double") / union.cast("double")
+    score = F.lit(_HYBRID_ALPHA) * vx.cosine_q(F.col("qv"), F.col("q")) + F.lit(1 - _HYBRID_ALPHA) * jac
+    scored = vecs.join(F.broadcast(queries), F.col("vec_id") != F.col("query_id")).select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        score.alias("_s"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("_s").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _TOP_K)
+        .select("query_id", "neighbor_id", F.round(F.col("_s"), 6).alias("score"), "rank")
+    )
+
+
+ANN_HYBRID_SQL = f"""
+WITH toks AS (
+    SELECT doc_id, list_distinct(string_split_regex(trim(text), '\\s+')) AS toks
+    FROM documents
+),
+vecs AS (
+    SELECT vec_id, {vx.QUANTIZE_SQL.format(v='embedding')} AS q, toks
+    FROM embeddings JOIN toks ON vec_id = doc_id
+),
+queries AS (
+    SELECT vec_id AS query_id, q AS qv, toks AS qtoks FROM vecs WHERE vec_id < {_N_QUERIES}
+),
+scored AS (
+    SELECT query_id, v.vec_id AS neighbor_id,
+           {_HYBRID_ALPHA} * {vx.cosine_q_sql('qv', 'v.q')}
+           + {1 - _HYBRID_ALPHA} * (CAST(len(list_intersect(qtoks, v.toks)) AS DOUBLE)
+              / CAST(len(qtoks) + len(v.toks) - len(list_intersect(qtoks, v.toks)) AS DOUBLE)) AS s
+    FROM vecs v JOIN queries ON v.vec_id != query_id
+),
+ranked AS (
+    SELECT query_id, neighbor_id, s,
+           row_number() OVER (PARTITION BY query_id ORDER BY s DESC, neighbor_id) AS rank
+    FROM scored
+)
+SELECT query_id, neighbor_id, round(s, 6) AS score, rank
+FROM ranked WHERE rank <= {_TOP_K}
+"""
+
+
+# ---------------------------------------------------------------------------
+# int8 embedding quantization (the 4x storage-compression path at 100 TB)
+# ---------------------------------------------------------------------------
+
+
+def embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric per-vector int8 quantization: scale = max|x| / 127,
+    code_i = round_half_away(x_i / scale) ∈ [-127, 127] — the standard
+    storage/bandwidth compression for embedding corpora (float32 → 4x
+    smaller, ADC-compatible).
+
+    Every step is EXACT integer arithmetic on the shared round(x*1e6)
+    quantization: the half-away rounding is the pure-integer formula
+    (|x|*254 + amax) div (2*amax), and the reconstruction error is the
+    integer Σ(x*127 - code*amax)² — bit-identical across engines, no float
+    rounding anywhere. One scan, one projection, zero shuffles."""
+    vecs = _quantized(spark, sf_dir)
+    out = vecs.withColumn(
+        "amax", F.greatest(F.array_max(F.transform(F.col("q"), lambda x: F.abs(x))), F.lit(1).cast("long"))
+    )
+    codes = F.expr(
+        "transform(q, x -> CAST(CASE WHEN x >= 0 THEN (x*254 + amax) div (2*amax) "
+        "ELSE -(((-x)*254 + amax) div (2*amax)) END AS INT))"
+    )
+    out = out.withColumn("codes", codes)
+    sq_err = F.aggregate(
+        F.zip_with(F.col("q"), F.col("codes"), lambda x, c: (x * 127 - c.cast("long") * F.col("amax")) * (x * 127 - c.cast("long") * F.col("amax"))),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    return out.select("vec_id", "amax", "codes", sq_err.alias("sq_err"))
+
+
+EMBED_QUANTIZE_SQL = f"""
+WITH q AS (
+    SELECT vec_id, {vx.QUANTIZE_SQL.format(v='embedding')} AS q FROM embeddings
+),
+a AS (
+    SELECT vec_id, q, greatest(list_max(list_transform(q, x -> abs(x))), 1) AS amax FROM q
+),
+c AS (
+    SELECT vec_id, amax, q,
+           list_transform(q, x -> CAST(CASE WHEN x >= 0 THEN (x*254 + amax) // (2*amax)
+                                       ELSE -(((-x)*254 + amax) // (2*amax)) END AS INT)) AS codes
+    FROM a
+)
+SELECT vec_id, CAST(amax AS BIGINT) AS amax, codes,
+       CAST(list_sum(list_transform(range(1, len(q)+1),
+            i -> (q[i]*127 - codes[i]*amax) * (q[i]*127 - codes[i]*amax))) AS BIGINT) AS sq_err
+FROM c
+"""
