@@ -426,37 +426,54 @@ def _q_stream_latest_state_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Audio-modality plumbing (rows-only): REAL stdlib WAV payloads
-    (encode + decode through the `wave` module inside mapInPandas) with
-    per-clip duration/RMS/zero-crossing/peak features; decode cross-checks
-    the typed n_samples metadata. Verified against a local numpy recompute
-    in tests/test_multimodal.py."""
+    """Audio-modality plumbing under a FULL oracle (upgraded from rows-only
+    in r5): REAL stdlib WAV payloads (encode + decode through the `wave`
+    module inside mapInPandas) with per-clip duration/RMS/zero-crossing/
+    peak features. The PCM16 samples are the doc's md5 keystream bytes, so
+    DuckDB recomputes every decoded feature exactly (AUDIO_FEATURES_SQL);
+    rms rounded to 6 on both sides (the one float sqrt)."""
     docs = multimodal.attach_audio_payload(load_table(spark, sf_dir, "documents"))
-    return multimodal.audio_features(docs)
+    feats = multimodal.audio_features(docs)
+    return feats.select(
+        "doc_id",
+        "n_samples",
+        "duration_ms",
+        F.round("rms", 6).alias("rms"),
+        "n_zero_crossings",
+        "peak",
+    )
 
 
 def _q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Binary-column decode + feature extraction over mapInPandas (rows-only:
-    the decode is checked against a local recompute in tests). Every 7th doc
-    carries a REAL stdlib-decoded PNG payload (chunk walk + inflate +
-    unfilter), the rest the raw fakeimg format — one plumbing, two codecs.
+    """Binary-column decode + feature extraction over mapInPandas, under a
+    FULL oracle (upgraded from rows-only in r5): every 7th doc carries a
+    REAL stdlib-decoded PNG payload (chunk walk + inflate + unfilter), the
+    rest the raw fakeimg format — one plumbing, two codecs. PNG docs decode
+    to pixels identical to their fakeimg twins by construction, so DuckDB
+    recomputes every decoded feature from the md5 keystream
+    (DECODE_FEATURES_SQL) — the gate value-hashes what the codecs actually
+    produced.
 
-    The ``thumb array<double>`` column is serialized to a deterministic
-    string for the gate (r3's one red row: the driver canonicalizes by
-    sorting every column and pandas cannot factorize list values —
-    CORRECTNESS_r03 ``TypeError: unhashable type: 'list'``). The typed
-    array stays on the operator itself; tests pin it against numpy."""
+    Gate projection notes: ``n_bytes`` is EXCLUDED (a PNG's zlib-compressed
+    length is not SQL-reproducible; it stays on the operator, pinned in
+    tests/test_multimodal.py), the float mean/std are rounded to 6 on both
+    sides, and the ``thumb array<double>`` serializes to a deterministic
+    '%.6f' string (the driver canonicalizer cannot factorize list values —
+    CORRECTNESS_r03). coalesce inside the transform: concat_ws silently
+    DROPS null elements, so a placeholder keeps element count."""
     docs = multimodal.attach_payload_mixed(load_table(spark, sf_dir, "documents"))
     feats = multimodal.decode_features(docs)
-    # coalesce inside the transform: concat_ws silently DROPS null elements,
-    # so [1.0, null, 2.0] would serialize like [1.0, 2.0] and mask a decode
-    # regression that produced nulls — placeholder keeps element count.
-    return feats.withColumn(
-        "thumb",
+    return feats.select(
+        "doc_id",
+        "fmt",
+        "width",
+        "height",
+        F.round("mean_px", 6).alias("mean_px"),
+        F.round("std_px", 6).alias("std_px"),
         F.concat_ws(
             "|",
             F.transform("thumb", lambda x: F.coalesce(F.format_string("%.6f", x), F.lit("NaN"))),
-        ),
+        ).alias("thumb"),
     )
 
 
@@ -522,9 +539,10 @@ def entry(spark: SparkSession) -> DataFrame:
 ROWS_ONLY = frozenset({
     "pack_documents",       # greedy sequence packing (stateful scan)
     "ann_lsh",              # probabilistic recall, pinned ≥0.8 in tests
-    "multimodal_decode",    # PNG codec inside mapInPandas
-    "multimodal_audio",     # WAV codec inside mapInPandas
     "embed_pca",            # covariance partials + driver eigh
+    # multimodal_decode / multimodal_audio were upgraded to FULL oracles in
+    # r5: the keystream payloads are SQL-reproducible, so the gate hashes
+    # the decoded features (DECODE_FEATURES_SQL / AUDIO_FEATURES_SQL).
 })
 
 
@@ -1060,6 +1078,8 @@ def oracle_sql() -> dict[str, str]:
         "embed_kmeans": similarity.EMBED_KMEANS_SQL,
         "dedup_semantic": similarity.DEDUP_SEMANTIC_SQL,
         "multimodal_meta": multimodal.MULTIMODAL_META_SQL,
+        "multimodal_decode": multimodal.DECODE_FEATURES_SQL,
+        "multimodal_audio": multimodal.AUDIO_FEATURES_SQL,
         # frame k of doc d = bytes [k*w*3, (k+1)*w*3) of the md5-hex
         # keystream body (attach_payload's JVM expression, magic skipped).
         "multimodal_video": """

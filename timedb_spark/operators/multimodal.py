@@ -519,3 +519,76 @@ def audio_features(df: DataFrame) -> DataFrame:
             yield pd.DataFrame(out, columns=[f.name for f in schema.fields])
 
     return df.mapInPandas(run, schema=schema)
+
+
+# ---------------------------------------------------------------------------
+# full DuckDB oracles for the decode paths (r5): the keystream payloads are
+# SQL-reproducible, so the gate can value-hash the DECODED features instead
+# of settling for rows-only — the PNG docs decode to pixels identical to
+# their fakeimg twins by construction, so one keystream recompute covers
+# both codecs.
+# ---------------------------------------------------------------------------
+
+def _chunk_mean_sql(c: int) -> str:
+    """%.6f-formatted mean of thumb chunk ``c`` (np.array_split semantics:
+    first n%4 chunks get one extra element)."""
+    start = f"({c}*(n//4) + least({c}, n%4) + 1)"
+    ln = f"(n//4 + CASE WHEN {c} < n%4 THEN 1 ELSE 0 END)"
+    s = f"list_sum(list_transform(range({start}, {start}+{ln}), i -> ascii(substr(body, CAST(i AS INT), 1))))"
+    return f"printf('%.6f', CAST({s} AS DOUBLE) / {ln})"
+
+
+DECODE_FEATURES_SQL = f"""
+WITH meta AS (
+    SELECT doc_id, (8 + doc_id % 9) AS width, (8 + (doc_id // 3) % 7) AS height
+    FROM documents
+), b AS (
+    SELECT doc_id, width, height, width*height*3 AS n,
+           substring(repeat(md5(CAST(doc_id AS VARCHAR)),
+                            CAST((width*height*3) // 32 + 1 AS INT)), 1, width*height*3) AS body
+    FROM meta
+), agg AS (
+    SELECT doc_id, width, height, n, body,
+           CAST(list_sum(list_transform(range(1, n+1), i -> ascii(substr(body, CAST(i AS INT), 1)))) AS BIGINT) AS sx,
+           CAST(list_sum(list_transform(range(1, n+1), i -> ascii(substr(body, CAST(i AS INT), 1)) * ascii(substr(body, CAST(i AS INT), 1)))) AS BIGINT) AS sxx
+    FROM b
+)
+SELECT doc_id,
+       CASE WHEN doc_id % 7 = 0 THEN 'png' ELSE 'fakeimg' END AS fmt,
+       CAST(width AS INT) AS width,
+       CAST(height AS INT) AS height,
+       round(CAST(sx AS DOUBLE) / n, 6) AS mean_px,
+       round(sqrt(CAST(sxx AS DOUBLE)/n - (CAST(sx AS DOUBLE)/n) * (CAST(sx AS DOUBLE)/n)), 6) AS std_px,
+       {_chunk_mean_sql(0)} || '|' || {_chunk_mean_sql(1)} || '|' || {_chunk_mean_sql(2)} || '|' || {_chunk_mean_sql(3)} AS thumb
+FROM agg
+"""
+
+
+AUDIO_FEATURES_SQL = """
+WITH meta AS (
+    SELECT doc_id, CAST(256 + doc_id % 128 AS INT) AS n_samples
+    FROM documents
+), b AS (
+    SELECT doc_id, n_samples,
+           substring(repeat(md5(CAST(doc_id AS VARCHAR)),
+                            CAST((2*n_samples) // 32 + 2 AS INT)), 1, 2*n_samples) AS body
+    FROM meta
+), s AS (
+    -- little-endian int16: sample i = byte(2i-1) + 256*byte(2i); hex-char
+    -- bytes are < 128, so the sign bit is never set (values stay positive)
+    SELECT doc_id, n_samples,
+           list_transform(range(1, n_samples+1),
+                          i -> ascii(substr(body, CAST(2*i-1 AS INT), 1))
+                               + 256 * ascii(substr(body, CAST(2*i AS INT), 1))) AS smp
+    FROM b
+)
+SELECT doc_id,
+       n_samples,
+       CAST(n_samples AS DOUBLE) * 1000.0 / 8000.0 AS duration_ms,
+       round(sqrt(CAST(list_sum(list_transform(smp, x -> x*x)) AS DOUBLE) / n_samples), 6) AS rms,
+       CAST(list_sum(list_transform(range(2, n_samples+1),
+            i -> CASE WHEN (smp[CAST(i AS INT)] < 0) != (smp[CAST(i-1 AS INT)] < 0) THEN 1 ELSE 0 END)) AS INT)
+           AS n_zero_crossings,
+       CAST(list_max(list_transform(smp, x -> abs(x))) AS INT) AS peak
+FROM s
+"""
