@@ -538,11 +538,12 @@ def entry(spark: SparkSession) -> DataFrame:
 #: drift (tests/test_oracle_types.py asserts ROWS_ONLY ∩ oracle_sql() == ∅).
 ROWS_ONLY = frozenset({
     "pack_documents",       # greedy sequence packing (stateful scan)
-    "ann_lsh",              # probabilistic recall, pinned ≥0.8 in tests
     "embed_pca",            # covariance partials + driver eigh
-    # multimodal_decode / multimodal_audio were upgraded to FULL oracles in
-    # r5: the keystream payloads are SQL-reproducible, so the gate hashes
-    # the decoded features (DECODE_FEATURES_SQL / AUDIO_FEATURES_SQL).
+    # Upgraded to FULL oracles in r5: multimodal_decode / multimodal_audio
+    # (keystream payloads are SQL-reproducible — DECODE_FEATURES_SQL /
+    # AUDIO_FEATURES_SQL) and ann_lsh (md5-nibble hyperplanes + xor
+    # multi-probe are deterministic integer math — ANN_LSH_SQL; the
+    # planted-cluster recall test remains as the semantic check).
 })
 
 
@@ -1073,6 +1074,7 @@ def oracle_sql() -> dict[str, str]:
         # ann_lsh: rows-only (approximate operator; recall measured in tests)
         "ann_ivf": similarity.ANN_IVF_SQL,
         "ann_pq": similarity.ANN_PQ_SQL,
+        "ann_lsh": similarity.ANN_LSH_SQL,
         "ann_hybrid": similarity.ANN_HYBRID_SQL,
         "embed_quantize": similarity.EMBED_QUANTIZE_SQL,
         "embed_kmeans": similarity.EMBED_KMEANS_SQL,

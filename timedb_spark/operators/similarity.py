@@ -862,3 +862,67 @@ SELECT vec_id, CAST(amax AS BIGINT) AS amax, codes,
             i -> (q[i]*127 - codes[i]*amax) * (q[i]*127 - codes[i]*amax))) AS BIGINT) AS sq_err
 FROM c
 """
+
+
+# ---------------------------------------------------------------------------
+# full DuckDB oracle for ann_lsh (r5 upgrade from rows-only): the whole
+# pipeline is deterministic integer math — md5-nibble hyperplanes, sign-bit
+# signatures, xor multi-probe, quantized cosine — so SQL reproduces it
+# exactly. The hyperplane weights are fixed algorithm constants; the
+# builder derives them with the SAME md5-nibble rule as the Spark
+# expression (functions/similarity lsh_signature) and embeds them as
+# literals, keeping the SQL readable.
+# ---------------------------------------------------------------------------
+
+
+def _lsh_weight_literals(dim: int = 64) -> str:
+    """[[w_00..w_0,dim-1], ...] — weight i of hyperplane j is
+    nibble(md5('hp:j:i')[0]) - 8, identical to _hyperplane()."""
+    import hashlib
+
+    rows = []
+    for j in range(_LSH_BITS):
+        w = [int(hashlib.md5(f"hp:{j}:{i}".encode()).hexdigest()[0], 16) - 8 for i in range(dim)]
+        rows.append("[" + ", ".join(str(x) for x in w) + "]")
+    return "[" + ", ".join(rows) + "]"
+
+
+def _build_ann_lsh_sql(dim: int = 64) -> str:
+    sig_terms = " + ".join(
+        f"{1 << j} * (CASE WHEN list_sum(list_transform(range(1, {dim + 1}), "
+        f"i -> q[CAST(i AS INT)] * w[{j + 1}][CAST(i AS INT)])) > 0 THEN 1 ELSE 0 END)"
+        for j in range(_LSH_BITS)
+    )
+    flips = [0] + [1 << j for j in range(_LSH_BITS)] + [
+        (1 << i) | (1 << j) for i in range(_LSH_BITS) for j in range(i + 1, _LSH_BITS)
+    ]
+    return f"""
+WITH w_cte AS (SELECT {_lsh_weight_literals(dim)} AS w),
+vecs AS (
+    SELECT vec_id, {vx.QUANTIZE_SQL.format(v='embedding')} AS q FROM embeddings
+),
+sigs AS (
+    SELECT vec_id, q, {sig_terms} AS sig FROM vecs, w_cte
+),
+queries AS (
+    SELECT vec_id AS query_id, q AS qv, sig AS qsig FROM sigs WHERE vec_id < {_N_QUERIES}
+),
+probes AS (
+    SELECT query_id, qv, xor(qsig, m.mask) AS psig
+    FROM queries, (SELECT unnest({flips}) AS mask) m
+),
+scored AS (
+    SELECT query_id, v.vec_id AS neighbor_id, {vx.cosine_q_sql('qv', 'v.q')} AS c
+    FROM sigs v JOIN probes ON v.sig = psig AND v.vec_id != query_id
+),
+ranked AS (
+    SELECT query_id, neighbor_id, c,
+           row_number() OVER (PARTITION BY query_id ORDER BY c DESC, neighbor_id) AS rank
+    FROM scored
+)
+SELECT query_id, neighbor_id, round(c, 6) AS cosine, rank
+FROM ranked WHERE rank <= {_TOP_K}
+"""
+
+
+ANN_LSH_SQL = _build_ann_lsh_sql()
