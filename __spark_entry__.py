@@ -537,13 +537,13 @@ def entry(spark: SparkSession) -> DataFrame:
 #: contract derives its exemption set from THIS registry so the two can never
 #: drift (tests/test_oracle_types.py asserts ROWS_ONLY ∩ oracle_sql() == ∅).
 ROWS_ONLY = frozenset({
-    "pack_documents",       # greedy sequence packing (stateful scan)
-    "embed_pca",            # covariance partials + driver eigh
-    # Upgraded to FULL oracles in r5: multimodal_decode / multimodal_audio
-    # (keystream payloads are SQL-reproducible — DECODE_FEATURES_SQL /
-    # AUDIO_FEATURES_SQL) and ann_lsh (md5-nibble hyperplanes + xor
-    # multi-probe are deterministic integer math — ANN_LSH_SQL; the
-    # planted-cluster recall test remains as the semantic check).
+    "embed_pca",            # covariance partials + driver eigh (not SQL)
+    # Everything else carries a full DuckDB oracle. Upgraded in r5:
+    # multimodal_decode / multimodal_audio (keystream payloads are
+    # SQL-reproducible — DECODE_FEATURES_SQL / AUDIO_FEATURES_SQL),
+    # ann_lsh (deterministic integer math — ANN_LSH_SQL), and
+    # pack_documents (both greedy folds stepped by RECURSIVE CTEs —
+    # PACK_DOCUMENTS_SQL).
 })
 
 
@@ -1068,6 +1068,7 @@ def oracle_sql() -> dict[str, str]:
         "sample_mix": sampling.SAMPLE_MIX_SQL,
         "train_split": sampling.TRAIN_SPLIT_SQL,
         "shard_assign": sampling.SHARD_ASSIGN_SQL,
+        "pack_documents": sampling.PACK_DOCUMENTS_SQL,
         # pack_documents: rows-only (greedy sequential fold inside
         # applyInPandas; invariants verified in tests/test_sampling.py)
         "ann_bruteforce": similarity.ANN_BRUTEFORCE_SQL,

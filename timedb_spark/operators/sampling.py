@@ -246,3 +246,76 @@ FROM documents
 WHERE (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1)
       < (CASE {_MIX_RATE_CASE} ELSE 16 END)
 """
+
+
+# ---------------------------------------------------------------------------
+# full DuckDB oracle for pack_documents (r5 upgrade from rows-only): both
+# greedy folds are linear recurrences — running token sum with reset at the
+# budget, then the tail merge — which RECURSIVE CTEs step exactly, one row
+# per group per iteration (the same technique as the ts_holt_winters /
+# ts_lttb oracles). Every output value is an integer, so the hash match is
+# exact by construction.
+# ---------------------------------------------------------------------------
+
+PACK_DOCUMENTS_SQL = rf"""
+WITH RECURSIVE docs AS (
+    SELECT source, doc_id,
+           len(string_split_regex(trim(text), '\s+')) AS n_tokens,
+           doc_id // {PACK_BUCKET_DOCS} AS bucket,
+           row_number() OVER (PARTITION BY source, doc_id // {PACK_BUCKET_DOCS}
+                              ORDER BY doc_id) AS rn
+    FROM documents
+),
+-- fold 1: greedy pack within each (source, bucket), doc_id order
+fold AS (
+    SELECT source, bucket, rn, CAST(0 AS BIGINT) AS pid, n_tokens AS used, n_tokens
+    FROM docs WHERE rn = 1
+    UNION ALL
+    SELECT d.source, d.bucket, d.rn,
+           CASE WHEN f.used > 0 AND f.used + d.n_tokens > {PACK_BUDGET_TOKENS}
+                THEN f.pid + 1 ELSE f.pid END,
+           CASE WHEN f.used > 0 AND f.used + d.n_tokens > {PACK_BUDGET_TOKENS}
+                THEN d.n_tokens ELSE f.used + d.n_tokens END,
+           d.n_tokens
+    FROM fold f JOIN docs d ON d.source = f.source AND d.bucket = f.bucket AND d.rn = f.rn + 1
+),
+bucket_packs AS (
+    SELECT source, bucket, pid AS local_pid,
+           count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+           pid = max(pid) OVER (PARTITION BY source, bucket) AS is_tail
+    FROM fold GROUP BY source, bucket, pid
+),
+complete AS (
+    SELECT source, bucket * {PACK_BUCKET_DOCS} + local_pid AS pack_id, n_docs, total_tokens
+    FROM bucket_packs WHERE NOT is_tail
+),
+tails AS (
+    SELECT source, bucket, local_pid, n_docs, total_tokens,
+           row_number() OVER (PARTITION BY source ORDER BY bucket) AS rn
+    FROM bucket_packs WHERE is_tail
+),
+-- fold 2: greedy merge of consecutive tails per source (bucket order)
+mfold AS (
+    SELECT source, rn, bucket * {PACK_BUCKET_DOCS} + local_pid AS grp_pack_id,
+           n_docs AS acc_docs, total_tokens AS acc_tokens
+    FROM tails WHERE rn = 1
+    UNION ALL
+    SELECT t.source, t.rn,
+           CASE WHEN m.acc_tokens + t.total_tokens <= {PACK_BUDGET_TOKENS}
+                THEN m.grp_pack_id ELSE t.bucket * {PACK_BUCKET_DOCS} + t.local_pid END,
+           CASE WHEN m.acc_tokens + t.total_tokens <= {PACK_BUDGET_TOKENS}
+                THEN m.acc_docs + t.n_docs ELSE t.n_docs END,
+           CASE WHEN m.acc_tokens + t.total_tokens <= {PACK_BUDGET_TOKENS}
+                THEN m.acc_tokens + t.total_tokens ELSE t.total_tokens END
+    FROM mfold m JOIN tails t ON t.source = m.source AND t.rn = m.rn + 1
+),
+-- the LAST accumulator row per merge group is that merged pack's final state
+merged AS (
+    SELECT source, grp_pack_id AS pack_id,
+           max_by(acc_docs, rn) AS n_docs, max_by(acc_tokens, rn) AS total_tokens
+    FROM mfold GROUP BY source, grp_pack_id
+)
+SELECT source, pack_id, n_docs, total_tokens FROM complete
+UNION ALL
+SELECT source, pack_id, n_docs, total_tokens FROM merged
+"""
