@@ -180,12 +180,25 @@ class SnapshotStore(Store):
             }
             if txn is not None:
                 m["txn"] = [txn[0], int(txn[1])]
+            # Write the FULL content to a hidden temp file first, then claim
+            # the version with an atomic hard link (fails if the destination
+            # exists — same OCC arbitration as O_EXCL create). A direct
+            # open(path, "x") + dump makes the manifest VISIBLE to readers'
+            # globs before its bytes land: under load a concurrent reader
+            # sees truncated JSON (observed as JSONDecodeError in the
+            # parallel-writers test). link-from-complete-file closes that
+            # window — readers only ever see whole manifests. The temp name
+            # starts with '.' so _versions()' v*.json glob never matches it.
+            # On an object store, swap the link for a conditional PUT.
+            tmp = self.manifest_dir / f".tmp-{uuid.uuid4().hex}.json"
+            tmp.write_text(json.dumps(m))
             try:
-                with open(self._manifest_path(cur_v + 1), "x") as fh:
-                    json.dump(m, fh)
+                os.link(tmp, self._manifest_path(cur_v + 1))
                 return cur_v + 1
             except FileExistsError:
                 continue  # another writer won this version — retry on top
+            finally:
+                tmp.unlink(missing_ok=True)
 
     # -- writes ------------------------------------------------------------
 
