@@ -557,7 +557,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     the exact-ntile wrapper matching its oracle, ann_range, embed_pca
     rows-only), then the 24 round-1-only greens (tpch q2-q22, asof variants,
     basket_pairs, events_window_sliding — no driver row since round 1), then
-    19 round-2 greens on re-verify rotation, then the two NEW full-oracle
+    15 round-2 greens on re-verify rotation, then the four rows-only →
+    full-oracle UPGRADES (multimodal_decode, multimodal_audio, ann_lsh,
+    pack_documents — first hash-checked rows), then the two NEW full-oracle
     entries (stream_latest_state_v2, multimodal_video). Deferred entries
     stay green locally via tools/parity.py; the r3/r4 window queries (all
     hash-green in CORRECTNESS_r03/r04) move to the tail."""
@@ -614,10 +616,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_tfidf": text.text_tfidf,
         "text_repetition": text.text_repetition,
         "text_pii": text.text_pii,
-        "dedup_exact": dedup.dedup_exact,
-        "dedup_ngram_jaccard": dedup.dedup_ngram_jaccard,
-        "dedup_minhash": dedup.dedup_minhash,
-        "dedup_simhash": dedup.dedup_simhash,
+        # -- rows-only → FULL-oracle upgrades this round: their first
+        #    hash-checked driver rows (r4 recorded rows-only for these) ---
+        "multimodal_decode": _q_multimodal_decode,
+        "multimodal_audio": _q_multimodal_audio,
+        "ann_lsh": similarity.ann_lsh,
+        "pack_documents": sampling.pack_documents,
         # -- NEW full-oracle entries this round: first driver rows --------
         # v2 state API twin (transformWithStateInPandas, RocksDB store) —
         # unlocked in r5 via the vendored protobuf runtime; documented v1
@@ -628,6 +632,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_video": _q_multimodal_video,
         # ==== end of the 50-query round-5 gate window ====================
         # -- round-2 greens (kept green locally via tools/parity.py) ------
+        "dedup_exact": dedup.dedup_exact,
+        "dedup_ngram_jaccard": dedup.dedup_ngram_jaccard,
+        "dedup_minhash": dedup.dedup_minhash,
+        "dedup_simhash": dedup.dedup_simhash,
         "dedup_embedding": dedup.dedup_embedding,
         "dedup_editdist": dedup.dedup_editdist,
         "dedup_clusters": dedup.dedup_clusters,
@@ -693,11 +701,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_funnel": _q_stream_funnel,
         "ts_holt_winters": timeseries.holt_winters,
         "ts_lttb": timeseries.lttb_downsample,
-        # -- rows-only entries (see ROWS_ONLY) ----------------------------
-        "pack_documents": sampling.pack_documents,
-        "ann_lsh": similarity.ann_lsh,
-        "multimodal_decode": _q_multimodal_decode,
-        "multimodal_audio": _q_multimodal_audio,
         # -- bitemporal core + headline (green r3 AND r4) -----------------
         "bt_read_latest": _q_read_latest,
         "bt_read_overlapping": _q_read_overlapping,
