@@ -723,6 +723,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join": analytics.asof_join,
         "events_window": analytics.events_window,
         "events_markov": analytics.events_markov,
+        # A/B experiment readout (two-proportion z-test) — new in r5.
+        "events_abtest": analytics.events_abtest,
     }
 
 
@@ -1037,6 +1039,7 @@ def oracle_sql() -> dict[str, str]:
         "asof_nearest": asof.ASOF_NEAREST_SQL,
         "events_attribution": asof.ATTRIBUTION_SQL,
         "events_markov": analytics.EVENTS_MARKOV_SQL,
+        "events_abtest": analytics.EVENTS_ABTEST_SQL,
         "events_paths": analytics.EVENTS_PATHS_SQL,
         "graph_triangles": analytics.GRAPH_TRIANGLES_SQL,
         "events_json": analytics.EVENTS_JSON_SQL,

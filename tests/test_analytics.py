@@ -15,6 +15,7 @@ DuckDB oracle. These tests pin:
 """
 
 import pandas as pd
+import pytest
 
 from timedb_spark.operators import analytics
 
@@ -71,3 +72,35 @@ def test_rfm_modes_diverge_on_ties_as_documented(spark, tmp_path):
     for col in ("r_score", "f_score", "m_score"):
         scores = sorted(r[col] for r in exact)
         assert scores == [1, 1, 2, 2, 3, 3, 4, 4, 5, 5], f"{col}: {scores}"
+
+
+def test_abtest_hand_computed(spark, tmp_path):
+    """events_abtest on a crafted experiment: 4 users per variant, variant 0
+    converts 1/4 (user 2), variant 1 converts 3/4 (users 1,3,5) — counts,
+    rates, and the pooled two-proportion z all match the hand calculation."""
+    import math
+
+    ts = pd.Timestamp(2024, 1, 1, tz="UTC")
+    ev, eid = [], 0
+    for u in range(8):  # all 8 users have some event
+        ev.append((eid, ts, u, "click", 0.0, "{}")); eid += 1
+    for u in (2, 1, 3, 5):  # converting purchases (value >= 100)
+        ev.append((eid, ts, u, "purchase", 150.0, "{}")); eid += 1
+    ev.append((eid, ts, 4, "purchase", 50.0, "{}"))  # sub-threshold: no conversion
+    d = _events_dir(tmp_path, ev)
+    r = analytics.events_abtest(spark, d).collect()[0]
+    assert (r.n_a, r.conv_a, r.n_b, r.conv_b) == (4, 1, 4, 3)
+    assert r.rate_a == 0.25 and r.rate_b == 0.75
+    pool = 0.5
+    z = (0.75 - 0.25) / math.sqrt(pool * (1 - pool) * (1 / 4 + 1 / 4))
+    assert r.z_score == pytest.approx(round(z, 6))
+
+
+def test_abtest_degenerate_pool_yields_null_z(spark, tmp_path):
+    """All users converting (pool=1) gives zero pooled variance: z must be
+    NULL, not a divide-by-zero error (ANSI mode raises on the naive form)."""
+    ts = pd.Timestamp(2024, 1, 1, tz="UTC")
+    ev = [(u, ts, u, "purchase", 200.0, "{}") for u in range(4)]
+    d = _events_dir(tmp_path, ev)
+    r = analytics.events_abtest(spark, d).collect()[0]
+    assert (r.rate_a, r.rate_b) == (1.0, 1.0) and r.z_score is None

@@ -1111,3 +1111,92 @@ SELECT user_id, recency_s, frequency, monetary,
        ntile(5) OVER (ORDER BY recency_s DESC, user_id) || ntile(5) OVER (ORDER BY frequency ASC, user_id) || ntile(5) OVER (ORDER BY monetary ASC, user_id) AS segment
 FROM per_user
 """
+
+
+# ---------------------------------------------------------------------------
+# A/B experiment analysis (two-proportion z-test over event conversions)
+# ---------------------------------------------------------------------------
+
+
+_ABTEST_VALUE_MIN = 100.0
+
+
+def events_abtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Experiment readout: users split into variants by ``user_id % 2``
+    (the deterministic stand-in for an assignment column), conversion =
+    "has at least one purchase of value ≥ 100" (a predicate with
+    non-degenerate rates at every SF — bare "any purchase" converts ~100%
+    of the testdata and the pooled variance collapses to 0). Emits
+    per-variant user/converter counts and rates plus the pooled
+    two-proportion z statistic — the standard significance readout an
+    analytics user runs daily; z is NULL when the pooled rate is 0 or 1
+    (no variance — both engines agree instead of dividing by zero).
+
+    Scale shape: ONE pass — per-user conversion flag via a conditional max
+    inside a user-grained aggregate (map-side partial), then a 2-row
+    variant rollup and a 1-row cross-variant combine. Counts are exact
+    integers; the only float math is the final rates/z (rounded to 6,
+    matching the oracle). No distinct-count shuffle: users are already the
+    grain of the first aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    conv = (F.col("event_type") == "purchase") & (F.col("value") >= _ABTEST_VALUE_MIN)
+    per_user = ev.groupBy("user_id").agg(
+        F.max(F.when(conv, 1).otherwise(0)).alias("converted")
+    )
+    per_variant = (
+        per_user.groupBy((F.col("user_id") % 2).alias("variant"))
+        .agg(F.count(F.lit(1)).alias("n_users"), F.sum("converted").alias("n_conv"))
+    )
+    a = per_variant.filter(F.col("variant") == 0).select(
+        F.col("n_users").alias("n_a"), F.col("n_conv").alias("conv_a")
+    )
+    b = per_variant.filter(F.col("variant") == 1).select(
+        F.col("n_users").alias("n_b"), F.col("n_conv").alias("conv_b")
+    )
+    j = a.join(F.broadcast(b))
+    p_a = F.col("conv_a") / F.col("n_a")
+    p_b = F.col("conv_b") / F.col("n_b")
+    pool = (F.col("conv_a") + F.col("conv_b")) / (F.col("n_a") + F.col("n_b"))
+    var = pool * (1 - pool) * (1.0 / F.col("n_a") + 1.0 / F.col("n_b"))
+    z = F.when(var > 0, (p_b - p_a) / F.sqrt(var))
+    return j.select(
+        "n_a",
+        "conv_a",
+        "n_b",
+        "conv_b",
+        F.round(p_a, 6).alias("rate_a"),
+        F.round(p_b, 6).alias("rate_b"),
+        F.round(z, 6).alias("z_score"),
+    )
+
+
+EVENTS_ABTEST_SQL = f"""
+WITH per_user AS (
+    SELECT user_id,
+           max(CASE WHEN event_type = 'purchase' AND value >= {_ABTEST_VALUE_MIN} THEN 1 ELSE 0 END) AS converted
+    FROM events GROUP BY user_id
+),
+pv AS (
+    SELECT user_id % 2 AS variant, count(*) AS n_users, sum(converted) AS n_conv
+    FROM per_user GROUP BY user_id % 2
+),
+j AS (
+    SELECT a.n_users AS n_a, CAST(a.n_conv AS BIGINT) AS conv_a,
+           b.n_users AS n_b, CAST(b.n_conv AS BIGINT) AS conv_b
+    FROM (SELECT * FROM pv WHERE variant = 0) a, (SELECT * FROM pv WHERE variant = 1) b
+),
+v AS (
+    SELECT *,
+           (CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+           * (1 - CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+           * (1.0 / n_a + 1.0 / n_b) AS var
+    FROM j
+)
+SELECT n_a, conv_a, n_b, conv_b,
+       round(CAST(conv_a AS DOUBLE) / n_a, 6) AS rate_a,
+       round(CAST(conv_b AS DOUBLE) / n_b, 6) AS rate_b,
+       round(CASE WHEN var > 0
+                  THEN (CAST(conv_b AS DOUBLE) / n_b - CAST(conv_a AS DOUBLE) / n_a) / sqrt(var)
+             END, 6) AS z_score
+FROM v
+"""
