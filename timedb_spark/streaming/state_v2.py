@@ -74,7 +74,11 @@ class LatestStateProcessor(StatefulProcessor):
     ) -> Iterator[pd.DataFrame]:
         import numpy as np
 
-        best = tuple(self._state.get()) if self._state.exists() else None
+        # one get() instead of exists()+get(): every state access is a
+        # protobuf round-trip to the JVM state server, and get() already
+        # encodes absence as None — per key per batch this is the hot path.
+        cur = self._state.get()
+        best = tuple(cur) if cur is not None else None
         changed = False
         for pdf in rows:
             if not len(pdf):
@@ -166,8 +170,9 @@ class SessionizeProcessor(StatefulProcessor):
         ts_us = pdf["ts"].values.astype("datetime64[us]").astype("int64")[order]
         cents = np.rint(pdf["value"].values[order] * 100).astype("int64")
 
-        if self._state.exists():
-            st = tuple(self._state.get())
+        cur = self._state.get()  # one RPC: None encodes absence
+        if cur is not None:
+            st = tuple(cur)
             open_s = [st[0], st[1], st[2], st[3]]
             self._handle.deleteTimer(st[4])  # superseded deadline
         else:
@@ -197,9 +202,10 @@ class SessionizeProcessor(StatefulProcessor):
     def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
         from timedb_spark.streaming.sessions import _emit_row
 
-        if not self._state.exists():
+        cur = self._state.get()
+        if cur is None:
             return
-        st = tuple(self._state.get())
+        st = tuple(cur)
         # stale-timer guard: only flush if THIS timer is the session's
         # current deadline (deleteTimer on extend should make this always
         # true; belt and braces against reordered timer delivery).
