@@ -588,3 +588,51 @@ def test_stream_sessionize_v2_timer_extension_exactly_once(spark, tmp_path):
     # batch 4: nothing left — no duplicates on a further watermark advance
     _append([(6, "2024-01-03 00:00:00", 998, "a", 1.0)])
     assert _run() == got3
+
+
+def test_stream_funnel_v2_matches_batch_predicate(spark, sf_dir, events_dir):
+    """The v2-API funnel (ListState per stage + explicit event-time timers)
+    emits exactly the v1 drain contract: depth-3 always, depth-1/2 once
+    click+horizon is behind the final watermark — proven against the same
+    batch predicate as the v1 test."""
+    from timedb_spark.operators.funnel import events_funnel
+    from timedb_spark.streaming import state_v2
+    from timedb_spark.streaming.state_v2 import stream_funnel_v2
+
+    if not state_v2._HAVE_TWS:
+        pytest.skip(f"transformWithStateInPandas gated: missing {state_v2._TWS_MISSING}")
+
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        stream = spark.readStream.schema(EVENTS_STREAM_SCHEMA).parquet(events_dir)
+        name = _run_to_memory(stream_funnel_v2(stream), "append")
+        got = {
+            (r.click_id, r.view_id, r.purchase_id, r.funnel_depth)
+            for r in spark.table(name).collect()
+        }
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+
+    ev = spark.read.schema(EVENTS_STREAM_SCHEMA).parquet(events_dir)
+    wm_ms = ev.agg(F.floor(F.unix_micros(F.max("ts")) / 1000)).first()[0]
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), F.col("ts").alias("ct")
+    )
+    horizon_us = 24 * 3600 * 1_000_000
+    batch = events_funnel(spark, sf_dir).join(clicks, "click_id")
+    emitted = (F.col("funnel_depth") == 3) | (
+        F.floor((F.unix_micros("ct") + horizon_us) / 1000) < F.lit(wm_ms)
+    )
+    exp = {
+        (r.click_id, r.view_id, r.purchase_id, r.funnel_depth)
+        for r in batch.filter(emitted).collect()
+    }
+    assert got == exp and len(got) > 50
+    assert {d for (_, _, _, d) in got} == {1, 2, 3}

@@ -243,3 +243,166 @@ def stream_sessionize_v2(
             timeMode="EventTime",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# ordered funnel on the v2 API (LIST STATE — the third v2 state primitive:
+# per-user open funnels are genuinely list-shaped, where v1 flattens them
+# into parallel arrays inside one value blob)
+# ---------------------------------------------------------------------------
+
+_FUNNEL_HORIZON_US = 24 * 3600 * 1_000_000
+
+FUNNEL_S1_SCHEMA = T.StructType(
+    [T.StructField("ct_us", T.LongType()), T.StructField("cid", T.LongType())]
+)
+FUNNEL_S2_SCHEMA = T.StructType(
+    [
+        T.StructField("ct_us", T.LongType()),
+        T.StructField("cid", T.LongType()),
+        T.StructField("vid", T.LongType()),
+        T.StructField("vt_us", T.LongType()),
+    ]
+)
+
+
+def _funnel_deadline_ms(ct_us: int) -> int:
+    return (ct_us + _FUNNEL_HORIZON_US) // 1000 + 1
+
+
+class FunnelProcessor(StatefulProcessor):
+    """Same semantics and drain contract as streaming/funnel.py
+    (_update_funnel), re-expressed on two ListStates + explicit timers:
+    stage-1 rows are clicks awaiting a view, stage-2 rows carry the matched
+    view and await a purchase. ListState.put replaces the whole list per
+    batch — one RPC per stage, not one per entry."""
+
+    def init(self, handle: "StatefulProcessorHandle") -> None:
+        self._handle = handle
+        self._s1 = handle.getListState("stage1", FUNNEL_S1_SCHEMA)
+        self._s2 = handle.getListState("stage2", FUNNEL_S2_SCHEMA)
+
+    def _load(self):
+        s1 = [tuple(r) for r in self._s1.get()] if self._s1.exists() else []
+        s2 = [tuple(r) for r in self._s2.get()] if self._s2.exists() else []
+        return s1, s2
+
+    def _expire(self, s1, s2, wm_ms, out):
+        keep1 = []
+        for ct, cid in s1:
+            if _funnel_deadline_ms(ct) <= wm_ms:
+                out.append((cid, None, None, 1))
+            else:
+                keep1.append((ct, cid))
+        keep2 = []
+        for ct, cid, vid, vt in s2:
+            if _funnel_deadline_ms(ct) <= wm_ms:
+                out.append((cid, vid, None, 2))
+            else:
+                keep2.append((ct, cid, vid, vt))
+        return keep1, keep2
+
+    def _persist(self, s1, s2):
+        for t in list(self._handle.listTimers()):
+            self._handle.deleteTimer(t)
+        if s1:
+            self._s1.put(s1)
+        else:
+            self._s1.clear()
+        if s2:
+            self._s2.put(s2)
+        else:
+            self._s2.clear()
+        deadlines = [_funnel_deadline_ms(ct) for ct, *_ in s1] + [
+            _funnel_deadline_ms(ct) for ct, *_ in s2
+        ]
+        if deadlines:
+            self._handle.registerTimer(min(deadlines))
+
+    def _emit(self, user_id, out):
+        if out:
+            yield pd.DataFrame(
+                {
+                    "click_id": [r[0] for r in out],
+                    "user_id": [int(user_id)] * len(out),
+                    "view_id": pd.array([r[1] for r in out], dtype="Int64"),
+                    "purchase_id": pd.array([r[2] for r in out], dtype="Int64"),
+                    "funnel_depth": [r[3] for r in out],
+                }
+            )
+
+    def handleInputRows(self, key, rows, timerValues):
+        import numpy as np
+
+        (user_id,) = key
+        wm_ms = max(timerValues.getCurrentWatermarkInMs(), 0)
+        s1, s2 = self._load()
+        out: list[tuple] = []
+
+        frames = [pdf for pdf in rows if len(pdf)]
+        if frames:
+            pdf = pd.concat(frames) if len(frames) > 1 else frames[0]
+            order = np.lexsort((pdf["event_id"].values, pdf["ts"].values))
+            ts_us = pdf["ts"].values.astype("datetime64[us]").astype("int64")[order]
+            etype = pdf["event_type"].values[order]
+            eid = pdf["event_id"].values[order]
+            for i in range(len(ts_us)):
+                t, typ, e = int(ts_us[i]), etype[i], int(eid[i])
+                if typ == "click":
+                    s1.append((t, e))
+                elif typ == "view":
+                    keep = []
+                    for ct, cid in s1:
+                        if ct < t and t - ct <= _FUNNEL_HORIZON_US:
+                            s2.append((ct, cid, e, t))
+                        else:
+                            keep.append((ct, cid))
+                    s1 = keep
+                elif typ == "purchase":
+                    keep = []
+                    for ct, cid, vid, vt in s2:
+                        if vt < t and t - ct <= _FUNNEL_HORIZON_US:
+                            out.append((cid, vid, e, 3))
+                        else:
+                            keep.append((ct, cid, vid, vt))
+                    s2 = keep
+
+        s1, s2 = self._expire(s1, s2, wm_ms, out)
+        self._persist(s1, s2)
+        yield from self._emit(user_id, out)
+
+    def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+        (user_id,) = key
+        wm_ms = max(timerValues.getCurrentWatermarkInMs(), 0)
+        s1, s2 = self._load()
+        out: list[tuple] = []
+        s1, s2 = self._expire(s1, s2, wm_ms, out)
+        self._persist(s1, s2)
+        yield from self._emit(user_id, out)
+
+    def close(self) -> None:
+        pass
+
+
+def stream_funnel_v2(events_stream: DataFrame, *, delay: str = "0 seconds") -> DataFrame:
+    """events-shaped stream → completed/finalized funnels on the v2 state
+    API, append mode — same drain contract and full SQL oracle as
+    streaming/funnel.py. Caller must enable the RocksDB state store
+    provider."""
+    from timedb_spark.streaming.funnel import OUTPUT_SCHEMA as FUNNEL_OUTPUT_SCHEMA
+
+    if not _HAVE_TWS:
+        raise NotImplementedError(
+            f"transformWithStateInPandas unavailable: missing {_TWS_MISSING} "
+            "(re-probed at import; install the dep to unlock the v2 path)"
+        )
+    return (
+        events_stream.withWatermark("ts", delay)
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            statefulProcessor=FunnelProcessor(),
+            outputStructType=FUNNEL_OUTPUT_SCHEMA,
+            outputMode="Append",
+            timeMode="EventTime",
+        )
+    )
