@@ -636,3 +636,54 @@ def test_stream_funnel_v2_matches_batch_predicate(spark, sf_dir, events_dir):
     }
     assert got == exp and len(got) > 50
     assert {d for (_, _, _, d) in got} == {1, 2, 3}
+
+
+def test_stream_topk_users_v2_matches_batch(spark, sf_dir, events_dir):
+    """MapState-backed streaming top-k: after a multi-batch drain, the last
+    emission per (event_type, rank) equals the exact batch top-k by event
+    count (cents-exact sums, user_id tiebreak)."""
+    from timedb_spark.streaming import state_v2
+    from timedb_spark.streaming.state_v2 import stream_topk_users_v2
+
+    if not state_v2._HAVE_TWS:
+        pytest.skip(f"transformWithStateInPandas gated: missing {state_v2._TWS_MISSING}")
+
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        stream = (
+            spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(events_dir)
+        )
+        name = _run_to_memory(stream_topk_users_v2(stream, k=10), "update")
+        out = spark.table(name).withColumn("_emit", F.monotonically_increasing_id())
+        last = out.groupBy("event_type", "rank").agg(
+            F.max_by(F.struct("user_id", "n_events", "sum_value"), "_emit").alias("s")
+        )
+        got = {
+            (r.event_type, r.rank, r.s.user_id, r.s.n_events, r.s.sum_value)
+            for r in last.collect()
+        }
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+
+    from pyspark.sql import Window as W
+
+    ev = spark.read.schema(EVENTS_STREAM_SCHEMA).parquet(events_dir)
+    counts = ev.groupBy("event_type", "user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum(F.col("value").cast("decimal(18,2)")).cast("double"), 2).alias("sum_value"),
+    )
+    w = W.partitionBy("event_type").orderBy(F.col("n_events").desc(), F.col("user_id"))
+    exp = {
+        (r.event_type, r.rank, r.user_id, r.n_events, r.sum_value)
+        for r in counts.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= 10).collect()
+    }
+    assert got == exp and len(got) > 0
