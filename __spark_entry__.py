@@ -725,6 +725,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_markov": analytics.events_markov,
         # A/B experiment readout (two-proportion z-test) — new in r5.
         "events_abtest": analytics.events_abtest,
+        # PSI distribution-drift report — new in r5.
+        "profile_drift": pipeline.profile_drift,
     }
 
 
@@ -1040,6 +1042,7 @@ def oracle_sql() -> dict[str, str]:
         "events_attribution": asof.ATTRIBUTION_SQL,
         "events_markov": analytics.EVENTS_MARKOV_SQL,
         "events_abtest": analytics.EVENTS_ABTEST_SQL,
+        "profile_drift": pipeline.PROFILE_DRIFT_SQL,
         "events_paths": analytics.EVENTS_PATHS_SQL,
         "graph_triangles": analytics.GRAPH_TRIANGLES_SQL,
         "events_json": analytics.EVENTS_JSON_SQL,

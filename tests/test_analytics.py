@@ -104,3 +104,31 @@ def test_abtest_degenerate_pool_yields_null_z(spark, tmp_path):
     d = _events_dir(tmp_path, ev)
     r = analytics.events_abtest(spark, d).collect()[0]
     assert (r.rate_a, r.rate_b) == (1.0, 1.0) and r.z_score is None
+
+
+def test_profile_drift_hand_computed(spark, tmp_path):
+    """PSI report on a crafted two-population drift: clicks uniform over
+    bins {0,1}, purchases all in bin 1 — per-bin terms match the hand
+    formula, and the empty-bin epsilon floor kicks in where one side has
+    no mass."""
+    import math
+
+    from timedb_spark.operators import pipeline
+
+    ts = pd.Timestamp(2024, 1, 1, tz="UTC")
+    ev, eid = [], 0
+    for v in (10.0, 10.0, 60.0, 60.0):  # clicks: 2 in bin 0, 2 in bin 1
+        ev.append((eid, ts, 1, "click", v, "{}")); eid += 1
+    for v in (60.0, 70.0, 80.0, 90.0):  # purchases: 4 in bin 1
+        ev.append((eid, ts, 1, "purchase", v, "{}")); eid += 1
+    ev.append((eid, ts, 1, "view", 10.0, "{}"))  # other types excluded
+    d = _events_dir(tmp_path, ev)
+    rows = {r.bin: r for r in pipeline.profile_drift(spark, d).collect()}
+    assert set(rows) == {0, 1}
+    eps = 1e-6
+    # bin 0: p_a = 0.5, p_b floored to eps
+    assert rows[0].p_a == 0.5 and rows[0].p_b == eps
+    assert rows[0].psi_term == pytest.approx(round((eps - 0.5) * math.log(eps / 0.5), 6))
+    # bin 1: p_a = 0.5, p_b = 1.0
+    assert rows[1].p_a == 0.5 and rows[1].p_b == 1.0
+    assert rows[1].psi_term == pytest.approx(round(0.5 * math.log(2.0), 6))

@@ -224,3 +224,69 @@ PROFILE_TABLE_SQL = f"""
 WITH one AS (SELECT count(*) AS n_rows, {_PROFILE_AGGS} FROM lineitem)
 {_PROFILE_ROWS}
 """
+
+
+# ---------------------------------------------------------------------------
+# distribution drift (PSI) — the train/val data-quality gate
+# ---------------------------------------------------------------------------
+
+_DRIFT_BIN_W = 50.0
+_DRIFT_BINS = 10  # bins 0..9 cover [0, 500); bin 9 also absorbs overflow
+_DRIFT_EPS = 1e-6  # empty-bin floor (standard PSI practice)
+
+
+def profile_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population-stability-index report between two event populations
+    (click vs purchase value distributions — the stand-in for the
+    train-vs-validation / yesterday-vs-today drift check every training
+    pipeline gates on). One scan: fixed-width value bins, conditional
+    counts per side, 1-row totals broadcast back, per-bin PSI term
+    ``(p_b - p_a) * ln(p_b / p_a)`` with the standard epsilon floor for
+    empty bins. Σ psi_term > 0.2 is the usual "investigate" threshold.
+
+    Scale shape: a single groupBy on a 10-value bin key (map-side
+    partial), everything after it is arithmetic on ≤10 rows. Counts are
+    exact integers; the two divisions and one ln round to 6 against the
+    oracle."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    bin_col = F.least(F.floor(F.col("value") / _DRIFT_BIN_W), F.lit(_DRIFT_BINS - 1)).cast("int")
+    counts = ev.groupBy(bin_col.alias("bin")).agg(
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0)).alias("n_a"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias("n_b"),
+    )
+    totals = counts.agg(F.sum("n_a").alias("t_a"), F.sum("n_b").alias("t_b"))
+    j = counts.join(F.broadcast(totals))
+    p_a = F.greatest(F.col("n_a") / F.col("t_a"), F.lit(_DRIFT_EPS))
+    p_b = F.greatest(F.col("n_b") / F.col("t_b"), F.lit(_DRIFT_EPS))
+    return j.select(
+        "bin",
+        "n_a",
+        "n_b",
+        F.round(p_a, 6).alias("p_a"),
+        F.round(p_b, 6).alias("p_b"),
+        F.round((p_b - p_a) * F.log(p_b / p_a), 6).alias("psi_term"),
+    )
+
+
+PROFILE_DRIFT_SQL = f"""
+WITH ev AS (
+    SELECT CAST(least(floor(value / {_DRIFT_BIN_W}), {_DRIFT_BINS - 1}) AS INT) AS bin,
+           event_type
+    FROM events WHERE event_type IN ('click', 'purchase')
+),
+counts AS (
+    SELECT bin,
+           CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+           CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+    FROM ev GROUP BY bin
+),
+t AS (SELECT CAST(sum(n_a) AS BIGINT) AS t_a, CAST(sum(n_b) AS BIGINT) AS t_b FROM counts)
+SELECT bin, n_a, n_b,
+       round(greatest(CAST(n_a AS DOUBLE) / t_a, {_DRIFT_EPS}), 6) AS p_a,
+       round(greatest(CAST(n_b AS DOUBLE) / t_b, {_DRIFT_EPS}), 6) AS p_b,
+       round((greatest(CAST(n_b AS DOUBLE) / t_b, {_DRIFT_EPS}) - greatest(CAST(n_a AS DOUBLE) / t_a, {_DRIFT_EPS}))
+             * ln(greatest(CAST(n_b AS DOUBLE) / t_b, {_DRIFT_EPS}) / greatest(CAST(n_a AS DOUBLE) / t_a, {_DRIFT_EPS})), 6) AS psi_term
+FROM counts, t
+"""
