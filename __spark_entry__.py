@@ -557,12 +557,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     the exact-ntile wrapper matching its oracle, ann_range, embed_pca
     rows-only), then the 24 round-1-only greens (tpch q2-q22, asof variants,
     basket_pairs, events_window_sliding — no driver row since round 1), then
-    15 round-2 greens on re-verify rotation, then the four rows-only →
-    full-oracle UPGRADES (multimodal_decode, multimodal_audio, ann_lsh,
-    pack_documents — first hash-checked rows), then the two NEW full-oracle
-    entries (stream_latest_state_v2, multimodal_video). Deferred entries
-    stay green locally via tools/parity.py; the r3/r4 window queries (all
-    hash-green in CORRECTNESS_r03/r04) move to the tail."""
+    11 round-2 greens on re-verify rotation, then EVERY never-hash-checked
+    entry: the four brand-new r5 operators (ann_hybrid, embed_quantize,
+    events_abtest, profile_drift), the four rows-only → full-oracle
+    UPGRADES (multimodal_decode, multimodal_audio, ann_lsh, pack_documents),
+    and the two NEW entries stream_latest_state_v2 + multimodal_video.
+    Deferred entries stay green locally via tools/parity.py; the r3/r4
+    window queries (all hash-green in CORRECTNESS_r03/r04) move to the
+    tail."""
     return {
         # -- r3 operators with no driver row yet (front-loaded, 2 rounds
         #    overdue per VERDICT r4 task #3) ------------------------------
@@ -612,10 +614,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_tokens": text.text_tokens,
         "text_quality": text.text_quality,
         "text_langid": text.text_langid,
-        "text_fingerprint": text.text_fingerprint,
-        "text_tfidf": text.text_tfidf,
-        "text_repetition": text.text_repetition,
-        "text_pii": text.text_pii,
+        # -- brand-new r5 operators: first driver rows ever ---------------
+        "ann_hybrid": similarity.ann_hybrid,
+        "embed_quantize": similarity.embed_quantize,
+        "events_abtest": analytics.events_abtest,
+        "profile_drift": pipeline.profile_drift,
         # -- rows-only → FULL-oracle upgrades this round: their first
         #    hash-checked driver rows (r4 recorded rows-only for these) ---
         "multimodal_decode": _q_multimodal_decode,
@@ -632,6 +635,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_video": _q_multimodal_video,
         # ==== end of the 50-query round-5 gate window ====================
         # -- round-2 greens (kept green locally via tools/parity.py) ------
+        "text_fingerprint": text.text_fingerprint,
+        "text_tfidf": text.text_tfidf,
+        "text_repetition": text.text_repetition,
+        "text_pii": text.text_pii,
         "dedup_exact": dedup.dedup_exact,
         "dedup_ngram_jaccard": dedup.dedup_ngram_jaccard,
         "dedup_minhash": dedup.dedup_minhash,
@@ -651,10 +658,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_bruteforce": similarity.ann_bruteforce,
         "ann_ivf": similarity.ann_ivf,
         "ann_pq": similarity.ann_pq,
-        # hybrid lexical+dense retrieval and int8 storage quantization —
-        # new in r5, both exact-math full oracles.
-        "ann_hybrid": similarity.ann_hybrid,
-        "embed_quantize": similarity.embed_quantize,
         "embed_kmeans": similarity.embed_kmeans,
         "multimodal_meta": multimodal.multimodal_meta,
         "stream_window": _q_stream_window,
@@ -723,10 +726,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join": analytics.asof_join,
         "events_window": analytics.events_window,
         "events_markov": analytics.events_markov,
-        # A/B experiment readout (two-proportion z-test) — new in r5.
-        "events_abtest": analytics.events_abtest,
-        # PSI distribution-drift report — new in r5.
-        "profile_drift": pipeline.profile_drift,
     }
 
 
