@@ -602,7 +602,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_forward": asof.asof_forward_next_purchase,
         "asof_tolerance": asof.asof_tolerance_last_click,
         "asof_nearest": asof.asof_nearest_purchase,
-        # -- round-2 greens on re-verify rotation (21) --------------------
+        # -- round-2 greens on re-verify rotation (11) --------------------
         "bt_interval_merge": _q_interval_merge,
         "bt_restatements": forecasting.restatements,
         "events_attribution": asof.attribution_last_touch,
@@ -1077,10 +1077,7 @@ def oracle_sql() -> dict[str, str]:
         "train_split": sampling.TRAIN_SPLIT_SQL,
         "shard_assign": sampling.SHARD_ASSIGN_SQL,
         "pack_documents": sampling.PACK_DOCUMENTS_SQL,
-        # pack_documents: rows-only (greedy sequential fold inside
-        # applyInPandas; invariants verified in tests/test_sampling.py)
         "ann_bruteforce": similarity.ANN_BRUTEFORCE_SQL,
-        # ann_lsh: rows-only (approximate operator; recall measured in tests)
         "ann_ivf": similarity.ANN_IVF_SQL,
         "ann_pq": similarity.ANN_PQ_SQL,
         "ann_lsh": similarity.ANN_LSH_SQL,
@@ -1116,8 +1113,6 @@ def oracle_sql() -> dict[str, str]:
                    substring(body, frame_idx*width*3 + 1, width*3) AS frame
             FROM frames
         """,
-        # multimodal_decode: rows-only (numpy decode inside mapInPandas;
-        # verified against a local numpy recompute in tests/test_multimodal.py)
         "ts_resample_locf": timeseries.RESAMPLE_LOCF_SQL,
         "ts_interpolate_linear": timeseries.INTERPOLATE_SQL,
         "ts_rollup_multires": timeseries.ROLLUP_MULTIRES_SQL,

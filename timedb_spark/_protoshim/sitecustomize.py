@@ -46,3 +46,22 @@ try:
     _rv.ValidateProtobufRuntimeVersion = _lenient_validate
 except Exception:  # pragma: no cover - no protobuf at all; probe reports it
     pass
+
+# Chain-load the sitecustomize this shim shadows, if any: Python imports
+# only ONE sitecustomize module, and this directory sits first on
+# PYTHONPATH — without chaining, an environment that relies on its own
+# sitecustomize (coverage subprocess hooks, cert/proxy setup) would
+# silently lose it in every process that inherits our env.
+try:
+    import runpy
+
+    _here = os.path.dirname(os.path.abspath(__file__))
+    for _p in sys.path:
+        if not _p or os.path.abspath(_p) == _here:
+            continue
+        _cand = os.path.join(_p, "sitecustomize.py")
+        if os.path.isfile(_cand):
+            runpy.run_path(_cand, run_name="sitecustomize_chained")
+            break
+except Exception:  # pragma: no cover - a broken foreign hook must not kill us
+    pass

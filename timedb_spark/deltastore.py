@@ -160,24 +160,33 @@ class DeltaStore:
     # -- stats / maintenance ----------------------------------------------
 
     def partition_stats(self) -> list[dict]:
-        """Per-(retention, vt_month) row/file counts from the transaction
-        log's add actions — metadata only, zero data IO (the log JSON holds
-        numRecords per file; the store.py analogue reads parquet footers)."""
+        """Per-(retention, vt_month) row/file counts for the LIVE table
+        from the transaction log — metadata only, zero data IO (the log
+        JSON holds numRecords per add action; the store.py analogue reads
+        parquet footers). A file is live iff its latest log action is an
+        add: OPTIMIZE / DELETE / TTL rewrites emit remove actions for the
+        files they supersede, and summing raw adds would double-count every
+        rewritten partition (and keep reporting deleted data forever)."""
         log = self.spark.read.json(str(self.values_path / "_delta_log" / "*.json"))
         if "add" not in log.columns:
             return []
-        adds = (
-            log.filter(F.col("add").isNotNull())
-            .select(
-                F.col("add.partitionValues.retention").alias("retention"),
-                F.col("add.partitionValues.vt_month").alias("vt_month"),
-                F.from_json(F.col("add.stats"), "numRecords LONG").alias("_s"),
+        adds = log.filter(F.col("add").isNotNull()).select(
+            F.col("add.path").alias("path"),
+            F.col("add.partitionValues.retention").alias("retention"),
+            F.col("add.partitionValues.vt_month").alias("vt_month"),
+            F.from_json(F.col("add.stats"), "numRecords LONG").alias("_s"),
+        )
+        if "remove" in log.columns:
+            removed = log.filter(F.col("remove").isNotNull()).select(
+                F.col("remove.path").alias("path")
             )
-            .groupBy("retention", "vt_month")
+            adds = adds.join(removed, on="path", how="left_anti")
+        live = (
+            adds.groupBy("retention", "vt_month")
             .agg(F.sum("_s.numRecords").alias("n_rows"), F.count(F.lit(1)).alias("n_files"))
             .orderBy("retention", "vt_month")
         )
-        return [r.asDict() for r in adds.collect()]
+        return [r.asDict() for r in live.collect()]
 
     def compact(self, *, max_files_per_partition: int = 4, target_files: int = 1, cluster: str = "linear") -> list[str]:
         from delta.tables import DeltaTable
@@ -222,6 +231,10 @@ class DeltaStore:
             if tiers is not None and p["retention"] not in tiers:
                 continue
             ym = p["vt_month"]
+            if not ym:  # null valid_time rows: no month to range-prune on —
+                if start_valid is None and end_valid is None:
+                    total += p["n_rows"]  # unbounded count includes them
+                continue  # any time bound excludes a null valid_time
             m_start = datetime(int(ym[:4]), int(ym[4:]), 1)
             nxt = date(m_start.year + (m_start.month == 12), m_start.month % 12 + 1, 1)
             m_end = datetime(nxt.year, nxt.month, nxt.day)

@@ -43,8 +43,16 @@ _probed: str | None = None
 
 
 def _patch_validator() -> None:
-    """Same-major leniency for gencode newer than runtime (minor skew)."""
-    from google.protobuf import runtime_version as _rv
+    """Same-major leniency for gencode newer than runtime (minor skew).
+
+    Guarded: runtime_version only exists from protobuf 5.27 — an older
+    vendored runtime simply has nothing to patch (and will fail the pb2
+    probe with its own precise error, which state_v2 records); it must not
+    crash ``import timedb_spark``."""
+    try:
+        from google.protobuf import runtime_version as _rv
+    except ImportError:
+        return
 
     _orig = _rv.ValidateProtobufRuntimeVersion
 

@@ -459,7 +459,10 @@ class TopKUsersProcessor(StatefulProcessor):
             "user_id", as_index=True
         ).agg(n=("n", "sum"), c=("c", "sum"))
         for uid, row in batch.iterrows():
-            prev = self._counts.getValue((int(uid),)) if self._counts.containsKey((int(uid),)) else None
+            # one getValue() instead of containsKey()+getValue(): absence is
+            # encoded as None, same single-RPC discipline as the ValueState
+            # processors (each state access is a round-trip).
+            prev = self._counts.getValue((int(uid),))
             n0, c0 = (int(prev[0]), int(prev[1])) if prev is not None else (0, 0)
             self._counts.updateValue((int(uid),), (n0 + int(row["n"]), c0 + int(row["c"])))
 
