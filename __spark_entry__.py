@@ -387,22 +387,54 @@ def _workers_have_protobuf(spark: SparkSession) -> bool:
 
 
 def _q_stream_latest_state_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Stateful streaming latest on the Spark-4 state API v2
-    (transformWithStateInPandas + RocksDB state store) — same drain-and-
-    collapse contract as stream_latest_state, same latest-state oracle.
+    """Stateful streaming latest-per-SERIES on the Spark-4 state API v2
+    (transformWithStateInPandas + RocksDB state store): per series_id the
+    argmax of value over (knowledge_time, change_time), the winning row's
+    valid_time as payload, emitted on change across ≥2 micro-batches.
+
+    Keyed by series_id (NOT (series, hour)) deliberately: every v2 state
+    access is a per-key protobuf RPC, so the fine-grained key costs 78 s at
+    sf0.1 vs 10 s entity-keyed on identical rows — see the guidance in
+    streaming/state_v2.py. The per-(series, hour) collapse at scale stays
+    on v1 (stream_latest_state: in-band Arrow state, no per-key RPC).
 
     The v2 protocol needs google.protobuf in every Spark Python process
     (vendored at package import when absent — streaming/_proto_compat.py);
     if THIS session's workers predate the probe (JVM launched before the
     package was imported), the v2 plan cannot run in it, so the query
-    FALLS BACK to the v1 applyInPandasWithState twin — clearly surfaced
-    here: the fallback proves the same semantics, not the v2 API; the v2
-    path itself is pinned end-to-end in
-    tests/test_streaming.py::test_stream_latest_state_v2_matches_batch_latest."""
+    FALLS BACK to the v1 twin collapsed to the same per-series argmax —
+    clearly surfaced here: the fallback proves the same semantics, not the
+    v2 API; the v2 path itself is pinned end-to-end in
+    tests/test_streaming.py::test_stream_latest_state_v2_series_matches_batch."""
     from timedb_spark.streaming.state_v2 import _HAVE_TWS, stream_latest_state_v2
 
     if not (_HAVE_TWS and _workers_have_protobuf(spark)):
-        return _q_stream_latest_state(spark, sf_dir)
+        from timedb_spark.streaming.state import stream_latest_state
+
+        sv = bitemporal_frame(spark, sf_dir).select(
+            "series_id", "valid_time", "knowledge_time", "change_time", "value"
+        )
+        d = _stage_stream_dir(spark, sf_dir, sv, "sv", 4)
+        stream = spark.readStream.schema(sv.schema).option("maxFilesPerTrigger", 2).parquet(d)
+        out = _drain_with_few_partitions(spark, stream_latest_state(stream), "update")
+        # v1 emits per-(series, hour) rows with kt/ct; last emission per key
+        # is that key's final state, then per-series argmax over (kt, ct).
+        final = (
+            out.withColumn("_emit", F.monotonically_increasing_id())
+            .groupBy("series_id", "valid_time")
+            .agg(
+                F.max_by(
+                    F.struct("knowledge_time", "change_time", "value"), "_emit"
+                ).alias("s")
+            )
+            .select("series_id", "valid_time", "s.knowledge_time", "s.change_time", "s.value")
+        )
+        win = F.max_by(F.struct("valid_time", "value"), F.struct("knowledge_time", "change_time"))
+        return (
+            final.groupBy("series_id")
+            .agg(win.alias("w"))
+            .select("series_id", F.col("w.valid_time").alias("valid_time"), F.col("w.value").alias("value"))
+        )
 
     sv = bitemporal_frame(spark, sf_dir).select(
         "series_id", "valid_time", "knowledge_time", "change_time", "value"
@@ -422,7 +454,11 @@ def _q_stream_latest_state_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
         else:
             spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
     final = out.withColumn("_emit", F.monotonically_increasing_id())
-    return final.groupBy("series_id", "valid_time").agg(F.max_by("value", "_emit").alias("value"))
+    return (
+        final.groupBy("series_id")
+        .agg(F.max_by(F.struct("valid_time", "value"), "_emit").alias("w"))
+        .select("series_id", F.col("w.valid_time").alias("valid_time"), F.col("w.value").alias("value"))
+    )
 
 
 def _q_multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1158,11 +1194,14 @@ def oracle_sql() -> dict[str, str]:
                 FROM sv
             ) t WHERE rn = 1
         """,
+        # per-SERIES argmax (valid_time is the winning row's payload) — the
+        # entity-level keying the v2 protocol economics call for; the
+        # per-(series, hour) collapse is stream_latest_state's oracle above.
         "stream_latest_state_v2": f"""
             WITH sv AS ({_SV})
             SELECT series_id, valid_time, value FROM (
                 SELECT series_id, valid_time, value,
-                       row_number() OVER (PARTITION BY series_id, valid_time
+                       row_number() OVER (PARTITION BY series_id
                                           ORDER BY knowledge_time DESC, change_time DESC) AS rn
                 FROM sv
             ) t WHERE rn = 1

@@ -213,7 +213,8 @@ def test_stream_sessionize_timeout_flush(spark, tmp_path):
 
 def test_stream_latest_state_v2_matches_batch_latest(spark, sf_dir, tmp_path):
     """transformWithStateInPandas (state API v2, RocksDB store) agrees with
-    the batch bt.latest collapse — same contract as the v1 test."""
+    the batch bt.latest collapse — same contract as the v1 test
+    (per_valid_time=True: the fine-grained key, semantics parity with v1)."""
     from timedb_spark.streaming import state_v2
     from timedb_spark.streaming.state_v2 import stream_latest_state_v2
 
@@ -233,7 +234,7 @@ def test_stream_latest_state_v2_matches_batch_latest(spark, sf_dir, tmp_path):
     )
     try:
         stream = spark.readStream.schema(sv.schema).option("maxFilesPerTrigger", 1).parquet(d)
-        name = _run_to_memory(stream_latest_state_v2(stream), "update")
+        name = _run_to_memory(stream_latest_state_v2(stream, per_valid_time=True), "update")
         out = spark.table(name).withColumn("_emit", F.monotonically_increasing_id())
         got = {
             (r.series_id, r.valid_time): r.value
@@ -250,6 +251,57 @@ def test_stream_latest_state_v2_matches_batch_latest(spark, sf_dir, tmp_path):
     assert len(got) == len(exp)
     matches = sum(1 for k, v in exp.items() if got.get(k) == v or (v != v and got.get(k) != got.get(k)))
     assert matches == len(exp)
+
+
+def test_stream_latest_state_v2_series_matches_batch(spark, sf_dir, tmp_path):
+    """Series-keyed v2 default (SeriesLatestProcessor): drained stream's
+    last emission per series == batch per-series argmax over (kt, ct),
+    winning row's valid_time carried as payload."""
+    from timedb_spark.streaming import state_v2
+    from timedb_spark.streaming.state_v2 import stream_latest_state_v2
+
+    if not state_v2._HAVE_TWS:
+        pytest.skip(f"transformWithStateInPandas gated: missing {state_v2._TWS_MISSING}")
+
+    d = str(tmp_path / "sv")
+    sv = bitemporal_frame(spark, sf_dir).select(
+        "series_id", "valid_time", "knowledge_time", "change_time", "value"
+    )
+    sv.repartition(3).write.mode("overwrite").parquet(d)
+
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        stream = spark.readStream.schema(sv.schema).option("maxFilesPerTrigger", 1).parquet(d)
+        name = _run_to_memory(stream_latest_state_v2(stream), "update")
+        out = spark.table(name).withColumn("_emit", F.monotonically_increasing_id())
+        got = {
+            r.series_id: (r.valid_time, r.value)
+            for r in out.groupBy("series_id")
+            .agg(F.max_by(F.struct("valid_time", "value"), "_emit").alias("w"))
+            .select("series_id", "w.valid_time", "w.value")
+            .collect()
+        }
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+    exp = {
+        r.series_id: (r.valid_time, r.value)
+        for r in sv.groupBy("series_id")
+        .agg(
+            F.max_by(
+                F.struct("valid_time", "value"), F.struct("knowledge_time", "change_time")
+            ).alias("w")
+        )
+        .select("series_id", "w.valid_time", "w.value")
+        .collect()
+    }
+    assert got == exp
 
 
 def test_stream_funnel_matches_batch_predicate(spark, sf_dir, events_dir):

@@ -107,17 +107,88 @@ class LatestStateProcessor(StatefulProcessor):
         pass
 
 
-def stream_latest_state_v2(sv_stream: DataFrame) -> DataFrame:
-    """``series_values``-shaped stream → latest state per key on the v2
-    state API. Caller must enable the RocksDB state store provider
-    (``spark.sql.streaming.stateStore.providerClass``)."""
+#: series-keyed variant: ``valid_time`` rides as DATA (the winning row's
+#: hour), so state carries it alongside the argmax observation.
+V2_SERIES_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("kt_us", T.LongType()),
+        T.StructField("ct_us", T.LongType()),
+        T.StructField("vt_us", T.LongType()),
+        T.StructField("value", T.DoubleType()),
+    ]
+)
+
+
+class SeriesLatestProcessor(StatefulProcessor):
+    """argmax-by-(kt, ct) per SERIES (valid_time is payload, not key)."""
+
+    def init(self, handle: "StatefulProcessorHandle") -> None:
+        self._state = handle.getValueState("latest", V2_SERIES_STATE_SCHEMA)
+
+    def handleInputRows(
+        self, key: tuple, rows: Iterator[pd.DataFrame], timerValues
+    ) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        cur = self._state.get()
+        best = tuple(cur) if cur is not None else None
+        changed = False
+        for pdf in rows:
+            if not len(pdf):
+                continue
+            kt = pdf["knowledge_time"].values.astype("datetime64[us]").astype("int64")
+            ct = pdf["change_time"].values.astype("datetime64[us]").astype("int64")
+            i = int(np.lexsort((ct, kt))[-1])
+            vt = int(pdf["valid_time"].values.astype("datetime64[us]").astype("int64")[i])
+            cand = (int(kt[i]), int(ct[i]), vt, float(pdf["value"].iloc[i]))
+            if best is None or cand[:2] > best[:2]:
+                best = cand
+                changed = True
+        if changed and best is not None:
+            self._state.update(best)
+            yield pd.DataFrame(
+                {
+                    "series_id": [int(key[0])],
+                    "valid_time": [pd.Timestamp(best[2] * 1000)],
+                    "value": [best[3]],
+                    "knowledge_time": [pd.Timestamp(best[0] * 1000)],
+                    "change_time": [pd.Timestamp(best[1] * 1000)],
+                }
+            )
+
+    def close(self) -> None:
+        pass
+
+
+def stream_latest_state_v2(sv_stream: DataFrame, *, per_valid_time: bool = False) -> DataFrame:
+    """``series_values``-shaped stream → latest state on the v2 state API.
+    Caller must enable the RocksDB state store provider
+    (``spark.sql.streaming.stateStore.providerClass``).
+
+    Key-cardinality guidance (the v2 wall-clock lever): every TWS state
+    access is a protobuf RPC to the JVM state server, so cost scales with
+    DISTINCT KEYS PER BATCH, not rows — measured at sf0.1 (100k rows,
+    local[32], pure-Python protobuf runtime): 95,583 ``(series, hour)``
+    keys → 78 s vs 1,500 ``series`` keys → 10 s, identical row volume.
+    Default is therefore the entity-level key (``series_id``; the winning
+    row's ``valid_time`` rides as payload). ``per_valid_time=True`` keeps
+    the fine-grained key for semantics parity with v1 — but at that
+    granularity prefer v1 (``applyInPandasWithState`` ships state in-band
+    in Arrow batches, no per-key RPC: 6 s on the same 95k keys)."""
     if not _HAVE_TWS:
         raise NotImplementedError(
             f"transformWithStateInPandas unavailable: missing {_TWS_MISSING} "
             "(re-probed at import; install the dep to unlock the v2 path)"
         )
-    return sv_stream.groupBy("series_id", "valid_time").transformWithStateInPandas(
-        statefulProcessor=LatestStateProcessor(),
+    if per_valid_time:
+        return sv_stream.groupBy("series_id", "valid_time").transformWithStateInPandas(
+            statefulProcessor=LatestStateProcessor(),
+            outputStructType=OUTPUT_SCHEMA,
+            outputMode="Update",
+            timeMode="None",
+        )
+    return sv_stream.groupBy("series_id").transformWithStateInPandas(
+        statefulProcessor=SeriesLatestProcessor(),
         outputStructType=OUTPUT_SCHEMA,
         outputMode="Update",
         timeMode="None",
