@@ -762,6 +762,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join": analytics.asof_join,
         "events_window": analytics.events_window,
         "events_markov": analytics.events_markov,
+        "ts_theta": timeseries.theta_forecast,
     }
 
 
@@ -1076,6 +1077,7 @@ def oracle_sql() -> dict[str, str]:
         "asof_nearest": asof.ASOF_NEAREST_SQL,
         "events_attribution": asof.ATTRIBUTION_SQL,
         "events_markov": analytics.EVENTS_MARKOV_SQL,
+        "ts_theta": timeseries.THETA_SQL,
         "events_abtest": analytics.EVENTS_ABTEST_SQL,
         "profile_drift": pipeline.PROFILE_DRIFT_SQL,
         "events_paths": analytics.EVENTS_PATHS_SQL,

@@ -500,3 +500,52 @@ def test_quantiles_and_mad_approx_within_sketch_error(spark, sf_dir):
     ap_ids = {r.event_id for r in mad_anomaly(spark, sf_dir).collect()}
     inter = len(ex_ids & ap_ids)
     assert inter >= 0.9 * max(len(ex_ids), 1) and len(ap_ids) <= 1.2 * max(len(ex_ids), 1)
+
+
+def test_theta_forecast_matches_numpy(spark, tmp_path):
+    """ts_theta vs a straight numpy recompute (exact-cents OLS + SES fold +
+    half/half combination) on a small planted series — pins the operator's
+    math independently of the SQL oracle."""
+    import math
+    import os
+
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.default_rng(7)
+    rows = []
+    eid = 0
+    for uid in (1, 2):
+        for t in range(30):
+            eid += 1
+            v = round(5.0 + 0.3 * t + float(rng.normal(0, 0.5)), 2)
+            rows.append((eid, datetime(2024, 1, 1) + pd.Timedelta(hours=t), uid, "x", v))
+    pdf = pd.DataFrame(rows, columns=["event_id", "ts", "user_id", "event_type", "value"])
+    pdf["props"] = ""
+    d = str(tmp_path / "sf")
+    os.makedirs(d)
+    pdf.to_parquet(os.path.join(d, "events.parquet"))
+
+    got = {r.user_id: r for r in ts.theta_forecast(spark, d).collect()}
+    for uid in (1, 2):
+        x = pdf[pdf.user_id == uid].sort_values(["ts", "event_id"]).value.to_numpy()
+        c = np.round(x * 100).astype(np.int64)
+        n = len(c)
+        t_ = np.arange(1, n + 1, dtype=np.int64)
+        st, st2 = int(t_.sum()), int((t_ * t_).sum())
+        b = (n * int((c * t_).sum()) - st * int(c.sum())) / (n * st2 - st * st)
+        a = (int(c.sum()) - b * st) / n
+        z = 2.0 * c - (a + b * t_)
+        l = z[0]
+        for zz in z[1:]:
+            l = l * 0.5 + zz * 0.5
+        f1 = 0.5 * l + 0.5 * (a + b * (n + 1))
+        f24 = 0.5 * l + 0.5 * (a + b * (n + 24))
+        r = got[uid]
+        assert r.n_points == n
+        assert r.theta_slope == math.floor(b / 100.0 * 1e6) / 1e6
+        assert r.theta_level == math.floor(l / 100.0 * 1e6) / 1e6
+        assert r.theta_f1 == math.floor(f1 / 100.0 * 1e6) / 1e6
+        assert r.theta_f24 == math.floor(f24 / 100.0 * 1e6) / 1e6
+        # slope recovers the planted 0.3/hour trend
+        assert abs(r.theta_slope - 0.3) < 0.05

@@ -1487,3 +1487,133 @@ SELECT d.series_id, d.h, d.c / 100.0 AS value,
        d.detr_micro - seas.seasonal_micro AS resid_micro
 FROM d JOIN seas ON seas.series_id = d.series_id AND seas.hod = extract(hour FROM d.h)
 """
+
+
+_THETA_ALPHA = 0.5  # dyadic SES constant — bit-identical folds across engines
+
+
+def theta_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta-method forecast per user series (Assimakopoulos & Nikolopoulos
+    2000; the M4 competition's winning statistical baseline) — completes the
+    forecasting family (seasonal_naive, holt, holt_winters): OLS trend +
+    SES over the theta(2)-line, combined half-and-half.
+
+    Reference parity: the reference's forecasting surface is client-side
+    (timedb/read.py:404-527 serves the vintages; models run on top) — this
+    is the canonical model a timedb user runs on a read_latest frame.
+
+    Determinism/scale shape (one shuffle, zero Python):
+    - One groupBy(user) with array_sort(collect_list(struct)) — the only
+      shuffle; per-user arrays are bounded by entity history (pre-filter by
+      time for unbounded feeds, as a production fit would).
+    - OLS moments in EXACT integer cents (Σx, Σtx as longs; Σt, Σt² closed
+      forms), so slope/intercept are one long→double division per engine —
+      no float-summation order dependence.
+    - SES l ← ½x + ½l is a left fold over the sorted theta-line
+      (``F.aggregate`` / ``list_reduce``), identical operation order.
+    - Outputs floor-scaled to 6 dp (engine-divergent round() tie modes).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    s = F.struct(F.col("ts"), F.col("event_id"), F.col("value"))
+    g = ev.groupBy("user_id").agg(F.array_sort(F.collect_list(s)).alias("hist"))
+    cents = F.transform(
+        "hist", lambda r: (r["value"].cast("decimal(18,2)") * 100).cast("long")
+    )
+    g = g.select("user_id", cents.alias("c"))
+    n = F.size("c").cast("long")
+    g = g.select(
+        "user_id",
+        "c",
+        n.alias("n"),
+        F.aggregate("c", F.lit(0).cast("long"), lambda acc, x: acc + x).alias("sx"),
+        F.aggregate(
+            F.transform("c", lambda x, i: x * (i.cast("long") + 1)),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("stx"),
+    )
+    st = F.expr("(n * (n + 1)) div 2")
+    st2 = F.expr("(n * (n + 1) * (2 * n + 1)) div 6")
+    num = F.col("n") * F.col("stx") - st * F.col("sx")
+    den = F.col("n") * st2 - st * st
+    b = F.when(F.col("n") >= 2, num.cast("double") / den.cast("double")).otherwise(F.lit(0.0))
+    g = g.select("user_id", "c", "n", "sx", st.alias("st"), b.alias("b"))
+    a = (F.col("sx").cast("double") - F.col("b") * F.col("st").cast("double")) / F.col(
+        "n"
+    ).cast("double")
+    g = g.withColumn("a", a)
+    # theta(2)-line: z_t = 2·x_t − (a + b·t), doubles over exact cents
+    z = F.transform(
+        "c",
+        lambda x, i: 2.0 * x.cast("double") - (F.col("a") + F.col("b") * (i.cast("double") + 1.0)),
+    )
+    g = g.withColumn("z", z)
+    ses = F.aggregate(
+        F.slice("z", F.lit(2), (F.col("n") - 1).cast("int")),
+        F.element_at("z", 1),
+        lambda acc, x: acc * (1.0 - _THETA_ALPHA) + x * _THETA_ALPHA,
+    )
+    g = g.withColumn("ses", ses)
+
+    def _fc(h: int):
+        f = 0.5 * F.col("ses") + 0.5 * (F.col("a") + F.col("b") * (F.col("n").cast("double") + h))
+        return F.floor(f / 100.0 * 1e6) / 1e6
+
+    return g.select(
+        "user_id",
+        F.col("n").alias("n_points"),
+        (F.floor(F.col("b") / 100.0 * 1e6) / 1e6).alias("theta_slope"),
+        (F.floor(F.col("ses") / 100.0 * 1e6) / 1e6).alias("theta_level"),
+        _fc(1).alias("theta_f1"),
+        _fc(24).alias("theta_f24"),
+    )
+
+
+THETA_SQL = f"""
+WITH h AS (
+    SELECT user_id,
+           list_sort(list(struct_pack(ts := ts, event_id := event_id, value := value))) AS hist
+    FROM events GROUP BY user_id
+),
+c AS (
+    SELECT user_id,
+           list_transform(hist, r -> CAST(CAST(r.value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS c
+    FROM h
+),
+m AS (
+    SELECT user_id, c,
+           CAST(len(c) AS BIGINT) AS n,
+           list_sum(c) AS sx,
+           list_sum(list_transform(c, (x, i) -> x * CAST(i AS BIGINT))) AS stx
+    FROM c
+),
+ab AS (
+    SELECT user_id, c, n, sx,
+           (n * (n + 1)) // 2 AS st,
+           CASE WHEN n >= 2
+                THEN CAST(n * stx - ((n * (n + 1)) // 2) * sx AS DOUBLE)
+                   / CAST(n * ((n * (n + 1) * (2 * n + 1)) // 6)
+                          - ((n * (n + 1)) // 2) * ((n * (n + 1)) // 2) AS DOUBLE)
+                ELSE 0.0 END AS b
+    FROM m
+),
+abz AS (
+    SELECT user_id, n, b,
+           (CAST(sx AS DOUBLE) - b * CAST(st AS DOUBLE)) / CAST(n AS DOUBLE) AS a,
+           list_transform(c, (x, i) -> 2.0 * CAST(x AS DOUBLE)
+               - ((CAST(sx AS DOUBLE) - b * CAST(st AS DOUBLE)) / CAST(n AS DOUBLE)
+                  + b * CAST(i AS DOUBLE))) AS z
+    FROM ab
+),
+sesd AS (
+    SELECT user_id, n, b, a,
+           list_reduce(z, (acc, x) -> acc * {1.0 - _THETA_ALPHA} + x * {_THETA_ALPHA}) AS ses
+    FROM abz
+)
+SELECT user_id, n AS n_points,
+       floor(b / 100.0 * 1e6) / 1e6 AS theta_slope,
+       floor(ses / 100.0 * 1e6) / 1e6 AS theta_level,
+       floor((0.5 * ses + 0.5 * (a + b * (n + 1))) / 100.0 * 1e6) / 1e6 AS theta_f1,
+       floor((0.5 * ses + 0.5 * (a + b * (n + 24))) / 100.0 * 1e6) / 1e6 AS theta_f24
+FROM sesd
+"""
