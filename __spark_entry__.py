@@ -15,7 +15,7 @@ from __future__ import annotations
 from collections.abc import Callable
 from datetime import datetime, timedelta
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from timedb_spark.io.tables import BITEMPORAL_ORACLE_SQL, INTERVAL_ORACLE_SQL, bitemporal_frame, interval_frame, load_table
@@ -242,6 +242,24 @@ def _drain_with_few_partitions(spark: SparkSession, stream_df, mode: str) -> Dat
         spark.conf.set("spark.sql.shuffle.partitions", prev)
 
 
+def _drain_v2(spark: SparkSession, stream_df, mode: str) -> DataFrame:
+    """Drain a transformWithStateInPandas plan: the RocksDB state store
+    provider (required by the v2 API) scoped to this drain, then restored,
+    on top of the usual few-partitions drain."""
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        return _drain_with_few_partitions(spark, stream_df, mode)
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+
+
 def _q_stream_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming twin of events_window, drained with availableNow — final
     complete-mode aggregates equal the batch/SQL oracle."""
@@ -441,23 +459,96 @@ def _q_stream_latest_state_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     d = _stage_stream_dir(spark, sf_dir, sv, "sv", 4)
     stream = spark.readStream.schema(sv.schema).option("maxFilesPerTrigger", 2).parquet(d)
-    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
-    spark.conf.set(
-        "spark.sql.streaming.stateStore.providerClass",
-        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
-    )
-    try:
-        out = _drain_with_few_partitions(spark, stream_latest_state_v2(stream), "update")
-    finally:
-        if prev is None:
-            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
-        else:
-            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+    out = _drain_v2(spark, stream_latest_state_v2(stream), "update")
     final = out.withColumn("_emit", F.monotonically_increasing_id())
     return (
         final.groupBy("series_id")
         .agg(F.max_by(F.struct("valid_time", "value"), "_emit").alias("w"))
         .select("series_id", F.col("w.valid_time").alias("valid_time"), F.col("w.value").alias("value"))
+    )
+
+
+def _q_stream_sessionize_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-timeout sessionization on the v2 state API (event-time TIMERS —
+    the primitive the v1 API lacks: arbitrary named timers with explicit
+    register/delete). Same drain contract as stream_sessionize (sessions
+    closed by data ∪ timed out by the final watermark), so it shares that
+    oracle verbatim; keyed by user_id — entity-level, the right v2 key
+    cardinality (see streaming/state_v2.py). Falls back to the v1 query
+    (same semantics, not the v2 API) when this session's workers lack
+    protobuf; the v2 path is pinned in tests/test_streaming.py."""
+    from timedb_spark.streaming.state_v2 import _HAVE_TWS, stream_sessionize_v2
+    from timedb_spark.streaming.windows import EVENTS_STREAM_SCHEMA
+
+    if not (_HAVE_TWS and _workers_have_protobuf(spark)):
+        return _q_stream_sessionize(spark, sf_dir)
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", F.col("ts").cast("timestamp").alias("ts"), "user_id", "event_type", "value"
+    )
+    d = _stage_stream_dir(spark, sf_dir, ev, "events", 6)
+    stream = spark.readStream.schema(EVENTS_STREAM_SCHEMA).parquet(d)
+    return _drain_v2(spark, stream_sessionize_v2(stream), "append")
+
+
+def _q_stream_funnel_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered click→view→purchase funnel on the v2 state API (LIST STATE:
+    per-user open funnels as two ListStates, whole-list put per batch).
+    Same drain contract as stream_funnel (depth-3 on purchase arrival,
+    depth-1/2 via the click+horizon timer behind the final watermark), so
+    it shares that oracle verbatim. Falls back to the v1 query when this
+    session's workers lack protobuf."""
+    from timedb_spark.streaming.state_v2 import _HAVE_TWS, stream_funnel_v2
+    from timedb_spark.streaming.windows import EVENTS_STREAM_SCHEMA
+
+    if not (_HAVE_TWS and _workers_have_protobuf(spark)):
+        return _q_stream_funnel(spark, sf_dir)
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", F.col("ts").cast("timestamp").alias("ts"), "user_id", "event_type", "value"
+    )
+    d = _stage_stream_dir(spark, sf_dir, ev, "events", 6)
+    stream = spark.readStream.schema(EVENTS_STREAM_SCHEMA).parquet(d)
+    return _drain_v2(spark, stream_funnel_v2(stream), "append")
+
+
+def _q_stream_topk_users_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact streaming top-10 users by event count per event_type on the v2
+    state API (MAP STATE: one (n, sum_cents) entry per user — only touched
+    users pay an RPC per batch). Drained over ≥3 micro-batches; the last
+    emission per (event_type, rank) is the exact batch top-k (count desc,
+    user_id tiebreak; cents-exact sums). Falls back to the equivalent batch
+    aggregation (same semantics, not the v2 API) when this session's
+    workers lack protobuf."""
+    from timedb_spark.streaming.state_v2 import _HAVE_TWS, stream_topk_users_v2
+    from timedb_spark.streaming.windows import EVENTS_STREAM_SCHEMA
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", F.col("ts").cast("timestamp").alias("ts"), "user_id", "event_type", "value"
+    )
+    if not (_HAVE_TWS and _workers_have_protobuf(spark)):
+        counts = ev.groupBy("event_type", "user_id").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(F.col("value").cast("decimal(18,2)")).cast("double"), 2).alias("sum_value"),
+        )
+        w = Window.partitionBy("event_type").orderBy(F.col("n_events").desc(), F.col("user_id"))
+        return (
+            counts.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= 10)
+            .select("event_type", "rank", "user_id", "n_events", "sum_value")
+        )
+    d = _stage_stream_dir(spark, sf_dir, ev, "events", 6)
+    stream = spark.readStream.schema(EVENTS_STREAM_SCHEMA).option("maxFilesPerTrigger", 2).parquet(d)
+    out = _drain_v2(spark, stream_topk_users_v2(stream, k=10), "update")
+    last = (
+        out.withColumn("_emit", F.monotonically_increasing_id())
+        .groupBy("event_type", "rank")
+        .agg(F.max_by(F.struct("user_id", "n_events", "sum_value"), "_emit").alias("s"))
+    )
+    return last.select(
+        "event_type",
+        "rank",
+        F.col("s.user_id").alias("user_id"),
+        F.col("s.n_events").alias("n_events"),
+        F.col("s.sum_value").alias("sum_value"),
     )
 
 
@@ -763,11 +854,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_window": analytics.events_window,
         "events_markov": analytics.events_markov,
         "ts_theta": timeseries.theta_forecast,
+        "stream_sessionize_v2": _q_stream_sessionize_v2,
+        "stream_funnel_v2": _q_stream_funnel_v2,
+        "stream_topk_users_v2": _q_stream_topk_users_v2,
     }
 
 
 def oracle_sql() -> dict[str, str]:
-    return {
+    d = {
         "bt_read_latest": f"""
             WITH sv AS ({_SV})
             SELECT series_id, valid_time, value FROM (
@@ -1285,4 +1379,26 @@ def oracle_sql() -> dict[str, str]:
             WHERE funnel_depth = 3
                OR (epoch_us(ct) + CAST(24 AS BIGINT) * 3600 * 1000000) // 1000 < wm_ms
         """,
+        # exact batch top-k per event_type — the collapse of
+        # stream_topk_users_v2's last emission per (event_type, rank).
+        "stream_topk_users_v2": """
+            WITH agg AS (
+                SELECT event_type, user_id, count(*) AS n_events,
+                       sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS c
+                FROM events GROUP BY event_type, user_id
+            ),
+            r AS (
+                SELECT event_type, user_id, n_events, c,
+                       row_number() OVER (PARTITION BY event_type
+                                          ORDER BY n_events DESC, user_id) AS rank
+                FROM agg
+            )
+            SELECT event_type, rank, user_id, n_events,
+                   round(c / 100.0, 2) AS sum_value
+            FROM r WHERE rank <= 10
+        """,
     }
+    # the v2-API twins share their v1 drain contract, hence the oracle
+    d["stream_sessionize_v2"] = d["stream_sessionize"]
+    d["stream_funnel_v2"] = d["stream_funnel"]
+    return d
