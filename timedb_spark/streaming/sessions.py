@@ -71,6 +71,63 @@ def _emit_row(user_id: int, s: tuple) -> pd.DataFrame:
     )
 
 
+def _fold_sessions(ts_us, cents, open_s, gap_us):
+    """Vectorized gap-split session fold over ONE key's sorted batch.
+
+    Returns (closed, open_s): ``closed`` is a list of finished
+    (start, end, n, sum_cents) tuples in chronological order, ``open_s``
+    the still-open trailing session. Segment boundaries come from one
+    ``diff > gap`` compare; per-segment (n, sum) via ``add.reduceat`` —
+    O(rows) numpy, no per-event Python. The incoming ``open_s`` merges
+    with segment 0 when the first new event continues it. Emission cost
+    was the v1 hot spot: one 1-row DataFrame PER CLOSED SESSION (~10⁵
+    constructions per batch at sf0.1, 13 s of the 14 s batch) — callers
+    now build ONE frame per key from ``closed``.
+    """
+    import numpy as np
+
+    m = len(ts_us)
+    new_seg = np.empty(m, dtype=bool)
+    new_seg[0] = open_s is None or int(ts_us[0]) - open_s[1] > gap_us
+    if m > 1:
+        new_seg[1:] = np.diff(ts_us) > gap_us
+    starts = np.nonzero(new_seg)[0]  # may be empty (all rows continue open_s)
+    bounds = np.r_[0, starts] if (len(starts) == 0 or starts[0] != 0) else starts
+    n_per = np.diff(np.r_[bounds, m])
+    sum_per = np.add.reduceat(cents, bounds)
+    segs = [
+        (int(ts_us[b]), int(ts_us[b + k - 1]), int(k), int(s))
+        for b, k, s in zip(bounds, n_per, sum_per)
+    ]
+    if open_s is not None and not new_seg[0]:
+        f = segs[0]
+        segs[0] = (
+            min(open_s[0], f[0]),
+            max(open_s[1], f[1]),
+            open_s[2] + f[2],
+            open_s[3] + f[3],
+        )
+    elif open_s is not None:
+        segs.insert(0, tuple(open_s))
+    return segs[:-1], list(segs[-1])
+
+
+def _emit_sessions(user_id: int, sessions: list) -> pd.DataFrame:
+    import numpy as np
+
+    a = np.asarray(sessions, dtype="int64")  # rows: (start_us, end_us, n, cents)
+    return pd.DataFrame(
+        {
+            "user_id": np.full(len(sessions), int(user_id), dtype="int64"),
+            "session_start": a[:, 0].astype("datetime64[us]"),
+            "session_end": a[:, 1].astype("datetime64[us]"),
+            "n_events": a[:, 2],
+            # n/100.0 is already at 2-dec resolution; np.round == round here
+            "sum_value": np.round(a[:, 3] / 100.0, 2),
+        }
+    )
+
+
 def _make_update(gap_us: int):
     def _update(key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
         (user_id,) = key
@@ -90,18 +147,8 @@ def _make_update(gap_us: int):
         ts_us = pdf["ts"].values.astype("datetime64[us]").astype("int64")[order]
         cents = np.rint(pdf["value"].values[order] * 100).astype("int64")
 
-        open_s = list(state.get) if state.exists else None
-        for i in range(len(ts_us)):
-            t = int(ts_us[i])
-            if open_s is None:
-                open_s = [t, t, 0, 0]
-            elif t - open_s[1] > gap_us:
-                yield _emit_row(user_id, tuple(open_s))
-                open_s = [t, t, 0, 0]
-            open_s[0] = min(open_s[0], t)
-            open_s[1] = max(open_s[1], t)
-            open_s[2] += 1
-            open_s[3] += int(cents[i])
+        open_prev = list(state.get) if state.exists else None
+        closed, open_s = _fold_sessions(ts_us, cents, open_prev, gap_us)
 
         state.update(tuple(open_s))
         # Close by time once the watermark passes end + gap. The timestamp
@@ -109,10 +156,12 @@ def _make_update(gap_us: int):
         # expired relative to it, flush now instead of parking the key.
         deadline_ms = (open_s[1] + gap_us) // 1000 + 1
         if deadline_ms <= state.getCurrentWatermarkMs():
-            yield _emit_row(user_id, tuple(open_s))
+            closed.append(tuple(open_s))
             state.remove()
         else:
             state.setTimeoutTimestamp(deadline_ms)
+        if closed:
+            yield _emit_sessions(user_id, closed)
 
     return _update
 

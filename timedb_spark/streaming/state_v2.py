@@ -228,7 +228,7 @@ class SessionizeProcessor(StatefulProcessor):
         self._state = handle.getValueState("open_session", SESSION_STATE_SCHEMA)
 
     def handleInputRows(self, key, rows, timerValues):
-        from timedb_spark.streaming.sessions import _emit_row
+        from timedb_spark.streaming.sessions import _emit_sessions, _fold_sessions
 
         import numpy as np
 
@@ -244,31 +244,23 @@ class SessionizeProcessor(StatefulProcessor):
         cur = self._state.get()  # one RPC: None encodes absence
         if cur is not None:
             st = tuple(cur)
-            open_s = [st[0], st[1], st[2], st[3]]
+            open_prev = [st[0], st[1], st[2], st[3]]
             self._handle.deleteTimer(st[4])  # superseded deadline
         else:
-            open_s = None
-        for i in range(len(ts_us)):
-            t = int(ts_us[i])
-            if open_s is None:
-                open_s = [t, t, 0, 0]
-            elif t - open_s[1] > self._gap_us:
-                yield _emit_row(user_id, tuple(open_s))
-                open_s = [t, t, 0, 0]
-            open_s[0] = min(open_s[0], t)
-            open_s[1] = max(open_s[1], t)
-            open_s[2] += 1
-            open_s[3] += int(cents[i])
+            open_prev = None
+        closed, open_s = _fold_sessions(ts_us, cents, open_prev, self._gap_us)
 
         deadline_ms = (open_s[1] + self._gap_us) // 1000 + 1
         if deadline_ms <= timerValues.getCurrentWatermarkInMs():
             # already expired relative to this batch's watermark: flush now
             # instead of parking a timer that would never sit ahead of it.
-            yield _emit_row(user_id, tuple(open_s))
+            closed.append(tuple(open_s))
             self._state.clear()
         else:
             self._state.update((open_s[0], open_s[1], open_s[2], open_s[3], deadline_ms))
             self._handle.registerTimer(deadline_ms)
+        if closed:
+            yield _emit_sessions(user_id, closed)
 
     def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
         from timedb_spark.streaming.sessions import _emit_row
