@@ -96,13 +96,15 @@ def _update_latest(
         )
         sid = int(key[0])
         ch = sorted(changed)
+        vt_a = np.array(ch, dtype="int64")
+        ktct = np.array([changed[v][:2] for v in ch], dtype="int64")
         yield pd.DataFrame(
             {
-                "series_id": [sid] * len(ch),
-                "valid_time": [pd.Timestamp(v * 1000) for v in ch],
-                "value": [changed[v][2] for v in ch],
-                "knowledge_time": [pd.Timestamp(changed[v][0] * 1000) for v in ch],
-                "change_time": [pd.Timestamp(changed[v][1] * 1000) for v in ch],
+                "series_id": np.full(len(ch), sid, dtype="int64"),
+                "valid_time": vt_a.astype("datetime64[us]"),
+                "value": np.array([changed[v][2] for v in ch], dtype="float64"),
+                "knowledge_time": ktct[:, 0].astype("datetime64[us]"),
+                "change_time": ktct[:, 1].astype("datetime64[us]"),
             }
         )
 
