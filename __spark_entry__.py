@@ -622,6 +622,92 @@ def _q_multimodal_video(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Store metadata ops promoted to gate queries (VERDICT r5 task #5): the store
+# is materialized deterministically from bitemporal_frame(events), so a DuckDB
+# oracle over the same parquet recomputes every stat the footers answer.
+# ---------------------------------------------------------------------------
+
+_STORE_CACHE: dict[str, object] = {}
+
+
+def _materialized_store(spark: SparkSession, sf_dir: str):
+    """One store per (process, sf_dir): Store.create() + append_values of the
+    deterministic bitemporal frame. Cached so fast_count and partition_stats
+    share the materialization inside one gate run."""
+    st = _STORE_CACHE.get(sf_dir)
+    if st is None:
+        import tempfile
+
+        from timedb_spark.store import Store
+
+        st = Store(spark, tempfile.mkdtemp(prefix="timedb_gate_store_"))
+        st.create()
+        # bitemporal_frame lacks the optional valid_time_end/run_id columns
+        # of the full series_values schema; fill them null like a write
+        # without intervals/runs.
+        sv = bitemporal_frame(spark, sf_dir).withColumns({
+            "valid_time_end": F.lit(None).cast("timestamp"),
+            "run_id": F.lit(None).cast("long"),
+        })
+        st.append_values(sv)
+        _STORE_CACHE[sf_dir] = st
+    return st
+
+
+def _q_partition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """store.partition_stats() — per-(retention, vt_month) row counts and
+    (series_id, valid_time) min/max read from parquet FOOTERS only (zero data
+    IO; store.py:153). The oracle recomputes the same stats by scanning the
+    source rows: footer zone maps on int64/timestamp columns are exact, so
+    the two must agree value-for-value. ``n_files`` is EXCLUDED from the gate
+    projection (write-layout dependent, not SQL-derivable; pinned in
+    tests/test_store_client.py instead)."""
+    st = _materialized_store(spark, sf_dir)
+    rows = [
+        (p["retention"], p["vt_month"], p["n_rows"], p["series_id_min"],
+         p["series_id_max"], p["valid_time_min"], p["valid_time_max"])
+        for p in st.partition_stats()
+    ]
+    return spark.createDataFrame(
+        rows,
+        "retention string, vt_month string, n_rows bigint, series_id_min bigint, "
+        "series_id_max bigint, valid_time_min timestamp, valid_time_max timestamp",
+    )
+
+
+def _q_fast_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """store.fast_count() under BOTH of its answering strategies
+    (store.py:290): ``footer_only`` — a whole-tier count with no time bounds,
+    answered purely from partition_stats footer metadata; ``edge_scan`` — a
+    mid-month valid_time cut, forcing the boundary-month partition-pruned
+    scan fallback. The oracle recomputes both counts from the source rows."""
+    st = _materialized_store(spark, sf_dir)
+    full = st.fast_count(retention={"short", "long"})
+    edge = st.fast_count(retention={"short", "medium"}, start_valid=datetime(2024, 1, 15))
+    return spark.createDataFrame(
+        [("footer_only", full), ("edge_scan", edge)], "mode string, cnt bigint"
+    )
+
+
+def _q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """embed_quantize with `codes array<int>` serialized to a ','-joined
+    string for the gate (the driver canonicalizer cannot factorize list
+    cells — the identical failure mode as multimodal_decode's thumb,
+    CORRECTNESS_r03, repeated by codes in CORRECTNESS_r05). The typed array
+    stays on the raw operator; the oracle twin is EMBED_QUANTIZE_GATE_SQL
+    (array_to_string on the same projection). Int elements cast to string
+    element-wise — concat_ws takes array<string> only, and codes never
+    holds nulls (transform over the non-null quantized embedding)."""
+    out = similarity.embed_quantize(spark, sf_dir)
+    return out.select(
+        "vec_id",
+        "amax",
+        F.concat_ws(",", F.col("codes").cast("array<string>")).alias("codes"),
+        "sq_err",
+    )
+
+
 def _q_profile_table_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """profile_table with exact distinct counts (the DuckDB oracle is exact;
     the operator's production default is HLL approx — the two modes are
@@ -679,89 +765,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     the first 50 entries, so each round front-loads the queries most in need
     of a driver row (see SURVEY.md §7 rotation note).
 
-    Round-5 window (first 50): the five operators that landed in r3 but never
-    got a driver row (text_boilerplate, text_vocab, events_rfm — now wired to
-    the exact-ntile wrapper matching its oracle, ann_range, embed_pca
-    rows-only), then the 24 round-1-only greens (tpch q2-q22, asof variants,
-    basket_pairs, events_window_sliding — no driver row since round 1), then
-    11 round-2 greens on re-verify rotation, then EVERY never-hash-checked
-    entry: the four brand-new r5 operators (ann_hybrid, embed_quantize,
-    events_abtest, profile_drift), the four rows-only → full-oracle
-    UPGRADES (multimodal_decode, multimodal_audio, ann_lsh, pack_documents),
-    and the two NEW entries stream_latest_state_v2 + multimodal_video.
-    Deferred entries stay green locally via tools/parity.py; the r3/r4
-    window queries (all hash-green in CORRECTNESS_r03/r04) move to the
-    tail."""
+    Round-6 window (first 50), per VERDICT r5 tasks #1/#3/#5: the r5 red row
+    (embed_quantize — now the serialized gate wrapper) and the FOUR late
+    registrations that shipped past position 50 in r5 and were never
+    driver-checked (ts_theta + the three v2 streaming twins), then the TWO
+    store metadata ops newly promoted from internal-only to full-oracle gate
+    queries (fast_count, partition_stats), then the 38 round-2-only greens
+    (text_fingerprint → ts_decompose — no driver row since round 2), then 5
+    of the stale r3/r4 greens. Window-discipline rule (VERDICT r5 task #4):
+    any query registered mid-round goes INSIDE this window or is explicitly
+    listed as next-window debt here. Deferred entries stay green locally via
+    tools/parity.py; the r5 window greens (all hash-green in CORRECTNESS_r05)
+    move to the tail."""
     return {
-        # -- r3 operators with no driver row yet (front-loaded, 2 rounds
-        #    overdue per VERDICT r4 task #3) ------------------------------
-        "text_boilerplate": text.text_boilerplate,
-        "text_vocab": text.text_vocab,
-        # exact=True: the oracle is DuckDB ntile(5); the operator default is
-        # percentile_approx cut-points (zero global sorts — the 100 TB path).
-        # r4 regression fix: the approx default was registered against the
-        # exact oracle and failed parity (VERDICT r4 #1).
-        "events_rfm": _q_events_rfm_exact,
-        "ann_range": similarity.ann_range,
-        "embed_pca": similarity.embed_pca,  # rows-only (eigh not SQL-able)
-        # -- round-1-only greens, no driver row since r1 (24) -------------
-        "tpch_q2": tpch_ext.tpch_q2,
-        "tpch_q4": analytics.tpch_q4,
-        "tpch_q6": analytics.tpch_q6,
-        "tpch_q7": tpch_ext.tpch_q7,
-        "tpch_q8": tpch_ext.tpch_q8,
-        "tpch_q9": tpch_ext.tpch_q9,
-        "tpch_q10": analytics.tpch_q10,
-        "tpch_q11": tpch_ext.tpch_q11,
-        "tpch_q12": tpch_ext.tpch_q12,
-        "tpch_q13": tpch_ext.tpch_q13,
-        "tpch_q14": analytics.tpch_q14,
-        "tpch_q15": tpch_ext.tpch_q15,
-        "tpch_q16": tpch_ext.tpch_q16,
-        "tpch_q17": tpch_ext.tpch_q17,
-        "tpch_q18": analytics.tpch_q18,
-        "tpch_q19": analytics.tpch_q19,
-        "tpch_q20": tpch_ext.tpch_q20,
-        "tpch_q21": tpch_ext.tpch_q21,
-        "tpch_q22": analytics.tpch_q22,
-        "basket_pairs": analytics.basket_pairs,
-        "events_window_sliding": analytics.events_window_sliding,
-        "asof_forward": asof.asof_forward_next_purchase,
-        "asof_tolerance": asof.asof_tolerance_last_click,
-        "asof_nearest": asof.asof_nearest_purchase,
-        # -- round-2 greens on re-verify rotation (11) --------------------
-        "bt_interval_merge": _q_interval_merge,
-        "bt_restatements": forecasting.restatements,
-        "events_attribution": asof.attribution_last_touch,
-        "events_json": analytics.events_json,
-        "graph_pagerank": analytics.graph_pagerank,
-        "events_pivot": analytics.events_pivot,
-        "events_rank": analytics.events_rank,
-        "events_funnel": funnel.events_funnel,
-        "text_tokens": text.text_tokens,
-        "text_quality": text.text_quality,
-        "text_langid": text.text_langid,
-        # -- brand-new r5 operators: first driver rows ever ---------------
-        "ann_hybrid": similarity.ann_hybrid,
-        "embed_quantize": similarity.embed_quantize,
-        "events_abtest": analytics.events_abtest,
-        "profile_drift": pipeline.profile_drift,
-        # -- rows-only → FULL-oracle upgrades this round: their first
-        #    hash-checked driver rows (r4 recorded rows-only for these) ---
-        "multimodal_decode": _q_multimodal_decode,
-        "multimodal_audio": _q_multimodal_audio,
-        "ann_lsh": similarity.ann_lsh,
-        "pack_documents": sampling.pack_documents,
-        # -- NEW full-oracle entries this round: first driver rows --------
-        # v2 state API twin (transformWithStateInPandas, RocksDB store) —
-        # unlocked in r5 via the vendored protobuf runtime; documented v1
-        # fallback when this session's workers predate the probe.
-        "stream_latest_state_v2": _q_stream_latest_state_v2,
-        # video-as-frames sampling under a FULL oracle (md5-keystream
-        # payloads are reproducible in SQL) — new in r5.
-        "multimodal_video": _q_multimodal_video,
-        # ==== end of the 50-query round-5 gate window ====================
-        # -- round-2 greens (kept green locally via tools/parity.py) ------
+        # -- the r5 driver ERROR, fixed: codes serialized for the gate ----
+        "embed_quantize": _q_embed_quantize,
+        # -- r5 late registrations, never driver-checked (VERDICT #3) -----
+        "ts_theta": timeseries.theta_forecast,
+        "stream_sessionize_v2": _q_stream_sessionize_v2,
+        "stream_funnel_v2": _q_stream_funnel_v2,
+        "stream_topk_users_v2": _q_stream_topk_users_v2,
+        # -- store metadata ops promoted to gate queries (VERDICT #5) -----
+        "fast_count": _q_fast_count,
+        "partition_stats": _q_partition_stats,
+        # -- round-2-only greens: no driver row since r2 (38) -------------
         "text_fingerprint": text.text_fingerprint,
         "text_tfidf": text.text_tfidf,
         "text_repetition": text.text_repetition,
@@ -802,12 +829,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_rate": timeseries.counter_rate,
         "ts_corr": timeseries.corr_matrix,
         "ts_decompose": timeseries.seasonal_decompose,
-        # -- r3/r4 window greens (hash-green in CORRECTNESS_r03 AND r04) --
+        # -- stale r3/r4 greens on re-verify rotation (5) ------------------
         "events_session_window": timeseries.session_window_agg,
         "text_script": text.text_script,
         "text_lm_score": text.text_lm_score,
         "events_paths": analytics.events_paths,
         "graph_triangles": analytics.graph_triangles,
+        # ==== end of the 50-query round-6 gate window ====================
+        # -- remaining r3/r4 greens (hash-green in CORRECTNESS_r03/r04) ---
         "bt_pinball_loss": forecasting.pinball_loss,
         "dedup_semantic": similarity.dedup_semantic,
         "ts_calendar_features": forecasting.calendar_features,
@@ -853,10 +882,63 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join": analytics.asof_join,
         "events_window": analytics.events_window,
         "events_markov": analytics.events_markov,
-        "ts_theta": timeseries.theta_forecast,
-        "stream_sessionize_v2": _q_stream_sessionize_v2,
-        "stream_funnel_v2": _q_stream_funnel_v2,
-        "stream_topk_users_v2": _q_stream_topk_users_v2,
+        # -- r5 window greens (all hash-green in CORRECTNESS_r05) ---------
+        "text_boilerplate": text.text_boilerplate,
+        "text_vocab": text.text_vocab,
+        # exact=True: the oracle is DuckDB ntile(5); the operator default is
+        # percentile_approx cut-points (zero global sorts — the 100 TB path).
+        "events_rfm": _q_events_rfm_exact,
+        "ann_range": similarity.ann_range,
+        "embed_pca": similarity.embed_pca,  # rows-only (eigh not SQL-able)
+        "tpch_q2": tpch_ext.tpch_q2,
+        "tpch_q4": analytics.tpch_q4,
+        "tpch_q6": analytics.tpch_q6,
+        "tpch_q7": tpch_ext.tpch_q7,
+        "tpch_q8": tpch_ext.tpch_q8,
+        "tpch_q9": tpch_ext.tpch_q9,
+        "tpch_q10": analytics.tpch_q10,
+        "tpch_q11": tpch_ext.tpch_q11,
+        "tpch_q12": tpch_ext.tpch_q12,
+        "tpch_q13": tpch_ext.tpch_q13,
+        "tpch_q14": analytics.tpch_q14,
+        "tpch_q15": tpch_ext.tpch_q15,
+        "tpch_q16": tpch_ext.tpch_q16,
+        "tpch_q17": tpch_ext.tpch_q17,
+        "tpch_q18": analytics.tpch_q18,
+        "tpch_q19": analytics.tpch_q19,
+        "tpch_q20": tpch_ext.tpch_q20,
+        "tpch_q21": tpch_ext.tpch_q21,
+        "tpch_q22": analytics.tpch_q22,
+        "basket_pairs": analytics.basket_pairs,
+        "events_window_sliding": analytics.events_window_sliding,
+        "asof_forward": asof.asof_forward_next_purchase,
+        "asof_tolerance": asof.asof_tolerance_last_click,
+        "asof_nearest": asof.asof_nearest_purchase,
+        "bt_interval_merge": _q_interval_merge,
+        "bt_restatements": forecasting.restatements,
+        "events_attribution": asof.attribution_last_touch,
+        "events_json": analytics.events_json,
+        "graph_pagerank": analytics.graph_pagerank,
+        "events_pivot": analytics.events_pivot,
+        "events_rank": analytics.events_rank,
+        "events_funnel": funnel.events_funnel,
+        "text_tokens": text.text_tokens,
+        "text_quality": text.text_quality,
+        "text_langid": text.text_langid,
+        "ann_hybrid": similarity.ann_hybrid,
+        "events_abtest": analytics.events_abtest,
+        "profile_drift": pipeline.profile_drift,
+        "multimodal_decode": _q_multimodal_decode,
+        "multimodal_audio": _q_multimodal_audio,
+        "ann_lsh": similarity.ann_lsh,
+        "pack_documents": sampling.pack_documents,
+        # v2 state API twin (transformWithStateInPandas, RocksDB store) —
+        # unlocked in r5 via the vendored protobuf runtime; documented v1
+        # fallback when this session's workers predate the probe.
+        "stream_latest_state_v2": _q_stream_latest_state_v2,
+        # video-as-frames sampling under a FULL oracle (md5-keystream
+        # payloads are reproducible in SQL).
+        "multimodal_video": _q_multimodal_video,
     }
 
 
@@ -1214,8 +1296,28 @@ def oracle_sql() -> dict[str, str]:
         "ann_pq": similarity.ANN_PQ_SQL,
         "ann_lsh": similarity.ANN_LSH_SQL,
         "ann_hybrid": similarity.ANN_HYBRID_SQL,
-        "embed_quantize": similarity.EMBED_QUANTIZE_SQL,
+        "embed_quantize": similarity.EMBED_QUANTIZE_GATE_SQL,
         "embed_kmeans": similarity.EMBED_KMEANS_SQL,
+        # Store metadata ops: the store holds exactly bitemporal_frame(events)
+        # rows, so footer-derived stats are recomputable by scanning the same
+        # derivation in SQL (footer zone maps are exact for int64/timestamp).
+        "partition_stats": f"""
+            WITH sv AS ({_SV})
+            SELECT retention, strftime(valid_time, '%Y%m') AS vt_month,
+                   CAST(count(*) AS BIGINT) AS n_rows,
+                   min(series_id) AS series_id_min, max(series_id) AS series_id_max,
+                   min(valid_time) AS valid_time_min, max(valid_time) AS valid_time_max
+            FROM sv GROUP BY retention, strftime(valid_time, '%Y%m')
+        """,
+        "fast_count": f"""
+            WITH sv AS ({_SV})
+            SELECT 'footer_only' AS mode, CAST(count(*) AS BIGINT) AS cnt
+            FROM sv WHERE retention IN ('short', 'long')
+            UNION ALL
+            SELECT 'edge_scan' AS mode, CAST(count(*) AS BIGINT) AS cnt
+            FROM sv WHERE retention IN ('short', 'medium')
+              AND valid_time >= TIMESTAMP '2024-01-15 00:00:00'
+        """,
         "dedup_semantic": similarity.DEDUP_SEMANTIC_SQL,
         "multimodal_meta": multimodal.MULTIMODAL_META_SQL,
         "multimodal_decode": multimodal.DECODE_FEATURES_SQL,

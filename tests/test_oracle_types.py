@@ -48,6 +48,28 @@ def test_no_hugeint_in_any_oracle(con):
     assert not offenders, f"oracle output columns widen to int128 (will hash-fail the gate): {offenders}"
 
 
+def test_every_gate_query_output_schema_is_flat(spark):
+    """The driver canonicalizer sorts result cells with pandas; array/map/
+    struct/binary cells raise TypeError: unhashable type even when every
+    value is correct. This has cost two rounds (multimodal_decode `thumb`
+    in r3, embed_quantize `codes` in r5) because tools/parity.py str()'d
+    lists and so the local mimic passed. Build EVERY queries() DataFrame at
+    sf0.001 and assert its schema contains only flat sortable scalars —
+    a gate query that needs an array must serialize it in a _q_* wrapper
+    (concat_ws / array_to_string on both sides)."""
+    from tools.parity import nonflat_columns
+
+    offenders = {}
+    for name, fn in entrymod.queries().items():
+        df = fn(spark, SF_DIR)
+        bad = nonflat_columns(df.schema)
+        if bad:
+            offenders[name] = bad
+    assert not offenders, (
+        f"gate queries with driver-unsortable output columns: {offenders}"
+    )
+
+
 def test_every_query_has_oracle_or_documented_exemption(con):
     """Every queries() entry either has an oracle or is in the single
     authoritative ROWS_ONLY registry exported by __spark_entry__ (non-SQL-

@@ -863,6 +863,16 @@ SELECT vec_id, CAST(amax AS BIGINT) AS amax, codes,
 FROM c
 """
 
+#: Gate-shaped twin of EMBED_QUANTIZE_SQL: the driver canonicalizer factorizes
+#: cell values with pandas and dies on list cells (unhashable — the r3 `thumb`
+#: / r5 `codes` lesson), so the GATE projection serializes `codes` to a
+#: deterministic ','-joined string on BOTH sides. The typed array<int> stays on
+#: the operator itself (embed_quantize) for real consumers.
+EMBED_QUANTIZE_GATE_SQL = f"""
+SELECT vec_id, amax, array_to_string(codes, ',') AS codes, sq_err
+FROM ({EMBED_QUANTIZE_SQL})
+"""
+
 
 # ---------------------------------------------------------------------------
 # full DuckDB oracle for ann_lsh (r5 upgrade from rows-only): the whole

@@ -24,6 +24,23 @@ from timedb_spark.io.tables import TABLE_NAMES  # noqa: E402
 from timedb_spark.session import get_spark  # noqa: E402
 
 
+def nonflat_columns(schema) -> list[str]:
+    """Columns the DRIVER canonicalizer cannot sort: its pandas
+    factorize/sort_values dies on list/dict/bytes cells (TypeError:
+    unhashable type — CORRECTNESS_r03 `thumb`, CORRECTNESS_r05 `codes`).
+    The old _norm_cell here happily str()'d them, so the local mimic
+    passed where the driver errored — twice. Gate queries must emit only
+    flat sortable scalars; serialize arrays with concat_ws (Spark) /
+    array_to_string (DuckDB) in a _q_* wrapper."""
+    from pyspark.sql.types import ArrayType, BinaryType, MapType, StructType
+
+    return [
+        f.name
+        for f in schema.fields
+        if isinstance(f.dataType, (ArrayType, MapType, StructType, BinaryType))
+    ]
+
+
 def _norm_cell(v):
     if v is None:
         return "∅"
@@ -69,6 +86,14 @@ def run(sf_dir: str, only: list[str] | None = None) -> bool:
         n_ran += 1
         t0 = time.time()
         sdf = fn(spark, sf_dir)
+        bad_cols = nonflat_columns(sdf.schema)
+        if bad_cols:
+            # Faithful-mimic hard failure: the driver canonicalizer would
+            # TypeError on these, even if every value is correct.
+            print(f"  {name:32s} FAIL non-flat gate columns (driver canonicalizer "
+                  f"cannot sort array/map/struct/binary): {bad_cols}")
+            ok_all = False
+            continue
         s_rows = sdf.collect()
         s_cols = sdf.columns
         t_spark = time.time() - t0
