@@ -771,3 +771,39 @@ def test_delta_store_gate_or_roundtrip(spark, tmp_path):
     assert len(got) == 3
     assert db.store.fast_count() == 3
     db.delete()
+
+
+def test_delta_log_liveness_is_latest_action_not_ever_removed(spark, tmp_path):
+    """_live_adds resolves file liveness by MAX commit version of add vs
+    remove actions, not a blanket "ever removed" anti-join (ADVICE r5): a
+    path re-added after a remove (RESTORE / time-travel re-commit) is live
+    again. Pure log-JSON parsing — runs without delta-spark."""
+    import json
+
+    from timedb_spark.deltastore import _live_adds
+
+    logdir = tmp_path / "series_values" / "_delta_log"
+    logdir.mkdir(parents=True)
+
+    def add(path, n):
+        return json.dumps({"add": {"path": path, "partitionValues": {
+            "retention": "short", "vt_month": "202401"},
+            "stats": json.dumps({"numRecords": n})}})
+
+    def remove(path):
+        return json.dumps({"remove": {"path": path}})
+
+    # v0: files A (10 rows) + B (5 rows); v1: compaction removes A, adds C
+    # (10 rows); v2: A re-added (RESTORE semantics).
+    (logdir / "00000000000000000000.json").write_text(add("A", 10) + "\n" + add("B", 5))
+    (logdir / "00000000000000000001.json").write_text(remove("A") + "\n" + add("C", 10))
+    (logdir / "00000000000000000002.json").write_text(add("A", 10))
+
+    live = {r["path"]: r["numRecords"] for r in _live_adds(spark, tmp_path / "series_values").collect()}
+    # the old anti-join dropped A forever; latest-action liveness keeps it
+    assert live == {"A": 10, "B": 5, "C": 10}
+
+    # v3: B removed — and stays dead (remove version > its add version)
+    (logdir / "00000000000000000003.json").write_text(remove("B"))
+    live2 = {r["path"]: r["numRecords"] for r in _live_adds(spark, tmp_path / "series_values").collect()}
+    assert live2 == {"A": 10, "C": 10}

@@ -739,3 +739,32 @@ def test_stream_topk_users_v2_matches_batch(spark, sf_dir, events_dir):
         for r in counts.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= 10).collect()
     }
     assert got == exp and len(got) > 0
+
+
+def test_fold_sessions_late_batch_clamps_to_open_session_end():
+    """Regression (ADVICE r5): a batch arriving entirely BEFORE the open
+    session's end, with an in-batch gap larger than the threshold, must
+    merge into the running session (the continuation test is against the
+    running max end), never close it and emit a second session that starts
+    before the first one's end."""
+    import numpy as np
+
+    from timedb_spark.streaming.sessions import _fold_sessions
+
+    gap_us = 10
+    open_s = [0, 100, 3, 300]  # open session ends at t=100
+    # both events precede the open end; their in-batch gap (45) > gap_us
+    ts = np.array([50, 95], dtype="int64")
+    cents = np.array([1, 2], dtype="int64")
+    closed, open_out = _fold_sessions(ts, cents, open_s, gap_us)
+    assert closed == []  # nothing closed — no overlapping emission possible
+    assert open_out == [0, 100, 5, 303]  # merged: start/end unchanged, n/sum grew
+
+    # control: the same batch WITHOUT an open session does split on the gap
+    closed2, open2 = _fold_sessions(ts, cents, None, gap_us)
+    assert closed2 == [(50, 50, 1, 1)] and open2 == [95, 95, 1, 2]
+
+    # and a genuinely-past-gap event still closes the open session
+    ts3 = np.array([150], dtype="int64")
+    closed3, open3 = _fold_sessions(ts3, np.array([7], dtype="int64"), open_s, gap_us)
+    assert closed3 == [(0, 100, 3, 300)] and open3 == [150, 150, 1, 7]

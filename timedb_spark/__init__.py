@@ -25,7 +25,13 @@ from timedb_spark.client import TimeDB, UnchangedScope, WriteResult
 # external harnesses typically do AFTER importing this package but outside
 # our get_spark. Importing is the earliest hook we own. No-op when pip
 # protobuf exists or no vendorable runtime is found (the precise failure is
-# re-recorded by streaming.state_v2 for skip messages).
+# re-recorded by streaming.state_v2 for skip messages). Hosts that must not
+# have PYTHONPATH/sys.path touched by a library import can set
+# TIMEDB_NO_PROTOBUF_PROBE=1 — the probe then only checks for an installed
+# protobuf and otherwise leaves the process untouched (v2 gate stays closed
+# with that exact reason). The version-check leniency the shim applies is
+# scoped to PySpark's own pb2 modules; other protobuf users keep the strict
+# upstream validation.
 from timedb_spark.streaming._proto_compat import ensure_protobuf as _ensure_protobuf
 
 _ensure_protobuf()

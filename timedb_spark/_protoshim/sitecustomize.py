@@ -36,11 +36,18 @@ try:
 
     _orig_validate = _rv.ValidateProtobufRuntimeVersion
 
+    # Leniency is SCOPED to PySpark-generated pb2 modules via the proto-file
+    # location argument; every other protobuf user in the process keeps the
+    # strict upstream check (keep in sync with _proto_compat.
+    # LENIENT_PROTO_LOCATIONS — this file runs standalone and cannot import
+    # the package).
+    _LENIENT_LOCATIONS = ("org/apache/spark/", "spark/connect/")
+
     def _lenient_validate(domain, major, minor, patch, suffix, location):
         try:
             _orig_validate(domain, major, minor, patch, suffix, location)
         except _rv.VersionError:
-            if major != _rv.MAJOR:
+            if major != _rv.MAJOR or not str(location).startswith(_LENIENT_LOCATIONS):
                 raise
 
     _rv.ValidateProtobufRuntimeVersion = _lenient_validate

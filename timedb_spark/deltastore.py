@@ -63,6 +63,50 @@ except ImportError:
     )
 
 
+def _live_adds(spark: SparkSession, values_path: Path) -> DataFrame | None:
+    """Live add actions from a Delta transaction log: per path, the add with
+    the highest commit version, kept only when no remove supersedes it at a
+    later (or equal) version. Module-level and pure log-JSON parsing — no
+    delta-spark needed — so the liveness rule is unit-testable even where
+    the package gate is closed. Returns None when the log has no adds.
+
+    Liveness is max-version arbitration, NOT an anti-join on "ever removed":
+    a path re-added after a remove (RESTORE, time-travel re-commit) is live
+    again. Commit version = the log filename's numeric prefix (the Delta
+    protocol's commit ordering)."""
+    log = spark.read.json(str(values_path / "_delta_log" / "*.json")).withColumn(
+        "_v",
+        F.regexp_extract(F.col("_metadata.file_path"), r"(\d+)\.json$", 1).cast("long"),
+    )
+    if "add" not in log.columns:
+        return None
+    adds = (
+        log.filter(F.col("add").isNotNull())
+        .select(
+            F.col("add.path").alias("path"),
+            F.col("_v"),
+            F.struct(
+                F.col("add.partitionValues.retention").alias("retention"),
+                F.col("add.partitionValues.vt_month").alias("vt_month"),
+                F.from_json(F.col("add.stats"), "numRecords LONG").getField("numRecords").alias("numRecords"),
+            ).alias("_a"),
+        )
+        .groupBy("path")
+        .agg(F.max("_v").alias("_av"), F.max_by("_a", "_v").alias("_a"))
+    )
+    if "remove" in log.columns:
+        removes = (
+            log.filter(F.col("remove").isNotNull())
+            .select(F.col("remove.path").alias("path"), "_v")
+            .groupBy("path")
+            .agg(F.max("_v").alias("_rv"))
+        )
+        adds = adds.join(removes, on="path", how="left").filter(
+            F.col("_rv").isNull() | (F.col("_av") > F.col("_rv"))
+        )
+    return adds.select("path", "_a.retention", "_a.vt_month", "_a.numRecords")
+
+
 def _require_delta(spark: SparkSession) -> None:
     if DELTA_MISSING:
         raise NotImplementedError(f"table_format='delta' unavailable: missing {DELTA_MISSING}")
@@ -163,27 +207,17 @@ class DeltaStore:
         """Per-(retention, vt_month) row/file counts for the LIVE table
         from the transaction log — metadata only, zero data IO (the log
         JSON holds numRecords per add action; the store.py analogue reads
-        parquet footers). A file is live iff its latest log action is an
-        add: OPTIMIZE / DELETE / TTL rewrites emit remove actions for the
-        files they supersede, and summing raw adds would double-count every
-        rewritten partition (and keep reporting deleted data forever)."""
-        log = self.spark.read.json(str(self.values_path / "_delta_log" / "*.json"))
-        if "add" not in log.columns:
+        parquet footers). A file is live iff its LATEST log action (by
+        commit version) is an add — not "never removed": RESTORE /
+        time-travel re-commits re-ADD a previously removed path at a later
+        version, and a blanket remove anti-join would undercount it forever
+        (ADVICE r5), skewing fast_count and apply_retention with it."""
+        adds = _live_adds(self.spark, self.values_path)
+        if adds is None:
             return []
-        adds = log.filter(F.col("add").isNotNull()).select(
-            F.col("add.path").alias("path"),
-            F.col("add.partitionValues.retention").alias("retention"),
-            F.col("add.partitionValues.vt_month").alias("vt_month"),
-            F.from_json(F.col("add.stats"), "numRecords LONG").alias("_s"),
-        )
-        if "remove" in log.columns:
-            removed = log.filter(F.col("remove").isNotNull()).select(
-                F.col("remove.path").alias("path")
-            )
-            adds = adds.join(removed, on="path", how="left_anti")
         live = (
             adds.groupBy("retention", "vt_month")
-            .agg(F.sum("_s.numRecords").alias("n_rows"), F.count(F.lit(1)).alias("n_files"))
+            .agg(F.sum("numRecords").alias("n_rows"), F.count(F.lit(1)).alias("n_files"))
             .orderBy("retention", "vt_month")
         )
         return [r.asDict() for r in live.collect()]

@@ -39,11 +39,20 @@ _CANDIDATE_DIRS = [
 
 _SHIM_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "_protoshim")
 
+#: proto-file location prefixes of PySpark-generated pb2 modules — the ONLY
+#: gencode the lenient version check applies to. Any other protobuf user in
+#: the process keeps the strict upstream validation (keep in sync with
+#: _protoshim/sitecustomize.py, which cannot import this module).
+LENIENT_PROTO_LOCATIONS = ("org/apache/spark/", "spark/connect/")
+
 _probed: str | None = None
 
 
 def _patch_validator() -> None:
-    """Same-major leniency for gencode newer than runtime (minor skew).
+    """Same-major leniency for gencode newer than runtime (minor skew),
+    SCOPED to PySpark's own pb2 modules via the proto-file ``location``
+    argument (e.g. ``org/apache/spark/.../StateMessage.proto``) — every
+    other protobuf consumer in the process still gets the strict check.
 
     Guarded: runtime_version only exists from protobuf 5.27 — an older
     vendored runtime simply has nothing to patch (and will fail the pb2
@@ -60,7 +69,7 @@ def _patch_validator() -> None:
         try:
             _orig(domain, major, minor, patch, suffix, location)
         except _rv.VersionError:
-            if major != _rv.MAJOR:
+            if major != _rv.MAJOR or not str(location).startswith(LENIENT_PROTO_LOCATIONS):
                 raise
 
     _rv.ValidateProtobufRuntimeVersion = _lenient
@@ -83,6 +92,18 @@ def ensure_protobuf() -> str:
         return _probed
     except ImportError:
         pass
+
+    if os.environ.get("TIMEDB_NO_PROTOBUF_PROBE"):
+        # Explicit opt-out for hosts that must not have their environment
+        # touched by a library import (ADVICE r5): no sys.path / PYTHONPATH
+        # mutation, no validator patch; the v2 gate stays closed with this
+        # exact reason. NOT cached in _probed — unsetting the var re-enables
+        # the probe on the next call. (The import check above is
+        # side-effect-free, so a pip-installed protobuf still counts.)
+        return (
+            "TIMEDB_NO_PROTOBUF_PROBE is set: vendored-runtime discovery "
+            "disabled; install the 'protobuf' package to use the state API v2"
+        )
 
     candidates = []
     if os.environ.get("TIMEDB_PROTOBUF_DIR"):

@@ -83,6 +83,17 @@ def _fold_sessions(ts_us, cents, open_s, gap_us):
     was the v1 hot spot: one 1-row DataFrame PER CLOSED SESSION (~10⁵
     constructions per batch at sf0.1, 13 s of the 14 s batch) — callers
     now build ONE frame per key from ``closed``.
+
+    Late-data clamp (ADVICE r5): the session-continuation test is against
+    the RUNNING session end — for sorted events that is
+    ``max(ts[i-1], open_end)``, not the raw in-batch predecessor. Without
+    it, a batch of events arriving entirely before the open session's end
+    but with an in-batch gap > gap_us would close the merged session and
+    open a second one starting BEFORE the closed one's end (overlapping
+    emissions the per-event fold never produced). After the first true
+    split, every later event exceeds ``open_end + gap_us`` so the
+    ``maximum`` degenerates to the plain predecessor — one vectorized
+    expression implements the exact running-max semantics.
     """
     import numpy as np
 
@@ -90,7 +101,10 @@ def _fold_sessions(ts_us, cents, open_s, gap_us):
     new_seg = np.empty(m, dtype=bool)
     new_seg[0] = open_s is None or int(ts_us[0]) - open_s[1] > gap_us
     if m > 1:
-        new_seg[1:] = np.diff(ts_us) > gap_us
+        if open_s is None:
+            new_seg[1:] = np.diff(ts_us) > gap_us
+        else:
+            new_seg[1:] = ts_us[1:] - np.maximum(ts_us[:-1], open_s[1]) > gap_us
     starts = np.nonzero(new_seg)[0]  # may be empty (all rows continue open_s)
     bounds = np.r_[0, starts] if (len(starts) == 0 or starts[0] != 0) else starts
     n_per = np.diff(np.r_[bounds, m])
