@@ -770,13 +770,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     registrations that shipped past position 50 in r5 and were never
     driver-checked (ts_theta + the three v2 streaming twins), then the TWO
     store metadata ops newly promoted from internal-only to full-oracle gate
-    queries (fast_count, partition_stats), then the 38 round-2-only greens
-    (text_fingerprint → ts_decompose — no driver row since round 2), then 5
-    of the stale r3/r4 greens. Window-discipline rule (VERDICT r5 task #4):
-    any query registered mid-round goes INSIDE this window or is explicitly
-    listed as next-window debt here. Deferred entries stay green locally via
-    tools/parity.py; the r5 window greens (all hash-green in CORRECTNESS_r05)
-    move to the tail."""
+    queries (fast_count, partition_stats), then the SIX operators NEW in r6
+    (text_readability, ts_kalman, ts_croston, ts_sax, events_survival,
+    graph_link_predict — inside the window per the discipline rule), then 37
+    of the 38 round-2-only greens (text_fingerprint → ts_corr — no driver
+    row since round 2). Window-discipline rule (VERDICT r5 task #4): any
+    query registered mid-round goes INSIDE this window or is explicitly
+    listed as next-window debt here — the debt entries are ts_decompose (r2
+    green) and the 5 r3/r4 re-verify slots the new registrations displaced.
+    Deferred entries stay green locally via tools/parity.py; the r5 window
+    greens (all hash-green in CORRECTNESS_r05) move to the tail."""
     return {
         # -- the r5 driver ERROR, fixed: codes serialized for the gate ----
         "embed_quantize": _q_embed_quantize,
@@ -788,7 +791,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- store metadata ops promoted to gate queries (VERDICT #5) -----
         "fast_count": _q_fast_count,
         "partition_stats": _q_partition_stats,
-        # -- round-2-only greens: no driver row since r2 (38) -------------
+        # -- NEW in r6 (window-discipline rule: mid-round registrations go
+        #    INSIDE the current window) --------------------------------------
+        "text_readability": text.text_readability,
+        "ts_kalman": timeseries.kalman_filter,
+        "ts_croston": timeseries.croston,
+        "ts_sax": timeseries.sax_symbolize,
+        "events_survival": analytics.events_survival,
+        "graph_link_predict": analytics.graph_link_predict,
+        # -- round-2-only greens: no driver row since r2 (37 in-window; the
+        #    6 new registrations displace ts_decompose + the 5 r3/r4
+        #    re-verify slots past 50 — explicit next-window debt) ----------
         "text_fingerprint": text.text_fingerprint,
         "text_tfidf": text.text_tfidf,
         "text_repetition": text.text_repetition,
@@ -828,14 +841,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_ewma": timeseries.ewma,
         "ts_rate": timeseries.counter_rate,
         "ts_corr": timeseries.corr_matrix,
+        # ==== end of the 50-query round-6 gate window ====================
+        # -- next-window debt: displaced by the 6 r6 registrations --------
         "ts_decompose": timeseries.seasonal_decompose,
-        # -- stale r3/r4 greens on re-verify rotation (5) ------------------
         "events_session_window": timeseries.session_window_agg,
         "text_script": text.text_script,
         "text_lm_score": text.text_lm_score,
         "events_paths": analytics.events_paths,
         "graph_triangles": analytics.graph_triangles,
-        # ==== end of the 50-query round-6 gate window ====================
         # -- remaining r3/r4 greens (hash-green in CORRECTNESS_r03/r04) ---
         "bt_pinball_loss": forecasting.pinball_loss,
         "dedup_semantic": similarity.dedup_semantic,
@@ -1254,6 +1267,12 @@ def oracle_sql() -> dict[str, str]:
         "events_attribution": asof.ATTRIBUTION_SQL,
         "events_markov": analytics.EVENTS_MARKOV_SQL,
         "ts_theta": timeseries.THETA_SQL,
+        "ts_kalman": timeseries.KALMAN_SQL,
+        "ts_croston": timeseries.CROSTON_SQL,
+        "ts_sax": timeseries.SAX_SQL,
+        "events_survival": analytics.EVENTS_SURVIVAL_SQL,
+        "graph_link_predict": analytics.GRAPH_LINK_PREDICT_SQL,
+        "text_readability": text.TEXT_READABILITY_SQL,
         "events_abtest": analytics.EVENTS_ABTEST_SQL,
         "profile_drift": pipeline.PROFILE_DRIFT_SQL,
         "events_paths": analytics.EVENTS_PATHS_SQL,

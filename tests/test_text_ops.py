@@ -118,3 +118,43 @@ def test_lm_score_signal_direction(spark, tmp_path):
     assert out[3].singleton_frac == 1.0
     assert out[0].mean_bigram_freq == 3.0  # every bigram appears in 3 docs
     assert out[0].singleton_frac == 0.0
+
+
+def test_readability_hand_computed(spark, tmp_path):
+    """text_readability on two planted documents: counts (letter-run words,
+    vowel-group syllables, terminal-punct sentences) and the Flesch / FK
+    affine combinations verified against by-hand arithmetic."""
+    import math
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [1, 2],
+            # doc 1: "The cat sat. It ran!" -> 5 words, 2 sentences,
+            # vowel groups: e,a,a,I,a -> 5 syllables
+            # doc 2: no terminal punctuation -> sentence floor of 1
+            "text": ["The cat sat. It ran!", "incomprehensibility"],
+            "lang": ["en", "en"],
+            "source": ["s", "s"],
+            "n_chars": [20, 19],
+        }
+    )
+    d = str(tmp_path / "sf")
+    os.makedirs(d)
+    pdf.to_parquet(os.path.join(d, "documents.parquet"))
+    out = {r.doc_id: r for r in tx.text_readability(spark, d).collect()}
+
+    d1 = out[1]
+    assert (d1.n_words, d1.n_sentences, d1.n_syllables) == (5, 2, 5)
+    wps, spw = 5 / 2, 5 / 5
+    fl = 206.835 - 1.015 * wps - 84.6 * spw
+    assert d1.flesch == math.floor(fl * 1e4) / 1e4
+    assert d1.fk_grade == math.floor((0.39 * wps + 11.8 * spw - 15.59) * 1e4) / 1e4
+    assert d1.band == "easy"  # ~119: trivially easy text
+
+    # i-n-c-o-m-p-r-e-h-e-n-s-i-b-i-l-i-t-y: vowel groups i,o,e,e,i,i,i,y
+    d2 = out[2]
+    assert (d2.n_words, d2.n_sentences, d2.n_syllables) == (1, 0, 8)
+    wps2, spw2 = 1 / 1, 8 / 1  # sentence floor kicks in
+    fl2 = 206.835 - 1.015 * wps2 - 84.6 * spw2
+    assert d2.flesch == math.floor(fl2 * 1e4) / 1e4
+    assert d2.band == "difficult"  # deeply negative score

@@ -549,3 +549,126 @@ def test_theta_forecast_matches_numpy(spark, tmp_path):
         assert r.theta_f24 == math.floor(f24 / 100.0 * 1e6) / 1e6
         # slope recovers the planted 0.3/hour trend
         assert abs(r.theta_slope - 0.3) < 0.05
+
+
+def test_kalman_matches_numpy(spark, tmp_path):
+    """ts_kalman vs a direct numpy recursion of the local-level filter on a
+    planted step series — pins the fold math (and the span-bounded seeding)
+    independently of the SQL oracle."""
+    import math
+    import os
+
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.default_rng(11)
+    rows = []
+    eid = 0
+    for t in range(40):
+        eid += 1
+        base = 10.0 if t < 20 else 25.0  # level step at t=20
+        rows.append(
+            (eid, datetime(2024, 1, 1) + pd.Timedelta(hours=t), 1, "x",
+             round(base + float(rng.normal(0, 0.3)), 2))
+        )
+    pdf = pd.DataFrame(rows, columns=["event_id", "ts", "user_id", "event_type", "value"])
+    pdf["props"] = ""
+    d = str(tmp_path / "sf")
+    os.makedirs(d)
+    pdf.to_parquet(os.path.join(d, "events.parquet"))
+
+    out = ts.kalman_filter(spark, d).orderBy("ts", "event_id").collect()
+    vals = pdf.sort_values(["ts", "event_id"]).value.to_numpy()
+    q, r_, span = ts._KF_Q, ts._KF_R, ts._KF_SPAN
+    for idx, row in enumerate(out):
+        frame = vals[max(0, idx - span + 1): idx + 1]
+        l, p = float(frame[0]), 1.0
+        for x in frame[1:]:
+            pp = p + q
+            k = pp / (pp + r_)
+            l = l + k * (x - l)
+            p = (1.0 - k) * pp
+        gain = (p + q) / (p + q + r_)
+        assert row.kf_level == math.floor(l * 1e6) / 1e6, idx
+        assert row.kf_gain == math.floor(gain * 1e6) / 1e6, idx
+    # the filter tracks the level step: late levels near 25, early near 10
+    assert abs(out[10].kf_level - 10.0) < 1.0
+    assert abs(out[39].kf_level - 25.0) < 1.0
+    # gain converges to the steady state of the Riccati recursion
+    ss = out[39].kf_gain
+    assert abs(out[38].kf_gain - ss) < 1e-6
+
+
+def test_croston_hand_computed(spark, tmp_path):
+    """ts_croston on a hand-built intermittent demand pattern: demands of
+    2.00 / 4.00 at periods 3 and 6 of an 8-period history."""
+    import math
+    import os
+
+    import pandas as pd
+
+    rows = []
+    # periods 1..8; purchases (demand) at period 3 (2.00) and period 6 (4.00)
+    for t in range(1, 9):
+        et = "purchase" if t in (3, 6) else "view"
+        v = {3: 2.0, 6: 4.0}.get(t, 9.99)  # non-purchase value must be ignored
+        rows.append((t, datetime(2024, 1, 1) + pd.Timedelta(hours=t), 1, et, v))
+    # user 2: no purchases at all -> NULL croston columns
+    rows.append((100, datetime(2024, 1, 1), 2, "view", 5.0))
+    pdf = pd.DataFrame(rows, columns=["event_id", "ts", "user_id", "event_type", "value"])
+    pdf["props"] = ""
+    d = str(tmp_path / "sf")
+    os.makedirs(d)
+    pdf.to_parquet(os.path.join(d, "events.parquet"))
+
+    got = {r.user_id: r for r in ts.croston(spark, d).collect()}
+    a = ts._CROSTON_ALPHA
+    # init at first demand: z=200 cents, p=3 (periods since start)
+    # second demand after q=2 zero periods -> interval sample q+1=3
+    z = a * 400.0 + (1 - a) * 200.0
+    p = a * 3.0 + (1 - a) * 3.0
+    r1 = got[1]
+    assert r1.n_periods == 8 and r1.n_demands == 2
+    assert r1.croston_size == math.floor(z / 100.0 * 1e6) / 1e6
+    assert r1.croston_interval == math.floor(p * 1e6) / 1e6
+    assert r1.croston_forecast == math.floor((z / 100.0) / p * 1e6) / 1e6
+    r2 = got[2]
+    assert r2.n_demands == 0
+    assert r2.croston_size is None and r2.croston_forecast is None
+
+
+def test_sax_planted_shapes(spark, tmp_path):
+    """ts_sax on planted shapes: a rising ramp must symbolize low->high
+    (a..d monotone), a flat series pins all-'b', and a V-shape is symmetric."""
+    import os
+
+    import numpy as np
+    import pandas as pd
+
+    rows = []
+    eid = 0
+    for t in range(32):
+        eid += 1
+        rows.append((eid, datetime(2024, 1, 1) + pd.Timedelta(hours=t), 1, "x", float(t)))
+    for t in range(32):
+        eid += 1
+        rows.append((eid, datetime(2024, 1, 1) + pd.Timedelta(hours=t), 2, "x", 7.5))
+    for t in range(32):
+        eid += 1
+        v = abs(t - 15.5)
+        rows.append((eid, datetime(2024, 1, 1) + pd.Timedelta(hours=t), 3, "x", v))
+    pdf = pd.DataFrame(rows, columns=["event_id", "ts", "user_id", "event_type", "value"])
+    pdf["props"] = ""
+    d = str(tmp_path / "sf")
+    os.makedirs(d)
+    pdf.to_parquet(os.path.join(d, "events.parquet"))
+
+    got = {r.user_id: r for r in ts.sax_symbolize(spark, d).collect()}
+    assert got[1].sax_word == "aabbccdd"
+    assert got[2].sax_word == "bbbbbbbb"
+    assert got[2].series_std == 0.0
+    w = got[3].sax_word
+    assert w == w[::-1]  # V-shape symmetry
+    assert w[0] in "cd" and w[3] in "ab"  # high at edges, low in the middle
+    assert all(len(r.sax_word) == 8 for r in got.values())
+    assert got[1].n_points == 32

@@ -1200,3 +1200,204 @@ SELECT n_a, conv_a, n_b, conv_b,
              END, 6) AS z_score
 FROM v
 """
+
+
+#: users whose last activity falls within this many days of the corpus
+#: end-of-observation are right-CENSORED (still alive), not churned
+_KM_CENSOR_DAYS = 3
+_US_PER_DAY = 86_400_000_000
+
+
+def events_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan–Meier survival estimate of user lifetime — the
+    churn/retention curve actuarially corrected for right-censoring
+    (users still active at the end of the observed window must NOT count
+    as churned at their current age; naive retention curves do exactly
+    that). Complements events_cohort's calendar-grid retention.
+
+    Lifetime = whole days between a user's first and last event; a user is
+    censored when their last event falls within ``_KM_CENSOR_DAYS`` of the
+    corpus max timestamp. At each distinct lifetime t (ascending):
+    S(t) = Π_{u ≤ t} (n_u − d_u)/n_u with n_u = users at risk (lifetime
+    ≥ u), d_u = churn events at u — the standard product-limit estimator
+    (censored users leave the risk set but contribute no factor).
+
+    Scale shape: per-user span = one groupBy(user_id); the corpus max is a
+    broadcast 1-row scalar; everything after runs on the per-LIFETIME
+    aggregate, whose cardinality is bounded by the observation window in
+    days (≤ a few thousand rows at ANY data scale) — so the global window
+    and the single collected array are planning-sized, not data-sized.
+    Determinism: lifetimes/counts are exact integers (epoch-µs integer
+    div); the product folds in ascending-t order over a sorted array via
+    ``F.aggregate`` / ``list_reduce`` — identical double-op order in both
+    engines — then floor-scales to 6 dp.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    spans = ev.groupBy("user_id").agg(
+        F.unix_micros(F.min("ts")).alias("f_us"), F.unix_micros(F.max("ts")).alias("l_us")
+    )
+    gm = ev.agg(F.unix_micros(F.max("ts")).alias("gm_us"))
+    u = spans.crossJoin(F.broadcast(gm)).select(
+        # floor (not cast): Spark's double->long cast truncates, DuckDB's
+        # rounds — floor of the exact-integer-valued double agrees everywhere
+        F.floor((F.col("l_us") - F.col("f_us")) / F.lit(_US_PER_DAY)).alias("t"),
+        F.when(
+            F.col("l_us") >= F.col("gm_us") - F.lit(_KM_CENSOR_DAYS * _US_PER_DAY), F.lit(0)
+        ).otherwise(F.lit(1)).alias("ev"),
+    )
+    g = u.groupBy("t").agg(
+        F.sum("ev").alias("d"), F.sum(F.lit(1) - F.col("ev")).alias("c")
+    )
+    w = Window.orderBy(F.desc("t"))
+    r = g.withColumn("n", F.sum(F.col("d") + F.col("c")).over(w))
+    one = r.agg(
+        F.array_sort(F.collect_list(F.struct("t", "d", "c", "n"))).alias("arr")
+    )
+    ex = one.select("arr", F.posexplode("arr").alias("i", "r"))
+    surv = F.aggregate(
+        F.slice("arr", 1, F.col("i") + 1),
+        F.lit(1.0),
+        lambda acc, x: acc * ((x["n"] - x["d"]).cast("double") / x["n"].cast("double")),
+    )
+    return ex.select(
+        F.col("r")["t"].alias("duration_days"),
+        F.col("r")["n"].alias("n_risk"),
+        F.col("r")["d"].alias("n_events"),
+        F.col("r")["c"].alias("n_censored"),
+        (F.floor(surv * 1e6) / 1e6).alias("km_survival"),
+    )
+
+
+EVENTS_SURVIVAL_SQL = f"""
+WITH spans AS (
+    SELECT user_id, epoch_us(min(ts)) AS f_us, epoch_us(max(ts)) AS l_us
+    FROM events GROUP BY user_id
+),
+gm AS (SELECT epoch_us(max(ts)) AS gm_us FROM events),
+u AS (
+    SELECT (l_us - f_us) // {_US_PER_DAY} AS t,
+           CASE WHEN l_us >= gm_us - {_KM_CENSOR_DAYS * _US_PER_DAY} THEN 0 ELSE 1 END AS ev
+    FROM spans, gm
+),
+g AS (
+    SELECT t, CAST(sum(ev) AS BIGINT) AS d, CAST(sum(1 - ev) AS BIGINT) AS c
+    FROM u GROUP BY t
+),
+r AS (SELECT t, d, c, CAST(sum(d + c) OVER (ORDER BY t DESC) AS BIGINT) AS n FROM g),
+one AS (
+    SELECT list_sort(list(struct_pack(t := t, d := d, c := c, n := n))) AS arr FROM r
+),
+ex AS (
+    SELECT arr, unnest(arr) AS rr, unnest(range(1, len(arr) + 1)) AS i FROM one
+)
+SELECT rr.t AS duration_days, rr.n AS n_risk, rr.d AS n_events, rr.c AS n_censored,
+       floor(list_reduce(
+           list_prepend(1.0, list_transform(arr[1:i],
+               x -> CAST(x.n - x.d AS DOUBLE) / CAST(x.n AS DOUBLE))),
+           (a, b) -> a * b) * 1e6) / 1e6 AS km_survival
+FROM ex
+"""
+
+
+#: fixed-point scale for the resource-allocation score: each shared
+#: neighbor v contributes the exact integer 10^12 div deg(v), so the
+#: per-pair sum is order-independent (no float accumulation anywhere)
+_RA_SCALE = 10**12
+
+
+def graph_link_predict(spark: SparkSession, sf_dir: str, *, top_n: int = 20) -> DataFrame:
+    """Link prediction over the co-purchase part graph via the
+    Resource-Allocation index (Zhou, Lü & Zhang, EPJ B 2009) — for each
+    non-adjacent pair (u, w), score = Σ_{v ∈ N(u)∩N(v)} 1/deg(v), the
+    common-neighbors signal degree-discounted so hub intermediaries count
+    less. The "which parts will be bought together next" / recommendation
+    candidate generator, completing the graph family (pagerank = influence,
+    triangles = cohesion, this = missing-edge prediction).
+
+    Shape: the same two-equi-join wedge enumeration as graph_triangles —
+    candidate pairs are generated ONLY through shared middles (never a
+    cartesian), counted with map-side combine, then anti-joined against the
+    edge list to keep non-adjacent pairs. Wedge volume is Σ deg² — inherent
+    to the index's definition; on power-law graphs cap it by filtering
+    middles above a degree ceiling before the self-join (a hub shared by
+    everyone predicts nothing anyway — the deg-discount already sends its
+    contribution to ~0). The degree table joins broadcast (node-count =
+    dimension-sized here; past broadcast size it degrades to a shuffle join
+    on the same keys). Mirrors graph_triangles' broadcast policy: when the
+    edge list is small enough the wedge self-join's build side broadcasts
+    and the wedge stream never shuffles.
+
+    Determinism: each shared neighbor contributes the EXACT integer
+    ``_RA_SCALE div deg(v)`` (Spark ``div`` == DuckDB ``//`` on positive
+    longs), so per-pair sums are exact longs in any partial-aggregation
+    order; the final score is one long→double division, floor-scaled.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pa"))
+    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pb"))
+    edges = (
+        a.join(b, "ok").filter(F.col("pa") < F.col("pb")).select("pa", "pb").distinct()
+        .localCheckpoint(eager=False)
+    )
+    und = edges.unionByName(edges.select(F.col("pb").alias("pa"), F.col("pa").alias("pb")))
+    deg = und.groupBy(F.col("pa").alias("node")).agg(F.count(F.lit(1)).alias("deg"))
+    m = (
+        und.select(F.col("pa").alias("v"), F.col("pb").alias("nb"))
+        .join(F.broadcast(deg.withColumnRenamed("node", "v")), "v")
+        .withColumn("contrib", F.expr(f"{_RA_SCALE} div deg"))
+    )
+    m2 = m.select(F.col("v").alias("v2"), F.col("nb").alias("w"))
+    n_edges = edges.count()
+    if n_edges <= _TRI_BROADCAST_EDGES:
+        m2 = F.broadcast(m2)
+    pairs = (
+        m.join(m2, (F.col("v") == F.col("v2")) & (F.col("nb") < F.col("w")))
+        .groupBy(F.col("nb").alias("u"), "w")
+        .agg(F.count(F.lit(1)).alias("cn"), F.sum("contrib").alias("ra_q"))
+    )
+    nonadj = pairs.join(
+        edges, (pairs["u"] == edges["pa"]) & (pairs["w"] == edges["pb"]), "left_anti"
+    )
+    return (
+        nonadj.select(
+            "u", "w", "cn",
+            (F.floor(F.col("ra_q").cast("double") / F.lit(float(_RA_SCALE)) * 1e6) / 1e6).alias("ra_score"),
+            "ra_q",
+        )
+        .orderBy(F.col("ra_q").desc(), "u", "w")
+        .limit(top_n)
+        .drop("ra_q")
+    )
+
+
+GRAPH_LINK_PREDICT_SQL = f"""
+WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+edges AS (
+    SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb
+    FROM op a JOIN op b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+und AS (
+    SELECT pa AS v, pb AS nb FROM edges
+    UNION ALL SELECT pb, pa FROM edges
+),
+deg AS (SELECT v AS node, count(*) AS deg FROM und GROUP BY v),
+m AS (
+    SELECT u.v, u.nb, {_RA_SCALE} // g.deg AS contrib
+    FROM und u JOIN deg g ON g.node = u.v
+),
+pairs AS (
+    SELECT a.nb AS u, b.nb AS w, count(*) AS cn, CAST(sum(a.contrib) AS BIGINT) AS ra_q
+    FROM m a JOIN m b ON a.v = b.v AND a.nb < b.nb
+    GROUP BY 1, 2
+),
+nonadj AS (
+    SELECT p.* FROM pairs p
+    LEFT JOIN edges e ON e.pa = p.u AND e.pb = p.w
+    WHERE e.pa IS NULL
+)
+SELECT u, w, cn,
+       floor(CAST(ra_q AS DOUBLE) / {float(_RA_SCALE)} * 1e6) / 1e6 AS ra_score
+FROM nonadj
+ORDER BY ra_q DESC, u, w
+LIMIT 20
+"""

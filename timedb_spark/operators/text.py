@@ -592,3 +592,75 @@ SELECT token, n,
              / sum(n) OVER (), 6) AS cum_share
 FROM counts
 """
+
+
+# ---------------------------------------------------------------------------
+# readability scoring
+# ---------------------------------------------------------------------------
+
+
+def text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease + Flesch–Kincaid grade per document — the
+    curriculum/difficulty signal a training-data pipeline buckets corpora
+    by (alongside text_quality's surface heuristics and text_lm_score's
+    LM perplexity proxy).
+
+    Syllables are approximated by vowel-group counting (runs of
+    ``[aeiouy]+`` in the lowercased text) — the standard dictionary-free
+    heuristic; sentences by terminal-punctuation runs ``[.!?]+``; words by
+    letter runs. All three are single ``regexp_count`` projections: one
+    scan, zero shuffles, zero Python — the whole operator is a codegen'd
+    map at 100 TB.
+
+    Determinism: counts are exact integers; the two rate divisions and the
+    affine score combinations are performed in the identical operation
+    order by both engines, then floor-scaled to 4 dp (round() tie modes
+    are engine-divergent; floor is not).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    text = F.col("text")
+    n_words = F.regexp_count(text, F.lit(r"[A-Za-z]+"))
+    n_sents = F.regexp_count(text, F.lit(r"[.!?]+"))
+    n_syll = F.regexp_count(F.lower(text), F.lit(r"[aeiouy]+"))
+    wps = n_words.cast("double") / F.greatest(n_sents, F.lit(1)).cast("double")
+    spw = n_syll.cast("double") / F.greatest(n_words, F.lit(1)).cast("double")
+    flesch = 206.835 - 1.015 * wps - 84.6 * spw
+    fk_grade = 0.39 * wps + 11.8 * spw - 15.59
+    band = (
+        F.when(flesch >= 70.0, F.lit("easy"))
+        .when(flesch >= 50.0, F.lit("standard"))
+        .otherwise(F.lit("difficult"))
+    )
+    return docs.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        n_sents.alias("n_sentences"),
+        n_syll.alias("n_syllables"),
+        (F.floor(flesch * 1e4) / 1e4).alias("flesch"),
+        (F.floor(fk_grade * 1e4) / 1e4).alias("fk_grade"),
+        band.alias("band"),
+    )
+
+
+TEXT_READABILITY_SQL = r"""
+WITH c AS (
+    SELECT doc_id,
+           len(regexp_extract_all(text, '[A-Za-z]+')) AS n_words,
+           len(regexp_extract_all(text, '[.!?]+')) AS n_sentences,
+           len(regexp_extract_all(lower(text), '[aeiouy]+')) AS n_syllables
+    FROM documents
+),
+r AS (
+    SELECT doc_id, n_words, n_sentences, n_syllables,
+           CAST(n_words AS DOUBLE) / CAST(greatest(n_sentences, 1) AS DOUBLE) AS wps,
+           CAST(n_syllables AS DOUBLE) / CAST(greatest(n_words, 1) AS DOUBLE) AS spw
+    FROM c
+)
+SELECT doc_id, n_words, n_sentences, n_syllables,
+       floor((206.835 - 1.015 * wps - 84.6 * spw) * 1e4) / 1e4 AS flesch,
+       floor((0.39 * wps + 11.8 * spw - 15.59) * 1e4) / 1e4 AS fk_grade,
+       CASE WHEN 206.835 - 1.015 * wps - 84.6 * spw >= 70.0 THEN 'easy'
+            WHEN 206.835 - 1.015 * wps - 84.6 * spw >= 50.0 THEN 'standard'
+            ELSE 'difficult' END AS band
+FROM r
+"""

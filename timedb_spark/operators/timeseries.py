@@ -1617,3 +1617,306 @@ SELECT user_id, n AS n_points,
        floor((0.5 * ses + 0.5 * (a + b * (n + 24))) / 100.0 * 1e6) / 1e6 AS theta_f24
 FROM sesd
 """
+
+
+#: local-level Kalman filter constants (dyadic: bit-identical across engines)
+_KF_Q = 0.25   # process-noise variance
+_KF_R = 1.0    # observation-noise variance
+_KF_SPAN = 24  # trailing frame (rows): bounded per-row state, as in holt
+
+
+def kalman_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local-level (random-walk-plus-noise) Kalman filter per user over a
+    bounded trailing frame — the probabilistic member of the smoothing
+    family (ewma fixes its gain a-priori; the Kalman gain adapts from the
+    error covariance and converges to the steady-state ewma).
+
+    Per step:  P ← P_prev + Q;  K = P/(P+R);  l ← l + K·(x − l);
+    P ← (1−K)·P  — a 2-state scalar fold with accumulator [level, cov],
+    exactly the shape of :func:`holt`: ``F.aggregate`` over the
+    ROWS-bounded collect on Spark, ``list_reduce`` with the prepended init
+    state in the oracle. Seeded (l₀ = oldest value in frame, P₀ = 1.0).
+
+    Determinism: dyadic Q/R keep every multiply exact-scaled; the divide in
+    the gain is a single IEEE-754 double division per step performed in the
+    identical order by both engines; outputs floor-scaled to 6 dp. Scale
+    shape: one window shuffle on (user_id), O(span) state per row, zero
+    Python — identical to holt's 100 TB profile.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-(_KF_SPAN - 1), 0)
+    arr = F.collect_list("value").over(w)
+
+    def _step(acc, x):
+        l_, p_ = F.element_at(acc, 1), F.element_at(acc, 2)
+        pp = p_ + F.lit(_KF_Q)
+        k = pp / (pp + F.lit(_KF_R))
+        return F.array(l_ + k * (x - l_), (1.0 - k) * pp)
+
+    fold = F.aggregate(
+        F.slice(arr, 2, _KF_SPAN), F.array(F.element_at(arr, 1), F.lit(1.0)), _step
+    )
+    level, cov = F.element_at(fold, 1), F.element_at(fold, 2)
+    gain = (cov + _KF_Q) / (cov + _KF_Q + _KF_R)
+    return ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "value",
+        (F.floor(level * 1e6) / 1e6).alias("kf_level"),
+        (F.floor(gain * 1e6) / 1e6).alias("kf_gain"),
+    )
+
+
+KALMAN_SQL = f"""
+WITH arr AS (
+    SELECT user_id, ts, event_id, value,
+           list(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN {_KF_SPAN - 1} PRECEDING AND CURRENT ROW) AS a
+    FROM events
+),
+folded AS (
+    SELECT user_id, ts, event_id, value,
+           list_reduce(
+               list_prepend([a[1], 1.0], list_transform(a[2:], x -> [x, 0.0])),
+               (acc, x) -> [
+                   acc[1] + ((acc[2] + {_KF_Q}) / ((acc[2] + {_KF_Q}) + {_KF_R}))
+                          * (x[1] - acc[1]),
+                   (1.0 - ((acc[2] + {_KF_Q}) / ((acc[2] + {_KF_Q}) + {_KF_R})))
+                   * (acc[2] + {_KF_Q})
+               ]) AS s
+    FROM arr
+)
+SELECT user_id, ts, event_id, value,
+       floor(s[1] * 1e6) / 1e6 AS kf_level,
+       floor(((s[2] + {_KF_Q}) / ((s[2] + {_KF_Q}) + {_KF_R})) * 1e6) / 1e6 AS kf_gain
+FROM folded
+"""
+
+
+#: Croston smoothing constant (dyadic: bit-identical across engines)
+_CROSTON_ALPHA = 0.25
+
+
+def croston(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Croston's method (1972) per user over the purchase-demand series —
+    THE intermittent-demand forecaster (spare-parts / sparse-SKU pattern):
+    most periods carry zero demand, so a plain SES chases zeros down while
+    Croston smooths demand SIZE and demand INTERVAL separately and
+    forecasts their ratio.
+
+    Every event in a user's history is one period; demand is the purchase
+    value (exact cents), zero otherwise. At the t-th demand:
+    z ← α·d + (1−α)·z  (size),  p ← α·q + (1−α)·p  (interval, q = periods
+    since previous demand); between demands only q advances. Seeded at the
+    first demand with (z = d₁, p = q₁) — the standard init.
+
+    Shape is :func:`theta_forecast`'s: ONE groupBy(user) with
+    array_sort(collect_list(struct)) as the only shuffle, the recursion as
+    a 4-state ``F.aggregate`` fold ([z, p, q, started]) / ``list_reduce``
+    with a prepended init in the oracle — identical operation order, demand
+    in exact integer cents, dyadic α, outputs floor-scaled to 6 dp. Per-user
+    arrays bounded by entity history (pre-filter by time for unbounded
+    feeds), zero Python.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    s = F.struct(F.col("ts"), F.col("event_id"), F.col("value"), F.col("event_type"))
+    g = ev.groupBy("user_id").agg(F.array_sort(F.collect_list(s)).alias("hist"))
+    cents = F.transform(
+        "hist",
+        lambda r: F.when(
+            r["event_type"] == "purchase",
+            (r["value"].cast("decimal(18,2)") * 100).cast("long").cast("double"),
+        ).otherwise(F.lit(0.0)),
+    )
+    g = g.select("user_id", cents.alias("c"))
+    a = _CROSTON_ALPHA
+
+    def _step(acc, x):
+        z, p, q, started = (F.element_at(acc, i) for i in (1, 2, 3, 4))
+        return (
+            F.when(
+                x > 0.0,
+                F.when(
+                    started > 0.0,
+                    F.array(a * x + (1.0 - a) * z, a * (q + 1.0) + (1.0 - a) * p, F.lit(0.0), F.lit(1.0)),
+                ).otherwise(F.array(x, q + 1.0, F.lit(0.0), F.lit(1.0))),
+            ).otherwise(F.array(z, p, q + 1.0, started))
+        )
+
+    fold = F.aggregate("c", F.array(*[F.lit(0.0)] * 4), _step)
+    z, p, started = F.element_at(fold, 1), F.element_at(fold, 2), F.element_at(fold, 4)
+    fc = F.when(started > 0.0, F.floor((z / 100.0) / p * 1e6) / 1e6)
+    return g.select(
+        "user_id",
+        F.size("c").alias("n_periods"),
+        F.size(F.filter("c", lambda x: x > 0.0)).alias("n_demands"),
+        F.when(started > 0.0, F.floor(z / 100.0 * 1e6) / 1e6).alias("croston_size"),
+        F.when(started > 0.0, F.floor(p * 1e6) / 1e6).alias("croston_interval"),
+        fc.alias("croston_forecast"),
+    )
+
+
+CROSTON_SQL = f"""
+WITH h AS (
+    SELECT user_id,
+           list_sort(list(struct_pack(ts := ts, event_id := event_id,
+                                      value := value, event_type := event_type))) AS hist
+    FROM events GROUP BY user_id
+),
+c AS (
+    SELECT user_id,
+           list_transform(hist, r -> CASE WHEN r.event_type = 'purchase'
+               THEN CAST(CAST(CAST(r.value AS DECIMAL(18,2)) * 100 AS BIGINT) AS DOUBLE)
+               ELSE 0.0 END) AS c
+    FROM h
+),
+folded AS (
+    SELECT user_id, c,
+           list_reduce(
+               list_prepend([0.0, 0.0, 0.0, 0.0], list_transform(c, x -> [x, 0.0, 0.0, 0.0])),
+               (acc, x) -> CASE
+                   WHEN x[1] > 0.0 AND acc[4] > 0.0 THEN [
+                       {_CROSTON_ALPHA} * x[1] + {1.0 - _CROSTON_ALPHA} * acc[1],
+                       {_CROSTON_ALPHA} * (acc[3] + 1.0) + {1.0 - _CROSTON_ALPHA} * acc[2],
+                       0.0, 1.0]
+                   WHEN x[1] > 0.0 THEN [x[1], acc[3] + 1.0, 0.0, 1.0]
+                   ELSE [acc[1], acc[2], acc[3] + 1.0, acc[4]]
+               END) AS s
+    FROM c
+)
+SELECT user_id,
+       len(c) AS n_periods,
+       len(list_filter(c, x -> x > 0.0)) AS n_demands,
+       CASE WHEN s[4] > 0.0 THEN floor(s[1] / 100.0 * 1e6) / 1e6 END AS croston_size,
+       CASE WHEN s[4] > 0.0 THEN floor(s[2] * 1e6) / 1e6 END AS croston_interval,
+       CASE WHEN s[4] > 0.0 THEN floor((s[1] / 100.0) / s[2] * 1e6) / 1e6 END AS croston_forecast
+FROM folded
+"""
+
+
+#: SAX word length (PAA segments) and the N(0,1) quartile breakpoints of
+#: the 4-symbol alphabet a|b|c|d (Lin, Keogh, Lonardi & Chiu, DMKD'03)
+_SAX_W = 8
+_SAX_BREAKPOINTS = (-0.6745, 0.0, 0.6745)
+
+
+def sax_symbolize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SAX (Symbolic Aggregate approXimation) per user series: z-normalize,
+    Piecewise-Aggregate-Approximate into ``_SAX_W`` segments, and map each
+    segment mean to a 4-symbol alphabet at the N(0,1) quartile breakpoints
+    — the classic shape-indexing symbolization (motif discovery, shape
+    dedup, symbolic sequence joins run on the words downstream).
+
+    Shape is :func:`theta_forecast`'s: ONE groupBy(user) whose sorted
+    per-user array is the only shuffle; the 8 segment sums are unrolled
+    array-lambda folds over that array (no second shuffle, no explode).
+
+    Determinism: values ride as exact integer cents, so Σx and Σx² are
+    exact longs (Σx² stays within int64 up to ~10⁹ rows/user at this value
+    range — promote to decimal beyond); mean/variance/normalized segment
+    means then derive through the IDENTICAL double-op sequence in both
+    engines, so breakpoint comparisons cannot diverge. Segment membership
+    is floor((i·w)/n) over exact small ints. Flat-series degenerate
+    (std = 0) pins every symbol at 'b'.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    s = F.struct(F.col("ts"), F.col("event_id"), F.col("value"))
+    g = ev.groupBy("user_id").agg(F.array_sort(F.collect_list(s)).alias("hist"))
+    cents = F.transform(
+        "hist", lambda r: (r["value"].cast("decimal(18,2)") * 100).cast("long")
+    )
+    g = g.select("user_id", cents.alias("c")).select(
+        "user_id",
+        "c",
+        F.size("c").cast("long").alias("n"),
+        F.aggregate("c", F.lit(0).cast("long"), lambda acc, x: acc + x).alias("sx"),
+        F.aggregate(
+            F.transform("c", lambda x: x * x),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("sxx"),
+    )
+    nd = F.col("n").cast("double")
+    mean = F.col("sx").cast("double") / nd
+    var = F.col("sxx").cast("double") / nd - mean * mean
+    std = F.sqrt(F.greatest(var, F.lit(0.0)))
+    g = g.withColumn("mean_c", mean).withColumn("std_c", std)
+
+    b1, b2, b3 = _SAX_BREAKPOINTS
+
+    def _member_of(seg: int):
+        # closure (not a default arg): PySpark reads the lambda's arity to
+        # pick the HOF form, so the lambda must take exactly (x, i)
+        return lambda x, i: F.floor(i.cast("double") * float(_SAX_W) / F.col("n")) == seg
+
+    syms = []
+    for seg in range(_SAX_W):
+        member = F.filter("c", _member_of(seg))
+        seg_n = F.size(member)
+        seg_sx = F.aggregate(member, F.lit(0).cast("long"), lambda acc, x: acc + x)
+        norm = (seg_sx.cast("double") / seg_n.cast("double") - F.col("mean_c")) / F.col("std_c")
+        syms.append(
+            F.when(seg_n == 0, F.lit(""))
+            .when(F.col("std_c") == 0.0, F.lit("b"))
+            .when(norm < b1, F.lit("a"))
+            .when(norm < b2, F.lit("b"))
+            .when(norm < b3, F.lit("c"))
+            .otherwise(F.lit("d"))
+        )
+    return g.select(
+        "user_id",
+        F.col("n").alias("n_points"),
+        F.concat(*syms).alias("sax_word"),
+        (F.floor(F.col("mean_c") / 100.0 * 1e6) / 1e6).alias("series_mean"),
+        (F.floor(F.col("std_c") / 100.0 * 1e6) / 1e6).alias("series_std"),
+    )
+
+
+def _sax_sym_sql(seg: int) -> str:
+    b1, b2, b3 = _SAX_BREAKPOINTS
+    member = f"list_filter(c, (x, i) -> floor(CAST(i - 1 AS DOUBLE) * {float(_SAX_W)} / n) = {seg})"
+    norm = (
+        f"(CAST(CAST(list_sum({member}) AS BIGINT) AS DOUBLE)"
+        f" / CAST(len({member}) AS DOUBLE) - mean_c) / std_c"
+    )
+    return f"""CASE WHEN len({member}) = 0 THEN ''
+                WHEN std_c = 0.0 THEN 'b'
+                WHEN {norm} < {b1} THEN 'a'
+                WHEN {norm} < {b2} THEN 'b'
+                WHEN {norm} < {b3} THEN 'c'
+                ELSE 'd' END"""
+
+
+SAX_SQL = f"""
+WITH h AS (
+    SELECT user_id,
+           list_sort(list(struct_pack(ts := ts, event_id := event_id, value := value))) AS hist
+    FROM events GROUP BY user_id
+),
+c AS (
+    SELECT user_id,
+           list_transform(hist, r -> CAST(CAST(r.value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS c
+    FROM h
+),
+m AS (
+    SELECT user_id, c,
+           CAST(len(c) AS BIGINT) AS n,
+           CAST(list_sum(c) AS BIGINT) AS sx,
+           CAST(list_sum(list_transform(c, x -> x * x)) AS BIGINT) AS sxx
+    FROM c
+),
+z AS (
+    SELECT user_id, c, n,
+           CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS mean_c,
+           sqrt(greatest(CAST(sxx AS DOUBLE) / CAST(n AS DOUBLE)
+                         - (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+                           * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)), 0.0)) AS std_c
+    FROM m
+)
+SELECT user_id, n AS n_points,
+       {" || ".join(f"({_sax_sym_sql(seg)})" for seg in range(_SAX_W))} AS sax_word,
+       floor(mean_c / 100.0 * 1e6) / 1e6 AS series_mean,
+       floor(std_c / 100.0 * 1e6) / 1e6 AS series_std
+FROM z
+"""
