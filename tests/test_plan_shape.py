@@ -499,3 +499,58 @@ def test_embed_quantize_no_shuffle_stays_jvm(spark, sf_dir):
     plans.assert_max_shuffles(df, 0)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_text_readability_no_shuffle_stays_jvm(spark, sf_dir):
+    """Readability is a pure scan projection: zero exchanges, no Python
+    (regexp_count compiles into codegen), and only the 2 needed columns
+    read off the 5-column documents scan."""
+    from timedb_spark.operators import text
+
+    df = text.text_readability(spark, sf_dir)
+    plans.assert_max_shuffles(df, 0)
+    phys = df._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in phys
+    plans.assert_column_pruned(df, {"text": 2})
+
+
+def test_graph_link_predict_broadcasts_no_cartesian(spark, sf_dir):
+    """The RA wedge self-join must stay an equi-join (never a cartesian)
+    with the degree table and the second wedge leg broadcast on this
+    dimension-sized graph."""
+    df = analytics.graph_link_predict(spark, sf_dir)
+    plans.assert_no_cartesian(df)
+    plans.assert_broadcast_joins(df, 2)
+
+
+def test_ts_kalman_single_window_shuffle(spark, sf_dir):
+    """The Kalman fold rides the one (user_id) window sort — same profile
+    as ts_holt: one exchange, zero Python."""
+    from timedb_spark.operators import timeseries as ts
+
+    df = ts.kalman_filter(spark, sf_dir)
+    plans.assert_max_shuffles(df, 1)
+    phys = df._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in phys
+
+
+def test_ts_croston_and_sax_single_shuffle(spark, sf_dir):
+    """Both per-user fold operators shuffle once (the groupBy collect) and
+    keep every fold/lambda JVM-side."""
+    from timedb_spark.operators import timeseries as ts
+
+    for op in (ts.croston, ts.sax_symbolize):
+        df = op(spark, sf_dir)
+        plans.assert_max_shuffles(df, 1)
+        phys = df._jdf.queryExecution().executedPlan().toString()
+        assert "Python" not in phys, op.__name__
+
+
+def test_events_survival_bounded_post_agg(spark, sf_dir):
+    """The KM estimator's global window/collect run on the per-lifetime
+    aggregate only: the plan shuffles the events scan once (user span
+    groupBy); later exchanges move the days-bounded aggregate."""
+    df = analytics.events_survival(spark, sf_dir)
+    plans.assert_no_cartesian(df)
+    phys = df._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in phys
