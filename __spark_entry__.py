@@ -770,14 +770,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     registrations that shipped past position 50 in r5 and were never
     driver-checked (ts_theta + the three v2 streaming twins), then the TWO
     store metadata ops newly promoted from internal-only to full-oracle gate
-    queries (fast_count, partition_stats), then the SIX operators NEW in r6
-    (text_readability, ts_kalman, ts_croston, ts_sax, events_survival,
-    graph_link_predict — inside the window per the discipline rule), then 37
-    of the 38 round-2-only greens (text_fingerprint → ts_corr — no driver
-    row since round 2). Window-discipline rule (VERDICT r5 task #4): any
-    query registered mid-round goes INSIDE this window or is explicitly
-    listed as next-window debt here — the debt entries are ts_decompose (r2
-    green) and the 5 r3/r4 re-verify slots the new registrations displaced.
+    queries (fast_count, partition_stats), then the ELEVEN operators NEW in
+    r6 (text_readability, ts_kalman, ts_croston, ts_sax, events_survival,
+    graph_link_predict, dedup_spans, text_collocations, text_chunk,
+    sample_weighted, ts_cusum — inside the window per the discipline rule),
+    then 32 of the 38 round-2-only greens (text_fingerprint →
+    ts_rollup_multires — no driver row since round 2). Window-discipline
+    rule (VERDICT r5 task #4): any query registered mid-round goes INSIDE
+    this window or is explicitly listed as next-window debt here — the debt
+    entries are the 6 r2 greens ts_sessionize/ts_ohlc/ts_ewma/ts_rate/
+    ts_corr/ts_decompose and the 5 r3/r4 re-verify slots the new
+    registrations displaced.
     Deferred entries stay green locally via tools/parity.py; the r5 window
     greens (all hash-green in CORRECTNESS_r05) move to the tail."""
     return {
@@ -799,6 +802,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_sax": timeseries.sax_symbolize,
         "events_survival": analytics.events_survival,
         "graph_link_predict": analytics.graph_link_predict,
+        "dedup_spans": dedup.dedup_spans,
+        "text_collocations": text.text_collocations,
+        "text_chunk": text.text_chunk,
+        "sample_weighted": sampling.sample_weighted,
+        "ts_cusum": timeseries.cusum,
         # -- round-2-only greens: no driver row since r2 (37 in-window; the
         #    6 new registrations displace ts_decompose + the 5 r3/r4
         #    re-verify slots past 50 — explicit next-window debt) ----------
@@ -836,13 +844,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_resample_locf": timeseries.resample_locf_events,
         "ts_interpolate_linear": timeseries.interpolate_linear_events,
         "ts_rollup_multires": timeseries.rollup_multires,
+        # ==== end of the 50-query round-6 gate window ====================
+        # -- next-window debt: displaced by the 11 r6 registrations (the 6
+        #    batch-1 ops + the 5 batch-2 ops dedup_spans/text_collocations/
+        #    text_chunk/sample_weighted/ts_cusum, all placed in-window per
+        #    the discipline rule) ----------------------------------------
         "ts_sessionize": timeseries.sessionize,
         "ts_ohlc": timeseries.ohlc_bars,
         "ts_ewma": timeseries.ewma,
         "ts_rate": timeseries.counter_rate,
         "ts_corr": timeseries.corr_matrix,
-        # ==== end of the 50-query round-6 gate window ====================
-        # -- next-window debt: displaced by the 6 r6 registrations --------
         "ts_decompose": timeseries.seasonal_decompose,
         "events_session_window": timeseries.session_window_agg,
         "text_script": text.text_script,
@@ -1273,6 +1284,11 @@ def oracle_sql() -> dict[str, str]:
         "events_survival": analytics.EVENTS_SURVIVAL_SQL,
         "graph_link_predict": analytics.GRAPH_LINK_PREDICT_SQL,
         "text_readability": text.TEXT_READABILITY_SQL,
+        "dedup_spans": dedup.DEDUP_SPANS_SQL,
+        "text_collocations": text.TEXT_COLLOCATIONS_SQL,
+        "text_chunk": text.TEXT_CHUNK_SQL,
+        "sample_weighted": sampling.SAMPLE_WEIGHTED_SQL,
+        "ts_cusum": timeseries.CUSUM_SQL,
         "events_abtest": analytics.EVENTS_ABTEST_SQL,
         "profile_drift": pipeline.PROFILE_DRIFT_SQL,
         "events_paths": analytics.EVENTS_PATHS_SQL,

@@ -554,3 +554,63 @@ def test_events_survival_bounded_post_agg(spark, sf_dir):
     plans.assert_no_cartesian(df)
     phys = df._jdf.queryExecution().executedPlan().toString()
     assert "Python" not in phys
+
+
+def test_dedup_spans_no_cartesian_no_python(spark, sf_dir):
+    """Span dedup is explode -> hash groupBy -> equi-join back: candidate
+    volume is |tokens|, never a cross product, and the interval-union fold
+    is a JVM array aggregate."""
+    from timedb_spark.operators import dedup
+
+    df = dedup.dedup_spans(spark, sf_dir)
+    plans.assert_no_cartesian(df)
+    phys = df._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in phys
+
+
+def test_text_collocations_broadcast_vocab_joins(spark, sf_dir):
+    """The unigram sides and the two scalar totals join broadcast — the
+    only shuffles are the two count groupBys; the collocation table never
+    sorts globally."""
+    from timedb_spark.operators import text
+
+    df = text.text_collocations(spark, sf_dir)
+    plans.assert_no_cartesian(df)
+    plans.assert_broadcast_joins(df, 2)
+    phys = df._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in phys
+
+
+def test_text_chunk_zero_shuffle_stays_jvm(spark, sf_dir):
+    """Chunking is a pure per-row explode projection: zero exchanges, no
+    Python, and only the 2 needed columns read."""
+    from timedb_spark.operators import text
+
+    df = text.text_chunk(spark, sf_dir)
+    plans.assert_max_shuffles(df, 0)
+    phys = df._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in phys
+    plans.assert_column_pruned(df, {"text": 2})
+
+
+def test_sample_weighted_takeordered_no_global_sort(spark, sf_dir):
+    """A-ES top-k must compile to TakeOrderedAndProject (per-partition
+    heaps + driver merge of k rows), not a full Sort+Exchange."""
+    from timedb_spark.operators import sampling
+
+    df = sampling.sample_weighted(spark, sf_dir)
+    phys = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in phys
+    plans.assert_max_shuffles(df, 0)
+    assert "Python" not in phys
+
+
+def test_ts_cusum_single_shuffle_stays_jvm(spark, sf_dir):
+    """The CUSUM fold rides the one groupBy(user) collect — same profile as
+    croston/theta: one exchange, zero Python."""
+    from timedb_spark.operators import timeseries as ts
+
+    df = ts.cusum(spark, sf_dir)
+    plans.assert_max_shuffles(df, 1)
+    phys = df._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in phys

@@ -672,3 +672,61 @@ def test_sax_planted_shapes(spark, tmp_path):
     assert w[0] in "cd" and w[3] in "ab"  # high at edges, low in the middle
     assert all(len(r.sax_word) == 8 for r in got.values())
     assert got[1].n_points == 32
+
+
+def test_cusum_matches_python_recompute(spark, tmp_path):
+    """ts_cusum vs an exact python replay of the same recursion: a flat
+    series with a planted level shift must alarm on the positive side
+    exactly where the replay says; a constant series (sigma=0) never
+    alarms."""
+    import math
+    import os
+
+    import pandas as pd
+
+    rows = []
+    vals = [10.0] * 12 + [25.0] * 8  # shift up at t=12
+    for t, v in enumerate(vals):
+        rows.append((t + 1, datetime(2024, 1, 1) + pd.Timedelta(hours=t), 1, "x", v))
+    for t in range(6):  # constant series
+        rows.append((100 + t, datetime(2024, 1, 1) + pd.Timedelta(hours=t), 2, "x", 7.25))
+    pdf = pd.DataFrame(rows, columns=["event_id", "ts", "user_id", "event_type", "value"])
+    pdf["props"] = ""
+    d = str(tmp_path / "sf")
+    os.makedirs(d)
+    pdf.to_parquet(os.path.join(d, "events.parquet"))
+
+    got = {r.user_id: r for r in ts.cusum(spark, d).collect()}
+
+    # python replay, identical op order (cents, mu, sigma, fold)
+    c = [int(v * 100) for v in vals]
+    n = len(c)
+    mu = sum(c) / n
+    var = sum(x * x for x in c) / n - mu * mu
+    sigma = math.sqrt(max(var, 0.0))
+    sp = sn = 0.0
+    alarms, mxp, mxn, first = 0, 0.0, 0.0, -1
+    for t, x in enumerate(c):
+        z = (x - mu) / sigma if sigma > 0 else 0.0
+        sp2 = max(0.0, sp + z - 0.5)
+        sn2 = max(0.0, sn - z - 0.5)
+        fired = sp2 > 4.0 or sn2 > 4.0
+        mxp, mxn = max(mxp, sp2), max(mxn, sn2)
+        if fired:
+            alarms += 1
+            if first < 0:
+                first = t
+            sp, sn = 0.0, 0.0
+        else:
+            sp, sn = sp2, sn2
+
+    r1 = got[1]
+    assert alarms >= 1 and r1.n_alarms == alarms
+    assert r1.first_alarm_idx == first >= 12
+    assert r1.max_cusum_pos == math.floor(mxp * 1e6) / 1e6
+    assert r1.max_cusum_neg == math.floor(mxn * 1e6) / 1e6
+    assert r1.mean_value == math.floor(mu / 100.0 * 1e6) / 1e6
+
+    r2 = got[2]
+    assert r2.n_alarms == 0 and r2.first_alarm_idx == -1
+    assert r2.max_cusum_pos == 0.0 and r2.std_value == 0.0

@@ -104,3 +104,97 @@ def test_embed_pca_matches_numpy(spark):
             v = -v
         ref = (X - mean) @ v
         assert np.allclose(out[f"pc{j + 1}"].to_numpy(), ref, atol=2e-4), f"pc{j + 1}"
+
+
+# ---------------------------------------------------------------------------
+# round-6 batch-2 additions: dedup_spans / text_collocations / text_chunk /
+# sample_weighted
+# ---------------------------------------------------------------------------
+
+
+def test_dedup_spans_hand_corpus(spark, tmp_path):
+    """12-token doc duplicated across two docs: every 10-token window is
+    corpus-duplicated and the interval union covers the whole doc; a unique
+    doc has zero dup spans; a 5-token doc is below the span width."""
+    shared = " ".join(f"w{i}" for i in range(12))
+    uniq = " ".join(f"u{i}" for i in range(12))
+    rows = [
+        (1, shared, "en", "s", 0),
+        (2, shared, "en", "s", 0),
+        (3, uniq, "en", "s", 0),
+        (4, "a b c d e", "en", "s", 0),
+    ]
+    from timedb_spark.operators import dedup
+
+    out = {r["doc_id"]: r for r in dedup.dedup_spans(spark, _docs_dir(tmp_path, rows)).collect()}
+    assert out[1]["n_spans"] == 3 and out[1]["n_dup_spans"] == 3
+    assert out[1]["dup_cov_tokens"] == 12 and out[1]["dup_frac"] == 1.0
+    assert out[2]["n_dup_spans"] == 3
+    assert out[3]["n_spans"] == 3 and out[3]["n_dup_spans"] == 0 and out[3]["dup_frac"] == 0.0
+    assert out[4]["n_spans"] == 0 and out[4]["n_tokens"] == 5 and out[4]["dup_frac"] == 0.0
+
+
+def test_collocations_pmi_hand_computed(spark, tmp_path):
+    """Two 6-token docs of alternating 'new york': (new,york) occurs 6 times
+    (>= min count 5), (york,new) only 4 (dropped). PMI checked against the
+    closed form ln(c_xy*T*T / (B*c_x*c_y))."""
+    import math
+
+    rows = [
+        (1, "new york new york new york", "en", "s", 0),
+        (2, "new york new york new york", "en", "s", 0),
+    ]
+    out = text.text_collocations(spark, _docs_dir(tmp_path, rows)).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["w1"], r["w2"]) == ("new", "york")
+    assert (r["n_xy"], r["n_x"], r["n_y"]) == (6, 6, 6)
+    expected = math.floor(math.log((6 * 12 * 12) / (10 * 6 * 6)) * 1e6) / 1e6
+    assert r["pmi"] == expected
+
+
+def test_text_chunk_boundaries(spark, tmp_path):
+    """Chunk math: 100 tokens -> starts {0,48} with lengths {64,52};
+    exactly-64 tokens -> one chunk; 65 -> two, the second 17 tokens; the
+    final chunk always reaches the end of the doc."""
+    def doc(n):
+        return " ".join(f"t{i}" for i in range(n))
+
+    rows = [(100, doc(100), "en", "s", 0), (64, doc(64), "en", "s", 0), (65, doc(65), "en", "s", 0)]
+    out = text.text_chunk(spark, _docs_dir(tmp_path, rows)).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    c100 = sorted(by_doc[100], key=lambda r: r["chunk_start"])
+    assert [(r["chunk_start"], r["n_chunk_tokens"]) for r in c100] == [(0, 64), (48, 52)]
+    assert c100[1]["chunk_text"].split()[-1] == "t99"
+    assert [(r["chunk_start"], r["n_chunk_tokens"]) for r in by_doc[64]] == [(0, 64)]
+    c65 = sorted(by_doc[65], key=lambda r: r["chunk_start"])
+    assert [(r["chunk_start"], r["n_chunk_tokens"]) for r in c65] == [(0, 64), (48, 17)]
+
+
+def test_sample_weighted_matches_python_recompute(spark):
+    """The A-ES top-k must equal an exact python recompute of
+    key = ln((h48+1)/(2^48+1))/w over the real table — same md5, same
+    integer hash, same IEEE division."""
+    import hashlib
+    import math
+
+    from timedb_spark.operators import sampling
+
+    docs = pd.read_parquet(f"{SF}/documents.parquet")[["doc_id", "n_chars"]]
+
+    def key(doc_id, w):
+        h = hashlib.md5(f"wsample-1{doc_id}".encode()).hexdigest()
+        hv = int(h[:12], 16)
+        u = (hv + 1) / float(2**48 + 1)
+        return math.floor(math.log(u) / float(w) * 1e9) / 1e9
+
+    docs["es_key"] = [key(d, w) for d, w in zip(docs.doc_id, docs.n_chars)]
+    expected = docs.sort_values(["es_key", "doc_id"], ascending=[False, True]).head(
+        sampling.SAMPLE_WEIGHTED_K
+    )
+    got = sampling.sample_weighted(spark, SF).toPandas()
+    assert len(got) == sampling.SAMPLE_WEIGHTED_K
+    assert list(got.doc_id) == list(expected.doc_id)
+    assert list(got.es_key) == list(expected.es_key)

@@ -553,3 +553,170 @@ FROM keyed a JOIN keyed b ON a.blk = b.blk AND a.doc_id < b.doc_id
 WHERE abs(length(a.n) - length(b.n)) <= {_EDIT_MAX}
   AND levenshtein(a.n, b.n) BETWEEN 1 AND {_EDIT_MAX}
 """
+
+
+# ---------------------------------------------------------------------------
+# Exact duplicate SPANS — substring-granular dedup (the step finer than
+# whole-doc exact dedup: find repeated n-token passages ACROSS documents
+# and measure how much of each doc they cover)
+# ---------------------------------------------------------------------------
+
+_SPAN_N = 10
+
+
+def dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicate n-token spans across the corpus, per-doc coverage.
+
+    Whole-doc exact dedup misses boilerplate passages pasted into otherwise
+    distinct documents; span-level dedup (the exact-substring approach of
+    "Deduplicating Training Data Makes Language Models Better", Lee et al.
+    2022, at fixed-window granularity) finds every ``_SPAN_N``-token window
+    whose text occurs in MORE THAN ONE document and reports, per doc, the
+    number of such windows and the fraction of tokens covered by their
+    union — the signal a cleaning pipeline thresholds to drop or trim docs.
+
+    Scale shape: tokenize once, emit (md5(span), doc_id, start) via one
+    explode, ONE groupBy(span_key) to find keys spanning >1 distinct doc
+    (map-side combined), one shuffle join back, then a per-doc aggregate.
+    The interval-union coverage is an ``F.aggregate`` fold over the doc's
+    SORTED dup-span starts — per-doc array bounded by doc length, exact
+    integer arithmetic, zero Python. No O(n²) anything: candidate volume is
+    |tokens|, join keys are hashes.
+
+    Determinism: counts and covered-token totals are exact longs; the only
+    float is the final coverage ratio, floor-scaled to 6 dp.
+    """
+    corpus = doc_corpus(spark, sf_dir)
+    toks = tt.ws_tokens(F.col("text"))
+    base = corpus.select("doc_id", toks.alias("w")).select(
+        "doc_id", "w", F.size("w").alias("n_tokens")
+    )
+    n = F.col("n_tokens")
+    starts = F.when(n >= _SPAN_N, F.sequence(F.lit(0), n - _SPAN_N)).otherwise(
+        F.array().cast("array<int>")
+    )
+    ex = base.select(
+        "doc_id",
+        "n_tokens",
+        F.explode(starts).alias("start"),
+        "w",
+    ).select(
+        "doc_id",
+        "n_tokens",
+        "start",
+        F.md5(F.concat_ws(" ", F.slice("w", F.col("start") + 1, _SPAN_N))).alias("k"),
+    )
+    dup_keys = (
+        ex.groupBy("k")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") > 1)
+        .select("k")
+    )
+    marked = ex.join(dup_keys.withColumn("is_dup", F.lit(1)), "k", "left")
+    per_doc = marked.groupBy("doc_id", "n_tokens").agg(
+        F.count(F.lit(1)).alias("n_spans"),
+        F.count("is_dup").alias("n_dup_spans"),
+        F.array_sort(
+            F.collect_list(F.when(F.col("is_dup").isNotNull(), F.col("start")))
+        ).alias("dup_starts"),
+    )
+    zero = F.lit(0).cast("long")
+    fold = F.aggregate(
+        "dup_starts",
+        F.array(zero, zero),  # [covered, prev_end]
+        lambda acc, s: F.array(
+            F.element_at(acc, 1)
+            + F.greatest(
+                zero,
+                F.least(
+                    F.lit(_SPAN_N).cast("long"),
+                    s.cast("long") + _SPAN_N - F.element_at(acc, 2),
+                ),
+            ),
+            F.greatest(F.element_at(acc, 2), s.cast("long") + _SPAN_N),
+        ),
+    )
+    out = per_doc.select(
+        "doc_id",
+        "n_tokens",
+        "n_spans",
+        "n_dup_spans",
+        F.element_at(fold, 1).alias("dup_cov_tokens"),
+        (
+            F.floor(
+                F.element_at(fold, 1).cast("double") / F.col("n_tokens").cast("double") * 1e6
+            )
+            / 1e6
+        ).alias("dup_frac"),
+    )
+    # docs shorter than the span width never reach the explode — restore
+    # them with zero spans so the report covers the whole corpus
+    short = (
+        corpus.select("doc_id", F.size(toks).alias("n_tokens"))
+        .filter(F.col("n_tokens") < _SPAN_N)
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.lit(0).cast("long").alias("n_spans"),
+            F.lit(0).cast("long").alias("n_dup_spans"),
+            F.lit(0).cast("long").alias("dup_cov_tokens"),
+            F.lit(0.0).alias("dup_frac"),
+        )
+    )
+    return out.unionByName(short)
+
+
+DEDUP_SPANS_SQL = rf"""
+WITH corpus AS ({DOC_CORPUS_SQL}),
+base AS (
+    SELECT doc_id, string_split_regex(trim(text), '\s+') AS w,
+           len(string_split_regex(trim(text), '\s+')) AS n_tokens
+    FROM corpus
+),
+ex0 AS (
+    SELECT doc_id, n_tokens, w,
+           unnest(generate_series(0, n_tokens - {_SPAN_N})) AS start
+    FROM base
+),
+ex AS (
+    SELECT doc_id, n_tokens, start,
+           md5(array_to_string(w[start + 1 : start + {_SPAN_N}], ' ')) AS k
+    FROM ex0
+),
+dup_keys AS (
+    SELECT k FROM ex GROUP BY k HAVING count(DISTINCT doc_id) > 1
+),
+marked AS (
+    SELECT e.doc_id, e.n_tokens, e.start,
+           CASE WHEN d.k IS NOT NULL THEN 1 END AS is_dup
+    FROM ex e LEFT JOIN dup_keys d ON e.k = d.k
+),
+per_doc AS (
+    SELECT doc_id, n_tokens,
+           count(*) AS n_spans,
+           count(is_dup) AS n_dup_spans,
+           list_sort(coalesce(list(start) FILTER (WHERE is_dup IS NOT NULL), [])) AS dup_starts
+    FROM marked GROUP BY doc_id, n_tokens
+),
+folded AS (
+    SELECT doc_id, n_tokens, n_spans, n_dup_spans,
+           list_reduce(
+               list_prepend([CAST(0 AS BIGINT), CAST(0 AS BIGINT)],
+                            list_transform(dup_starts, s -> [CAST(s AS BIGINT), CAST(0 AS BIGINT)])),
+               (acc, x) -> [
+                   acc[1] + greatest(CAST(0 AS BIGINT),
+                                     least(CAST({_SPAN_N} AS BIGINT), x[1] + {_SPAN_N} - acc[2])),
+                   greatest(acc[2], x[1] + {_SPAN_N})
+               ]) AS u
+    FROM per_doc
+)
+SELECT doc_id, n_tokens, n_spans, n_dup_spans,
+       u[1] AS dup_cov_tokens,
+       floor(CAST(u[1] AS DOUBLE) / CAST(n_tokens AS DOUBLE) * 1e6) / 1e6 AS dup_frac
+FROM folded
+UNION ALL
+SELECT doc_id, len(string_split_regex(trim(text), '\s+')) AS n_tokens,
+       CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), 0.0
+FROM corpus
+WHERE len(string_split_regex(trim(text), '\s+')) < {_SPAN_N}
+"""

@@ -319,3 +319,70 @@ SELECT source, pack_id, n_docs, total_tokens FROM complete
 UNION ALL
 SELECT source, pack_id, n_docs, total_tokens FROM merged
 """
+
+
+# ---------------------------------------------------------------------------
+# weighted sampling without replacement — Efraimidis–Spirakis A-ES
+# ---------------------------------------------------------------------------
+
+SAMPLE_WEIGHTED_K = 100
+
+#: 48-bit uniform from the md5 of a salted key: largest integer width whose
+#: values are all exactly representable as doubles (2^48 < 2^53), so the
+#: (h+1)/(2^48+1) division is the same IEEE double in both engines.
+_WS_SALT = "wsample-1"
+_WS_BITS = 12  # hex nibbles
+
+
+def sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-``SAMPLE_WEIGHTED_K`` weighted sample of documents without
+    replacement, weight = n_chars — the Efraimidis–Spirakis (2006) A-ES
+    scheme: each row draws u ~ U(0,1) from a deterministic salted hash and
+    ranks by key = ln(u)/w (equivalently u^(1/w)); the global top-k by key
+    IS an exact weighted sample without replacement. This is THE
+    distributed weighted sampler: one scan, per-row arithmetic, and a
+    single top-k (TakeOrdered — partial per-partition heaps, never a full
+    sort) — no state, no rejection loop, no second pass, reproducible
+    across runs and engines.
+
+    Determinism: u = (h+1)/(2^48+1) from the first 12 md5 nibbles — exact
+    integers into one IEEE division; ln(u)/w diverges between engines only
+    below ulp, far under the gap between adjacent order keys. Output keys
+    floor-scaled to 9 dp.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    h = F.md5(F.concat(F.lit(_WS_SALT), F.col("doc_id").cast("string")))
+    hv = F.lit(0).cast("long")
+    for j in range(1, _WS_BITS + 1):
+        hv = hv * 16 + (F.instr(F.lit("0123456789abcdef"), F.substring(h, j, 1)) - 1).cast("long")
+    u = (hv + 1).cast("double") / F.lit(float(2**48 + 1))
+    key = F.log(u) / F.col("n_chars").cast("double")
+    return (
+        docs.select(
+            "doc_id",
+            "lang",
+            "source",
+            "n_chars",
+            (F.floor(key * 1e9) / 1e9).alias("es_key"),
+        )
+        .orderBy(F.desc("es_key"), F.asc("doc_id"))
+        .limit(SAMPLE_WEIGHTED_K)
+    )
+
+
+def _ws_hash_sql() -> str:
+    expr = "CAST(0 AS BIGINT)"
+    for j in range(1, _WS_BITS + 1):
+        nib = f"(strpos('0123456789abcdef', substr(md5('{_WS_SALT}' || CAST(doc_id AS VARCHAR)), {j}, 1)) - 1)"
+        expr = f"(({expr}) * 16 + CAST({nib} AS BIGINT))"
+    return expr
+
+
+SAMPLE_WEIGHTED_SQL = f"""
+SELECT doc_id, lang, source, n_chars,
+       floor(ln(CAST(({_ws_hash_sql()}) + 1 AS DOUBLE) / {float(2**48 + 1)!r})
+             / CAST(n_chars AS DOUBLE) * 1e9) / 1e9 AS es_key
+FROM documents
+ORDER BY es_key DESC, doc_id
+LIMIT {SAMPLE_WEIGHTED_K}
+"""

@@ -664,3 +664,169 @@ SELECT doc_id, n_words, n_sentences, n_syllables,
             ELSE 'difficult' END AS band
 FROM r
 """
+
+
+# ---------------------------------------------------------------------------
+# collocation mining — PMI-scored bigrams
+# ---------------------------------------------------------------------------
+
+_COLL_MIN_COUNT = 5
+
+
+def text_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus bigram collocations scored by pointwise mutual information —
+    the phrase-mining pass a tokenizer/vocab pipeline runs to decide which
+    adjacent-token pairs deserve merged entries (and a quality signal:
+    boilerplate corpora have top-heavy PMI tables).
+
+    PMI(x,y) = ln( P(x,y) / (P(x)·P(y)) ) with P from corpus counts:
+    ln( (c_xy · T · T) / (B · c_x · c_y) ) — T total tokens, B total
+    bigrams. Counts are exact longs from two explode→groupBy passes (both
+    map-side combined, shuffle keyed on token/bigram — the vocabulary-sized
+    result is all that ever sits on one node; nothing global except two
+    scalar totals computed as broadcast 1-row frames). Pairs below
+    ``_COLL_MIN_COUNT`` are dropped BEFORE the unigram joins, so the join
+    probe side is the filtered collocation table, and the unigram side is
+    vocabulary-sized — both broadcastable at any corpus scale.
+
+    Determinism: the only float is the final single ln() over a ratio of
+    exact integer products evaluated in identical order in both engines,
+    floor-scaled to 6 dp.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(tt.ws_tokens(F.col("text")).alias("w"))
+    uni = (
+        toks.select(F.explode("w").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    bg = toks.select(
+        F.explode(
+            F.when(
+                F.size("w") >= 2,
+                F.transform(
+                    F.sequence(F.lit(0), F.size("w") - 2),
+                    lambda i: F.struct(
+                        F.element_at("w", i + 1).alias("w1"),
+                        F.element_at("w", i + 2).alias("w2"),
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+        ).alias("b")
+    ).select("b.w1", "b.w2")
+    big = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n_xy"))
+    t_total = uni.agg(F.sum("c").alias("t_tok"))
+    b_total = big.agg(F.sum("n_xy").alias("t_big"))
+    filtered = big.filter(F.col("n_xy") >= _COLL_MIN_COUNT)
+    u1 = uni.select(F.col("tok").alias("w1"), F.col("c").alias("n_x"))
+    u2 = uni.select(F.col("tok").alias("w2"), F.col("c").alias("n_y"))
+    joined = (
+        filtered.join(F.broadcast(u1), "w1")
+        .join(F.broadcast(u2), "w2")
+        .crossJoin(F.broadcast(t_total))
+        .crossJoin(F.broadcast(b_total))
+    )
+    num = F.col("n_xy").cast("double") * F.col("t_tok").cast("double") * F.col("t_tok").cast("double")
+    den = F.col("t_big").cast("double") * F.col("n_x").cast("double") * F.col("n_y").cast("double")
+    return joined.select(
+        "w1",
+        "w2",
+        "n_xy",
+        "n_x",
+        "n_y",
+        (F.floor(F.log(num / den) * 1e6) / 1e6).alias("pmi"),
+    )
+
+
+TEXT_COLLOCATIONS_SQL = rf"""
+WITH toks AS (SELECT string_split_regex(trim(text), '\s+') AS w FROM documents),
+uni AS (
+    SELECT tok, count(*) AS c
+    FROM (SELECT unnest(w) AS tok FROM toks) GROUP BY tok
+),
+bg AS (
+    SELECT w[i + 1] AS w1, w[i + 2] AS w2
+    FROM (SELECT w, unnest(generate_series(0, len(w) - 2)) AS i FROM toks)
+),
+big AS (SELECT w1, w2, count(*) AS n_xy FROM bg GROUP BY w1, w2),
+tot AS (SELECT (SELECT sum(c) FROM uni) AS t_tok, (SELECT sum(n_xy) FROM big) AS t_big)
+SELECT b.w1, b.w2, b.n_xy, u1.c AS n_x, u2.c AS n_y,
+       floor(ln((CAST(b.n_xy AS DOUBLE) * CAST(t.t_tok AS DOUBLE) * CAST(t.t_tok AS DOUBLE))
+                / (CAST(t.t_big AS DOUBLE) * CAST(u1.c AS DOUBLE) * CAST(u2.c AS DOUBLE))) * 1e6) / 1e6 AS pmi
+FROM big b
+JOIN uni u1 ON u1.tok = b.w1
+JOIN uni u2 ON u2.tok = b.w2
+CROSS JOIN tot t
+WHERE b.n_xy >= {_COLL_MIN_COUNT}
+"""
+
+
+# ---------------------------------------------------------------------------
+# strided token chunking — the RAG / context-window splitter
+# ---------------------------------------------------------------------------
+
+_CHUNK_C = 64
+_CHUNK_S = 48
+
+
+def text_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split every document into fixed-width token chunks with overlap —
+    the context-window splitter feeding embedding/RAG indexing and packed
+    pretraining (width ``_CHUNK_C`` tokens, stride ``_CHUNK_S``, overlap
+    C−S). Chunk count per doc is m = 1 + ceil(max(0, n−C)/S), so the final
+    chunk always reaches the end of the doc and no degenerate
+    fully-contained trailing chunks are emitted.
+
+    One scan, one explode of the per-doc start sequence, all slicing as
+    array ops inside codegen — zero shuffles, zero Python; the chunk id is
+    derivable (start/S) so downstream joins need no global ordering.
+
+    Determinism: all integer arithmetic; chunk text is an exact
+    ``concat_ws`` join of the token slice.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select("doc_id", tt.ws_tokens(F.col("text")).alias("w")).select(
+        "doc_id", "w", F.size("w").alias("n")
+    )
+    n = F.col("n")
+    m = 1 + F.floor(
+        (F.greatest(n - _CHUNK_C, F.lit(0)) + _CHUNK_S - 1) / F.lit(_CHUNK_S)
+    ).cast("int")
+    ex = base.select(
+        "doc_id",
+        "w",
+        "n",
+        F.explode(F.transform(F.sequence(F.lit(0), m - 1), lambda i: i * _CHUNK_S)).alias(
+            "chunk_start"
+        ),
+    )
+    piece = F.slice("w", F.col("chunk_start") + 1, _CHUNK_C)
+    return ex.select(
+        "doc_id",
+        (F.col("chunk_start") / _CHUNK_S).cast("long").alias("chunk_id"),
+        "chunk_start",
+        F.size(piece).alias("n_chunk_tokens"),
+        F.concat_ws(" ", piece).alias("chunk_text"),
+    )
+
+
+TEXT_CHUNK_SQL = rf"""
+WITH base AS (
+    SELECT doc_id, string_split_regex(trim(text), '\s+') AS w,
+           len(string_split_regex(trim(text), '\s+')) AS n
+    FROM documents
+),
+ex AS (
+    SELECT doc_id, w, n,
+           unnest(generate_series(0,
+               CAST(floor((greatest(n - {_CHUNK_C}, 0) + {_CHUNK_S - 1}) / {_CHUNK_S}) AS INTEGER)
+           )) * {_CHUNK_S} AS chunk_start
+    FROM base
+)
+SELECT doc_id,
+       CAST(chunk_start / {_CHUNK_S} AS BIGINT) AS chunk_id,
+       chunk_start,
+       len(w[chunk_start + 1 : chunk_start + {_CHUNK_C}]) AS n_chunk_tokens,
+       array_to_string(w[chunk_start + 1 : chunk_start + {_CHUNK_C}], ' ') AS chunk_text
+FROM ex
+"""

@@ -1920,3 +1920,146 @@ SELECT user_id, n AS n_points,
        floor(std_c / 100.0 * 1e6) / 1e6 AS series_std
 FROM z
 """
+
+
+# ---------------------------------------------------------------------------
+# CUSUM control chart — sequential mean-shift alarms per user series
+# ---------------------------------------------------------------------------
+
+_CUSUM_K = 0.5  # slack, in σ units
+_CUSUM_H = 4.0  # decision threshold, in σ units
+
+
+def cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sided standardized CUSUM (Page 1954) per user over the event
+    value sequence: S⁺ ← max(0, S⁺ + z − k), S⁻ ← max(0, S⁻ − z − k) with
+    z = (x − μ)/σ; an alarm fires when either side crosses h and the side
+    resets — the classic sequential mean-shift detector (drift/quality
+    monitoring over metric streams; complements ts_changepoint's offline
+    segmentation with an online-semantics chart).
+
+    Shape is :func:`croston`'s: ONE groupBy(user) with
+    array_sort(collect_list(struct)) as the only shuffle; μ and σ come
+    from exact integer-cent Σx/Σx² folds over the SAME array (no second
+    pass over the data, no join), and the chart recursion is a 7-state
+    ``F.aggregate`` fold / list_reduce with prepended init in the oracle.
+    Per-user arrays bounded by entity history; zero Python.
+
+    Determinism: values ride as exact integer cents; μ, σ and every z
+    derive through the identical double-op sequence in both engines;
+    outputs floor-scaled to 6 dp. σ = 0 (constant series) short-circuits
+    to z = 0 — no alarms, no NaN.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    s = F.struct(F.col("ts"), F.col("event_id"), F.col("value"))
+    g = ev.groupBy("user_id").agg(F.array_sort(F.collect_list(s)).alias("hist"))
+    cents = F.transform(
+        "hist", lambda r: (r["value"].cast("decimal(18,2)") * 100).cast("long")
+    )
+    g = g.select("user_id", cents.alias("c"))
+    zero = F.lit(0).cast("long")
+    n = F.size("c").cast("long")
+    sx = F.aggregate("c", zero, lambda acc, x: acc + x)
+    sxx = F.aggregate("c", zero, lambda acc, x: acc + x * x)
+    mu = sx.cast("double") / n.cast("double")
+    var = sxx.cast("double") / n.cast("double") - mu * mu
+    sigma = F.sqrt(F.greatest(var, F.lit(0.0)))
+    g = g.select("user_id", "c", n.alias("n_events"), mu.alias("mu"), sigma.alias("sigma"))
+    k, h = _CUSUM_K, _CUSUM_H
+
+    def _step(acc, x):
+        sp, sn, alarms, mxp, mxn, first, t = (F.element_at(acc, i) for i in range(1, 8))
+        z = F.when(
+            F.col("sigma") > 0.0, (x.cast("double") - F.col("mu")) / F.col("sigma")
+        ).otherwise(F.lit(0.0))
+        sp2 = F.greatest(F.lit(0.0), sp + z - k)
+        sn2 = F.greatest(F.lit(0.0), sn - z - k)
+        fired = (sp2 > h) | (sn2 > h)
+        return F.array(
+            F.when(fired, F.lit(0.0)).otherwise(sp2),
+            F.when(fired, F.lit(0.0)).otherwise(sn2),
+            alarms + F.when(fired, 1.0).otherwise(0.0),
+            F.greatest(mxp, sp2),
+            F.greatest(mxn, sn2),
+            F.when(fired & (first < 0.0), t).otherwise(first),
+            t + 1.0,
+        )
+
+    init = F.array(
+        F.lit(0.0), F.lit(0.0), F.lit(0.0), F.lit(0.0), F.lit(0.0), F.lit(-1.0), F.lit(0.0)
+    )
+    fold = F.aggregate("c", init, _step)
+    return g.select(
+        "user_id",
+        "n_events",
+        F.element_at(fold, 3).cast("long").alias("n_alarms"),
+        F.element_at(fold, 6).cast("long").alias("first_alarm_idx"),
+        (F.floor(F.element_at(fold, 4) * 1e6) / 1e6).alias("max_cusum_pos"),
+        (F.floor(F.element_at(fold, 5) * 1e6) / 1e6).alias("max_cusum_neg"),
+        (F.floor(F.col("mu") / 100.0 * 1e6) / 1e6).alias("mean_value"),
+        (F.floor(F.col("sigma") / 100.0 * 1e6) / 1e6).alias("std_value"),
+    )
+
+
+CUSUM_SQL = f"""
+WITH h AS (
+    SELECT user_id,
+           list_sort(list(struct_pack(ts := ts, event_id := event_id, value := value))) AS hist
+    FROM events GROUP BY user_id
+),
+c AS (
+    SELECT user_id,
+           list_transform(hist, r -> CAST(CAST(r.value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS c
+    FROM h
+),
+m AS (
+    SELECT user_id, c,
+           CAST(len(c) AS BIGINT) AS n_events,
+           CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), c), (a, x) -> a + x) AS DOUBLE)
+               / CAST(len(c) AS DOUBLE) AS mu,
+           sqrt(greatest(
+               CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(c, x -> x * x)),
+                                (a, x) -> a + x) AS DOUBLE) / CAST(len(c) AS DOUBLE)
+               - (CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), c), (a, x) -> a + x) AS DOUBLE)
+                  / CAST(len(c) AS DOUBLE))
+               * (CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), c), (a, x) -> a + x) AS DOUBLE)
+                  / CAST(len(c) AS DOUBLE)),
+               0.0)) AS sigma
+    FROM c
+),
+folded AS (
+    SELECT user_id, n_events, mu, sigma,
+           list_reduce(
+               list_prepend([0.0, 0.0, 0.0, 0.0, 0.0, -1.0, 0.0],
+                            list_transform(c, x -> [CAST(x AS DOUBLE), 0.0, 0.0, 0.0, 0.0, 0.0, 0.0])),
+               (acc, x) -> [
+                   CASE WHEN greatest(0.0, acc[1] + (CASE WHEN sigma > 0.0 THEN (x[1] - mu) / sigma ELSE 0.0 END) - {_CUSUM_K}) > {_CUSUM_H}
+                          OR greatest(0.0, acc[2] - (CASE WHEN sigma > 0.0 THEN (x[1] - mu) / sigma ELSE 0.0 END) - {_CUSUM_K}) > {_CUSUM_H}
+                        THEN 0.0
+                        ELSE greatest(0.0, acc[1] + (CASE WHEN sigma > 0.0 THEN (x[1] - mu) / sigma ELSE 0.0 END) - {_CUSUM_K}) END,
+                   CASE WHEN greatest(0.0, acc[1] + (CASE WHEN sigma > 0.0 THEN (x[1] - mu) / sigma ELSE 0.0 END) - {_CUSUM_K}) > {_CUSUM_H}
+                          OR greatest(0.0, acc[2] - (CASE WHEN sigma > 0.0 THEN (x[1] - mu) / sigma ELSE 0.0 END) - {_CUSUM_K}) > {_CUSUM_H}
+                        THEN 0.0
+                        ELSE greatest(0.0, acc[2] - (CASE WHEN sigma > 0.0 THEN (x[1] - mu) / sigma ELSE 0.0 END) - {_CUSUM_K}) END,
+                   acc[3] + CASE WHEN greatest(0.0, acc[1] + (CASE WHEN sigma > 0.0 THEN (x[1] - mu) / sigma ELSE 0.0 END) - {_CUSUM_K}) > {_CUSUM_H}
+                                   OR greatest(0.0, acc[2] - (CASE WHEN sigma > 0.0 THEN (x[1] - mu) / sigma ELSE 0.0 END) - {_CUSUM_K}) > {_CUSUM_H}
+                                 THEN 1.0 ELSE 0.0 END,
+                   greatest(acc[4], greatest(0.0, acc[1] + (CASE WHEN sigma > 0.0 THEN (x[1] - mu) / sigma ELSE 0.0 END) - {_CUSUM_K})),
+                   greatest(acc[5], greatest(0.0, acc[2] - (CASE WHEN sigma > 0.0 THEN (x[1] - mu) / sigma ELSE 0.0 END) - {_CUSUM_K})),
+                   CASE WHEN (greatest(0.0, acc[1] + (CASE WHEN sigma > 0.0 THEN (x[1] - mu) / sigma ELSE 0.0 END) - {_CUSUM_K}) > {_CUSUM_H}
+                              OR greatest(0.0, acc[2] - (CASE WHEN sigma > 0.0 THEN (x[1] - mu) / sigma ELSE 0.0 END) - {_CUSUM_K}) > {_CUSUM_H})
+                             AND acc[6] < 0.0
+                        THEN acc[7] ELSE acc[6] END,
+                   acc[7] + 1.0
+               ]) AS s
+    FROM m
+)
+SELECT user_id, n_events,
+       CAST(s[3] AS BIGINT) AS n_alarms,
+       CAST(s[6] AS BIGINT) AS first_alarm_idx,
+       floor(s[4] * 1e6) / 1e6 AS max_cusum_pos,
+       floor(s[5] * 1e6) / 1e6 AS max_cusum_neg,
+       floor(mu / 100.0 * 1e6) / 1e6 AS mean_value,
+       floor(sigma / 100.0 * 1e6) / 1e6 AS std_value
+FROM folded
+"""
