@@ -552,6 +552,26 @@ def _q_stream_topk_users_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_stream_dedup_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ingestion dedup on the v2 state API (MAP STATE + TTL —
+    the v2-native bounded-horizon dedup): first arrival per normalized-text
+    md5 across micro-batches, bucket-keyed so per-batch Python dispatch is
+    bounded by 4096 buckets, not distinct documents (the r5 key-cardinality
+    lesson). The drained first-arrival count equals the batch
+    count(distinct key) — stream_dedup's oracle verbatim. Falls back to
+    the v1 query when this session's workers lack protobuf."""
+    from timedb_spark.streaming.dedup import DOCUMENTS_STREAM_SCHEMA
+    from timedb_spark.streaming.state_v2 import _HAVE_TWS, stream_dedup_v2
+
+    if not (_HAVE_TWS and _workers_have_protobuf(spark)):
+        return _q_stream_dedup(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    d = _stage_stream_dir(spark, sf_dir, docs, "docs", 5, src_table="documents")
+    stream = spark.readStream.schema(DOCUMENTS_STREAM_SCHEMA).option("maxFilesPerTrigger", 2).parquet(d)
+    out = _drain_v2(spark, stream_dedup_v2(stream), "update")
+    return out.groupBy().agg(F.count(F.lit(1)).alias("n_unique_docs"))
+
+
 def _q_multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio-modality plumbing under a FULL oracle (upgraded from rows-only
     in r5): REAL stdlib WAV payloads (encode + decode through the `wave`
@@ -770,17 +790,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     registrations that shipped past position 50 in r5 and were never
     driver-checked (ts_theta + the three v2 streaming twins), then the TWO
     store metadata ops newly promoted from internal-only to full-oracle gate
-    queries (fast_count, partition_stats), then the ELEVEN operators NEW in
+    queries (fast_count, partition_stats), then the TWELVE operators NEW in
     r6 (text_readability, ts_kalman, ts_croston, ts_sax, events_survival,
     graph_link_predict, dedup_spans, text_collocations, text_chunk,
-    sample_weighted, ts_cusum — inside the window per the discipline rule),
-    then 32 of the 38 round-2-only greens (text_fingerprint →
-    ts_rollup_multires — no driver row since round 2). Window-discipline
-    rule (VERDICT r5 task #4): any query registered mid-round goes INSIDE
-    this window or is explicitly listed as next-window debt here — the debt
-    entries are the 6 r2 greens ts_sessionize/ts_ohlc/ts_ewma/ts_rate/
-    ts_corr/ts_decompose and the 5 r3/r4 re-verify slots the new
-    registrations displaced.
+    sample_weighted, ts_cusum, stream_dedup_v2 — inside the window per the
+    discipline rule), then 31 of the 38 round-2-only greens
+    (text_fingerprint → ts_interpolate_linear — no driver row since round
+    2). Window-discipline rule (VERDICT r5 task #4): any query registered
+    mid-round goes INSIDE this window or is explicitly listed as
+    next-window debt here — the debt entries are the 7 r2 greens
+    ts_rollup_multires/ts_sessionize/ts_ohlc/ts_ewma/ts_rate/ts_corr/
+    ts_decompose and the 5 r3/r4 re-verify slots the new registrations
+    displaced.
     Deferred entries stay green locally via tools/parity.py; the r5 window
     greens (all hash-green in CORRECTNESS_r05) move to the tail."""
     return {
@@ -807,6 +828,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_chunk": text.text_chunk,
         "sample_weighted": sampling.sample_weighted,
         "ts_cusum": timeseries.cusum,
+        "stream_dedup_v2": _q_stream_dedup_v2,
         # -- round-2-only greens: no driver row since r2 (37 in-window; the
         #    6 new registrations displace ts_decompose + the 5 r3/r4
         #    re-verify slots past 50 — explicit next-window debt) ----------
@@ -843,12 +865,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_join_ordered": _q_stream_join_ordered,
         "ts_resample_locf": timeseries.resample_locf_events,
         "ts_interpolate_linear": timeseries.interpolate_linear_events,
-        "ts_rollup_multires": timeseries.rollup_multires,
         # ==== end of the 50-query round-6 gate window ====================
-        # -- next-window debt: displaced by the 11 r6 registrations (the 6
-        #    batch-1 ops + the 5 batch-2 ops dedup_spans/text_collocations/
-        #    text_chunk/sample_weighted/ts_cusum, all placed in-window per
-        #    the discipline rule) ----------------------------------------
+        # -- next-window debt: displaced by the 12 r6 registrations (the 6
+        #    batch-1 ops + dedup_spans/text_collocations/text_chunk/
+        #    sample_weighted/ts_cusum/stream_dedup_v2, all placed in-window
+        #    per the discipline rule) ------------------------------------
+        "ts_rollup_multires": timeseries.rollup_multires,
         "ts_sessionize": timeseries.sessionize,
         "ts_ohlc": timeseries.ohlc_bars,
         "ts_ewma": timeseries.ewma,
@@ -1538,4 +1560,5 @@ def oracle_sql() -> dict[str, str]:
     # the v2-API twins share their v1 drain contract, hence the oracle
     d["stream_sessionize_v2"] = d["stream_sessionize"]
     d["stream_funnel_v2"] = d["stream_funnel"]
+    d["stream_dedup_v2"] = d["stream_dedup"]
     return d

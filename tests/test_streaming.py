@@ -768,3 +768,58 @@ def test_fold_sessions_late_batch_clamps_to_open_session_end():
     ts3 = np.array([150], dtype="int64")
     closed3, open3 = _fold_sessions(ts3, np.array([7], dtype="int64"), open_s, gap_us)
     assert closed3 == [(0, 100, 3, 300)] and open3 == [150, 150, 1, 7]
+
+
+def test_stream_dedup_v2_matches_batch_distinct(spark, sf_dir, tmp_path):
+    """The v2-API dedup (MapState + TTL, bucket-keyed, RocksDB store) emits
+    exactly one first-arrival row per distinct normalized-text key across
+    micro-batches — the same count as batch count(distinct), with every
+    emitted key distinct and every kept doc_id a member of its key group."""
+    from timedb_spark.io.tables import load_table
+    from timedb_spark.streaming import state_v2
+    from timedb_spark.streaming.dedup import DOCUMENTS_STREAM_SCHEMA, text_key
+    from timedb_spark.streaming.state_v2 import stream_dedup_v2
+
+    if not state_v2._HAVE_TWS:
+        pytest.skip(f"transformWithStateInPandas gated: missing {state_v2._TWS_MISSING}")
+
+    docs = load_table(spark, sf_dir, "documents")
+    d = str(tmp_path / "docs")
+    docs.repartition(6).write.mode("overwrite").parquet(d)
+    keyed = docs.select("doc_id", text_key(F.col("text")).alias("k"))
+    expected = keyed.select("k").distinct().count()
+    valid = {(r.k, r.doc_id) for r in keyed.collect()}
+
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        stream = (
+            spark.readStream.schema(DOCUMENTS_STREAM_SCHEMA)
+            .option("maxFilesPerTrigger", 2)
+            .parquet(d)
+        )
+        q = (
+            stream_dedup_v2(stream)
+            .writeStream.format("memory")
+            .queryName("dedup_v2_t")
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        # availableNow must TERMINATE (Append + transformWithState loops
+        # no-data batches forever — the regression this pins)
+        assert q.awaitTermination(180)
+        rows = spark.table("dedup_v2_t").collect()
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+
+    assert len(rows) == expected
+    keys = [r.text_key for r in rows]
+    assert len(set(keys)) == len(keys)  # one emission per key, ever
+    assert all((r.text_key, r.doc_id) in valid for r in rows)

@@ -566,3 +566,131 @@ def stream_topk_users_v2(events_stream: DataFrame, *, k: int = 10) -> DataFrame:
         outputMode="Update",
         timeMode="None",
     )
+
+
+# ---------------------------------------------------------------------------
+# streaming ingestion dedup on the v2 API (MAP STATE, bucket-keyed; state
+# TTL available as an opt-in for ProcessingTime deployments — the
+# bounded-dedup-horizon contract dropDuplicatesWithinWatermark expresses
+# on the v1 path)
+# ---------------------------------------------------------------------------
+
+#: dedup horizon for PRODUCTION deployments: pass this as ttlDurationMs to
+#: getMapState to bound the key store (the v2-native form of
+#: dropDuplicatesWithinWatermark). TTL requires timeMode="ProcessingTime",
+#: and that time mode keeps scheduling no-data micro-batches under an
+#: availableNow drain (observed: 800+ epochs on a 3-file feed), so the
+#: registered query runs timeMode="None" with unbounded state and the TTL
+#: hook stays an opt-in constructor flag.
+_DEDUP_TTL_MS = 24 * 3600 * 1000
+
+#: md5-prefix grouping key width (hex chars) → 16^2 = 256 buckets: the
+#: dispatch-vs-parallelism knob. Each touched bucket pays one Python
+#: dispatch per batch (plus one RPC per touched key), so fewer buckets
+#: amortize dispatch; 256 still saturates a 256-task stateful stage at
+#: cluster scale.
+_DEDUP_BUCKET_CHARS = 2
+
+DEDUP_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("text_key", T.StringType()),
+        T.StructField("doc_id", T.LongType()),
+    ]
+)
+
+
+class DedupProcessor(StatefulProcessor):
+    """First-arrival exact dedup: emit a document only the first time its
+    normalized-text md5 is seen; later copies only bump a dup counter.
+
+    Keying (the r5 cardinality lesson, see ``SeriesLatestProcessor``): the
+    stream groups by a ``_DEDUP_BUCKET_CHARS``-hex-char prefix of the key —
+    256 buckets — NOT by the full md5. Per-key grouping would make the v2
+    per-key Python dispatch + state RPC count scale with distinct documents
+    per batch; bucket-keying bounds dispatch at min(256, batch keys) while
+    MapState holds one (first doc_id, n_dups) entry per full key, updated
+    only for keys the batch touches. The batch is pre-deduped in pandas
+    first, so RPCs scale with distinct touched keys, not rows. With
+    ``ttl=True`` the MapState declares the ``_DEDUP_TTL_MS`` dedup horizon
+    (state eviction — ``dropDuplicatesWithinWatermark``'s bounded key
+    store); that requires the caller to run timeMode="ProcessingTime",
+    which is incompatible with deterministic availableNow drains (see
+    ``_DEDUP_TTL_MS``), so the default is unbounded state."""
+
+    def __init__(self, ttl: bool = False):
+        self._ttl = ttl
+
+    def init(self, handle: "StatefulProcessorHandle") -> None:
+        if self._ttl:
+            self._seen = handle.getMapState(
+                "seen", "text_key STRING", "doc_id LONG, n_dups LONG",
+                ttlDurationMs=_DEDUP_TTL_MS,
+            )
+        else:
+            self._seen = handle.getMapState("seen", "text_key STRING", "doc_id LONG, n_dups LONG")
+
+    def handleInputRows(self, key, rows, timerValues):
+        frames = [pdf for pdf in rows if len(pdf)]
+        if not frames:
+            return
+        pdf = pd.concat(frames) if len(frames) > 1 else frames[0]
+        # positional contract: the v2 Arrow transfer names derived columns
+        # inconsistently across chunks (observed: (doc_id, tkey, bucket)
+        # in some batches, (doc_id, _1, _2) in others), so rebind by
+        # position — the input projection order is fixed by
+        # stream_dedup_v2.
+        pdf.columns = ["doc_id", "tkey", "bucket"]
+        batch = (
+            pdf.groupby("tkey", as_index=True)
+            .agg(doc_id=("doc_id", "min"), n=("doc_id", "size"))
+            .sort_index()
+        )
+        out_keys: list[str] = []
+        out_docs: list[int] = []
+        for k_, row in batch.iterrows():
+            prev = self._seen.getValue((k_,))
+            if prev is None:
+                self._seen.updateValue((k_,), (int(row["doc_id"]), int(row["n"]) - 1))
+                out_keys.append(k_)
+                out_docs.append(int(row["doc_id"]))
+            else:
+                self._seen.updateValue(
+                    (k_,), (int(prev[0]), int(prev[1]) + int(row["n"]))
+                )
+        if out_keys:
+            yield pd.DataFrame({"text_key": out_keys, "doc_id": out_docs})
+
+    def close(self) -> None:
+        pass
+
+
+def stream_dedup_v2(docs_stream: DataFrame) -> DataFrame:
+    """documents-shaped stream → first arrival per normalized-text key;
+    the drained row count equals the batch count(distinct key), i.e.
+    ``streaming.dedup.stream_dedup``'s oracle. Update output mode: the
+    processor emits each key exactly once ever, so content equals an
+    append stream — but Append + transformWithState never terminates an
+    availableNow drain (observed: the trigger keeps scheduling ~0.8 s
+    no-data batches forever waiting on a watermark that timeMode="None"
+    never advances), while Update terminates after the file batches.
+    Caller must enable the RocksDB state store provider."""
+    from pyspark.sql import functions as F
+
+    from timedb_spark.streaming.dedup import text_key
+
+    if not _HAVE_TWS:
+        raise NotImplementedError(
+            f"transformWithStateInPandas unavailable: missing {_TWS_MISSING} "
+            "(re-probed at import; install the dep to unlock the v2 path)"
+        )
+    # NB: plain (non-underscore) column names — the v2 Arrow transfer
+    # renames leading-underscore columns positionally (observed: _k -> _1).
+    keyed = docs_stream.select(
+        "doc_id", text_key(F.col("text")).alias("tkey")
+    ).withColumn("bucket", F.substring("tkey", 1, _DEDUP_BUCKET_CHARS))
+    return keyed.groupBy("bucket").transformWithStateInPandas(
+        statefulProcessor=DedupProcessor(),
+        outputStructType=DEDUP_OUTPUT_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )
