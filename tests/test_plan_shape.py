@@ -614,3 +614,25 @@ def test_ts_cusum_single_shuffle_stays_jvm(spark, sf_dir):
     plans.assert_max_shuffles(df, 1)
     phys = df._jdf.queryExecution().executedPlan().toString()
     assert "Python" not in phys
+
+
+def test_graph_label_prop_no_cartesian_bounded_joins(spark, sf_dir):
+    """Each propagation round is an equi-join + hash agg + per-node window
+    over the degree-bounded label histogram — no cartesian anywhere in the
+    4-round chained plan, zero Python."""
+    df = analytics.graph_label_prop(spark, sf_dir)
+    plans.assert_no_cartesian(df)
+    phys = df._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in phys
+
+
+def test_ts_mk_trend_single_shuffle_stays_jvm(spark, sf_dir):
+    """The O(n²) pair enumeration runs as nested array lambdas inside the
+    one groupBy(user) collect — croston's single-shuffle profile, zero
+    Python."""
+    from timedb_spark.operators import timeseries as ts
+
+    df = ts.mk_trend(spark, sf_dir)
+    plans.assert_max_shuffles(df, 1)
+    phys = df._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in phys

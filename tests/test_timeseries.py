@@ -730,3 +730,61 @@ def test_cusum_matches_python_recompute(spark, tmp_path):
     r2 = got[2]
     assert r2.n_alarms == 0 and r2.first_alarm_idx == -1
     assert r2.max_cusum_pos == 0.0 and r2.std_value == 0.0
+
+
+def test_mk_trend_matches_python_recompute(spark, tmp_path):
+    """Mann–Kendall S/variance/z and Sen's slope vs an exact python replay:
+    a strictly increasing series (certain trend), a noisy-flat series, and
+    an all-ties series (variance fully tie-corrected to 0)."""
+    import math
+    import os
+
+    import pandas as pd
+
+    series = {
+        1: [float(t) for t in range(1, 25)],             # strict increase
+        2: [5.0, 5.2, 4.9, 5.1, 5.0, 4.8, 5.15, 5.05],   # flat noise
+        3: [7.5] * 6,                                    # all ties
+    }
+    rows = []
+    eid = 0
+    for uid, vals in series.items():
+        for t, v in enumerate(vals):
+            eid += 1
+            rows.append((eid, datetime(2024, 1, 1) + pd.Timedelta(hours=t), uid, "x", v))
+    pdf = pd.DataFrame(rows, columns=["event_id", "ts", "user_id", "event_type", "value"])
+    pdf["props"] = ""
+    d = str(tmp_path / "sf")
+    os.makedirs(d)
+    pdf.to_parquet(os.path.join(d, "events.parquet"))
+
+    got = {r.user_id: r for r in ts.mk_trend(spark, d).collect()}
+
+    for uid, vals in series.items():
+        c = [int(round(v * 100)) for v in vals]
+        n = len(c)
+        s = sum(
+            (0 if c[j] == c[i] else (1 if c[j] > c[i] else -1))
+            for j in range(1, n)
+            for i in range(j)
+        )
+        from collections import Counter
+
+        corr = sum(t * (t - 1) * (2 * t + 5) for t in Counter(c).values())
+        var_s = (n * (n - 1) * (2 * n + 5) - corr) / 18.0
+        sd = math.sqrt(var_s)
+        z = (s - 1) / sd if (s > 0 and sd > 0) else (s + 1) / sd if (s < 0 and sd > 0) else 0.0
+        slopes = sorted(
+            (c[j] - c[i]) / (j - i) for j in range(1, n) for i in range(j)
+        )
+        p = len(slopes)
+        med = slopes[(p + 1) // 2 - 1] if p % 2 == 1 else (slopes[p // 2 - 1] + slopes[p // 2]) / 2.0
+        r = got[uid]
+        assert r.s_stat == s
+        assert r.var_s == math.floor(var_s * 1e6) / 1e6
+        assert r.z_stat == math.floor(z * 1e6) / 1e6
+        assert r.sen_slope == math.floor(med / 100.0 * 1e6) / 1e6
+
+    assert got[1].trend == "increasing"
+    assert got[2].trend == "no_trend"
+    assert got[3].trend == "no_trend" and got[3].var_s == 0.0

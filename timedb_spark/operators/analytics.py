@@ -1401,3 +1401,91 @@ FROM nonadj
 ORDER BY ra_q DESC, u, w
 LIMIT 20
 """
+
+
+# ---------------------------------------------------------------------------
+# label-propagation community detection
+# ---------------------------------------------------------------------------
+
+_LP_ROUNDS = 4
+
+
+def graph_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection by synchronous label propagation (Raghavan et
+    al. 2007) over the co-purchase part graph — the fourth member of the
+    iterative-propagation family (connected components find REACHABILITY,
+    PageRank CENTRALITY, this finds DENSITY clusters: parts habitually
+    bought together).
+
+    Deterministic variant (the stock algorithm is order-dependent): all
+    nodes update simultaneously for ``_LP_ROUNDS`` rounds; a node adopts
+    the most frequent label among its neighbours, ties broken by MIN
+    label. Every update is exact integer argmax — no floats anywhere — so
+    the unrolled-CTE oracle is bit-identical.
+
+    Scale shape per round: one join of the edge list with the label table
+    on src (both keyed by node id — AQE reuses the hash partitioning
+    round-over-round), one map-side-combined (dst, lbl) count, one
+    row_number over the per-node label histogram (bounded by degree).
+    Community sizes join at the end from the final label table. Rounds are
+    a fixed small constant — the plan stays one chained DAG; for deep
+    propagation at 100 TB, localCheckpoint per round (dedup_clusters'
+    pattern) truncates lineage."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_a"))
+    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_b"))
+    pairs = (
+        a.join(b, "ok").filter(F.col("part_a") < F.col("part_b")).select("part_a", "part_b").distinct()
+    )
+    edges = pairs.select(F.col("part_a").alias("src"), F.col("part_b").alias("dst")).unionByName(
+        pairs.select(F.col("part_b").alias("src"), F.col("part_a").alias("dst"))
+    )
+    labels = edges.select(F.col("src").alias("node")).distinct().withColumn("lbl", F.col("node"))
+    w = Window.partitionBy("node").orderBy(F.col("c").desc(), F.col("lbl").asc())
+    for _ in range(_LP_ROUNDS):
+        hist = (
+            edges.join(labels, edges.src == labels.node)
+            .groupBy(F.col("dst").alias("node"), "lbl")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        labels = (
+            hist.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1).select("node", "lbl")
+        )
+    sizes = labels.groupBy("lbl").agg(F.count(F.lit(1)).alias("community_size"))
+    return labels.join(sizes, "lbl").select(
+        "node", F.col("lbl").alias("community"), "community_size"
+    )
+
+
+def _lp_iter_sql(prev: str, out: str) -> str:
+    return f"""
+{out} AS (
+    SELECT node, lbl FROM (
+        SELECT e.dst AS node, l.lbl, count(*) AS c,
+               row_number() OVER (PARTITION BY e.dst ORDER BY count(*) DESC, l.lbl) AS rn
+        FROM edges e JOIN {prev} l ON l.node = e.src
+        GROUP BY e.dst, l.lbl
+    ) WHERE rn = 1
+)"""
+
+
+GRAPH_LABEL_PROP_SQL = f"""
+WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+pairs AS (
+    SELECT DISTINCT a.l_partkey AS part_a, b.l_partkey AS part_b
+    FROM op a JOIN op b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+edges AS (
+    SELECT part_a AS src, part_b AS dst FROM pairs
+    UNION
+    SELECT part_b AS src, part_a AS dst FROM pairs
+),
+l0 AS (SELECT DISTINCT src AS node, src AS lbl FROM edges),
+{_lp_iter_sql("l0", "l1")},
+{_lp_iter_sql("l1", "l2")},
+{_lp_iter_sql("l2", "l3")},
+{_lp_iter_sql("l3", "l4")},
+sizes AS (SELECT lbl, count(*) AS community_size FROM l4 GROUP BY lbl)
+SELECT l.node, l.lbl AS community, s.community_size
+FROM l4 l JOIN sizes s ON s.lbl = l.lbl
+"""

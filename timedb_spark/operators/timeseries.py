@@ -2063,3 +2063,169 @@ SELECT user_id, n_events,
        floor(sigma / 100.0 * 1e6) / 1e6 AS std_value
 FROM folded
 """
+
+
+# ---------------------------------------------------------------------------
+# Mann–Kendall trend test + Sen's slope
+# ---------------------------------------------------------------------------
+
+_MK_Z_CRIT = 1.959964  # two-sided 5%
+
+
+def mk_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann–Kendall monotonic-trend test with Sen's slope per user series —
+    THE nonparametric trend detector (hydrology/climate standard; no
+    normality or linearity assumption, robust to outliers): S = Σ_{i<j}
+    sign(x_j − x_i), tie-corrected variance, and the trend magnitude as the
+    median of all pairwise slopes (Sen 1968).
+
+    Shape is :func:`croston`'s: ONE groupBy(user) with the sorted per-user
+    array as the only shuffle; the O(n²) pair enumeration runs as nested
+    array lambdas inside codegen — per-user work bounded by entity history
+    (pre-filter by time for unbounded feeds; at very long histories swap S
+    for the O(n log n) inversion-count formulation and Sen for a
+    quantile-sketch over sampled pairs).
+
+    Determinism: S, the tie counts, and the variance numerator are exact
+    longs; variance, z and every slope derive through identical double-op
+    sequences (slopes in exact cents over exact index gaps); the median is
+    an explicit sorted-array pick with the same even/odd rule in both
+    engines; outputs floor-scaled to 6 dp.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    s = F.struct(F.col("ts"), F.col("event_id"), F.col("value"))
+    g = ev.groupBy("user_id").agg(F.array_sort(F.collect_list(s)).alias("hist"))
+    cents = F.transform("hist", lambda r: (r["value"].cast("decimal(18,2)") * 100).cast("long"))
+    g = g.select("user_id", cents.alias("c"), F.size(cents).alias("n"))
+    n = F.col("n")
+    zero = F.lit(0).cast("long")
+    empty_l = F.array().cast("array<long>")
+    empty_d = F.array().cast("array<double>")
+
+    def el(i):  # 0-based element
+        return F.element_at("c", i + 1)
+
+    signs = F.when(
+        n >= 2,
+        F.flatten(
+            F.transform(
+                F.sequence(F.lit(1), n - 1),
+                lambda j: F.transform(
+                    F.sequence(F.lit(0), j - 1),
+                    lambda i: F.signum((el(j) - el(i)).cast("double")).cast("long"),
+                ),
+            )
+        ),
+    ).otherwise(empty_l)
+    slopes = F.when(
+        n >= 2,
+        F.array_sort(
+            F.flatten(
+                F.transform(
+                    F.sequence(F.lit(1), n - 1),
+                    lambda j: F.transform(
+                        F.sequence(F.lit(0), j - 1),
+                        lambda i: (el(j) - el(i)).cast("double") / (j - i).cast("double"),
+                    ),
+                )
+            )
+        ),
+    ).otherwise(empty_d)
+    s_stat = F.aggregate(signs, zero, lambda acc, x: acc + x)
+    tcounts = F.transform(
+        F.array_distinct("c"), lambda v: F.size(F.filter("c", lambda x: x == v)).cast("long")
+    )
+    corr = F.aggregate(tcounts, zero, lambda acc, t: acc + t * (t - 1) * (2 * t + 5))
+    nl = n.cast("long")
+    var_s = (nl * (nl - 1) * (2 * nl + 5) - corr).cast("double") / 18.0
+    sd = F.sqrt(var_s)
+    z = (
+        F.when((F.col("s_stat") > 0) & (sd > 0.0), (F.col("s_stat") - 1).cast("double") / sd)
+        .when((F.col("s_stat") < 0) & (sd > 0.0), (F.col("s_stat") + 1).cast("double") / sd)
+        .otherwise(F.lit(0.0))
+    )
+    p = F.size("m")
+    med_cents = F.when(
+        p == 0, F.lit(None).cast("double")
+    ).when(
+        p % 2 == 1, F.element_at("m", ((p + 1) / 2).cast("int"))
+    ).otherwise(
+        (F.element_at("m", (p / 2).cast("int")) + F.element_at("m", (p / 2).cast("int") + 1)) / 2.0
+    )
+    g = g.select("user_id", "n", "c", s_stat.alias("s_stat"), slopes.alias("m"), corr.alias("tie_corr"))
+    g = g.select(
+        "user_id",
+        F.col("n").alias("n_events"),
+        "s_stat",
+        (F.floor(var_s * 1e6) / 1e6).alias("var_s"),
+        (F.floor(z * 1e6) / 1e6).alias("z_stat"),
+        (F.floor(med_cents / 100.0 * 1e6) / 1e6).alias("sen_slope"),
+        F.when(z > _MK_Z_CRIT, F.lit("increasing"))
+        .when(z < -_MK_Z_CRIT, F.lit("decreasing"))
+        .otherwise(F.lit("no_trend"))
+        .alias("trend"),
+    )
+    return g
+
+
+MK_TREND_SQL = f"""
+WITH h AS (
+    SELECT user_id,
+           list_sort(list(struct_pack(ts := ts, event_id := event_id, value := value))) AS hist
+    FROM events GROUP BY user_id
+),
+c AS (
+    SELECT user_id,
+           list_transform(hist, r -> CAST(CAST(r.value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS c,
+           len(hist) AS n
+    FROM h
+),
+m AS (
+    SELECT user_id, n, c,
+           CASE WHEN n >= 2 THEN
+               list_reduce(list_prepend(CAST(0 AS BIGINT),
+                   flatten(list_transform(range(1, n), j ->
+                       list_transform(range(0, j), i ->
+                           CAST(sign(CAST(c[j + 1] - c[i + 1] AS DOUBLE)) AS BIGINT))))),
+                   (a, x) -> a + x)
+           ELSE CAST(0 AS BIGINT) END AS s_stat,
+           CASE WHEN n >= 2 THEN
+               list_sort(flatten(list_transform(range(1, n), j ->
+                   list_transform(range(0, j), i ->
+                       CAST(c[j + 1] - c[i + 1] AS DOUBLE) / CAST(j - i AS DOUBLE)))))
+           ELSE CAST([] AS DOUBLE[]) END AS slopes,
+           list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_transform(list_distinct(c), v ->
+                   CAST(len(list_filter(c, x -> x = v)) AS BIGINT))),
+               (a, t) -> a + t * (t - 1) * (2 * t + 5)) AS tie_corr
+    FROM c
+),
+v AS (
+    SELECT user_id, n, s_stat, slopes,
+           CAST(CAST(n AS BIGINT) * (CAST(n AS BIGINT) - 1) * (2 * CAST(n AS BIGINT) + 5)
+                - tie_corr AS DOUBLE) / 18.0 AS var_s
+    FROM m
+),
+z AS (
+    SELECT user_id, n, s_stat, slopes, var_s,
+           CASE WHEN s_stat > 0 AND sqrt(var_s) > 0.0
+                    THEN CAST(s_stat - 1 AS DOUBLE) / sqrt(var_s)
+                WHEN s_stat < 0 AND sqrt(var_s) > 0.0
+                    THEN CAST(s_stat + 1 AS DOUBLE) / sqrt(var_s)
+                ELSE 0.0 END AS zv,
+           CASE WHEN len(slopes) = 0 THEN NULL
+                WHEN len(slopes) % 2 = 1 THEN slopes[(len(slopes) + 1) // 2]
+                ELSE (slopes[len(slopes) // 2] + slopes[len(slopes) // 2 + 1]) / 2.0 END AS med_cents
+    FROM v
+)
+SELECT user_id,
+       n AS n_events,
+       s_stat,
+       floor(var_s * 1e6) / 1e6 AS var_s,
+       floor(zv * 1e6) / 1e6 AS z_stat,
+       floor(med_cents / 100.0 * 1e6) / 1e6 AS sen_slope,
+       CASE WHEN zv > {_MK_Z_CRIT} THEN 'increasing'
+            WHEN zv < -{_MK_Z_CRIT} THEN 'decreasing'
+            ELSE 'no_trend' END AS trend
+FROM z
+"""
