@@ -794,14 +794,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     r6 (text_readability, ts_kalman, ts_croston, ts_sax, events_survival,
     graph_link_predict, dedup_spans, text_collocations, text_chunk,
     sample_weighted, ts_cusum, stream_dedup_v2, graph_label_prop,
-    ts_mk_trend — inside the window per the discipline rule), then 29 of
-    the 38 round-2-only greens (text_fingerprint → stream_join_ordered —
-    no driver row since round 2). Window-discipline rule (VERDICT r5 task
-    #4): any query registered mid-round goes INSIDE this window or is
-    explicitly listed as next-window debt here — the debt entries are the
-    9 r2 greens ts_resample_locf/ts_interpolate_linear/ts_rollup_multires/
-    ts_sessionize/ts_ohlc/ts_ewma/ts_rate/ts_corr/ts_decompose and the 5
-    r3/r4 re-verify slots the new registrations displaced.
+    ts_mk_trend, dedup_containment, ts_periodogram — inside the window per
+    the discipline rule), then 27 of the 38 round-2-only greens
+    (text_fingerprint → stream_sessionize — no driver row since round 2).
+    Window-discipline rule (VERDICT r5 task #4): any query registered
+    mid-round goes INSIDE this window or is explicitly listed as
+    next-window debt here — the debt entries are the 11 displaced
+    r2-window greens (stream_join, stream_join_ordered, ts_resample_locf,
+    ts_interpolate_linear, ts_rollup_multires, ts_sessionize, ts_ohlc,
+    ts_ewma, ts_rate, ts_corr, ts_decompose) and the 5 r3/r4 re-verify
+    slots (events_session_window, text_script, text_lm_score,
+    events_paths, graph_triangles; all cumulatively driver-green).
     Deferred entries stay green locally via tools/parity.py; the r5 window
     greens (all hash-green in CORRECTNESS_r05) move to the tail."""
     return {
@@ -831,6 +834,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_dedup_v2": _q_stream_dedup_v2,
         "graph_label_prop": analytics.graph_label_prop,
         "ts_mk_trend": timeseries.mk_trend,
+        "dedup_containment": dedup.dedup_containment,
+        "ts_periodogram": timeseries.periodogram,
         # -- round-2-only greens: no driver row since r2 (37 in-window; the
         #    6 new registrations displace ts_decompose + the 5 r3/r4
         #    re-verify slots past 50 — explicit next-window debt) ----------
@@ -866,10 +871,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_join": _q_stream_join,
         "stream_join_ordered": _q_stream_join_ordered,
         # ==== end of the 50-query round-6 gate window ====================
-        # -- next-window debt: displaced by the 14 r6 registrations (the 6
+        # -- next-window debt: displaced by the 16 r6 registrations (the 6
         #    batch-1 ops + dedup_spans/text_collocations/text_chunk/
         #    sample_weighted/ts_cusum/stream_dedup_v2/graph_label_prop/
-        #    ts_mk_trend, all placed in-window per the discipline rule) --
+        #    ts_mk_trend/dedup_containment/ts_periodogram, all placed
+        #    in-window per the discipline rule) --------------------------
+        "stream_join": _q_stream_join,
+        "stream_join_ordered": _q_stream_join_ordered,
         "ts_resample_locf": timeseries.resample_locf_events,
         "ts_interpolate_linear": timeseries.interpolate_linear_events,
         "ts_rollup_multires": timeseries.rollup_multires,
@@ -1315,6 +1323,8 @@ def oracle_sql() -> dict[str, str]:
         "ts_cusum": timeseries.CUSUM_SQL,
         "graph_label_prop": analytics.GRAPH_LABEL_PROP_SQL,
         "ts_mk_trend": timeseries.MK_TREND_SQL,
+        "dedup_containment": dedup.DEDUP_CONTAINMENT_SQL,
+        "ts_periodogram": timeseries.PERIODOGRAM_SQL,
         "events_abtest": analytics.EVENTS_ABTEST_SQL,
         "profile_drift": pipeline.PROFILE_DRIFT_SQL,
         "events_paths": analytics.EVENTS_PATHS_SQL,

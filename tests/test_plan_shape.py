@@ -636,3 +636,27 @@ def test_ts_mk_trend_single_shuffle_stays_jvm(spark, sf_dir):
     plans.assert_max_shuffles(df, 1)
     phys = df._jdf.queryExecution().executedPlan().toString()
     assert "Python" not in phys
+
+
+def test_dedup_containment_blocked_join_no_cartesian(spark, sf_dir):
+    """Containment reuses the shared-shingle blocking equi-join — no
+    cartesian, no Python, both directions from one intersection plan."""
+    from timedb_spark.operators import dedup
+
+    df = dedup.dedup_containment(spark, sf_dir)
+    plans.assert_no_cartesian(df)
+    phys = df._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in phys
+
+
+def test_ts_periodogram_no_engine_trig_single_series_shuffle(spark, sf_dir):
+    """The spectral folds are pure +/× rotation chains over the collected
+    grid — the executed plan contains no COS/SIN call (cross-engine ulp
+    drift is designed out via literal constants) and no Python."""
+    from timedb_spark.operators import timeseries as ts
+
+    df = ts.periodogram(spark, sf_dir)
+    plans.assert_no_cartesian(df)
+    phys = df._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in phys
+    assert "COS" not in phys and "SIN" not in phys

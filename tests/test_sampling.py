@@ -150,3 +150,29 @@ def test_pack_documents_giant_source_bounded_groups(spark, tmp_path):
         for r in sampling.pack_documents(spark, str(d), budget=budget, bucket_docs=bucket_docs).collect()
     )
     assert sorted((r.source, r.pack_id, r.n_docs, r.total_tokens) for r in out) == again
+
+
+def test_dedup_containment_fragment_in_container(spark, tmp_path):
+    """A 12-token fragment pasted verbatim into a 60-token container:
+    every fragment shingle is in the container, so C(frag→cont) = 1.0
+    while Jaccard stays far below the pair threshold; the reverse
+    direction scores low and is not emitted."""
+    import os
+
+    import pandas as pd
+
+    frag = " ".join(f"f{i}" for i in range(12))
+    filler = " ".join(f"c{i}" for i in range(48))
+    rows = [
+        (1, frag, "en", "s", 0),
+        (2, filler + " " + frag, "en", "s", 0),
+        (3, " ".join(f"z{i}" for i in range(30)), "en", "s", 0),
+    ]
+    pd.DataFrame(rows, columns=["doc_id", "text", "lang", "source", "n_chars"]).to_parquet(
+        tmp_path / "documents.parquet"
+    )
+    out = dedup.dedup_containment(spark, str(tmp_path)).collect()
+    pairs = {(r.fragment, r.container): r.containment for r in out}
+    assert pairs.get((1, 2)) == 1.0
+    assert (2, 1) not in pairs  # container is not contained in the fragment
+    assert all(f != 3 and c != 3 for f, c in pairs)  # unrelated doc untouched

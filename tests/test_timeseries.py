@@ -788,3 +788,56 @@ def test_mk_trend_matches_python_recompute(spark, tmp_path):
     assert got[1].trend == "increasing"
     assert got[2].trend == "no_trend"
     assert got[3].trend == "no_trend" and got[3].var_s == 0.0
+
+
+def test_periodogram_detects_planted_daily_cycle(spark, tmp_path):
+    """A pure 24 h cosine spend signal concentrates power at the daily
+    period; a flat signal concentrates at DC (all three equal-ish, tiny);
+    the python replay of the same literal-constant rotation matches
+    exactly."""
+    import math
+    import os
+
+    import pandas as pd
+
+    from timedb_spark.operators.timeseries import _PERIODOGRAM_PERIODS
+
+    rows = []
+    eid = 0
+    # user 1: hourly events for 14 days, value = 10 + 5*cos(2π t/24)
+    vals = [round(10.0 + 5.0 * math.cos(2 * math.pi * t / 24.0), 2) for t in range(336)]
+    for t, v in enumerate(vals):
+        eid += 1
+        rows.append((eid, datetime(2024, 1, 1) + pd.Timedelta(hours=t), 1, "x", v))
+    # user 2: constant
+    for t in range(48):
+        eid += 1
+        rows.append((eid, datetime(2024, 1, 1) + pd.Timedelta(hours=t), 2, "x", 3.0))
+    pdf = pd.DataFrame(rows, columns=["event_id", "ts", "user_id", "event_type", "value"])
+    pdf["props"] = ""
+    d = str(tmp_path / "sf")
+    os.makedirs(d)
+    pdf.to_parquet(os.path.join(d, "events.parquet"))
+
+    got = {r.user_id: r for r in ts.periodogram(spark, d).collect()}
+
+    def replay(xs, cp, sp):
+        c, s, sx, sy = 1.0, 0.0, 0.0, 0.0
+        for x in xs:
+            c, s, sx, sy = c * cp - s * sp, c * sp + s * cp, sx + x * c, sy + x * s
+        n = float(len(xs))
+        return (sx * sx + sy * sy) / (n * n)
+
+    xs1 = [int(round(v * 100)) / 100.0 for v in vals]
+    for p, (cp, sp), col in [
+        (24, _PERIODOGRAM_PERIODS[24], "power_24h"),
+        (12, _PERIODOGRAM_PERIODS[12], "power_12h"),
+        (168, _PERIODOGRAM_PERIODS[168], "power_168h"),
+    ]:
+        exp = math.floor(replay(xs1, *(_PERIODOGRAM_PERIODS[p])) * 1e6) / 1e6
+        assert getattr(got[1], col) == exp, (p, col)
+
+    assert got[1].dominant_period == "24h"
+    assert got[1].power_24h > 5.0  # (amplitude/2)^2 = 6.25 for a pure tone
+    assert got[1].power_24h > 100 * got[1].power_168h
+    assert got[2].n_hours == 48 and got[2].dominant_period is not None

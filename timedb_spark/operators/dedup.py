@@ -720,3 +720,79 @@ SELECT doc_id, len(string_split_regex(trim(text), '\s+')) AS n_tokens,
 FROM corpus
 WHERE len(string_split_regex(trim(text), '\s+')) < {_SPAN_N}
 """
+
+
+# ---------------------------------------------------------------------------
+# shingle CONTAINMENT — asymmetric near-dup (small doc inside big doc)
+# ---------------------------------------------------------------------------
+
+_CONTAIN_TAU = 0.7
+
+
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment near-dup pairs: C(A→B) = |sh(A) ∩ sh(B)| /
+    |sh(A)| ≥ τ — the metric Jaccard structurally under-scores when a small
+    document is embedded inside a much larger one (quote pages, digests,
+    concatenated dumps): the pair's Jaccard is ≈|A|/|B| however complete
+    the containment, while C(A→B) = 1. Broder's (1997) second resemblance
+    measure; the containment direction names which doc is the fragment.
+
+    Same scale shape as :func:`dedup_ngram_jaccard` — shared-shingle
+    equi-join blocking (pair volume bounded by co-occurrence, never n²),
+    intersection counts from ONE groupBy over the blocked join, set sizes
+    joined from the persisted shingle frame. Both directions emit from the
+    same intersection row (no second join). Exact integer counts; the one
+    division is round-6 in both engines.
+    """
+    sh = _shingled(doc_corpus(spark, sf_dir))
+    sizes = sh.select("doc_id", F.size("sh").alias("n_sh"))
+    ex = sh.select("doc_id", F.explode("sh").alias("s"))
+    a = ex.alias("a")
+    b = ex.alias("b")
+    inter = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
+    j = inter.join(sa, "doc_a").join(sb, "doc_b")
+    c_ab = F.round(F.col("inter").cast("double") / F.col("na"), 6)
+    c_ba = F.round(F.col("inter").cast("double") / F.col("nb"), 6)
+    fwd = j.select(
+        F.col("doc_a").alias("fragment"),
+        F.col("doc_b").alias("container"),
+        c_ab.alias("containment"),
+    ).filter(F.col("containment") >= _CONTAIN_TAU)
+    rev = j.select(
+        F.col("doc_b").alias("fragment"),
+        F.col("doc_a").alias("container"),
+        c_ba.alias("containment"),
+    ).filter(F.col("containment") >= _CONTAIN_TAU)
+    return fwd.unionByName(rev)
+
+
+DEDUP_CONTAINMENT_SQL = rf"""
+WITH corpus AS ({DOC_CORPUS_SQL}),
+shingled AS ({_SHINGLED_SQL}),
+sizes AS (SELECT doc_id, len(sh) AS n_sh FROM shingled),
+ex AS (SELECT doc_id, unnest(sh) AS s FROM shingled),
+inter AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+    FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+),
+j AS (
+    SELECT doc_a, doc_b, inter, sa.n_sh AS na, sb.n_sh AS nb
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+)
+SELECT doc_a AS fragment, doc_b AS container,
+       round(CAST(inter AS DOUBLE) / na, 6) AS containment
+FROM j WHERE round(CAST(inter AS DOUBLE) / na, 6) >= {_CONTAIN_TAU}
+UNION ALL
+SELECT doc_b AS fragment, doc_a AS container,
+       round(CAST(inter AS DOUBLE) / nb, 6) AS containment
+FROM j WHERE round(CAST(inter AS DOUBLE) / nb, 6) >= {_CONTAIN_TAU}
+"""

@@ -2229,3 +2229,155 @@ SELECT user_id,
             ELSE 'no_trend' END AS trend
 FROM z
 """
+
+
+# ---------------------------------------------------------------------------
+# periodogram — spectral power at fixed candidate periods
+# ---------------------------------------------------------------------------
+
+#: candidate periods (hours) with their unit-rotation constants, computed
+#: ONCE in python and embedded as shortest-round-trip literals: both
+#: engines parse them to the identical IEEE double (correctly-rounded
+#: strtod / Double.parseDouble), so neither engine ever calls its own
+#: libm trig — the one source of cross-engine ulp drift a spectral
+#: operator would otherwise have.
+_PERIODOGRAM_PERIODS: dict[int, tuple[float, float]] = {
+    24: (0.9659258262890683, 0.25881904510252074),
+    12: (0.8660254037844387, 0.49999999999999994),
+    168: (0.9993007047883985, 0.037391194276325625),
+}
+
+
+def periodogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spectral power of each user's hourly-spend series at the daily,
+    half-daily and weekly candidate periods — the "is there a cycle, and
+    which one" reading (seasonality model selection for holt_winters /
+    seasonal_naive; anomaly baselining): P(T) = (Σx·cos(2πt/T))² +
+    (Σx·sin(2πt/T))², normalized by n², over the DENSE hourly grid
+    (missing hours are true zeros of the spend signal).
+
+    The DFT at each fixed period runs as ONE 4-state ``F.aggregate`` fold
+    over the sorted dense series — [cos, sin, Σx·cos, Σx·sin] — where the
+    (cos, sin) pair advances by complex rotation with the period's literal
+    constants (see ``_PERIODOGRAM_PERIODS``): pure +/× in identical order,
+    so the ``list_reduce`` oracle is bit-identical. No engine trig, no
+    explode-per-(t,period), no second shuffle: the grid join is the
+    RESAMPLE shape (per-user span × hour ticks, LEFT JOIN, COALESCE 0) and
+    all three periods fold over the same collected array. Per-user array
+    length is the corpus span in hours — bounded by the retention window
+    at any scale.
+
+    Determinism: hour indices and cent sums exact longs; the folds are
+    fixed-order double chains; outputs floor-scaled to 6 dp. Dominant
+    period ties break toward the shorter period (fixed CASE order).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    hc = (
+        ev.select(
+            "user_id",
+            F.expr("unix_micros(ts) div 3600000000").alias("h"),
+            (F.col("value").cast("decimal(18,2)") * 100).cast("long").alias("c"),
+        )
+        .groupBy("user_id", "h")
+        .agg(F.sum("c").alias("c"))
+    )
+    span = hc.groupBy("user_id").agg(F.min("h").alias("lo"), F.max("h").alias("hi"))
+    grid = span.select("user_id", F.explode(F.sequence("lo", "hi")).alias("h"))
+    dense = grid.join(hc, ["user_id", "h"], "left").select(
+        "user_id", "h", F.coalesce("c", F.lit(0).cast("long")).alias("c")
+    )
+    g = dense.groupBy("user_id").agg(
+        F.array_sort(F.collect_list(F.struct("h", "c"))).alias("hist")
+    )
+    xs = F.transform("hist", lambda r: r["c"].cast("double") / 100.0)
+    g = g.select("user_id", xs.alias("x"), F.size("hist").alias("n_hours"))
+
+    def _power(cp: float, sp: float):
+        fold = F.aggregate(
+            "x",
+            F.array(F.lit(1.0), F.lit(0.0), F.lit(0.0), F.lit(0.0)),
+            lambda acc, x: F.array(
+                F.element_at(acc, 1) * cp - F.element_at(acc, 2) * sp,
+                F.element_at(acc, 1) * sp + F.element_at(acc, 2) * cp,
+                F.element_at(acc, 3) + x * F.element_at(acc, 1),
+                F.element_at(acc, 4) + x * F.element_at(acc, 2),
+            ),
+        )
+        sx, sy = F.element_at(fold, 3), F.element_at(fold, 4)
+        n = F.col("n_hours").cast("double")
+        return (sx * sx + sy * sy) / (n * n)
+
+    powers = {p: _power(cp, sp) for p, (cp, sp) in _PERIODOGRAM_PERIODS.items()}
+    p24, p12, p168 = powers[24], powers[12], powers[168]
+    dominant = (
+        F.when((p12 >= p24) & (p12 >= p168), F.lit("12h"))
+        .when(p24 >= p168, F.lit("24h"))
+        .otherwise(F.lit("168h"))
+    )
+    return g.select(
+        "user_id",
+        "n_hours",
+        (F.floor(p24 * 1e6) / 1e6).alias("power_24h"),
+        (F.floor(p12 * 1e6) / 1e6).alias("power_12h"),
+        (F.floor(p168 * 1e6) / 1e6).alias("power_168h"),
+        dominant.alias("dominant_period"),
+    )
+
+
+def _pgram_fold_sql(cp: float, sp: float) -> str:
+    return f"""list_reduce(
+               list_prepend([1.0, 0.0, 0.0, 0.0], list_transform(x, v -> [v, 0.0, 0.0, 0.0])),
+               (acc, e) -> [
+                   acc[1] * {cp!r} - acc[2] * {sp!r},
+                   acc[1] * {sp!r} + acc[2] * {cp!r},
+                   acc[3] + e[1] * acc[1],
+                   acc[4] + e[1] * acc[2]
+               ])"""
+
+
+_P24 = _pgram_fold_sql(*_PERIODOGRAM_PERIODS[24])
+_P12 = _pgram_fold_sql(*_PERIODOGRAM_PERIODS[12])
+_P168 = _pgram_fold_sql(*_PERIODOGRAM_PERIODS[168])
+
+PERIODOGRAM_SQL = f"""
+WITH hc AS (
+    SELECT user_id, epoch_us(ts) // 3600000000 AS h,
+           CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS c
+    FROM events GROUP BY user_id, epoch_us(ts) // 3600000000
+),
+span AS (SELECT user_id, min(h) AS lo, max(h) AS hi FROM hc GROUP BY user_id),
+grid AS (SELECT user_id, unnest(generate_series(lo, hi)) AS h FROM span),
+dense AS (
+    SELECT g.user_id, g.h, coalesce(hc.c, CAST(0 AS BIGINT)) AS c
+    FROM grid g LEFT JOIN hc ON hc.user_id = g.user_id AND hc.h = g.h
+),
+arr AS (
+    SELECT user_id,
+           list_transform(list_sort(list(struct_pack(h := h, c := c))),
+                          r -> CAST(r.c AS DOUBLE) / 100.0) AS x,
+           count(*) AS n_hours
+    FROM dense GROUP BY user_id
+),
+folded AS (
+    SELECT user_id, n_hours,
+           {_P24} AS f24,
+           {_P12} AS f12,
+           {_P168} AS f168
+    FROM arr
+),
+pw AS (
+    SELECT user_id, n_hours,
+           (f24[3] * f24[3] + f24[4] * f24[4]) / (CAST(n_hours AS DOUBLE) * CAST(n_hours AS DOUBLE)) AS p24,
+           (f12[3] * f12[3] + f12[4] * f12[4]) / (CAST(n_hours AS DOUBLE) * CAST(n_hours AS DOUBLE)) AS p12,
+           (f168[3] * f168[3] + f168[4] * f168[4]) / (CAST(n_hours AS DOUBLE) * CAST(n_hours AS DOUBLE)) AS p168
+    FROM folded
+)
+SELECT user_id, n_hours,
+       floor(p24 * 1e6) / 1e6 AS power_24h,
+       floor(p12 * 1e6) / 1e6 AS power_12h,
+       floor(p168 * 1e6) / 1e6 AS power_168h,
+       CASE WHEN p12 >= p24 AND p12 >= p168 THEN '12h'
+            WHEN p24 >= p168 THEN '24h'
+            ELSE '168h' END AS dominant_period
+FROM pw
+"""
