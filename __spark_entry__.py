@@ -794,13 +794,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     r6 (text_readability, ts_kalman, ts_croston, ts_sax, events_survival,
     graph_link_predict, dedup_spans, text_collocations, text_chunk,
     sample_weighted, ts_cusum, stream_dedup_v2, graph_label_prop,
-    ts_mk_trend, dedup_containment, ts_periodogram — inside the window per
-    the discipline rule), then 27 of the 38 round-2-only greens
-    (text_fingerprint → stream_sessionize — no driver row since round 2).
+    ts_mk_trend, dedup_containment, ts_periodogram, ann_mmr — inside the
+    window per the discipline rule), then 26 of the 38 round-2-only greens
+    (text_fingerprint → stream_dedup — no driver row since round 2).
     Window-discipline rule (VERDICT r5 task #4): any query registered
     mid-round goes INSIDE this window or is explicitly listed as
-    next-window debt here — the debt entries are the 11 displaced
-    r2-window greens (stream_join, stream_join_ordered, ts_resample_locf,
+    next-window debt here — the debt entries are the 12 displaced
+    r2-window greens (stream_sessionize, stream_join, stream_join_ordered,
+    ts_resample_locf,
     ts_interpolate_linear, ts_rollup_multires, ts_sessionize, ts_ohlc,
     ts_ewma, ts_rate, ts_corr, ts_decompose) and the 5 r3/r4 re-verify
     slots (events_session_window, text_script, text_lm_score,
@@ -836,6 +837,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_mk_trend": timeseries.mk_trend,
         "dedup_containment": dedup.dedup_containment,
         "ts_periodogram": timeseries.periodogram,
+        "ann_mmr": similarity.ann_mmr,
         # -- round-2-only greens: no driver row since r2 (37 in-window; the
         #    6 new registrations displace ts_decompose + the 5 r3/r4
         #    re-verify slots past 50 — explicit next-window debt) ----------
@@ -871,11 +873,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_join": _q_stream_join,
         "stream_join_ordered": _q_stream_join_ordered,
         # ==== end of the 50-query round-6 gate window ====================
-        # -- next-window debt: displaced by the 16 r6 registrations (the 6
+        # -- next-window debt: displaced by the 17 r6 registrations (the 6
         #    batch-1 ops + dedup_spans/text_collocations/text_chunk/
         #    sample_weighted/ts_cusum/stream_dedup_v2/graph_label_prop/
-        #    ts_mk_trend/dedup_containment/ts_periodogram, all placed
-        #    in-window per the discipline rule) --------------------------
+        #    ts_mk_trend/dedup_containment/ts_periodogram/ann_mmr, all
+        #    placed in-window per the discipline rule) -------------------
+        "stream_sessionize": _q_stream_sessionize,
         "stream_join": _q_stream_join,
         "stream_join_ordered": _q_stream_join_ordered,
         "ts_resample_locf": timeseries.resample_locf_events,
@@ -1325,6 +1328,7 @@ def oracle_sql() -> dict[str, str]:
         "ts_mk_trend": timeseries.MK_TREND_SQL,
         "dedup_containment": dedup.DEDUP_CONTAINMENT_SQL,
         "ts_periodogram": timeseries.PERIODOGRAM_SQL,
+        "ann_mmr": similarity.ANN_MMR_SQL,
         "events_abtest": analytics.EVENTS_ABTEST_SQL,
         "profile_drift": pipeline.PROFILE_DRIFT_SQL,
         "events_paths": analytics.EVENTS_PATHS_SQL,

@@ -660,3 +660,19 @@ def test_ts_periodogram_no_engine_trig_single_series_shuffle(spark, sf_dir):
     phys = df._jdf.queryExecution().executedPlan().toString()
     assert "Python" not in phys
     assert "COS" not in phys and "SIN" not in phys
+
+
+def test_ann_mmr_single_fold_no_python(spark, sf_dir):
+    """The K-step greedy selection is one aggregate over the candidate
+    array on top of ann_bruteforce's broadcast+window plan — no extra
+    shuffles beyond the window + per-query collect, no cartesian, no
+    Python, and the fold lambda appears once (no per-step plan blowup)."""
+    from timedb_spark.operators import similarity as sim
+
+    df = sim.ann_mmr(spark, sf_dir)
+    plans.assert_no_cartesian(df)
+    phys = df._jdf.queryExecution().executedPlan().toString()
+    # the query side broadcasts through the != join (nested-loop w/
+    # broadcast build, same as ann_bruteforce — not a BroadcastHashJoin)
+    assert "BroadcastNestedLoopJoin BuildRight" in phys
+    assert "Python" not in phys

@@ -216,3 +216,49 @@ def test_embed_quantize_roundtrip_error_bound(spark):
         resid = q * 127 - codes * amax
         assert int(np.abs(resid).max()) <= amax // 2 + 1  # half-step bound
         assert r.sq_err == int((resid * resid).sum())
+
+
+def test_ann_mmr_matches_python_replay(spark):
+    """The one-fold MMR selection equals an exact python replay of the
+    greedy definition (same quantized cosines, same keep-first tie-break),
+    and every ranked list is strictly diversity-ordered: each pick's
+    mmr_score is non-increasing and rank 1 is the raw top relevance."""
+    import math
+
+    import pandas as pd
+
+    emb = pd.read_parquet(f"{SF_DIR}/embeddings.parquet")
+    Q = {
+        int(v): np.array([round(float(x) * 1e6) for x in e], dtype=np.int64)
+        for v, e in zip(emb.vec_id, emb.embedding)
+    }
+
+    def cos(a, b):
+        qa, qb = Q[a], Q[b]
+        return float(int((qa * qb).sum())) / (
+            math.sqrt(float(int((qa * qa).sum()))) * math.sqrt(float(int((qb * qb).sum())))
+        )
+
+    got = sim.ann_mmr(spark, SF_DIR).toPandas()
+    assert len(got) == sim._N_QUERIES * sim._MMR_K
+    for qid in range(sim._N_QUERIES):
+        rels = sorted(((v, cos(qid, v)) for v in Q if v != qid), key=lambda t: (-t[1], t[0]))
+        cands = rels[: sim._MMR_CANDS]
+        sel: list[tuple[int, int, float]] = []
+        lam = sim._MMR_LAMBDA
+        for _ in range(sim._MMR_K):
+            best = (-1e18, -1)
+            for i, (v, rel) in enumerate(cands):
+                if i in [s[0] for s in sel]:
+                    continue
+                ms = max([cos(v, s[1]) for s in sel], default=0.0)
+                ms = max(ms, 0.0)
+                sc = lam * rel - (1 - lam) * ms
+                if sc > best[0]:
+                    best = (sc, i)
+            sel.append((best[1], cands[best[1]][0], best[0]))
+        g = got[got.query_id == qid].sort_values("mmr_rank")
+        assert list(g.neighbor_id) == [s[1] for s in sel], qid
+        assert list(g.mmr_score) == [math.floor(s[2] * 1e6) / 1e6 for s in sel], qid
+        assert g.iloc[0].neighbor_id == cands[0][0]  # rank 1 = raw top rel
+        assert all(np.diff(g.mmr_score) <= 1e-12)

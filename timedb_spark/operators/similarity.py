@@ -936,3 +936,193 @@ FROM ranked WHERE rank <= {_TOP_K}
 
 
 ANN_LSH_SQL = _build_ann_lsh_sql()
+
+
+# ---------------------------------------------------------------------------
+# MMR diversified re-rank
+# ---------------------------------------------------------------------------
+
+_MMR_LAMBDA = 0.5  # dyadic: exact in both engines
+_MMR_CANDS = 20
+_MMR_K = 8
+
+
+def ann_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal-Marginal-Relevance re-rank (Carbonell & Goldstein, SIGIR'98)
+    of each query's brute-force top-``_MMR_CANDS`` candidates: iteratively
+    pick argmax of λ·rel(c) − (1−λ)·max_{s∈selected} cos(c, s) — the
+    dedupe-at-retrieval step that keeps a RAG / few-shot context window
+    from filling with near-copies of the same best match.
+
+    The whole K-step greedy selection is ONE ``F.aggregate`` fold per
+    query row over the collected candidate array (state = flattened
+    [score, idx] pairs; each step's argmax is an inner fold over candidate
+    positions, each candidate's diversity penalty an innermost fold over
+    the selected set) — so the expression tree contains each lambda ONCE
+    (no per-step plan blowup) and the per-query work is
+    K·C·K·dim ≈ 8·20·8·64 multiplies inside codegen, zero Python, zero
+    extra shuffles beyond ann_bruteforce's own window.
+
+    Determinism: relevances and pair similarities divide exact integer
+    dots by stored norms in identical order; λ is dyadic; the argmax fold
+    replaces only on strictly-greater score, so ties break toward the
+    lower candidate rank in both engines identically.
+    """
+    vecs = _quantized(spark, sf_dir).withColumn(
+        "nq", F.sqrt(vx.norm_sq_q(F.col("q")).cast("double"))
+    )
+    queries = vecs.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("q").alias("qv")
+    )
+    scored = vecs.join(F.broadcast(queries), F.col("vec_id") != F.col("query_id")).select(
+        "query_id",
+        F.col("vec_id").alias("nid"),
+        vx.cosine_q(F.col("qv"), F.col("q")).alias("rel"),
+        "q",
+        "nq",
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("rel").desc(), F.col("nid"))
+    cands = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _MMR_CANDS)
+        .groupBy("query_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("rank", "nid", "rel", "q", "nq"))),
+                lambda r: F.struct(
+                    r["nid"].alias("nid"), r["rel"].alias("rel"), r["q"].alias("q"), r["nq"].alias("nq")
+                ),
+            ).alias("cands")
+        )
+    )
+    lam = _MMR_LAMBDA
+
+    def _cand(i):
+        return F.element_at("cands", i)
+
+    def _pair_cos(ci, si):
+        a, b = _cand(ci), _cand(si)
+        return vx.dot_q(a["q"], b["q"]).cast("double") / (a["nq"] * b["nq"])
+
+    def _step(st, _e):
+        n_sel = (F.size(st) / 2).cast("int")
+        sel = F.transform(F.sequence(F.lit(1), n_sel), lambda r: F.element_at(st, 2 * r).cast("int")) \
+            if True else None
+        # guard: sequence(1, 0) would descend — empty state means no selected
+        sel = F.when(n_sel > 0, sel).otherwise(F.array().cast("array<int>"))
+
+        def _score(ci):
+            maxsim = F.aggregate(sel, F.lit(0.0), lambda ms, s: F.greatest(ms, _pair_cos(ci, s)))
+            return lam * _cand(ci)["rel"] - (1.0 - lam) * maxsim
+
+        best = F.aggregate(
+            F.sequence(F.lit(1), F.lit(_MMR_CANDS)),
+            F.array(F.lit(-1e18), F.lit(-1.0)),
+            lambda bb, ci: F.when(
+                F.array_contains(sel, ci) | (_score(ci) <= F.element_at(bb, 1)), bb
+            ).otherwise(F.array(_score(ci), ci.cast("double"))),
+        )
+        return F.concat(st, best)
+
+    fold = F.aggregate(
+        F.sequence(F.lit(1), F.lit(_MMR_K)), F.array().cast("array<double>"), _step
+    )
+    out = cands.select("query_id", "cands", fold.alias("st")).select(
+        "query_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.lit(_MMR_K)),
+                lambda r: F.struct(
+                    r.alias("mmr_rank"),
+                    F.element_at(F.col("st"), 2 * r).cast("int").alias("ci"),
+                    F.element_at(F.col("st"), 2 * r - 1).alias("score"),
+                ),
+            )
+        ).alias("p"),
+        F.col("cands"),
+    )
+    pick = F.element_at("cands", F.col("p.ci"))
+    return out.select(
+        "query_id",
+        F.col("p.mmr_rank").alias("mmr_rank"),
+        pick["nid"].alias("neighbor_id"),
+        F.round(pick["rel"], 6).alias("relevance"),
+        (F.floor(F.col("p.score") * 1e6) / 1e6).alias("mmr_score"),
+    )
+
+
+
+def _mmr_sql() -> str:
+    """Generate the MMR oracle with exactly ONE list_reduce (the outer
+    K-step fold). DuckDB v1.0 mis-evaluates list_reduce nested inside
+    list_reduce over multi-row inputs (observed: query 6's fold returning
+    query 8's step score — cross-ROW state bleed), so the per-step argmax
+    is expressed reduce-free: a scores list (selected candidates masked to
+    -1e18), list_aggregate(..., 'max'), and list_position for the
+    first-max index — which also reproduces Spark's keep-first tie-break.
+    Lambda variables use collision-proof names: DuckDB inlines CTEs, and a
+    lambda parameter colliding with an in-scope column of the inlined
+    consumer silently rebinds to the column (observed with `r`)."""
+    lam, one_m_lam = _MMR_LAMBDA, 1.0 - _MMR_LAMBDA
+    sel = ("CASE WHEN len(st) >= 2 THEN list_transform(range(1, len(st) // 2 + 1), "
+           "selpos -> CAST(st[2 * selpos] AS INTEGER)) ELSE CAST([] AS INTEGER[]) END")
+
+    def pair_dot(ci: str, si: str) -> str:
+        return (f"list_sum(list_transform(range(1, len(cands[{ci}].q) + 1), "
+                f"i -> cands[{ci}].q[i] * cands[{si}].q[i]))")
+
+    maxsim = (f"coalesce(list_aggregate(list_transform({sel}, "
+              f"sr -> CAST({pair_dot('cq', 'sr')} AS DOUBLE) / (cands[cq].nq * cands[sr].nq)), "
+              f"'max'), 0.0)")
+    maxsim_nonneg = f"greatest(0.0, {maxsim})"
+    scores = (f"list_transform(range(1, {_MMR_CANDS} + 1), cq -> "
+              f"CASE WHEN list_contains({sel}, cq) THEN -1e18 "
+              f"ELSE {lam!r} * cands[cq].rel - {one_m_lam!r} * {maxsim_nonneg} END)"
+              )
+    step = (f"list_concat(st, [list_aggregate({scores}, 'max'), "
+            f"CAST(list_position({scores}, list_aggregate({scores}, 'max')) AS DOUBLE)])")
+    quant = "list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT))"
+    return f"""
+WITH vecs AS (
+    SELECT vec_id, {vx.QUANTIZE_SQL.format(v='embedding')} AS q,
+           sqrt(CAST({vx.DOT_Q_SQL.format(a=quant, b=quant)} AS DOUBLE)) AS nq
+    FROM embeddings
+),
+queries AS (SELECT vec_id AS query_id, q AS qv FROM vecs WHERE vec_id < {_N_QUERIES}),
+scored AS (
+    SELECT query_id, v.vec_id AS nid,
+           {vx.cosine_q_sql('qv', 'v.q')} AS rel,
+           v.q AS q, v.nq AS nq
+    FROM vecs v JOIN queries ON v.vec_id != query_id
+),
+ranked AS (
+    SELECT query_id, nid, rel, q, nq,
+           row_number() OVER (PARTITION BY query_id ORDER BY rel DESC, nid) AS rank
+    FROM scored
+),
+cand AS (
+    SELECT query_id,
+           list_transform(list_sort(list(struct_pack(rank := rank, nid := nid, rel := rel,
+                                                     q := q, nq := nq))),
+                          cs -> struct_pack(nid := cs.nid, rel := cs.rel, q := cs.q, nq := cs.nq)) AS cands
+    FROM ranked WHERE rank <= {_MMR_CANDS}
+    GROUP BY query_id
+),
+folded AS (
+    SELECT query_id, cands,
+           list_reduce(
+               list_prepend(CAST([] AS DOUBLE[]),
+                            list_transform(range(1, {_MMR_K} + 1), stepno -> [0.0])),
+               (st, stepv) -> {step}) AS st
+    FROM cand
+)
+SELECT query_id,
+       u.mr AS mmr_rank,
+       cands[CAST(st[2 * u.mr] AS INTEGER)].nid AS neighbor_id,
+       round(cands[CAST(st[2 * u.mr] AS INTEGER)].rel, 6) AS relevance,
+       floor(st[2 * u.mr - 1] * 1e6) / 1e6 AS mmr_score
+FROM folded, (SELECT unnest(range(1, {_MMR_K} + 1)) AS mr) u
+"""
+
+
+ANN_MMR_SQL = _mmr_sql()
