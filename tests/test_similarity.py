@@ -262,3 +262,22 @@ def test_ann_mmr_matches_python_replay(spark):
         assert list(g.mmr_score) == [math.floor(s[2] * 1e6) / 1e6 for s in sel], qid
         assert g.iloc[0].neighbor_id == cands[0][0]  # rank 1 = raw top rel
         assert all(np.diff(g.mmr_score) <= 1e-12)
+
+
+def test_ann_recall_consistent_with_member_outputs(spark):
+    """ann_recall's per-(method, query) hit counts equal a pandas
+    recomputation of |approx ∩ exact| from the member operators' own
+    outputs, with recall = hits/k for every one of the 3 x N_QUERIES
+    rows."""
+    got = sim.ann_recall(spark, SF_DIR).toPandas()
+    assert len(got) == 3 * sim._N_QUERIES
+    exact = sim.ann_bruteforce(spark, SF_DIR).toPandas()
+    ex = exact.groupby("query_id").neighbor_id.apply(set).to_dict()
+    for method, fn in (("lsh", sim.ann_lsh), ("ivf", sim.ann_ivf), ("pq", sim.ann_pq)):
+        ap = fn(spark, SF_DIR).toPandas().groupby("query_id").neighbor_id.apply(set).to_dict()
+        for qid, exact_set in ex.items():
+            hits = len(exact_set & ap.get(qid, set()))
+            row = got[(got.method == method) & (got.query_id == qid)]
+            assert len(row) == 1
+            assert row.iloc[0].n_hits == hits, (method, qid)
+            assert row.iloc[0].recall == hits / len(exact_set)

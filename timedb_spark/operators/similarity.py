@@ -1126,3 +1126,75 @@ FROM folded, (SELECT unnest(range(1, {_MMR_K} + 1)) AS mr) u
 
 
 ANN_MMR_SQL = _mmr_sql()
+
+
+# ---------------------------------------------------------------------------
+# ANN recall evaluation — the quality gate for the approximate variants
+# ---------------------------------------------------------------------------
+
+
+def ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of every approximate ANN variant against the brute-force
+    ground truth — the evaluation harness a production deployment runs
+    before trusting an index (and re-runs on every re-train/re-bucket):
+    per (method, query), |approx top-k ∩ exact top-k| / k.
+
+    Composition operator: the exact top-k anchors a LEFT-SEMI join per
+    variant (hits = exact rows the variant also returned), one tiny
+    groupBy per method, union of three 10-row frames. All the heavy
+    lifting is the variants' own plans; the evaluation itself adds no
+    scan. Counts are exact integers; recall is one exact dyadic division
+    (k = 5 → multiples of 0.2).
+
+    At 100 TB the same shape holds with a SAMPLED query set: ground truth
+    is brute-force over queries × corpus — priced by the query sample
+    size, not the corpus (the corpus side is one broadcast-probe scan per
+    method, exactly as in ann_bruteforce).
+    """
+    exact = ann_bruteforce(spark, sf_dir).select("query_id", "neighbor_id").localCheckpoint(
+        eager=False
+    )
+    anchor = exact.groupBy("query_id").agg(F.count(F.lit(1)).alias("k"))
+    frames = []
+    for method, fn in (("lsh", ann_lsh), ("ivf", ann_ivf), ("pq", ann_pq)):
+        approx = fn(spark, sf_dir).select("query_id", "neighbor_id")
+        hits = (
+            exact.join(approx, ["query_id", "neighbor_id"], "left_semi")
+            .groupBy("query_id")
+            .agg(F.count(F.lit(1)).alias("n_hits"))
+        )
+        frames.append(
+            anchor.join(hits, "query_id", "left").select(
+                F.lit(method).alias("method"),
+                "query_id",
+                F.coalesce("n_hits", F.lit(0).cast("long")).alias("n_hits"),
+                (F.coalesce("n_hits", F.lit(0).cast("long")).cast("double") / F.col("k").cast("double")).alias(
+                    "recall"
+                ),
+            )
+        )
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out
+
+
+def _recall_leg_sql(method: str, variant_sql: str) -> str:
+    return f"""
+    SELECT '{method}' AS method, e.query_id,
+           CAST(count(a.neighbor_id) AS BIGINT) AS n_hits,
+           CAST(count(a.neighbor_id) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS recall
+    FROM exact e LEFT JOIN ({variant_sql}) a
+      ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+    GROUP BY e.query_id
+"""
+
+
+ANN_RECALL_SQL = f"""
+WITH exact AS (SELECT query_id, neighbor_id FROM ({ANN_BRUTEFORCE_SQL}) t)
+{_recall_leg_sql('lsh', 'SELECT * FROM (' + ANN_LSH_SQL + ') x')}
+UNION ALL
+{_recall_leg_sql('ivf', 'SELECT * FROM (' + ANN_IVF_SQL + ') x')}
+UNION ALL
+{_recall_leg_sql('pq', 'SELECT * FROM (' + ANN_PQ_SQL + ') x')}
+"""
