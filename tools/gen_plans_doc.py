@@ -56,6 +56,21 @@ PICKS = [
     ("ts_theta", "Theta-method forecast: ONE shuffle (groupBy user) feeding a map-side-partial "
      "collect_list agg; OLS moments, the SES fold and both combination forecasts are all "
      "array expressions in projections — zero Python, zero windows."),
+    ("dedup_spans", "Substring-granular dedup: the span explode feeds ONE hash groupBy on the "
+     "md5 key (map-side combined), one shuffle join back, and the interval-union coverage "
+     "fold is an array aggregate in a projection — candidate volume is |tokens|, never n²."),
+    ("sample_weighted", "Efraimidis–Spirakis weighted sampling: the whole operator is a scan "
+     "projection into TakeOrderedAndProject — per-partition top-k heaps, a k-row driver merge, "
+     "no Exchange, no global Sort."),
+    ("graph_label_prop", "Four synchronous label-propagation rounds: the checkpointed edge list "
+     "joins each round's label table on the same node key (AQE reuses the partitioning); each "
+     "round is join → map-side-combined histogram → per-node window over a degree-bounded group."),
+    ("ts_periodogram", "Fixed-period spectral power: the RESAMPLE-shaped dense grid collects once "
+     "per user; all three DFT rotation folds are pure +/× array aggregates — the plan contains "
+     "no trig call (constants are embedded literals) and no Python."),
+    ("ann_mmr", "MMR re-rank: ann_bruteforce's broadcast+window plan plus ONE aggregate over the "
+     "collected candidate array — the 8-step greedy selection adds no shuffle and each lambda "
+     "appears once in the plan (no per-step expression blowup)."),
 ]
 
 
