@@ -177,3 +177,139 @@ def test_interval_merge_matches_python_sweep(spark, raw):
         for r in bt.interval_merge(df).collect()
     }
     assert got == {k: [_h(v[0]), _h(v[1]), v[2]] for k, v in exp.items()}
+
+
+# ---------------------------------------------------------------------------
+# fold-operator properties: the r6 sequential recursions vs exact python
+# replays on hypothesis-generated series
+# ---------------------------------------------------------------------------
+
+_series_strategy = st.lists(
+    st.integers(min_value=0, max_value=20000),  # cents: 0.00 .. 200.00
+    min_size=1,
+    max_size=40,
+)
+
+
+def _events_frame(spark, tmpdir, cents_series):
+    import os
+
+    import pandas as pd
+
+    rows = []
+    eid = 0
+    for uid, cents in enumerate(cents_series, start=1):
+        for t, c in enumerate(cents):
+            eid += 1
+            rows.append(
+                (eid, datetime(2024, 1, 1) + timedelta(hours=t), uid, "x", c / 100.0)
+            )
+    pdf = pd.DataFrame(rows, columns=["event_id", "ts", "user_id", "event_type", "value"])
+    pdf["props"] = ""
+    d = os.path.join(tmpdir, "sf")
+    os.makedirs(d, exist_ok=True)
+    pdf.to_parquet(os.path.join(d, "events.parquet"))
+    return d
+
+
+@pytest.mark.filterwarnings("ignore")
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(st.lists(_series_strategy, min_size=1, max_size=3))
+def test_cusum_property_matches_replay(spark, tmp_path_factory, cents_series):
+    import math
+
+    from timedb_spark.operators import timeseries as ts
+
+    d = _events_frame(spark, str(tmp_path_factory.mktemp("cusum")), cents_series)
+    got = {r.user_id: r for r in ts.cusum(spark, d).collect()}
+    for uid, c in enumerate(cents_series, start=1):
+        n = len(c)
+        mu = sum(c) / n
+        var = sum(x * x for x in c) / n - mu * mu
+        sigma = math.sqrt(max(var, 0.0))
+        sp = sn = 0.0
+        alarms, mxp, mxn, first = 0, 0.0, 0.0, -1
+        for t, x in enumerate(c):
+            z = (x - mu) / sigma if sigma > 0 else 0.0
+            sp2, sn2 = max(0.0, sp + z - 0.5), max(0.0, sn - z - 0.5)
+            mxp, mxn = max(mxp, sp2), max(mxn, sn2)
+            if sp2 > 4.0 or sn2 > 4.0:
+                alarms += 1
+                if first < 0:
+                    first = t
+                sp = sn = 0.0
+            else:
+                sp, sn = sp2, sn2
+        r = got[uid]
+        assert r.n_alarms == alarms and r.first_alarm_idx == first
+        assert r.max_cusum_pos == math.floor(mxp * 1e6) / 1e6
+        assert r.max_cusum_neg == math.floor(mxn * 1e6) / 1e6
+
+
+@pytest.mark.filterwarnings("ignore")
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(st.lists(_series_strategy, min_size=1, max_size=3))
+def test_mk_trend_property_matches_replay(spark, tmp_path_factory, cents_series):
+    import math
+    from collections import Counter
+
+    from timedb_spark.operators import timeseries as ts
+
+    d = _events_frame(spark, str(tmp_path_factory.mktemp("mk")), cents_series)
+    got = {r.user_id: r for r in ts.mk_trend(spark, d).collect()}
+    for uid, c in enumerate(cents_series, start=1):
+        n = len(c)
+        s = sum(
+            (0 if c[j] == c[i] else (1 if c[j] > c[i] else -1))
+            for j in range(1, n)
+            for i in range(j)
+        )
+        corr = sum(t * (t - 1) * (2 * t + 5) for t in Counter(c).values())
+        var_s = (n * (n - 1) * (2 * n + 5) - corr) / 18.0
+        sd = math.sqrt(var_s)
+        z = (s - 1) / sd if (s > 0 and sd > 0) else (s + 1) / sd if (s < 0 and sd > 0) else 0.0
+        slopes = sorted((c[j] - c[i]) / (j - i) for j in range(1, n) for i in range(j))
+        p = len(slopes)
+        med = (
+            None
+            if p == 0
+            else slopes[(p + 1) // 2 - 1]
+            if p % 2 == 1
+            else (slopes[p // 2 - 1] + slopes[p // 2]) / 2.0
+        )
+        r = got[uid]
+        assert r.s_stat == s
+        assert r.var_s == math.floor(var_s * 1e6) / 1e6
+        assert r.z_stat == math.floor(z * 1e6) / 1e6
+        if med is None:
+            assert r.sen_slope is None
+        else:
+            assert r.sen_slope == math.floor(med / 100.0 * 1e6) / 1e6
+
+
+@pytest.mark.filterwarnings("ignore")
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(st.lists(_series_strategy, min_size=1, max_size=2))
+def test_periodogram_property_matches_replay(spark, tmp_path_factory, cents_series):
+    import math
+
+    from timedb_spark.operators import timeseries as ts
+    from timedb_spark.operators.timeseries import _PERIODOGRAM_PERIODS
+
+    d = _events_frame(spark, str(tmp_path_factory.mktemp("pg")), cents_series)
+    got = {r.user_id: r for r in ts.periodogram(spark, d).collect()}
+
+    def replay(xs, cp, sp):
+        c, s, sx, sy = 1.0, 0.0, 0.0, 0.0
+        for x in xs:
+            c, s, sx, sy = c * cp - s * sp, c * sp + s * cp, sx + x * c, sy + x * s
+        n = float(len(xs))
+        return (sx * sx + sy * sy) / (n * n)
+
+    for uid, c in enumerate(cents_series, start=1):
+        xs = [x / 100.0 for x in c]  # hourly grid is dense by construction
+        r = got[uid]
+        assert r.n_hours == len(c)
+        for p, col in ((24, "power_24h"), (12, "power_12h"), (168, "power_168h")):
+            cp, sp = _PERIODOGRAM_PERIODS[p]
+            assert getattr(r, col) == math.floor(replay(xs, cp, sp) * 1e6) / 1e6, (uid, p)
