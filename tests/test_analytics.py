@@ -231,3 +231,35 @@ def test_graph_label_prop_two_cliques(spark, tmp_path):
     assert {r.community for r in out.values()} == {10, 20}
     assert all(out[p].community == 10 and out[p].community_size == 3 for p in (10, 11, 12))
     assert all(out[p].community == 20 and out[p].community_size == 3 for p in (20, 21, 22))
+
+
+def test_events_entropy_closed_forms(spark, tmp_path):
+    """Single-action user has zero type entropy; a uniform 4-type user hits
+    ln(4) with normalized entropy exactly 1; values replay the fold."""
+    import math
+    import os
+    from datetime import datetime
+
+    import pandas as pd
+
+    rows = []
+    eid = 0
+    for t in range(8):  # user 1: all clicks, all same hour
+        eid += 1
+        rows.append((eid, datetime(2024, 1, 1, 9), 1, "click", 1.0))
+    for t, et in enumerate(["a", "b", "c", "d"] * 3):  # user 2: uniform 4 types
+        eid += 1
+        rows.append((eid, datetime(2024, 1, 1) + pd.Timedelta(hours=t % 5), 2, et, 1.0))
+    pdf = pd.DataFrame(rows, columns=["event_id", "ts", "user_id", "event_type", "value"])
+    pdf["props"] = ""
+    d = str(tmp_path / "sf")
+    os.makedirs(d)
+    pdf.to_parquet(os.path.join(d, "events.parquet"))
+
+    got = {r.user_id: r for r in analytics.events_entropy(spark, d).collect()}
+    assert got[1].type_entropy == 0.0 and got[1].type_entropy_norm == 0.0
+    assert got[1].n_active_hours == 1 and got[1].hod_entropy == 0.0
+    expected = math.floor(-sum(0.25 * math.log(0.25) for _ in range(4)) * 1e6) / 1e6
+    assert got[2].type_entropy == expected
+    assert got[2].type_entropy_norm == math.floor((-4 * 0.25 * math.log(0.25)) / math.log(4.0) * 1e6) / 1e6
+    assert got[2].n_types == 4 and got[2].n_events == 12

@@ -841,3 +841,39 @@ def test_periodogram_detects_planted_daily_cycle(spark, tmp_path):
     assert got[1].power_24h > 5.0  # (amplitude/2)^2 = 6.25 for a pure tone
     assert got[1].power_24h > 100 * got[1].power_168h
     assert got[2].n_hours == 48 and got[2].dominant_period is not None
+
+
+def test_seasonal_strength_planted_characters(spark, tmp_path):
+    """A pure 24 h cycle reads as 'seasonal' (F_seasonal near 1), a pure
+    ramp as 'trending' (F_trend near 1), white-ish alternation as 'noisy'."""
+    import os
+
+    import pandas as pd
+
+    rows = []
+    eid = 0
+    # user 1: strong daily cycle, 14 days
+    for t in range(336):
+        eid += 1
+        v = 10.0 + (8.0 if t % 24 < 12 else -8.0)
+        rows.append((eid, datetime(2024, 1, 1) + pd.Timedelta(hours=t), 1, "x", v))
+    # user 2: pure ramp
+    for t in range(336):
+        eid += 1
+        rows.append((eid, datetime(2024, 1, 1) + pd.Timedelta(hours=t), 2, "x", float(t)))
+    # user 3: +/- alternation at the fastest frequency (neither trend nor
+    # hour-of-day seasonal after the +/-12h centered MA)
+    for t in range(96):
+        eid += 1
+        rows.append((eid, datetime(2024, 1, 1) + pd.Timedelta(hours=t), 3, "x", 5.0 + (t % 7) - 3.0))
+    pdf = pd.DataFrame(rows, columns=["event_id", "ts", "user_id", "event_type", "value"])
+    pdf["props"] = ""
+    d = str(tmp_path / "sf")
+    os.makedirs(d)
+    pdf.to_parquet(os.path.join(d, "events.parquet"))
+
+    got = {r.series_id: r for r in ts.seasonal_strength(spark, d).collect()}
+    assert got[1].f_seasonal > 0.9 and got[1].character in ("seasonal", "trend+seasonal")
+    assert got[2].f_trend > 0.9 and got[2].character in ("trending", "trend+seasonal")
+    assert got[3].f_trend < 0.6 or got[3].f_seasonal < 0.6
+    assert all(0.0 <= r.f_trend <= 1.0 and 0.0 <= r.f_seasonal <= 1.0 for r in got.values())

@@ -1492,3 +1492,101 @@ sizes AS (SELECT lbl, count(*) AS community_size FROM l4 GROUP BY lbl)
 SELECT l.node, l.lbl AS community, s.community_size
 FROM l4 l JOIN sizes s ON s.lbl = l.lbl
 """
+
+
+# ---------------------------------------------------------------------------
+# behavioral entropy — user activity diversity
+# ---------------------------------------------------------------------------
+
+
+def events_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of each user's event-type mix and hour-of-day
+    activity profile — the behavior-diversity feature (bot/anomaly signal:
+    scripted accounts concentrate on one action and one hour; engaged
+    humans spread) plus its normalized form (H / ln(k), comparable across
+    users with different alphabet sizes).
+
+    Both entropies fold over the user's SORTED (key, count) array so the
+    −Σ p·ln p accumulation order is pinned (fine-keyed counts are exact
+    longs; two map-side-combined groupBys + one per-user collect are the
+    only shuffles). ln() on identical doubles in identical order; outputs
+    floor-scaled to 6 dp.
+    """
+    ev = load_table(spark, sf_dir, "events")
+
+    def _entropy(keyed_counts):  # array<struct<k,c>> sorted by k
+        total = F.aggregate(keyed_counts, F.lit(0).cast("long"), lambda a, x: a + x["c"]).cast(
+            "double"
+        )
+        h = F.aggregate(
+            keyed_counts,
+            F.lit(0.0),
+            lambda a, x: a - (x["c"].cast("double") / total) * F.log(x["c"].cast("double") / total),
+        )
+        k = F.size(keyed_counts)
+        norm = F.when(k > 1, h / F.log(k.cast("double"))).otherwise(F.lit(0.0))
+        return h, norm, k
+
+    tc = ev.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("c"))
+    ta = tc.groupBy("user_id").agg(
+        F.array_sort(F.collect_list(F.struct(F.col("event_type").alias("k"), F.col("c")))).alias(
+            "tarr"
+        )
+    )
+    hc = ev.groupBy("user_id", F.hour("ts").alias("hod")).agg(F.count(F.lit(1)).alias("c"))
+    ha = hc.groupBy("user_id").agg(
+        F.array_sort(F.collect_list(F.struct(F.col("hod").alias("k"), F.col("c")))).alias("harr")
+    )
+    j = ta.join(ha, "user_id")
+    th, tn, tk = _entropy(F.col("tarr"))
+    hh, hn, hk = _entropy(F.col("harr"))
+    n_events = F.aggregate(F.col("tarr"), F.lit(0).cast("long"), lambda a, x: a + x["c"])
+    return j.select(
+        "user_id",
+        n_events.alias("n_events"),
+        tk.alias("n_types"),
+        (F.floor(th * 1e6) / 1e6).alias("type_entropy"),
+        (F.floor(tn * 1e6) / 1e6).alias("type_entropy_norm"),
+        hk.alias("n_active_hours"),
+        (F.floor(hh * 1e6) / 1e6).alias("hod_entropy"),
+        (F.floor(hn * 1e6) / 1e6).alias("hod_entropy_norm"),
+    )
+
+
+def _entropy_sql(arr: str) -> tuple[str, str, str]:
+    total = f"CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform({arr}, x -> x.c)), (a, b) -> a + b) AS DOUBLE)"
+    h = (f"list_reduce(list_prepend(0.0, list_transform({arr}, x -> "
+         f"-(CAST(x.c AS DOUBLE) / {total}) * ln(CAST(x.c AS DOUBLE) / {total}))), (a, b) -> a + b)")
+    k = f"len({arr})"
+    norm = f"CASE WHEN {k} > 1 THEN ({h}) / ln(CAST({k} AS DOUBLE)) ELSE 0.0 END"
+    return h, norm, k
+
+
+_TH, _TN, _TK = _entropy_sql("tarr")
+_HH, _HN, _HK = _entropy_sql("harr")
+
+EVENTS_ENTROPY_SQL = f"""
+WITH tc AS (
+    SELECT user_id, event_type, count(*) AS c FROM events GROUP BY 1, 2
+),
+ta AS (
+    SELECT user_id, list_sort(list(struct_pack(k := event_type, c := c))) AS tarr
+    FROM tc GROUP BY user_id
+),
+hc AS (
+    SELECT user_id, hour(ts) AS hod, count(*) AS c FROM events GROUP BY 1, 2
+),
+ha AS (
+    SELECT user_id, list_sort(list(struct_pack(k := hod, c := c))) AS harr
+    FROM hc GROUP BY user_id
+)
+SELECT t.user_id,
+       CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(tarr, x -> x.c)), (a, b) -> a + b) AS BIGINT) AS n_events,
+       {_TK} AS n_types,
+       floor(({_TH}) * 1e6) / 1e6 AS type_entropy,
+       floor(({_TN}) * 1e6) / 1e6 AS type_entropy_norm,
+       {_HK} AS n_active_hours,
+       floor(({_HH}) * 1e6) / 1e6 AS hod_entropy,
+       floor(({_HN}) * 1e6) / 1e6 AS hod_entropy_norm
+FROM ta t JOIN ha h ON h.user_id = t.user_id
+"""

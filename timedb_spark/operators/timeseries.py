@@ -2381,3 +2381,107 @@ SELECT user_id, n_hours,
             ELSE '168h' END AS dominant_period
 FROM pw
 """
+
+
+# ---------------------------------------------------------------------------
+# seasonal/trend strength — the decompose readout
+# ---------------------------------------------------------------------------
+
+
+def seasonal_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trend and seasonal STRENGTH per series (Hyndman & Athanasopoulos,
+    fpp3 §4.3) from the classical decomposition: F_trend = max(0, 1 −
+    Var(resid)/Var(deseasonalized)), F_seasonal = max(0, 1 −
+    Var(resid)/Var(detrended)) — the scalar that turns ts_decompose's
+    component table into a model-selection decision (seasonal_naive vs
+    holt vs holt_winters) and a dashboard-ranking key.
+
+    Components come from the SAME exact integer-micro pipeline as
+    ts_decompose (bit-identical by construction); the variances fold over
+    each series' hour-sorted component array in fixed order (micro² sums
+    overflow int64, so they accumulate as doubles — order-pinned by the
+    fold, immune to partial-aggregation reordering). One extra shuffle
+    (the per-series collect) on top of decompose's two.
+    """
+    base = seasonal_decompose(spark, sf_dir)
+    comp = base.select(
+        "series_id",
+        "h",
+        F.col("resid_micro").cast("double").alias("r"),
+        (F.col("trend_micro") + F.col("resid_micro")).cast("double").alias("ds"),
+        (F.col("resid_micro") + F.col("seasonal_micro")).cast("double").alias("dt"),
+    )
+    g = comp.groupBy("series_id").agg(
+        F.array_sort(F.collect_list(F.struct("h", "r", "ds", "dt"))).alias("hist")
+    )
+    n = F.size("hist").cast("double")
+
+    def var_of(field):
+        s1 = F.aggregate(
+            "hist", F.lit(0.0), lambda acc, x: acc + x[field]
+        )
+        s2 = F.aggregate(
+            "hist", F.lit(0.0), lambda acc, x: acc + x[field] * x[field]
+        )
+        m = s1 / n
+        return s2 / n - m * m
+
+    vr, vds, vdt = var_of("r"), var_of("ds"), var_of("dt")
+    ft = F.greatest(F.lit(0.0), F.when(vds > 0.0, 1.0 - vr / vds).otherwise(F.lit(0.0)))
+    fs = F.greatest(F.lit(0.0), F.when(vdt > 0.0, 1.0 - vr / vdt).otherwise(F.lit(0.0)))
+    label = (
+        F.when((ft >= 0.6) & (fs >= 0.6), F.lit("trend+seasonal"))
+        .when(ft >= 0.6, F.lit("trending"))
+        .when(fs >= 0.6, F.lit("seasonal"))
+        .otherwise(F.lit("noisy"))
+    )
+    return g.select(
+        "series_id",
+        F.size("hist").alias("n_hours"),
+        (F.floor(ft * 1e6) / 1e6).alias("f_trend"),
+        (F.floor(fs * 1e6) / 1e6).alias("f_seasonal"),
+        label.alias("character"),
+    )
+
+
+def _ss_var_sql(field: str) -> str:
+    s1 = (f"list_reduce(list_prepend(0.0, list_transform(hist, x -> x.{field})), "
+          f"(a, b) -> a + b)")
+    s2 = (f"list_reduce(list_prepend(0.0, list_transform(hist, x -> x.{field} * x.{field})), "
+          f"(a, b) -> a + b)")
+    return f"(({s2}) / n - (({s1}) / n) * (({s1}) / n))"
+
+
+SEASONAL_STRENGTH_SQL = f"""
+WITH comp AS ({SEASONAL_DECOMPOSE_SQL}),
+arr AS (
+    SELECT series_id,
+           list_sort(list(struct_pack(h := h,
+                                      r := CAST(resid_micro AS DOUBLE),
+                                      ds := CAST(trend_micro + resid_micro AS DOUBLE),
+                                      dt := CAST(resid_micro + seasonal_micro AS DOUBLE)))) AS hist
+    FROM comp GROUP BY series_id
+),
+v AS (
+    SELECT series_id, hist, CAST(len(hist) AS DOUBLE) AS n FROM arr
+),
+f AS (
+    SELECT series_id, len(hist) AS n_hours,
+           {_ss_var_sql('r')} AS vr, {_ss_var_sql('ds')} AS vds, {_ss_var_sql('dt')} AS vdt
+    FROM v
+),
+s AS (
+    SELECT series_id, n_hours,
+           greatest(0.0, CASE WHEN vds > 0.0 THEN 1.0 - vr / vds ELSE 0.0 END) AS ft,
+           greatest(0.0, CASE WHEN vdt > 0.0 THEN 1.0 - vr / vdt ELSE 0.0 END) AS fs
+    FROM f
+)
+SELECT series_id, n_hours,
+       floor(ft * 1e6) / 1e6 AS f_trend,
+       floor(fs * 1e6) / 1e6 AS f_seasonal,
+       CASE WHEN ft >= 0.6 AND fs >= 0.6 THEN 'trend+seasonal'
+            WHEN ft >= 0.6 THEN 'trending'
+            WHEN fs >= 0.6 THEN 'seasonal'
+            ELSE 'noisy' END AS character
+FROM s
+"""
