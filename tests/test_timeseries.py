@@ -877,3 +877,58 @@ def test_seasonal_strength_planted_characters(spark, tmp_path):
     assert got[2].f_trend > 0.9 and got[2].character in ("trending", "trend+seasonal")
     assert got[3].f_trend < 0.6 or got[3].f_seasonal < 0.6
     assert all(0.0 <= r.f_trend <= 1.0 and 0.0 <= r.f_seasonal <= 1.0 for r in got.values())
+
+
+def test_hampel_matches_python_recompute(spark, tmp_path):
+    """ts_hampel vs an exact python replay of the same window math: a
+    smooth series with one planted spike flags exactly the spike (and only
+    where the replay says — neighbors with degenerate MAD=0 windows are
+    part of the contract, not an accident); a constant series flags
+    nothing (|x-med| = 0 is not > 0); cleaned repairs to the window
+    median only on flagged rows."""
+    import math
+    import os
+
+    import pandas as pd
+
+    rows = []
+    vals = [10.0, 10.1, 9.9, 10.2, 10.0, 99.0, 10.1, 9.8, 10.0, 10.2, 9.9, 10.1]
+    for t, v in enumerate(vals):
+        rows.append((t + 1, datetime(2024, 1, 1) + pd.Timedelta(hours=t), 1, "x", v))
+    for t in range(5):  # constant series: MAD=0, deviation=0, never flagged
+        rows.append((100 + t, datetime(2024, 1, 1) + pd.Timedelta(hours=t), 2, "x", 7.25))
+    pdf = pd.DataFrame(rows, columns=["event_id", "ts", "user_id", "event_type", "value"])
+    pdf["props"] = ""
+    d = str(tmp_path / "sf")
+    os.makedirs(d)
+    pdf.to_parquet(os.path.join(d, "events.parquet"))
+
+    got = {(r.user_id, r.event_id): r for r in ts.hampel(spark, d).collect()}
+
+    def med(sorted_arr):
+        p = len(sorted_arr)
+        if p % 2 == 1:
+            return float(sorted_arr[(p + 1) // 2 - 1])
+        return float(sorted_arr[p // 2 - 1] + sorted_arr[p // 2]) / 2.0
+
+    c = [int(round(v * 100)) for v in vals]
+    for i, x in enumerate(c):
+        win = sorted(c[max(0, i - 3): i + 4])
+        m = med(win)
+        devs = sorted(abs(float(y) - m) for y in win)
+        mad = med(devs) if len(devs) % 2 == 1 else (devs[len(devs) // 2 - 1] + devs[len(devs) // 2]) / 2.0
+        out = abs(float(x) - m) > 3.0 * 1.4826 * mad
+        r = got[(1, i + 1)]
+        assert r.is_outlier == out, (i, x, m, mad)
+        assert r.win_median == math.floor(m / 100.0 * 1e6) / 1e6
+        exp_clean = math.floor((m if out else float(x)) / 100.0 * 1e6) / 1e6
+        assert r.cleaned == exp_clean
+
+    # the planted spike IS flagged and repaired toward the local level
+    spike = got[(1, 6)]
+    assert spike.is_outlier and abs(spike.cleaned - 10.0) < 0.5
+
+    # constant series: nothing flagged, cleaned == value
+    for t in range(5):
+        r = got[(2, 100 + t)]
+        assert not r.is_outlier and r.cleaned == 7.25

@@ -2485,3 +2485,116 @@ SELECT series_id, n_hours,
             ELSE 'noisy' END AS character
 FROM s
 """
+
+
+# ---------------------------------------------------------------------------
+# Hampel filter — local rolling-median outlier repair
+# ---------------------------------------------------------------------------
+
+_HAMPEL_HALF = 3  # window = 2k+1 = 7 samples
+_HAMPEL_NSIG = 3.0
+_HAMPEL_SCALE = 1.4826  # MAD → σ under normality
+
+
+def hampel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hampel identifier per user series: flag (and repair to the window
+    median) any sample farther than 3·1.4826·MAD from its ±3-sample
+    rolling median — the LOCAL robust-cleaning step (ts_anomaly_mad is the
+    same statistic globally; a level-shifted series re-baselines the
+    global gate while the Hampel window keeps flagging point spikes).
+
+    One window per user (ROWS ±3, shared sort with a plain windowed
+    collect), medians as explicit sorted-array picks — the same even/odd
+    rule both engines — on exact integer cents; MAD leaves integers only
+    at the final ×1.4826 comparison (identical-op-order doubles). Zero
+    Python; edge windows shrink naturally (ROWS frame semantics).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-_HAMPEL_HALF, _HAMPEL_HALF)
+    )
+    cents = (F.col("value").cast("decimal(18,2)") * 100).cast("long")
+    base = ev.select("user_id", "event_id", "ts", cents.alias("c")).withColumn(
+        "win", F.array_sort(F.collect_list("c").over(w))
+    )
+
+    def med_of(arr):
+        p = F.size(arr)
+        return F.when(
+            p % 2 == 1, F.element_at(arr, ((p + 1) / 2).cast("int")).cast("double")
+        ).otherwise(
+            (
+                F.element_at(arr, (p / 2).cast("int"))
+                + F.element_at(arr, (p / 2).cast("int") + 1)
+            ).cast("double")
+            / 2.0
+        )
+
+    med = med_of(F.col("win"))
+    base = base.withColumn("med", med)
+    devs = F.array_sort(
+        F.transform("win", lambda x: F.abs(x.cast("double") - F.col("med")))
+    )
+
+    def med_of_d(arr):
+        p = F.size(arr)
+        return F.when(
+            p % 2 == 1, F.element_at(arr, ((p + 1) / 2).cast("int"))
+        ).otherwise(
+            (F.element_at(arr, (p / 2).cast("int")) + F.element_at(arr, (p / 2).cast("int") + 1))
+            / 2.0
+        )
+
+    base = base.withColumn("mad", med_of_d(devs))
+    is_out = F.abs(F.col("c").cast("double") - F.col("med")) > _HAMPEL_NSIG * _HAMPEL_SCALE * F.col("mad")
+    return base.select(
+        "user_id",
+        "event_id",
+        "ts",
+        (F.col("c") / 100.0).alias("value"),
+        (F.floor(F.col("med") / 100.0 * 1e6) / 1e6).alias("win_median"),
+        is_out.alias("is_outlier"),
+        F.when(is_out, F.floor(F.col("med") / 100.0 * 1e6) / 1e6).otherwise(
+            F.floor(F.col("c").cast("double") / 100.0 * 1e6) / 1e6
+        ).alias("cleaned"),
+    )
+
+
+HAMPEL_SQL = f"""
+WITH base AS (
+    SELECT user_id, event_id, ts,
+           CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c,
+           list_sort(list(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN {_HAMPEL_HALF} PRECEDING AND {_HAMPEL_HALF} FOLLOWING)) AS win
+    FROM events
+),
+m AS (
+    SELECT *, CASE WHEN len(win) % 2 = 1
+                   THEN CAST(win[(len(win) + 1) // 2] AS DOUBLE)
+                   ELSE CAST(win[len(win) // 2] + win[len(win) // 2 + 1] AS DOUBLE) / 2.0
+              END AS med
+    FROM base
+),
+d AS (
+    SELECT *, list_sort(list_transform(win, x -> abs(CAST(x AS DOUBLE) - med))) AS devs
+    FROM m
+),
+md AS (
+    SELECT *, CASE WHEN len(devs) % 2 = 1
+                   THEN devs[(len(devs) + 1) // 2]
+                   ELSE (devs[len(devs) // 2] + devs[len(devs) // 2 + 1]) / 2.0
+              END AS mad
+    FROM d
+)
+SELECT user_id, event_id, ts,
+       c / 100.0 AS value,
+       floor(med / 100.0 * 1e6) / 1e6 AS win_median,
+       abs(CAST(c AS DOUBLE) - med) > {_HAMPEL_NSIG} * {_HAMPEL_SCALE} * mad AS is_outlier,
+       CASE WHEN abs(CAST(c AS DOUBLE) - med) > {_HAMPEL_NSIG} * {_HAMPEL_SCALE} * mad
+            THEN floor(med / 100.0 * 1e6) / 1e6
+            ELSE floor(CAST(c AS DOUBLE) / 100.0 * 1e6) / 1e6 END AS cleaned
+FROM md
+"""
