@@ -795,13 +795,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     graph_link_predict, dedup_spans, text_collocations, text_chunk,
     sample_weighted, ts_cusum, stream_dedup_v2, graph_label_prop,
     ts_mk_trend, dedup_containment, ts_periodogram, ann_mmr, ann_recall,
-    events_entropy, ts_seasonal_strength, ts_hampel — inside the window per
-    the discipline rule), then 23 of the 38 round-2-only greens
-    (text_fingerprint → multimodal_meta — no driver row since round 2).
+    events_entropy, ts_seasonal_strength, ts_hampel, embed_outliers —
+    inside the window per the discipline rule), then the round-2-only
+    greens (text_fingerprint → ann_pq — no driver row since round 2).
     Window-discipline rule (VERDICT r5 task #4): any query registered
     mid-round goes INSIDE this window or is explicitly listed as
     next-window debt here — the debt entries are the displaced
-    r2-window greens (multimodal_meta, stream_window, stream_latest_state,
+    r2-window greens (embed_kmeans, multimodal_meta, stream_window,
+    stream_latest_state,
     stream_dedup, stream_sessionize, stream_join, stream_join_ordered,
     ts_resample_locf, ts_interpolate_linear, ts_rollup_multires,
     ts_sessionize, ts_ohlc, ts_ewma, ts_rate, ts_corr, ts_decompose)
@@ -844,6 +845,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_entropy": analytics.events_entropy,
         "ts_seasonal_strength": timeseries.seasonal_strength,
         "ts_hampel": timeseries.hampel,
+        "embed_outliers": similarity.embed_outliers,
         # -- round-2-only greens: no driver row since r2 (37 in-window; the
         #    new registrations displace ts_decompose, stream_join_ordered,
         #    and the 5 r3/r4 re-verify slots past 50 — explicit
@@ -871,14 +873,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_bruteforce": similarity.ann_bruteforce,
         "ann_ivf": similarity.ann_ivf,
         "ann_pq": similarity.ann_pq,
-        "embed_kmeans": similarity.embed_kmeans,
         # ==== end of the 50-query round-6 gate window ====================
-        # -- next-window debt: displaced by the 21 r6 registrations (the 6
+        # -- next-window debt: displaced by the 22 r6 registrations (the 6
         #    batch-1 ops + dedup_spans/text_collocations/text_chunk/
         #    sample_weighted/ts_cusum/stream_dedup_v2/graph_label_prop/
         #    ts_mk_trend/dedup_containment/ts_periodogram/ann_mmr/
-        #    ann_recall/events_entropy/ts_seasonal_strength/ts_hampel, all
-        #    placed in-window per the discipline rule) --------------------
+        #    ann_recall/events_entropy/ts_seasonal_strength/ts_hampel/
+        #    embed_outliers, all placed in-window per the discipline
+        #    rule) ---------------------------------------------------------
+        "embed_kmeans": similarity.embed_kmeans,
         "multimodal_meta": multimodal.multimodal_meta,
         "stream_window": _q_stream_window,
         "stream_latest_state": _q_stream_latest_state,
@@ -1338,6 +1341,7 @@ def oracle_sql() -> dict[str, str]:
         "events_entropy": analytics.EVENTS_ENTROPY_SQL,
         "ts_seasonal_strength": timeseries.SEASONAL_STRENGTH_SQL,
         "ts_hampel": timeseries.HAMPEL_SQL,
+        "embed_outliers": similarity.EMBED_OUTLIERS_SQL,
         "events_abtest": analytics.EVENTS_ABTEST_SQL,
         "profile_drift": pipeline.PROFILE_DRIFT_SQL,
         "events_paths": analytics.EVENTS_PATHS_SQL,

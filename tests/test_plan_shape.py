@@ -676,3 +676,33 @@ def test_ann_mmr_single_fold_no_python(spark, sf_dir):
     # broadcast build, same as ann_bruteforce — not a BroadcastHashJoin)
     assert "BroadcastNestedLoopJoin BuildRight" in phys
     assert "Python" not in phys
+
+
+def test_ts_hampel_single_window_pass_stays_jvm(spark, sf_dir):
+    """The Hampel repair is ONE exchange on user_id feeding a single
+    ROWS-framed window sort; both medians (window, MAD) are sorted-array
+    picks in plain projections AFTER the window — no second window pass,
+    no join, zero Python."""
+    from timedb_spark.operators import timeseries as ts
+
+    df = ts.hampel(spark, sf_dir)
+    plans.assert_no_cartesian(df)
+    plans.assert_max_shuffles(df, 1)
+    phys = df._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in phys
+    assert phys.count("Window") == 1 and "Join" not in phys
+
+
+def test_embed_outliers_broadcast_centroids_no_fanout(spark, sf_dir):
+    """Centroids collapse to a single broadcast row of (label, centroid)
+    structs, so scoring is a zero-fan-out projection over one scan — the
+    plan has no cartesian, no window, and the vectors shuffle only in the
+    posexplode centroid agg."""
+    from timedb_spark.operators import similarity as sim
+
+    df = sim.embed_outliers(spark, sf_dir)
+    phys = df._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in phys
+    assert "Window" not in phys
+    assert "BroadcastNestedLoopJoin" in phys  # the 1-row candidate list
+    assert "CartesianProduct" not in phys

@@ -281,3 +281,47 @@ def test_ann_recall_consistent_with_member_outputs(spark):
             assert len(row) == 1
             assert row.iloc[0].n_hits == hits, (method, qid)
             assert row.iloc[0].recall == hits / len(exact_set)
+
+
+# ---------------------------------------------------------------------------
+# centroid-margin outlier / mislabel detection
+# ---------------------------------------------------------------------------
+
+
+def test_embed_outliers_flags_planted_mislabels(spark, clustered_dir):
+    """On the planted 10×50 clusters, every vector scores closest to its
+    own label's centroid — except vectors we deliberately mislabel, which
+    must surface with is_mislabeled=True, a negative margin, and
+    best_other = their true cluster."""
+    import pandas as pd
+
+    # corrupt 5 labels in a copy of the clustered fixture
+    src = pd.read_parquet(os.path.join(clustered_dir, "embeddings.parquet"))
+    bad = {3, 107, 251, 404, 499}  # true labels 0,2,5,8,9
+    src["label"] = [
+        (int(l) + 1) % 10 if vid in bad else int(l)
+        for vid, l in zip(src["vec_id"], src["label"])
+    ]
+    import tempfile
+
+    d = tempfile.mkdtemp()
+    spark.createDataFrame(src).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(d, "embeddings.parquet")
+    )
+
+    got = {r.vec_id: r for r in sim.embed_outliers(spark, d).collect()}
+    assert len(got) == 500
+
+    for vid in bad:
+        r = got[vid]
+        assert r.is_mislabeled, vid
+        assert r.margin < 0
+        assert r.best_other == vid // 50  # the true planted cluster
+
+    clean = [r for vid, r in got.items() if vid not in bad]
+    n_false = sum(1 for r in clean if r.is_mislabeled)
+    assert n_false == 0  # tight planted clusters: no false positives
+    assert all(r.margin > 0 for r in clean)
+    # margins are consistent: cos_own - cos_other, rounded like the gate
+    for r in list(got.values())[:20]:
+        assert abs(r.margin - round(r.cos_own - r.cos_other, 4)) < 2e-4

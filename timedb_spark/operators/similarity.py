@@ -1198,3 +1198,105 @@ UNION ALL
 UNION ALL
 {_recall_leg_sql('pq', 'SELECT * FROM (' + ANN_PQ_SQL + ') x')}
 """
+
+
+# ---------------------------------------------------------------------------
+# Centroid-margin outlier / mislabel detection
+# ---------------------------------------------------------------------------
+
+_OUT_DIM = 64
+
+
+def embed_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Centroid-margin mislabel detection: score every vector's cosine to
+    its OWN label centroid vs the best OTHER label centroid — the curation
+    readout that finds mislabeled / out-of-distribution examples in a
+    labeled embedding corpus (margin < 0 ⇒ another class's centroid
+    explains the vector better).
+
+    Scale shape: label centroids come from ONE posexplode + map-side-
+    combined hash agg (K·d rows out, K = #labels); they then collapse to a
+    SINGLE broadcast row of (label, centroid) structs, so the scoring pass
+    is a zero-fan-out projection over one scan — per row, the own-cosine
+    pick and the (−cos, label)-sorted best-other pick are array expressions
+    over the K-element candidate list. No n×K row blow-up, no window, no
+    second shuffle of the vectors.
+
+    Determinism: centroids are elementwise integer means of the quantized
+    vectors (floor(sum/count + 0.5) — exact, order-independent); cosines
+    follow the vectors.py convention (integer dot products, one sqrt +
+    division at the end), so both engines produce identical doubles and
+    the margin sign is bit-stable.
+    """
+    vecs = _quantized(spark, sf_dir)
+    comp = vecs.select("label", F.posexplode("q").alias("j", "x"))
+    cent = comp.groupBy("label", "j").agg(
+        F.floor(F.sum("x").cast("double") / F.count(F.lit(1)) + F.lit(0.5)).cast("long").alias("c")
+    )
+    cents = cent.groupBy("label").agg(
+        F.transform(F.array_sort(F.collect_list(F.struct("j", "c"))), lambda s: s.c).alias("cq")
+    )
+    allc = cents.agg(
+        F.array_sort(F.collect_list(F.struct(F.col("label").alias("clabel"), F.col("cq").alias("cq")))).alias("cands")
+    )
+
+    scored = vecs.join(F.broadcast(allc)).withColumn(
+        "scs",
+        F.transform(
+            "cands",
+            lambda s: F.struct(
+                s.clabel.alias("clabel"), vx.cosine_q(F.col("q"), s.cq).alias("cs")
+            ),
+        ),
+    )
+    own = F.element_at(F.filter("scs", lambda s: s.clabel == F.col("label")), 1).cs
+    others = F.array_sort(
+        F.transform(
+            F.filter("scs", lambda s: s.clabel != F.col("label")),
+            lambda s: F.struct((-s.cs).alias("neg"), s.clabel.alias("clabel"), s.cs.alias("cs")),
+        )
+    )
+    best = F.element_at(others, 1)
+    return scored.select(
+        "vec_id",
+        "label",
+        F.round(own, 6).alias("cos_own"),
+        best.clabel.alias("best_other"),
+        F.round(best.cs, 6).alias("cos_other"),
+        F.round(own - best.cs, 6).alias("margin"),
+        (best.cs > own).alias("is_mislabeled"),
+    )
+
+
+EMBED_OUTLIERS_SQL = f"""
+WITH vecs AS (
+    SELECT vec_id, label, {vx.QUANTIZE_SQL.format(v='embedding')} AS q FROM embeddings
+),
+comp AS (
+    SELECT label, i, q[i] AS x
+    FROM vecs CROSS JOIN (SELECT unnest(range(1, {_OUT_DIM} + 1)) AS i) idx
+),
+centroid AS (
+    SELECT label, i, CAST(floor(CAST(sum(x) AS DOUBLE) / count(*) + 0.5) AS BIGINT) AS c
+    FROM comp GROUP BY label, i
+),
+cents AS (SELECT label AS clabel, list(c ORDER BY i) AS cq FROM centroid GROUP BY label),
+scored AS (
+    SELECT v.vec_id, v.label, c.clabel, {vx.cosine_q_sql('v.q', 'c.cq')} AS cs
+    FROM vecs v CROSS JOIN cents c
+),
+own AS (SELECT vec_id, label, cs AS cos_own FROM scored WHERE label = clabel),
+other AS (
+    SELECT vec_id, clabel AS best_other, cs AS cos_other FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, clabel) AS rn
+        FROM scored WHERE label != clabel
+    ) t WHERE rn = 1
+)
+SELECT o.vec_id, o.label,
+       round(o.cos_own, 6) AS cos_own,
+       t.best_other,
+       round(t.cos_other, 6) AS cos_other,
+       round(o.cos_own - t.cos_other, 6) AS margin,
+       t.cos_other > o.cos_own AS is_mislabeled
+FROM own o JOIN other t ON o.vec_id = t.vec_id
+"""

@@ -71,6 +71,12 @@ PICKS = [
     ("ann_mmr", "MMR re-rank: ann_bruteforce's broadcast+window plan plus ONE aggregate over the "
      "collected candidate array — the 8-step greedy selection adds no shuffle and each lambda "
      "appears once in the plan (no per-step expression blowup)."),
+    ("ts_hampel", "Rolling-median outlier repair: ONE exchange on user_id feeding a single "
+     "ROWS-framed window sort; both medians (window, MAD) are sorted-array picks in plain "
+     "projections after the window — no second window pass, no Python, no join."),
+    ("embed_outliers", "Centroid-margin mislabel detection: label centroids collapse to a SINGLE "
+     "broadcast row of (label, centroid) structs; own-cosine and best-other picks are array "
+     "expressions in one zero-fan-out projection — no n×K row blow-up, no window."),
 ]
 
 
