@@ -795,14 +795,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     graph_link_predict, dedup_spans, text_collocations, text_chunk,
     sample_weighted, ts_cusum, stream_dedup_v2, graph_label_prop,
     ts_mk_trend, dedup_containment, ts_periodogram, ann_mmr, ann_recall,
-    events_entropy, ts_seasonal_strength, ts_hampel, embed_outliers —
-    inside the window per the discipline rule), then the round-2-only
-    greens (text_fingerprint → ann_pq — no driver row since round 2).
+    events_entropy, ts_seasonal_strength, ts_hampel, embed_outliers,
+    events_lift — inside the window per the discipline rule), then the
+    round-2-only greens (text_fingerprint → ann_ivf — no driver row since
+    round 2).
     Window-discipline rule (VERDICT r5 task #4): any query registered
     mid-round goes INSIDE this window or is explicitly listed as
     next-window debt here — the debt entries are the displaced
-    r2-window greens (embed_kmeans, multimodal_meta, stream_window,
-    stream_latest_state,
+    r2-window greens (ann_pq, embed_kmeans, multimodal_meta,
+    stream_window, stream_latest_state,
     stream_dedup, stream_sessionize, stream_join, stream_join_ordered,
     ts_resample_locf, ts_interpolate_linear, ts_rollup_multires,
     ts_sessionize, ts_ohlc, ts_ewma, ts_rate, ts_corr, ts_decompose)
@@ -846,6 +847,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_seasonal_strength": timeseries.seasonal_strength,
         "ts_hampel": timeseries.hampel,
         "embed_outliers": similarity.embed_outliers,
+        "events_lift": analytics.events_lift,
         # -- round-2-only greens: no driver row since r2 (37 in-window; the
         #    new registrations displace ts_decompose, stream_join_ordered,
         #    and the 5 r3/r4 re-verify slots past 50 — explicit
@@ -872,15 +874,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shard_assign": sampling.shard_assign,
         "ann_bruteforce": similarity.ann_bruteforce,
         "ann_ivf": similarity.ann_ivf,
-        "ann_pq": similarity.ann_pq,
         # ==== end of the 50-query round-6 gate window ====================
-        # -- next-window debt: displaced by the 22 r6 registrations (the 6
+        # -- next-window debt: displaced by the 23 r6 registrations (the 6
         #    batch-1 ops + dedup_spans/text_collocations/text_chunk/
         #    sample_weighted/ts_cusum/stream_dedup_v2/graph_label_prop/
         #    ts_mk_trend/dedup_containment/ts_periodogram/ann_mmr/
         #    ann_recall/events_entropy/ts_seasonal_strength/ts_hampel/
-        #    embed_outliers, all placed in-window per the discipline
-        #    rule) ---------------------------------------------------------
+        #    embed_outliers/events_lift, all placed in-window per the
+        #    discipline rule) ----------------------------------------------
+        "ann_pq": similarity.ann_pq,
         "embed_kmeans": similarity.embed_kmeans,
         "multimodal_meta": multimodal.multimodal_meta,
         "stream_window": _q_stream_window,
@@ -1342,6 +1344,7 @@ def oracle_sql() -> dict[str, str]:
         "ts_seasonal_strength": timeseries.SEASONAL_STRENGTH_SQL,
         "ts_hampel": timeseries.HAMPEL_SQL,
         "embed_outliers": similarity.EMBED_OUTLIERS_SQL,
+        "events_lift": analytics.EVENTS_LIFT_SQL,
         "events_abtest": analytics.EVENTS_ABTEST_SQL,
         "profile_drift": pipeline.PROFILE_DRIFT_SQL,
         "events_paths": analytics.EVENTS_PATHS_SQL,

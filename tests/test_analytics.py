@@ -263,3 +263,49 @@ def test_events_entropy_closed_forms(spark, tmp_path):
     assert got[2].type_entropy == expected
     assert got[2].type_entropy_norm == math.floor((-4 * 0.25 * math.log(0.25)) / math.log(4.0) * 1e6) / 1e6
     assert got[2].n_types == 4 and got[2].n_events == 12
+
+
+def test_events_lift_hand_computed(spark, tmp_path):
+    """Association rules on a planted corpus with known counts: a pair
+    present in every basket has lift exactly 1/P(other-direction math
+    checks below); a perfectly anti-correlated pair never reaches
+    min_support and is absent; lift > 1 appears exactly for the planted
+    co-occurring pair."""
+    import os
+    from datetime import datetime
+
+    import pandas as pd
+
+    # 40 users. Types: "x" in all 40 baskets; "y" in users 0..19 ONLY and
+    # "z" in users 0..19 ONLY (y,z perfectly co-occur); "w" in users 20..39
+    # (w never co-occurs with y/z).
+    rows, eid = [], 0
+    for u in range(40):
+        types = ["x"] + (["y", "z"] if u < 20 else ["w"])
+        for et in types:
+            eid += 1
+            rows.append((eid, datetime(2024, 1, 1, eid % 24), u, et, 1.0))
+            eid += 1  # duplicate event of the same type: basket dedup must absorb it
+            rows.append((eid, datetime(2024, 1, 1, eid % 24), u, et, 2.0))
+    pdf = pd.DataFrame(rows, columns=["event_id", "ts", "user_id", "event_type", "value"])
+    pdf["props"] = ""
+    d = str(tmp_path / "sf")
+    os.makedirs(d)
+    pdf.to_parquet(os.path.join(d, "events.parquet"))
+
+    got = {(r.type_a, r.type_b): r for r in analytics.events_lift(spark, d).collect()}
+
+    # (y, z): support 20, cnt 20/20, n=40 → conf 1.0 both ways, lift 2.0
+    yz = got[("y", "z")]
+    assert (yz.support, yz.cnt_a, yz.cnt_b) == (20, 20, 20)
+    assert yz.conf_a_b == 1.0 and yz.conf_b_a == 1.0 and yz.lift == 2.0
+
+    # (x, y): support 20, cnt_x 40 → conf_x→y 0.5, conf_y→x 1.0, lift 1.0
+    xy = got[("x", "y")]
+    assert (xy.support, xy.cnt_a, xy.cnt_b) == (20, 40, 20)
+    assert xy.conf_a_b == 0.5 and xy.conf_b_a == 1.0 and xy.lift == 1.0
+
+    # (w, y): never co-occur → below min_support, absent
+    assert ("w", "y") not in got and ("y", "w") not in got
+    # duplicate same-type events did not inflate any support
+    assert got[("w", "x")].support == 20

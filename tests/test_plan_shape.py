@@ -706,3 +706,16 @@ def test_embed_outliers_broadcast_centroids_no_fanout(spark, sf_dir):
     assert "Window" not in phys
     assert "BroadcastNestedLoopJoin" in phys  # the 1-row candidate list
     assert "CartesianProduct" not in phys
+
+
+def test_events_lift_copartitioned_join_broadcast_dims(spark, sf_dir):
+    """The pair generator is an equi-join on user_id over the pre-deduped
+    basket frame (no cartesian); per-type counts and the basket total come
+    back as broadcasts — only the basket self-join + support agg shuffle."""
+    from timedb_spark.operators import analytics as an
+
+    df = an.events_lift(spark, sf_dir)
+    plans.assert_no_cartesian(df)
+    phys = df._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in phys
+    assert "BroadcastHashJoin" in phys or "BroadcastNestedLoopJoin" in phys

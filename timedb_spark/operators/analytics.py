@@ -1590,3 +1590,79 @@ SELECT t.user_id,
        floor(({_HN}) * 1e6) / 1e6 AS hod_entropy_norm
 FROM ta t JOIN ha h ON h.user_id = t.user_id
 """
+
+
+# ---------------------------------------------------------------------------
+# Association rules: support / confidence / lift
+# ---------------------------------------------------------------------------
+
+_LIFT_MIN_SUPPORT = 10
+
+
+def events_lift(spark: SparkSession, sf_dir: str, *, min_support: int = _LIFT_MIN_SUPPORT) -> DataFrame:
+    """Association rules over per-user behavior baskets: for every pair of
+    event types co-occurring in >= min_support users, emit support, both
+    directed confidences, and lift — basket_pairs' counting extended to
+    the full rule readout (lift > 1 = genuine association, < 1 =
+    substitution).
+
+    Scale shape: the (user, type) frame dedupes FIRST (map-side partial
+    distinct), the pair generator is a self-join co-partitioned on
+    user_id and bounded per user by the event-type vocabulary (never n²
+    global); per-type counts are a tiny broadcast dim joined back onto
+    the pair supports, and the basket total rides a 1-row broadcast.
+    All counts exact integers; confidence/lift are single double
+    divisions in identical op order both engines (counts cast to double
+    BEFORE multiplying, so the denominator never overflows int64 at
+    100 TB cardinalities).
+    """
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type").distinct()
+    n1 = ev.agg(F.countDistinct("user_id").alias("n_baskets"))
+    cnt = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("cnt"))
+    a = ev.select(F.col("user_id").alias("u"), F.col("event_type").alias("type_a"))
+    b = ev.select(F.col("user_id").alias("u"), F.col("event_type").alias("type_b"))
+    sup = (
+        a.join(b, "u")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).alias("support"))
+        .filter(F.col("support") >= min_support)
+    )
+    dbl = lambda c: F.col(c).cast("double")  # noqa: E731
+    return (
+        sup.join(F.broadcast(cnt.select(F.col("event_type").alias("type_a"), F.col("cnt").alias("cnt_a"))), "type_a")
+        .join(F.broadcast(cnt.select(F.col("event_type").alias("type_b"), F.col("cnt").alias("cnt_b"))), "type_b")
+        .join(F.broadcast(n1))
+        .select(
+            "type_a",
+            "type_b",
+            "support",
+            "cnt_a",
+            "cnt_b",
+            F.round(dbl("support") / dbl("cnt_a"), 6).alias("conf_a_b"),
+            F.round(dbl("support") / dbl("cnt_b"), 6).alias("conf_b_a"),
+            F.round(dbl("support") * dbl("n_baskets") / (dbl("cnt_a") * dbl("cnt_b")), 6).alias("lift"),
+        )
+    )
+
+
+EVENTS_LIFT_SQL = f"""
+WITH ev AS (SELECT DISTINCT user_id, event_type FROM events),
+n1 AS (SELECT count(DISTINCT user_id) AS n_baskets FROM ev),
+cnt AS (SELECT event_type, count(*) AS cnt FROM ev GROUP BY event_type),
+sup AS (
+    SELECT a.event_type AS type_a, b.event_type AS type_b, count(*) AS support
+    FROM ev a JOIN ev b ON a.user_id = b.user_id AND a.event_type < b.event_type
+    GROUP BY 1, 2
+    HAVING count(*) >= {_LIFT_MIN_SUPPORT}
+)
+SELECT s.type_a, s.type_b, s.support, ca.cnt AS cnt_a, cb.cnt AS cnt_b,
+       round(CAST(s.support AS DOUBLE) / CAST(ca.cnt AS DOUBLE), 6) AS conf_a_b,
+       round(CAST(s.support AS DOUBLE) / CAST(cb.cnt AS DOUBLE), 6) AS conf_b_a,
+       round(CAST(s.support AS DOUBLE) * CAST(n1.n_baskets AS DOUBLE)
+             / (CAST(ca.cnt AS DOUBLE) * CAST(cb.cnt AS DOUBLE)), 6) AS lift
+FROM sup s
+JOIN cnt ca ON ca.event_type = s.type_a
+JOIN cnt cb ON cb.event_type = s.type_b
+CROSS JOIN n1
+"""
