@@ -719,3 +719,16 @@ def test_events_lift_copartitioned_join_broadcast_dims(spark, sf_dir):
     phys = df._jdf.queryExecution().executedPlan().toString()
     assert "Python" not in phys
     assert "BroadcastHashJoin" in phys or "BroadcastNestedLoopJoin" in phys
+
+
+def test_ts_perm_entropy_single_shuffle_stays_jvm(spark, sf_dir):
+    """Pattern extraction, counting, and the entropy fold are all array
+    expressions over the one groupBy(user) collect — single exchange, no
+    explode, zero Python, and no engine log-constant (ln(3!) is a
+    literal)."""
+    from timedb_spark.operators import timeseries as ts
+
+    df = ts.permutation_entropy(spark, sf_dir)
+    plans.assert_max_shuffles(df, 1)
+    phys = df._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in phys and "Generate" not in phys

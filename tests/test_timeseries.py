@@ -932,3 +932,48 @@ def test_hampel_matches_python_recompute(spark, tmp_path):
     for t in range(5):
         r = got[(2, 100 + t)]
         assert not r.is_outlier and r.cleaned == 7.25
+
+
+def test_permutation_entropy_matches_python_recompute(spark, tmp_path):
+    """ts_perm_entropy vs an exact python replay: a monotone ramp uses ONE
+    ordinal pattern (entropy exactly 0), and a mixed series replays the
+    ≤-with-positional-tiebreak pattern fold term for term."""
+    import math
+    import os
+
+    import pandas as pd
+
+    rows = []
+    for t in range(20):  # user 1: strict ramp → single pattern, H = 0
+        rows.append((t + 1, datetime(2024, 1, 1) + pd.Timedelta(hours=t), 1, "x", float(t)))
+    vals2 = [3.0, 1.0, 4.0, 1.0, 5.0, 9.0, 2.0, 6.0, 5.0, 3.0, 5.0, 8.0, 9.0, 7.0]
+    for t, v in enumerate(vals2):  # user 2: mixed (with a tie pair)
+        rows.append((100 + t, datetime(2024, 1, 1) + pd.Timedelta(hours=t), 2, "x", v))
+    pdf = pd.DataFrame(rows, columns=["event_id", "ts", "user_id", "event_type", "value"])
+    pdf["props"] = ""
+    d = str(tmp_path / "sf")
+    os.makedirs(d)
+    pdf.to_parquet(os.path.join(d, "events.parquet"))
+
+    got = {r.user_id: r for r in ts.permutation_entropy(spark, d).collect()}
+
+    r1 = got[1]
+    assert r1.n_triples == 18 and r1.n_patterns == 1
+    assert r1.perm_entropy == 0.0 and r1.perm_entropy_norm == 0.0
+
+    # python replay for user 2
+    c = [int(round(v * 100)) for v in vals2]
+    pats = [
+        4 * (c[i] <= c[i + 1]) + 2 * (c[i] <= c[i + 2]) + (c[i + 1] <= c[i + 2])
+        for i in range(len(c) - 2)
+    ]
+    m = len(pats)
+    counts = [pats.count(p) for p in range(8) if pats.count(p) > 0]
+    h = 0.0
+    for cc in counts:
+        h = h - (cc / m) * math.log(cc / m)
+    r2 = got[2]
+    assert r2.n_triples == m and r2.n_patterns == len(counts)
+    assert r2.perm_entropy == math.floor(h * 1e6) / 1e6
+    assert r2.perm_entropy_norm == math.floor(h / math.log(6.0) * 1e6) / 1e6
+    assert 0.0 < r2.perm_entropy_norm <= 1.0

@@ -2598,3 +2598,114 @@ SELECT user_id, event_id, ts,
             ELSE floor(CAST(c AS DOUBLE) / 100.0 * 1e6) / 1e6 END AS cleaned
 FROM md
 """
+
+
+# ---------------------------------------------------------------------------
+# Permutation entropy — ordinal-pattern complexity
+# ---------------------------------------------------------------------------
+
+_PE_LN6 = 1.791759469228055  # ln(3!) — python-computed literal, no libm call
+_PE_PIDS = [0, 1, 2, 3, 4, 5, 6, 7]  # 2 of 8 are transitivity-impossible (count 0)
+
+
+def permutation_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bandt–Pompe permutation entropy (order 3, delay 1) per user series:
+    the ordinal-pattern complexity readout — low for regular/predictable
+    dynamics (ramps score 0: one pattern), maximal (≈1 normalized) for
+    white noise; robust to monotone transforms since only ORDER matters.
+    Complements ts_seasonal_strength (linear structure) with a nonlinear
+    determinism measure.
+
+    Each consecutive value triple maps to one of 3! ordinal patterns via
+    three ≤ comparisons (ties broken by position, the Bandt–Pompe
+    convention) encoded as a 3-bit id; pattern counts are exact-integer
+    folds over the user's ONE sorted array (the croston/theta shuffle
+    shape — no explode, no second pass), and −Σ p·ln p accumulates in
+    pinned pid order. ln(3!) is an embedded python literal so neither
+    engine's libm constant enters; ln(p) on identical doubles in
+    identical order (the events_entropy convention).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    cents = (F.col("value").cast("decimal(18,2)") * 100).cast("long")
+    base = (
+        ev.select("user_id", F.struct("ts", "event_id", cents.alias("c")).alias("s"))
+        .groupBy("user_id")
+        .agg(F.transform(F.array_sort(F.collect_list("s")), lambda s: s.c).alias("vals"))
+        .withColumn("n", F.size("vals"))
+        .filter(F.col("n") >= 3)
+    )
+
+    def el(i):
+        return F.element_at(F.col("vals"), i)
+
+    pats = F.transform(
+        F.sequence(F.lit(1), F.col("n") - 2),
+        lambda i: (
+            (el(i) <= el(i + 1)).cast("int") * 4
+            + (el(i) <= el(i + 2)).cast("int") * 2
+            + (el(i + 1) <= el(i + 2)).cast("int")
+        ),
+    )
+    base = base.withColumn("pats", pats).withColumn("m", F.size("pats"))
+    carr = F.filter(
+        F.transform(
+            F.array(*[F.lit(p) for p in _PE_PIDS]),
+            lambda p: F.size(F.filter(F.col("pats"), lambda x: x == p)),
+        ),
+        lambda c: c > 0,
+    )
+    base = base.withColumn("carr", carr)
+    mdbl = F.col("m").cast("double")
+    h = F.aggregate(
+        F.col("carr"),
+        F.lit(0.0),
+        lambda a, c: a - (c.cast("double") / mdbl) * F.log(c.cast("double") / mdbl),
+    )
+    return base.select(
+        "user_id",
+        F.col("m").alias("n_triples"),
+        F.size("carr").alias("n_patterns"),
+        (F.floor(h * 1e6) / 1e6).alias("perm_entropy"),
+        (F.floor(h / F.lit(_PE_LN6) * 1e6) / 1e6).alias("perm_entropy_norm"),
+    )
+
+
+PERMUTATION_ENTROPY_SQL = f"""
+WITH base AS (
+    SELECT user_id,
+           list_transform(
+               list_sort(list(struct_pack(ts := ts, e := event_id,
+                   c := CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)))),
+               s -> s.c) AS vals
+    FROM events GROUP BY user_id
+),
+p AS (
+    SELECT user_id, len(vals) AS n,
+           list_transform(range(1, len(vals) - 1), i ->
+               CAST(vals[i] <= vals[i+1] AS INT) * 4
+             + CAST(vals[i] <= vals[i+2] AS INT) * 2
+             + CAST(vals[i+1] <= vals[i+2] AS INT)) AS pats
+    FROM base WHERE len(vals) >= 3
+),
+c AS (
+    SELECT user_id, len(pats) AS m,
+           list_filter(
+               list_transform([{", ".join(str(p) for p in _PE_PIDS)}],
+                   q -> len(list_filter(pats, x -> x = q))),
+               cc -> cc > 0) AS carr
+    FROM p
+),
+h AS (
+    SELECT user_id, m, len(carr) AS n_patterns,
+           -(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list_transform(carr, cc ->
+                   (CAST(cc AS DOUBLE) / CAST(m AS DOUBLE))
+                   * ln(CAST(cc AS DOUBLE) / CAST(m AS DOUBLE)))),
+               (a, b) -> a + b)) AS hval
+    FROM c
+)
+SELECT user_id, m AS n_triples, n_patterns,
+       floor(hval * 1e6) / 1e6 AS perm_entropy,
+       floor(hval / {_PE_LN6!r} * 1e6) / 1e6 AS perm_entropy_norm
+FROM h
+"""

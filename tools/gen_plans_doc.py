@@ -77,6 +77,9 @@ PICKS = [
     ("embed_outliers", "Centroid-margin mislabel detection: label centroids collapse to a SINGLE "
      "broadcast row of (label, centroid) structs; own-cosine and best-other picks are array "
      "expressions in one zero-fan-out projection — no n×K row blow-up, no window."),
+    ("ts_perm_entropy", "Ordinal-pattern complexity: pattern extraction, counting and the "
+     "−Σ p·ln p fold are all array expressions over the one groupBy(user) collect — single "
+     "exchange, no explode, no Python, ln(3!) embedded as a literal."),
 ]
 
 
