@@ -732,3 +732,15 @@ def test_ts_perm_entropy_single_shuffle_stays_jvm(spark, sf_dir):
     plans.assert_max_shuffles(df, 1)
     phys = df._jdf.queryExecution().executedPlan().toString()
     assert "Python" not in phys and "Generate" not in phys
+
+
+def test_ts_anomaly_resid_composed_no_python(spark, sf_dir):
+    """The anomaly gate composes the decompose pipeline (two fine-keyed
+    shuffles) with one per-series stats collect joined back — no
+    cartesian, zero Python, and both median picks live in projections."""
+    from timedb_spark.operators import timeseries as ts
+
+    df = ts.anomaly_residual(spark, sf_dir)
+    plans.assert_no_cartesian(df)
+    phys = df._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in phys

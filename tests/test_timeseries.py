@@ -977,3 +977,39 @@ def test_permutation_entropy_matches_python_recompute(spark, tmp_path):
     assert r2.perm_entropy == math.floor(h * 1e6) / 1e6
     assert r2.perm_entropy_norm == math.floor(h / math.log(6.0) * 1e6) / 1e6
     assert 0.0 < r2.perm_entropy_norm <= 1.0
+
+
+def test_anomaly_residual_flags_spike_not_seasonality(spark, tmp_path):
+    """The residual gate's reason to exist: on a strong daily cycle a
+    raw-value gate would fire at every peak, but the decompose residual
+    absorbs the seasonality — only the planted off-cycle spike (and at
+    most its ±12 h trend-window contamination) may flag."""
+    import os
+
+    import pandas as pd
+
+    rows = []
+    spike_t = 170  # 02:00 on day 8 (an on-cycle peak-half hour)
+    for t in range(336):  # 14 days, square daily cycle 2..18 + pseudo-noise
+        v = 10.0 + (8.0 if t % 24 < 12 else -8.0) + ((t * 7919) % 11 - 5) * 0.4
+        if t == spike_t:
+            v += 60.0
+        rows.append((t + 1, datetime(2024, 1, 1) + pd.Timedelta(hours=t), 1, "x", v))
+    pdf = pd.DataFrame(rows, columns=["event_id", "ts", "user_id", "event_type", "value"])
+    pdf["props"] = ""
+    d = str(tmp_path / "sf")
+    os.makedirs(d)
+    pdf.to_parquet(os.path.join(d, "events.parquet"))
+
+    got = ts.anomaly_residual(spark, d).collect()
+    hours = sorted((r.h - datetime(2024, 1, 1)).total_seconds() / 3600 for r in got)
+
+    assert spike_t in hours  # the spike IS caught
+    # every flagged hour is explicable: the spike itself, its ±12 h
+    # trend-window shadow, or the spike's hour-of-day (the single spike
+    # shifts that hod's seasonal mean by +60/14) — never a regular peak
+    assert all(abs(h - spike_t) <= 12 or h % 24 == spike_t % 24 for h in hours), hours
+    assert len(hours) <= 5
+    spike_row = [r for r in got if (r.h - datetime(2024, 1, 1)).total_seconds() / 3600 == spike_t][0]
+    assert spike_row.score is None or spike_row.score > 3.0
+    assert abs(spike_row.value - 78.4) < 1e-9  # 10 + 8 + 60 + noise(170)

@@ -2709,3 +2709,113 @@ SELECT user_id, m AS n_triples, n_patterns,
        floor(hval / {_PE_LN6!r} * 1e6) / 1e6 AS perm_entropy_norm
 FROM h
 """
+
+
+# ---------------------------------------------------------------------------
+# Seasonal-aware residual anomaly detection
+# ---------------------------------------------------------------------------
+
+_ANOM_NSIG = 3.0
+
+
+def anomaly_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-aware anomaly detection: decompose each series (trend +
+    hour-of-day seasonal, the ts_decompose pipeline verbatim), then flag
+    hours whose RESIDUAL sits more than 3·1.4826·MAD from the residual
+    median — the production alert query (a raw-value gate fires every
+    daily peak; the residual gate fires only on deviations the seasonal
+    model cannot explain). Emits flagged hours only.
+
+    Composition: the decompose components stay exact integer micro-units;
+    per-series residual median and MAD are explicit sorted-array picks
+    (the ts_hampel even/odd rule) off ONE groupBy(series) collect, joined
+    back co-partitioned on series_id. The only floating-point steps are
+    the final ×1.4826 comparison and the score division — identical op
+    order both engines. MAD = 0 degenerates to |resid − med| > 0 with a
+    NULL score.
+
+    Edge handling: rows whose ±12 h trend window is PARTIAL (the first/
+    last 12 hours of a series, and hours near gaps) carry a biased trend
+    — statsmodels marks their trend NaN and drops them; this operator
+    excludes them from both the MAD statistics and the alert set (a
+    full-window count recomputed with the decompose window spec).
+    """
+    dec = seasonal_decompose(spark, sf_dir).select("series_id", "h", "value", "resid_micro")
+    wfull = Window.partitionBy("series_id").orderBy("h").rowsBetween(-12, 12)
+    dec = dec.withColumn("_wn", F.count(F.lit(1)).over(wfull)).filter(F.col("_wn") == 25).drop("_wn")
+    arr = dec.groupBy("series_id").agg(F.array_sort(F.collect_list("resid_micro")).alias("rs"))
+
+    def med_long(a):
+        p = F.size(a)
+        return F.when(
+            p % 2 == 1, F.element_at(a, ((p + 1) / 2).cast("int")).cast("double")
+        ).otherwise(
+            (F.element_at(a, (p / 2).cast("int")) + F.element_at(a, (p / 2).cast("int") + 1)).cast("double") / 2.0
+        )
+
+    arr = arr.withColumn("med", med_long(F.col("rs")))
+    devs = F.array_sort(F.transform("rs", lambda x: F.abs(x.cast("double") - F.col("med"))))
+
+    def med_dbl(a):
+        p = F.size(a)
+        return F.when(p % 2 == 1, F.element_at(a, ((p + 1) / 2).cast("int"))).otherwise(
+            (F.element_at(a, (p / 2).cast("int")) + F.element_at(a, (p / 2).cast("int") + 1)) / 2.0
+        )
+
+    stats = arr.select("series_id", "med", med_dbl(devs).alias("mad"))
+    j = dec.join(stats, "series_id")
+    dev = F.abs(F.col("resid_micro").cast("double") - F.col("med"))
+    thresh = F.lit(_ANOM_NSIG) * F.lit(_HAMPEL_SCALE) * F.col("mad")
+    flagged = j.filter(
+        F.when(F.col("mad") > 0, dev > thresh).otherwise(dev > 0)
+    )
+    return flagged.select(
+        "series_id",
+        "h",
+        "value",
+        (F.floor(F.col("resid_micro").cast("double") / 1e6 * 1e6) / 1e6).alias("resid"),
+        F.when(F.col("mad") > 0, F.floor(dev / (F.lit(_HAMPEL_SCALE) * F.col("mad")) * 1e6) / 1e6).alias("score"),
+    )
+
+
+ANOMALY_RESIDUAL_SQL = f"""
+WITH dec0 AS ({{decompose}}),
+dec AS (
+    SELECT * FROM (
+        SELECT *, count(*) OVER (PARTITION BY series_id ORDER BY h
+                                 ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING) AS _wn
+        FROM dec0
+    ) t WHERE _wn = 25
+),
+arr AS (
+    SELECT series_id, list_sort(list(resid_micro)) AS rs
+    FROM dec GROUP BY series_id
+),
+m AS (
+    SELECT series_id,
+           CASE WHEN len(rs) % 2 = 1 THEN CAST(rs[(len(rs) + 1) // 2] AS DOUBLE)
+                ELSE CAST(rs[len(rs) // 2] + rs[len(rs) // 2 + 1] AS DOUBLE) / 2.0 END AS med,
+           rs
+    FROM arr
+),
+s AS (
+    SELECT series_id, med,
+           list_sort(list_transform(rs, x -> abs(CAST(x AS DOUBLE) - med))) AS devs
+    FROM m
+),
+st AS (
+    SELECT series_id, med,
+           CASE WHEN len(devs) % 2 = 1 THEN devs[(len(devs) + 1) // 2]
+                ELSE (devs[len(devs) // 2] + devs[len(devs) // 2 + 1]) / 2.0 END AS mad
+    FROM s
+)
+SELECT d.series_id, d.h, d.value,
+       floor(CAST(d.resid_micro AS DOUBLE) / 1e6 * 1e6) / 1e6 AS resid,
+       CASE WHEN st.mad > 0
+            THEN floor(abs(CAST(d.resid_micro AS DOUBLE) - st.med) / ({_HAMPEL_SCALE} * st.mad) * 1e6) / 1e6
+            END AS score
+FROM dec d JOIN st ON st.series_id = d.series_id
+WHERE CASE WHEN st.mad > 0
+           THEN abs(CAST(d.resid_micro AS DOUBLE) - st.med) > {_ANOM_NSIG} * {_HAMPEL_SCALE} * st.mad
+           ELSE abs(CAST(d.resid_micro AS DOUBLE) - st.med) > 0 END
+""".format(decompose=SEASONAL_DECOMPOSE_SQL.strip())
