@@ -198,3 +198,27 @@ def test_sample_weighted_matches_python_recompute(spark):
     assert len(got) == sampling.SAMPLE_WEIGHTED_K
     assert list(got.doc_id) == list(expected.doc_id)
     assert list(got.es_key) == list(expected.es_key)
+
+
+def test_dedup_report_consistent_with_member_operators(spark):
+    """The audit's per-method numbers must replay the member operators
+    exactly: n_pairs == each leg's row count, overlap(minhash leg) is the
+    reflexive full set (jaccard 1.0), and doc counts match the distinct
+    endpoints of each leg's pairs."""
+    from timedb_spark.operators import dedup
+
+    sf = "/root/testdata/sf0.001"
+    got = {r.method: r for r in dedup.dedup_report(spark, sf).collect()}
+    assert set(got) == {"minhash", "simhash", "ngram", "editdist"}
+
+    mh_pairs = {(r.doc_a, r.doc_b) for r in dedup.dedup_minhash(spark, sf).collect()}
+    assert got["minhash"].n_pairs == len(mh_pairs)
+    assert got["minhash"].overlap_minhash == len(mh_pairs)
+    assert got["minhash"].jaccard_vs_minhash == 1.0
+
+    ng = {(r.doc_a, r.doc_b) for r in dedup.dedup_ngram_jaccard(spark, sf).collect()}
+    assert got["ngram"].n_pairs == len(ng)
+    assert got["ngram"].overlap_minhash == len(ng & mh_pairs)
+    assert got["ngram"].n_docs == len({d for p in ng for d in p})
+    union = len(ng) + len(mh_pairs) - len(ng & mh_pairs)
+    assert got["ngram"].jaccard_vs_minhash == round(len(ng & mh_pairs) / union, 6)

@@ -796,3 +796,98 @@ SELECT doc_b AS fragment, doc_a AS container,
        round(CAST(inter AS DOUBLE) / nb, 6) AS containment
 FROM j WHERE round(CAST(inter AS DOUBLE) / nb, 6) >= {_CONTAIN_TAU}
 """
+
+
+# ---------------------------------------------------------------------------
+# Dedup strategy report — cross-method audit
+# ---------------------------------------------------------------------------
+
+
+def dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-method dedup audit: one row per candidate-pair method
+    (minhash, simhash, ngram, editdist) with its pair volume, distinct
+    docs touched, and pair-set overlap/Jaccard vs the minhash default —
+    the one-query answer to "which dedup strategy, at what aggressiveness"
+    a pipeline owner runs BEFORE committing a 100 TB dedup pass.
+
+    Pure composition: each leg's pair frame is the registered operator
+    verbatim (same planted corpus); the per-method rollups are 1-row
+    aggregates (count / distinct-doc count / equi-join overlap) crossed
+    together broadcast — the audit adds nothing beyond the legs' own
+    bounded candidate generation (SURVEY §2c: every leg is a blocked
+    equi-join, never n²). Exact-integer counts; one double division for
+    the Jaccard, identical op order both engines.
+    """
+    legs = {
+        "minhash": dedup_minhash(spark, sf_dir).select("doc_a", "doc_b"),
+        "simhash": dedup_simhash(spark, sf_dir).select("doc_a", "doc_b"),
+        "ngram": dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b"),
+        "editdist": dedup_editdist(spark, sf_dir).select("doc_a", "doc_b"),
+    }
+    mh = legs["minhash"]
+    n_mh = mh.agg(F.count(F.lit(1)).alias("n_mh"))
+    frames = []
+    for name, pairs in legs.items():
+        docs = pairs.select(F.col("doc_a").alias("d")).unionByName(
+            pairs.select(F.col("doc_b").alias("d"))
+        )
+        s_pairs = pairs.agg(F.count(F.lit(1)).alias("n_pairs"))
+        s_docs = docs.distinct().agg(F.count(F.lit(1)).alias("n_docs"))
+        s_ov = pairs.join(mh, ["doc_a", "doc_b"]).agg(F.count(F.lit(1)).alias("ov"))
+        row = (
+            s_pairs.join(F.broadcast(s_docs))
+            .join(F.broadcast(s_ov))
+            .join(F.broadcast(n_mh))
+            .select(
+                F.lit(name).alias("method"),
+                "n_pairs",
+                "n_docs",
+                F.col("ov").alias("overlap_minhash"),
+                F.when(
+                    F.col("n_pairs") + F.col("n_mh") - F.col("ov") > 0,
+                    F.round(
+                        F.col("ov").cast("double")
+                        / (F.col("n_pairs") + F.col("n_mh") - F.col("ov")).cast("double"),
+                        6,
+                    ),
+                ).otherwise(F.lit(None).cast("double")).alias("jaccard_vs_minhash"),
+            )
+        )
+        frames.append(row)
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out
+
+
+def _report_leg_sql(name: str, leg: str) -> str:
+    return f"""
+    SELECT '{name}' AS method,
+           (SELECT count(*) FROM {leg}) AS n_pairs,
+           (SELECT count(DISTINCT d) FROM
+               (SELECT doc_a AS d FROM {leg} UNION ALL SELECT doc_b FROM {leg}) u) AS n_docs,
+           (SELECT count(*) FROM {leg} p JOIN mh ON p.doc_a = mh.doc_a AND p.doc_b = mh.doc_b) AS overlap_minhash
+"""
+
+
+DEDUP_REPORT_SQL = f"""
+WITH mh AS (SELECT doc_a, doc_b FROM ({DEDUP_MINHASH_SQL.strip()}) t),
+sh AS (SELECT doc_a, doc_b FROM ({DEDUP_SIMHASH_SQL.strip()}) t),
+ng AS (SELECT doc_a, doc_b FROM ({DEDUP_NGRAM_SQL.strip()}) t),
+ed AS (SELECT doc_a, doc_b FROM ({DEDUP_EDITDIST_SQL.strip()}) t),
+legs AS (
+{_report_leg_sql('minhash', 'mh')}
+    UNION ALL
+{_report_leg_sql('simhash', 'sh')}
+    UNION ALL
+{_report_leg_sql('ngram', 'ng')}
+    UNION ALL
+{_report_leg_sql('editdist', 'ed')}
+)
+SELECT method, n_pairs, n_docs, overlap_minhash,
+       CASE WHEN n_pairs + (SELECT count(*) FROM mh) - overlap_minhash > 0
+            THEN round(CAST(overlap_minhash AS DOUBLE)
+                 / CAST(n_pairs + (SELECT count(*) FROM mh) - overlap_minhash AS DOUBLE), 6)
+            END AS jaccard_vs_minhash
+FROM legs
+"""
