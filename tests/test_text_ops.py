@@ -158,3 +158,46 @@ def test_readability_hand_computed(spark, tmp_path):
     fl2 = 206.835 - 1.015 * wps2 - 84.6 * spw2
     assert d2.flesch == math.floor(fl2 * 1e4) / 1e4
     assert d2.band == "difficult"  # deeply negative score
+
+
+def test_text_novelty_hand_corpus(spark, tmp_path):
+    """Planted corpus: a doc duplicated verbatim has novelty 0 (every
+    shingle shared), a fully unique doc has novelty 1, and a half-stitched
+    doc replays the exact shingle arithmetic."""
+    import os
+
+    import pandas as pd
+
+    a = "alpha beta gamma delta epsilon zeta eta theta"        # 8 tokens
+    u = "red orange yellow green blue indigo violet ultra"     # unique doc
+    half = a + " " + "one two three four five six seven eight" # stitched
+    rows = [(1, a), (2, a), (3, u), (4, half)]
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text"])
+    pdf["lang"] = "en"
+    pdf["source"] = "s"
+    pdf["n_chars"] = pdf["text"].str.len()
+    d = str(tmp_path / "sf")
+    os.makedirs(d)
+    pdf.to_parquet(os.path.join(d, "documents.parquet"))
+
+    from timedb_spark.operators import text as tx
+
+    got = {r.doc_id: r for r in tx.text_novelty(spark, d).collect()}
+
+    def sh5(s):
+        w = s.split()
+        n = max(len(w) - 5, 0)
+        return {" ".join(w[i : i + 5]) for i in range(n + 1)}
+
+    # docs 1 and 2 are identical: every shingle has df >= 2 → novelty 0
+    assert got[1].novelty == 0.0 and got[2].novelty == 0.0
+    assert got[1].n_shingles == len(sh5(a)) and got[1].n_unique == 0
+    # doc 3 shares nothing → novelty 1
+    assert got[3].novelty == 1.0 and got[3].n_unique == got[3].n_shingles
+    # doc 4: replay exactly — shingles fully inside the `a` prefix ALSO
+    # appear in docs 1/2, everything else is unique to doc 4
+    shared = sh5(a) & sh5(half)
+    exp_unique = len(sh5(half)) - len(shared)
+    assert got[4].n_shingles == len(sh5(half))
+    assert got[4].n_unique == exp_unique
+    assert got[4].novelty == round(exp_unique / len(sh5(half)), 6)

@@ -830,3 +830,65 @@ SELECT doc_id,
        array_to_string(w[chunk_start + 1 : chunk_start + {_CHUNK_C}], ' ') AS chunk_text
 FROM ex
 """
+
+
+# ---------------------------------------------------------------------------
+# Shingle novelty — per-doc uniqueness / memorization-risk score
+# ---------------------------------------------------------------------------
+
+
+def text_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document shingle novelty: the share of a doc's distinct 5-gram
+    shingles that appear NOWHERE else in the corpus — the uniqueness /
+    memorization-risk readout (novelty ≈ 1: fresh content worth keeping;
+    novelty ≈ 0: the doc is assembled from corpus-common passages, a
+    dedup/boilerplate candidate that pairwise dedup under-scores when no
+    single partner crosses its threshold).
+
+    Scale shape: tokens materialize in their own projection (the
+    dedup._shingled O(n²)-retokenize lesson), the per-doc DISTINCT
+    shingle explode feeds a map-side-combined document-frequency count,
+    and the join back onto the exploded frame is co-partitioned on the
+    shingle key — one explode, two fine-keyed shuffles, no pairwise
+    join anywhere. Exact-integer counts; one double division.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", tt.ws_tokens(F.col("text")).alias("w"))
+    sh = toks.select(
+        "doc_id", F.explode(F.array_distinct(tt.shingles(F.col("w")))).alias("s")
+    )
+    freq = sh.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+    return (
+        sh.join(freq, "s")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(F.when(F.col("df") == 1, 1).otherwise(0)).cast("long").alias("n_unique"),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_unique",
+            F.round(F.col("n_unique").cast("double") / F.col("n_shingles").cast("double"), 6).alias("novelty"),
+        )
+    )
+
+
+TEXT_NOVELTY_SQL = """
+WITH shingled AS (
+    SELECT doc_id,
+           list_distinct(list_transform(
+               range(1, greatest(len(w) - 4, 1) + 1),
+               i -> array_to_string(w[i:i+4], ' '))) AS sh
+    FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents)
+),
+ex AS (SELECT doc_id, unnest(sh) AS s FROM shingled),
+freq AS (SELECT s, count(*) AS df FROM ex GROUP BY s)
+SELECT e.doc_id,
+       count(*) AS n_shingles,
+       CAST(sum(CASE WHEN f.df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique,
+       round(CAST(sum(CASE WHEN f.df = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE), 6) AS novelty
+FROM ex e JOIN freq f ON f.s = e.s
+GROUP BY e.doc_id
+"""
