@@ -797,15 +797,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     ts_mk_trend, dedup_containment, ts_periodogram, ann_mmr, ann_recall,
     events_entropy, ts_seasonal_strength, ts_hampel, embed_outliers,
     events_lift, ts_perm_entropy, ts_anomaly_resid, dedup_report,
-    text_novelty — inside the window per the discipline rule), then the
-    round-2-only greens (text_fingerprint → sample_mix — no driver row
-    since round 2).
+    text_novelty, profile_sources — inside the window per the discipline
+    rule), then the round-2-only greens (text_fingerprint →
+    sample_stratified — no driver row since round 2).
     Window-discipline rule (VERDICT r5 task #4): any query registered
     mid-round goes INSIDE this window or is explicitly listed as
     next-window debt here — the debt entries are the displaced
-    r2-window greens (train_split, shard_assign, ann_bruteforce, ann_ivf,
-    ann_pq, embed_kmeans, multimodal_meta, stream_window,
-    stream_latest_state,
+    r2-window greens (sample_mix, train_split, shard_assign,
+    ann_bruteforce, ann_ivf, ann_pq, embed_kmeans, multimodal_meta,
+    stream_window, stream_latest_state,
     stream_dedup, stream_sessionize, stream_join, stream_join_ordered,
     ts_resample_locf, ts_interpolate_linear, ts_rollup_multires,
     ts_sessionize, ts_ohlc, ts_ewma, ts_rate, ts_corr, ts_decompose)
@@ -854,6 +854,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_anomaly_resid": timeseries.anomaly_residual,
         "dedup_report": dedup.dedup_report,
         "text_novelty": text.text_novelty,
+        "profile_sources": pipeline.profile_sources,
         # -- round-2-only greens: no driver row since r2 (37 in-window; the
         #    new registrations displace ts_decompose, stream_join_ordered,
         #    and the 5 r3/r4 re-verify slots past 50 — explicit
@@ -875,16 +876,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # is approx_count_distinct (no-Expand plan — see profile_table doc).
         "profile_table": _q_profile_table_exact,
         "sample_stratified": sampling.sample_stratified,
-        "sample_mix": sampling.sample_mix,
         # ==== end of the 50-query round-6 gate window ====================
-        # -- next-window debt: displaced by the 27 r6 registrations (the 6
+        # -- next-window debt: displaced by the 28 r6 registrations (the 6
         #    batch-1 ops + dedup_spans/text_collocations/text_chunk/
         #    sample_weighted/ts_cusum/stream_dedup_v2/graph_label_prop/
         #    ts_mk_trend/dedup_containment/ts_periodogram/ann_mmr/
         #    ann_recall/events_entropy/ts_seasonal_strength/ts_hampel/
         #    embed_outliers/events_lift/ts_perm_entropy/ts_anomaly_resid/
-        #    dedup_report/text_novelty, all placed in-window per the
-        #    discipline rule) -----------------------------------------------
+        #    dedup_report/text_novelty/profile_sources, all placed in-window
+        #    per the discipline rule) ----------------------------------------
+        "sample_mix": sampling.sample_mix,
         "train_split": sampling.train_split,
         "shard_assign": sampling.shard_assign,
         "ann_bruteforce": similarity.ann_bruteforce,
@@ -1356,6 +1357,7 @@ def oracle_sql() -> dict[str, str]:
         "ts_anomaly_resid": timeseries.ANOMALY_RESIDUAL_SQL,
         "dedup_report": dedup.DEDUP_REPORT_SQL,
         "text_novelty": text.TEXT_NOVELTY_SQL,
+        "profile_sources": pipeline.PROFILE_SOURCES_SQL,
         "events_abtest": analytics.EVENTS_ABTEST_SQL,
         "profile_drift": pipeline.PROFILE_DRIFT_SQL,
         "events_paths": analytics.EVENTS_PATHS_SQL,

@@ -309,3 +309,42 @@ def test_events_lift_hand_computed(spark, tmp_path):
     assert ("w", "y") not in got and ("y", "w") not in got
     # duplicate same-type events did not inflate any support
     assert got[("w", "x")].support == 20
+
+
+def test_profile_sources_hand_computed(spark, tmp_path):
+    """Per-source dashboard on a planted corpus: counts, dominant language
+    with deterministic tiebreak (count desc, then name), and the
+    within-source exact-dup rate counting ALL members of a dup group."""
+    import os
+
+    rows = [
+        # source A: 4 docs, langs en×2/de×2 (tie → 'de' wins by name),
+        # one dup pair → n_dup_docs = 2
+        (1, "same text here", "en", "A", 14),
+        (2, "same text here", "de", "A", 14),
+        (3, "unique one", "en", "A", 10),
+        (4, "unique two", "de", "A", 10),
+        # source B: 3 docs all en, a triple dup group → n_dup_docs = 3
+        (5, "b text", "en", "B", 6),
+        (6, "b text", "en", "B", 6),
+        (7, "b text", "en", "B", 6),
+    ]
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text", "lang", "source", "n_chars"])
+    d = str(tmp_path / "sf")
+    os.makedirs(d)
+    pdf.to_parquet(os.path.join(d, "documents.parquet"))
+
+    from timedb_spark.operators import pipeline
+
+    got = {r.source: r for r in pipeline.profile_sources(spark, d).collect()}
+
+    a = got["A"]
+    assert (a.n_docs, a.total_chars, a.n_langs) == (4, 48, 2)
+    assert a.avg_chars == 12.0
+    assert a.top_lang == "de" and a.top_lang_share == 0.5  # 2-2 tie → name order
+    assert a.n_dup_docs == 2 and a.dup_rate == 0.5
+
+    b = got["B"]
+    assert (b.n_docs, b.n_langs, b.top_lang) == (3, 1, "en")
+    assert b.top_lang_share == 1.0
+    assert b.n_dup_docs == 3 and b.dup_rate == 1.0

@@ -20,7 +20,7 @@ pipeline is one shuffle regardless of corpus size.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from timedb_spark.functions import texttools as tt
@@ -289,4 +289,96 @@ SELECT bin, n_a, n_b,
        round((greatest(CAST(n_b AS DOUBLE) / t_b, {_DRIFT_EPS}) - greatest(CAST(n_a AS DOUBLE) / t_a, {_DRIFT_EPS}))
              * ln(greatest(CAST(n_b AS DOUBLE) / t_b, {_DRIFT_EPS}) / greatest(CAST(n_a AS DOUBLE) / t_a, {_DRIFT_EPS})), 6) AS psi_term
 FROM counts, t
+"""
+
+
+# ---------------------------------------------------------------------------
+# Per-source corpus quality dashboard
+# ---------------------------------------------------------------------------
+
+
+def profile_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus dashboard: doc volume, length stats, language
+    mix (dominant language + its share, deterministic count-then-name
+    tiebreak), and within-source exact-duplicate rate — the one-scan
+    overview a curation pipeline renders per ingestion feed to decide
+    which sources to keep, re-crawl, or re-filter.
+
+    Scale shape: two fine-keyed map-side-combined groupBys ((source,
+    lang) for the mix, (source, md5(text)) for the dup rate) rolled up to
+    source granularity and joined on the tiny source key — no broadcast
+    needed, no text shuffle beyond the first hash projection. Exact
+    integer counts; divisions at the end, identical op order.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+
+    base = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+    lang = docs.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("lc"))
+    top = (
+        lang.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("source").orderBy(F.col("lc").desc(), F.col("lang"))
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select("source", F.col("lang").alias("top_lang"), F.col("lc").alias("top_lc"))
+    )
+    nlang = lang.groupBy("source").agg(F.count(F.lit(1)).alias("n_langs"))
+    dups = (
+        docs.select("source", F.md5(F.col("text")).alias("h"))
+        .groupBy("source", "h")
+        .agg(F.count(F.lit(1)).alias("hc"))
+        .groupBy("source")
+        .agg(F.sum(F.when(F.col("hc") > 1, F.col("hc")).otherwise(0)).alias("n_dup_docs"))
+    )
+    return (
+        base.join(top, "source")
+        .join(nlang, "source")
+        .join(dups, "source")
+        .select(
+            "source",
+            "n_docs",
+            "total_chars",
+            F.round(F.col("total_chars").cast("double") / F.col("n_docs").cast("double"), 6).alias("avg_chars"),
+            "n_langs",
+            "top_lang",
+            F.round(F.col("top_lc").cast("double") / F.col("n_docs").cast("double"), 6).alias("top_lang_share"),
+            F.col("n_dup_docs").cast("long").alias("n_dup_docs"),
+            F.round(F.col("n_dup_docs").cast("double") / F.col("n_docs").cast("double"), 6).alias("dup_rate"),
+        )
+    )
+
+
+PROFILE_SOURCES_SQL = """
+WITH base AS (
+    SELECT source, count(*) AS n_docs, sum(n_chars) AS total_chars
+    FROM documents GROUP BY source
+),
+lang AS (SELECT source, lang, count(*) AS lc FROM documents GROUP BY source, lang),
+top AS (
+    SELECT source, lang AS top_lang, lc AS top_lc FROM (
+        SELECT *, row_number() OVER (PARTITION BY source ORDER BY lc DESC, lang) AS rn
+        FROM lang
+    ) t WHERE rn = 1
+),
+nlang AS (SELECT source, count(*) AS n_langs FROM lang GROUP BY source),
+dups AS (
+    SELECT source, CAST(sum(CASE WHEN hc > 1 THEN hc ELSE 0 END) AS BIGINT) AS n_dup_docs
+    FROM (SELECT source, md5(text) AS h, count(*) AS hc FROM documents GROUP BY source, md5(text)) t
+    GROUP BY source
+)
+SELECT b.source, b.n_docs, b.total_chars,
+       round(CAST(b.total_chars AS DOUBLE) / CAST(b.n_docs AS DOUBLE), 6) AS avg_chars,
+       nl.n_langs, tp.top_lang,
+       round(CAST(tp.top_lc AS DOUBLE) / CAST(b.n_docs AS DOUBLE), 6) AS top_lang_share,
+       d.n_dup_docs,
+       round(CAST(d.n_dup_docs AS DOUBLE) / CAST(b.n_docs AS DOUBLE), 6) AS dup_rate
+FROM base b
+JOIN top tp ON tp.source = b.source
+JOIN nlang nl ON nl.source = b.source
+JOIN dups d ON d.source = b.source
 """
