@@ -744,3 +744,15 @@ def test_ts_anomaly_resid_composed_no_python(spark, sf_dir):
     plans.assert_no_cartesian(df)
     phys = df._jdf.queryExecution().executedPlan().toString()
     assert "Python" not in phys
+
+
+def test_ts_backtest_single_shuffle_stays_jvm(spark, sf_dir):
+    """Splits, all three baseline predictions and the MAE folds ride the
+    one groupBy(user) collect — theta's single-exchange profile, zero
+    Python, no join."""
+    from timedb_spark.operators import timeseries as ts
+
+    df = ts.backtest_models(spark, sf_dir)
+    plans.assert_max_shuffles(df, 1)
+    phys = df._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in phys and "Join" not in phys

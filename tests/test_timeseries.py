@@ -1013,3 +1013,66 @@ def test_anomaly_residual_flags_spike_not_seasonality(spark, tmp_path):
     spike_row = [r for r in got if (r.h - datetime(2024, 1, 1)).total_seconds() / 3600 == spike_t][0]
     assert spike_row.score is None or spike_row.score > 3.0
     assert abs(spike_row.value - 78.4) < 1e-9  # 10 + 8 + 60 + noise(170)
+
+
+def test_backtest_models_planted_winners(spark, tmp_path):
+    """Model selection on planted series with known winners: a strong
+    daily cycle → snaive wins; a flat-with-noise series → mean/naive beat
+    snaive; MAEs replay an exact python recompute."""
+    import math
+    import os
+
+    import pandas as pd
+
+    rows, eid = [], 0
+    # user 1: pure 24 h cycle — snaive MAE is exactly 0
+    for t in range(96):
+        eid += 1
+        v = 10.0 + (6.0 if t % 24 < 12 else -6.0)
+        rows.append((eid, datetime(2024, 1, 1) + pd.Timedelta(hours=t), 1, "x", v))
+    # user 2: constant with one old wobble — naive and mean near-perfect,
+    # snaive perfect too... so make the LAST season differ from the one
+    # before (level shift inside the holdout window's seasonal lookback)
+    vals2 = [5.0] * 48 + [5.0 + ((t * 31) % 7 - 3) * 0.5 for t in range(24)] + [5.0] * 24
+    for t, v in enumerate(vals2):
+        eid += 1
+        rows.append((eid, datetime(2024, 1, 1) + pd.Timedelta(hours=t), 2, "x", v))
+    # user 3: too short (<48) — must be excluded
+    for t in range(30):
+        eid += 1
+        rows.append((eid, datetime(2024, 1, 1) + pd.Timedelta(hours=t), 3, "x", 1.0))
+    pdf = pd.DataFrame(rows, columns=["event_id", "ts", "user_id", "event_type", "value"])
+    pdf["props"] = ""
+    d = str(tmp_path / "sf")
+    os.makedirs(d)
+    pdf.to_parquet(os.path.join(d, "events.parquet"))
+
+    got = {r.series_id: r for r in ts.backtest_models(spark, d).collect()}
+    assert 3 not in got
+
+    def replay(vals):
+        c = [int(round(v * 100)) for v in vals]
+        n = len(c)
+        hold, train = c[n - 24:], c[: n - 24]
+        lt, mu = train[-1], sum(train) / len(train)
+        mn = sum(abs(x - lt) for x in hold) / 2400.0
+        msn = sum(abs(c[n - 24 + j] - c[n - 48 + j]) for j in range(24)) / 2400.0
+        md = 0.0
+        for x in hold:
+            md = md + abs(float(x) - mu)
+        mm = md / 2400.0
+        best = "mean" if (mm <= mn and mm <= msn) else ("naive" if mn <= msn else "snaive")
+        return (math.floor(mn * 1e6) / 1e6, math.floor(msn * 1e6) / 1e6,
+                math.floor(mm * 1e6) / 1e6, best)
+
+    v1 = [10.0 + (6.0 if t % 24 < 12 else -6.0) for t in range(96)]
+    mn, msn, mm, best = replay(v1)
+    r1 = got[1]
+    assert (r1.mae_naive, r1.mae_snaive, r1.mae_mean, r1.best_model) == (mn, msn, mm, best)
+    assert r1.mae_snaive == 0.0 and r1.best_model == "snaive"
+    assert r1.n_train == 72
+
+    mn, msn, mm, best = replay(vals2)
+    r2 = got[2]
+    assert (r2.mae_naive, r2.mae_snaive, r2.mae_mean, r2.best_model) == (mn, msn, mm, best)
+    assert r2.best_model in ("mean", "naive")  # the wobbly prior season hurts snaive

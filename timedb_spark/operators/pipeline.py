@@ -355,7 +355,7 @@ def profile_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 PROFILE_SOURCES_SQL = """
 WITH base AS (
-    SELECT source, count(*) AS n_docs, sum(n_chars) AS total_chars
+    SELECT source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
     FROM documents GROUP BY source
 ),
 lang AS (SELECT source, lang, count(*) AS lc FROM documents GROUP BY source, lang),

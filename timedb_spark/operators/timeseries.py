@@ -2819,3 +2819,134 @@ WHERE CASE WHEN st.mad > 0
            THEN abs(CAST(d.resid_micro AS DOUBLE) - st.med) > {_ANOM_NSIG} * {_HAMPEL_SCALE} * st.mad
            ELSE abs(CAST(d.resid_micro AS DOUBLE) - st.med) > 0 END
 """.format(decompose=SEASONAL_DECOMPOSE_SQL.strip())
+
+
+# ---------------------------------------------------------------------------
+# Rolling-origin backtest — baseline model selection per series
+# ---------------------------------------------------------------------------
+
+_BT_HOLD = 24  # holdout = last 24 observations
+_BT_SEASON = 24
+
+
+def backtest_models(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holdout backtest of the three forecasting BASELINES per user
+    series — naive (last train value), seasonal naive (value one season
+    earlier), train mean — MAE on the last 24 observations plus the
+    winning model: the model-selection readout that tells a user WHICH of
+    the fancier operators (ts_theta / ts_holt_winters / seasonal_naive)
+    is even worth fitting, and the floor any of them must beat
+    (Hyndman's "never report a forecast without its naive benchmark").
+
+    One groupBy(user) sorted collect (theta/croston's shuffle shape);
+    train/holdout splits, all three predictions and the MAE folds are
+    array expressions over that one array. naive/snaive MAEs are EXACT
+    integer-cent sums with one final /24 division; the mean model's
+    per-point |mean − x| terms accumulate left-to-right in holdout order
+    (identical doubles both engines). Winner tiebreak: mean ≺ naive ≺
+    snaive at equal MAE. Series shorter than 48 observations are
+    excluded (no full train season).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    s = F.struct(F.col("ts"), F.col("event_id"), F.col("value"))
+    g = ev.groupBy("user_id").agg(F.array_sort(F.collect_list(s)).alias("hist"))
+    cents = F.transform("hist", lambda r: (r["value"].cast("decimal(18,2)") * 100).cast("long"))
+    g = g.select("user_id", cents.alias("c")).withColumn("n", F.size("c")).filter(
+        F.col("n") >= 2 * _BT_SEASON
+    )
+    n = F.col("n")
+    hold = F.slice("c", n - _BT_HOLD + 1, _BT_HOLD)
+    g = g.withColumn("hold", hold).withColumn("n_train", (n - _BT_HOLD).cast("long"))
+    last_train = F.element_at("c", F.col("n") - _BT_HOLD)
+    train_sum = F.aggregate(
+        F.slice("c", 1, F.col("n") - _BT_HOLD), F.lit(0).cast("long"), lambda a, x: a + x
+    )
+    g = g.withColumn("lt", last_train).withColumn(
+        "mu", train_sum.cast("double") / F.col("n_train").cast("double")
+    )
+    # exact integer absolute-error sums for naive / seasonal naive
+    ae_naive = F.aggregate(
+        F.transform("hold", lambda x: F.abs(x - F.col("lt"))),
+        F.lit(0).cast("long"),
+        lambda a, x: a + x,
+    )
+    ae_snaive = F.aggregate(
+        F.transform(
+            F.sequence(F.lit(1), F.lit(_BT_HOLD)),
+            lambda j: F.abs(
+                F.element_at("c", F.col("n") - _BT_HOLD + j)
+                - F.element_at("c", F.col("n") - _BT_HOLD - _BT_SEASON + j)
+            ),
+        ),
+        F.lit(0).cast("long"),
+        lambda a, x: a + x,
+    )
+    ae_mean = F.aggregate(
+        F.transform("hold", lambda x: F.abs(x.cast("double") - F.col("mu"))),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    g = (
+        g.withColumn("mae_naive_q", ae_naive)
+        .withColumn("mae_snaive_q", ae_snaive)
+        .withColumn("mae_mean_d", ae_mean)
+    )
+    mn = F.col("mae_naive_q").cast("double") / (100.0 * _BT_HOLD)
+    ms = F.col("mae_snaive_q").cast("double") / (100.0 * _BT_HOLD)
+    mm = F.col("mae_mean_d") / (100.0 * _BT_HOLD)
+    best = (
+        F.when((mm <= mn) & (mm <= ms), F.lit("mean"))
+        .when(mn <= ms, F.lit("naive"))
+        .otherwise(F.lit("snaive"))
+    )
+    return g.select(
+        F.col("user_id").alias("series_id"),
+        "n_train",
+        (F.floor(mn * 1e6) / 1e6).alias("mae_naive"),
+        (F.floor(ms * 1e6) / 1e6).alias("mae_snaive"),
+        (F.floor(mm * 1e6) / 1e6).alias("mae_mean"),
+        best.alias("best_model"),
+    )
+
+
+BACKTEST_MODELS_SQL = f"""
+WITH hist AS (
+    SELECT user_id,
+           list_transform(
+               list_sort(list(struct_pack(ts := ts, e := event_id, v := value))),
+               s -> CAST(CAST(s.v AS DECIMAL(18,2)) * 100 AS BIGINT)) AS c
+    FROM events GROUP BY user_id
+),
+base AS (
+    SELECT user_id, c, len(c) AS n,
+           len(c) - {_BT_HOLD} AS n_train,
+           c[len(c) - {_BT_HOLD} + 1 : len(c)] AS hold,
+           c[len(c) - {_BT_HOLD}] AS lt,
+           CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), c[1 : len(c) - {_BT_HOLD}]),
+                (a, b) -> a + b) AS DOUBLE) / (len(c) - {_BT_HOLD}) AS mu
+    FROM hist WHERE len(c) >= {2 * _BT_SEASON}
+),
+errs AS (
+    SELECT user_id, n_train,
+           list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_transform(hold, x -> abs(x - lt))), (a, b) -> a + b) AS ae_naive,
+           list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_transform(range(1, {_BT_HOLD} + 1), j ->
+                   abs(c[n - {_BT_HOLD} + j] - c[n - {_BT_HOLD} - {_BT_SEASON} + j]))),
+               (a, b) -> a + b) AS ae_snaive,
+           list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list_transform(hold, x -> abs(CAST(x AS DOUBLE) - mu))), (a, b) -> a + b) AS ae_mean
+    FROM base
+)
+SELECT user_id AS series_id, CAST(n_train AS BIGINT) AS n_train,
+       floor(CAST(ae_naive AS DOUBLE) / {100.0 * _BT_HOLD} * 1e6) / 1e6 AS mae_naive,
+       floor(CAST(ae_snaive AS DOUBLE) / {100.0 * _BT_HOLD} * 1e6) / 1e6 AS mae_snaive,
+       floor(ae_mean / {100.0 * _BT_HOLD} * 1e6) / 1e6 AS mae_mean,
+       CASE WHEN ae_mean / {100.0 * _BT_HOLD} <= CAST(ae_naive AS DOUBLE) / {100.0 * _BT_HOLD}
+             AND ae_mean / {100.0 * _BT_HOLD} <= CAST(ae_snaive AS DOUBLE) / {100.0 * _BT_HOLD}
+            THEN 'mean'
+            WHEN CAST(ae_naive AS DOUBLE) / {100.0 * _BT_HOLD} <= CAST(ae_snaive AS DOUBLE) / {100.0 * _BT_HOLD}
+            THEN 'naive'
+            ELSE 'snaive' END AS best_model
+FROM errs
+"""
