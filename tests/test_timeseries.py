@@ -1076,3 +1076,94 @@ def test_backtest_models_planted_winners(spark, tmp_path):
     r2 = got[2]
     assert (r2.mae_naive, r2.mae_snaive, r2.mae_mean, r2.best_model) == (mn, msn, mm, best)
     assert r2.best_model in ("mean", "naive")  # the wobbly prior season hurts snaive
+
+
+def test_drawdown_matches_python_recompute(spark, tmp_path):
+    """ts_drawdown vs an exact python replay: a rise-fall-rise series has
+    its known worst drop; a monotone ramp has drawdown 0."""
+    import math
+    import os
+
+    import pandas as pd
+
+    rows, eid = [], 0
+    vals1 = [10.0, 12.0, 11.0, 15.0, 9.0, 13.0, 14.0, 8.5, 16.0]
+    for t, v in enumerate(vals1):
+        eid += 1
+        rows.append((eid, datetime(2024, 1, 1) + pd.Timedelta(hours=t), 1, "x", v))
+    for t in range(6):  # monotone ramp → zero drawdown
+        eid += 1
+        rows.append((eid, datetime(2024, 1, 1) + pd.Timedelta(hours=t), 2, "x", float(t)))
+    pdf = pd.DataFrame(rows, columns=["event_id", "ts", "user_id", "event_type", "value"])
+    pdf["props"] = ""
+    d = str(tmp_path / "sf")
+    os.makedirs(d)
+    pdf.to_parquet(os.path.join(d, "events.parquet"))
+
+    got = {r.series_id: r for r in ts.drawdown(spark, d).collect()}
+
+    c = [int(round(v * 100)) for v in vals1]
+    peak, dd, mf = c[0], 0, 0.0
+    for x in c[1:]:
+        dd = max(dd, peak - x)
+        if peak > 0:
+            mf = max(mf, float(peak - x) / float(peak))
+        peak = max(peak, x)
+    r1 = got[1]
+    assert r1.max_drawdown == dd / 100.0 == 6.5  # 15.0 → 8.5
+    assert r1.max_drawdown_frac == math.floor(mf * 1e6) / 1e6
+    assert r1.final_peak == 16.0 and r1.n_obs == 9
+
+    r2 = got[2]
+    assert r2.max_drawdown == 0.0 and r2.max_drawdown_frac == 0.0
+
+
+def test_cusum_oracle_survives_duplicated_predicate_folds(spark):
+    """Regression guard for the DuckDB v1.0.0 list_reduce mis-evaluation
+    found while building ts_drawdown (identical CASE predicates in two
+    fold slots can disagree on multi-step chains): stress the CUSUM
+    ORACLE — whose fold duplicates its fired-predicate across five slots
+    — against an exact python replay on alarm-heavy planted series."""
+    import math
+
+    import duckdb
+    import pandas as pd
+
+    rows, eid = [], 0
+    for uid in range(12):
+        for t in range(60):
+            v = 10.0 + uid + (15.0 if (t // (7 + uid % 5)) % 2 else 0.0) + ((t * 13 + uid) % 7 - 3) * 0.7
+            eid += 1
+            rows.append((eid, datetime(2024, 1, 1) + pd.Timedelta(hours=t), uid, "x", round(v, 2), ""))
+    pdf = pd.DataFrame(rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"])
+
+    con = duckdb.connect()
+    con.register("events_df", pdf)
+    con.sql("CREATE VIEW events AS SELECT * FROM events_df")
+    res = con.sql(ts.CUSUM_SQL)
+    cols = [d[0] for d in res.description]
+    duck = {r[0]: dict(zip(cols, r)) for r in res.fetchall()}
+
+    K, H = 0.5, 4.0
+    for uid in range(12):
+        c = [int(round(v * 100)) for v in pdf[pdf.user_id == uid].sort_values(["ts", "event_id"]).value]
+        n = len(c)
+        mu = sum(c) / n
+        sigma = math.sqrt(max(sum(x * x for x in c) / n - mu * mu, 0.0))
+        sp = sn = 0.0
+        alarms, mxp, mxn, first = 0, 0.0, 0.0, -1
+        for t, x in enumerate(c):
+            z = (x - mu) / sigma if sigma > 0 else 0.0
+            sp2, sn2 = max(0.0, sp + z - K), max(0.0, sn - z - K)
+            mxp, mxn = max(mxp, sp2), max(mxn, sn2)
+            if sp2 > H or sn2 > H:
+                alarms += 1
+                if first < 0:
+                    first = t
+                sp, sn = 0.0, 0.0
+            else:
+                sp, sn = sp2, sn2
+        d = duck[uid]
+        assert d["n_alarms"] == alarms and d["first_alarm_idx"] == first, uid
+        assert d["max_cusum_pos"] == math.floor(mxp * 1e6) / 1e6, uid
+        assert d["max_cusum_neg"] == math.floor(mxn * 1e6) / 1e6, uid

@@ -2950,3 +2950,100 @@ SELECT user_id AS series_id, CAST(n_train AS BIGINT) AS n_train,
             ELSE 'snaive' END AS best_model
 FROM errs
 """
+
+
+# ---------------------------------------------------------------------------
+# Maximum drawdown — worst peak-to-trough decline per series
+# ---------------------------------------------------------------------------
+
+
+def drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum drawdown per user series: the worst peak-to-trough decline
+    of the value level, in absolute cents and as a fraction of the peak —
+    the risk/monitoring readout (for a KPI series: the worst regression
+    from any historical high; finance's max-drawdown verbatim).
+
+    One groupBy(user) sorted collect (theta's shuffle shape); the running
+    peak / worst drop / fractional drawdown recursion is a single 3-state
+    `F.aggregate` fold — peak and absolute drop in exact integer cents,
+    the fraction as `(peak−x)/peak` doubles in identical op order both
+    engines (one division per step, max is order-stable).
+
+    Oracle-compat note: the fold deliberately avoids DUPLICATING a
+    conditional across two struct fields (an earlier 4-state version kept
+    the fraction as an exact rational with the same CASE predicate in the
+    numerator and denominator slots — DuckDB v1.0.0's list_reduce
+    evaluates the two identical predicates INCONSISTENTLY on multi-step
+    folds: verified, the isolated step is correct but the 3-step chain
+    updates one slot and not the other). Each state field here is a
+    single independent `greatest`, which both engines fold correctly.
+    Zero Python, no window.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    s = F.struct(F.col("ts"), F.col("event_id"), F.col("value"))
+    g = ev.groupBy("user_id").agg(F.array_sort(F.collect_list(s)).alias("hist"))
+    cents = F.transform("hist", lambda r: (r["value"].cast("decimal(18,2)") * 100).cast("long"))
+    g = g.select("user_id", cents.alias("c")).filter(F.size("c") >= 2)
+    init = F.struct(
+        F.lit(0).cast("long").alias("dd"),
+        F.lit(0.0).alias("mf"),
+        F.element_at(F.col("c"), 1).alias("peak"),
+    )
+    fold = F.aggregate(
+        F.slice("c", 2, F.size("c") - 1),
+        init,
+        lambda st, x: F.struct(
+            F.greatest(st.dd, st.peak - x).alias("dd"),
+            F.greatest(
+                st.mf,
+                F.when(
+                    st.peak > 0,
+                    (st.peak - x).cast("double") / st.peak.cast("double"),
+                ).otherwise(F.lit(0.0)),
+            ).alias("mf"),
+            F.greatest(st.peak, x).alias("peak"),
+        ),
+    )
+    g = g.withColumn("st", fold)
+    return g.select(
+        F.col("user_id").alias("series_id"),
+        F.size("c").alias("n_obs"),
+        (F.col("st.dd").cast("double") / 100.0).alias("max_drawdown"),
+        (F.floor(F.col("st.mf") * 1e6) / 1e6).alias("max_drawdown_frac"),
+        (F.col("st.peak").cast("double") / 100.0).alias("final_peak"),
+    )
+
+
+DRAWDOWN_SQL = """
+WITH hist AS (
+    SELECT user_id,
+           list_transform(
+               list_sort(list(struct_pack(ts := ts, e := event_id, v := value))),
+               s -> CAST(CAST(s.v AS DECIMAL(18,2)) * 100 AS BIGINT)) AS c
+    FROM events GROUP BY user_id
+),
+f AS (
+    -- each field is one independent greatest() on purpose: duplicating a
+    -- CASE predicate across two struct slots trips a DuckDB v1.0.0
+    -- list_reduce mis-evaluation on multi-step folds (see operator doc).
+    SELECT user_id, len(c) AS n_obs,
+           list_reduce(
+               list_prepend(
+                   struct_pack(dd := CAST(0 AS BIGINT), mf := CAST(0.0 AS DOUBLE), peak := c[1]),
+                   list_transform(c[2:len(c)], x ->
+                       struct_pack(dd := CAST(0 AS BIGINT), mf := CAST(0.0 AS DOUBLE), peak := x))),
+               (st, e) -> struct_pack(
+                   dd := greatest(st.dd, st.peak - e.peak),
+                   mf := greatest(st.mf,
+                       CASE WHEN st.peak > 0
+                            THEN CAST(st.peak - e.peak AS DOUBLE) / CAST(st.peak AS DOUBLE)
+                            ELSE 0.0 END),
+                   peak := greatest(st.peak, e.peak))) AS st
+    FROM hist WHERE len(c) >= 2
+)
+SELECT user_id AS series_id, CAST(n_obs AS INT) AS n_obs,
+       CAST(st.dd AS DOUBLE) / 100.0 AS max_drawdown,
+       floor(st.mf * 1e6) / 1e6 AS max_drawdown_frac,
+       CAST(st.peak AS DOUBLE) / 100.0 AS final_peak
+FROM f
+"""
