@@ -756,3 +756,14 @@ def test_ts_backtest_single_shuffle_stays_jvm(spark, sf_dir):
     plans.assert_max_shuffles(df, 1)
     phys = df._jdf.queryExecution().executedPlan().toString()
     assert "Python" not in phys and "Join" not in phys
+
+
+def test_ts_drawdown_single_shuffle_stays_jvm(spark, sf_dir):
+    """The running-peak fold rides the one groupBy(user) collect — single
+    exchange, zero Python, no join."""
+    from timedb_spark.operators import timeseries as ts
+
+    df = ts.drawdown(spark, sf_dir)
+    plans.assert_max_shuffles(df, 1)
+    phys = df._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in phys and "Join" not in phys
