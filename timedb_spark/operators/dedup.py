@@ -818,6 +818,11 @@ def dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     equi-join, never n²). Exact-integer counts; one double division for
     the Jaccard, identical op order both engines.
     """
+    # deliberately NOT persist()ed (contrast _shingled): all twelve
+    # rollups union into ONE plan, so Spark's ReuseExchange already shares
+    # each leg's candidate-generation subtree across its three branches —
+    # measured: persisting the legs materializes them eagerly and runs
+    # SLOWER (23 s vs 17 s at sf0.1) while adding cache pressure.
     legs = {
         "minhash": dedup_minhash(spark, sf_dir).select("doc_a", "doc_b"),
         "simhash": dedup_simhash(spark, sf_dir).select("doc_a", "doc_b"),
