@@ -797,15 +797,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     ts_mk_trend, dedup_containment, ts_periodogram, ann_mmr, ann_recall,
     events_entropy, ts_seasonal_strength, ts_hampel, embed_outliers,
     events_lift, ts_perm_entropy, ts_anomaly_resid, dedup_report,
-    text_novelty, profile_sources, ts_backtest, ts_drawdown — inside the
-    window per the discipline rule), then the round-2-only greens
-    (text_fingerprint → pipeline_clean — no driver row since round 2).
+    text_novelty, profile_sources, ts_backtest, ts_drawdown, bt_audit —
+    inside the window per the discipline rule), then the round-2-only
+    greens (text_fingerprint → contamination_check — no driver row since
+    round 2).
     Window-discipline rule (VERDICT r5 task #4): any query registered
     mid-round goes INSIDE this window or is explicitly listed as
     next-window debt here — the debt entries are the displaced
-    r2-window greens (profile_table, sample_stratified, sample_mix,
-    train_split, shard_assign, ann_bruteforce, ann_ivf, ann_pq,
-    embed_kmeans, multimodal_meta, stream_window, stream_latest_state,
+    r2-window greens (pipeline_clean, profile_table, sample_stratified,
+    sample_mix, train_split, shard_assign, ann_bruteforce, ann_ivf,
+    ann_pq, embed_kmeans, multimodal_meta, stream_window,
+    stream_latest_state,
     stream_dedup, stream_sessionize, stream_join, stream_join_ordered,
     ts_resample_locf, ts_interpolate_linear, ts_rollup_multires,
     ts_sessionize, ts_ohlc, ts_ewma, ts_rate, ts_corr, ts_decompose)
@@ -857,6 +859,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "profile_sources": pipeline.profile_sources,
         "ts_backtest": timeseries.backtest_models,
         "ts_drawdown": timeseries.drawdown,
+        "bt_audit": forecasting.bt_audit,
         # -- round-2-only greens: no driver row since r2 (37 in-window; the
         #    new registrations displace ts_decompose, stream_join_ordered,
         #    and the 5 r3/r4 re-verify slots past 50 — explicit
@@ -873,18 +876,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_editdist": dedup.dedup_editdist,
         "dedup_clusters": dedup.dedup_clusters,
         "contamination_check": pipeline.contamination_check,
-        "pipeline_clean": pipeline.pipeline_clean,
-        # exact=True: the DuckDB oracle counts exactly; the operator default
-        # is approx_count_distinct (no-Expand plan — see profile_table doc).
         # ==== end of the 50-query round-6 gate window ====================
-        # -- next-window debt: displaced by the 30 r6 registrations (the 6
+        # -- next-window debt: displaced by the 31 r6 registrations (the 6
         #    batch-1 ops + dedup_spans/text_collocations/text_chunk/
         #    sample_weighted/ts_cusum/stream_dedup_v2/graph_label_prop/
         #    ts_mk_trend/dedup_containment/ts_periodogram/ann_mmr/
         #    ann_recall/events_entropy/ts_seasonal_strength/ts_hampel/
         #    embed_outliers/events_lift/ts_perm_entropy/ts_anomaly_resid/
         #    dedup_report/text_novelty/profile_sources/ts_backtest/
-        #    ts_drawdown, all placed in-window per the discipline rule) ------
+        #    ts_drawdown/bt_audit, all placed in-window per the discipline
+        #    rule) ----------------------------------------------------------
+        "pipeline_clean": pipeline.pipeline_clean,
+        # exact=True: the DuckDB oracle counts exactly; the operator default
+        # is approx_count_distinct (no-Expand plan — see profile_table doc).
         "profile_table": _q_profile_table_exact,
         "sample_stratified": sampling.sample_stratified,
         "sample_mix": sampling.sample_mix,
@@ -1362,6 +1366,7 @@ def oracle_sql() -> dict[str, str]:
         "profile_sources": pipeline.PROFILE_SOURCES_SQL,
         "ts_backtest": timeseries.BACKTEST_MODELS_SQL,
         "ts_drawdown": timeseries.DRAWDOWN_SQL,
+        "bt_audit": forecasting.bt_audit_sql(_SV),
         "events_abtest": analytics.EVENTS_ABTEST_SQL,
         "profile_drift": pipeline.PROFILE_DRIFT_SQL,
         "events_paths": analytics.EVENTS_PATHS_SQL,

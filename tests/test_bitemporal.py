@@ -246,3 +246,42 @@ def test_value_at_two_axis_pin(spark):
     # pin late enough to see vt 02:00 as the effective observation
     out2 = {r.series_id: r for r in bt.value_at(df, BASE + timedelta(hours=3), KT2).collect()}
     assert out2[1].value == 20.0 and out2[1].effective_valid_time == BASE + timedelta(hours=2)
+
+
+def test_audit_hand_computed(spark):
+    """bt_audit on a hand-built revision history: restatement counts,
+    per-author series reach, and mean |delta| over revisions only."""
+    from datetime import datetime
+
+    from timedb_spark.operators import bitemporal as bt
+
+    T0 = datetime(2024, 1, 1)
+
+    def t(h):
+        return datetime(2024, 1, 1, h)
+
+    rows = [
+        # (series, valid, knowledge, change, value, retention, changed_by, annotation)
+        (1, T0, t(1), t(1), 10.0, "short", "alice", ""),
+        (1, T0, t(2), t(2), 12.5, "short", "bob", ""),    # restates alice's point: |delta|=2.5
+        (1, T0, t(3), t(3), 12.0, "short", "bob", ""),    # restates again: |delta|=0.5
+        (2, T0, t(1), t(1), 5.0, "short", "alice", ""),   # first write, not a restatement
+        (2, t(4), t(5), t(5), 7.0, "short", "alice", ""), # different point, first write
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "series_id int, valid_time timestamp, knowledge_time timestamp, "
+        "change_time timestamp, value double, retention string, "
+        "changed_by string, annotation string",
+    )
+    got = {r.changed_by: r for r in bt.audit(df).collect()}
+
+    a = got["alice"]
+    assert (a.n_changes, a.n_series, a.n_restatements) == (3, 2, 0)
+    assert a.mean_abs_restatement is None
+    assert a.first_change == t(1) and a.last_change == t(5)
+
+    b = got["bob"]
+    assert (b.n_changes, b.n_series, b.n_restatements) == (2, 1, 2)
+    assert b.mean_abs_restatement == 1.5  # (2.5 + 0.5) / 2
+    assert b.first_change == t(2) and b.last_change == t(3)

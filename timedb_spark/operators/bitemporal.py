@@ -506,3 +506,44 @@ def interval_merge(df: DataFrame) -> DataFrame:
         F.max("valid_time_end").alias("span_end"),
         F.count(F.lit(1)).alias("n_intervals"),
     )
+
+
+def audit(df: DataFrame) -> DataFrame:
+    """Change-audit rollup per author over a series_values frame: how many
+    writes each ``changed_by`` issued, how many series they touched, how
+    many of their writes were RESTATEMENTS (a revision of an already-known
+    (series, valid_time) point), and the mean absolute restatement
+    magnitude — the data-governance readout over the reference's
+    ``changed_by`` / ``annotation`` lineage columns (ref
+    timedb/sql/ch_create_tables.sql: series_values.changed_by; the
+    reference stores the lineage, this is the query a steward runs on it).
+
+    One revision-ordering window (the latest_changes sort, reused) + one
+    map-side-combined groupBy(changed_by). Deltas in exact integer cents;
+    the mean is a single division, floor-scaled.
+    """
+    w = Window.partitionBy("series_id", "valid_time").orderBy("knowledge_time", "change_time")
+    cents = (F.col("value").cast("decimal(18,2)") * 100).cast("long")
+    base = df.select(
+        "series_id", "valid_time", "knowledge_time", "change_time", "changed_by", cents.alias("c")
+    ).withColumn("prev", F.lag("c").over(w))
+    agg = base.groupBy("changed_by").agg(
+        F.count(F.lit(1)).alias("n_changes"),
+        F.countDistinct("series_id").alias("n_series"),
+        F.sum(F.when(F.col("prev").isNotNull(), 1).otherwise(0)).cast("long").alias("n_restatements"),
+        F.sum(F.when(F.col("prev").isNotNull(), F.abs(F.col("c") - F.col("prev"))).otherwise(0)).alias("adq"),
+        F.min("change_time").alias("first_change"),
+        F.max("change_time").alias("last_change"),
+    )
+    return agg.select(
+        "changed_by",
+        "n_changes",
+        "n_series",
+        "n_restatements",
+        F.when(
+            F.col("n_restatements") > 0,
+            F.floor(F.col("adq").cast("double") / 100.0 / F.col("n_restatements").cast("double") * 1e6) / 1e6,
+        ).alias("mean_abs_restatement"),
+        "first_change",
+        "last_change",
+    )

@@ -374,3 +374,35 @@ FROM win
 WHERE pre_n = {CHANGEPOINT_WIN} AND post_n = {CHANGEPOINT_WIN}
   AND abs(CAST(post_sum AS DOUBLE) / post_n - CAST(pre_sum AS DOUBLE) / pre_n) >= {CHANGEPOINT_THRESHOLD}
 """
+
+
+def bt_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate wrapper: :func:`timedb_spark.operators.bitemporal.audit` over
+    the deterministic events→series_values derivation."""
+    from timedb_spark.operators import bitemporal
+
+    return bitemporal.audit(bitemporal_frame(spark, sf_dir))
+
+
+def bt_audit_sql(sv_sql: str) -> str:
+    cents = "CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)"
+    return f"""
+WITH sv AS ({sv_sql}),
+r AS (
+    SELECT changed_by, series_id, change_time, {cents} AS c,
+           lag({cents}) OVER (PARTITION BY series_id, valid_time
+                              ORDER BY knowledge_time, change_time) AS prev
+    FROM sv
+)
+SELECT changed_by,
+       count(*) AS n_changes,
+       count(DISTINCT series_id) AS n_series,
+       CAST(sum(CASE WHEN prev IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_restatements,
+       CASE WHEN sum(CASE WHEN prev IS NOT NULL THEN 1 ELSE 0 END) > 0
+            THEN floor(CAST(sum(CASE WHEN prev IS NOT NULL THEN abs(c - prev) ELSE 0 END) AS DOUBLE)
+                 / 100.0 / CAST(sum(CASE WHEN prev IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) * 1e6) / 1e6
+            END AS mean_abs_restatement,
+       min(change_time) AS first_change,
+       max(change_time) AS last_change
+FROM r GROUP BY changed_by
+"""
