@@ -767,3 +767,37 @@ def test_ts_drawdown_single_shuffle_stays_jvm(spark, sf_dir):
     plans.assert_max_shuffles(df, 1)
     phys = df._jdf.queryExecution().executedPlan().toString()
     assert "Python" not in phys and "Join" not in phys
+
+
+def test_text_novelty_no_pairwise_join(spark, sf_dir):
+    """Novelty never forms doc pairs: the only join is the shingle-keyed
+    frequency join back — no cartesian, zero Python."""
+    from timedb_spark.operators import text as tx
+
+    df = tx.text_novelty(spark, sf_dir)
+    plans.assert_no_cartesian(df)
+    phys = df._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in phys
+
+
+def test_profile_sources_two_fine_groupbys_no_python(spark, sf_dir):
+    """The dashboard is fine-keyed map-side-combined aggs joined on the
+    tiny source key — no cartesian, zero Python."""
+    from timedb_spark.operators import pipeline
+
+    df = pipeline.profile_sources(spark, sf_dir)
+    plans.assert_no_cartesian(df)
+    phys = df._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in phys
+
+
+def test_bt_audit_window_plus_single_agg(spark, sf_dir):
+    """One revision-ordering window + one author groupBy — no cartesian,
+    zero Python, exactly one Window node."""
+    from timedb_spark.operators import forecasting
+
+    df = forecasting.bt_audit(spark, sf_dir)
+    plans.assert_no_cartesian(df)
+    phys = df._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in phys
+    assert phys.count("Window") == 1
