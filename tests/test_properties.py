@@ -313,3 +313,86 @@ def test_periodogram_property_matches_replay(spark, tmp_path_factory, cents_seri
         for p, col in ((24, "power_24h"), (12, "power_12h"), (168, "power_168h")):
             cp, sp = _PERIODOGRAM_PERIODS[p]
             assert getattr(r, col) == math.floor(replay(xs, cp, sp) * 1e6) / 1e6, (uid, p)
+
+
+@pytest.mark.filterwarnings("ignore")
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(st.lists(_series_strategy, min_size=1, max_size=3))
+def test_drawdown_property_matches_replay(spark, tmp_path_factory, cents_series):
+    import math
+
+    from timedb_spark.operators import timeseries as ts
+
+    d = _events_frame(spark, str(tmp_path_factory.mktemp("dd")), cents_series)
+    got = {r.series_id: r for r in ts.drawdown(spark, d).collect()}
+    for uid, c in enumerate(cents_series, start=1):
+        if len(c) < 2:
+            assert uid not in got
+            continue
+        peak, dd, mf = c[0], 0, 0.0
+        for x in c[1:]:
+            dd = max(dd, peak - x)
+            if peak > 0:
+                mf = max(mf, float(peak - x) / float(peak))
+            peak = max(peak, x)
+        r = got[uid]
+        assert r.max_drawdown == dd / 100.0
+        assert r.max_drawdown_frac == math.floor(mf * 1e6) / 1e6
+        assert r.final_peak == peak / 100.0
+
+
+@pytest.mark.filterwarnings("ignore")
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(st.lists(_series_strategy, min_size=1, max_size=3))
+def test_perm_entropy_property_matches_replay(spark, tmp_path_factory, cents_series):
+    import math
+
+    from timedb_spark.operators import timeseries as ts
+
+    d = _events_frame(spark, str(tmp_path_factory.mktemp("pe")), cents_series)
+    got = {r.user_id: r for r in ts.permutation_entropy(spark, d).collect()}
+    for uid, c in enumerate(cents_series, start=1):
+        if len(c) < 3:
+            assert uid not in got
+            continue
+        pats = [
+            4 * (c[i] <= c[i + 1]) + 2 * (c[i] <= c[i + 2]) + (c[i + 1] <= c[i + 2])
+            for i in range(len(c) - 2)
+        ]
+        m = len(pats)
+        counts = [pats.count(p) for p in range(8) if pats.count(p) > 0]
+        h = 0.0
+        for cc in counts:
+            h = h - (cc / m) * math.log(cc / m)
+        r = got[uid]
+        assert r.n_triples == m and r.n_patterns == len(counts)
+        assert r.perm_entropy == math.floor(h * 1e6) / 1e6
+
+
+@pytest.mark.filterwarnings("ignore")
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(st.lists(st.lists(st.integers(0, 20000), min_size=48, max_size=80), min_size=1, max_size=2))
+def test_backtest_property_matches_replay(spark, tmp_path_factory, cents_series):
+    import math
+
+    from timedb_spark.operators import timeseries as ts
+
+    d = _events_frame(spark, str(tmp_path_factory.mktemp("bt")), cents_series)
+    got = {r.series_id: r for r in ts.backtest_models(spark, d).collect()}
+    for uid, c in enumerate(cents_series, start=1):
+        n = len(c)
+        hold, train = c[n - 24:], c[: n - 24]
+        lt, mu = train[-1], sum(train) / len(train)
+        mn = sum(abs(x - lt) for x in hold) / 2400.0
+        msn = sum(abs(c[n - 24 + j] - c[n - 48 + j]) for j in range(24)) / 2400.0
+        md = 0.0
+        for x in hold:
+            md = md + abs(float(x) - mu)
+        mm = md / 2400.0
+        best = "mean" if (mm <= mn and mm <= msn) else ("naive" if mn <= msn else "snaive")
+        r = got[uid]
+        assert r.n_train == n - 24
+        assert r.mae_naive == math.floor(mn * 1e6) / 1e6
+        assert r.mae_snaive == math.floor(msn * 1e6) / 1e6
+        assert r.mae_mean == math.floor(mm * 1e6) / 1e6
+        assert r.best_model == best
