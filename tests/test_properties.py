@@ -396,3 +396,36 @@ def test_backtest_property_matches_replay(spark, tmp_path_factory, cents_series)
         assert r.mae_snaive == math.floor(msn * 1e6) / 1e6
         assert r.mae_mean == math.floor(mm * 1e6) / 1e6
         assert r.best_model == best
+
+
+@pytest.mark.filterwarnings("ignore")
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(st.lists(_series_strategy, min_size=1, max_size=3))
+def test_hampel_property_matches_replay(spark, tmp_path_factory, cents_series):
+    import math
+
+    from timedb_spark.operators import timeseries as ts
+
+    d = _events_frame(spark, str(tmp_path_factory.mktemp("hp")), cents_series)
+    got = {(r.user_id, r.event_id): r for r in ts.hampel(spark, d).collect()}
+
+    def med(a):
+        p = len(a)
+        if p % 2 == 1:
+            return float(a[(p + 1) // 2 - 1])
+        return float(a[p // 2 - 1] + a[p // 2]) / 2.0
+
+    eid = 0
+    for uid, c in enumerate(cents_series, start=1):
+        for i, x in enumerate(c):
+            eid += 1
+            win = sorted(c[max(0, i - 3): i + 4])
+            m = med(win)
+            devs = sorted(abs(float(y) - m) for y in win)
+            mad = devs[(len(devs) + 1) // 2 - 1] if len(devs) % 2 == 1 else (
+                devs[len(devs) // 2 - 1] + devs[len(devs) // 2]) / 2.0
+            out = abs(float(x) - m) > 3.0 * 1.4826 * mad
+            r = got[(uid, eid)]
+            assert r.is_outlier == out
+            assert r.win_median == math.floor(m / 100.0 * 1e6) / 1e6
+            assert r.cleaned == math.floor((m if out else float(x)) / 100.0 * 1e6) / 1e6
