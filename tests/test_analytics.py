@@ -348,3 +348,46 @@ def test_profile_sources_hand_computed(spark, tmp_path):
     assert (b.n_docs, b.n_langs, b.top_lang) == (3, 1, "en")
     assert b.top_lang_share == 1.0
     assert b.n_dup_docs == 3 and b.dup_rate == 1.0
+
+
+def test_graph_degree_profile_matches_member_logic(spark, tmp_path):
+    """The profile's stats replay a python recompute on a planted graph,
+    and its orientation verdict equals select_orientation on the same
+    (max_deg, n_edges) — a star graph flips to 'degree', a cycle stays
+    'id'."""
+    import math
+    import os
+
+    # build lineitem so the co-purchase graph is a 12-leaf star (hub part
+    # 0 shares an order with each leaf) plus a disjoint 4-cycle
+    rows = []
+    ok = 0
+    for leaf in range(1, 13):  # star: orders {0, leaf}
+        ok += 1
+        rows.append((ok, 0))
+        rows.append((ok, leaf))
+    cyc = [100, 101, 102, 103]
+    for i in range(4):  # cycle edges via 2-part orders
+        ok += 1
+        rows.append((ok, cyc[i]))
+        rows.append((ok, cyc[(i + 1) % 4]))
+    pdf = pd.DataFrame(rows, columns=["l_orderkey", "l_partkey"])
+    d = str(tmp_path / "sf")
+    os.makedirs(d)
+    pdf.to_parquet(os.path.join(d, "lineitem.parquet"))
+
+    r = analytics.graph_degree_profile(spark, d).collect()[0]
+    assert r.n_nodes == 17 and r.n_edges == 16 and r.max_deg == 12
+
+    degs = sorted([12] + [1] * 12 + [2] * 4)
+    med = (degs[8] + degs[9]) / 2.0  # n=17 → middle element; odd pick
+    med = float(degs[(17 + 1) // 2 - 1])
+    assert r.median_deg == med
+    tail = [x for x in degs if x >= med]
+    lnsum = 0.0
+    for x in tail:
+        lnsum = lnsum + math.log(x / med)
+    assert r.n_tail == len(tail)
+    assert r.hill_alpha == math.floor((1.0 + len(tail) / lnsum) * 1e6) / 1e6
+    # star hub: 12² = 144 > 16·16 = 256? No → stays 'id'
+    assert r.orientation == analytics.select_orientation(r.max_deg, r.n_edges)

@@ -1666,3 +1666,107 @@ JOIN cnt ca ON ca.event_type = s.type_a
 JOIN cnt cb ON cb.event_type = s.type_b
 CROSS JOIN n1
 """
+
+
+# ---------------------------------------------------------------------------
+# Graph degree profile — the stats behind the orientation decision
+# ---------------------------------------------------------------------------
+
+
+def graph_degree_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row degree profile of the co-purchase part graph: node/edge
+    counts, max/mean/median degree, the Hill tail-index estimate
+    α̂ = 1 + n_tail / Σ ln(deg/d_min) over degrees ≥ the median, and the
+    SAME `select_orientation` verdict graph_triangles/link_predict act on
+    (`orient="auto"`) — the query that makes the wedge-orientation choice
+    inspectable instead of implicit (α̂ ≲ 3 + a verdict flip = power-law
+    hub risk; near-uniform degrees keep id-orientation).
+
+    One explode + two tiny aggs; the median is an explicit sorted-array
+    pick and the Hill sum folds over the degree-sorted array in pinned
+    order (ln on identical doubles — the events_entropy convention).
+    Degree-histogram volume is #nodes, trivially bounded.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pa"))
+    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pb"))
+    edges = a.join(b, "ok").filter(F.col("pa") < F.col("pb")).select("pa", "pb").distinct()
+    deg = (
+        edges.select(F.explode(F.array("pa", "pb")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    g = deg.agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        F.sum("deg").alias("deg_sum"),
+        F.max("deg").alias("max_deg"),
+        F.array_sort(F.collect_list("deg")).alias("ds"),
+    )
+
+    p = F.size("ds")
+    med = F.when(
+        p % 2 == 1, F.element_at(F.col("ds"), ((p + 1) / 2).cast("int")).cast("double")
+    ).otherwise(
+        (F.element_at(F.col("ds"), (p / 2).cast("int")) + F.element_at(F.col("ds"), (p / 2).cast("int") + 1)).cast(
+            "double"
+        )
+        / 2.0
+    )
+    g = g.withColumn("median_deg", med)
+    tail = F.filter("ds", lambda d: d.cast("double") >= F.col("median_deg"))
+    lnsum = F.aggregate(
+        tail, F.lit(0.0), lambda acc, d: acc + F.log(d.cast("double") / F.col("median_deg"))
+    )
+    n_edges = (F.col("deg_sum") / 2).cast("long")
+    hub = F.col("max_deg") * F.col("max_deg") > 16.0 * F.greatest(n_edges, F.lit(1))
+    return g.select(
+        F.col("n_nodes"),
+        n_edges.alias("n_edges"),
+        "max_deg",
+        (F.floor(F.col("deg_sum").cast("double") / F.col("n_nodes").cast("double") * 1e6) / 1e6).alias("mean_deg"),
+        F.col("median_deg"),
+        F.size(tail).alias("n_tail"),
+        F.when(lnsum > 0, F.floor((1.0 + F.size(tail).cast("double") / lnsum) * 1e6) / 1e6).alias("hill_alpha"),
+        F.when(hub, F.lit("degree")).otherwise(F.lit("id")).alias("orientation"),
+    )
+
+
+GRAPH_DEGREE_PROFILE_SQL = """
+WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+edges AS (
+    SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb
+    FROM op a JOIN op b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+deg AS (
+    SELECT node, count(*) AS deg FROM (
+        SELECT pa AS node FROM edges UNION ALL SELECT pb AS node FROM edges
+    ) u GROUP BY node
+),
+g AS (
+    SELECT count(*) AS n_nodes, CAST(sum(deg) AS BIGINT) AS deg_sum,
+           max(deg) AS max_deg, list_sort(list(deg)) AS ds
+    FROM deg
+),
+m AS (
+    SELECT *, CASE WHEN len(ds) % 2 = 1 THEN CAST(ds[(len(ds) + 1) // 2] AS DOUBLE)
+                   ELSE CAST(ds[len(ds) // 2] + ds[len(ds) // 2 + 1] AS DOUBLE) / 2.0 END AS median_deg
+    FROM g
+),
+t AS (
+    SELECT *, list_filter(ds, d -> CAST(d AS DOUBLE) >= median_deg) AS tail
+    FROM m
+),
+h AS (
+    SELECT *, list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                  list_transform(tail, d -> ln(CAST(d AS DOUBLE) / median_deg))),
+                  (a, b) -> a + b) AS lnsum
+    FROM t
+)
+SELECT n_nodes, deg_sum // 2 AS n_edges, max_deg,
+       floor(CAST(deg_sum AS DOUBLE) / CAST(n_nodes AS DOUBLE) * 1e6) / 1e6 AS mean_deg,
+       median_deg,
+       CAST(len(tail) AS INT) AS n_tail,
+       CASE WHEN lnsum > 0 THEN floor((1.0 + CAST(len(tail) AS DOUBLE) / lnsum) * 1e6) / 1e6 END AS hill_alpha,
+       CASE WHEN max_deg * max_deg > 16.0 * greatest(deg_sum // 2, 1) THEN 'degree' ELSE 'id' END AS orientation
+FROM h
+"""
