@@ -80,6 +80,15 @@ PICKS = [
     ("ts_perm_entropy", "Ordinal-pattern complexity: pattern extraction, counting and the "
      "−Σ p·ln p fold are all array expressions over the one groupBy(user) collect — single "
      "exchange, no explode, no Python, ln(3!) embedded as a literal."),
+    ("ts_backtest", "Baseline model selection: train/holdout splits, all three predictions and "
+     "the MAE folds ride ONE groupBy(user) collect — theta's single-exchange profile, no join, "
+     "exact integer error sums for naive/snaive."),
+    ("events_lift", "Association rules: the pair generator stays co-partitioned on user_id over "
+     "the pre-deduped basket frame; per-type counts and the basket total come back as "
+     "broadcasts — only the basket self-join and the support agg shuffle."),
+    ("bt_audit", "Per-author change governance: ONE revision-ordering window (the latest_changes "
+     "sort reused) feeding one map-side-combined groupBy(changed_by) — deltas in exact cents, "
+     "a single floor-scaled division at the end."),
 ]
 
 
