@@ -552,6 +552,60 @@ def _q_stream_topk_users_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_stream_cusum_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Online two-sided CUSUM per user on the v2 state API: reference
+    mu/sigma come from a batch training fit broadcast onto the stream
+    (stream-static join - the control chart's production shape), and the
+    7-field S+/S- recursion folds ACROSS micro-batches in RocksDB state.
+    Drained over an in-order staged feed (the stream_join_ordered
+    contract) and collapsed to each key's last emission, the result is
+    bit-equal to batch ts_cusum - whose oracle this query shares
+    verbatim. Falls back to the batch operator (same semantics, not the
+    v2 API) when this session's workers lack protobuf."""
+    from timedb_spark.streaming.state_v2 import _HAVE_TWS, stream_cusum_v2
+    from timedb_spark.operators import timeseries as _ts
+
+    if not (_HAVE_TWS and _workers_have_protobuf(spark)):
+        return _ts.cusum(spark, sf_dir)
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", F.col("ts").cast("timestamp").alias("ts"), "user_id",
+        (F.col("value").cast("decimal(18,2)") * 100).cast("long").alias("c"),
+    )
+    params = ev.groupBy("user_id").agg(
+        F.sum("c").alias("sx"),
+        F.sum(F.col("c") * F.col("c")).alias("sxx"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    mu = F.col("sx").cast("double") / F.col("n").cast("double")
+    var = F.col("sxx").cast("double") / F.col("n").cast("double") - mu * mu
+    params = params.select(
+        "user_id", mu.alias("mu"), F.sqrt(F.greatest(var, F.lit(0.0))).alias("sigma")
+    )
+
+    d = _stage_stream_dir(spark, sf_dir, ev, "events_cusum", 5, order_col="ts")
+    stream = (
+        spark.readStream.schema(ev.schema).option("maxFilesPerTrigger", 2).parquet(d)
+        .join(F.broadcast(params), "user_id")
+    )
+    out = _drain_v2(spark, stream_cusum_v2(stream), "update")
+    last = (
+        out.withColumn("_emit", F.monotonically_increasing_id())
+        .groupBy("user_id")
+        .agg(F.max_by(F.struct(*[c for c in out.columns if c != "user_id"]), "_emit").alias("s"))
+    )
+    return last.select(
+        "user_id",
+        F.col("s.n_events").alias("n_events"),
+        F.col("s.n_alarms").alias("n_alarms"),
+        F.col("s.first_alarm_idx").alias("first_alarm_idx"),
+        F.col("s.max_cusum_pos").alias("max_cusum_pos"),
+        F.col("s.max_cusum_neg").alias("max_cusum_neg"),
+        F.col("s.mean_value").alias("mean_value"),
+        F.col("s.std_value").alias("std_value"),
+    )
+
+
 def _q_stream_dedup_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming ingestion dedup on the v2 state API (MAP STATE + TTL —
     the v2-native bounded-horizon dedup): first arrival per normalized-text
@@ -798,16 +852,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     events_entropy, ts_seasonal_strength, ts_hampel, embed_outliers,
     events_lift, ts_perm_entropy, ts_anomaly_resid, dedup_report,
     text_novelty, profile_sources, ts_backtest, ts_drawdown, bt_audit,
-    graph_degree_profile — inside the window per the discipline rule),
-    then the round-2-only greens (text_fingerprint → dedup_clusters — no
-    driver row since round 2).
+    graph_degree_profile, stream_cusum_v2 — inside the window per the
+    discipline rule), then the round-2-only greens (text_fingerprint →
+    dedup_editdist — no driver row since round 2).
     Window-discipline rule (VERDICT r5 task #4): any query registered
     mid-round goes INSIDE this window or is explicitly listed as
     next-window debt here — the debt entries are the displaced
-    r2-window greens (contamination_check, pipeline_clean, profile_table,
-    sample_stratified, sample_mix, train_split, shard_assign,
-    ann_bruteforce, ann_ivf, ann_pq, embed_kmeans, multimodal_meta,
-    stream_window, stream_latest_state,
+    r2-window greens (dedup_clusters, contamination_check, pipeline_clean,
+    profile_table, sample_stratified, sample_mix, train_split,
+    shard_assign, ann_bruteforce, ann_ivf, ann_pq, embed_kmeans,
+    multimodal_meta, stream_window, stream_latest_state,
     stream_dedup, stream_sessionize, stream_join, stream_join_ordered,
     ts_resample_locf, ts_interpolate_linear, ts_rollup_multires,
     ts_sessionize, ts_ohlc, ts_ewma, ts_rate, ts_corr, ts_decompose)
@@ -861,6 +915,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_drawdown": timeseries.drawdown,
         "bt_audit": forecasting.bt_audit,
         "graph_degree_profile": analytics.graph_degree_profile,
+        "stream_cusum_v2": _q_stream_cusum_v2,
         # -- round-2-only greens: no driver row since r2 (37 in-window; the
         #    new registrations displace ts_decompose, stream_join_ordered,
         #    and the 5 r3/r4 re-verify slots past 50 — explicit
@@ -875,17 +930,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": dedup.dedup_simhash,
         "dedup_embedding": dedup.dedup_embedding,
         "dedup_editdist": dedup.dedup_editdist,
-        "dedup_clusters": dedup.dedup_clusters,
         # ==== end of the 50-query round-6 gate window ====================
-        # -- next-window debt: displaced by the 32 r6 registrations (the 6
+        # -- next-window debt: displaced by the 33 r6 registrations (the 6
         #    batch-1 ops + dedup_spans/text_collocations/text_chunk/
         #    sample_weighted/ts_cusum/stream_dedup_v2/graph_label_prop/
         #    ts_mk_trend/dedup_containment/ts_periodogram/ann_mmr/
         #    ann_recall/events_entropy/ts_seasonal_strength/ts_hampel/
         #    embed_outliers/events_lift/ts_perm_entropy/ts_anomaly_resid/
         #    dedup_report/text_novelty/profile_sources/ts_backtest/
-        #    ts_drawdown/bt_audit/graph_degree_profile, all placed
-        #    in-window per the discipline rule) ------------------------------
+        #    ts_drawdown/bt_audit/graph_degree_profile/stream_cusum_v2,
+        #    all placed in-window per the discipline rule) -------------------
+        "dedup_clusters": dedup.dedup_clusters,
         "contamination_check": pipeline.contamination_check,
         "pipeline_clean": pipeline.pipeline_clean,
         # exact=True: the DuckDB oracle counts exactly; the operator default
@@ -1369,6 +1424,9 @@ def oracle_sql() -> dict[str, str]:
         "ts_drawdown": timeseries.DRAWDOWN_SQL,
         "bt_audit": forecasting.bt_audit_sql(_SV),
         "graph_degree_profile": analytics.GRAPH_DEGREE_PROFILE_SQL,
+        # shares the batch twin's oracle verbatim (the v2 sessionize/funnel
+        # drain-contract pattern): the drained online fold equals ts_cusum.
+        "stream_cusum_v2": timeseries.CUSUM_SQL,
         "events_abtest": analytics.EVENTS_ABTEST_SQL,
         "profile_drift": pipeline.PROFILE_DRIFT_SQL,
         "events_paths": analytics.EVENTS_PATHS_SQL,

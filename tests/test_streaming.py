@@ -823,3 +823,28 @@ def test_stream_dedup_v2_matches_batch_distinct(spark, sf_dir, tmp_path):
     keys = [r.text_key for r in rows]
     assert len(set(keys)) == len(keys)  # one emission per key, ever
     assert all((r.text_key, r.doc_id) in valid for r in rows)
+
+
+def test_stream_cusum_v2_matches_batch_cusum(spark, sf_dir):
+    """The online v2 CUSUM drained over an in-order multi-batch feed equals
+    batch ts_cusum row-for-row on the same events (reference params
+    broadcast from the same training fit) — the cross-batch state carries
+    the recursion exactly."""
+    import __spark_entry__ as entry
+    from timedb_spark.operators import timeseries as ts
+    from timedb_spark.streaming import state_v2
+
+    if not state_v2._HAVE_TWS:
+        pytest.skip(f"transformWithStateInPandas gated: missing {state_v2._TWS_MISSING}")
+    if not entry._workers_have_protobuf(spark):
+        pytest.skip("workers lack protobuf runtime")
+
+    got = {r.user_id: r for r in entry._q_stream_cusum_v2(spark, sf_dir).collect()}
+    exp = {r.user_id: r for r in ts.cusum(spark, sf_dir).collect()}
+    assert set(got) == set(exp)
+    for uid, e in exp.items():
+        g = got[uid]
+        assert (g.n_events, g.n_alarms, g.first_alarm_idx) == (
+            e.n_events, e.n_alarms, e.first_alarm_idx), uid
+        assert g.max_cusum_pos == e.max_cusum_pos and g.max_cusum_neg == e.max_cusum_neg
+        assert g.mean_value == e.mean_value and g.std_value == e.std_value

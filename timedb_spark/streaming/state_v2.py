@@ -694,3 +694,126 @@ def stream_dedup_v2(docs_stream: DataFrame) -> DataFrame:
         outputMode="Update",
         timeMode="None",
     )
+
+
+# ---------------------------------------------------------------------------
+# online two-sided CUSUM on the v2 API (pre-fit reference parameters —
+# the control chart's production shape: train μ/σ, monitor the stream)
+# ---------------------------------------------------------------------------
+
+_CUSUM_K = 0.5  # slack in σ units — mirrors operators.timeseries._CUSUM_K
+_CUSUM_H = 4.0  # decision threshold — mirrors operators.timeseries._CUSUM_H
+
+CUSUM_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("sp", T.DoubleType()),
+        T.StructField("sn", T.DoubleType()),
+        T.StructField("alarms", T.LongType()),
+        T.StructField("mxp", T.DoubleType()),
+        T.StructField("mxn", T.DoubleType()),
+        T.StructField("first", T.LongType()),
+        T.StructField("t", T.LongType()),
+    ]
+)
+
+CUSUM_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("n_alarms", T.LongType()),
+        T.StructField("first_alarm_idx", T.LongType()),
+        T.StructField("max_cusum_pos", T.DoubleType()),
+        T.StructField("max_cusum_neg", T.DoubleType()),
+        T.StructField("mean_value", T.DoubleType()),
+        T.StructField("std_value", T.DoubleType()),
+    ]
+)
+
+
+class CusumProcessor(StatefulProcessor):
+    """Two-sided standardized CUSUM per user, folded ACROSS micro-batches:
+    S± recursions with slack k = 0.5σ and alarm+reset at h = 4σ, the exact
+    ts_cusum recursion run online. Reference μ/σ arrive ON the rows
+    (stream-static broadcast join from a training fit), so the monitor
+    needs no global pass — the only state is the 7-field recursion tuple.
+    Rows fold in (ts, event_id) order within each batch; the in-order
+    staged feed keeps cross-batch order (the stream_join_ordered
+    contract), so the drained final emission is bit-equal to the batch
+    ts_cusum fold over the same rows."""
+
+    def init(self, handle: "StatefulProcessorHandle") -> None:
+        self._state = handle.getValueState("cusum", CUSUM_STATE_SCHEMA)
+
+    def handleInputRows(self, key, rows, timerValues):
+        import math
+
+        import numpy as np
+
+        cur = self._state.get()
+        sp, sn, alarms, mxp, mxn, first, t = (
+            tuple(cur) if cur is not None else (0.0, 0.0, 0, 0.0, 0.0, -1, 0)
+        )
+        mu = sigma = None
+        for pdf in rows:
+            if not len(pdf):
+                continue
+            mu = float(pdf["mu"].iloc[0])
+            sigma = float(pdf["sigma"].iloc[0])
+            order = np.lexsort(
+                (
+                    pdf["event_id"].values.astype("int64"),
+                    pdf["ts"].values.astype("datetime64[us]").astype("int64"),
+                )
+            )
+            cents = pdf["c"].values.astype("int64")[order]
+            for c in cents:
+                z = (float(c) - mu) / sigma if sigma > 0.0 else 0.0
+                sp2 = max(0.0, sp + z - _CUSUM_K)
+                sn2 = max(0.0, sn - z - _CUSUM_K)
+                mxp = max(mxp, sp2)
+                mxn = max(mxn, sn2)
+                if sp2 > _CUSUM_H or sn2 > _CUSUM_H:
+                    alarms += 1
+                    if first < 0:
+                        first = t
+                    sp, sn = 0.0, 0.0
+                else:
+                    sp, sn = sp2, sn2
+                t += 1
+        if mu is None:
+            return
+        self._state.update((sp, sn, int(alarms), mxp, mxn, int(first), int(t)))
+        yield pd.DataFrame(
+            {
+                "user_id": [int(key[0])],
+                "n_events": [int(t)],
+                "n_alarms": [int(alarms)],
+                "first_alarm_idx": [int(first)],
+                "max_cusum_pos": [math.floor(mxp * 1e6) / 1e6],
+                "max_cusum_neg": [math.floor(mxn * 1e6) / 1e6],
+                "mean_value": [math.floor(mu / 100.0 * 1e6) / 1e6],
+                "std_value": [math.floor(sigma / 100.0 * 1e6) / 1e6],
+            }
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def stream_cusum_v2(events_with_params: DataFrame) -> DataFrame:
+    """events stream carrying (user_id, ts, event_id, c cents, mu, sigma)
+    → online CUSUM state per user. Update mode (append + timeMode="None"
+    never terminates an availableNow drain — the stream_dedup_v2 lesson);
+    the drain collapses to each key's LAST emission, which equals batch
+    ts_cusum. Caller must enable the RocksDB state store provider."""
+    if not _HAVE_TWS:
+        raise NotImplementedError(
+            f"transformWithStateInPandas unavailable: missing {_TWS_MISSING} "
+            "(re-probed at import; install the dep to unlock the v2 path)"
+        )
+    return events_with_params.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=CusumProcessor(),
+        outputStructType=CUSUM_OUTPUT_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )
