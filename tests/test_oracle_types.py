@@ -60,13 +60,25 @@ def test_every_gate_query_output_schema_is_flat(spark):
     from tools.parity import nonflat_columns
 
     offenders = {}
+    plan_offenders = {}
     for name, fn in entrymod.queries().items():
         df = fn(spark, SF_DIR)
         bad = nonflat_columns(df.schema)
         if bad:
             offenders[name] = bad
+        # fleet-wide plan hygiene on the same build: no cartesian product
+        # anywhere, and no row-at-a-time Python UDF (BatchEvalPython) —
+        # Arrow-batched pandas exec nodes (ArrowEvalPython / mapInPandas /
+        # FlatMapGroupsInPandas) are the sanctioned Python path.
+        phys = df._jdf.queryExecution().executedPlan().toString()
+        hazards = [h for h in ("CartesianProduct", "BatchEvalPython") if h in phys]
+        if hazards:
+            plan_offenders[name] = hazards
     assert not offenders, (
         f"gate queries with driver-unsortable output columns: {offenders}"
+    )
+    assert not plan_offenders, (
+        f"gate queries with plan hazards (cartesian / row-at-a-time UDF): {plan_offenders}"
     )
 
 
