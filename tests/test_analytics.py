@@ -391,3 +391,61 @@ def test_graph_degree_profile_matches_member_logic(spark, tmp_path):
     assert r.hill_alpha == math.floor((1.0 + len(tail) / lnsum) * 1e6) / 1e6
     # star hub: 12² = 144 > 16·16 = 256? No → stays 'id'
     assert r.orientation == analytics.select_orientation(r.max_deg, r.n_edges)
+
+
+def test_events_interarrival_planted_signatures(spark, tmp_path):
+    """Timing signatures on planted streams: a perfectly periodic user has
+    burstiness exactly -1 (σ=0 ⇒ B=(0-μ)/(0+μ)) and an undefined memory
+    coefficient; an alternating short/long user replays the exact gap
+    math with memory exactly -1; a 2-event user is excluded."""
+    import math
+    import os
+    from datetime import datetime, timedelta
+
+    rows, eid = [], 0
+    for t in range(10):  # user 1: metronome, gap exactly 3600 s
+        eid += 1
+        rows.append((eid, datetime(2024, 1, 1) + timedelta(hours=t), 1, "x", 1.0))
+    gaps2 = [60, 3600, 60, 3600, 60, 3600, 60]  # user 2: alternating
+    t0 = datetime(2024, 1, 1)
+    cur = t0
+    eid += 1
+    rows.append((eid, cur, 2, "x", 1.0))
+    for gsec in gaps2:
+        cur = cur + timedelta(seconds=gsec)
+        eid += 1
+        rows.append((eid, cur, 2, "x", 1.0))
+    for t in range(2):  # user 3: too short
+        eid += 1
+        rows.append((eid, datetime(2024, 1, 1) + timedelta(hours=t), 3, "x", 1.0))
+    pdf = pd.DataFrame(rows, columns=["event_id", "ts", "user_id", "event_type", "value"])
+    pdf["props"] = ""
+    d = str(tmp_path / "sf")
+    os.makedirs(d)
+    pdf.to_parquet(os.path.join(d, "events.parquet"))
+
+    got = {r.user_id: r for r in analytics.events_interarrival(spark, d).collect()}
+    assert 3 not in got
+
+    r1 = got[1]
+    assert r1.n_gaps == 9 and r1.mean_gap_s == 3600.0 and r1.median_gap_s == 3600.0
+    assert r1.burstiness == -1.0  # σ = 0: the periodic signature
+    assert r1.memory_coef is None  # zero variance → undefined, NULL
+
+    # user 2: replay the exact math
+    g = [x * 1_000_000 for x in gaps2]
+    m = len(g)
+    mu = sum(g) / m
+    sigma = math.sqrt(sum(float(x) * x for x in g) / m - mu * mu)
+    r2 = got[2]
+    assert r2.n_gaps == m
+    assert r2.burstiness == math.floor((sigma - mu) / (sigma + mu) * 1e6) / 1e6
+    assert r2.burstiness > 0.0  # σ > μ: more variable than Poisson
+    a1, a2 = g[:-1], g[1:]
+    k = m - 1
+    s1, s2 = sum(a1) / k, sum(a2) / k
+    cov = sum(float(x) * y for x, y in zip(a1, a2)) / k - s1 * s2
+    v1 = sum(float(x) * x for x in a1) / k - s1 * s1
+    v2 = sum(float(x) * x for x in a2) / k - s2 * s2
+    assert r2.memory_coef == math.floor(cov / (math.sqrt(v1) * math.sqrt(v2)) * 1e6) / 1e6
+    assert r2.memory_coef < -0.9  # perfect alternation: strong negative memory

@@ -1770,3 +1770,148 @@ SELECT n_nodes, deg_sum // 2 AS n_edges, max_deg,
        CASE WHEN max_deg * max_deg > 16.0 * greatest(deg_sum // 2, 1) THEN 'degree' ELSE 'id' END AS orientation
 FROM h
 """
+
+
+# ---------------------------------------------------------------------------
+# Inter-arrival profile — burstiness / memory of each user's event stream
+# ---------------------------------------------------------------------------
+
+
+def events_interarrival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user inter-arrival-time profile: mean/median/p90 gap plus the
+    Goh–Barabási burstiness coefficient B = (σ−μ)/(σ+μ) (EPL 2008) and
+    the lag-1 memory coefficient of consecutive gaps — the
+    bot-vs-human / scripted-vs-organic timing signature (periodic
+    schedulers: B → −1, memory → 1; Poisson users: B ≈ 0; bursty humans:
+    B > 0). Complements events_entropy's WHAT-mix with the WHEN shape.
+
+    One groupBy(user) sorted collect; gaps are exact integer µs, μ/σ from
+    exact Σx/Σx² folds, median/p90 explicit sorted-array picks, and the
+    lag-1 memory is a single pinned-order pass over consecutive gap pairs
+    (identical-op-order doubles). Users with < 3 events (< 2 gaps) are
+    excluded.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    s = F.struct(F.col("ts"), F.col("event_id"))
+    g = ev.groupBy("user_id").agg(F.array_sort(F.collect_list(s)).alias("hist"))
+    ts_us = F.transform("hist", lambda r: F.unix_micros(r["ts"].cast("timestamp")))
+    g = g.select("user_id", ts_us.alias("t")).withColumn("n", F.size("t")).filter(F.col("n") >= 3)
+    gaps = F.transform(
+        F.sequence(F.lit(2), F.col("n")),
+        lambda i: F.element_at(F.col("t"), i) - F.element_at(F.col("t"), i - 1),
+    )
+    g = g.withColumn("gp", gaps).withColumn("m", F.size("gp"))
+    zero = F.lit(0).cast("long")
+    sx = F.aggregate("gp", zero, lambda a, x: a + x)
+    sxx = F.aggregate(
+        F.transform("gp", lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    mdbl = F.col("m").cast("double")
+    mu = sx.cast("double") / mdbl
+    g = g.withColumn("mu", mu).withColumn(
+        "sigma", F.sqrt(F.greatest(sxx / mdbl - F.col("mu") * F.col("mu"), F.lit(0.0)))
+    )
+    srt = F.array_sort("gp")
+
+    def pick(arr, q_num, q_den):
+        # nearest-rank pick: element at ceil(q·m / den)
+        idx = F.ceil(F.size(arr) * q_num / q_den).cast("int")
+        return F.element_at(arr, F.greatest(idx, F.lit(1)))
+
+    med = F.when(
+        F.col("m") % 2 == 1, F.element_at(srt, ((F.col("m") + 1) / 2).cast("int")).cast("double")
+    ).otherwise(
+        (F.element_at(srt, (F.col("m") / 2).cast("int")) + F.element_at(srt, (F.col("m") / 2).cast("int") + 1)).cast("double") / 2.0
+    )
+    # lag-1 memory: corr of (g1..g_{m-1}) vs (g2..g_m), pinned-order sums
+    a1 = F.slice("gp", 1, F.col("m") - 1)
+    a2 = F.slice("gp", 2, F.col("m") - 1)
+    k = (F.col("m") - 1).cast("double")
+    s1 = F.aggregate(a1, zero, lambda a, x: a + x).cast("double")
+    s2 = F.aggregate(a2, zero, lambda a, x: a + x).cast("double")
+    s11 = F.aggregate(F.transform(a1, lambda x: x.cast("double") * x.cast("double")), F.lit(0.0), lambda a, x: a + x)
+    s22 = F.aggregate(F.transform(a2, lambda x: x.cast("double") * x.cast("double")), F.lit(0.0), lambda a, x: a + x)
+    s12 = F.aggregate(
+        F.zip_with(a1, a2, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    cov = s12 / k - (s1 / k) * (s2 / k)
+    v1 = s11 / k - (s1 / k) * (s1 / k)
+    v2 = s22 / k - (s2 / k) * (s2 / k)
+    memory = F.when((v1 > 0) & (v2 > 0), cov / (F.sqrt(v1) * F.sqrt(v2)))
+    burst = F.when(
+        F.col("sigma") + F.col("mu") > 0,
+        (F.col("sigma") - F.col("mu")) / (F.col("sigma") + F.col("mu")),
+    )
+    return g.select(
+        "user_id",
+        F.col("m").alias("n_gaps"),
+        (F.floor(F.col("mu") / 1e6 * 1e6) / 1e6).alias("mean_gap_s"),
+        (F.floor(med / 1e6 * 1e6) / 1e6).alias("median_gap_s"),
+        (pick(srt, F.lit(9), F.lit(10)).cast("double") / 1e6).alias("p90_gap_s"),
+        (F.floor(burst * 1e6) / 1e6).alias("burstiness"),
+        (F.floor(memory * 1e6) / 1e6).alias("memory_coef"),
+    )
+
+
+EVENTS_INTERARRIVAL_SQL = """
+WITH hist AS (
+    SELECT user_id,
+           list_transform(list_sort(list(struct_pack(ts := ts, e := event_id))),
+                          s -> epoch_us(s.ts)) AS t
+    FROM events GROUP BY user_id
+),
+base AS (
+    SELECT user_id, len(t) AS n,
+           list_transform(range(2, len(t) + 1), i -> t[i] - t[i-1]) AS gp
+    FROM hist WHERE len(t) >= 3
+),
+stats AS (
+    SELECT user_id, len(gp) AS m, gp, list_sort(gp) AS srt,
+           CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), gp), (a, b) -> a + b) AS DOUBLE)
+               / len(gp) AS mu,
+           sqrt(greatest(
+               list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                   list_transform(gp, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (a, b) -> a + b)
+               / len(gp)
+               - (CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), gp), (a, b) -> a + b) AS DOUBLE) / len(gp))
+               * (CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), gp), (a, b) -> a + b) AS DOUBLE) / len(gp)),
+               0.0)) AS sigma
+    FROM base
+),
+mem AS (
+    SELECT user_id, m, srt, mu, sigma,
+           CASE WHEN m % 2 = 1 THEN CAST(srt[(m + 1) // 2] AS DOUBLE)
+                ELSE CAST(srt[m // 2] + srt[m // 2 + 1] AS DOUBLE) / 2.0 END AS med,
+           srt[greatest(CAST(ceil(m * 9 / 10) AS INT), 1)] AS p90,
+           gp[1 : m - 1] AS a1, gp[2 : m] AS a2, CAST(m - 1 AS DOUBLE) AS k
+    FROM stats
+),
+mm AS (
+    SELECT *,
+           CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), a1), (a, b) -> a + b) AS DOUBLE) AS s1,
+           CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), a2), (a, b) -> a + b) AS DOUBLE) AS s2,
+           list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list_transform(a1, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (a, b) -> a + b) AS s11,
+           list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list_transform(a2, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (a, b) -> a + b) AS s22,
+           list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list_transform(range(1, CAST(k AS INT) + 1),
+                   i -> CAST(a1[i] AS DOUBLE) * CAST(a2[i] AS DOUBLE))), (a, b) -> a + b) AS s12
+    FROM mem
+)
+SELECT user_id, CAST(m AS INT) AS n_gaps,
+       floor(mu / 1e6 * 1e6) / 1e6 AS mean_gap_s,
+       floor(med / 1e6 * 1e6) / 1e6 AS median_gap_s,
+       CAST(p90 AS DOUBLE) / 1e6 AS p90_gap_s,
+       CASE WHEN sigma + mu > 0
+            THEN floor((sigma - mu) / (sigma + mu) * 1e6) / 1e6 END AS burstiness,
+       CASE WHEN (s11 / k - (s1 / k) * (s1 / k)) > 0 AND (s22 / k - (s2 / k) * (s2 / k)) > 0
+            THEN floor((s12 / k - (s1 / k) * (s2 / k))
+                 / (sqrt(s11 / k - (s1 / k) * (s1 / k)) * sqrt(s22 / k - (s2 / k) * (s2 / k)))
+                 * 1e6) / 1e6 END AS memory_coef
+FROM mm
+"""
