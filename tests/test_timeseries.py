@@ -1167,3 +1167,44 @@ def test_cusum_oracle_survives_duplicated_predicate_folds(spark):
         assert d["n_alarms"] == alarms and d["first_alarm_idx"] == first, uid
         assert d["max_cusum_pos"] == math.floor(mxp * 1e6) / 1e6, uid
         assert d["max_cusum_neg"] == math.floor(mxn * 1e6) / 1e6, uid
+
+
+def test_pi_naive_matches_python_recompute(spark, tmp_path):
+    """ts_pi_naive vs an exact replay: residual quantile picks, interval
+    endpoints off the last observation, and in-sample coverage; a
+    9-observation series is excluded."""
+    import math
+    import os
+
+    import pandas as pd
+
+    rows, eid = [], 0
+    vals = [10.0, 10.5, 9.8, 10.2, 11.0, 10.9, 10.1, 10.6, 10.3, 10.8, 10.0, 10.4]
+    for t, v in enumerate(vals):
+        eid += 1
+        rows.append((eid, datetime(2024, 1, 1) + pd.Timedelta(hours=t), 1, "x", v))
+    for t in range(9):  # below the 10-obs floor → excluded
+        eid += 1
+        rows.append((eid, datetime(2024, 1, 1) + pd.Timedelta(hours=t), 2, "x", 5.0))
+    pdf = pd.DataFrame(rows, columns=["event_id", "ts", "user_id", "event_type", "value"])
+    pdf["props"] = ""
+    d = str(tmp_path / "sf")
+    os.makedirs(d)
+    pdf.to_parquet(os.path.join(d, "events.parquet"))
+
+    got = {r.series_id: r for r in ts.pi_naive(spark, d).collect()}
+    assert 2 not in got
+
+    c = [int(round(v * 100)) for v in vals]
+    r = [c[i] - c[i - 1] for i in range(1, len(c))]
+    m = len(r)
+    srt = sorted(r)
+    q05 = srt[max(math.ceil(m * 5 / 100), 1) - 1]
+    q95 = srt[max(math.ceil(m * 95 / 100), 1) - 1]
+    cov = sum(1 for x in r if q05 <= x <= q95) / m
+    g = got[1]
+    assert g.n_obs == len(c)
+    assert g.q05_resid == q05 / 100.0 and g.q95_resid == q95 / 100.0
+    assert g.pi_lo == (c[-1] + q05) / 100.0 and g.pi_hi == (c[-1] + q95) / 100.0
+    assert g.coverage == math.floor(cov * 1e6) / 1e6
+    assert g.pi_lo < vals[-1] < g.pi_hi  # the interval brackets the level

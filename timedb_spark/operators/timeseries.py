@@ -3047,3 +3047,96 @@ SELECT user_id AS series_id, CAST(n_obs AS INT) AS n_obs,
        CAST(st.peak AS DOUBLE) / 100.0 AS final_peak
 FROM f
 """
+
+
+# ---------------------------------------------------------------------------
+# Empirical prediction intervals — uncertainty for the naive forecaster
+# ---------------------------------------------------------------------------
+
+_PI_MIN_OBS = 10
+
+
+def pi_naive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Empirical 90% prediction interval for each series' one-step naive
+    forecast: residual quantiles of the in-sample one-step errors
+    (r_j = x_j − x_{j−1}) added to the last observation — the
+    distribution-free uncertainty readout (fpp3 §5.5: bootstrap/empirical
+    residual intervals) that completes the forecasting surface: point
+    forecasts (theta/holt/…), model selection (ts_backtest), and now
+    interval width. Also reports the in-sample coverage of the interval —
+    the calibration check (≈0.90 when residuals are i.i.d.; ≪ that on
+    regime-switching series, flagging the naive PI as too narrow).
+
+    One groupBy(user) sorted collect; residuals are exact integer cents,
+    the q05/q95 picks are explicit nearest-rank indexes on the sorted
+    residual array, and coverage is an exact integer count over one more
+    array pass — a single division at the end. Series with fewer than
+    10 observations are excluded (no quantile support).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    s = F.struct(F.col("ts"), F.col("event_id"), F.col("value"))
+    g = ev.groupBy("user_id").agg(F.array_sort(F.collect_list(s)).alias("hist"))
+    cents = F.transform("hist", lambda r: (r["value"].cast("decimal(18,2)") * 100).cast("long"))
+    g = g.select("user_id", cents.alias("c")).withColumn("n", F.size("c")).filter(
+        F.col("n") >= _PI_MIN_OBS
+    )
+    resid = F.transform(
+        F.sequence(F.lit(2), F.col("n")),
+        lambda i: F.element_at(F.col("c"), i) - F.element_at(F.col("c"), i - 1),
+    )
+    g = g.withColumn("r", resid).withColumn("m", F.size("r")).withColumn("srt", F.array_sort("r"))
+
+    def rank_pick(q_num, q_den):
+        idx = F.greatest(F.ceil(F.col("m") * q_num / q_den).cast("int"), F.lit(1))
+        return F.element_at(F.col("srt"), idx)
+
+    q05 = rank_pick(F.lit(5), F.lit(100))
+    q95 = rank_pick(F.lit(95), F.lit(100))
+    g = g.withColumn("q05", q05).withColumn("q95", q95)
+    covered = F.size(
+        F.filter("r", lambda x: (x >= F.col("q05")) & (x <= F.col("q95")))
+    )
+    last = F.element_at(F.col("c"), F.col("n"))
+    return g.select(
+        F.col("user_id").alias("series_id"),
+        F.col("n").alias("n_obs"),
+        (F.col("q05").cast("double") / 100.0).alias("q05_resid"),
+        (F.col("q95").cast("double") / 100.0).alias("q95_resid"),
+        ((last + F.col("q05")).cast("double") / 100.0).alias("pi_lo"),
+        ((last + F.col("q95")).cast("double") / 100.0).alias("pi_hi"),
+        (F.floor(covered.cast("double") / F.col("m").cast("double") * 1e6) / 1e6).alias("coverage"),
+    )
+
+
+PI_NAIVE_SQL = f"""
+WITH hist AS (
+    SELECT user_id,
+           list_transform(
+               list_sort(list(struct_pack(ts := ts, e := event_id, v := value))),
+               s -> CAST(CAST(s.v AS DECIMAL(18,2)) * 100 AS BIGINT)) AS c
+    FROM events GROUP BY user_id
+),
+base AS (
+    SELECT user_id, c, len(c) AS n,
+           list_transform(range(2, len(c) + 1), i -> c[i] - c[i-1]) AS r
+    FROM hist WHERE len(c) >= {_PI_MIN_OBS}
+),
+q AS (
+    SELECT user_id, c, n, r, len(r) AS m, list_sort(r) AS srt
+    FROM base
+),
+p AS (
+    SELECT *,
+           srt[greatest(CAST(ceil(m * 5 / 100) AS INT), 1)] AS q05,
+           srt[greatest(CAST(ceil(m * 95 / 100) AS INT), 1)] AS q95
+    FROM q
+)
+SELECT user_id AS series_id, CAST(n AS INT) AS n_obs,
+       CAST(q05 AS DOUBLE) / 100.0 AS q05_resid,
+       CAST(q95 AS DOUBLE) / 100.0 AS q95_resid,
+       CAST(c[n] + q05 AS DOUBLE) / 100.0 AS pi_lo,
+       CAST(c[n] + q95 AS DOUBLE) / 100.0 AS pi_hi,
+       floor(CAST(len(list_filter(r, x -> x >= q05 AND x <= q95)) AS DOUBLE)
+             / CAST(m AS DOUBLE) * 1e6) / 1e6 AS coverage
+FROM p
+"""
