@@ -176,3 +176,46 @@ def test_dedup_containment_fragment_in_container(spark, tmp_path):
     assert pairs.get((1, 2)) == 1.0
     assert (2, 1) not in pairs  # container is not contained in the fragment
     assert all(f != 3 and c != 3 for f, c in pairs)  # unrelated doc untouched
+
+
+def test_sample_temperature_rebalances_toward_tail(spark, tmp_path):
+    """α=0.3 temperature sampling on a planted 90/9/1 corpus: shares
+    replay python exactly (same exp/ln path), the dominant language is
+    down-weighted (doc_weight < 1), the tail language up-weighted
+    (doc_weight > 1), and q is a proper distribution."""
+    import math
+    import os
+
+    import pandas as pd
+
+    rows = []
+    did = 0
+    for lang, n in [("en", 900), ("de", 90), ("sw", 10)]:
+        for _ in range(n):
+            rows.append((did, f"text {did}", lang, "s", 10))
+            did += 1
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text", "lang", "source", "n_chars"])
+    d = str(tmp_path / "sf")
+    os.makedirs(d)
+    pdf.to_parquet(os.path.join(d, "documents.parquet"))
+
+    from timedb_spark.operators import sampling
+
+    got = {r.lang: r for r in sampling.sample_temperature(spark, d).collect()}
+    assert set(got) == {"en", "de", "sw"}
+
+    n_total = 1000
+    ps = {"en": 0.9, "de": 0.09, "sw": 0.01}
+    pas = {l: math.exp(0.3 * math.log(p)) for l, p in ps.items()}
+    z = 0.0
+    for l in sorted(pas):  # pinned lang order, as the operator folds
+        z = z + pas[l]
+    for l, p in ps.items():
+        q = pas[l] / z
+        r = got[l]
+        assert r.p_share == math.floor(p * 1e6) / 1e6
+        assert r.q_share == math.floor(q * 1e6) / 1e6
+        assert r.doc_weight == math.floor(q / p * 1e6) / 1e6
+        assert r.expected_docs == math.floor(q * n_total * 1e6) / 1e6
+    assert got["en"].doc_weight < 1.0 < got["sw"].doc_weight
+    assert abs(sum(r.q_share for r in got.values()) - 1.0) < 1e-5

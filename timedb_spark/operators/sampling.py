@@ -386,3 +386,81 @@ FROM documents
 ORDER BY es_key DESC, doc_id
 LIMIT {SAMPLE_WEIGHTED_K}
 """
+
+
+# ---------------------------------------------------------------------------
+# Temperature sampling — α-rebalanced language/domain mixture
+# ---------------------------------------------------------------------------
+
+_TEMP_ALPHA = 0.3  # the multilingual-pretraining standard (XLM-R / mT5)
+
+
+def sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """α-temperature mixture rebalancing (Conneau et al. 2020, XLM-R §3.1;
+    Xue et al. 2021, mT5): per language, the sampling distribution is
+    q_l ∝ p_l^α with α = 0.3 — upweighting tail languages without
+    flattening the mix entirely. Emits per-language corpus share p,
+    rebalanced share q, the per-DOCUMENT sampling weight q/p (the number
+    a weighted sampler or loss-scaler consumes), and the expected docs
+    drawn per epoch at the corpus size — the planning readout run BEFORE
+    committing a multilingual sampling schedule.
+
+    One scan + one tiny groupBy(lang); p^α computed as exp(α·ln p)
+    EXPLICITLY on both engines (one ln + one exp per language on
+    identical doubles, the events_entropy libm convention — pow() is
+    deliberately avoided, its rounding is less uniform across libms);
+    the normalizer Z = Σ p^α folds in PINNED lang order (a plain sum()
+    of doubles is partial-agg-order-sensitive and would drift between
+    engines); floor-6 outputs.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    n1 = docs.agg(F.count(F.lit(1)).alias("n_total"))
+    per = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    g = per.join(F.broadcast(n1))
+    p = F.col("n_docs").cast("double") / F.col("n_total").cast("double")
+    g = g.withColumn("p", p).withColumn(
+        "pa", F.exp(F.lit(_TEMP_ALPHA) * F.log(F.col("p")))
+    )
+    z = g.agg(
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct(F.col("lang"), F.col("pa")))),
+            F.lit(0.0),
+            lambda acc, s: acc + s.pa,
+        ).alias("z")
+    )
+    g = g.join(F.broadcast(z))
+    q = F.col("pa") / F.col("z")
+    return g.select(
+        "lang",
+        "n_docs",
+        (F.floor(F.col("p") * 1e6) / 1e6).alias("p_share"),
+        (F.floor(q * 1e6) / 1e6).alias("q_share"),
+        (F.floor(q / F.col("p") * 1e6) / 1e6).alias("doc_weight"),
+        (F.floor(q * F.col("n_total").cast("double") * 1e6) / 1e6).alias("expected_docs"),
+    )
+
+
+SAMPLE_TEMPERATURE_SQL = f"""
+WITH per AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang),
+n1 AS (SELECT count(*) AS n_total FROM documents),
+g AS (
+    SELECT lang, n_docs,
+           CAST(n_docs AS DOUBLE) / CAST(n_total AS DOUBLE) AS p,
+           exp({_TEMP_ALPHA} * ln(CAST(n_docs AS DOUBLE) / CAST(n_total AS DOUBLE))) AS pa,
+           n_total
+    FROM per CROSS JOIN n1
+),
+z AS (
+    SELECT list_reduce(
+        list_prepend(CAST(0.0 AS DOUBLE),
+            list_transform(list_sort(list(struct_pack(lang := lang, pa := pa))), s -> s.pa)),
+        (a, b) -> a + b) AS z
+    FROM g
+)
+SELECT lang, n_docs,
+       floor(p * 1e6) / 1e6 AS p_share,
+       floor(pa / z.z * 1e6) / 1e6 AS q_share,
+       floor(pa / z.z / p * 1e6) / 1e6 AS doc_weight,
+       floor(pa / z.z * CAST(n_total AS DOUBLE) * 1e6) / 1e6 AS expected_docs
+FROM g CROSS JOIN z
+"""
