@@ -201,3 +201,53 @@ def test_text_novelty_hand_corpus(spark, tmp_path):
     assert got[4].n_shingles == len(sh5(half))
     assert got[4].n_unique == exp_unique
     assert got[4].novelty == round(exp_unique / len(sh5(half)), 6)
+
+
+def test_text_zipf_planted_power_law(spark, tmp_path):
+    """A corpus built with exact freq(rank) = round(1000 * rank^-1) token
+    counts fits slope ≈ -1 with near-perfect R²; the stats replay an
+    exact python recompute of the same ln/OLS path."""
+    import math
+    import os
+
+    import pandas as pd
+
+    freqs = {f"tok{r:03d}": max(int(round(1000 / r)), 1) for r in range(1, 51)}
+    words = []
+    for t, n in freqs.items():
+        words.extend([t] * n)
+    # spread the tokens over a few documents
+    docs, chunk = [], 400
+    for i in range(0, len(words), chunk):
+        docs.append((i // chunk, " ".join(words[i : i + chunk])))
+    pdf = pd.DataFrame(docs, columns=["doc_id", "text"])
+    pdf["lang"] = "en"
+    pdf["source"] = "s"
+    pdf["n_chars"] = pdf["text"].str.len()
+    d = str(tmp_path / "sf")
+    os.makedirs(d)
+    pdf.to_parquet(os.path.join(d, "documents.parquet"))
+
+    from timedb_spark.operators import text as tx
+
+    r = tx.text_zipf(spark, d).collect()[0]
+    assert r.n_terms == 50 and r.vocab_size == 50
+    assert r.n_tokens == sum(freqs.values())
+
+    ranked = sorted(freqs.values(), reverse=True)
+    k = len(ranked)
+    lx = [math.log(i + 1) for i in range(k)]
+    ly = [math.log(n) for n in ranked]
+    sx = sy = sxx = syy = sxy = 0.0
+    for x, y in zip(lx, ly):
+        sx, sy = sx + x, sy + y
+        sxx, syy, sxy = sxx + x * x, syy + y * y, sxy + x * y
+    cov = sxy / k - (sx / k) * (sy / k)
+    vx = sxx / k - (sx / k) ** 2
+    vy = syy / k - (sy / k) ** 2
+    slope = cov / vx
+    r2 = (cov / (math.sqrt(vx) * math.sqrt(vy))) ** 2
+    assert r.zipf_slope == math.floor(slope * 1e6) / 1e6
+    assert r.fit_r2 == math.floor(r2 * 1e6) / 1e6
+    assert -1.05 < r.zipf_slope < -0.95 and r.fit_r2 > 0.99
+    assert r.top1_share == math.floor(1000 / r.n_tokens * 1e6) / 1e6

@@ -892,3 +892,115 @@ SELECT e.doc_id,
 FROM ex e JOIN freq f ON f.s = e.s
 GROUP BY e.doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# Zipf fit — vocabulary health via the rank-frequency power law
+# ---------------------------------------------------------------------------
+
+_ZIPF_TOP = 100
+
+
+def text_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row Zipf fit of the corpus vocabulary: OLS slope of
+    ln(freq) vs ln(rank) over the top-100 terms (natural language sits
+    near −1; templated/boilerplate-heavy or synthetic corpora drift flat;
+    a too-steep slope flags a few tokens dominating) plus the fit R² and
+    the top-1 token share — the corpus-health readout a curation pass
+    reads NEXT to the text_vocab curve.
+
+    The vocabulary agg is text_vocab's shape (token-partitioned
+    map-side-combined counts; only |vocab| rows sort); the top-100
+    extraction is one TakeOrderedAndProject-sized window and the OLS
+    moments fold over the rank-sorted array in pinned order (ln on
+    identical doubles — the events_entropy convention). Exact-integer
+    counts; divisions last.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    counts = (
+        docs.select(F.explode(tt.ws_tokens(F.col("text"))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.orderBy(F.desc("n"), F.asc("token"))
+    top = counts.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= _ZIPF_TOP)
+    tot = counts.agg(F.sum("n").alias("n_total"), F.count(F.lit(1)).alias("vocab_size"))
+    arr = top.agg(
+        F.array_sort(F.collect_list(F.struct("rank", "n"))).alias("a"),
+        F.max(F.when(F.col("rank") == 1, F.col("n"))).alias("top1_n"),
+    )
+    g = arr.join(F.broadcast(tot))
+    k = F.size("a").cast("double")
+    lx = F.transform("a", lambda s: F.log(s.rank.cast("double")))
+    ly = F.transform("a", lambda s: F.log(s.n.cast("double")))
+
+    def fsum(c):
+        return F.aggregate(c, F.lit(0.0), lambda acc, x: acc + x)
+
+    sx, sy = fsum(lx), fsum(ly)
+    sxx = fsum(F.transform(lx, lambda x: x * x))
+    syy = fsum(F.transform(ly, lambda y: y * y))
+    sxy = fsum(F.zip_with(lx, ly, lambda x, y: x * y))
+    g = g.select(
+        "a", "top1_n", "n_total", "vocab_size",
+        k.alias("k"), sx.alias("sx"), sy.alias("sy"),
+        sxx.alias("sxx"), syy.alias("syy"), sxy.alias("sxy"),
+    )
+    cov = F.col("sxy") / F.col("k") - (F.col("sx") / F.col("k")) * (F.col("sy") / F.col("k"))
+    vx_ = F.col("sxx") / F.col("k") - (F.col("sx") / F.col("k")) * (F.col("sx") / F.col("k"))
+    vy_ = F.col("syy") / F.col("k") - (F.col("sy") / F.col("k")) * (F.col("sy") / F.col("k"))
+    slope = cov / vx_
+    r2 = F.when(vy_ > 0, (cov / (F.sqrt(vx_) * F.sqrt(vy_))) * (cov / (F.sqrt(vx_) * F.sqrt(vy_))))
+    return g.select(
+        F.col("k").cast("int").alias("n_terms"),
+        "vocab_size",
+        F.col("n_total").cast("long").alias("n_tokens"),
+        (F.floor(slope * 1e6) / 1e6).alias("zipf_slope"),
+        (F.floor(r2 * 1e6) / 1e6).alias("fit_r2"),
+        (F.floor(F.col("top1_n").cast("double") / F.col("n_total").cast("double") * 1e6) / 1e6).alias("top1_share"),
+    )
+
+
+TEXT_ZIPF_SQL = r"""
+WITH counts AS (
+    SELECT token, count(*) AS n
+    FROM (SELECT unnest(string_split_regex(trim(text), '\s+')) AS token FROM documents)
+    GROUP BY token
+),
+tot AS (SELECT CAST(sum(n) AS BIGINT) AS n_total, count(*) AS vocab_size FROM counts),
+top AS (
+    SELECT rank, n FROM (
+        SELECT n, row_number() OVER (ORDER BY n DESC, token) AS rank FROM counts
+    ) t WHERE rank <= 100
+),
+arr AS (
+    SELECT list_sort(list(struct_pack(rank := rank, n := n))) AS a,
+           max(CASE WHEN rank = 1 THEN n END) AS top1_n
+    FROM top
+),
+m AS (
+    SELECT a, top1_n, n_total, vocab_size,
+           CAST(len(a) AS DOUBLE) AS k,
+           list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list_transform(a, s -> ln(CAST(s.rank AS DOUBLE)))), (x, y) -> x + y) AS sx,
+           list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list_transform(a, s -> ln(CAST(s.n AS DOUBLE)))), (x, y) -> x + y) AS sy,
+           list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list_transform(a, s -> ln(CAST(s.rank AS DOUBLE)) * ln(CAST(s.rank AS DOUBLE)))), (x, y) -> x + y) AS sxx,
+           list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list_transform(a, s -> ln(CAST(s.n AS DOUBLE)) * ln(CAST(s.n AS DOUBLE)))), (x, y) -> x + y) AS syy,
+           list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list_transform(a, s -> ln(CAST(s.rank AS DOUBLE)) * ln(CAST(s.n AS DOUBLE)))), (x, y) -> x + y) AS sxy
+    FROM arr CROSS JOIN tot
+)
+SELECT CAST(k AS INT) AS n_terms, vocab_size, n_total AS n_tokens,
+       floor((sxy / k - (sx / k) * (sy / k)) / (sxx / k - (sx / k) * (sx / k)) * 1e6) / 1e6 AS zipf_slope,
+       CASE WHEN (syy / k - (sy / k) * (sy / k)) > 0
+            THEN floor(((sxy / k - (sx / k) * (sy / k)) / (sqrt(sxx / k - (sx / k) * (sx / k)) * sqrt(syy / k - (sy / k) * (sy / k))))
+                 * ((sxy / k - (sx / k) * (sy / k)) / (sqrt(sxx / k - (sx / k) * (sx / k)) * sqrt(syy / k - (sy / k) * (sy / k))))
+                 * 1e6) / 1e6 END AS fit_r2,
+       floor(CAST(top1_n AS DOUBLE) / CAST(n_total AS DOUBLE) * 1e6) / 1e6 AS top1_share
+FROM m
+"""
