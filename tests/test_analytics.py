@@ -449,3 +449,54 @@ def test_events_interarrival_planted_signatures(spark, tmp_path):
     v2 = sum(float(x) * x for x in a2) / k - s2 * s2
     assert r2.memory_coef == math.floor(cov / (math.sqrt(v1) * math.sqrt(v2)) * 1e6) / 1e6
     assert r2.memory_coef < -0.9  # perfect alternation: strong negative memory
+
+
+def test_events_gini_closed_forms(spark, tmp_path):
+    """Gini on planted distributions: perfectly equal users score 0; one
+    user owning nearly everything scores near 1 − 1/n; values replay the
+    exact Σ(2i−n−1)x formula."""
+    import math
+    import os
+    from datetime import datetime, timedelta
+
+    rows, eid = [], 0
+    # 10 users, 4 events each, value 2.50 — perfect equality
+    for u in range(10):
+        for t in range(4):
+            eid += 1
+            rows.append((eid, datetime(2024, 1, 1) + timedelta(hours=t), u, "x", 2.5))
+    pdf = pd.DataFrame(rows, columns=["event_id", "ts", "user_id", "event_type", "value"])
+    pdf["props"] = ""
+    d = str(tmp_path / "sf")
+    os.makedirs(d)
+    pdf.to_parquet(os.path.join(d, "events.parquet"))
+
+    from timedb_spark.operators import analytics as an
+
+    r = an.events_gini(spark, d).collect()[0]
+    assert r.n_users == 10
+    assert r.gini_events == 0.0 and r.gini_spend == 0.0
+    assert r.top_decile_events == 0.1  # 1 of 10 equal users holds 10%
+
+    # skewed corpus: user 0 gets 91 events, users 1..9 get 1 each
+    rows, eid = [], 0
+    for t in range(91):
+        eid += 1
+        rows.append((eid, datetime(2024, 1, 1) + timedelta(minutes=t), 0, "x", 1.0))
+    for u in range(1, 10):
+        eid += 1
+        rows.append((eid, datetime(2024, 1, 1), u, "x", 1.0))
+    pdf = pd.DataFrame(rows, columns=["event_id", "ts", "user_id", "event_type", "value"])
+    pdf["props"] = ""
+    d2 = str(tmp_path / "sf2")
+    os.makedirs(d2)
+    pdf.to_parquet(os.path.join(d2, "events.parquet"))
+
+    r2 = an.events_gini(spark, d2).collect()[0]
+    counts = sorted([91] + [1] * 9)
+    n, tot = len(counts), sum(counts)
+    num = sum((2 * (i + 1) - n - 1) * x for i, x in enumerate(counts))
+    exp = math.floor(num / (n * tot) * 1e6) / 1e6
+    assert r2.gini_events == exp
+    assert r2.gini_events > 0.7  # heavy concentration
+    assert r2.top_decile_events == 0.91  # user 0 (top 10%) holds 91/100

@@ -1915,3 +1915,109 @@ SELECT user_id, CAST(m AS INT) AS n_gaps,
                  * 1e6) / 1e6 END AS memory_coef
 FROM mm
 """
+
+
+# ---------------------------------------------------------------------------
+# Gini concentration — how unevenly activity/spend spreads across users
+# ---------------------------------------------------------------------------
+
+
+def events_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row Gini coefficients of per-user activity: event-count Gini
+    and spend Gini (G = Σ(2i−n−1)·x_(i) / (n·Σx) over the ascending-sorted
+    per-user totals) plus the top-decile share of each — the
+    concentration readout behind skew planning (a count-Gini near 1 says
+    a handful of hot keys dominate every user-keyed shuffle — the
+    salted-join lever's trigger) and behind sampling design (spend
+    concentration ⇒ stratify before subsampling).
+
+    Two-level shape: the per-user totals are ONE map-side-combined
+    groupBy (|users| rows out); the Gini fold runs over the one sorted
+    array — Σ(2i−n−1)·x is EXACT integer arithmetic (weights bounded by
+    n, totals by corpus cents), a single division at the end. Top-decile
+    share is an explicit suffix-sum over the same array.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    per = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_ev"),
+        F.sum((F.col("value").cast("decimal(18,2)") * 100).cast("long")).alias("cents"),
+    )
+    g = per.agg(
+        F.array_sort(F.collect_list("n_ev")).alias("ce"),
+        F.array_sort(F.collect_list("cents")).alias("cs"),
+    )
+
+    def gini(arr):
+        n = F.size(arr).cast("long")
+        tot = F.aggregate(arr, F.lit(0).cast("long"), lambda a, x: a + x)
+        # Σ (2i − n − 1)·x_(i): fold state [i, acc] as exact longs
+        st = F.aggregate(
+            arr,
+            F.array(F.lit(0).cast("long"), F.lit(0).cast("long")),
+            lambda acc, x: F.array(
+                F.element_at(acc, 1) + 1,
+                F.element_at(acc, 2) + (2 * (F.element_at(acc, 1) + 1) - n - 1) * x,
+            ),
+        )
+        num = F.element_at(st, 2)
+        return F.when(tot > 0, F.floor(num.cast("double") / (n.cast("double") * tot.cast("double")) * 1e6) / 1e6)
+
+    def top_decile(arr):
+        n = F.size(arr)
+        k = F.greatest(F.ceil(n / 10).cast("int"), F.lit(1))
+        tot = F.aggregate(arr, F.lit(0).cast("long"), lambda a, x: a + x)
+        topk = F.aggregate(
+            F.slice(arr, n - k + 1, k), F.lit(0).cast("long"), lambda a, x: a + x
+        )
+        return F.when(tot > 0, F.floor(topk.cast("double") / tot.cast("double") * 1e6) / 1e6)
+
+    return g.select(
+        F.size("ce").alias("n_users"),
+        gini(F.col("ce")).alias("gini_events"),
+        top_decile(F.col("ce")).alias("top_decile_events"),
+        gini(F.col("cs")).alias("gini_spend"),
+        top_decile(F.col("cs")).alias("top_decile_spend"),
+    )
+
+
+def _gini_sql(arr: str) -> str:
+    n = f"CAST(len({arr}) AS BIGINT)"
+    tot = f"list_reduce(list_prepend(CAST(0 AS BIGINT), {arr}), (a, b) -> a + b)"
+    st = (
+        f"list_reduce(list_prepend([CAST(0 AS BIGINT), CAST(0 AS BIGINT)], "
+        f"list_transform({arr}, x -> [x, CAST(0 AS BIGINT)])), "
+        f"(acc, e) -> [acc[1] + 1, acc[2] + (2 * (acc[1] + 1) - {n} - 1) * e[1]])"
+    )
+    return (
+        f"CASE WHEN {tot} > 0 THEN floor(CAST({st}[2] AS DOUBLE) "
+        f"/ (CAST({n} AS DOUBLE) * CAST({tot} AS DOUBLE)) * 1e6) / 1e6 END"
+    )
+
+
+def _topdec_sql(arr: str) -> str:
+    k = f"greatest(CAST(ceil(len({arr}) / 10) AS INT), 1)"
+    tot = f"list_reduce(list_prepend(CAST(0 AS BIGINT), {arr}), (a, b) -> a + b)"
+    topk = (
+        f"list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        f"{arr}[len({arr}) - {k} + 1 : len({arr})]), (a, b) -> a + b)"
+    )
+    return (
+        f"CASE WHEN {tot} > 0 THEN floor(CAST({topk} AS DOUBLE) "
+        f"/ CAST({tot} AS DOUBLE) * 1e6) / 1e6 END"
+    )
+
+
+EVENTS_GINI_SQL = f"""
+WITH per AS (
+    SELECT user_id, CAST(count(*) AS BIGINT) AS n_ev,
+           CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS cents
+    FROM events GROUP BY user_id
+),
+g AS (SELECT list_sort(list(n_ev)) AS ce, list_sort(list(cents)) AS cs FROM per)
+SELECT CAST(len(ce) AS INT) AS n_users,
+       {_gini_sql('ce')} AS gini_events,
+       {_topdec_sql('ce')} AS top_decile_events,
+       {_gini_sql('cs')} AS gini_spend,
+       {_topdec_sql('cs')} AS top_decile_spend
+FROM g
+"""
