@@ -853,17 +853,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     events_lift, ts_perm_entropy, ts_anomaly_resid, dedup_report,
     text_novelty, profile_sources, ts_backtest, ts_drawdown, bt_audit,
     graph_degree_profile, stream_cusum_v2, events_interarrival,
-    ts_pi_naive, sample_temperature, text_zipf, events_gini — inside the
-    window per the discipline rule), then the round-2-only greens
-    (text_fingerprint → dedup_exact — no driver row since round 2).
+    ts_pi_naive, sample_temperature, text_zipf, events_gini, ts_hurst —
+    inside the window per the discipline rule), then the round-2-only
+    greens (text_fingerprint → text_pii — no driver row since round 2).
     Window-discipline rule (VERDICT r5 task #4): any query registered
     mid-round goes INSIDE this window or is explicitly listed as
     next-window debt here — the debt entries are the displaced
-    r2-window greens (dedup_ngram_jaccard, dedup_minhash, dedup_simhash,
-    dedup_embedding, dedup_editdist, dedup_clusters, contamination_check,
-    pipeline_clean, profile_table, sample_stratified, sample_mix,
-    train_split, shard_assign, ann_bruteforce, ann_ivf, ann_pq,
-    embed_kmeans, multimodal_meta, stream_window, stream_latest_state,
+    r2-window greens (dedup_exact, dedup_ngram_jaccard, dedup_minhash,
+    dedup_simhash, dedup_embedding, dedup_editdist, dedup_clusters,
+    contamination_check, pipeline_clean, profile_table,
+    sample_stratified, sample_mix, train_split, shard_assign,
+    ann_bruteforce, ann_ivf, ann_pq, embed_kmeans, multimodal_meta,
+    stream_window, stream_latest_state,
     stream_dedup, stream_sessionize, stream_join, stream_join_ordered,
     ts_resample_locf, ts_interpolate_linear, ts_rollup_multires,
     ts_sessionize, ts_ohlc, ts_ewma, ts_rate, ts_corr, ts_decompose)
@@ -923,6 +924,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_temperature": sampling.sample_temperature,
         "text_zipf": text.text_zipf,
         "events_gini": analytics.events_gini,
+        "ts_hurst": timeseries.hurst,
         # -- round-2-only greens: no driver row since r2 (37 in-window; the
         #    new registrations displace ts_decompose, stream_join_ordered,
         #    and the 5 r3/r4 re-verify slots past 50 — explicit
@@ -931,9 +933,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_tfidf": text.text_tfidf,
         "text_repetition": text.text_repetition,
         "text_pii": text.text_pii,
-        "dedup_exact": dedup.dedup_exact,
         # ==== end of the 50-query round-6 gate window ====================
-        # -- next-window debt: displaced by the 38 r6 registrations (the 6
+        # -- next-window debt: displaced by the 39 r6 registrations (the 6
         #    batch-1 ops + dedup_spans/text_collocations/text_chunk/
         #    sample_weighted/ts_cusum/stream_dedup_v2/graph_label_prop/
         #    ts_mk_trend/dedup_containment/ts_periodogram/ann_mmr/
@@ -942,7 +943,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    dedup_report/text_novelty/profile_sources/ts_backtest/
         #    ts_drawdown/bt_audit/graph_degree_profile/stream_cusum_v2/
         #    events_interarrival/ts_pi_naive/sample_temperature/text_zipf/
-        #    events_gini, all placed in-window per the discipline rule) -------
+        #    events_gini/ts_hurst, all placed in-window per the discipline
+        #    rule) -----------------------------------------------------------
+        "dedup_exact": dedup.dedup_exact,
         "dedup_ngram_jaccard": dedup.dedup_ngram_jaccard,
         "dedup_minhash": dedup.dedup_minhash,
         "dedup_simhash": dedup.dedup_simhash,
@@ -1440,6 +1443,7 @@ def oracle_sql() -> dict[str, str]:
         "sample_temperature": sampling.SAMPLE_TEMPERATURE_SQL,
         "text_zipf": text.TEXT_ZIPF_SQL,
         "events_gini": analytics.EVENTS_GINI_SQL,
+        "ts_hurst": timeseries.HURST_SQL,
         "events_abtest": analytics.EVENTS_ABTEST_SQL,
         "profile_drift": pipeline.PROFILE_DRIFT_SQL,
         "events_paths": analytics.EVENTS_PATHS_SQL,

@@ -1208,3 +1208,64 @@ def test_pi_naive_matches_python_recompute(spark, tmp_path):
     assert g.pi_lo == (c[-1] + q05) / 100.0 and g.pi_hi == (c[-1] + q95) / 100.0
     assert g.coverage == math.floor(cov * 1e6) / 1e6
     assert g.pi_lo < vals[-1] < g.pi_hi  # the interval brackets the level
+
+
+def test_hurst_planted_memory_regimes(spark, tmp_path):
+    """Hurst readouts on planted dynamics: a strong linear trend scores
+    persistent (H near 1 — block sums grow superlinearly), high-frequency
+    alternation scores anti-persistent, and the estimate replays the
+    exact aggregated-variance OLS."""
+    import math
+    import os
+
+    import pandas as pd
+
+    rows, eid = [], 0
+    for t in range(128):  # user 1: ramp + tiny wobble → persistent
+        eid += 1
+        rows.append((eid, datetime(2024, 1, 1) + pd.Timedelta(hours=t), 1, "x",
+                     float(t) + ((t * 7) % 3) * 0.1))
+    for t in range(128):  # user 2: +/- alternation → anti-persistent
+        eid += 1
+        rows.append((eid, datetime(2024, 1, 1) + pd.Timedelta(hours=t), 2, "x",
+                     10.0 + (4.0 if t % 2 == 0 else -4.0) + ((t * 5) % 3) * 0.05))
+    for t in range(40):  # user 3: too short → excluded
+        eid += 1
+        rows.append((eid, datetime(2024, 1, 1) + pd.Timedelta(hours=t), 3, "x", 1.0))
+    pdf = pd.DataFrame(rows, columns=["event_id", "ts", "user_id", "event_type", "value"])
+    pdf["props"] = ""
+    d = str(tmp_path / "sf")
+    os.makedirs(d)
+    pdf.to_parquet(os.path.join(d, "events.parquet"))
+
+    got = {r.user_id: r for r in ts.hurst(spark, d).collect()}
+    assert 3 not in got
+
+    def replay(vals):
+        c = [int(round(v * 100)) for v in vals]
+        lnks = [0.0, math.log(4.0), math.log(16.0)]
+        lvs = []
+        for k in (1, 4, 16):
+            nk = len(c) // k
+            sums = [sum(c[j * k : (j + 1) * k]) for j in range(nk)]
+            s1 = s2 = 0.0
+            for x in sums:
+                s1, s2 = s1 + float(x), s2 + float(x) * x
+            lvs.append(math.log(max(s2 / nk - (s1 / nk) ** 2, 0.0)))
+        mx = sum(lnks) / 3.0
+        my = (lvs[0] + lvs[1] + lvs[2]) / 3.0
+        cov = sum((x - mx) * (y - my) for x, y in zip(lnks, lvs)) / 3.0
+        vx = sum((x - mx) ** 2 for x in lnks) / 3.0
+        return cov / vx / 2.0
+
+    v1 = [float(t) + ((t * 7) % 3) * 0.1 for t in range(128)]
+    h1 = replay(v1)
+    r1 = got[1]
+    assert r1.hurst == math.floor(h1 * 1e6) / 1e6
+    assert r1.character == "persistent" and r1.hurst > 0.9
+
+    v2 = [10.0 + (4.0 if t % 2 == 0 else -4.0) + ((t * 5) % 3) * 0.05 for t in range(128)]
+    h2 = replay(v2)
+    r2 = got[2]
+    assert r2.hurst == math.floor(h2 * 1e6) / 1e6
+    assert r2.character == "anti-persistent" and r2.hurst < 0.2

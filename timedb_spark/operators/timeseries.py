@@ -3140,3 +3140,131 @@ SELECT user_id AS series_id, CAST(n AS INT) AS n_obs,
              / CAST(m AS DOUBLE) * 1e6) / 1e6 AS coverage
 FROM p
 """
+
+
+# ---------------------------------------------------------------------------
+# Hurst exponent — long-memory / persistence via aggregated variance
+# ---------------------------------------------------------------------------
+
+_HURST_KS = [1, 4, 16]
+_HURST_LNK = [0.0, 1.3862943611198906, 2.772588722239781]  # ln k, python literals
+_HURST_MIN_OBS = 64
+
+
+def hurst(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hurst exponent per user series via the aggregated-variance method:
+    variance of k-block SUMS scales as k^2H for self-similar increments,
+    so H is half the OLS slope of ln Var(S_k) against ln k over
+    k ∈ {1, 4, 16} — the long-memory readout (H > ½: persistent trends,
+    momentum; H < ½: mean-reverting/anti-persistent; ≈ ½: random walk)
+    that complements ts_mk_trend (monotone drift) and ts_perm_entropy
+    (determinism) with the memory axis.
+
+    Block SUMS (not means) keep the statistic exact-integer until the
+    variance: per k, block sums fold over array slices of the ONE sorted
+    per-user collect (k ≤ 16, counts exact longs), Σs/Σs² accumulate in
+    pinned block order as doubles, and the three ln k abscissae are
+    python literals (only ln Var(k) touches libm, on identical doubles —
+    the events_entropy convention). Series shorter than 64 observations
+    (4 full blocks at k = 16) are excluded.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    s = F.struct(F.col("ts"), F.col("event_id"), F.col("value"))
+    g = ev.groupBy("user_id").agg(F.array_sort(F.collect_list(s)).alias("hist"))
+    cents = F.transform("hist", lambda r: (r["value"].cast("decimal(18,2)") * 100).cast("long"))
+    g = g.select("user_id", cents.alias("c")).withColumn("n", F.size("c")).filter(
+        F.col("n") >= _HURST_MIN_OBS
+    )
+
+    def block_var(k: int):
+        nk = (F.col("n") / k).cast("int")
+        sums = F.transform(
+            F.sequence(F.lit(1), nk),
+            lambda j: F.aggregate(
+                F.slice(F.col("c"), (j - 1) * k + 1, k), F.lit(0).cast("long"), lambda a, x: a + x
+            ),
+        )
+        nd = nk.cast("double")
+        s1 = F.aggregate(F.transform(sums, lambda x: x.cast("double")), F.lit(0.0), lambda a, x: a + x)
+        s2 = F.aggregate(
+            F.transform(sums, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        )
+        return F.greatest(s2 / nd - (s1 / nd) * (s1 / nd), F.lit(0.0))
+
+    for k in _HURST_KS:
+        g = g.withColumn(f"v{k}", block_var(k))
+    # OLS slope over the 3 (ln k, ln Var) points; ln k are literals
+    lnks = _HURST_LNK
+    mx = sum(lnks) / 3.0
+    vx_ = sum((x - mx) ** 2 for x in lnks) / 3.0
+    valid = (F.col("v1") > 0) & (F.col("v4") > 0) & (F.col("v16") > 0)
+    lys = [F.log(F.col(f"v{k}")) for k in _HURST_KS]
+    my = (lys[0] + lys[1] + lys[2]) / 3.0
+    cov = (
+        (F.lit(lnks[0] - mx)) * (lys[0] - my)
+        + (F.lit(lnks[1] - mx)) * (lys[1] - my)
+        + (F.lit(lnks[2] - mx)) * (lys[2] - my)
+    ) / 3.0
+    h = cov / F.lit(vx_) / 2.0
+    label = (
+        F.when(h > 0.55, F.lit("persistent"))
+        .when(h < 0.45, F.lit("anti-persistent"))
+        .otherwise(F.lit("random-walk"))
+    )
+    return g.select(
+        "user_id",
+        F.col("n").alias("n_obs"),
+        F.when(valid, F.floor(h * 1e6) / 1e6).alias("hurst"),
+        F.when(valid, label).alias("character"),
+    )
+
+
+def _hurst_var_sql(k: int) -> str:
+    nk = f"CAST(len(c) // {k} AS INT)"
+    sums = (
+        f"list_transform(range(1, {nk} + 1), j -> "
+        f"list_reduce(list_prepend(CAST(0 AS BIGINT), c[(j-1)*{k}+1 : (j-1)*{k}+{k}]), (a, b) -> a + b))"
+    )
+    s1 = f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform({sums}, x -> CAST(x AS DOUBLE))), (a, b) -> a + b)"
+    s2 = (
+        f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        f"list_transform({sums}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (a, b) -> a + b)"
+    )
+    nd = f"CAST({nk} AS DOUBLE)"
+    return f"greatest({s2} / {nd} - ({s1} / {nd}) * ({s1} / {nd}), 0.0)"
+
+
+HURST_SQL = f"""
+WITH hist AS (
+    SELECT user_id,
+           list_transform(
+               list_sort(list(struct_pack(ts := ts, e := event_id, v := value))),
+               s -> CAST(CAST(s.v AS DECIMAL(18,2)) * 100 AS BIGINT)) AS c
+    FROM events GROUP BY user_id
+),
+base AS (
+    SELECT user_id, len(c) AS n,
+           {_hurst_var_sql(1)} AS v1,
+           {_hurst_var_sql(4)} AS v4,
+           {_hurst_var_sql(16)} AS v16
+    FROM hist WHERE len(c) >= {_HURST_MIN_OBS}
+),
+h AS (
+    SELECT user_id, n, v1 > 0 AND v4 > 0 AND v16 > 0 AS valid,
+           (({_HURST_LNK[0]} - {sum(_HURST_LNK)/3.0}) * (ln(v1) - (ln(v1) + ln(v4) + ln(v16)) / 3.0)
+          + ({_HURST_LNK[1]} - {sum(_HURST_LNK)/3.0}) * (ln(v4) - (ln(v1) + ln(v4) + ln(v16)) / 3.0)
+          + ({_HURST_LNK[2]} - {sum(_HURST_LNK)/3.0}) * (ln(v16) - (ln(v1) + ln(v4) + ln(v16)) / 3.0)) / 3.0
+           / {sum((x - sum(_HURST_LNK)/3.0)**2 for x in _HURST_LNK)/3.0} / 2.0 AS hv
+    FROM base
+)
+SELECT user_id, CAST(n AS INT) AS n_obs,
+       CASE WHEN valid THEN floor(hv * 1e6) / 1e6 END AS hurst,
+       CASE WHEN valid THEN
+            CASE WHEN hv > 0.55 THEN 'persistent'
+                 WHEN hv < 0.45 THEN 'anti-persistent'
+                 ELSE 'random-walk' END
+       END AS character
+FROM h
+"""
