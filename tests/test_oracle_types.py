@@ -82,6 +82,26 @@ def test_every_gate_query_output_schema_is_flat(spark):
     )
 
 
+def test_driver_side_gate_values_collect_naive(spark):
+    """The tz sibling of the flat-schema assert (VERDICT r6 task #2).
+
+    Gate values normally originate in Spark SQL and collect as naive UTC;
+    the one exception class is driver-side Python fed to createDataFrame.
+    partition_stats (pyarrow footer statistics → tz-aware datetimes) is the
+    instance that shipped hash-red in r6; fast_count shares the same store
+    materialization. Collect both and assert no aware datetime survives —
+    tools/parity.py now applies the same check fleet-wide at sf0.01."""
+    from tools.parity import aware_datetime_columns
+
+    qs = entrymod.queries()
+    for name in ("partition_stats", "fast_count"):
+        df = qs[name](spark, SF_DIR)
+        rows = df.collect()
+        assert rows, f"{name} returned no rows"
+        bad = aware_datetime_columns(df.columns, rows)
+        assert not bad, f"{name} collected tz-aware datetimes in {bad}"
+
+
 def test_every_query_has_oracle_or_documented_exemption(con):
     """Every queries() entry either has an oracle or is in the single
     authoritative ROWS_ONLY registry exported by __spark_entry__ (non-SQL-

@@ -426,6 +426,14 @@ def test_partition_stats_footer_only(spark, tmp_path):
     assert stats[("long", "202401")]["n_rows"] == 1
     total = sum(s["n_rows"] for s in stats.values())
     assert total == db.read(series_ids=[2, 5, 7, 9]).count()
+    # pyarrow returns TIMESTAMP_MICROS(isAdjustedToUTC) footer stats as
+    # tz-AWARE datetimes; partition_stats must collapse them to naive UTC —
+    # mixed aware/naive values fed to createDataFrame shipped the gate's
+    # only hash-red row in CORRECTNESS_r06. Value AND class both pinned.
+    for s in stats.values():
+        for k in ("valid_time_min", "valid_time_max"):
+            assert s[k] is None or s[k].tzinfo is None, f"{k} must be naive UTC, got {s[k]!r}"
+    assert jan["valid_time_min"] == datetime(2024, 1, 10)
 
 
 # ---------------------------------------------------------------------------

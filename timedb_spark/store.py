@@ -44,6 +44,19 @@ from timedb_spark.schema import (
 _SORT_KEY = ["series_id", "valid_time", "knowledge_time", "change_time"]
 
 
+def _naive_utc(v: datetime) -> datetime:
+    """Collapse a tz-aware datetime to naive UTC (identity on naive input).
+
+    The one producer of aware datetimes in the repo is pyarrow's parquet
+    footer statistics (TIMESTAMP_MICROS isAdjustedToUTC → tzinfo=UTC);
+    everything else — Spark collect(), DuckDB, the source parquet — speaks
+    naive UTC. One class everywhere keeps the driver's value hash and the
+    parity mimic honest (VERDICT r6 What's-wrong #1)."""
+    if v.tzinfo is not None:
+        return v.astimezone(timezone.utc).replace(tzinfo=None)
+    return v
+
+
 class Store:
     """Filesystem-backed parquet store (works unchanged on HDFS/S3 paths for
     the create/append/read surface; TTL dir deletes use local fs here)."""
@@ -184,8 +197,17 @@ class Store:
                                 sid_min = st.min if sid_min is None else min(sid_min, st.min)
                                 sid_max = st.max if sid_max is None else max(sid_max, st.max)
                             else:
-                                vt_min = st.min if vt_min is None else min(vt_min, st.min)
-                                vt_max = st.max if vt_max is None else max(vt_max, st.max)
+                                # pyarrow returns TIMESTAMP_MICROS
+                                # (isAdjustedToUTC, Spark's default output
+                                # type) footer stats as tz-AWARE datetimes;
+                                # every other value in the system is naive
+                                # UTC. Normalize HERE so consumers
+                                # (createDataFrame gate wrappers, the driver
+                                # canonicalizer) never see a mixed class
+                                # (CORRECTNESS_r06 partition_stats hash-red).
+                                mn, mx = _naive_utc(st.min), _naive_utc(st.max)
+                                vt_min = mn if vt_min is None else min(vt_min, mn)
+                                vt_max = mx if vt_max is None else max(vt_max, mx)
                 out.append(
                     {
                         "retention": tier,

@@ -51,10 +51,29 @@ def _norm_cell(v):
             return "0"
         return f"{v:.9g}"
     if isinstance(v, datetime):
-        return v.replace(tzinfo=None).isoformat()
+        # FAITHFUL: keep tzinfo. The driver canonicalizer renders aware and
+        # naive datetimes differently ('…+00:00' vs '…'); stripping tzinfo
+        # here was the mimic's second blind spot (arrays r5, tz r6 —
+        # partition_stats shipped hash-red while local parity said OK).
+        return v.isoformat()
     if isinstance(v, date):
         return v.isoformat()
     return str(v)
+
+
+def aware_datetime_columns(cols, rows) -> list[str]:
+    """Columns holding tz-AWARE datetimes in collected rows. The gate speaks
+    naive UTC everywhere (parquet micros → Spark collect → DuckDB); an aware
+    value can only enter via driver-side Python fed to createDataFrame
+    (pyarrow footer stats did exactly this — CORRECTNESS_r06
+    partition_stats hash-red while the old tz-stripping _norm_cell said OK).
+    Same genus as nonflat_columns: fail the CLASS, not the instance."""
+    bad = set()
+    for r in rows:
+        for i, v in enumerate(r):
+            if isinstance(v, datetime) and v.tzinfo is not None:
+                bad.add(cols[i])
+    return sorted(bad)
 
 
 def _norm_rows(cols, rows):
@@ -97,6 +116,12 @@ def run(sf_dir: str, only: list[str] | None = None) -> bool:
         s_rows = sdf.collect()
         s_cols = sdf.columns
         t_spark = time.time() - t0
+        aware = aware_datetime_columns(s_cols, s_rows)
+        if aware:
+            print(f"  {name:32s} FAIL tz-aware datetime cells (gate speaks naive "
+                  f"UTC; driver canonicalizer renders '+00:00'): {aware}")
+            ok_all = False
+            continue
         if name not in oracles:
             print(f"  {name:32s} rows={len(s_rows):7d}  (rows-only, no oracle)  [{t_spark:.1f}s]")
             continue
