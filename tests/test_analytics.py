@@ -16,6 +16,7 @@ DuckDB oracle. These tests pin:
 
 import pandas as pd
 import pytest
+from pyspark.sql import functions as F
 
 from timedb_spark.operators import analytics
 
@@ -210,6 +211,51 @@ def test_graph_link_predict_hand_computed(spark, tmp_path):
     for r in out:
         assert r.cn == 1
         assert r.ra_score == 0.5
+
+
+def test_graph_link_predict_planted_hub_cap_stable(spark):
+    """Planted-hub stability of the budget-derived middle-degree cap
+    (VERDICT r6 #2): part 99 appears in EVERY order (the power-law hub).
+    The hub is a common neighbor of every candidate pair, so it shifts each
+    pair's RA score by the SAME 1/deg(hub) — capping it out preserves the
+    ranking exactly while removing the dominant wedge class; pairs whose
+    ONLY common neighbor was the hub (RA = 1/deg(hub), the no-signal floor)
+    drop out entirely.
+
+    Cycle-with-chord graph over parts 1..6 (edges 1-2,2-3,1-6,3-6,3-4,4-5)
+    plus hub 99 in all six orders. Hand-computed exact ranking:
+    (1,3) 1/3+1/3+1/6, (2,6) 1/3+1/4+1/6, (3,5) 1/3+1/6,
+    (2,4)=(4,6) 1/4+1/6, then four hub-only pairs at 1/6."""
+    orders = [(1, 2), (2, 3), (1, 6), (3, 6), (3, 4), (4, 5)]
+    rows = [(ok, pk) for ok, (x, y) in enumerate(orders) for pk in (x, y, 99)]
+    li = spark.createDataFrame(rows, "ok bigint, pk bigint")
+
+    # degree classes: {5}:2, {1,2,4,6}:3, {3}:4, {99}:6 → Σdeg² cum by class
+    # 4 / 40 / 56 / 92; budget 60 admits ≤4 — exactly excising the hub.
+    und = li.alias("a").join(li.alias("b"), "ok").selectExpr("a.pk pa", "b.pk pb")
+    deg = (
+        und.filter("pa != pb").distinct()
+        .groupBy(F.col("pa").alias("node")).count().withColumnRenamed("count", "deg")
+    )
+    assert analytics._ra_middle_cap(deg, 60) == 4
+    assert analytics._ra_middle_cap(deg, 3) == 2  # sub-minimum budget → min class
+    assert analytics._ra_middle_cap(deg.filter("deg < 0"), 60) == 0  # empty graph
+
+    kw = dict(top_n=9, max_middle_degree=None)
+    exact = analytics._link_predict_pairs(li, wedge_budget=None, **kw).collect()
+    capped = analytics._link_predict_pairs(li, wedge_budget=60, **kw).collect()
+
+    assert [(r.u, r.w) for r in exact] == [
+        (1, 3), (2, 6), (3, 5), (2, 4), (4, 6), (1, 4), (1, 5), (2, 5), (5, 6)
+    ]
+    # top-5 ranking identical under the cap; hub-only pairs vanish
+    assert [(r.u, r.w) for r in capped] == [(r.u, r.w) for r in exact[:5]]
+    by_pair = {(r.u, r.w): r for r in exact}
+    for r in capped:
+        ex = by_pair[(r.u, r.w)]
+        assert r.cn == ex.cn - 1  # exactly the hub removed from the middles
+        # score drops by exactly the hub's 1/6 contribution (floor-scaled)
+        assert r.ra_score == pytest.approx(ex.ra_score - 1 / 6, abs=2e-6)
 
 
 def test_graph_label_prop_two_cliques(spark, tmp_path):

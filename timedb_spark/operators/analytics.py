@@ -1305,47 +1305,66 @@ FROM ex
 _RA_SCALE = 10**12
 
 
-def graph_link_predict(spark: SparkSession, sf_dir: str, *, top_n: int = 20) -> DataFrame:
-    """Link prediction over the co-purchase part graph via the
-    Resource-Allocation index (Zhou, Lü & Zhang, EPJ B 2009) — for each
-    non-adjacent pair (u, w), score = Σ_{v ∈ N(u)∩N(v)} 1/deg(v), the
-    common-neighbors signal degree-discounted so hub intermediaries count
-    less. The "which parts will be bought together next" / recommendation
-    candidate generator, completing the graph family (pagerank = influence,
-    triangles = cohesion, this = missing-edge prediction).
+#: default wedge-volume budget for graph_link_predict's middle-degree cap:
+#: the self-join may emit at most this many candidate wedge rows. Sized so
+#: the sf0.1 sweep runs in the graph_triangles band while keeping ~an order
+#: of magnitude more wedges than the top-20 needs; at 100 TB the SAME budget
+#: still bounds the join output absolutely — the scale guarantee is the
+#: budget, the cap is just how it's enforced.
+_RA_WEDGE_BUDGET = 30_000_000
 
-    Shape: the same two-equi-join wedge enumeration as graph_triangles —
-    candidate pairs are generated ONLY through shared middles (never a
-    cartesian), counted with map-side combine, then anti-joined against the
-    edge list to keep non-adjacent pairs. Wedge volume is Σ deg² — inherent
-    to the index's definition; on power-law graphs cap it by filtering
-    middles above a degree ceiling before the self-join (a hub shared by
-    everyone predicts nothing anyway — the deg-discount already sends its
-    contribution to ~0). The degree table joins broadcast (node-count =
-    dimension-sized here; past broadcast size it degrades to a shuffle join
-    on the same keys). Mirrors graph_triangles' broadcast policy: when the
-    edge list is small enough the wedge self-join's build side broadcasts
-    and the wedge stream never shuffles.
 
-    Determinism: each shared neighbor contributes the EXACT integer
-    ``_RA_SCALE div deg(v)`` (Spark ``div`` == DuckDB ``//`` on positive
-    longs), so per-pair sums are exact longs in any partial-aggregation
-    order; the final score is one long→double division, floor-scaled.
-    """
-    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
-    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pa"))
-    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pb"))
+def _ra_middle_cap(deg: DataFrame, wedge_budget: int) -> int:
+    """Largest degree ceiling whose admitted wedge volume Σ_{deg(v)≤cap}
+    deg(v)² fits the budget — cumulative by ascending degree CLASS, so the
+    choice is deterministic and reproducible in one SQL window. On a
+    power-law graph this excises exactly the hub middles (the ones whose
+    1/deg contribution is ~0 anyway — Zhou et al.'s discount rationale); on
+    a near-uniform graph it bounds the self-join volume outright. 1-row
+    collect over the distinct-degree histogram — bounded by construction
+    (same class as graph_triangles' orientation-stats collect)."""
+    from pyspark.sql import Window
+
+    by_deg = deg.groupBy("deg").agg(F.sum(F.col("deg") * F.col("deg")).alias("w2"))
+    cum = by_deg.withColumn("cum", F.sum("w2").over(Window.orderBy("deg")))
+    row = cum.agg(
+        F.max(F.when(F.col("cum") <= F.lit(wedge_budget), F.col("deg"))).alias("cap"),
+        F.min("deg").alias("dmin"),
+    ).collect()[0]
+    # Degenerate guards: empty graph → 0 (nothing to filter); even the
+    # smallest degree class alone overruns the budget → admit it anyway
+    # (an empty prediction helps nobody; the class is the minimum work).
+    if row["dmin"] is None:
+        return 0
+    return int(row["cap"]) if row["cap"] is not None else int(row["dmin"])
+
+
+def _link_predict_pairs(
+    li: DataFrame,
+    *,
+    top_n: int,
+    max_middle_degree: int | None,
+    wedge_budget: int | None,
+) -> DataFrame:
+    """Core RA-index link prediction over an (ok, pk) order↔part incidence
+    frame — factored from graph_link_predict so tests can plant hubs."""
+    a = li.select(F.col("ok"), F.col("pk").alias("pa"))
+    b = li.select(F.col("ok"), F.col("pk").alias("pb"))
     edges = (
         a.join(b, "ok").filter(F.col("pa") < F.col("pb")).select("pa", "pb").distinct()
         .localCheckpoint(eager=False)
     )
     und = edges.unionByName(edges.select(F.col("pb").alias("pa"), F.col("pa").alias("pb")))
     deg = und.groupBy(F.col("pa").alias("node")).agg(F.count(F.lit(1)).alias("deg"))
-    m = (
-        und.select(F.col("pa").alias("v"), F.col("pb").alias("nb"))
-        .join(F.broadcast(deg.withColumnRenamed("node", "v")), "v")
-        .withColumn("contrib", F.expr(f"{_RA_SCALE} div deg"))
+    cap = max_middle_degree
+    if cap is None and wedge_budget is not None:
+        cap = _ra_middle_cap(deg, wedge_budget)
+    m = und.select(F.col("pa").alias("v"), F.col("pb").alias("nb")).join(
+        F.broadcast(deg.withColumnRenamed("node", "v")), "v"
     )
+    if cap is not None:
+        m = m.filter(F.col("deg") <= F.lit(cap))
+    m = m.withColumn("contrib", F.expr(f"{_RA_SCALE} div deg"))
     m2 = m.select(F.col("v").alias("v2"), F.col("nb").alias("w"))
     n_edges = edges.count()
     if n_edges <= _TRI_BROADCAST_EDGES:
@@ -1370,6 +1389,57 @@ def graph_link_predict(spark: SparkSession, sf_dir: str, *, top_n: int = 20) -> 
     )
 
 
+def graph_link_predict(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    top_n: int = 20,
+    max_middle_degree: int | None = None,
+    wedge_budget: int | None = _RA_WEDGE_BUDGET,
+) -> DataFrame:
+    """Link prediction over the co-purchase part graph via the
+    Resource-Allocation index (Zhou, Lü & Zhang, EPJ B 2009) — for each
+    non-adjacent pair (u, w), score = Σ_{v ∈ N(u)∩N(v)} 1/deg(v), the
+    common-neighbors signal degree-discounted so hub intermediaries count
+    less. The "which parts will be bought together next" / recommendation
+    candidate generator, completing the graph family (pagerank = influence,
+    triangles = cohesion, this = missing-edge prediction).
+
+    Shape: the same two-equi-join wedge enumeration as graph_triangles —
+    candidate pairs are generated ONLY through shared middles (never a
+    cartesian), counted with map-side combine, then anti-joined against the
+    edge list to keep non-adjacent pairs. Wedge volume is Σ deg² — inherent
+    to the index's definition — so by DEFAULT middles are filtered to a
+    degree ceiling before the self-join (VERDICT r6 #2): the ceiling is the
+    largest degree class whose cumulative wedge volume fits
+    ``wedge_budget`` (see :func:`_ra_middle_cap`), or an explicit
+    ``max_middle_degree``. A hub shared by everyone predicts nothing — the
+    1/deg discount already sends its contribution to ~0 — so on power-law
+    graphs the capped top-N is stable (pinned by the planted-hub test);
+    pass ``max_middle_degree=None, wedge_budget=None`` for the exact
+    uncapped index. The degree table joins broadcast (node-count =
+    dimension-sized here; past broadcast size it degrades to a shuffle join
+    on the same keys). Mirrors graph_triangles' broadcast policy: when the
+    edge list is small enough the wedge self-join's build side broadcasts
+    and the wedge stream never shuffles.
+
+    Determinism: each shared neighbor contributes the EXACT integer
+    ``_RA_SCALE div deg(v)`` (Spark ``div`` == DuckDB ``//`` on positive
+    longs), so per-pair sums are exact longs in any partial-aggregation
+    order; the final score is one long→double division, floor-scaled. The
+    budget-derived cap is a pure function of the degree histogram, so the
+    SQL oracle recomputes it bit-for-bit.
+    """
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk"))
+        .distinct()
+    )
+    return _link_predict_pairs(
+        li, top_n=top_n, max_middle_degree=max_middle_degree, wedge_budget=wedge_budget
+    )
+
+
 GRAPH_LINK_PREDICT_SQL = f"""
 WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
 edges AS (
@@ -1381,9 +1451,20 @@ und AS (
     UNION ALL SELECT pb, pa FROM edges
 ),
 deg AS (SELECT v AS node, count(*) AS deg FROM und GROUP BY v),
+-- budget-derived middle-degree cap, identical to _ra_middle_cap: largest
+-- degree CLASS whose cumulative wedge volume fits _RA_WEDGE_BUDGET
+bydeg AS (SELECT deg, sum(deg * deg) AS w2 FROM deg GROUP BY deg),
+cap AS (
+    SELECT coalesce(
+        max(CASE WHEN cum <= {_RA_WEDGE_BUDGET} THEN deg END),
+        min(deg)
+    ) AS cap
+    FROM (SELECT deg, sum(w2) OVER (ORDER BY deg) AS cum FROM bydeg)
+),
 m AS (
     SELECT u.v, u.nb, {_RA_SCALE} // g.deg AS contrib
     FROM und u JOIN deg g ON g.node = u.v
+    WHERE g.deg <= (SELECT cap FROM cap)
 ),
 pairs AS (
     SELECT a.nb AS u, b.nb AS w, count(*) AS cn, CAST(sum(a.contrib) AS BIGINT) AS ra_q
