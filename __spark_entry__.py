@@ -750,6 +750,64 @@ def _q_partition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SNAP_CACHE: dict[str, tuple] = {}
+
+
+def _materialized_snapstore(spark: SparkSession, sf_dir: str):
+    """One SnapshotStore per (process, sf_dir): create + TWO deterministic
+    commits (batch 1 = even series_id, batch 2 = odd), so a version pinned
+    after commit 1 is a reproducible time-travel target. Returns
+    (store, version_after_first_append)."""
+    cached = _SNAP_CACHE.get(sf_dir)
+    if cached is None:
+        import tempfile
+
+        from timedb_spark.snapstore import SnapshotStore
+
+        st = SnapshotStore(spark, tempfile.mkdtemp(prefix="timedb_gate_snap_"))
+        st.create()
+        sv = bitemporal_frame(spark, sf_dir).withColumns({
+            "valid_time_end": F.lit(None).cast("timestamp"),
+            "run_id": F.lit(None).cast("long"),
+        })
+        st.append_values(sv.filter(F.col("series_id") % 2 == 0))
+        v_first = st.versions()[-1]["version"]
+        st.append_values(sv.filter(F.col("series_id") % 2 != 0))
+        cached = (st, v_first)
+        _SNAP_CACHE[sf_dir] = cached
+    return cached
+
+
+def _q_snap_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SnapshotStore time travel (snapstore.py:257) promoted to a gate query
+    (VERDICT r6 task #5, the fast_count/partition_stats promotion pattern):
+    two manifest commits land deterministic halves of bitemporal_frame
+    (even/odd series_id); reading the PINNED post-commit-1 version must see
+    exactly batch 1 even though batch 2's files sit in the same directories
+    — manifests, not directory listings, define visibility. Both the pinned
+    and the latest snapshot aggregate to per-retention row counts,
+    valid_time bounds, and exact value-cents sums; the oracle recomputes
+    both from the same events derivation."""
+    st, v_first = _materialized_snapstore(spark, sf_dir)
+
+    def agg(df: DataFrame, label: str) -> DataFrame:
+        cents = (F.col("value").cast("decimal(18,2)") * 100).cast("long")
+        return (
+            df.withColumn("cents", cents)
+            .groupBy(F.lit(label).alias("snap"), "retention")
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.min("valid_time").alias("vt_min"),
+                F.max("valid_time").alias("vt_max"),
+                F.sum("cents").alias("value_cents"),
+            )
+        )
+
+    return agg(st.read_values(version=v_first), "v_first").unionByName(
+        agg(st.read_values(), "latest")
+    )
+
+
 def _q_fast_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """store.fast_count() under BOTH of its answering strategies
     (store.py:290): ``footer_only`` — a whole-tier count with no time bounds,
@@ -834,58 +892,100 @@ ROWS_ONLY = frozenset({
 })
 
 
-def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """Registration order IS the correctness-gate rotation: the driver checks
-    the first 50 entries, so each round front-loads the queries most in need
-    of a driver row (see SURVEY.md §7 rotation note).
+#: Round-7 correctness-gate window (first 50 queries() entries, in order).
+#: The driver hash-checks exactly these, so the list IS the rotation —
+#: the registration dict below is grouped by domain and no longer encodes
+#: window order itself (rotating a list beats re-shuffling a 180-entry
+#: literal every round). Composition per VERDICT r6 tasks #1/#3/#4/#5:
+#:   1-2   the r6 red (partition_stats, post tz-fix) and the r6 perf-weak
+#:         (graph_link_predict, post wedge-budget cap — oracle changed);
+#:   3     snap_time_travel — SnapshotStore time travel NEWLY promoted from
+#:         internal-only to a full-oracle gate query;
+#:   4-11  every query whose oracle/operator changed THIS round and so needs
+#:         a fresh driver row: ts_cusum + stream_cusum_v2 (recursive-CTE
+#:         oracle rewrite), ts_hurst (ln(nullif) guard), events_lift,
+#:         dedup_containment, dedup_report, text_novelty, profile_sources
+#:         (round→floor-scale on both engines);
+#:   12-50 the ENTIRE r6 debt list, now cleared: the 34 displaced r2-window
+#:         greens + the 5 r3/r4 re-verify slots (all cumulatively
+#:         driver-green; this empties the rotation debt per VERDICT #4).
+#: Window-discipline rule (VERDICT r5 #4): queries registered mid-round go
+#: INSIDE this window or are explicitly listed as next-window debt in
+#: SURVEY §7. Next-window (r8) debt: any operator newly registered in r7
+#: (they append after position 50 and are enumerated in SURVEY §7).
+_R7_WINDOW = [
+    "partition_stats",
+    "graph_link_predict",
+    "snap_time_travel",
+    "ts_cusum",
+    "stream_cusum_v2",
+    "ts_hurst",
+    "events_lift",
+    "dedup_containment",
+    "dedup_report",
+    "text_novelty",
+    "profile_sources",
+    # -- the 34 displaced r2-window greens (r6 debt, rotated back in) ------
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_minhash",
+    "dedup_simhash",
+    "dedup_embedding",
+    "dedup_editdist",
+    "dedup_clusters",
+    "contamination_check",
+    "pipeline_clean",
+    "profile_table",
+    "sample_stratified",
+    "sample_mix",
+    "train_split",
+    "shard_assign",
+    "ann_bruteforce",
+    "ann_ivf",
+    "ann_pq",
+    "embed_kmeans",
+    "multimodal_meta",
+    "stream_window",
+    "stream_latest_state",
+    "stream_dedup",
+    "stream_sessionize",
+    "stream_join",
+    "stream_join_ordered",
+    "ts_resample_locf",
+    "ts_interpolate_linear",
+    "ts_rollup_multires",
+    "ts_sessionize",
+    "ts_ohlc",
+    "ts_ewma",
+    "ts_rate",
+    "ts_corr",
+    "ts_decompose",
+    # -- the 5 r3/r4 re-verify slots (r6 debt, rotated back in) ------------
+    "events_session_window",
+    "text_script",
+    "text_lm_score",
+    "events_paths",
+    "graph_triangles",
+]
 
-    Round-6 window (first 50), per VERDICT r5 tasks #1/#3/#5: the r5 red row
-    (embed_quantize — now the serialized gate wrapper) and the FOUR late
-    registrations that shipped past position 50 in r5 and were never
-    driver-checked (ts_theta + the three v2 streaming twins), then the TWO
-    store metadata ops newly promoted from internal-only to full-oracle gate
-    queries (fast_count, partition_stats), then the TWELVE operators NEW in
-    r6 (text_readability, ts_kalman, ts_croston, ts_sax, events_survival,
-    graph_link_predict, dedup_spans, text_collocations, text_chunk,
-    sample_weighted, ts_cusum, stream_dedup_v2, graph_label_prop,
-    ts_mk_trend, dedup_containment, ts_periodogram, ann_mmr, ann_recall,
-    events_entropy, ts_seasonal_strength, ts_hampel, embed_outliers,
-    events_lift, ts_perm_entropy, ts_anomaly_resid, dedup_report,
-    text_novelty, profile_sources, ts_backtest, ts_drawdown, bt_audit,
-    graph_degree_profile, stream_cusum_v2, events_interarrival,
-    ts_pi_naive, sample_temperature, text_zipf, events_gini, ts_hurst —
-    inside the window per the discipline rule), then the round-2-only
-    greens (text_fingerprint → text_pii — no driver row since round 2).
-    Window-discipline rule (VERDICT r5 task #4): any query registered
-    mid-round goes INSIDE this window or is explicitly listed as
-    next-window debt here — the debt entries are the displaced
-    r2-window greens (dedup_exact, dedup_ngram_jaccard, dedup_minhash,
-    dedup_simhash, dedup_embedding, dedup_editdist, dedup_clusters,
-    contamination_check, pipeline_clean, profile_table,
-    sample_stratified, sample_mix, train_split, shard_assign,
-    ann_bruteforce, ann_ivf, ann_pq, embed_kmeans, multimodal_meta,
-    stream_window, stream_latest_state,
-    stream_dedup, stream_sessionize, stream_join, stream_join_ordered,
-    ts_resample_locf, ts_interpolate_linear, ts_rollup_multires,
-    ts_sessionize, ts_ohlc, ts_ewma, ts_rate, ts_corr, ts_decompose)
-    and the 5 r3/r4 re-verify
-    slots (events_session_window, text_script, text_lm_score,
-    events_paths, graph_triangles; all cumulatively driver-green).
-    Deferred entries stay green locally via tools/parity.py; the r5 window
-    greens (all hash-green in CORRECTNESS_r05) move to the tail."""
-    return {
-        # -- the r5 driver ERROR, fixed: codes serialized for the gate ----
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """The driver hash-checks the FIRST 50 entries; ``_R7_WINDOW`` (above)
+    pins that order each round. The registry literal below is grouped by
+    domain; queries() re-orders it window-first, everything else after in
+    registry order. Every r6-window green not in the r7 window moves to the
+    tail (all stay green locally via tools/parity.py)."""
+    reg: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+        # (registry order below is domain grouping only — _R7_WINDOW above
+        # decides what the driver checks)
         "embed_quantize": _q_embed_quantize,
-        # -- r5 late registrations, never driver-checked (VERDICT #3) -----
         "ts_theta": timeseries.theta_forecast,
         "stream_sessionize_v2": _q_stream_sessionize_v2,
         "stream_funnel_v2": _q_stream_funnel_v2,
         "stream_topk_users_v2": _q_stream_topk_users_v2,
-        # -- store metadata ops promoted to gate queries (VERDICT #5) -----
+        # store metadata ops (footer-only answers, full oracles)
         "fast_count": _q_fast_count,
         "partition_stats": _q_partition_stats,
-        # -- NEW in r6 (window-discipline rule: mid-round registrations go
-        #    INSIDE the current window) --------------------------------------
         "text_readability": text.text_readability,
         "ts_kalman": timeseries.kalman_filter,
         "ts_croston": timeseries.croston,
@@ -925,26 +1025,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_zipf": text.text_zipf,
         "events_gini": analytics.events_gini,
         "ts_hurst": timeseries.hurst,
-        # -- round-2-only greens: no driver row since r2 (37 in-window; the
-        #    new registrations displace ts_decompose, stream_join_ordered,
-        #    and the 5 r3/r4 re-verify slots past 50 — explicit
-        #    next-window debt) ---------------------------------------------
         "text_fingerprint": text.text_fingerprint,
         "text_tfidf": text.text_tfidf,
         "text_repetition": text.text_repetition,
         "text_pii": text.text_pii,
-        # ==== end of the 50-query round-6 gate window ====================
-        # -- next-window debt: displaced by the 39 r6 registrations (the 6
-        #    batch-1 ops + dedup_spans/text_collocations/text_chunk/
-        #    sample_weighted/ts_cusum/stream_dedup_v2/graph_label_prop/
-        #    ts_mk_trend/dedup_containment/ts_periodogram/ann_mmr/
-        #    ann_recall/events_entropy/ts_seasonal_strength/ts_hampel/
-        #    embed_outliers/events_lift/ts_perm_entropy/ts_anomaly_resid/
-        #    dedup_report/text_novelty/profile_sources/ts_backtest/
-        #    ts_drawdown/bt_audit/graph_degree_profile/stream_cusum_v2/
-        #    events_interarrival/ts_pi_naive/sample_temperature/text_zipf/
-        #    events_gini/ts_hurst, all placed in-window per the discipline
-        #    rule) -----------------------------------------------------------
         "dedup_exact": dedup.dedup_exact,
         "dedup_ngram_jaccard": dedup.dedup_ngram_jaccard,
         "dedup_minhash": dedup.dedup_minhash,
@@ -1089,7 +1173,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # video-as-frames sampling under a FULL oracle (md5-keystream
         # payloads are reproducible in SQL).
         "multimodal_video": _q_multimodal_video,
+        # manifest-store time travel, promoted to a gate query in r7
+        # (VERDICT r6 task #5).
+        "snap_time_travel": _q_snap_time_travel,
     }
+    out = {k: reg[k] for k in _R7_WINDOW}
+    out.update((k, v) for k, v in reg.items() if k not in out)
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1507,6 +1597,24 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'edge_scan' AS mode, CAST(count(*) AS BIGINT) AS cnt
             FROM sv WHERE retention IN ('short', 'medium')
               AND valid_time >= TIMESTAMP '2024-01-15 00:00:00'
+        """,
+        # Time travel: the version pinned after commit 1 sees exactly the
+        # even-series_id half; latest sees everything. Recompute both from
+        # the same events derivation.
+        "snap_time_travel": f"""
+            WITH sv AS ({_SV}),
+            lab AS (
+                SELECT 'v_first' AS snap, retention, valid_time, value
+                FROM sv WHERE series_id % 2 = 0
+                UNION ALL
+                SELECT 'latest' AS snap, retention, valid_time, value FROM sv
+            )
+            SELECT snap, retention,
+                   CAST(count(*) AS BIGINT) AS n_rows,
+                   min(valid_time) AS vt_min,
+                   max(valid_time) AS vt_max,
+                   CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS value_cents
+            FROM lab GROUP BY snap, retention
         """,
         "dedup_semantic": similarity.DEDUP_SEMANTIC_SQL,
         "multimodal_meta": multimodal.MULTIMODAL_META_SQL,

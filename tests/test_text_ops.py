@@ -161,6 +161,8 @@ def test_readability_hand_computed(spark, tmp_path):
 
 
 def test_text_novelty_hand_corpus(spark, tmp_path):
+    import math
+
     """Planted corpus: a doc duplicated verbatim has novelty 0 (every
     shingle shared), a fully unique doc has novelty 1, and a half-stitched
     doc replays the exact shingle arithmetic."""
@@ -200,7 +202,7 @@ def test_text_novelty_hand_corpus(spark, tmp_path):
     exp_unique = len(sh5(half)) - len(shared)
     assert got[4].n_shingles == len(sh5(half))
     assert got[4].n_unique == exp_unique
-    assert got[4].novelty == round(exp_unique / len(sh5(half)), 6)
+    assert got[4].novelty == math.floor(exp_unique / len(sh5(half)) * 1e6) / 1e6
 
 
 def test_text_zipf_planted_power_law(spark, tmp_path):

@@ -1232,6 +1232,9 @@ def test_hurst_planted_memory_regimes(spark, tmp_path):
     for t in range(40):  # user 3: too short → excluded
         eid += 1
         rows.append((eid, datetime(2024, 1, 1) + pd.Timedelta(hours=t), 3, "x", 1.0))
+    for t in range(128):  # user 4: CONSTANT (zero variance) → NULL-gated row
+        eid += 1
+        rows.append((eid, datetime(2024, 1, 1) + pd.Timedelta(hours=t), 4, "x", 7.0))
     pdf = pd.DataFrame(rows, columns=["event_id", "ts", "user_id", "event_type", "value"])
     pdf["props"] = ""
     d = str(tmp_path / "sf")
@@ -1269,3 +1272,21 @@ def test_hurst_planted_memory_regimes(spark, tmp_path):
     r2 = got[2]
     assert r2.hurst == math.floor(h2 * 1e6) / 1e6
     assert r2.character == "anti-persistent" and r2.hurst < 0.2
+
+    # user 4 (constant, zero block variance at every k): the row survives
+    # with NULL hurst/character — and, critically, the ORACLE survives too.
+    # DuckDB ln(0) throws 'Out of Range Error', so before HURST_SQL gated
+    # ln behind nullif, ONE degenerate series aborted the whole gate query
+    # (ADVICE r6). Run the oracle on the same frame and compare all rows.
+    import duckdb
+
+    r4 = got[4]
+    assert r4.n_obs == 128 and r4.hurst is None and r4.character is None
+
+    con = duckdb.connect()
+    con.register("events_df", pdf)
+    con.sql("CREATE VIEW events AS SELECT * FROM events_df")
+    duck = {r[0]: r for r in con.sql(ts.HURST_SQL).fetchall()}
+    assert set(duck) == set(got) == {1, 2, 4}
+    for uid, row in got.items():
+        assert (row.n_obs, row.hurst, row.character) == duck[uid][1:]

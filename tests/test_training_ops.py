@@ -201,6 +201,8 @@ def test_sample_weighted_matches_python_recompute(spark):
 
 
 def test_dedup_report_consistent_with_member_operators(spark):
+    import math
+
     """The audit's per-method numbers must replay the member operators
     exactly: n_pairs == each leg's row count, overlap(minhash leg) is the
     reflexive full set (jaccard 1.0), and doc counts match the distinct
@@ -221,4 +223,4 @@ def test_dedup_report_consistent_with_member_operators(spark):
     assert got["ngram"].overlap_minhash == len(ng & mh_pairs)
     assert got["ngram"].n_docs == len({d for p in ng for d in p})
     union = len(ng) + len(mh_pairs) - len(ng & mh_pairs)
-    assert got["ngram"].jaccard_vs_minhash == round(len(ng & mh_pairs) / union, 6)
+    assert got["ngram"].jaccard_vs_minhash == math.floor(len(ng & mh_pairs) / union * 1e6) / 1e6

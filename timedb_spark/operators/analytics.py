@@ -1720,9 +1720,11 @@ def events_lift(spark: SparkSession, sf_dir: str, *, min_support: int = _LIFT_MI
             "support",
             "cnt_a",
             "cnt_b",
-            F.round(dbl("support") / dbl("cnt_a"), 6).alias("conf_a_b"),
-            F.round(dbl("support") / dbl("cnt_b"), 6).alias("conf_b_a"),
-            F.round(dbl("support") * dbl("n_baskets") / (dbl("cnt_a") * dbl("cnt_b")), 6).alias("lift"),
+            # floor-scale, never round(x, 6): engine rounding-tie divergence
+            # cost red rows in r3/r5 — the documented gate convention
+            (F.floor(dbl("support") / dbl("cnt_a") * 1e6) / 1e6).alias("conf_a_b"),
+            (F.floor(dbl("support") / dbl("cnt_b") * 1e6) / 1e6).alias("conf_b_a"),
+            (F.floor(dbl("support") * dbl("n_baskets") / (dbl("cnt_a") * dbl("cnt_b")) * 1e6) / 1e6).alias("lift"),
         )
     )
 
@@ -1738,10 +1740,10 @@ sup AS (
     HAVING count(*) >= {_LIFT_MIN_SUPPORT}
 )
 SELECT s.type_a, s.type_b, s.support, ca.cnt AS cnt_a, cb.cnt AS cnt_b,
-       round(CAST(s.support AS DOUBLE) / CAST(ca.cnt AS DOUBLE), 6) AS conf_a_b,
-       round(CAST(s.support AS DOUBLE) / CAST(cb.cnt AS DOUBLE), 6) AS conf_b_a,
-       round(CAST(s.support AS DOUBLE) * CAST(n1.n_baskets AS DOUBLE)
-             / (CAST(ca.cnt AS DOUBLE) * CAST(cb.cnt AS DOUBLE)), 6) AS lift
+       floor(CAST(s.support AS DOUBLE) / CAST(ca.cnt AS DOUBLE) * 1e6) / 1e6 AS conf_a_b,
+       floor(CAST(s.support AS DOUBLE) / CAST(cb.cnt AS DOUBLE) * 1e6) / 1e6 AS conf_b_a,
+       floor(CAST(s.support AS DOUBLE) * CAST(n1.n_baskets AS DOUBLE)
+             / (CAST(ca.cnt AS DOUBLE) * CAST(cb.cnt AS DOUBLE)) * 1e6) / 1e6 AS lift
 FROM sup s
 JOIN cnt ca ON ca.event_type = s.type_a
 JOIN cnt cb ON cb.event_type = s.type_b

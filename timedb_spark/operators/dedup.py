@@ -742,7 +742,7 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     intersection counts from ONE groupBy over the blocked join, set sizes
     joined from the persisted shingle frame. Both directions emit from the
     same intersection row (no second join). Exact integer counts; the one
-    division is round-6 in both engines.
+    division is floor-scaled to 6 dp in both engines (the gate convention).
     """
     sh = _shingled(doc_corpus(spark, sf_dir))
     sizes = sh.select("doc_id", F.size("sh").alias("n_sh"))
@@ -757,8 +757,9 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
     j = inter.join(sa, "doc_a").join(sb, "doc_b")
-    c_ab = F.round(F.col("inter").cast("double") / F.col("na"), 6)
-    c_ba = F.round(F.col("inter").cast("double") / F.col("nb"), 6)
+    # floor-scale, never round(x, 6) — the documented gate convention
+    c_ab = F.floor(F.col("inter").cast("double") / F.col("na") * 1e6) / 1e6
+    c_ba = F.floor(F.col("inter").cast("double") / F.col("nb") * 1e6) / 1e6
     fwd = j.select(
         F.col("doc_a").alias("fragment"),
         F.col("doc_b").alias("container"),
@@ -789,12 +790,12 @@ j AS (
     JOIN sizes sb ON sb.doc_id = doc_b
 )
 SELECT doc_a AS fragment, doc_b AS container,
-       round(CAST(inter AS DOUBLE) / na, 6) AS containment
-FROM j WHERE round(CAST(inter AS DOUBLE) / na, 6) >= {_CONTAIN_TAU}
+       floor(CAST(inter AS DOUBLE) / na * 1e6) / 1e6 AS containment
+FROM j WHERE floor(CAST(inter AS DOUBLE) / na * 1e6) / 1e6 >= {_CONTAIN_TAU}
 UNION ALL
 SELECT doc_b AS fragment, doc_a AS container,
-       round(CAST(inter AS DOUBLE) / nb, 6) AS containment
-FROM j WHERE round(CAST(inter AS DOUBLE) / nb, 6) >= {_CONTAIN_TAU}
+       floor(CAST(inter AS DOUBLE) / nb * 1e6) / 1e6 AS containment
+FROM j WHERE floor(CAST(inter AS DOUBLE) / nb * 1e6) / 1e6 >= {_CONTAIN_TAU}
 """
 
 
@@ -850,11 +851,11 @@ def dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("ov").alias("overlap_minhash"),
                 F.when(
                     F.col("n_pairs") + F.col("n_mh") - F.col("ov") > 0,
-                    F.round(
+                    F.floor(
                         F.col("ov").cast("double")
-                        / (F.col("n_pairs") + F.col("n_mh") - F.col("ov")).cast("double"),
-                        6,
-                    ),
+                        / (F.col("n_pairs") + F.col("n_mh") - F.col("ov")).cast("double")
+                        * 1e6
+                    ) / 1e6,
                 ).otherwise(F.lit(None).cast("double")).alias("jaccard_vs_minhash"),
             )
         )
@@ -891,8 +892,8 @@ legs AS (
 )
 SELECT method, n_pairs, n_docs, overlap_minhash,
        CASE WHEN n_pairs + (SELECT count(*) FROM mh) - overlap_minhash > 0
-            THEN round(CAST(overlap_minhash AS DOUBLE)
-                 / CAST(n_pairs + (SELECT count(*) FROM mh) - overlap_minhash AS DOUBLE), 6)
+            THEN floor(CAST(overlap_minhash AS DOUBLE)
+                 / CAST(n_pairs + (SELECT count(*) FROM mh) - overlap_minhash AS DOUBLE) * 1e6) / 1e6
             END AS jaccard_vs_minhash
 FROM legs
 """

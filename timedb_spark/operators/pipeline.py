@@ -343,12 +343,12 @@ def profile_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
             "source",
             "n_docs",
             "total_chars",
-            F.round(F.col("total_chars").cast("double") / F.col("n_docs").cast("double"), 6).alias("avg_chars"),
+            (F.floor(F.col("total_chars").cast("double") / F.col("n_docs").cast("double") * 1e6) / 1e6).alias("avg_chars"),
             "n_langs",
             "top_lang",
-            F.round(F.col("top_lc").cast("double") / F.col("n_docs").cast("double"), 6).alias("top_lang_share"),
+            (F.floor(F.col("top_lc").cast("double") / F.col("n_docs").cast("double") * 1e6) / 1e6).alias("top_lang_share"),
             F.col("n_dup_docs").cast("long").alias("n_dup_docs"),
-            F.round(F.col("n_dup_docs").cast("double") / F.col("n_docs").cast("double"), 6).alias("dup_rate"),
+            (F.floor(F.col("n_dup_docs").cast("double") / F.col("n_docs").cast("double") * 1e6) / 1e6).alias("dup_rate"),
         )
     )
 
@@ -372,11 +372,11 @@ dups AS (
     GROUP BY source
 )
 SELECT b.source, b.n_docs, b.total_chars,
-       round(CAST(b.total_chars AS DOUBLE) / CAST(b.n_docs AS DOUBLE), 6) AS avg_chars,
+       floor(CAST(b.total_chars AS DOUBLE) / CAST(b.n_docs AS DOUBLE) * 1e6) / 1e6 AS avg_chars,
        nl.n_langs, tp.top_lang,
-       round(CAST(tp.top_lc AS DOUBLE) / CAST(b.n_docs AS DOUBLE), 6) AS top_lang_share,
+       floor(CAST(tp.top_lc AS DOUBLE) / CAST(b.n_docs AS DOUBLE) * 1e6) / 1e6 AS top_lang_share,
        d.n_dup_docs,
-       round(CAST(d.n_dup_docs AS DOUBLE) / CAST(b.n_docs AS DOUBLE), 6) AS dup_rate
+       floor(CAST(d.n_dup_docs AS DOUBLE) / CAST(b.n_docs AS DOUBLE) * 1e6) / 1e6 AS dup_rate
 FROM base b
 JOIN top tp ON tp.source = b.source
 JOIN nlang nl ON nl.source = b.source

@@ -869,7 +869,7 @@ def text_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             "n_shingles",
             "n_unique",
-            F.round(F.col("n_unique").cast("double") / F.col("n_shingles").cast("double"), 6).alias("novelty"),
+            (F.floor(F.col("n_unique").cast("double") / F.col("n_shingles").cast("double") * 1e6) / 1e6).alias("novelty"),
         )
     )
 
@@ -887,8 +887,8 @@ freq AS (SELECT s, count(*) AS df FROM ex GROUP BY s)
 SELECT e.doc_id,
        count(*) AS n_shingles,
        CAST(sum(CASE WHEN f.df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique,
-       round(CAST(sum(CASE WHEN f.df = 1 THEN 1 ELSE 0 END) AS DOUBLE)
-             / CAST(count(*) AS DOUBLE), 6) AS novelty
+       floor(CAST(sum(CASE WHEN f.df = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE) * 1e6) / 1e6 AS novelty
 FROM ex e JOIN freq f ON f.s = e.s
 GROUP BY e.doc_id
 """

@@ -1942,7 +1942,11 @@ def cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
     array_sort(collect_list(struct)) as the only shuffle; μ and σ come
     from exact integer-cent Σx/Σx² folds over the SAME array (no second
     pass over the data, no join), and the chart recursion is a 7-state
-    ``F.aggregate`` fold / list_reduce with prepended init in the oracle.
+    ``F.aggregate`` fold. The oracle twin is a RECURSIVE CTE (not a
+    list_reduce): the step's fired-predicate is needed in five state slots
+    and DuckDB v1.0.0 mis-evaluates identical predicates duplicated across
+    fold slots (the ts_drawdown finding) — the CTE's lateral column
+    aliases compute z/sp2/sn2/fired once per step instead.
     Per-user arrays bounded by entity history; zero Python.
 
     Determinism: values ride as exact integer cents; μ, σ and every z
@@ -2002,7 +2006,7 @@ def cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 CUSUM_SQL = f"""
-WITH h AS (
+WITH RECURSIVE h AS (
     SELECT user_id,
            list_sort(list(struct_pack(ts := ts, event_id := event_id, value := value))) AS hist
     FROM events GROUP BY user_id
@@ -2027,41 +2031,54 @@ m AS (
                0.0)) AS sigma
     FROM c
 ),
-folded AS (
-    SELECT user_id, n_events, mu, sigma,
-           list_reduce(
-               list_prepend([0.0, 0.0, 0.0, 0.0, 0.0, -1.0, 0.0],
-                            list_transform(c, x -> [CAST(x AS DOUBLE), 0.0, 0.0, 0.0, 0.0, 0.0, 0.0])),
-               (acc, x) -> [
-                   CASE WHEN greatest(0.0, acc[1] + (CASE WHEN sigma > 0.0 THEN (x[1] - mu) / sigma ELSE 0.0 END) - {_CUSUM_K}) > {_CUSUM_H}
-                          OR greatest(0.0, acc[2] - (CASE WHEN sigma > 0.0 THEN (x[1] - mu) / sigma ELSE 0.0 END) - {_CUSUM_K}) > {_CUSUM_H}
-                        THEN 0.0
-                        ELSE greatest(0.0, acc[1] + (CASE WHEN sigma > 0.0 THEN (x[1] - mu) / sigma ELSE 0.0 END) - {_CUSUM_K}) END,
-                   CASE WHEN greatest(0.0, acc[1] + (CASE WHEN sigma > 0.0 THEN (x[1] - mu) / sigma ELSE 0.0 END) - {_CUSUM_K}) > {_CUSUM_H}
-                          OR greatest(0.0, acc[2] - (CASE WHEN sigma > 0.0 THEN (x[1] - mu) / sigma ELSE 0.0 END) - {_CUSUM_K}) > {_CUSUM_H}
-                        THEN 0.0
-                        ELSE greatest(0.0, acc[2] - (CASE WHEN sigma > 0.0 THEN (x[1] - mu) / sigma ELSE 0.0 END) - {_CUSUM_K}) END,
-                   acc[3] + CASE WHEN greatest(0.0, acc[1] + (CASE WHEN sigma > 0.0 THEN (x[1] - mu) / sigma ELSE 0.0 END) - {_CUSUM_K}) > {_CUSUM_H}
-                                   OR greatest(0.0, acc[2] - (CASE WHEN sigma > 0.0 THEN (x[1] - mu) / sigma ELSE 0.0 END) - {_CUSUM_K}) > {_CUSUM_H}
-                                 THEN 1.0 ELSE 0.0 END,
-                   greatest(acc[4], greatest(0.0, acc[1] + (CASE WHEN sigma > 0.0 THEN (x[1] - mu) / sigma ELSE 0.0 END) - {_CUSUM_K})),
-                   greatest(acc[5], greatest(0.0, acc[2] - (CASE WHEN sigma > 0.0 THEN (x[1] - mu) / sigma ELSE 0.0 END) - {_CUSUM_K})),
-                   CASE WHEN (greatest(0.0, acc[1] + (CASE WHEN sigma > 0.0 THEN (x[1] - mu) / sigma ELSE 0.0 END) - {_CUSUM_K}) > {_CUSUM_H}
-                              OR greatest(0.0, acc[2] - (CASE WHEN sigma > 0.0 THEN (x[1] - mu) / sigma ELSE 0.0 END) - {_CUSUM_K}) > {_CUSUM_H})
-                             AND acc[6] < 0.0
-                        THEN acc[7] ELSE acc[6] END,
-                   acc[7] + 1.0
-               ]) AS s
+-- Row-at-a-time recursion instead of a list_reduce fold: DuckDB v1.0.0
+-- mis-evaluates IDENTICAL CASE predicates duplicated across fold struct
+-- slots on multi-step chains (the ts_drawdown finding), and the CUSUM step
+-- needs its fired-predicate in five slots. The recursive CTE computes
+-- z / sp2 / sn2 / fired ONCE per step via lateral column aliases — exactly
+-- the Spark F.aggregate lambda's evaluation order — so no predicate is
+-- ever duplicated. zt pre-unnests (step, z) so the recursion carries only
+-- scalar state, never the per-user array.
+zt AS (
+    SELECT user_id,
+           unnest(range(1, len(c) + 1)) AS t,
+           unnest(list_transform(c, x ->
+               CASE WHEN sigma > 0.0 THEN (CAST(x AS DOUBLE) - mu) / sigma ELSE 0.0 END)) AS z
     FROM m
+),
+steps AS (
+    SELECT user_id, n_events, mu, sigma,
+           CAST(0 AS BIGINT) AS t,
+           CAST(0.0 AS DOUBLE) AS sp, CAST(0.0 AS DOUBLE) AS sn,
+           CAST(0.0 AS DOUBLE) AS alarms,
+           CAST(0.0 AS DOUBLE) AS mxp, CAST(0.0 AS DOUBLE) AS mxn,
+           CAST(-1.0 AS DOUBLE) AS first_t
+    FROM m
+    UNION ALL
+    SELECT user_id, n_events, mu, sigma, t,
+           CASE WHEN fired THEN 0.0 ELSE sp2 END,
+           CASE WHEN fired THEN 0.0 ELSE sn2 END,
+           alarms + CASE WHEN fired THEN 1.0 ELSE 0.0 END,
+           greatest(mxp, sp2),
+           greatest(mxn, sn2),
+           CASE WHEN fired AND first_t < 0.0 THEN CAST(t - 1 AS DOUBLE) ELSE first_t END
+    FROM (
+        SELECT s.user_id, s.n_events, s.mu, s.sigma, z.t,
+               s.sp, s.sn, s.alarms, s.mxp, s.mxn, s.first_t,
+               greatest(0.0, s.sp + z.z - {_CUSUM_K}) AS sp2,
+               greatest(0.0, s.sn - z.z - {_CUSUM_K}) AS sn2,
+               sp2 > {_CUSUM_H} OR sn2 > {_CUSUM_H} AS fired
+        FROM steps s JOIN zt z ON z.user_id = s.user_id AND z.t = s.t + 1
+    )
 )
 SELECT user_id, n_events,
-       CAST(s[3] AS BIGINT) AS n_alarms,
-       CAST(s[6] AS BIGINT) AS first_alarm_idx,
-       floor(s[4] * 1e6) / 1e6 AS max_cusum_pos,
-       floor(s[5] * 1e6) / 1e6 AS max_cusum_neg,
+       CAST(alarms AS BIGINT) AS n_alarms,
+       CAST(first_t AS BIGINT) AS first_alarm_idx,
+       floor(mxp * 1e6) / 1e6 AS max_cusum_pos,
+       floor(mxn * 1e6) / 1e6 AS max_cusum_neg,
        floor(mu / 100.0 * 1e6) / 1e6 AS mean_value,
        floor(sigma / 100.0 * 1e6) / 1e6 AS std_value
-FROM folded
+FROM steps WHERE t = n_events
 """
 
 
@@ -3251,13 +3268,23 @@ base AS (
            {_hurst_var_sql(16)} AS v16
     FROM hist WHERE len(c) >= {_HURST_MIN_OBS}
 ),
+-- ln over nullif, NOT over the raw variance: DuckDB ln(0) throws 'Out of
+-- Range Error', so one constant (zero-variance) series with >= 64 obs would
+-- abort the ENTIRE oracle query even though its output row is gated NULL by
+-- `valid`. ln(NULL) = NULL flows harmlessly into hv, which `valid` masks.
 h AS (
-    SELECT user_id, n, v1 > 0 AND v4 > 0 AND v16 > 0 AS valid,
-           (({_HURST_LNK[0]} - {sum(_HURST_LNK)/3.0}) * (ln(v1) - (ln(v1) + ln(v4) + ln(v16)) / 3.0)
-          + ({_HURST_LNK[1]} - {sum(_HURST_LNK)/3.0}) * (ln(v4) - (ln(v1) + ln(v4) + ln(v16)) / 3.0)
-          + ({_HURST_LNK[2]} - {sum(_HURST_LNK)/3.0}) * (ln(v16) - (ln(v1) + ln(v4) + ln(v16)) / 3.0)) / 3.0
+    SELECT user_id, n, valid,
+           (({_HURST_LNK[0]} - {sum(_HURST_LNK)/3.0}) * (lv1 - (lv1 + lv4 + lv16) / 3.0)
+          + ({_HURST_LNK[1]} - {sum(_HURST_LNK)/3.0}) * (lv4 - (lv1 + lv4 + lv16) / 3.0)
+          + ({_HURST_LNK[2]} - {sum(_HURST_LNK)/3.0}) * (lv16 - (lv1 + lv4 + lv16) / 3.0)) / 3.0
            / {sum((x - sum(_HURST_LNK)/3.0)**2 for x in _HURST_LNK)/3.0} / 2.0 AS hv
-    FROM base
+    FROM (
+        SELECT user_id, n, v1 > 0 AND v4 > 0 AND v16 > 0 AS valid,
+               ln(nullif(v1, 0.0)) AS lv1,
+               ln(nullif(v4, 0.0)) AS lv4,
+               ln(nullif(v16, 0.0)) AS lv16
+        FROM base
+    )
 )
 SELECT user_id, CAST(n AS INT) AS n_obs,
        CASE WHEN valid THEN floor(hv * 1e6) / 1e6 END AS hurst,
@@ -3267,4 +3294,371 @@ SELECT user_id, CAST(n AS INT) AS n_obs,
                  ELSE 'random-walk' END
        END AS character
 FROM h
+"""
+
+
+# ---------------------------------------------------------------------------
+# Wald–Wolfowitz runs test — is the series random around its median?
+# ---------------------------------------------------------------------------
+
+_RUNS_MIN_SIGNS = 10
+_RUNS_Z_CRIT = 1.959964
+
+
+def runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald–Wolfowitz runs test per user series: count runs of
+    above/below-median signs along the time axis and score the normal
+    approximation z = (R − μ_R)/σ_R — the distribution-free "is this
+    sequence random?" check (too FEW runs → clustered / trending regimes;
+    too MANY → alternating / mean-reverting). Complements ts_mk_trend
+    (monotone trend) and ts_hurst (long memory) with the classic
+    randomness readout.
+
+    Shape is :func:`croston`'s: ONE groupBy(user) sorted collect; the
+    median comes EXACTLY from the value-sorted integer-cent array (middle
+    element, or the mean of the two middles — no interpolated percentile),
+    signs and the run count are pure array lambdas, and the z formula is
+    one fixed-order double expression. At-median observations drop, per
+    the classic test. Zero Python, no window, per-user cost bounded by
+    entity history.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    s = F.struct(F.col("ts"), F.col("event_id"), F.col("value"))
+    g = ev.groupBy("user_id").agg(F.array_sort(F.collect_list(s)).alias("hist"))
+    cents = F.transform("hist", lambda r: (r["value"].cast("decimal(18,2)") * 100).cast("long"))
+    g = g.select("user_id", cents.alias("c"), F.size("hist").alias("n_obs"))
+    cs = F.array_sort("c")
+    n = F.col("n_obs")
+    med = (
+        F.when(
+            n % 2 == 1,
+            F.element_at(cs, ((n + 1) / 2).cast("int")).cast("double"),
+        ).otherwise(
+            (
+                F.element_at(cs, (n / 2).cast("int"))
+                + F.element_at(cs, (n / 2).cast("int") + 1)
+            ).cast("double")
+            / 2.0
+        )
+    )
+    g = g.withColumn("med", med)
+    signs = F.filter(
+        F.transform(
+            "c",
+            lambda x: F.when(x.cast("double") > F.col("med"), F.lit(1))
+            .when(x.cast("double") < F.col("med"), F.lit(-1))
+            .otherwise(F.lit(0)),
+        ),
+        lambda s_: s_ != 0,
+    )
+    g = g.withColumn("s", signs).withColumn("m", F.size("s"))
+    g = g.filter(F.col("m") >= _RUNS_MIN_SIGNS)
+    runs = F.lit(1) + F.aggregate(
+        F.sequence(F.lit(2), F.col("m")),
+        F.lit(0),
+        lambda acc, i: acc
+        + F.when(F.element_at("s", i.cast("int")) != F.element_at("s", (i - 1).cast("int")), 1).otherwise(0),
+    )
+    n1 = F.size(F.filter("s", lambda s_: s_ == 1))
+    g = g.withColumn("n_runs", runs).withColumn("n_above", n1).withColumn(
+        "n_below", F.col("m") - n1
+    )
+    a, b = F.col("n_above").cast("double"), F.col("n_below").cast("double")
+    m = F.col("m").cast("double")
+    mu = 2.0 * a * b / m + 1.0
+    var = 2.0 * a * b * (2.0 * a * b - m) / (m * m * (m - 1.0))
+    z = F.when(var > 0, (F.col("n_runs").cast("double") - mu) / F.sqrt(var))
+    verdict = (
+        F.when(z < -_RUNS_Z_CRIT, F.lit("clustered"))
+        .when(z > _RUNS_Z_CRIT, F.lit("alternating"))
+        .when(z.isNotNull(), F.lit("random"))
+    )
+    return g.select(
+        "user_id",
+        "n_obs",
+        "n_above",
+        "n_below",
+        "n_runs",
+        F.when(z.isNotNull(), F.floor(z * 1e6) / 1e6).alias("z"),
+        verdict.alias("verdict"),
+    )
+
+
+RUNS_TEST_SQL = f"""
+WITH hist AS (
+    SELECT user_id,
+           list_transform(
+               list_sort(list(struct_pack(ts := ts, e := event_id, v := value))),
+               s -> CAST(CAST(s.v AS DECIMAL(18,2)) * 100 AS BIGINT)) AS c
+    FROM events GROUP BY user_id
+),
+base AS (
+    SELECT user_id, c, len(c) AS n_obs, list_sort(c) AS cs FROM hist
+),
+med AS (
+    SELECT user_id, c, n_obs,
+           CASE WHEN n_obs % 2 = 1
+                THEN CAST(cs[CAST((n_obs + 1) // 2 AS INT)] AS DOUBLE)
+                ELSE CAST(cs[CAST(n_obs // 2 AS INT)]
+                          + cs[CAST(n_obs // 2 AS INT) + 1] AS DOUBLE) / 2.0
+           END AS med
+    FROM base
+),
+sg AS (
+    SELECT user_id, n_obs,
+           list_filter(
+               list_transform(c, x -> CASE WHEN CAST(x AS DOUBLE) > med THEN 1
+                                           WHEN CAST(x AS DOUBLE) < med THEN -1
+                                           ELSE 0 END),
+               s -> s != 0) AS s
+    FROM med
+),
+rn AS (
+    SELECT user_id, n_obs, len(s) AS m,
+           1 + list_reduce(
+                   list_prepend(0, list_transform(range(2, len(s) + 1),
+                       i -> CASE WHEN s[CAST(i AS INT)] != s[CAST(i AS INT) - 1] THEN 1 ELSE 0 END)),
+                   (a, b) -> a + b) AS n_runs,
+           len(list_filter(s, x -> x = 1)) AS n_above
+    FROM sg WHERE len(s) >= {_RUNS_MIN_SIGNS}
+),
+zc AS (
+    SELECT user_id, n_obs, n_above, m - n_above AS n_below, n_runs,
+           2.0 * CAST(n_above AS DOUBLE) * CAST(m - n_above AS DOUBLE) / CAST(m AS DOUBLE) + 1.0 AS mu,
+           2.0 * CAST(n_above AS DOUBLE) * CAST(m - n_above AS DOUBLE)
+             * (2.0 * CAST(n_above AS DOUBLE) * CAST(m - n_above AS DOUBLE) - CAST(m AS DOUBLE))
+             / (CAST(m AS DOUBLE) * CAST(m AS DOUBLE) * (CAST(m AS DOUBLE) - 1.0)) AS var
+    FROM rn
+)
+SELECT user_id, CAST(n_obs AS INT) AS n_obs,
+       CAST(n_above AS INT) AS n_above, CAST(n_below AS INT) AS n_below,
+       CAST(n_runs AS INT) AS n_runs,
+       CASE WHEN var > 0 THEN floor((CAST(n_runs AS DOUBLE) - mu) / sqrt(var) * 1e6) / 1e6 END AS z,
+       CASE WHEN var > 0 THEN
+            CASE WHEN (CAST(n_runs AS DOUBLE) - mu) / sqrt(var) < -{_RUNS_Z_CRIT} THEN 'clustered'
+                 WHEN (CAST(n_runs AS DOUBLE) - mu) / sqrt(var) > {_RUNS_Z_CRIT} THEN 'alternating'
+                 ELSE 'random' END
+       END AS verdict
+FROM zc
+"""
+
+
+# ---------------------------------------------------------------------------
+# Wilder RSI — bounded momentum oscillator
+# ---------------------------------------------------------------------------
+
+_RSI_PERIOD = 14
+_RSI_MIN_OBS = _RSI_PERIOD + 1
+
+
+def rsi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relative Strength Index (Wilder 1978, period 14) per user series:
+    smoothed average gain vs average loss of one-step changes, folded to
+    RSI = 100 − 100/(1 + AG/AL) — the bounded momentum oscillator read as
+    overbought (> 70) / oversold (< 30). For a KPI series: "has the recent
+    movement been one-sidedly up or down?" — complements ts_ewma (level)
+    and ts_mk_trend (monotone trend) with a bounded rate-of-change signal.
+
+    One groupBy(user) sorted collect (theta's shuffle shape); deltas are
+    exact integer cents; the Wilder recursion AG ← (13·AG + gain)/14 is a
+    2-state ``F.aggregate`` fold with each slot a single independent
+    arithmetic expression (no conditional duplicated across slots — the
+    DuckDB list_reduce constraint), zero-seeded so the rule is uniform
+    from the first delta. Zero Python, per-user cost bounded by history.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    s = F.struct(F.col("ts"), F.col("event_id"), F.col("value"))
+    g = ev.groupBy("user_id").agg(F.array_sort(F.collect_list(s)).alias("hist"))
+    cents = F.transform("hist", lambda r: (r["value"].cast("decimal(18,2)") * 100).cast("long"))
+    g = g.select("user_id", cents.alias("c"), F.size("hist").alias("n_obs"))
+    g = g.filter(F.col("n_obs") >= _RSI_MIN_OBS)
+    deltas = F.transform(
+        F.sequence(F.lit(2), F.col("n_obs")),
+        lambda i: (
+            F.element_at("c", i.cast("int")) - F.element_at("c", (i - 1).cast("int"))
+        ).cast("double"),
+    )
+    g = g.withColumn("d", deltas)
+    p = float(_RSI_PERIOD)
+    fold = F.aggregate(
+        "d",
+        F.struct(F.lit(0.0).alias("ag"), F.lit(0.0).alias("al")),
+        lambda st, x: F.struct(
+            ((st.ag * (p - 1.0) + F.greatest(x, F.lit(0.0))) / p).alias("ag"),
+            ((st.al * (p - 1.0) + F.greatest(-x, F.lit(0.0))) / p).alias("al"),
+        ),
+    )
+    g = g.withColumn("st", fold)
+    ag, al = F.col("st.ag"), F.col("st.al")
+    rsi_c = (
+        F.when((ag == 0.0) & (al == 0.0), F.lit(None).cast("double"))
+        .when(al == 0.0, F.lit(100.0))
+        .otherwise(100.0 - 100.0 / (1.0 + ag / al))
+    )
+    verdict = (
+        F.when(rsi_c > 70.0, F.lit("overbought"))
+        .when(rsi_c < 30.0, F.lit("oversold"))
+        .when(rsi_c.isNotNull(), F.lit("neutral"))
+    )
+    return g.select(
+        "user_id",
+        "n_obs",
+        (F.floor(ag / 100.0 * 1e6) / 1e6).alias("avg_gain"),
+        (F.floor(al / 100.0 * 1e6) / 1e6).alias("avg_loss"),
+        F.when(rsi_c.isNotNull(), F.floor(rsi_c * 1e6) / 1e6).alias("rsi"),
+        verdict.alias("verdict"),
+    )
+
+
+RSI_SQL = f"""
+WITH hist AS (
+    SELECT user_id,
+           list_transform(
+               list_sort(list(struct_pack(ts := ts, e := event_id, v := value))),
+               s -> CAST(CAST(s.v AS DECIMAL(18,2)) * 100 AS BIGINT)) AS c
+    FROM events GROUP BY user_id
+),
+base AS (
+    SELECT user_id, len(c) AS n_obs,
+           list_transform(range(2, len(c) + 1),
+                          i -> CAST(c[CAST(i AS INT)] - c[CAST(i AS INT) - 1] AS DOUBLE)) AS d
+    FROM hist WHERE len(c) >= {_RSI_MIN_OBS}
+),
+folded AS (
+    SELECT user_id, n_obs,
+           list_reduce(
+               list_prepend(struct_pack(ag := CAST(0.0 AS DOUBLE), al := CAST(0.0 AS DOUBLE)),
+                            list_transform(d, x -> struct_pack(ag := x, al := x))),
+               (st, e) -> struct_pack(
+                   ag := (st.ag * {float(_RSI_PERIOD) - 1.0!r} + greatest(e.ag, 0.0)) / {float(_RSI_PERIOD)!r},
+                   al := (st.al * {float(_RSI_PERIOD) - 1.0!r} + greatest(-e.al, 0.0)) / {float(_RSI_PERIOD)!r})) AS st
+    FROM base
+),
+r AS (
+    SELECT user_id, n_obs, st.ag AS ag, st.al AS al,
+           CASE WHEN st.ag = 0.0 AND st.al = 0.0 THEN NULL
+                WHEN st.al = 0.0 THEN 100.0
+                ELSE 100.0 - 100.0 / (1.0 + st.ag / st.al) END AS rsi_raw
+    FROM folded
+)
+SELECT user_id, CAST(n_obs AS INT) AS n_obs,
+       floor(ag / 100.0 * 1e6) / 1e6 AS avg_gain,
+       floor(al / 100.0 * 1e6) / 1e6 AS avg_loss,
+       CASE WHEN rsi_raw IS NOT NULL THEN floor(rsi_raw * 1e6) / 1e6 END AS rsi,
+       CASE WHEN rsi_raw > 70.0 THEN 'overbought'
+            WHEN rsi_raw < 30.0 THEN 'oversold'
+            WHEN rsi_raw IS NOT NULL THEN 'neutral' END AS verdict
+FROM r
+"""
+
+
+# ---------------------------------------------------------------------------
+# Bollinger bands — rolling-volatility envelope breaches
+# ---------------------------------------------------------------------------
+
+_BOLL_WINDOW = 20
+_BOLL_K = 2.0
+
+
+def bollinger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bollinger-band readout per user series (window 20, ±2σ): how often
+    the value pierced its own rolling-volatility envelope, and where the
+    latest observation sits inside the band (%B) — the volatility-adaptive
+    outlier/monitoring envelope (vs ts_anomaly_zscore's GLOBAL z-score and
+    ts_hampel's median window, this one scales its threshold to LOCAL
+    volatility).
+
+    ONE per-user window sort shared by every column: rolling Σx and Σx²
+    over exact integer cents (ROWS 19 PRECEDING), population σ per window,
+    breach flags and %B as fixed-order double expressions, then one
+    groupBy(user) rollup (count/sum/max_by — the last full window's %B
+    rides max_by on the row number, no second sort). Bands evaluate only
+    on full windows. At 100 TB the window is per-entity and
+    history-bounded; no global sort anywhere.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    c = (F.col("value").cast("decimal(18,2)") * 100).cast("long")
+    base = ev.select("user_id", "ts", "event_id", c.alias("c"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    roll = w.rowsBetween(-(_BOLL_WINDOW - 1), 0)
+    n = F.count(F.lit(1)).over(roll)
+    sx = F.sum("c").over(roll)
+    sxx = F.sum(F.col("c") * F.col("c")).over(roll)
+    rn = F.row_number().over(w)
+    d = base.select(
+        "user_id",
+        "c",
+        rn.alias("rn"),
+        n.alias("wn"),
+        sx.alias("sx"),
+        sxx.alias("sxx"),
+    )
+    wn = F.col("wn").cast("double")
+    mu = F.col("sx").cast("double") / wn
+    sd = F.sqrt(F.greatest(F.col("sxx").cast("double") / wn - mu * mu, F.lit(0.0)))
+    upper, lower = mu + _BOLL_K * sd, mu - _BOLL_K * sd
+    x = F.col("c").cast("double")
+    full = F.col("wn") == _BOLL_WINDOW
+    pct_b = F.when(upper > lower, (x - lower) / (upper - lower))
+    d = d.select(
+        "user_id",
+        "rn",
+        full.alias("full"),
+        (full & (x > upper)).alias("up"),
+        (full & (x < lower)).alias("dn"),
+        F.when(full, pct_b).alias("pb"),
+    )
+    return (
+        d.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_obs"),
+            F.sum(F.when(F.col("full"), 1).otherwise(0)).cast("long").alias("n_eval"),
+            F.sum(F.when(F.col("up"), 1).otherwise(0)).cast("long").alias("n_breach_upper"),
+            F.sum(F.when(F.col("dn"), 1).otherwise(0)).cast("long").alias("n_breach_lower"),
+            F.max_by(F.when(F.col("pb").isNotNull(), F.floor(F.col("pb") * 1e6) / 1e6), F.when(F.col("pb").isNotNull(), F.col("rn"))).alias("pct_b_last"),
+        )
+        .filter(F.col("n_eval") > 0)
+        .withColumn("n_obs", F.col("n_obs").cast("long"))
+    )
+
+
+BOLLINGER_SQL = f"""
+WITH base AS (
+    SELECT user_id,
+           CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c,
+           row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+           count(*) OVER w AS wn,
+           sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) OVER w AS sx,
+           sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+               * CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) OVER w AS sxx
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN {_BOLL_WINDOW - 1} PRECEDING AND CURRENT ROW)
+),
+bands AS (
+    SELECT user_id, rn, c,
+           wn = {_BOLL_WINDOW} AS is_full,
+           CAST(sx AS DOUBLE) / CAST(wn AS DOUBLE) AS mu,
+           sqrt(greatest(CAST(sxx AS DOUBLE) / CAST(wn AS DOUBLE)
+                - (CAST(sx AS DOUBLE) / CAST(wn AS DOUBLE)) * (CAST(sx AS DOUBLE) / CAST(wn AS DOUBLE)), 0.0)) AS sd
+    FROM base
+),
+fl AS (
+    SELECT user_id, rn, is_full,
+           is_full AND CAST(c AS DOUBLE) > mu + {_BOLL_K!r} * sd AS up,
+           is_full AND CAST(c AS DOUBLE) < mu - {_BOLL_K!r} * sd AS dn,
+           CASE WHEN is_full AND mu + {_BOLL_K!r} * sd > mu - {_BOLL_K!r} * sd
+                THEN (CAST(c AS DOUBLE) - (mu - {_BOLL_K!r} * sd))
+                     / ((mu + {_BOLL_K!r} * sd) - (mu - {_BOLL_K!r} * sd)) END AS pb
+    FROM bands
+)
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_obs,
+       CAST(sum(CASE WHEN is_full THEN 1 ELSE 0 END) AS BIGINT) AS n_eval,
+       CAST(sum(CASE WHEN up THEN 1 ELSE 0 END) AS BIGINT) AS n_breach_upper,
+       CAST(sum(CASE WHEN dn THEN 1 ELSE 0 END) AS BIGINT) AS n_breach_lower,
+       arg_max(floor(pb * 1e6) / 1e6, CASE WHEN pb IS NOT NULL THEN rn END) AS pct_b_last
+FROM fl
+GROUP BY user_id
+HAVING sum(CASE WHEN is_full THEN 1 ELSE 0 END) > 0
 """

@@ -753,35 +753,39 @@ class CusumProcessor(StatefulProcessor):
         sp, sn, alarms, mxp, mxn, first, t = (
             tuple(cur) if cur is not None else (0.0, 0.0, 0, 0.0, 0.0, -1, 0)
         )
-        mu = sigma = None
-        for pdf in rows:
-            if not len(pdf):
-                continue
-            mu = float(pdf["mu"].iloc[0])
-            sigma = float(pdf["sigma"].iloc[0])
-            order = np.lexsort(
-                (
-                    pdf["event_id"].values.astype("int64"),
-                    pdf["ts"].values.astype("datetime64[us]").astype("int64"),
-                )
-            )
-            cents = pdf["c"].values.astype("int64")[order]
-            for c in cents:
-                z = (float(c) - mu) / sigma if sigma > 0.0 else 0.0
-                sp2 = max(0.0, sp + z - _CUSUM_K)
-                sn2 = max(0.0, sn - z - _CUSUM_K)
-                mxp = max(mxp, sp2)
-                mxn = max(mxn, sn2)
-                if sp2 > _CUSUM_H or sn2 > _CUSUM_H:
-                    alarms += 1
-                    if first < 0:
-                        first = t
-                    sp, sn = 0.0, 0.0
-                else:
-                    sp, sn = sp2, sn2
-                t += 1
-        if mu is None:
+        # Concatenate ALL Arrow chunks for the key BEFORE sorting (the
+        # DedupProcessor pattern): one micro-batch's rows can arrive split
+        # across chunks, and a per-chunk lexsort folds chunks in arrival
+        # order — the order-sensitive alarm-reset recursion would then
+        # diverge from the batch ts_cusum fold whose oracle this operator
+        # shares verbatim (ADVICE r6).
+        chunks = [pdf for pdf in rows if len(pdf)]
+        if not chunks:
             return
+        pdf = pd.concat(chunks, ignore_index=True) if len(chunks) > 1 else chunks[0]
+        mu = float(pdf["mu"].iloc[0])
+        sigma = float(pdf["sigma"].iloc[0])
+        order = np.lexsort(
+            (
+                pdf["event_id"].values.astype("int64"),
+                pdf["ts"].values.astype("datetime64[us]").astype("int64"),
+            )
+        )
+        cents = pdf["c"].values.astype("int64")[order]
+        for c in cents:
+            z = (float(c) - mu) / sigma if sigma > 0.0 else 0.0
+            sp2 = max(0.0, sp + z - _CUSUM_K)
+            sn2 = max(0.0, sn - z - _CUSUM_K)
+            mxp = max(mxp, sp2)
+            mxn = max(mxn, sn2)
+            if sp2 > _CUSUM_H or sn2 > _CUSUM_H:
+                alarms += 1
+                if first < 0:
+                    first = t
+                sp, sn = 0.0, 0.0
+            else:
+                sp, sn = sp2, sn2
+            t += 1
         self._state.update((sp, sn, int(alarms), mxp, mxn, int(first), int(t)))
         yield pd.DataFrame(
             {
