@@ -606,6 +606,43 @@ def _q_stream_cusum_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_stream_anomaly_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Online Welford z-score anomaly monitor per user on the v2 state API
+    (streaming/state_v2.py AnomalyProcessor): NO training pass — the
+    baseline is learned online, observation t alerting against the prefix
+    statistics of the first t−1 points. Drained over an in-order staged
+    feed and collapsed to each key's last emission, the result replays the
+    batch ts_anomaly_online recursion — whose recursive-CTE oracle this
+    query shares verbatim. Falls back to the batch operator when this
+    session's workers lack protobuf."""
+    from timedb_spark.operators import timeseries as _ts
+    from timedb_spark.streaming.state_v2 import _HAVE_TWS, stream_anomaly_v2
+
+    if not (_HAVE_TWS and _workers_have_protobuf(spark)):
+        return _ts.anomaly_online(spark, sf_dir)
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", F.col("ts").cast("timestamp").alias("ts"), "user_id",
+        (F.col("value").cast("decimal(18,2)") * 100).cast("long").alias("c"),
+    )
+    d = _stage_stream_dir(spark, sf_dir, ev, "events_anom", 5, order_col="ts")
+    stream = spark.readStream.schema(ev.schema).option("maxFilesPerTrigger", 2).parquet(d)
+    out = _drain_v2(spark, stream_anomaly_v2(stream), "update")
+    last = (
+        out.withColumn("_emit", F.monotonically_increasing_id())
+        .groupBy("user_id")
+        .agg(F.max_by(F.struct(*[c for c in out.columns if c != "user_id"]), "_emit").alias("s"))
+    )
+    return last.select(
+        "user_id",
+        F.col("s.n_events").alias("n_events"),
+        F.col("s.n_alerts").alias("n_alerts"),
+        F.col("s.first_alert_idx").alias("first_alert_idx"),
+        F.col("s.mean_value").alias("mean_value"),
+        F.col("s.std_value").alias("std_value"),
+    )
+
+
 def _q_stream_dedup_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming ingestion dedup on the v2 state API (MAP STATE + TTL —
     the v2-native bounded-horizon dedup): first arrival per normalized-text
@@ -1176,6 +1213,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # manifest-store time travel, promoted to a gate query in r7
         # (VERDICT r6 task #5).
         "snap_time_travel": _q_snap_time_travel,
+        # -- NEW in r7 (registered after position 50: explicit r8-window
+        #    debt per the discipline rule; all parity-green locally) --------
+        "ts_runs_test": timeseries.runs_test,
+        "ts_rsi": timeseries.rsi,
+        "ts_bollinger": timeseries.bollinger,
+        "ts_ljung_box": timeseries.ljung_box,
+        "ts_spectral_entropy": timeseries.spectral_entropy,
+        "bt_knowledge_lag": forecasting.bt_knowledge_lag,
+        "graph_kcore": analytics.graph_kcore,
+        "embed_isotropy": similarity.embed_isotropy,
+        "multimodal_phash": multimodal.multimodal_phash,
+        "sample_dedup_aware": sampling.sample_dedup_aware,
+        "ts_anomaly_online": timeseries.anomaly_online,
+        "stream_anomaly_v2": _q_stream_anomaly_v2,
     }
     out = {k: reg[k] for k in _R7_WINDOW}
     out.update((k, v) for k, v in reg.items() if k not in out)
@@ -1534,6 +1585,19 @@ def oracle_sql() -> dict[str, str]:
         "text_zipf": text.TEXT_ZIPF_SQL,
         "events_gini": analytics.EVENTS_GINI_SQL,
         "ts_hurst": timeseries.HURST_SQL,
+        "ts_runs_test": timeseries.RUNS_TEST_SQL,
+        "ts_rsi": timeseries.RSI_SQL,
+        "ts_bollinger": timeseries.BOLLINGER_SQL,
+        "ts_ljung_box": timeseries.LJUNG_BOX_SQL,
+        "ts_spectral_entropy": timeseries.SPECTRAL_ENTROPY_SQL,
+        "bt_knowledge_lag": forecasting.bt_knowledge_lag_sql(_SV),
+        "graph_kcore": analytics.GRAPH_KCORE_SQL,
+        "embed_isotropy": similarity.EMBED_ISOTROPY_SQL,
+        "multimodal_phash": multimodal.MULTIMODAL_PHASH_SQL,
+        "sample_dedup_aware": sampling.sample_dedup_aware_sql(dedup.DEDUP_CLUSTERS_SQL),
+        "ts_anomaly_online": timeseries.ANOMALY_ONLINE_SQL,
+        # the stream twin shares the batch recursion's oracle verbatim
+        "stream_anomaly_v2": timeseries.ANOMALY_ONLINE_SQL,
         "events_abtest": analytics.EVENTS_ABTEST_SQL,
         "profile_drift": pipeline.PROFILE_DRIFT_SQL,
         "events_paths": analytics.EVENTS_PATHS_SQL,

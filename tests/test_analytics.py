@@ -546,3 +546,27 @@ def test_events_gini_closed_forms(spark, tmp_path):
     assert r2.gini_events == exp
     assert r2.gini_events > 0.7  # heavy concentration
     assert r2.top_decile_events == 0.91  # user 0 (top 10%) holds 91/100
+
+
+def test_graph_kcore_planted_cliques(spark, tmp_path):
+    """A 6-clique bridged to a triangle: peeling at k=4 strips the triangle
+    and the bridge edge, leaving exactly the clique (deg_core 5); k above
+    the clique degree empties the core; the adaptive default keeps the
+    whole (low-mean) graph."""
+    import os
+
+    rows = [(1, p) for p in (1, 2, 3, 4, 5, 6)] + [(2, p) for p in (11, 12, 13)] + [
+        (3, 6), (3, 11)
+    ]
+    pdf = pd.DataFrame(rows, columns=["l_orderkey", "l_partkey"])
+    d = str(tmp_path / "sf")
+    os.makedirs(d)
+    pdf.to_parquet(os.path.join(d, "lineitem.parquet"))
+
+    core4 = {r.node: r for r in analytics.graph_kcore(spark, d, k=4).collect()}
+    assert set(core4) == {1, 2, 3, 4, 5, 6}
+    assert all(r.deg_core == 5 for r in core4.values())
+    assert core4[6].deg_initial == 6  # clique 5 + bridge 1
+    assert analytics.graph_kcore(spark, d, k=6).count() == 0
+    # default k = floor(0.7 * mean(38/9)) = 2 → nothing peels (9 nodes total)
+    assert analytics.graph_kcore(spark, d).count() == 9

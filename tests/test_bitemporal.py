@@ -285,3 +285,34 @@ def test_audit_hand_computed(spark):
     assert (b.n_changes, b.n_series, b.n_restatements) == (2, 1, 2)
     assert b.mean_abs_restatement == 1.5  # (2.5 + 0.5) / 2
     assert b.first_change == t(2) and b.last_change == t(3)
+
+
+def test_knowledge_lag_hand_computed(spark):
+    """Four rows, two tiers, lags 0/60/120 and -30 minutes: counts, bounds,
+    exact long-sum mean, and interpolated p50/p90 replay by hand."""
+    import math
+    from datetime import datetime
+
+    from timedb_spark.operators.bitemporal import knowledge_lag
+
+    vt = datetime(2024, 1, 1, 0, 0)
+    rows = [
+        # retention, valid_time, knowledge_time (lag minutes: 0, 60, 120)
+        ("short", vt, datetime(2024, 1, 1, 0, 0)),
+        ("short", vt, datetime(2024, 1, 1, 1, 0)),
+        ("short", vt, datetime(2024, 1, 1, 2, 0)),
+        ("long", vt, datetime(2023, 12, 31, 23, 30)),  # -30
+    ]
+    df = spark.createDataFrame(
+        rows, "retention string, valid_time timestamp, knowledge_time timestamp"
+    )
+    got = {r.retention: r for r in knowledge_lag(df).collect()}
+    s = got["short"]
+    assert s.n_rows == 3
+    assert (s.lag_min_min, s.lag_min_max) == (0.0, 120.0)
+    assert s.lag_min_mean == math.floor((0 + 60 + 120) / 3 * 1e6) / 1e6
+    assert s.lag_min_p50 == 60.0
+    # interpolated p90 of [0, 60, 120]: rank 0.9*(3-1)=1.8 → 60 + 0.8*60
+    assert s.lag_min_p90 == math.floor((60 + 0.8 * 60) * 1e6) / 1e6
+    lg = got["long"]
+    assert lg.n_rows == 1 and lg.lag_min_min == -30.0 and lg.lag_min_p90 == -30.0

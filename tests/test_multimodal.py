@@ -198,3 +198,50 @@ def test_wav_rejects_non_pcm16(spark):
         w.writeframes(b"\x00" * 16)
     with pytest.raises(NotImplementedError, match="PCM16"):
         mm.decode_wav(buf.getvalue())
+
+
+def test_phash_replays_keystream_and_banding(spark, sf_dir):
+    """The 63-bit dHash replays exactly from the md5 keystream in python
+    (integer cell bounds + cross-product mean compares), and the banded
+    candidate stats equal a brute-force recount over all hashes."""
+    import hashlib
+
+    from timedb_spark.operators import multimodal as mm
+
+    out = {r.doc_id: r for r in mm.multimodal_phash(spark, sf_dir).collect()}
+
+    def replay(doc_id):
+        w, h = 8 + doc_id % 9, 8 + (doc_id // 3) % 7
+        n = w * h * 3
+        ks = hashlib.md5(str(doc_id).encode()).hexdigest()
+        body = (ks * (n // 32 + 1))[:n].encode()
+        ncells = 70
+        sums = [sum(body[j * n // ncells : (j + 1) * n // ncells]) for j in range(ncells)]
+        lens = [(j + 1) * n // ncells - j * n // ncells for j in range(ncells)]
+        ph = 0
+        for r_ in range(7):
+            for c_ in range(9):
+                a, b = r_ * 10 + c_, r_ * 10 + c_ + 1
+                if sums[a] * lens[b] > sums[b] * lens[a]:
+                    ph |= 1 << (r_ * 9 + c_)
+        return ph
+
+    hashes = {did: replay(did) for did in out}
+    for did, r in out.items():
+        assert r.phash == hashes[did], did
+
+    # brute-force banding recount
+    def bands(ph):
+        return {(b, (ph >> (16 * b)) & 65535) for b in range(4)}
+
+    for did, r in out.items():
+        partners = [
+            o for o in hashes
+            if o != did and bands(hashes[did]) & bands(hashes[o])
+        ]
+        assert r.n_band_matches == len(partners), did
+        if partners:
+            mh = min(bin(hashes[did] ^ hashes[o]).count("1") for o in partners)
+            assert r.min_hamming == mh, did
+        else:
+            assert r.min_hamming is None, did

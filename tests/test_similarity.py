@@ -325,3 +325,45 @@ def test_embed_outliers_flags_planted_mislabels(spark, clustered_dir):
     # margins are consistent: cos_own - cos_other, rounded like the gate
     for r in list(got.values())[:20]:
         assert abs(r.margin - round(r.cos_own - r.cos_other, 4)) < 2e-4
+
+
+def test_embed_isotropy_hand_computed(spark, tmp_path):
+    """Three 2-d vectors with equal per-dim variance: PR = 2 (pr_frac 1),
+    rms/center replay the exact quantized-integer derivation."""
+    import math
+    import os
+
+    import pandas as pd
+
+    from timedb_spark.operators import similarity
+
+    vecs = [[1.0, 0.0], [0.0, 1.0], [1.0, 1.0]]
+    pdf = pd.DataFrame(
+        {"vec_id": [0, 1, 2], "label": ["a", "a", "b"], "embedding": vecs}
+    )
+    d = str(tmp_path / "sf")
+    os.makedirs(d)
+    pdf.to_parquet(os.path.join(d, "embeddings.parquet"))
+
+    r = similarity.embed_isotropy(spark, d).collect()[0]
+    assert (r.n_vecs, r.dim) == (3, 2)
+
+    q = [[round(x * 1e6) for x in v] for v in vecs]
+    n = 3.0
+    sx = [sum(v[j] for v in q) for j in (0, 1)]
+    sxx = [sum(v[j] * v[j] for v in q) for j in (0, 1)]
+    var = [sxx[j] / n - (sx[j] / n) * (sx[j] / n) for j in (0, 1)]
+    mean_sq = [(sx[j] / n) * (sx[j] / n) for j in (0, 1)]
+    sum_var = 0.0
+    sum_var2 = 0.0
+    center = 0.0
+    for j in (0, 1):  # dim order = pinned fold order
+        sum_var += var[j]
+        sum_var2 += var[j] * var[j]
+        center += mean_sq[j]
+    mean_norm_sq = sum(sxx) / n / 1e12
+    pr = sum_var * sum_var / sum_var2
+    assert r.participation_ratio == math.floor(pr * 1e6) / 1e6
+    assert r.pr_frac == math.floor(pr / 2.0 * 1e6) / 1e6 == 1.0  # PR = d on equal vars
+    assert r.rms_norm == math.floor(math.sqrt(mean_norm_sq) * 1e6) / 1e6
+    assert r.center_norm_frac == math.floor(center / 1e12 / mean_norm_sq * 1e6) / 1e6

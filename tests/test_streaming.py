@@ -848,3 +848,27 @@ def test_stream_cusum_v2_matches_batch_cusum(spark, sf_dir):
             e.n_events, e.n_alarms, e.first_alarm_idx), uid
         assert g.max_cusum_pos == e.max_cusum_pos and g.max_cusum_neg == e.max_cusum_neg
         assert g.mean_value == e.mean_value and g.std_value == e.std_value
+
+
+def test_stream_anomaly_v2_matches_batch_online(spark, sf_dir):
+    """The online v2 Welford z-score monitor drained over an in-order
+    multi-batch feed equals batch ts_anomaly_online row-for-row — the
+    5-field Welford state carries the prefix recursion across batches
+    exactly (no training pass anywhere)."""
+    import __spark_entry__ as entry
+    from timedb_spark.operators import timeseries as ts
+    from timedb_spark.streaming import state_v2
+
+    if not state_v2._HAVE_TWS:
+        pytest.skip(f"transformWithStateInPandas gated: missing {state_v2._TWS_MISSING}")
+    if not entry._workers_have_protobuf(spark):
+        pytest.skip("workers lack protobuf runtime")
+
+    got = {r.user_id: r for r in entry._q_stream_anomaly_v2(spark, sf_dir).collect()}
+    exp = {r.user_id: r for r in ts.anomaly_online(spark, sf_dir).collect()}
+    assert set(got) == set(exp)
+    for uid, e in exp.items():
+        g = got[uid]
+        assert (g.n_events, g.n_alerts, g.first_alert_idx) == (
+            e.n_events, e.n_alerts, e.first_alert_idx), uid
+        assert g.mean_value == e.mean_value and g.std_value == e.std_value

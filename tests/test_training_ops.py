@@ -224,3 +224,40 @@ def test_dedup_report_consistent_with_member_operators(spark):
     assert got["ngram"].n_docs == len({d for p in ng for d in p})
     union = len(ng) + len(mh_pairs) - len(ng & mh_pairs)
     assert got["ngram"].jaccard_vs_minhash == math.floor(len(ng & mh_pairs) / union * 1e6) / 1e6
+
+
+def test_sample_dedup_aware_debiases_clusters(spark):
+    """The cluster-debiased A-ES top-k must equal a python recompute with
+    weight n_chars / cluster_size, where cluster sizes come from the
+    ACTUAL dedup_clusters labels — duplicated docs carry proportionally
+    less weight than sample_weighted gives them."""
+    import hashlib
+    import math
+
+    from timedb_spark.operators import dedup, sampling
+
+    labels = {r.doc_id: r.cluster_id for r in dedup.dedup_clusters(spark, SF).collect()}
+    sizes: dict = {}
+    for cid in labels.values():
+        sizes[cid] = sizes.get(cid, 0) + 1
+
+    docs = pd.read_parquet(f"{SF}/documents.parquet")[["doc_id", "n_chars"]]
+
+    def key(doc_id, n_chars):
+        csize = sizes.get(labels.get(doc_id), 1)
+        h = hashlib.md5(f"dasample-1{doc_id}".encode()).hexdigest()
+        hv = int(h[:12], 16)
+        u = (hv + 1) / float(2**48 + 1)
+        return math.floor(math.log(u) / (float(n_chars) / float(csize)) * 1e9) / 1e9
+
+    docs["es_key"] = [key(d, w) for d, w in zip(docs.doc_id, docs.n_chars)]
+    expected = docs.sort_values(["es_key", "doc_id"], ascending=[False, True]).head(
+        sampling.SAMPLE_WEIGHTED_K
+    )
+    got = sampling.sample_dedup_aware(spark, SF).toPandas()
+    assert len(got) == sampling.SAMPLE_WEIGHTED_K
+    assert list(got.doc_id) == list(expected.doc_id)
+    assert list(got.es_key) == list(expected.es_key)
+    # every clustered doc reports its real cluster size; singletons 1
+    for did, cs in zip(got.doc_id, got.cluster_size):
+        assert cs == sizes.get(labels.get(did), 1)

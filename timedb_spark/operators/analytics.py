@@ -16,6 +16,8 @@ no collects.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -2104,3 +2106,112 @@ SELECT CAST(len(ce) AS INT) AS n_users,
        {_topdec_sql('cs')} AS top_decile_spend
 FROM g
 """
+
+
+# ---------------------------------------------------------------------------
+# k-core membership — the dense backbone of the co-purchase graph
+# ---------------------------------------------------------------------------
+
+_KCORE_ROUNDS = 8
+
+
+def graph_kcore(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    k: float | None = None,
+    rounds: int = _KCORE_ROUNDS,
+) -> DataFrame:
+    """k-core membership of the co-purchase part graph after a FIXED number
+    of peeling rounds: repeatedly drop nodes with degree < k and the edges
+    they carry (Seidman 1983) — the dense backbone behind community
+    seeding, recommendation candidate pools, and graph-size reduction
+    before the expensive operators (a wedge join over the core alone is
+    far smaller). k defaults to the exact interpolated MEDIAN of the
+    initial degree distribution, so the threshold adapts to scale instead
+    of trivializing (the TPC-H co-purchase graph is near-uniform: any
+    fixed small k peels nothing).
+
+    Each round is one degree aggregation + two semi-joins on the edge
+    endpoint keys — R bounded shuffles over a MONOTONICALLY SHRINKING edge
+    list, never an unbounded fixpoint loop (after R rounds membership is
+    the exact R-round peel, a documented approximation of the fixpoint
+    that real systems also bound). Lineage is cut per round with a lazy
+    localCheckpoint so the plan stays flat. The oracle replays the same R
+    rounds as chained CTEs; counts and joins are exact integers.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pa"))
+    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pb"))
+    edges = (
+        a.join(b, "ok").filter(F.col("pa") < F.col("pb")).select("pa", "pb").distinct()
+        .localCheckpoint(eager=False)
+    )
+    und = edges.unionByName(edges.select(F.col("pb").alias("pa"), F.col("pa").alias("pb")))
+    und = und.select(F.col("pa").alias("v"), F.col("pb").alias("w"))
+    deg0 = und.groupBy("v").agg(F.count(F.lit(1)).alias("deg0"))
+    if k is None:
+        # floor(0.7 × mean degree) from exact integer sums — 1-row bounded
+        # collect (the graph_triangles orientation-stats class)
+        row = deg0.agg(F.sum("deg0").alias("s"), F.count(F.lit(1)).alias("n")).collect()[0]
+        k = math.floor(0.7 * (float(row["s"]) / float(row["n"])))
+    cur = und
+    for _ in range(rounds):
+        keep = (
+            cur.groupBy("v").agg(F.count(F.lit(1)).alias("d"))
+            .filter(F.col("d") >= F.lit(k))
+            .select("v")
+        )
+        cur = (
+            cur.join(keep, "v", "left_semi")
+            .join(keep.withColumnRenamed("v", "w"), "w", "left_semi")
+            .select("v", "w")
+            .localCheckpoint(eager=False)
+        )
+    degf = cur.groupBy("v").agg(F.count(F.lit(1)).alias("deg_core"))
+    return (
+        degf.join(deg0, "v")
+        .select(F.col("v").alias("node"), "deg0", "deg_core")
+        .withColumnRenamed("deg0", "deg_initial")
+        .orderBy("node")
+    )
+
+
+def graph_kcore_sql(rounds: int = _KCORE_ROUNDS) -> str:
+    body = """
+WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+edges AS (
+    SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb
+    FROM op a JOIN op b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+e0 AS MATERIALIZED (
+    SELECT pa AS v, pb AS w FROM edges
+    UNION ALL SELECT pb, pa FROM edges
+),
+deg0 AS (SELECT v, count(*) AS deg0 FROM e0 GROUP BY v),
+kq AS (SELECT floor(0.7 * (CAST(sum(deg0) AS DOUBLE) / CAST(count(*) AS DOUBLE))) AS k FROM deg0)"""
+    # AS MATERIALIZED is load-bearing: DuckDB inlines plain CTEs at every
+    # reference, and round i+1 references round i three times — unmarked,
+    # the 8-round chain expands 3^8 scans of the base table ("too many
+    # open files" before it even misplans).
+    for i in range(rounds):
+        body += f""",
+k{i} AS MATERIALIZED (
+    SELECT v FROM (SELECT v, count(*) AS d FROM e{i} GROUP BY v)
+    WHERE d >= (SELECT k FROM kq)
+),
+e{i + 1} AS MATERIALIZED (
+    SELECT e.v, e.w FROM e{i} e
+    JOIN k{i} a ON a.v = e.v
+    JOIN k{i} b ON b.v = e.w
+)"""
+    body += f"""
+SELECT f.v AS node, d0.deg0 AS deg_initial, f.deg_core
+FROM (SELECT v, count(*) AS deg_core FROM e{rounds} GROUP BY v) f
+JOIN deg0 d0 ON d0.v = f.v
+ORDER BY node
+"""
+    return body
+
+
+GRAPH_KCORE_SQL = graph_kcore_sql()

@@ -547,3 +547,45 @@ def audit(df: DataFrame) -> DataFrame:
         "first_change",
         "last_change",
     )
+
+
+def knowledge_lag(df: DataFrame) -> DataFrame:
+    """Publication-lag audit per retention tier: how far behind the
+    observed instant (valid_time) does knowledge arrive (knowledge_time)?
+    THE data-ops question on a bitemporal store — feed freshness, SLA
+    checking, and how far back read_relative cutoffs must reach (ref
+    semantics: timedb/read.py's knowledge-time filtering makes this lag
+    the user-visible staleness). Negative lag = knowledge precedes the
+    stamped valid hour (early/forecast-style publication).
+
+    One groupBy(retention) — grouping cardinality is the tier vocabulary,
+    so the shuffle is trivially bounded at any scale. Lag rides exact
+    integer MICROSECONDS (no float until the final divisions); the mean
+    divides an exact long sum; p50/p90 use exact interpolated
+    ``percentile`` (== DuckDB quantile_cont) over minutes. All outputs
+    floor-scaled to 6 dp.
+    """
+    lag_us = (
+        F.unix_micros(F.col("knowledge_time")) - F.unix_micros(F.col("valid_time"))
+    ).alias("lag_us")
+    d = df.select("retention", lag_us)
+    lag_min = F.col("lag_us").cast("double") / 60000000.0
+    d = d.select("retention", "lag_us", lag_min.alias("lag_min"))
+    g = d.groupBy("retention").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("lag_min").alias("mn"),
+        F.max("lag_min").alias("mx"),
+        F.sum("lag_us").alias("s_us"),
+        F.percentile("lag_min", F.lit(0.5)).alias("p50"),
+        F.percentile("lag_min", F.lit(0.9)).alias("p90"),
+    )
+    mean_min = F.col("s_us").cast("double") / F.col("n_rows").cast("double") / 60000000.0
+    return g.select(
+        "retention",
+        "n_rows",
+        (F.floor(F.col("mn") * 1e6) / 1e6).alias("lag_min_min"),
+        (F.floor(F.col("mx") * 1e6) / 1e6).alias("lag_min_max"),
+        (F.floor(mean_min * 1e6) / 1e6).alias("lag_min_mean"),
+        (F.floor(F.col("p50") * 1e6) / 1e6).alias("lag_min_p50"),
+        (F.floor(F.col("p90") * 1e6) / 1e6).alias("lag_min_p90"),
+    )

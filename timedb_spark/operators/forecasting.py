@@ -406,3 +406,31 @@ SELECT changed_by,
        max(change_time) AS last_change
 FROM r GROUP BY changed_by
 """
+
+
+def bt_knowledge_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate wrapper: :func:`timedb_spark.operators.bitemporal.knowledge_lag`
+    over the deterministic events→series_values derivation."""
+    from timedb_spark.operators import bitemporal
+
+    return bitemporal.knowledge_lag(bitemporal_frame(spark, sf_dir))
+
+
+def bt_knowledge_lag_sql(sv_sql: str) -> str:
+    lag_us = "epoch_us(knowledge_time) - epoch_us(valid_time)"
+    return f"""
+WITH sv AS ({sv_sql}),
+l AS (
+    SELECT retention, {lag_us} AS lag_us,
+           CAST({lag_us} AS DOUBLE) / 60000000.0 AS lag_min
+    FROM sv
+)
+SELECT retention,
+       count(*) AS n_rows,
+       floor(min(lag_min) * 1e6) / 1e6 AS lag_min_min,
+       floor(max(lag_min) * 1e6) / 1e6 AS lag_min_max,
+       floor(CAST(sum(lag_us) AS DOUBLE) / CAST(count(*) AS DOUBLE) / 60000000.0 * 1e6) / 1e6 AS lag_min_mean,
+       floor(quantile_cont(lag_min, 0.5) * 1e6) / 1e6 AS lag_min_p50,
+       floor(quantile_cont(lag_min, 0.9) * 1e6) / 1e6 AS lag_min_p90
+FROM l GROUP BY retention
+"""

@@ -592,3 +592,145 @@ SELECT doc_id,
        CAST(list_max(list_transform(smp, x -> abs(x))) AS INT) AS peak
 FROM s
 """
+
+
+# ---------------------------------------------------------------------------
+# perceptual hash (dHash) + banded near-duplicate candidates
+# ---------------------------------------------------------------------------
+
+#: dHash grid: 10 cells wide × 7 tall → 9 × 7 = 63 horizontal-gradient bits
+#: (63, not 64, keeps the hash a POSITIVE signed int64 in both engines).
+_PHASH_W, _PHASH_H = 10, 7
+_PHASH_BITS = (_PHASH_W - 1) * _PHASH_H
+_PHASH_BANDS = 4  # 16/16/16/15 bit slices; hamming ≤ 3 ⇒ one band collides
+
+PHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("phash", T.LongType()),
+    ]
+)
+
+
+def phash_docs(df: DataFrame) -> DataFrame:
+    """payload → 63-bit dHash per doc (mapInPandas, Arrow-batched).
+
+    The 'resize' is a fixed 10×7 block-mean grid over the flat pixel
+    stream with integer cell bounds floor(j·n/70): each gradient bit
+    compares neighbouring cell MEANS as the exact cross-product
+    sum_a·len_b > sum_b·len_a — no floats anywhere, so the SQL oracle
+    reproduces the hash bit-for-bit from the same md5 keystream. Real
+    pHash/dHash swaps this block for a PIL resize; the Spark-side
+    plumbing (batch shape, packing, banding) is identical."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        ncells = _PHASH_W * _PHASH_H
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples(index=False):
+                payload = bytes(row.payload)
+                if payload[:8] != MAGIC.encode():
+                    raise ValueError("bad magic")
+                px = np.frombuffer(payload[8:], dtype=np.uint8).astype(np.int64)
+                n = int(px.size)
+                cs = np.concatenate(([0], np.cumsum(px)))
+                sums = [int(cs[(j + 1) * n // ncells] - cs[j * n // ncells]) for j in range(ncells)]
+                lens = [(j + 1) * n // ncells - j * n // ncells for j in range(ncells)]
+                h = 0
+                for r in range(_PHASH_H):
+                    for c in range(_PHASH_W - 1):
+                        a, b = r * _PHASH_W + c, r * _PHASH_W + c + 1
+                        if sums[a] * lens[b] > sums[b] * lens[a]:
+                            h |= 1 << (r * (_PHASH_W - 1) + c)
+                out.append((row.doc_id, h))
+            yield pd.DataFrame(out, columns=["doc_id", "phash"])
+
+    return df.mapInPandas(run, schema=PHASH_SCHEMA)
+
+
+def multimodal_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc perceptual hash + banded near-duplicate candidate stats:
+    the image-dedup plumbing (dHash → 4-band LSH → exact hamming on
+    collisions only) over the synthetic payloads. Per doc: the hash, how
+    many other docs share at least one 16-bit band (candidate set size),
+    and the minimum exact hamming distance among those candidates — the
+    numbers an image-dedup threshold is tuned on.
+
+    Scale shape is dedup_minhash's: candidate pairs come ONLY from the
+    band equi-join (never all-pairs); exact hamming (bit_count of xor)
+    runs on collisions alone. At 100 TB the band join is the standard
+    LSH shuffle on (band_idx, band_value) keys.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    ph = phash_docs(attach_payload(docs))
+    bands = ph.select(
+        "doc_id",
+        "phash",
+        F.explode(F.array(*[F.lit(b) for b in range(_PHASH_BANDS)])).alias("bi"),
+    ).withColumn("bval", F.expr("shiftright(phash, bi * 16) & 65535"))
+    a = bands.select(F.col("doc_id").alias("da"), F.col("phash").alias("pa"), "bi", "bval")
+    b = bands.select(F.col("doc_id").alias("db"), F.col("phash").alias("pb"), "bi", "bval")
+    cand = (
+        a.join(b, ["bi", "bval"])
+        .filter(F.col("da") != F.col("db"))
+        .select("da", "db", "pa", "pb")
+        .distinct()
+    )
+    agg = cand.groupBy(F.col("da").alias("doc_id")).agg(
+        F.count(F.lit(1)).alias("n_band_matches"),
+        F.min(F.expr("bit_count(pa ^ pb)")).cast("int").alias("min_hamming"),
+    )
+    return ph.join(agg, "doc_id", "left").select(
+        "doc_id",
+        "phash",
+        F.coalesce("n_band_matches", F.lit(0).cast("long")).alias("n_band_matches"),
+        "min_hamming",
+    )
+
+
+_PHASH_CELL = f"""list_transform(range(0, {_PHASH_W * _PHASH_H}), j -> struct_pack(
+            s := CAST(list_sum(list_transform(
+                     range(j * n // {_PHASH_W * _PHASH_H} + 1, (j + 1) * n // {_PHASH_W * _PHASH_H} + 1),
+                     i -> ascii(substr(body, CAST(i AS INT), 1)))) AS BIGINT),
+            l := CAST((j + 1) * n // {_PHASH_W * _PHASH_H} - j * n // {_PHASH_W * _PHASH_H} AS BIGINT)))"""
+
+MULTIMODAL_PHASH_SQL = f"""
+WITH meta AS (
+    SELECT doc_id, (8 + doc_id % 9) AS width, (8 + (doc_id // 3) % 7) AS height
+    FROM documents
+), b AS (
+    SELECT doc_id, width*height*3 AS n,
+           substring(repeat(md5(CAST(doc_id AS VARCHAR)),
+                            CAST((width*height*3) // 32 + 1 AS INT)), 1, width*height*3) AS body
+    FROM meta
+), cells AS (
+    SELECT doc_id, {_PHASH_CELL} AS cl FROM b
+), ph AS (
+    SELECT doc_id,
+           CAST(list_sum(list_transform(range(0, {_PHASH_BITS}), k ->
+               CASE WHEN cl[CAST(k // {_PHASH_W - 1} * {_PHASH_W} + k % {_PHASH_W - 1} AS INT) + 1].s
+                         * cl[CAST(k // {_PHASH_W - 1} * {_PHASH_W} + k % {_PHASH_W - 1} AS INT) + 2].l
+                       > cl[CAST(k // {_PHASH_W - 1} * {_PHASH_W} + k % {_PHASH_W - 1} AS INT) + 2].s
+                         * cl[CAST(k // {_PHASH_W - 1} * {_PHASH_W} + k % {_PHASH_W - 1} AS INT) + 1].l
+                    THEN CAST(1 AS BIGINT) << CAST(k AS INT) ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS phash
+    FROM cells
+), bands AS (
+    SELECT doc_id, phash, unnest([0, 1, 2, 3]) AS bi FROM ph
+), bv AS (
+    SELECT doc_id, phash, bi, (phash >> (16 * bi)) & 65535 AS bval FROM bands
+), cand AS (
+    SELECT DISTINCT a.doc_id AS da, b.doc_id AS db, a.phash AS pa, b.phash AS pb
+    FROM bv a JOIN bv b ON a.bi = b.bi AND a.bval = b.bval AND a.doc_id != b.doc_id
+), agg AS (
+    SELECT da AS doc_id,
+           CAST(count(*) AS BIGINT) AS n_band_matches,
+           CAST(min(bit_count(xor(pa, pb))) AS INT) AS min_hamming
+    FROM cand GROUP BY da
+)
+SELECT p.doc_id, p.phash,
+       coalesce(a.n_band_matches, CAST(0 AS BIGINT)) AS n_band_matches,
+       a.min_hamming
+FROM ph p LEFT JOIN agg a ON a.doc_id = p.doc_id
+"""

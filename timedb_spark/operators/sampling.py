@@ -464,3 +464,86 @@ SELECT lang, n_docs,
        floor(pa / z.z * CAST(n_total AS DOUBLE) * 1e6) / 1e6 AS expected_docs
 FROM g CROSS JOIN z
 """
+
+
+# ---------------------------------------------------------------------------
+# Dedup-aware weighted sampling — cluster-debiased A-ES
+# ---------------------------------------------------------------------------
+
+_DA_SALT = "dasample-1"
+
+
+def sample_dedup_aware(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sample that DEBIASES near-duplicate clusters: each doc's
+    A-ES weight is n_chars / cluster_size, where cluster_size comes from
+    the minhash connected components (dedup_clusters) and singletons count
+    1 — so a 10-way duplicated page gets one page's worth of total
+    sampling mass, not ten (the standard correction when training-data
+    sampling runs BEFORE physical dedup, e.g. when near-dups must survive
+    for attribution but not be over-trained on). Same Efraimidis–Spirakis
+    key and determinism discipline as sample_weighted, different salt.
+
+    Shape: dedup_clusters' label table → one tiny groupBy(cluster_id) →
+    broadcast-join of sizes back onto the scan → per-row key → ONE top-k
+    (TakeOrdered partial heaps, no global sort). At 100 TB the cluster-size
+    table is #dup-docs rows — orders of magnitude under the corpus."""
+    from timedb_spark.operators.dedup import dedup_clusters
+
+    docs = load_table(spark, sf_dir, "documents")
+    labels = dedup_clusters(spark, sf_dir)
+    sizes = labels.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("csize"))
+    doc_size = labels.join(sizes, "cluster_id").select("doc_id", "csize")
+    d = docs.join(F.broadcast(doc_size), "doc_id", "left").withColumn(
+        "cluster_size", F.coalesce("csize", F.lit(1).cast("long"))
+    )
+    h = F.md5(F.concat(F.lit(_DA_SALT), F.col("doc_id").cast("string")))
+    hv = F.lit(0).cast("long")
+    for j in range(1, _WS_BITS + 1):
+        hv = hv * 16 + (F.instr(F.lit("0123456789abcdef"), F.substring(h, j, 1)) - 1).cast("long")
+    u = (hv + 1).cast("double") / F.lit(float(2**48 + 1))
+    w = F.col("n_chars").cast("double") / F.col("cluster_size").cast("double")
+    key = F.log(u) / w
+    return (
+        d.select(
+            "doc_id",
+            "lang",
+            "source",
+            "n_chars",
+            "cluster_size",
+            (F.floor(key * 1e9) / 1e9).alias("es_key"),
+        )
+        .orderBy(F.desc("es_key"), F.asc("doc_id"))
+        .limit(SAMPLE_WEIGHTED_K)
+    )
+
+
+def _da_hash_sql() -> str:
+    expr = "CAST(0 AS BIGINT)"
+    for j in range(1, _WS_BITS + 1):
+        nib = f"(strpos('0123456789abcdef', substr(md5('{_DA_SALT}' || CAST(doc_id AS VARCHAR)), {j}, 1)) - 1)"
+        expr = f"(({expr}) * 16 + CAST({nib} AS BIGINT))"
+    return expr
+
+
+def sample_dedup_aware_sql(dedup_clusters_sql: str) -> str:
+    # the clusters oracle carries its own nested WITH RECURSIVE — legal as
+    # a CTE body (any SELECT statement), and the recursion must survive.
+    return f"""
+WITH labels AS ({dedup_clusters_sql}),
+sizes AS (
+    SELECT cluster_id, CAST(count(*) AS BIGINT) AS csize FROM labels GROUP BY cluster_id
+),
+ds AS (
+    SELECT d.doc_id, d.lang, d.source, d.n_chars,
+           coalesce(s.csize, CAST(1 AS BIGINT)) AS cluster_size
+    FROM documents d
+    LEFT JOIN (SELECT l.doc_id, z.csize FROM labels l JOIN sizes z ON z.cluster_id = l.cluster_id) s
+      ON s.doc_id = d.doc_id
+)
+SELECT doc_id, lang, source, n_chars, cluster_size,
+       floor(ln(CAST(({_da_hash_sql()}) + 1 AS DOUBLE) / {float(2**48 + 1)!r})
+             / (CAST(n_chars AS DOUBLE) / CAST(cluster_size AS DOUBLE)) * 1e9) / 1e9 AS es_key
+FROM ds
+ORDER BY es_key DESC, doc_id
+LIMIT {SAMPLE_WEIGHTED_K}
+"""

@@ -1300,3 +1300,107 @@ SELECT o.vec_id, o.label,
        t.cos_other > o.cos_own AS is_mislabeled
 FROM own o JOIN other t ON o.vec_id = t.vec_id
 """
+
+
+# ---------------------------------------------------------------------------
+# embedding-space isotropy / quality audit
+# ---------------------------------------------------------------------------
+
+
+def embed_isotropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row embedding-space quality audit: RMS vector norm, how far the
+    corpus mean sits from the origin (centering defect), and the variance
+    participation ratio PR = (Σ_d σ_d²)² / Σ_d σ_d⁴ — the effective number
+    of active dimensions (PR ≈ d isotropic, PR ≪ d collapsed/anisotropic;
+    Ethayarajh 2019's anisotropy finding made this THE pre-flight check
+    before cosine retrieval, clustering, or dedup trust their distances).
+
+    Shape: per-dimension Σx and Σx² come from ONE posexplode + groupBy(dim)
+    with map-side combine (d = embedding width keys — trivially bounded);
+    per-row norms never materialize (global Σ‖x‖² is the sum of the SAME
+    per-dim Σx² — zero extra passes). The d per-dim variances collapse to
+    one row via a SORTED-array fold, so every double accumulates in pinned
+    dimension order (the repo's order-determinism discipline); everything
+    upstream is exact quantized-integer sums. At 100 TB the integer Σx²
+    per dim can exceed int64 — swap the sums to DECIMAL(38,0); noted, not
+    needed at test scale.
+    """
+    vecs = _quantized(spark, sf_dir)
+    n = vecs.count()  # 1-value action, reused as a literal in the plan
+    ex = vecs.select(F.posexplode("q").alias("dim", "x"))
+    per_dim = ex.groupBy("dim").agg(
+        F.sum("x").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    nd = float(n)
+    mean_d = F.col("sx").cast("double") / nd
+    var_d = F.col("sxx").cast("double") / nd - mean_d * mean_d
+    stats = per_dim.select(
+        "dim",
+        F.col("sxx").alias("sxx"),
+        var_d.alias("var"),
+        (mean_d * mean_d).alias("mean_sq"),
+    )
+    one = stats.agg(
+        F.count(F.lit(1)).alias("dim_n"),
+        F.sum("sxx").alias("sum_sxx"),  # exact long: Σ over dims of Σx²
+        F.array_sort(F.collect_list(F.struct("dim", "var", "mean_sq"))).alias("a"),
+    )
+    sum_var = F.aggregate("a", F.lit(0.0), lambda acc, r: acc + r["var"])
+    sum_var2 = F.aggregate("a", F.lit(0.0), lambda acc, r: acc + r["var"] * r["var"])
+    center_sq = F.aggregate("a", F.lit(0.0), lambda acc, r: acc + r["mean_sq"])
+    q2 = 1.0e12  # QUANT² — back to embedding units
+    mean_norm_sq = F.col("sum_sxx").cast("double") / nd / q2
+    pr = sum_var * sum_var / sum_var2
+    return one.select(
+        F.lit(n).cast("long").alias("n_vecs"),
+        F.col("dim_n").cast("int").alias("dim"),
+        (F.floor(F.sqrt(mean_norm_sq) * 1e6) / 1e6).alias("rms_norm"),
+        (F.floor(center_sq / q2 / mean_norm_sq * 1e6) / 1e6).alias("center_norm_frac"),
+        (F.floor(pr * 1e6) / 1e6).alias("participation_ratio"),
+        (F.floor(pr / F.col("dim_n").cast("double") * 1e6) / 1e6).alias("pr_frac"),
+    )
+
+
+EMBED_ISOTROPY_SQL = f"""
+WITH vecs AS (
+    SELECT vec_id, {vx.QUANTIZE_SQL.format(v='embedding')} AS q FROM embeddings
+),
+nq AS (SELECT CAST(count(*) AS DOUBLE) AS n, count(*) AS n_vecs FROM vecs),
+ex AS (
+    SELECT unnest(range(0, len(q))) AS dim, unnest(q) AS x FROM vecs
+),
+per_dim AS (
+    SELECT dim, sum(x) AS sx, sum(x * x) AS sxx FROM ex GROUP BY dim
+),
+stats AS (
+    SELECT dim, sxx,
+           CAST(sxx AS DOUBLE) / (SELECT n FROM nq)
+             - (CAST(sx AS DOUBLE) / (SELECT n FROM nq)) * (CAST(sx AS DOUBLE) / (SELECT n FROM nq)) AS var,
+           (CAST(sx AS DOUBLE) / (SELECT n FROM nq)) * (CAST(sx AS DOUBLE) / (SELECT n FROM nq)) AS mean_sq
+    FROM per_dim
+),
+one AS (
+    SELECT count(*) AS dim_n,
+           CAST(sum(sxx) AS BIGINT) AS sum_sxx,
+           list_sort(list(struct_pack(dim := dim, var := var, mean_sq := mean_sq))) AS a
+    FROM stats
+),
+folded AS (
+    SELECT dim_n, sum_sxx,
+           list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(a, r -> r.var)),
+                       (x, y) -> x + y) AS sum_var,
+           list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(a, r -> r.var * r.var)),
+                       (x, y) -> x + y) AS sum_var2,
+           list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(a, r -> r.mean_sq)),
+                       (x, y) -> x + y) AS center_sq
+    FROM one
+)
+SELECT (SELECT CAST(n_vecs AS BIGINT) FROM nq) AS n_vecs,
+       CAST(dim_n AS INT) AS dim,
+       floor(sqrt(CAST(sum_sxx AS DOUBLE) / (SELECT n FROM nq) / 1e12) * 1e6) / 1e6 AS rms_norm,
+       floor(center_sq / 1e12 / (CAST(sum_sxx AS DOUBLE) / (SELECT n FROM nq) / 1e12) * 1e6) / 1e6 AS center_norm_frac,
+       floor(sum_var * sum_var / sum_var2 * 1e6) / 1e6 AS participation_ratio,
+       floor(sum_var * sum_var / sum_var2 / CAST(dim_n AS DOUBLE) * 1e6) / 1e6 AS pr_frac
+FROM folded
+"""

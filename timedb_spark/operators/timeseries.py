@@ -20,6 +20,8 @@ Scale posture:
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -3661,4 +3663,414 @@ SELECT user_id,
 FROM fl
 GROUP BY user_id
 HAVING sum(CASE WHEN is_full THEN 1 ELSE 0 END) > 0
+"""
+
+
+# ---------------------------------------------------------------------------
+# Ljung–Box portmanteau test — residual/series whiteness
+# ---------------------------------------------------------------------------
+
+_LB_LAGS = 5
+_LB_MIN_OBS = 30
+#: chi-square 95% critical value at 5 degrees of freedom
+_LB_CRIT = 11.070497693516351
+
+
+def ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ljung–Box portmanteau whiteness test per user series:
+    Q = n(n+2) Σ_{k=1..5} r_k²/(n−k) over the first five sample
+    autocorrelations of the event-value sequence — THE standard "is
+    anything left to model?" check (applied to a raw series it answers
+    "is there autocorrelation at all"; the complement of ts_autocorr's
+    per-lag readout with a single calibrated decision).
+
+    One groupBy(user) sorted collect; μ and the squared-deviation
+    denominator come from exact integer-cent folds, each lag's
+    cross-product Σ(x_t−μ)(x_{t+k}−μ) is an unrolled fixed-order
+    ``F.aggregate`` fold over the deviation array (the hurst/periodogram
+    discipline — identical double op order in the list_reduce oracle).
+    Per-user cost is 5 linear passes over a history-bounded array; zero
+    Python, no window.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    s = F.struct(F.col("ts"), F.col("event_id"), F.col("value"))
+    g = ev.groupBy("user_id").agg(F.array_sort(F.collect_list(s)).alias("hist"))
+    cents = F.transform("hist", lambda r: (r["value"].cast("decimal(18,2)") * 100).cast("long"))
+    g = g.select("user_id", cents.alias("c"), F.size("hist").alias("n_obs"))
+    g = g.filter(F.col("n_obs") >= _LB_MIN_OBS)
+    zero = F.lit(0).cast("long")
+    sx = F.aggregate("c", zero, lambda acc, x: acc + x)
+    n = F.col("n_obs")
+    mu = sx.cast("double") / n.cast("double")
+    g = g.withColumn("mu", mu)
+    dev = F.transform("c", lambda x: x.cast("double") - F.col("mu"))
+    g = g.withColumn("dev", dev)
+    denom = F.aggregate("dev", F.lit(0.0), lambda acc, x: acc + x * x)
+    g = g.withColumn("denom", denom)
+
+    def _num(k: int):
+        return F.aggregate(
+            F.sequence(F.lit(1), F.col("n_obs") - k),
+            F.lit(0.0),
+            lambda acc, t: acc
+            + F.element_at("dev", t.cast("int")) * F.element_at("dev", (t + k).cast("int")),
+        )
+
+    nd = F.col("n_obs").cast("double")
+    q = F.lit(0.0)
+    r1 = None
+    for k in range(1, _LB_LAGS + 1):
+        rk = _num(k) / F.col("denom")
+        if k == 1:
+            r1 = rk
+        q = q + rk * rk / (nd - float(k))
+    q = nd * (nd + 2.0) * q
+    return g.filter(F.col("denom") > 0).select(
+        "user_id",
+        "n_obs",
+        (F.floor(r1 * 1e6) / 1e6).alias("acf_lag1"),
+        (F.floor(q * 1e6) / 1e6).alias("q_stat"),
+        F.when(q > _LB_CRIT, F.lit("correlated")).otherwise(F.lit("white")).alias("verdict"),
+    )
+
+
+def _lb_num_sql(k: int) -> str:
+    return (
+        f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        f"list_transform(range(1, n_obs - {k} + 1), "
+        f"t -> dev[CAST(t AS INT)] * dev[CAST(t AS INT) + {k}])), (a, b) -> a + b)"
+    )
+
+
+LJUNG_BOX_SQL = f"""
+WITH hist AS (
+    SELECT user_id,
+           list_transform(
+               list_sort(list(struct_pack(ts := ts, e := event_id, v := value))),
+               s -> CAST(CAST(s.v AS DECIMAL(18,2)) * 100 AS BIGINT)) AS c
+    FROM events GROUP BY user_id
+),
+base AS (
+    SELECT user_id, len(c) AS n_obs,
+           CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), c), (a, x) -> a + x) AS DOUBLE)
+               / CAST(len(c) AS DOUBLE) AS mu,
+           c
+    FROM hist WHERE len(c) >= {_LB_MIN_OBS}
+),
+dv AS (
+    SELECT user_id, n_obs,
+           list_transform(c, x -> CAST(x AS DOUBLE) - mu) AS dev
+    FROM base
+),
+dn AS (
+    SELECT user_id, n_obs, dev,
+           list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                                    list_transform(dev, x -> x * x)), (a, b) -> a + b) AS denom
+    FROM dv
+),
+rk AS (
+    SELECT user_id, n_obs, denom,
+           {_lb_num_sql(1)} / denom AS r1,
+           {_lb_num_sql(2)} / denom AS r2,
+           {_lb_num_sql(3)} / denom AS r3,
+           {_lb_num_sql(4)} / denom AS r4,
+           {_lb_num_sql(5)} / denom AS r5
+    FROM dn WHERE denom > 0
+),
+q AS (
+    SELECT user_id, n_obs, r1,
+           CAST(n_obs AS DOUBLE) * (CAST(n_obs AS DOUBLE) + 2.0) *
+           (r1 * r1 / (CAST(n_obs AS DOUBLE) - 1.0)
+          + r2 * r2 / (CAST(n_obs AS DOUBLE) - 2.0)
+          + r3 * r3 / (CAST(n_obs AS DOUBLE) - 3.0)
+          + r4 * r4 / (CAST(n_obs AS DOUBLE) - 4.0)
+          + r5 * r5 / (CAST(n_obs AS DOUBLE) - 5.0)) AS q_stat
+    FROM rk
+)
+SELECT user_id, CAST(n_obs AS INT) AS n_obs,
+       floor(r1 * 1e6) / 1e6 AS acf_lag1,
+       floor(q_stat * 1e6) / 1e6 AS q_stat,
+       CASE WHEN q_stat > {_LB_CRIT!r} THEN 'correlated' ELSE 'white' END AS verdict
+FROM q
+"""
+
+
+# ---------------------------------------------------------------------------
+# Spectral entropy — forecastability of the hourly-spend signal
+# ---------------------------------------------------------------------------
+
+#: candidate periods (hours) for the spectral-entropy estimate, with unit
+#: rotation constants computed ONCE in the driver and embedded as
+#: shortest-round-trip literals (the _PERIODOGRAM_PERIODS discipline: both
+#: engines parse the same IEEE double; no engine libm trig anywhere).
+_SPECENT_PERIODS: dict[int, tuple[float, float]] = {
+    p: (math.cos(2.0 * math.pi / p), math.sin(2.0 * math.pi / p))
+    for p in (4, 6, 8, 12, 24, 48, 84, 168)
+}
+#: ln(#periods) as one driver-computed literal shared by both engines —
+#: DuckDB's own ln(8.0) could differ from the JVM/python value in the last
+#: ulp, which a floor-scale can amplify across the boundary.
+_SPECENT_LN_K = math.log(float(len(_SPECENT_PERIODS)))
+
+
+def spectral_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalized spectral entropy of each user's dense hourly-spend
+    series over eight candidate periods (4 h … weekly):
+    H = −Σ p_k ln p_k / ln 8 with p_k the share of total candidate power —
+    the forecastability score (tsfeatures/M4 "entropy"): ≈0 means one
+    dominant cycle (forecast it), ≈1 means flat spectrum (nothing to
+    exploit). Completes the spectral family: ts_periodogram ranks the
+    candidates, ts_seasonal_strength sizes one of them, this grades the
+    whole spectrum's concentration.
+
+    Same shape and determinism as :func:`periodogram` — the dense grid is
+    the RESAMPLE join, all eight DFT folds ride ONE collected array per
+    user with complex-rotation literals (fixed-order double chains,
+    bit-equal list_reduce oracle), and the entropy is one fixed-order
+    expression over the eight powers. p_k = 0 terms contribute exactly 0.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    hc = (
+        ev.select(
+            "user_id",
+            F.expr("unix_micros(ts) div 3600000000").alias("h"),
+            (F.col("value").cast("decimal(18,2)") * 100).cast("long").alias("c"),
+        )
+        .groupBy("user_id", "h")
+        .agg(F.sum("c").alias("c"))
+    )
+    span = hc.groupBy("user_id").agg(F.min("h").alias("lo"), F.max("h").alias("hi"))
+    grid = span.select("user_id", F.explode(F.sequence("lo", "hi")).alias("h"))
+    dense = grid.join(hc, ["user_id", "h"], "left").select(
+        "user_id", "h", F.coalesce("c", F.lit(0).cast("long")).alias("c")
+    )
+    g = dense.groupBy("user_id").agg(
+        F.array_sort(F.collect_list(F.struct("h", "c"))).alias("hist")
+    )
+    xs = F.transform("hist", lambda r: r["c"].cast("double") / 100.0)
+    g = g.select("user_id", xs.alias("x"), F.size("hist").alias("n_hours"))
+    g = g.filter(F.col("n_hours") >= 24)
+
+    def _power(cp: float, sp: float):
+        fold = F.aggregate(
+            "x",
+            F.array(F.lit(1.0), F.lit(0.0), F.lit(0.0), F.lit(0.0)),
+            lambda acc, x: F.array(
+                F.element_at(acc, 1) * cp - F.element_at(acc, 2) * sp,
+                F.element_at(acc, 1) * sp + F.element_at(acc, 2) * cp,
+                F.element_at(acc, 3) + x * F.element_at(acc, 1),
+                F.element_at(acc, 4) + x * F.element_at(acc, 2),
+            ),
+        )
+        sxc, sxs = F.element_at(fold, 3), F.element_at(fold, 4)
+        n = F.col("n_hours").cast("double")
+        return (sxc * sxc + sxs * sxs) / (n * n)
+
+    powers = [_power(cp, sp) for cp, sp in _SPECENT_PERIODS.values()]
+    total = powers[0]
+    for p in powers[1:]:
+        total = total + p
+    g = g.withColumn("total", total)
+    for i, p in enumerate(powers):
+        g = g.withColumn(f"p{i}", p)
+    ent = F.lit(0.0)
+    for i in range(len(powers)):
+        share = F.col(f"p{i}") / F.col("total")
+        ent = ent + F.when(share > 0, -share * F.log(share)).otherwise(F.lit(0.0))
+    h_norm = ent / _SPECENT_LN_K
+    return g.filter(F.col("total") > 0).select(
+        "user_id",
+        "n_hours",
+        (F.floor(F.col("total") * 1e6) / 1e6).alias("total_power"),
+        (F.floor(h_norm * 1e6) / 1e6).alias("spectral_entropy"),
+        F.when(h_norm < 0.5, F.lit("concentrated")
+        ).when(h_norm > 0.9, F.lit("flat")).otherwise(F.lit("mixed")).alias("verdict"),
+    )
+
+
+def _specent_fold_sql(cp: float, sp: float) -> str:
+    return f"""list_reduce(
+               list_prepend([1.0, 0.0, 0.0, 0.0], list_transform(x, v -> [v, 0.0, 0.0, 0.0])),
+               (acc, e) -> [
+                   acc[1] * {cp!r} - acc[2] * {sp!r},
+                   acc[1] * {sp!r} + acc[2] * {cp!r},
+                   acc[3] + e[1] * acc[1],
+                   acc[4] + e[1] * acc[2]
+               ])"""
+
+
+_SPECENT_POWER_COLS = ",\n           ".join(
+    f"{_specent_fold_sql(cp, sp)} AS f{i}"
+    for i, (cp, sp) in enumerate(_SPECENT_PERIODS.values())
+)
+_SPECENT_P_EXPRS = ",\n           ".join(
+    f"(f{i}[3] * f{i}[3] + f{i}[4] * f{i}[4]) / (CAST(n_hours AS DOUBLE) * CAST(n_hours AS DOUBLE)) AS p{i}"
+    for i in range(len(_SPECENT_PERIODS))
+)
+_SPECENT_TOTAL = " + ".join(f"p{i}" for i in range(len(_SPECENT_PERIODS)))
+_SPECENT_ENT = " + ".join(
+    f"(CASE WHEN p{i} / total > 0 THEN -(p{i} / total) * ln(p{i} / total) ELSE 0.0 END)"
+    for i in range(len(_SPECENT_PERIODS))
+)
+
+SPECTRAL_ENTROPY_SQL = f"""
+WITH hc AS (
+    SELECT user_id, epoch_us(ts) // 3600000000 AS h,
+           CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS c
+    FROM events GROUP BY user_id, epoch_us(ts) // 3600000000
+),
+span AS (SELECT user_id, min(h) AS lo, max(h) AS hi FROM hc GROUP BY user_id),
+grid AS (SELECT user_id, unnest(generate_series(lo, hi)) AS h FROM span),
+dense AS (
+    SELECT g.user_id, g.h, coalesce(hc.c, CAST(0 AS BIGINT)) AS c
+    FROM grid g LEFT JOIN hc ON hc.user_id = g.user_id AND hc.h = g.h
+),
+arr AS (
+    SELECT user_id,
+           list_transform(list_sort(list(struct_pack(h := h, c := c))),
+                          r -> CAST(r.c AS DOUBLE) / 100.0) AS x,
+           count(*) AS n_hours
+    FROM dense GROUP BY user_id
+    HAVING count(*) >= 24
+),
+folded AS (
+    SELECT user_id, n_hours,
+           {_SPECENT_POWER_COLS}
+    FROM arr
+),
+pw AS (
+    SELECT user_id, n_hours,
+           {_SPECENT_P_EXPRS}
+    FROM folded
+),
+tot AS (
+    SELECT user_id, n_hours, p0, p1, p2, p3, p4, p5, p6, p7,
+           {_SPECENT_TOTAL} AS total
+    FROM pw
+),
+ent AS (
+    SELECT user_id, n_hours, total,
+           ({_SPECENT_ENT}) / {_SPECENT_LN_K!r} AS h_norm
+    FROM tot WHERE total > 0
+)
+SELECT user_id, CAST(n_hours AS INT) AS n_hours,
+       floor(total * 1e6) / 1e6 AS total_power,
+       floor(h_norm * 1e6) / 1e6 AS spectral_entropy,
+       CASE WHEN h_norm < 0.5 THEN 'concentrated'
+            WHEN h_norm > 0.9 THEN 'flat'
+            ELSE 'mixed' END AS verdict
+FROM ent
+"""
+
+
+# ---------------------------------------------------------------------------
+# online Welford z-score anomaly monitor (batch twin of stream_anomaly_v2)
+# ---------------------------------------------------------------------------
+
+_ANOM_Z = 3.0
+_ANOM_MIN_N = 10
+
+
+def anomaly_online(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Online (prefix-statistics) z-score anomaly monitor per user: Welford
+    running (n, mean, M2); observation t alerts when the stats of the
+    FIRST t−1 points put it beyond 3σ — the self-calibrating monitor that
+    needs no training pass and never peeks ahead (ts_anomaly_zscore scores
+    against the WHOLE series' μ/σ — fine for offline audits, leaky as a
+    production detector; this is the deployable semantics, and
+    stream_anomaly_v2 runs the identical recursion on the v2 state API
+    sharing this oracle).
+
+    One groupBy(user) sorted collect; the Welford recursion is a 5-slot
+    ``F.aggregate`` fold in exact-cents doubles. The oracle is a RECURSIVE
+    CTE (the ts_cusum pattern): the alert predicate is needed in two
+    state slots, which a DuckDB list_reduce would duplicate — the CTE's
+    lateral aliases evaluate it once per step.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    s = F.struct(F.col("ts"), F.col("event_id"), F.col("value"))
+    g = ev.groupBy("user_id").agg(F.array_sort(F.collect_list(s)).alias("hist"))
+    cents = F.transform("hist", lambda r: (r["value"].cast("decimal(18,2)") * 100).cast("long"))
+    g = g.select("user_id", cents.alias("c"), F.size("hist").cast("long").alias("n_events"))
+    xs = F.transform("c", lambda x: x.cast("double"))
+    g = g.withColumn("x", xs)
+
+    def _step(acc, x):
+        pred = (
+            (acc.n >= _ANOM_MIN_N)
+            & (acc.m2 > 0.0)
+            & (F.abs(x - acc.mean) / F.sqrt(acc.m2 / acc.n.cast("double")) > _ANOM_Z)
+        )
+        mean2 = acc.mean + (x - acc.mean) / (acc.n + 1).cast("double")
+        return F.struct(
+            (acc.n + 1).alias("n"),
+            mean2.alias("mean"),
+            (acc.m2 + (x - acc.mean) * (x - mean2)).alias("m2"),
+            (acc.alerts + F.when(pred, 1).otherwise(0)).alias("alerts"),
+            F.when(pred & (acc.first < 0), acc.n).otherwise(acc.first).alias("first"),
+        )
+
+    init = F.struct(
+        F.lit(0).cast("long").alias("n"),
+        F.lit(0.0).alias("mean"),
+        F.lit(0.0).alias("m2"),
+        F.lit(0).cast("long").alias("alerts"),
+        F.lit(-1).cast("long").alias("first"),
+    )
+    g = g.withColumn("st", F.aggregate("x", init, _step))
+    st = F.col("st")
+    return g.select(
+        "user_id",
+        "n_events",
+        st.alerts.alias("n_alerts"),
+        st.first.alias("first_alert_idx"),
+        (F.floor(st.mean / 100.0 * 1e6) / 1e6).alias("mean_value"),
+        (F.floor(F.sqrt(st.m2 / st.n.cast("double")) / 100.0 * 1e6) / 1e6).alias("std_value"),
+    )
+
+
+ANOMALY_ONLINE_SQL = f"""
+WITH RECURSIVE hist AS (
+    SELECT user_id,
+           list_transform(
+               list_sort(list(struct_pack(ts := ts, e := event_id, v := value))),
+               s -> CAST(CAST(s.v AS DECIMAL(18,2)) * 100 AS BIGINT)) AS c
+    FROM events GROUP BY user_id
+),
+m AS (SELECT user_id, c, CAST(len(c) AS BIGINT) AS n_events FROM hist),
+zt AS (
+    SELECT user_id,
+           unnest(range(1, len(c) + 1)) AS t,
+           unnest(list_transform(c, x -> CAST(x AS DOUBLE))) AS x
+    FROM m
+),
+steps AS (
+    SELECT user_id, n_events,
+           CAST(0 AS BIGINT) AS n,
+           CAST(0.0 AS DOUBLE) AS mean, CAST(0.0 AS DOUBLE) AS m2,
+           CAST(0 AS BIGINT) AS alerts, CAST(-1 AS BIGINT) AS first_i
+    FROM m
+    UNION ALL
+    SELECT user_id, n_events,
+           n + 1,
+           mean2,
+           m2 + delta * (x - mean2),
+           alerts + al,
+           CASE WHEN al = 1 AND first_i < 0 THEN n ELSE first_i END
+    FROM (
+        SELECT s.user_id, s.n_events, s.n, s.mean, s.m2, s.alerts, s.first_i, z.x,
+               CASE WHEN s.n >= {_ANOM_MIN_N} AND s.m2 > 0.0
+                         AND abs(z.x - s.mean) / sqrt(s.m2 / CAST(s.n AS DOUBLE)) > {_ANOM_Z!r}
+                    THEN 1 ELSE 0 END AS al,
+               z.x - s.mean AS delta,
+               s.mean + (z.x - s.mean) / CAST(s.n + 1 AS DOUBLE) AS mean2
+        FROM steps s JOIN zt z ON z.user_id = s.user_id AND z.t = s.n + 1
+    )
+)
+SELECT user_id, n_events,
+       alerts AS n_alerts,
+       first_i AS first_alert_idx,
+       floor(mean / 100.0 * 1e6) / 1e6 AS mean_value,
+       floor(sqrt(m2 / CAST(n AS DOUBLE)) / 100.0 * 1e6) / 1e6 AS std_value
+FROM steps WHERE n = n_events
 """

@@ -821,3 +821,109 @@ def stream_cusum_v2(events_with_params: DataFrame) -> DataFrame:
         outputMode="Update",
         timeMode="None",
     )
+
+
+# ---------------------------------------------------------------------------
+# online Welford z-score anomaly monitor (v2 state API)
+# ---------------------------------------------------------------------------
+
+_ANOM_Z = 3.0
+_ANOM_MIN_N = 10
+
+ANOM_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("n", T.LongType()),
+        T.StructField("mean", T.DoubleType()),
+        T.StructField("m2", T.DoubleType()),
+        T.StructField("alerts", T.LongType()),
+        T.StructField("first", T.LongType()),
+    ]
+)
+
+ANOM_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("n_alerts", T.LongType()),
+        T.StructField("first_alert_idx", T.LongType()),
+        T.StructField("mean_value", T.DoubleType()),
+        T.StructField("std_value", T.DoubleType()),
+    ]
+)
+
+
+class AnomalyProcessor(StatefulProcessor):
+    """Online z-score anomaly monitor per user, folded across micro-batches:
+    Welford running (n, mean, M2); observation t alerts when the PREFIX
+    statistics (first t−1 points) put it beyond 3σ — the self-calibrating
+    production monitor that needs NO training pass at all (vs
+    stream_cusum_v2's pre-fit μ/σ broadcast; this one learns its baseline
+    online, the other detects small sustained shifts against a fixed one).
+    The only state is the 5-field Welford tuple. Chunks concatenate before
+    the one lexsort+fold (the CusumProcessor lesson), so the drained final
+    emission replays the batch prefix recursion its oracle encodes."""
+
+    def init(self, handle: "StatefulProcessorHandle") -> None:
+        self._state = handle.getValueState("anom", ANOM_STATE_SCHEMA)
+
+    def handleInputRows(self, key, rows, timerValues):
+        import math
+
+        import numpy as np
+
+        cur = self._state.get()
+        n, mean, m2, alerts, first = (
+            tuple(cur) if cur is not None else (0, 0.0, 0.0, 0, -1)
+        )
+        chunks = [pdf for pdf in rows if len(pdf)]
+        if not chunks:
+            return
+        pdf = pd.concat(chunks, ignore_index=True) if len(chunks) > 1 else chunks[0]
+        order = np.lexsort(
+            (
+                pdf["event_id"].values.astype("int64"),
+                pdf["ts"].values.astype("datetime64[us]").astype("int64"),
+            )
+        )
+        cents = pdf["c"].values.astype("int64")[order]
+        for c in cents:
+            x = float(c)
+            if n >= _ANOM_MIN_N and m2 > 0.0 and abs(x - mean) / math.sqrt(m2 / n) > _ANOM_Z:
+                alerts += 1
+                if first < 0:
+                    first = n
+            n += 1
+            delta = x - mean
+            mean = mean + delta / n
+            m2 = m2 + delta * (x - mean)
+        self._state.update((int(n), mean, m2, int(alerts), int(first)))
+        yield pd.DataFrame(
+            {
+                "user_id": [int(key[0])],
+                "n_events": [int(n)],
+                "n_alerts": [int(alerts)],
+                "first_alert_idx": [int(first)],
+                "mean_value": [math.floor(mean / 100.0 * 1e6) / 1e6],
+                "std_value": [math.floor(math.sqrt(m2 / n) / 100.0 * 1e6) / 1e6],
+            }
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def stream_anomaly_v2(events: DataFrame) -> DataFrame:
+    """events stream carrying (user_id, ts, event_id, c cents) → online
+    Welford z-score anomaly state per user. Update mode + timeMode None
+    (the stream_dedup_v2 drain lesson); RocksDB state store required."""
+    if not _HAVE_TWS:
+        raise NotImplementedError(
+            f"transformWithStateInPandas unavailable: missing {_TWS_MISSING} "
+            "(re-probed at import; install the dep to unlock the v2 path)"
+        )
+    return events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=AnomalyProcessor(),
+        outputStructType=ANOM_OUTPUT_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )
