@@ -1227,6 +1227,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_dedup_aware": sampling.sample_dedup_aware,
         "ts_anomaly_online": timeseries.anomaly_online,
         "stream_anomaly_v2": _q_stream_anomaly_v2,
+        "text_diversity": text.text_diversity,
+        "events_time_to_convert": analytics.events_time_to_convert,
+        "bt_staleness": forecasting.bt_staleness,
+        "ts_pacf": timeseries.pacf,
+        "embed_cluster_purity": similarity.embed_cluster_purity,
     }
     out = {k: reg[k] for k in _R7_WINDOW}
     out.update((k, v) for k, v in reg.items() if k not in out)
@@ -1598,6 +1603,11 @@ def oracle_sql() -> dict[str, str]:
         "ts_anomaly_online": timeseries.ANOMALY_ONLINE_SQL,
         # the stream twin shares the batch recursion's oracle verbatim
         "stream_anomaly_v2": timeseries.ANOMALY_ONLINE_SQL,
+        "text_diversity": text.TEXT_DIVERSITY_SQL,
+        "events_time_to_convert": analytics.EVENTS_TIME_TO_CONVERT_SQL,
+        "bt_staleness": forecasting.bt_staleness_sql(_SV),
+        "ts_pacf": timeseries.PACF_SQL,
+        "embed_cluster_purity": similarity.EMBED_CLUSTER_PURITY_SQL,
         "events_abtest": analytics.EVENTS_ABTEST_SQL,
         "profile_drift": pipeline.PROFILE_DRIFT_SQL,
         "events_paths": analytics.EVENTS_PATHS_SQL,

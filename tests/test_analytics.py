@@ -570,3 +570,35 @@ def test_graph_kcore_planted_cliques(spark, tmp_path):
     assert analytics.graph_kcore(spark, d, k=6).count() == 0
     # default k = floor(0.7 * mean(38/9)) = 2 → nothing peels (9 nodes total)
     assert analytics.graph_kcore(spark, d).count() == 9
+
+
+def test_events_time_to_convert_hand_events(spark, tmp_path):
+    """Hand funnel: user 1 views then purchases 2 h later; user 2 clicks
+    then purchases 5 h later (an EARLIER pre-touch purchase must not
+    count); user 3 never purchases; user 4 purchases with no touch —
+    rows appear only for converting touched users, delays exact."""
+    import os
+
+    ts0 = pd.Timestamp(2024, 1, 1)
+    h = pd.Timedelta(hours=1)
+    rows = [
+        (1, ts0, 1, "view", 0.0, ""),
+        (2, ts0 + 2 * h, 1, "purchase", 10.0, ""),
+        (3, ts0 - 3 * h, 2, "purchase", 5.0, ""),   # pre-touch: excluded
+        (4, ts0, 2, "click", 0.0, ""),
+        (5, ts0 + 5 * h, 2, "purchase", 9.0, ""),
+        (6, ts0 + 9 * h, 2, "purchase", 9.0, ""),   # later buy ignored (first wins)
+        (7, ts0, 3, "view", 0.0, ""),
+        (8, ts0, 4, "purchase", 1.0, ""),
+    ]
+    pdf = pd.DataFrame(rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"])
+    d = str(tmp_path / "sf")
+    os.makedirs(d)
+    pdf.to_parquet(os.path.join(d, "events.parquet"))
+
+    got = {r.first_touch: r for r in analytics.events_time_to_convert(spark, d).collect()}
+    assert set(got) == {"view", "click"}
+    v = got["view"]
+    assert (v.n_converted, v.hours_min, v.hours_max, v.hours_p50) == (1, 2.0, 2.0, 2.0)
+    c = got["click"]
+    assert (c.n_converted, c.hours_min, c.hours_max) == (1, 5.0, 5.0)

@@ -316,3 +316,25 @@ def test_knowledge_lag_hand_computed(spark):
     assert s.lag_min_p90 == math.floor((60 + 0.8 * 60) * 1e6) / 1e6
     lg = got["long"]
     assert lg.n_rows == 1 and lg.lag_min_min == -30.0 and lg.lag_min_p90 == -30.0
+
+
+def test_staleness_hand_buckets(spark):
+    """Three series 0 h / 30 h / 200 h behind the corpus high-water mark
+    land in fresh / recent / stale with exact worst-lag hours."""
+    from datetime import datetime, timedelta
+
+    from timedb_spark.operators.bitemporal import staleness
+
+    hw = datetime(2024, 2, 1)
+    rows = [
+        ("short", 1, hw),                            # fresh (lag 0)
+        ("short", 1, hw - timedelta(hours=500)),     # older point, ignored (max wins)
+        ("short", 2, hw - timedelta(hours=30)),      # recent
+        ("long", 3, hw - timedelta(hours=200)),      # stale
+    ]
+    df = spark.createDataFrame(rows, "retention string, series_id long, valid_time timestamp")
+    got = {(r.retention, r.bucket): r for r in staleness(df).collect()}
+    assert set(got) == {("short", "fresh"), ("short", "recent"), ("long", "stale")}
+    assert got[("short", "fresh")].n_series == 1 and got[("short", "fresh")].max_lag_hours == 0
+    assert got[("short", "recent")].max_lag_hours == 30
+    assert got[("long", "stale")].max_lag_hours == 200

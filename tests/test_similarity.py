@@ -367,3 +367,33 @@ def test_embed_isotropy_hand_computed(spark, tmp_path):
     assert r.pr_frac == math.floor(pr / 2.0 * 1e6) / 1e6 == 1.0  # PR = d on equal vars
     assert r.rms_norm == math.floor(math.sqrt(mean_norm_sq) * 1e6) / 1e6
     assert r.center_norm_frac == math.floor(center / 1e12 / mean_norm_sq * 1e6) / 1e6
+
+
+def test_embed_cluster_purity_consistent_with_kmeans(spark, sf_dir):
+    """Purity rows must replay a python recount over the ACTUAL kmeans
+    assignment joined to the real labels (majority by count desc, label
+    asc; shares floor-scaled)."""
+    import math
+
+    import pandas as pd
+
+    from timedb_spark.operators import similarity
+
+    assign = {r.vec_id: r.cluster for r in similarity.embed_kmeans(spark, sf_dir).collect()}
+    labels = dict(
+        pd.read_parquet(f"{sf_dir}/embeddings.parquet")[["vec_id", "label"]].values
+    )
+    counts: dict = {}
+    for vid, cell in assign.items():
+        counts.setdefault(cell, {}).setdefault(labels[vid], 0)
+        counts[cell][labels[vid]] += 1
+
+    got = {r.cluster: r for r in similarity.embed_cluster_purity(spark, sf_dir).collect()}
+    assert set(got) == set(counts)
+    for cell, by_label in counts.items():
+        r = got[cell]
+        n = sum(by_label.values())
+        top_label, top_n = sorted(by_label.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        assert (r.n_vecs, r.n_labels) == (n, len(by_label))
+        assert (r.top_label, r.top_n) == (top_label, top_n)
+        assert r.purity == math.floor(top_n / n * 1e6) / 1e6

@@ -253,3 +253,41 @@ def test_text_zipf_planted_power_law(spark, tmp_path):
     assert r.fit_r2 == math.floor(r2 * 1e6) / 1e6
     assert -1.05 < r.zipf_slope < -0.95 and r.fit_r2 > 0.99
     assert r.top1_share == math.floor(1000 / r.n_tokens * 1e6) / 1e6
+
+
+def test_text_diversity_hand_corpus(spark, tmp_path):
+    """Hand corpus: all-unique words → TTR = hapax = 1, Yule K = 0; a
+    single word repeated n times → TTR = 1/n, hapax 0, K = 10⁴(n²−n)/n²;
+    a mixed doc replays the exact spectrum arithmetic."""
+    import math
+    import os
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": [
+                "alpha beta gamma delta",
+                "spam spam spam spam spam",
+                "a a a b b c",
+            ],
+            "lang": ["en"] * 3,
+            "source": ["s"] * 3,
+            "n_chars": [22, 24, 11],
+        }
+    )
+    d = str(tmp_path / "sf")
+    os.makedirs(d)
+    docs.to_parquet(os.path.join(d, "documents.parquet"))
+
+    got = {r.doc_id: r for r in tx.text_diversity(spark, d).collect()}
+    r1 = got[1]
+    assert (r1.n_tokens, r1.n_types, r1.n_hapax) == (4, 4, 4)
+    assert r1.ttr == 1.0 and r1.hapax_share == 1.0 and r1.yule_k == 0.0
+    r2 = got[2]
+    assert (r2.n_tokens, r2.n_types, r2.n_hapax) == (5, 1, 0)
+    assert r2.ttr == math.floor(1 / 5 * 1e6) / 1e6 and r2.hapax_share == 0.0
+    assert r2.yule_k == math.floor(1e4 * (25.0 - 5.0) / 25.0 * 1e6) / 1e6
+    r3 = got[3]
+    assert (r3.n_tokens, r3.n_types, r3.n_hapax) == (6, 3, 1)
+    sum_v2 = 9 + 4 + 1
+    assert r3.yule_k == math.floor(1e4 * (sum_v2 - 6.0) / 36.0 * 1e6) / 1e6

@@ -1590,3 +1590,41 @@ def test_anomaly_online_planted_spike(spark, tmp_path):
     r2 = got[2]
     assert (r2.n_events, r2.n_alerts, r2.first_alert_idx) == (30, a2, f2)
     assert r2.n_alerts == 0 and r2.first_alert_idx == -1
+
+
+def test_pacf_planted_ar_structure(spark, tmp_path):
+    """PACF replays the exact unrolled Durbin–Levinson algebra; an
+    alternation (AR(1)-like, φ₁₁ ≈ −1) selects order ≥ 1 with
+    near-vanishing φ₂₂ after the lag-1 structure is regressed out."""
+    import math
+
+    import pandas as pd
+
+    v1 = [10.0 + (2.0 if t % 2 == 0 else -2.0) + ((t * 5) % 3) * 0.05 for t in range(60)]
+    rows = [(t + 1, datetime(2024, 1, 1) + pd.Timedelta(hours=t), 1, v)
+            for t, v in enumerate(v1)]
+    d = _write_events(tmp_path, rows)
+    r = ts.pacf(spark, d).collect()[0]
+
+    c = [int(round(v * 100)) for v in v1]
+    n = len(c)
+    mu = float(sum(c)) / float(n)
+    dev = [float(x) - mu for x in c]
+    denom = 0.0
+    for x in dev:
+        denom += x * x
+    rk = []
+    for k in (1, 2, 3):
+        num = 0.0
+        for t in range(n - k):
+            num += dev[t] * dev[t + k]
+        rk.append(num / denom)
+    r1, r2, r3 = rk
+    phi22 = (r2 - r1 * r1) / (1.0 - r1 * r1)
+    phi21 = r1 - phi22 * r1
+    phi33 = (r3 - (phi21 * r2 + phi22 * r1)) / (1.0 - (phi21 * r1 + phi22 * r2))
+    assert r.pacf1 == math.floor(r1 * 1e6) / 1e6
+    assert r.pacf2 == math.floor(phi22 * 1e6) / 1e6
+    assert r.pacf3 == math.floor(phi33 * 1e6) / 1e6
+    assert r1 < -0.9  # the alternation is the lag-1 story
+    assert r.ar_order >= 1

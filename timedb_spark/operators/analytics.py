@@ -2215,3 +2215,89 @@ ORDER BY node
 
 
 GRAPH_KCORE_SQL = graph_kcore_sql()
+
+
+# ---------------------------------------------------------------------------
+# time-to-convert — first-touch → first-purchase latency distribution
+# ---------------------------------------------------------------------------
+
+
+def events_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latency from a user's FIRST qualifying touch (view or click) to
+    their FIRST subsequent purchase, summarized per first-touch type: how
+    many users converted, and the min / interpolated p50/p90 / max of the
+    conversion delay in hours — the funnel-velocity readout that
+    events_funnel (did they convert within a horizon) and
+    events_attribution (which touch gets credit) both leave unanswered:
+    HOW LONG does conversion take?
+
+    One groupBy(user) computes first-touch (min_by over (ts, event_id) —
+    no window sort) and first purchase AFTER it (conditional min);
+    the per-type rollup is a vocabulary-bounded aggregate. Delay rides
+    exact integer microseconds; quantiles are exact interpolated
+    percentile (== quantile_cont) over hours. Converted users only — the
+    censored remainder is events_survival's subject.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    touch = (
+        ev.filter(F.col("event_type").isin("view", "click"))
+        .groupBy("user_id")
+        .agg(
+            F.min(F.struct(F.col("ts"), F.col("event_id"), F.col("event_type"))).alias("t0")
+        )
+        .select(
+            "user_id",
+            F.col("t0.ts").alias("touch_ts"),
+            F.col("t0.event_type").alias("first_touch"),
+        )
+    )
+    buy = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("buy_ts")
+    )
+    conv = (
+        touch.join(buy, "user_id")
+        .filter(F.col("buy_ts") >= F.col("touch_ts"))
+        .groupBy("user_id", "first_touch", "touch_ts")
+        .agg(F.min("buy_ts").alias("first_buy"))
+    )
+    delay_h = (
+        (F.unix_micros(F.col("first_buy")) - F.unix_micros(F.col("touch_ts"))).cast("double")
+        / 3600000000.0
+    )
+    d = conv.select("first_touch", delay_h.alias("h"))
+    return d.groupBy("first_touch").agg(
+        F.count(F.lit(1)).alias("n_converted"),
+        (F.floor(F.min("h") * 1e6) / 1e6).alias("hours_min"),
+        (F.floor(F.percentile("h", F.lit(0.5)) * 1e6) / 1e6).alias("hours_p50"),
+        (F.floor(F.percentile("h", F.lit(0.9)) * 1e6) / 1e6).alias("hours_p90"),
+        (F.floor(F.max("h") * 1e6) / 1e6).alias("hours_max"),
+    )
+
+
+EVENTS_TIME_TO_CONVERT_SQL = """
+WITH touch AS (
+    SELECT user_id,
+           min(struct_pack(ts := ts, e := event_id, et := event_type)) AS t0
+    FROM events WHERE event_type IN ('view', 'click')
+    GROUP BY user_id
+),
+t AS (SELECT user_id, t0.ts AS touch_ts, t0.et AS first_touch FROM touch),
+conv AS (
+    SELECT t.user_id, t.first_touch, t.touch_ts, min(e.ts) AS first_buy
+    FROM t JOIN events e ON e.user_id = t.user_id
+    WHERE e.event_type = 'purchase' AND e.ts >= t.touch_ts
+    GROUP BY t.user_id, t.first_touch, t.touch_ts
+),
+d AS (
+    SELECT first_touch,
+           CAST(epoch_us(first_buy) - epoch_us(touch_ts) AS DOUBLE) / 3600000000.0 AS h
+    FROM conv
+)
+SELECT first_touch,
+       count(*) AS n_converted,
+       floor(min(h) * 1e6) / 1e6 AS hours_min,
+       floor(quantile_cont(h, 0.5) * 1e6) / 1e6 AS hours_p50,
+       floor(quantile_cont(h, 0.9) * 1e6) / 1e6 AS hours_p90,
+       floor(max(h) * 1e6) / 1e6 AS hours_max
+FROM d GROUP BY first_touch
+"""

@@ -589,3 +589,37 @@ def knowledge_lag(df: DataFrame) -> DataFrame:
         (F.floor(F.col("p50") * 1e6) / 1e6).alias("lag_min_p50"),
         (F.floor(F.col("p90") * 1e6) / 1e6).alias("lag_min_p90"),
     )
+
+
+def staleness(df: DataFrame) -> DataFrame:
+    """Feed-staleness audit: each series' latest ``valid_time`` vs the
+    corpus high-water mark, bucketed fresh (< 24 h behind) / recent
+    (< 168 h) / stale (≥ 168 h) per retention tier — the "which feeds
+    stopped updating" dashboard (the other half of [[bt_knowledge_lag]]:
+    lag measures HOW LATE knowledge arrives, this measures WHO went
+    quiet). Per (retention, bucket): series count and the worst lag.
+
+    One groupBy(series) for per-series max valid_time, a 1-row global max
+    broadcast back (cross-join of a scalar — no shuffle of the big side),
+    one vocabulary-bounded rollup. Staleness rides exact integer hours
+    (non-negative by construction, so integer division is floor in both
+    engines)."""
+    per_series = df.groupBy("retention", "series_id").agg(
+        F.max("valid_time").alias("vt_last")
+    )
+    hw = df.agg(F.max("valid_time").alias("vt_max"))
+    j = per_series.join(F.broadcast(hw))
+    lag_h = (
+        (F.unix_micros(F.col("vt_max")) - F.unix_micros(F.col("vt_last")))
+        / F.lit(3600000000)
+    ).cast("long")
+    j = j.select("retention", lag_h.alias("lag_h"))
+    bucket = (
+        F.when(F.col("lag_h") < 24, F.lit("fresh"))
+        .when(F.col("lag_h") < 168, F.lit("recent"))
+        .otherwise(F.lit("stale"))
+    )
+    return j.groupBy("retention", bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n_series"),
+        F.max("lag_h").alias("max_lag_hours"),
+    )

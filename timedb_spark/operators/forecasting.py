@@ -434,3 +434,34 @@ SELECT retention,
        floor(quantile_cont(lag_min, 0.9) * 1e6) / 1e6 AS lag_min_p90
 FROM l GROUP BY retention
 """
+
+
+def bt_staleness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate wrapper: :func:`timedb_spark.operators.bitemporal.staleness`
+    over the deterministic events→series_values derivation."""
+    from timedb_spark.operators import bitemporal
+
+    return bitemporal.staleness(bitemporal_frame(spark, sf_dir))
+
+
+def bt_staleness_sql(sv_sql: str) -> str:
+    return f"""
+WITH sv AS ({sv_sql}),
+per_series AS (
+    SELECT retention, series_id, max(valid_time) AS vt_last
+    FROM sv GROUP BY retention, series_id
+),
+hw AS (SELECT max(valid_time) AS vt_max FROM sv),
+l AS (
+    SELECT retention,
+           CAST((epoch_us(vt_max) - epoch_us(vt_last)) // 3600000000 AS BIGINT) AS lag_h
+    FROM per_series CROSS JOIN hw
+)
+SELECT retention,
+       CASE WHEN lag_h < 24 THEN 'fresh'
+            WHEN lag_h < 168 THEN 'recent'
+            ELSE 'stale' END AS bucket,
+       count(*) AS n_series,
+       max(lag_h) AS max_lag_hours
+FROM l GROUP BY 1, 2
+"""

@@ -1404,3 +1404,69 @@ SELECT (SELECT CAST(n_vecs AS BIGINT) FROM nq) AS n_vecs,
        floor(sum_var * sum_var / sum_var2 / CAST(dim_n AS DOUBLE) * 1e6) / 1e6 AS pr_frac
 FROM folded
 """
+
+
+# ---------------------------------------------------------------------------
+# cluster-vs-label purity — external validation of the semantic buckets
+# ---------------------------------------------------------------------------
+
+
+def embed_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """External cluster validation: per k-means cell, the majority label
+    and its share (purity) — the sanity gate before any pipeline TRUSTS
+    the semantic buckets (dedup_semantic scopes candidate pairs by these
+    cells; sample diversity planning mixes by them — a low-purity cell
+    means the embedding space, not the data, is the problem; the
+    per-cluster complement of embed_outliers' per-vector margin).
+
+    One join of the deterministic Lloyd assignment onto labels, a
+    (cell, label) count (K×L keys), and a row_number pick of the majority
+    (count DESC, label ASC — deterministic under ties). Exact integers
+    until one floor-scaled division; the K-row result is driver-bounded.
+    """
+    vecs = load_table(spark, sf_dir, "embeddings").select("vec_id", "label")
+    assign = embed_kmeans(spark, sf_dir).select("vec_id", "cluster")
+    cl = assign.join(vecs, "vec_id").groupBy("cluster", "label").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w = Window.partitionBy("cluster").orderBy(F.col("cnt").desc(), F.col("label").asc())
+    top = cl.withColumn("rn", F.row_number().over(w))
+    tot = cl.groupBy("cluster").agg(
+        F.sum("cnt").alias("n_vecs"), F.count(F.lit(1)).alias("n_labels")
+    )
+    return (
+        top.filter(F.col("rn") == 1)
+        .join(tot, "cluster")
+        .select(
+            "cluster",
+            "n_vecs",
+            F.col("n_labels").cast("long").alias("n_labels"),
+            F.col("label").alias("top_label"),
+            F.col("cnt").alias("top_n"),
+            (F.floor(F.col("cnt").cast("double") / F.col("n_vecs").cast("double") * 1e6) / 1e6).alias("purity"),
+        )
+    )
+
+
+EMBED_CLUSTER_PURITY_SQL = f"""
+WITH km AS ({EMBED_KMEANS_SQL}),
+cl AS (
+    SELECT km.cluster, e.label, count(*) AS cnt
+    FROM km JOIN embeddings e ON e.vec_id = km.vec_id
+    GROUP BY km.cluster, e.label
+),
+top AS (
+    SELECT cluster, label, cnt,
+           row_number() OVER (PARTITION BY cluster ORDER BY cnt DESC, label ASC) AS rn
+    FROM cl
+),
+tot AS (
+    SELECT cluster, CAST(sum(cnt) AS BIGINT) AS n_vecs, CAST(count(*) AS BIGINT) AS n_labels
+    FROM cl GROUP BY cluster
+)
+SELECT t.cluster, z.n_vecs, z.n_labels, t.label AS top_label,
+       CAST(t.cnt AS BIGINT) AS top_n,
+       floor(CAST(t.cnt AS DOUBLE) / CAST(z.n_vecs AS DOUBLE) * 1e6) / 1e6 AS purity
+FROM top t JOIN tot z ON z.cluster = t.cluster
+WHERE t.rn = 1
+"""

@@ -1004,3 +1004,71 @@ SELECT CAST(k AS INT) AS n_terms, vocab_size, n_total AS n_tokens,
        floor(CAST(top1_n AS DOUBLE) / CAST(n_total AS DOUBLE) * 1e6) / 1e6 AS top1_share
 FROM m
 """
+
+
+# ---------------------------------------------------------------------------
+# lexical diversity — per-doc TTR / hapax share / Yule's K
+# ---------------------------------------------------------------------------
+
+
+def text_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document lexical-diversity profile: type-token ratio, hapax
+    share (fraction of words used exactly once), and Yule's K = 10⁴·(Σ
+    f_v·v² − N)/N² over the word-frequency spectrum — the length-robust
+    repetitiveness constant (low K = diverse prose, high K = template /
+    keyword-stuffed text). The per-doc complement of the corpus-level
+    text_vocab / text_zipf: a curation filter reads THIS column, not the
+    corpus curve (repetition-heavy docs degrade LMs; Gopher's quality
+    rules threshold exactly these fractions).
+
+    One explode of whitespace tokens → per-(doc, word) counts → per-doc
+    frequency-spectrum aggregates — two map-side-combinable groupBys keyed
+    by doc, no window, no join, all exact integers until three final
+    divisions (floor-scaled). Scales as a word-count job."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id", F.explode(tt.ws_tokens(F.col("text"))).alias("w")
+    ).filter(F.col("w") != "")
+    wc = words.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("v"))
+    g = wc.groupBy("doc_id").agg(
+        F.sum("v").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_types"),
+        F.sum(F.when(F.col("v") == 1, 1).otherwise(0)).cast("long").alias("n_hapax"),
+        F.sum(F.col("v") * F.col("v")).alias("sum_v2"),
+    )
+    n = F.col("n_tokens").cast("double")
+    yule_k = 1.0e4 * (F.col("sum_v2").cast("double") - n) / (n * n)
+    return g.select(
+        "doc_id",
+        "n_tokens",
+        "n_types",
+        "n_hapax",
+        (F.floor(F.col("n_types").cast("double") / n * 1e6) / 1e6).alias("ttr"),
+        (F.floor(F.col("n_hapax").cast("double") / n * 1e6) / 1e6).alias("hapax_share"),
+        (F.floor(yule_k * 1e6) / 1e6).alias("yule_k"),
+    )
+
+
+TEXT_DIVERSITY_SQL = r"""
+WITH words AS (
+    SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS w
+    FROM documents
+),
+wc AS (
+    SELECT doc_id, w, count(*) AS v FROM words WHERE w != '' GROUP BY doc_id, w
+),
+g AS (
+    SELECT doc_id,
+           CAST(sum(v) AS BIGINT) AS n_tokens,
+           CAST(count(*) AS BIGINT) AS n_types,
+           CAST(sum(CASE WHEN v = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+           CAST(sum(v * v) AS BIGINT) AS sum_v2
+    FROM wc GROUP BY doc_id
+)
+SELECT doc_id, n_tokens, n_types, n_hapax,
+       floor(CAST(n_types AS DOUBLE) / CAST(n_tokens AS DOUBLE) * 1e6) / 1e6 AS ttr,
+       floor(CAST(n_hapax AS DOUBLE) / CAST(n_tokens AS DOUBLE) * 1e6) / 1e6 AS hapax_share,
+       floor(1e4 * (CAST(sum_v2 AS DOUBLE) - CAST(n_tokens AS DOUBLE))
+             / (CAST(n_tokens AS DOUBLE) * CAST(n_tokens AS DOUBLE)) * 1e6) / 1e6 AS yule_k
+FROM g
+"""

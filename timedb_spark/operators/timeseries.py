@@ -4074,3 +4074,135 @@ SELECT user_id, n_events,
        floor(sqrt(m2 / CAST(n AS DOUBLE)) / 100.0 * 1e6) / 1e6 AS std_value
 FROM steps WHERE n = n_events
 """
+
+
+# ---------------------------------------------------------------------------
+# partial autocorrelation — unrolled Durbin–Levinson (lags 1..3)
+# ---------------------------------------------------------------------------
+
+_PACF_MIN_OBS = 30
+
+
+def pacf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial autocorrelation at lags 1–3 per user series via the
+    Durbin–Levinson recursion unrolled in closed form — the AR-order
+    selector (φ_kk is lag-k correlation with shorter lags regressed out;
+    the first k where it dies inside the ±1.96/√n band is the AR cutoff
+    box-Jenkins reads). Completes the identification pair: ts_autocorr /
+    ts_ljung_box read the ACF, this reads the PACF, and `ar_order`
+    reports the suggested order directly.
+
+    Same shape as ts_ljung_box: one sorted collect, sample ACF from
+    fixed-order exact-cent folds, then the φ algebra as ONE chained
+    double expression per lag (identical operation order both engines;
+    degenerate denominators NULL via nullif). Zero Python.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    s = F.struct(F.col("ts"), F.col("event_id"), F.col("value"))
+    g = ev.groupBy("user_id").agg(F.array_sort(F.collect_list(s)).alias("hist"))
+    cents = F.transform("hist", lambda r: (r["value"].cast("decimal(18,2)") * 100).cast("long"))
+    g = g.select("user_id", cents.alias("c"), F.size("hist").alias("n_obs"))
+    g = g.filter(F.col("n_obs") >= _PACF_MIN_OBS)
+    zero = F.lit(0).cast("long")
+    sx = F.aggregate("c", zero, lambda acc, x: acc + x)
+    mu = sx.cast("double") / F.col("n_obs").cast("double")
+    g = g.withColumn("mu", mu)
+    dev = F.transform("c", lambda x: x.cast("double") - F.col("mu"))
+    g = g.withColumn("dev", dev)
+    denom = F.aggregate("dev", F.lit(0.0), lambda acc, x: acc + x * x)
+    g = g.withColumn("denom", denom).filter(F.col("denom") > 0)
+
+    def _r(k: int):
+        return (
+            F.aggregate(
+                F.sequence(F.lit(1), F.col("n_obs") - k),
+                F.lit(0.0),
+                lambda acc, t: acc
+                + F.element_at("dev", t.cast("int")) * F.element_at("dev", (t + k).cast("int")),
+            )
+            / F.col("denom")
+        )
+
+    g = g.withColumn("r1", _r(1)).withColumn("r2", _r(2)).withColumn("r3", _r(3))
+    r1, r2, r3 = F.col("r1"), F.col("r2"), F.col("r3")
+    phi11 = r1
+    phi22 = (r2 - phi11 * r1) / F.nullif(F.lit(1.0) - phi11 * r1, F.lit(0.0))
+    g = g.withColumn("phi22", phi22)
+    p22 = F.col("phi22")
+    phi21 = phi11 - p22 * phi11
+    g = g.withColumn("phi21", phi21)
+    p21 = F.col("phi21")
+    phi33 = (r3 - (p21 * r2 + p22 * r1)) / F.nullif(
+        F.lit(1.0) - (p21 * r1 + p22 * r2), F.lit(0.0)
+    )
+    g = g.withColumn("phi33", phi33)
+    nd = F.col("n_obs").cast("double")
+    band = F.lit(1.959964) / F.sqrt(nd)
+    order = (
+        F.when(F.abs(F.col("phi33")) > band, F.lit(3))
+        .when(F.abs(F.col("phi22")) > band, F.lit(2))
+        .when(F.abs(r1) > band, F.lit(1))
+        .otherwise(F.lit(0))
+    )
+    return g.select(
+        "user_id",
+        "n_obs",
+        (F.floor(r1 * 1e6) / 1e6).alias("pacf1"),
+        F.when(F.col("phi22").isNotNull(), F.floor(F.col("phi22") * 1e6) / 1e6).alias("pacf2"),
+        F.when(F.col("phi33").isNotNull(), F.floor(F.col("phi33") * 1e6) / 1e6).alias("pacf3"),
+        order.alias("ar_order"),
+    )
+
+
+PACF_SQL = f"""
+WITH hist AS (
+    SELECT user_id,
+           list_transform(
+               list_sort(list(struct_pack(ts := ts, e := event_id, v := value))),
+               s -> CAST(CAST(s.v AS DECIMAL(18,2)) * 100 AS BIGINT)) AS c
+    FROM events GROUP BY user_id
+),
+base AS (
+    SELECT user_id, len(c) AS n_obs,
+           CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), c), (a, x) -> a + x) AS DOUBLE)
+               / CAST(len(c) AS DOUBLE) AS mu,
+           c
+    FROM hist WHERE len(c) >= {_PACF_MIN_OBS}
+),
+dv AS (
+    SELECT user_id, n_obs, list_transform(c, x -> CAST(x AS DOUBLE) - mu) AS dev FROM base
+),
+dn AS (
+    SELECT user_id, n_obs, dev,
+           list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                                    list_transform(dev, x -> x * x)), (a, b) -> a + b) AS denom
+    FROM dv
+),
+rk AS (
+    SELECT user_id, n_obs,
+           {_lb_num_sql(1)} / denom AS r1,
+           {_lb_num_sql(2)} / denom AS r2,
+           {_lb_num_sql(3)} / denom AS r3
+    FROM dn WHERE denom > 0
+),
+dl AS (
+    SELECT user_id, n_obs, r1, r2, r3,
+           (r2 - r1 * r1) / nullif(1.0 - r1 * r1, 0.0) AS phi22,
+           r1 - ((r2 - r1 * r1) / nullif(1.0 - r1 * r1, 0.0)) * r1 AS phi21
+    FROM rk
+),
+dl3 AS (
+    SELECT user_id, n_obs, r1, phi22,
+           (r3 - (phi21 * r2 + phi22 * r1)) / nullif(1.0 - (phi21 * r1 + phi22 * r2), 0.0) AS phi33
+    FROM dl
+)
+SELECT user_id, CAST(n_obs AS INT) AS n_obs,
+       floor(r1 * 1e6) / 1e6 AS pacf1,
+       CASE WHEN phi22 IS NOT NULL THEN floor(phi22 * 1e6) / 1e6 END AS pacf2,
+       CASE WHEN phi33 IS NOT NULL THEN floor(phi33 * 1e6) / 1e6 END AS pacf3,
+       CASE WHEN abs(phi33) > 1.959964 / sqrt(CAST(n_obs AS DOUBLE)) THEN 3
+            WHEN abs(phi22) > 1.959964 / sqrt(CAST(n_obs AS DOUBLE)) THEN 2
+            WHEN abs(r1) > 1.959964 / sqrt(CAST(n_obs AS DOUBLE)) THEN 1
+            ELSE 0 END AS ar_order
+FROM dl3
+"""
