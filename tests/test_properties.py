@@ -429,3 +429,92 @@ def test_hampel_property_matches_replay(spark, tmp_path_factory, cents_series):
             assert r.is_outlier == out
             assert r.win_median == math.floor(m / 100.0 * 1e6) / 1e6
             assert r.cleaned == math.floor((m if out else float(x)) / 100.0 * 1e6) / 1e6
+
+
+@pytest.mark.filterwarnings("ignore")
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(st.lists(_series_strategy, min_size=1, max_size=3))
+def test_anomaly_online_property_matches_replay(spark, tmp_path_factory, cents_series):
+    import math
+
+    from timedb_spark.operators import timeseries as ts
+
+    d = _events_frame(spark, str(tmp_path_factory.mktemp("anom")), cents_series)
+    got = {r.user_id: r for r in ts.anomaly_online(spark, d).collect()}
+    for uid, c in enumerate(cents_series, start=1):
+        n, mean, m2, alerts, first = 0, 0.0, 0.0, 0, -1
+        for ci in c:
+            x = float(ci)
+            if n >= 10 and m2 > 0.0 and abs(x - mean) / math.sqrt(m2 / n) > 3.0:
+                alerts += 1
+                if first < 0:
+                    first = n
+            n += 1
+            delta = x - mean
+            mean = mean + delta / n
+            m2 = m2 + delta * (x - mean)
+        r = got[uid]
+        assert (r.n_events, r.n_alerts, r.first_alert_idx) == (n, alerts, first)
+        assert r.mean_value == math.floor(mean / 100.0 * 1e6) / 1e6
+        assert r.std_value == math.floor(math.sqrt(m2 / n) / 100.0 * 1e6) / 1e6
+
+
+@pytest.mark.filterwarnings("ignore")
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(st.lists(st.lists(st.integers(0, 20000), min_size=15, max_size=40), min_size=1, max_size=3))
+def test_rsi_property_matches_replay(spark, tmp_path_factory, cents_series):
+    import math
+
+    from timedb_spark.operators import timeseries as ts
+
+    d = _events_frame(spark, str(tmp_path_factory.mktemp("rsi")), cents_series)
+    got = {r.user_id: r for r in ts.rsi(spark, d).collect()}
+    for uid, c in enumerate(cents_series, start=1):
+        ag = al = 0.0
+        for i in range(1, len(c)):
+            x = float(c[i] - c[i - 1])
+            ag = (ag * 13.0 + max(x, 0.0)) / 14.0
+            al = (al * 13.0 + max(-x, 0.0)) / 14.0
+        r = got[uid]
+        assert r.avg_gain == math.floor(ag / 100.0 * 1e6) / 1e6
+        assert r.avg_loss == math.floor(al / 100.0 * 1e6) / 1e6
+        if ag == 0.0 and al == 0.0:
+            assert r.rsi is None
+        elif al == 0.0:
+            assert r.rsi == 100.0
+        else:
+            assert r.rsi == math.floor((100.0 - 100.0 / (1.0 + ag / al)) * 1e6) / 1e6
+
+
+@pytest.mark.filterwarnings("ignore")
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(st.lists(st.lists(st.integers(0, 50), min_size=12, max_size=40), min_size=1, max_size=3))
+def test_runs_test_property_matches_replay(spark, tmp_path_factory, cents_series):
+    """Small value range forces heavy TIES at the median — the adversarial
+    shape for the drop-at-median rule and the exact two-middles median."""
+    import math
+
+    from timedb_spark.operators import timeseries as ts
+
+    d = _events_frame(spark, str(tmp_path_factory.mktemp("runs")), cents_series)
+    got = {r.user_id: r for r in ts.runs_test(spark, d).collect()}
+    for uid, c in enumerate(cents_series, start=1):
+        cs = sorted(c)
+        n = len(c)
+        med = float(cs[(n + 1) // 2 - 1]) if n % 2 == 1 else (cs[n // 2 - 1] + cs[n // 2]) / 2.0
+        signs = [1 if x > med else -1 for x in c if x != med]
+        m = len(signs)
+        if m < 10:
+            assert uid not in got
+            continue
+        runs = 1 + sum(1 for i in range(1, m) if signs[i] != signs[i - 1])
+        n1 = sum(1 for s_ in signs if s_ == 1)
+        a, b = float(n1), float(m - n1)
+        mu = 2.0 * a * b / m + 1.0
+        var = 2.0 * a * b * (2.0 * a * b - m) / (m * m * (m - 1.0))
+        r = got[uid]
+        assert (r.n_runs, r.n_above, r.n_below) == (runs, n1, m - n1)
+        if var > 0:
+            assert r.z == math.floor((runs - mu) / math.sqrt(var) * 1e6) / 1e6
+        else:
+            assert r.z is None and r.verdict is None
