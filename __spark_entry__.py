@@ -1232,6 +1232,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bt_staleness": forecasting.bt_staleness,
         "ts_pacf": timeseries.pacf,
         "embed_cluster_purity": similarity.embed_cluster_purity,
+        "dedup_lsh_tuning": dedup.dedup_lsh_tuning,
+        "pipeline_dq_rules": pipeline.pipeline_dq_rules,
+        "events_seasonality": analytics.events_seasonality,
     }
     out = {k: reg[k] for k in _R7_WINDOW}
     out.update((k, v) for k, v in reg.items() if k not in out)
@@ -1608,6 +1611,9 @@ def oracle_sql() -> dict[str, str]:
         "bt_staleness": forecasting.bt_staleness_sql(_SV),
         "ts_pacf": timeseries.PACF_SQL,
         "embed_cluster_purity": similarity.EMBED_CLUSTER_PURITY_SQL,
+        "dedup_lsh_tuning": dedup.DEDUP_LSH_TUNING_SQL,
+        "pipeline_dq_rules": pipeline.PIPELINE_DQ_RULES_SQL,
+        "events_seasonality": analytics.EVENTS_SEASONALITY_SQL,
         "events_abtest": analytics.EVENTS_ABTEST_SQL,
         "profile_drift": pipeline.PROFILE_DRIFT_SQL,
         "events_paths": analytics.EVENTS_PATHS_SQL,

@@ -602,3 +602,61 @@ def test_events_time_to_convert_hand_events(spark, tmp_path):
     assert (v.n_converted, v.hours_min, v.hours_max, v.hours_p50) == (1, 2.0, 2.0, 2.0)
     c = got["click"]
     assert (c.n_converted, c.hours_min, c.hours_max) == (1, 5.0, 5.0)
+
+
+def test_pipeline_dq_rules_planted_violations(spark, tmp_path):
+    """Planted violations: one NULL value, one negative value, one
+    duplicated event_id, one off-vocabulary type — each rule reports its
+    exact count and fails; untouched rules pass."""
+    import os
+
+    from timedb_spark.operators import pipeline
+
+    ts = pd.Timestamp(2024, 1, 1)
+    rows = [
+        (1, ts, 1, "click", 1.0, ""),
+        (2, ts, 1, "view", None, ""),        # null value
+        (3, ts, 2, "purchase", -5.0, ""),    # negative value
+        (3, ts, 2, "click", 2.0, ""),        # duplicate event_id
+        (4, ts, 3, "weird", 1.0, ""),        # off-vocabulary type
+    ]
+    pdf = pd.DataFrame(rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"])
+    d = str(tmp_path / "sf")
+    os.makedirs(d)
+    pdf.to_parquet(os.path.join(d, "events.parquet"))
+
+    got = {r.rule: r for r in pipeline.pipeline_dq_rules(spark, d).collect()}
+    assert got["value_not_null"].n_violations == 1 and got["value_not_null"].status == "fail"
+    assert got["value_non_negative"].n_violations == 1
+    assert got["event_id_unique"].n_violations == 1
+    assert got["event_type_in_vocab"].n_violations == 1
+    assert got["value_below_cap"].n_violations == 0 and got["value_below_cap"].status == "pass"
+    assert got["ts_not_null"].status == "pass"
+    assert all(r.n_rows == 5 for r in got.values())
+    assert got["value_non_negative"].violation_share == 0.2
+
+
+def test_events_seasonality_hand_profile(spark, tmp_path):
+    """Hand events: clicks peak at hour 9 (2 of 3), one click on a Saturday
+    night (hour 2) — peak hour/share, weekend and night shares exact."""
+    import os
+
+    rows = [
+        (1, pd.Timestamp(2024, 1, 1, 9), 1, "click", 1.0, ""),   # Monday 09
+        (2, pd.Timestamp(2024, 1, 2, 9), 1, "click", 1.0, ""),   # Tuesday 09
+        (3, pd.Timestamp(2024, 1, 6, 2), 2, "click", 1.0, ""),   # Saturday 02
+        (4, pd.Timestamp(2024, 1, 7, 12), 2, "view", 1.0, ""),   # Sunday 12
+    ]
+    pdf = pd.DataFrame(rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"])
+    d = str(tmp_path / "sf")
+    os.makedirs(d)
+    pdf.to_parquet(os.path.join(d, "events.parquet"))
+
+    got = {r.event_type: r for r in analytics.events_seasonality(spark, d).collect()}
+    c = got["click"]
+    assert (c.n_events, c.peak_hour) == (3, 9)
+    assert c.peak_share == pytest.approx(0.666666)
+    assert c.weekend_share == pytest.approx(0.333333)
+    assert c.night_share == pytest.approx(0.333333)
+    v = got["view"]
+    assert (v.n_events, v.peak_hour, v.weekend_share) == (1, 12, 1.0)

@@ -261,3 +261,26 @@ def test_sample_dedup_aware_debiases_clusters(spark):
     # every clustered doc reports its real cluster size; singletons 1
     for did, cs in zip(got.doc_id, got.cluster_size):
         assert cs == sizes.get(labels.get(did), 1)
+
+
+def test_dedup_lsh_tuning_invariants_and_minhash_consistency(spark):
+    """Band-split nesting: a full (b, r) band match implies matches of all
+    finer aligned splits, so candidates grow monotonically with b and the
+    loosest split's recall is 1 by construction. The production split's
+    verified count must equal dedup_minhash's actual output (same sigs,
+    same τ)."""
+    from timedb_spark.operators import dedup, sampling  # noqa: F401
+
+    rows = {r.bands: r for r in dedup.dedup_lsh_tuning(spark, SF).collect()}
+    assert sorted(rows) == [2, 4, 8, 16]
+    cands = [rows[b].n_candidates for b in (2, 4, 8, 16)]
+    assert cands == sorted(cands), cands  # nested candidate sets
+    recalls = [rows[b].recall_vs_loosest for b in (2, 4, 8, 16) if rows[b].recall_vs_loosest is not None]
+    assert recalls == sorted(recalls)
+    assert rows[16].recall_vs_loosest == 1.0
+    # production split (4x4) verifies exactly what dedup_minhash emits
+    assert rows[4].n_verified == dedup.dedup_minhash(spark, SF).count()
+    for b in (2, 4, 8, 16):
+        r = rows[b]
+        assert r.rows_per_band == 16 // b
+        assert r.n_verified <= r.n_candidates

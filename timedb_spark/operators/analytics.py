@@ -2301,3 +2301,77 @@ SELECT first_touch,
        floor(max(h) * 1e6) / 1e6 AS hours_max
 FROM d GROUP BY first_touch
 """
+
+
+# ---------------------------------------------------------------------------
+# diurnal/weekly seasonality profile per event type
+# ---------------------------------------------------------------------------
+
+
+def events_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Timing profile per event type: peak hour-of-day and its share,
+    weekend share, and night share (00–06 UTC) — the capacity-planning /
+    scheduling readout ("when does each event class actually happen") that
+    ts_periodogram answers spectrally per USER and this answers directly
+    per TYPE. Peak picks deterministically (max count, then smallest
+    hour).
+
+    One (type, hour) count — 24×vocabulary keys, map-side combined — then
+    a deterministic argmax via min of (-cnt, hour) struct and three exact
+    conditional sums rolled up per type. All counts exact integers; two
+    floor-scaled divisions."""
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select(
+        "event_type",
+        F.hour("ts").alias("hod"),
+        F.dayofweek("ts").alias("dow"),  # 1=Sunday, 7=Saturday
+    )
+    by_hour = base.groupBy("event_type", "hod").agg(F.count(F.lit(1)).alias("cnt"))
+    peak = by_hour.groupBy("event_type").agg(
+        F.min(F.struct((-F.col("cnt")).alias("neg"), F.col("hod").alias("hod"))).alias("p"),
+        F.sum("cnt").alias("n_events"),
+    )
+    shares = base.groupBy("event_type").agg(
+        F.sum(F.when(F.col("dow").isin(1, 7), 1).otherwise(0)).cast("long").alias("n_weekend"),
+        F.sum(F.when(F.col("hod") < 6, 1).otherwise(0)).cast("long").alias("n_night"),
+    )
+    n = F.col("n_events").cast("double")
+    return peak.join(shares, "event_type").select(
+        "event_type",
+        "n_events",
+        F.col("p.hod").alias("peak_hour"),
+        (F.floor((-F.col("p.neg")).cast("double") / n * 1e6) / 1e6).alias("peak_share"),
+        (F.floor(F.col("n_weekend").cast("double") / n * 1e6) / 1e6).alias("weekend_share"),
+        (F.floor(F.col("n_night").cast("double") / n * 1e6) / 1e6).alias("night_share"),
+    )
+
+
+EVENTS_SEASONALITY_SQL = """
+WITH base AS (
+    SELECT event_type,
+           CAST(hour(ts) AS INT) AS hod,
+           dayofweek(ts) AS dow  -- DuckDB: 0=Sunday..6=Saturday
+    FROM events
+),
+by_hour AS (
+    SELECT event_type, hod, count(*) AS cnt FROM base GROUP BY event_type, hod
+),
+peak AS (
+    SELECT event_type,
+           min(struct_pack(neg := -cnt, hod := hod)) AS p,
+           CAST(sum(cnt) AS BIGINT) AS n_events
+    FROM by_hour GROUP BY event_type
+),
+shares AS (
+    SELECT event_type,
+           CAST(sum(CASE WHEN dow IN (0, 6) THEN 1 ELSE 0 END) AS BIGINT) AS n_weekend,
+           CAST(sum(CASE WHEN hod < 6 THEN 1 ELSE 0 END) AS BIGINT) AS n_night
+    FROM base GROUP BY event_type
+)
+SELECT p.event_type, p.n_events,
+       CAST(p.p.hod AS INT) AS peak_hour,
+       floor(CAST(-p.p.neg AS DOUBLE) / CAST(p.n_events AS DOUBLE) * 1e6) / 1e6 AS peak_share,
+       floor(CAST(s.n_weekend AS DOUBLE) / CAST(p.n_events AS DOUBLE) * 1e6) / 1e6 AS weekend_share,
+       floor(CAST(s.n_night AS DOUBLE) / CAST(p.n_events AS DOUBLE) * 1e6) / 1e6 AS night_share
+FROM peak p JOIN shares s ON s.event_type = p.event_type
+"""

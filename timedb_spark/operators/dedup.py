@@ -897,3 +897,179 @@ SELECT method, n_pairs, n_docs, overlap_minhash,
             END AS jaccard_vs_minhash
 FROM legs
 """
+
+
+# ---------------------------------------------------------------------------
+# LSH banding tuner — precision/recall of every (bands × rows) split
+# ---------------------------------------------------------------------------
+
+#: every way to split the K=16 minhash signature into equal bands, with the
+#: s-curve midpoint s50 = (1/b)^(1/r) computed ONCE in the driver and
+#: embedded as literals (pow() rounding differs across libms — the
+#: sample_temperature lesson).
+_LSH_CONFIGS: list[tuple[int, int, float]] = [
+    (b, _MH_K // b, (1.0 / b) ** (1.0 / (_MH_K // b))) for b in (2, 4, 8, 16)
+]
+
+
+def dedup_lsh_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banding-parameter tuning table for the minhash index: for EVERY
+    equal split of the K=16 signature (2×8 … 16×1), the candidate-pair
+    volume the band join would generate, how many candidates verify at the
+    production threshold τ, the resulting precision, and recall against
+    the loosest split's verified set (16×1 collides on ANY single row, so
+    its candidates are a superset of every other split's — the natural
+    local ground truth). s50 = (1/b)^(1/r) is the collision-curve midpoint
+    each row is tuned around (Leskovec/Rajaraman/Ullman §3.4). This is the
+    table an engineer reads BEFORE setting dedup_minhash's (b, r) —
+    published as an operator so the tuning is reproducible at any scale.
+
+    Shape: ONE signature pass feeds all four band joins (equi-joins on
+    (band_idx, band_key) — never all-pairs); the exact-Jaccard verify runs
+    ONCE on the superset candidates and each split's counts come from a
+    semi-join against it. Counts exact; two floor-scaled divisions.
+    """
+    sh = _shingled(doc_corpus(spark, sf_dir))
+    based = sh.select("doc_id", "sh", F.transform("sh", tt.base_hash).alias("hs"))
+    sig = based.select("doc_id", "sh", tt.minhash_signature(F.col("hs"), _MH_K).alias("sig"))
+    sig = sig.localCheckpoint(eager=False)
+
+    def _cand(b: int, r: int) -> DataFrame:
+        bands = sig.select(
+            "doc_id",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(i).alias("band_idx"),
+                            F.md5(
+                                F.concat_ws(
+                                    "|",
+                                    F.transform(
+                                        F.slice(F.col("sig"), i * r + 1, r),
+                                        lambda x: x.cast("string"),
+                                    ),
+                                )
+                            ).alias("band_key"),
+                        )
+                        for i in range(b)
+                    ]
+                )
+            ).alias("band"),
+        ).select("doc_id", "band.band_idx", "band.band_key")
+        a, bb = bands.alias("a"), bands.alias("b")
+        return (
+            a.join(
+                bb,
+                (F.col("a.band_idx") == F.col("b.band_idx"))
+                & (F.col("a.band_key") == F.col("b.band_key"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+            .distinct()
+        )
+
+    # loosest split = superset candidates; verify exact Jaccard once
+    loosest = _cand(_MH_K, 1).localCheckpoint(eager=False)
+    sizes = sh.select("doc_id", F.size("sh").alias("n_sh"))
+    ex = sh.select("doc_id", F.explode("sh").alias("s"))
+    inter = (
+        ex.alias("x")
+        .join(loosest, F.col("x.doc_id") == F.col("doc_a"))
+        .join(ex.alias("y"), (F.col("y.doc_id") == F.col("doc_b")) & (F.col("x.s") == F.col("y.s")))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    jac = F.col("inter").cast("double") / (F.col("na") + F.col("nb") - F.col("inter"))
+    true_pairs = (
+        inter.join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na")), "doc_a")
+        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb")), "doc_b")
+        .filter(F.round(jac, 6) >= _JACCARD_TAU)
+        .select("doc_a", "doc_b")
+        .localCheckpoint(eager=False)
+    )
+    frames = []
+    for b, r, s50 in _LSH_CONFIGS:
+        cand = _cand(b, r) if b != _MH_K else loosest
+        verified = cand.join(true_pairs, ["doc_a", "doc_b"], "left_semi")
+        row = (
+            cand.agg(F.count(F.lit(1)).alias("n_candidates"))
+            .join(verified.agg(F.count(F.lit(1)).alias("n_verified")))
+            .join(true_pairs.agg(F.count(F.lit(1)).alias("n_true")))
+            .select(
+                F.lit(b).alias("bands"),
+                F.lit(r).alias("rows_per_band"),
+                (F.floor(F.lit(s50) * 1e6) / 1e6).alias("s50"),
+                "n_candidates",
+                "n_verified",
+                F.when(
+                    F.col("n_candidates") > 0,
+                    F.floor(F.col("n_verified").cast("double") / F.col("n_candidates").cast("double") * 1e6) / 1e6,
+                ).alias("precision"),
+                F.when(
+                    F.col("n_true") > 0,
+                    F.floor(F.col("n_verified").cast("double") / F.col("n_true").cast("double") * 1e6) / 1e6,
+                ).alias("recall_vs_loosest"),
+            )
+        )
+        frames.append(row)
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out
+
+
+def _lsh_cand_sql(b: int, r: int, name: str) -> str:
+    return f"""
+bands_{name} AS (
+    SELECT doc_id, i AS band_idx,
+           md5(array_to_string(sig[1 + i*{r} : (i+1)*{r}], '|')) AS band_key
+    FROM sig, unnest(range(0, {b})) AS t(i)
+),
+cand_{name} AS MATERIALIZED (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands_{name} a JOIN bands_{name} b
+      ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+)"""
+
+
+def _lsh_row_sql(b: int, r: int, s50: float, name: str) -> str:
+    return f"""
+    SELECT {b} AS bands, {r} AS rows_per_band,
+           floor({s50!r} * 1e6) / 1e6 AS s50,
+           (SELECT CAST(count(*) AS BIGINT) FROM cand_{name}) AS n_candidates,
+           (SELECT CAST(count(*) AS BIGINT) FROM cand_{name} c
+             JOIN true_pairs t ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b) AS n_verified,
+           CASE WHEN (SELECT count(*) FROM cand_{name}) > 0 THEN
+             floor(CAST((SELECT count(*) FROM cand_{name} c
+                         JOIN true_pairs t ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b) AS DOUBLE)
+                   / CAST((SELECT count(*) FROM cand_{name}) AS DOUBLE) * 1e6) / 1e6 END AS precision,
+           CASE WHEN (SELECT count(*) FROM true_pairs) > 0 THEN
+             floor(CAST((SELECT count(*) FROM cand_{name} c
+                         JOIN true_pairs t ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b) AS DOUBLE)
+                   / CAST((SELECT count(*) FROM true_pairs) AS DOUBLE) * 1e6) / 1e6 END AS recall_vs_loosest
+"""
+
+
+DEDUP_LSH_TUNING_SQL = rf"""
+WITH corpus AS ({DOC_CORPUS_SQL}),
+shingled AS ({_SHINGLED_SQL}),
+sig AS MATERIALIZED ({_SIG_SQL}),
+{",".join(_lsh_cand_sql(b, r, f"b{b}").lstrip() for b, r, _ in _LSH_CONFIGS)},
+ex AS (SELECT doc_id, unnest(sh) AS s FROM shingled),
+sizes AS (SELECT doc_id, len(sh) AS n_sh FROM shingled),
+inter AS (
+    SELECT c.doc_a, c.doc_b, count(*) AS inter
+    FROM cand_b16 c
+    JOIN ex x ON x.doc_id = c.doc_a
+    JOIN ex y ON y.doc_id = c.doc_b AND y.s = x.s
+    GROUP BY c.doc_a, c.doc_b
+),
+true_pairs AS MATERIALIZED (
+    SELECT doc_a, doc_b FROM inter
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE round(CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter), 6) >= {_JACCARD_TAU}
+)
+{" UNION ALL ".join(_lsh_row_sql(b, r, s50, f"b{b}") for b, r, s50 in _LSH_CONFIGS)}
+"""

@@ -382,3 +382,87 @@ JOIN top tp ON tp.source = b.source
 JOIN nlang nl ON nl.source = b.source
 JOIN dups d ON d.source = b.source
 """
+
+
+# ---------------------------------------------------------------------------
+# declarative data-quality rules — the Deequ-style single-scan check suite
+# ---------------------------------------------------------------------------
+
+#: (rule name, violation-predicate SQL over events) — ONE expression string
+#: per rule, shared verbatim by the Spark plan and the DuckDB oracle so the
+#: rule SEMANTICS cannot drift between engines.
+_DQ_RULES: list[tuple[str, str]] = [
+    ("value_not_null", "value IS NULL"),
+    ("value_non_negative", "value < 0"),
+    ("value_below_cap", "value > 1000000"),
+    ("ts_not_null", "ts IS NULL"),
+    ("event_type_in_vocab", "event_type NOT IN ('click','view','purchase','signup','error')"),
+    ("user_id_non_negative", "user_id < 0"),
+]
+
+
+def pipeline_dq_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality suite over the events feed (the Deequ /
+    dbt-test shape): each rule is a violation predicate; the report is one
+    row per rule with violation count, share, and pass/fail — plus a
+    uniqueness rule (event_id) that needs an aggregate, not a predicate.
+    The ingest gate a pipeline runs BEFORE anything downstream trusts the
+    batch (io/ingest.py quarantines malformed ROWS at parse time; this
+    checks semantic invariants across the PARSED batch).
+
+    Shape: every predicate folds into ONE single-scan aggregate (conditional
+    sums — map-side combinable, no per-rule pass), then unpivots via stack;
+    uniqueness rides the same scan as count - approx-free exact distinct.
+    The oracle evaluates the IDENTICAL predicate strings. At 100 TB this is
+    one scan, one 1-row shuffle, K output rows."""
+    ev = load_table(spark, sf_dir, "events")
+    aggs = [
+        F.sum(F.when(F.expr(pred), 1).otherwise(0)).cast("long").alias(name)
+        for name, pred in _DQ_RULES
+    ]
+    one = ev.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count_distinct(F.col("event_id")).alias("n_ids"),
+        *aggs,
+    )
+    one = one.withColumn(
+        "event_id_unique", (F.col("n_rows") - F.col("n_ids")).cast("long")
+    )
+    names = [name for name, _ in _DQ_RULES] + ["event_id_unique"]
+    stack = ", ".join(f"'{n}', {n}" for n in names)
+    rows = one.selectExpr("n_rows", f"stack({len(names)}, {stack}) AS (rule, n_violations)")
+    share = F.col("n_violations").cast("double") / F.col("n_rows").cast("double")
+    return rows.select(
+        "rule",
+        F.col("n_rows").cast("long").alias("n_rows"),
+        "n_violations",
+        (F.floor(share * 1e6) / 1e6).alias("violation_share"),
+        F.when(F.col("n_violations") == 0, F.lit("pass")).otherwise(F.lit("fail")).alias("status"),
+    )
+
+
+def _dq_rules_sql() -> str:
+    rule_cols = ",\n           ".join(
+        f"CAST(sum(CASE WHEN {pred} THEN 1 ELSE 0 END) AS BIGINT) AS {name}"
+        for name, pred in _DQ_RULES
+    )
+    names = [name for name, _ in _DQ_RULES] + ["event_id_unique"]
+    rows = " UNION ALL ".join(
+        f"SELECT '{n}' AS rule, n_rows, {n} AS n_violations FROM one" for n in names
+    )
+    return f"""
+WITH one AS (
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(*) - count(DISTINCT event_id) AS BIGINT) AS event_id_unique,
+           {rule_cols}
+    FROM events
+),
+r AS ({rows})
+SELECT rule, n_rows, n_violations,
+       floor(CAST(n_violations AS DOUBLE) / CAST(n_rows AS DOUBLE) * 1e6) / 1e6 AS violation_share,
+       CASE WHEN n_violations = 0 THEN 'pass' ELSE 'fail' END AS status
+FROM r
+"""
+
+
+PIPELINE_DQ_RULES_SQL = _dq_rules_sql()

@@ -89,6 +89,19 @@ PICKS = [
     ("bt_audit", "Per-author change governance: ONE revision-ordering window (the latest_changes "
      "sort reused) feeding one map-side-combined groupBy(changed_by) — deltas in exact cents, "
      "a single floor-scaled division at the end."),
+    ("graph_link_predict", "RA link prediction with the r7 wedge-budget cap: the degree table "
+     "broadcasts, middles above the budget-derived ceiling are FILTERED before the wedge "
+     "self-join (the power-law scale guard — join output bounded by the budget at any graph), "
+     "and the anti-join against edges keeps only non-adjacent pairs."),
+    ("graph_kcore", "Fixed-round k-core peel: each round is one hash aggregate over the shrinking "
+     "edge list + two semi-joins on the endpoint keys; lazy localCheckpoints keep the 8-round "
+     "plan flat instead of 8x nested."),
+    ("multimodal_phash", "Perceptual-hash near-dup stats: the dHash leaves ONE Arrow-batched "
+     "mapInPandas; banding is an explode + equi-join on (band_idx, band_value) — exact hamming "
+     "is computed on band collisions only, never all-pairs."),
+    ("ts_spectral_entropy", "Forecastability score: the dense grid is the resample join shape and "
+     "all eight DFT rotations ride ONE fused 32-slot aggregate over the collected array — one "
+     "traversal, zero Python, one shuffle."),
 ]
 
 
