@@ -1235,6 +1235,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_lsh_tuning": dedup.dedup_lsh_tuning,
         "pipeline_dq_rules": pipeline.pipeline_dq_rules,
         "events_seasonality": analytics.events_seasonality,
+        "ts_ccf": timeseries.ccf,
+        "bt_revision_latency": forecasting.bt_revision_latency,
     }
     out = {k: reg[k] for k in _R7_WINDOW}
     out.update((k, v) for k, v in reg.items() if k not in out)
@@ -1614,6 +1616,8 @@ def oracle_sql() -> dict[str, str]:
         "dedup_lsh_tuning": dedup.DEDUP_LSH_TUNING_SQL,
         "pipeline_dq_rules": pipeline.PIPELINE_DQ_RULES_SQL,
         "events_seasonality": analytics.EVENTS_SEASONALITY_SQL,
+        "ts_ccf": timeseries.CCF_SQL,
+        "bt_revision_latency": forecasting.bt_revision_latency_sql(_SV),
         "events_abtest": analytics.EVENTS_ABTEST_SQL,
         "profile_drift": pipeline.PROFILE_DRIFT_SQL,
         "events_paths": analytics.EVENTS_PATHS_SQL,

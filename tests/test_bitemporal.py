@@ -338,3 +338,35 @@ def test_staleness_hand_buckets(spark):
     assert got[("short", "fresh")].n_series == 1 and got[("short", "fresh")].max_lag_hours == 0
     assert got[("short", "recent")].max_lag_hours == 30
     assert got[("long", "stale")].max_lag_hours == 200
+
+
+def test_revision_latency_hand_chain(spark):
+    """A 3-revision chain with 10- and 30-minute gaps and a single-revision
+    chain (no gap rows): counts, bounds and interpolated quantiles replay
+    by hand."""
+    import math
+    from datetime import datetime, timedelta
+
+    from timedb_spark.operators.bitemporal import revision_latency
+
+    vt = datetime(2024, 1, 1)
+    k0 = datetime(2024, 1, 1, 12, 0)
+    m = timedelta(minutes=1)
+    rows = [
+        ("short", 1, vt, k0, k0),
+        ("short", 1, vt, k0 + 10 * m, k0 + 10 * m),
+        ("short", 1, vt, k0 + 40 * m, k0 + 40 * m),
+        ("long", 2, vt, k0, k0),  # single revision → no latency rows
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "retention string, series_id long, valid_time timestamp, "
+        "knowledge_time timestamp, change_time timestamp",
+    )
+    got = {r.retention: r for r in revision_latency(df).collect()}
+    assert set(got) == {"short"}
+    r = got["short"]
+    assert r.n_revisions == 2
+    assert (r.gap_min_min, r.gap_min_max) == (10.0, 30.0)
+    assert r.gap_min_p50 == math.floor((10 + 0.5 * 20) * 1e6) / 1e6
+    assert r.gap_min_p90 == math.floor((10 + 0.9 * 20) * 1e6) / 1e6

@@ -518,3 +518,72 @@ def test_runs_test_property_matches_replay(spark, tmp_path_factory, cents_series
             assert r.z == math.floor((runs - mu) / math.sqrt(var) * 1e6) / 1e6
         else:
             assert r.z is None and r.verdict is None
+
+
+@pytest.mark.filterwarnings("ignore")
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(st.lists(st.lists(st.integers(0, 20000), min_size=30, max_size=40), min_size=1, max_size=3))
+def test_ljung_box_property_matches_replay(spark, tmp_path_factory, cents_series):
+    import math
+
+    from timedb_spark.operators import timeseries as ts
+
+    d = _events_frame(spark, str(tmp_path_factory.mktemp("lb")), cents_series)
+    got = {r.user_id: r for r in ts.ljung_box(spark, d).collect()}
+    for uid, c in enumerate(cents_series, start=1):
+        n = len(c)
+        mu = float(sum(c)) / float(n)
+        dev = [float(x) - mu for x in c]
+        denom = 0.0
+        for x in dev:
+            denom += x * x
+        if denom == 0.0:
+            assert uid not in got  # constant series filtered
+            continue
+        acc, r1 = 0.0, None
+        for k in range(1, 6):
+            num = 0.0
+            for t in range(n - k):
+                num += dev[t] * dev[t + k]
+            rk = num / denom
+            if k == 1:
+                r1 = rk
+            acc = acc + rk * rk / (n - float(k))
+        q = n * (n + 2.0) * acc
+        r = got[uid]
+        assert r.q_stat == math.floor(q * 1e6) / 1e6
+        assert r.acf_lag1 == math.floor(r1 * 1e6) / 1e6
+
+
+@pytest.mark.filterwarnings("ignore")
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(st.lists(st.lists(st.integers(0, 20000), min_size=20, max_size=45), min_size=1, max_size=3))
+def test_bollinger_property_matches_replay(spark, tmp_path_factory, cents_series):
+    import math
+
+    from timedb_spark.operators import timeseries as ts
+
+    d = _events_frame(spark, str(tmp_path_factory.mktemp("boll")), cents_series)
+    got = {r.user_id: r for r in ts.bollinger(spark, d).collect()}
+    for uid, c in enumerate(cents_series, start=1):
+        up = dn = ev = 0
+        pb_last = None
+        for i in range(19, len(c)):
+            w = c[i - 19 : i + 1]
+            ev += 1
+            mu = sum(w) / 20.0
+            sd = math.sqrt(max(sum(x * x for x in w) / 20.0 - mu * mu, 0.0))
+            hi, lo = mu + 2.0 * sd, mu - 2.0 * sd
+            x = float(c[i])
+            if x > hi:
+                up += 1
+            if x < lo:
+                dn += 1
+            if hi > lo:
+                pb_last = (x - lo) / (hi - lo)
+        r = got[uid]
+        assert (r.n_obs, r.n_eval, r.n_breach_upper, r.n_breach_lower) == (len(c), ev, up, dn)
+        if pb_last is None:
+            assert r.pct_b_last is None
+        else:
+            assert r.pct_b_last == math.floor(pb_last * 1e6) / 1e6

@@ -1628,3 +1628,33 @@ def test_pacf_planted_ar_structure(spark, tmp_path):
     assert r.pacf3 == math.floor(phi33 * 1e6) / 1e6
     assert r1 < -0.9  # the alternation is the lag-1 story
     assert r.ar_order >= 1
+
+
+def test_ccf_planted_lead_lag(spark, tmp_path):
+    """Type 'view' strictly leads type 'purchase' by one hour (y_{t+1} =
+    x_t): the CCF peaks at exactly lag +1 with corr 1; other lags stay
+    below it."""
+    import os
+
+    import pandas as pd
+
+    vals = [10.0 + ((t * 7) % 13) for t in range(48)]
+    rows, eid = [], 0
+    for t, v in enumerate(vals):
+        eid += 1
+        rows.append((eid, datetime(2024, 1, 1) + pd.Timedelta(hours=t), 1, "view", v))
+    for t, v in enumerate(vals):  # same signal one hour LATER
+        eid += 1
+        rows.append((eid, datetime(2024, 1, 1) + pd.Timedelta(hours=t + 1), 2, "purchase", v))
+    pdf = pd.DataFrame(rows, columns=["event_id", "ts", "user_id", "event_type", "value"])
+    pdf["props"] = ""
+    d = str(tmp_path / "sf")
+    os.makedirs(d)
+    pdf.to_parquet(os.path.join(d, "events.parquet"))
+
+    got = {r.lag: r for r in ts.ccf(spark, d).collect()}
+    assert got[1].type_a == "purchase" and got[1].type_b == "view"
+    # type_a < type_b alphabetically: purchase < view, so ccf at lag L is
+    # corr(purchase_t, view_{t+L}); view leads purchase by 1h → peak at -1
+    assert got[-1].ccf == 1.0
+    assert all(got[k].ccf < 1.0 for k in got if k != -1)

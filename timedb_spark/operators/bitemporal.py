@@ -623,3 +623,33 @@ def staleness(df: DataFrame) -> DataFrame:
         F.count(F.lit(1)).alias("n_series"),
         F.max("lag_h").alias("max_lag_hours"),
     )
+
+
+def revision_latency(df: DataFrame) -> DataFrame:
+    """Revision-cadence audit per retention tier: the minutes between
+    CONSECUTIVE knowledge_time stamps within each (series_id, valid_time)
+    revision chain — how quickly restatements follow the original
+    publication (ref semantics: the chain latest/overlapping arbitrate;
+    bt_restatements counts and sizes the corrections, THIS measures their
+    cadence — the data-ops SLA on corrections). Per tier: revision count,
+    min / interpolated p50/p90 / max latency.
+
+    One revision-ordering window per (series, valid_time) — the
+    latest_changes sort reused — then a vocabulary-bounded rollup; gaps in
+    exact integer microseconds, exact interpolated percentile."""
+    w = Window.partitionBy("series_id", "valid_time").orderBy(
+        "knowledge_time", "change_time"
+    )
+    prev_kt = F.lag(F.col("knowledge_time")).over(w)
+    d = df.select(
+        "retention",
+        ((F.unix_micros(F.col("knowledge_time")) - F.unix_micros(prev_kt)).cast("double")
+         / 60000000.0).alias("gap_min"),
+    ).filter(F.col("gap_min").isNotNull())
+    return d.groupBy("retention").agg(
+        F.count(F.lit(1)).alias("n_revisions"),
+        (F.floor(F.min("gap_min") * 1e6) / 1e6).alias("gap_min_min"),
+        (F.floor(F.percentile("gap_min", F.lit(0.5)) * 1e6) / 1e6).alias("gap_min_p50"),
+        (F.floor(F.percentile("gap_min", F.lit(0.9)) * 1e6) / 1e6).alias("gap_min_p90"),
+        (F.floor(F.max("gap_min") * 1e6) / 1e6).alias("gap_min_max"),
+    )

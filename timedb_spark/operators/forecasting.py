@@ -465,3 +465,33 @@ SELECT retention,
        max(lag_h) AS max_lag_hours
 FROM l GROUP BY 1, 2
 """
+
+
+def bt_revision_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate wrapper: :func:`timedb_spark.operators.bitemporal.revision_latency`
+    over the deterministic events→series_values derivation."""
+    from timedb_spark.operators import bitemporal
+
+    return bitemporal.revision_latency(bitemporal_frame(spark, sf_dir))
+
+
+def bt_revision_latency_sql(sv_sql: str) -> str:
+    return f"""
+WITH sv AS ({sv_sql}),
+r AS (
+    SELECT retention,
+           CAST(epoch_us(knowledge_time)
+                - epoch_us(lag(knowledge_time) OVER (PARTITION BY series_id, valid_time
+                                                     ORDER BY knowledge_time, change_time))
+                AS DOUBLE) / 60000000.0 AS gap_min
+    FROM sv
+)
+SELECT retention,
+       count(*) AS n_revisions,
+       floor(min(gap_min) * 1e6) / 1e6 AS gap_min_min,
+       floor(quantile_cont(gap_min, 0.5) * 1e6) / 1e6 AS gap_min_p50,
+       floor(quantile_cont(gap_min, 0.9) * 1e6) / 1e6 AS gap_min_p90,
+       floor(max(gap_min) * 1e6) / 1e6 AS gap_min_max
+FROM r WHERE gap_min IS NOT NULL
+GROUP BY retention
+"""

@@ -4221,3 +4221,91 @@ SELECT user_id, CAST(n_obs AS INT) AS n_obs,
             ELSE 0 END AS ar_order
 FROM dl3
 """
+
+
+# ---------------------------------------------------------------------------
+# lead-lag cross-correlation between event-type hourly signals
+# ---------------------------------------------------------------------------
+
+_CCF_LAGS = (-2, -1, 0, 1, 2)
+_CCF_MIN_PAIRS = 8
+
+
+def ccf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-correlation function between every event-type pair's hourly
+    sums at lags −2…+2 hours: corr(x_t, y_{t+lag}) — the LEAD-LAG
+    discovery query (positive-lag peak = type_a LEADS type_b; clicks
+    leading purchases by an hour is the classic read). ts_corr answers
+    "do they co-move", this answers "who moves FIRST" — together the
+    causal-screening pair.
+
+    Same determinism as ts_corr: co-moment sums over EXACT decimals,
+    correlation assembled in one double expression. The lag axis rides
+    the autocorr trick — one explode of 5 literal lags against the
+    BOUNDED (hours × types) frame, one broadcast join; no fact-scale
+    shuffle, no window.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        F.expr("unix_micros(ts) div 3600000000").alias("h"),
+        F.col("event_type").alias("etype"),
+    ).agg(F.sum(_d("value")).alias("v"))
+    a = hourly.select(
+        "h",
+        F.col("etype").alias("type_a"),
+        F.col("v").alias("va"),
+        F.explode(F.array(*[F.lit(k) for k in _CCF_LAGS])).alias("lag"),
+    )
+    b = hourly.select(
+        F.col("h").alias("hb"), F.col("etype").alias("type_b"), F.col("v").alias("vb")
+    )
+    pairs = a.join(
+        F.broadcast(b),
+        (F.col("hb") == F.col("h") + F.col("lag")) & (F.col("type_a") < F.col("type_b")),
+    )
+    g = pairs.groupBy("type_a", "type_b", "lag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("va").alias("sx"),
+        F.sum("vb").alias("sy"),
+        F.sum(F.col("va") * F.col("vb")).alias("sxy"),
+        F.sum(F.col("va") * F.col("va")).alias("sxx"),
+        F.sum(F.col("vb") * F.col("vb")).alias("syy"),
+    )
+    n = F.col("n").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxy, sxx, syy = (F.col(c).cast("double") for c in ("sxy", "sxx", "syy"))
+    corr = (n * sxy - sx * sy) / F.sqrt(n * sxx - sx * sx) / F.sqrt(n * syy - sy * sy)
+    return g.filter(F.col("n") >= _CCF_MIN_PAIRS).select(
+        "type_a",
+        "type_b",
+        "lag",
+        F.col("n").alias("n_points"),
+        (F.floor(corr * 1e6) / 1e6).alias("ccf"),
+    )
+
+
+CCF_SQL = f"""
+WITH hourly AS (
+    SELECT epoch_us(ts) // 3600000000 AS h, event_type AS etype,
+           sum(CAST(value AS DECIMAL(18,2))) AS v
+    FROM events GROUP BY 1, 2
+),
+pairs AS (
+    SELECT a.etype AS type_a, b.etype AS type_b, k.lag, a.v AS va, b.v AS vb
+    FROM hourly a
+    JOIN (SELECT unnest([{", ".join(str(k) for k in _CCF_LAGS)}]) AS lag) k ON TRUE
+    JOIN hourly b ON b.h = a.h + k.lag AND a.etype < b.etype
+),
+g AS (
+    SELECT type_a, type_b, lag, count(*) AS n,
+           sum(va) AS sx, sum(vb) AS sy,
+           sum(va * vb) AS sxy, sum(va * va) AS sxx, sum(vb * vb) AS syy
+    FROM pairs GROUP BY 1, 2, 3
+)
+SELECT type_a, type_b, CAST(lag AS INT) AS lag, n AS n_points,
+       floor((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+             / sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))
+             * 1e6) / 1e6 AS ccf
+FROM g WHERE n >= {_CCF_MIN_PAIRS}
+"""
