@@ -1237,6 +1237,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_seasonality": analytics.events_seasonality,
         "ts_ccf": timeseries.ccf,
         "bt_revision_latency": forecasting.bt_revision_latency,
+        "ts_macd": timeseries.macd,
+        "ts_sharpe": timeseries.sharpe,
+        "ts_benford": timeseries.benford,
+        "ts_adf": timeseries.adf,
+        "ts_var_es": timeseries.var_es,
     }
     out = {k: reg[k] for k in _R7_WINDOW}
     out.update((k, v) for k, v in reg.items() if k not in out)
@@ -1618,6 +1623,11 @@ def oracle_sql() -> dict[str, str]:
         "events_seasonality": analytics.EVENTS_SEASONALITY_SQL,
         "ts_ccf": timeseries.CCF_SQL,
         "bt_revision_latency": forecasting.bt_revision_latency_sql(_SV),
+        "ts_macd": timeseries.MACD_SQL,
+        "ts_sharpe": timeseries.SHARPE_SQL,
+        "ts_benford": timeseries.BENFORD_SQL,
+        "ts_adf": timeseries.ADF_SQL,
+        "ts_var_es": timeseries.VAR_ES_SQL,
         "events_abtest": analytics.EVENTS_ABTEST_SQL,
         "profile_drift": pipeline.PROFILE_DRIFT_SQL,
         "events_paths": analytics.EVENTS_PATHS_SQL,

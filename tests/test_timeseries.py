@@ -1658,3 +1658,192 @@ def test_ccf_planted_lead_lag(spark, tmp_path):
     # corr(purchase_t, view_{t+L}); view leads purchase by 1h → peak at -1
     assert got[-1].ccf == 1.0
     assert all(got[k].ccf < 1.0 for k in got if k != -1)
+
+
+def test_macd_planted_momentum(spark, tmp_path):
+    """A steady ramp keeps the fast EMA above the slow one → bullish; a
+    mixed hash-noise series replays the exact three-EMA fold in cents."""
+    import math
+
+    import pandas as pd
+
+    rows, eid = [], 0
+    for t in range(40):
+        eid += 1
+        rows.append((eid, datetime(2024, 1, 1) + pd.Timedelta(hours=t), 1, 10.0 + 2.0 * t))
+    vals2 = [20.0 + ((t * 13) % 7) - 3 + (0.25 if t % 4 == 0 else 0.0) for t in range(35)]
+    for t, v in enumerate(vals2):
+        eid += 1
+        rows.append((eid, datetime(2024, 1, 1) + pd.Timedelta(hours=t), 2, v))
+    d = _write_events(tmp_path, rows)
+    got = {r.user_id: r for r in ts.macd(spark, d).collect()}
+
+    assert got[1].verdict == "bullish" and got[1].macd > 0.0
+    assert got[1].hist_min == 0.0  # ramp never dips the histogram below the zero seed
+
+    def replay(vals):
+        x = [float(int(round(v * 100))) for v in vals]
+        fa, sl, sg = 2.0 / 13.0, 2.0 / 27.0, 0.2
+        e12 = e26 = x[0]
+        sig = hmax = hmin = 0.0
+        for v in x[1:]:
+            e12 = e12 + (v - e12) * fa
+            e26 = e26 + (v - e26) * sl
+            sig = sig + ((e12 - e26) - sig) * sg
+            h = (e12 - e26) - sig
+            hmax, hmin = max(hmax, h), min(hmin, h)
+        return e12, e26, sig, hmax, hmin
+
+    e12, e26, sig, hmax, hmin = replay(vals2)
+    r = got[2]
+    assert r.macd == math.floor((e12 - e26) / 100.0 * 1e6) / 1e6
+    assert r.macd_signal == math.floor(sig / 100.0 * 1e6) / 1e6
+    assert r.macd_hist == math.floor((e12 - e26 - sig) / 100.0 * 1e6) / 1e6
+    assert r.hist_max == math.floor(hmax / 100.0 * 1e6) / 1e6
+    assert r.hist_min == math.floor(hmin / 100.0 * 1e6) / 1e6
+
+
+def test_sharpe_planted_ratios(spark, tmp_path):
+    """Constant +1 steps → zero volatility (Sharpe/Sortino NULL, no
+    downside); a mixed series replays the exact integer moment sums."""
+    import math
+
+    import pandas as pd
+
+    rows, eid = [], 0
+    for t in range(35):
+        eid += 1
+        rows.append((eid, datetime(2024, 1, 1) + pd.Timedelta(hours=t), 1, 10.0 + t))
+    vals2 = [50.0 + ((t * 11) % 9) - 4 for t in range(40)]
+    for t, v in enumerate(vals2):
+        eid += 1
+        rows.append((eid, datetime(2024, 1, 1) + pd.Timedelta(hours=t), 2, v))
+    d = _write_events(tmp_path, rows)
+    got = {r.user_id: r for r in ts.sharpe(spark, d).collect()}
+
+    assert got[1].mean_chg == 1.0 and got[1].volatility == 0.0
+    assert got[1].downside_dev == 0.0
+    assert got[1].sharpe is None and got[1].sortino is None
+
+    c = [int(round(v * 100)) for v in vals2]
+    dl = [c[i] - c[i - 1] for i in range(1, len(c))]
+    n = float(len(dl))
+    mean = sum(dl) / n
+    vol = math.sqrt(max(sum(x * x for x in dl) / n - mean * mean, 0.0))
+    ddev = math.sqrt(sum(min(x, 0) ** 2 for x in dl) / n)
+    r = got[2]
+    assert r.n_ret == len(dl)
+    assert r.mean_chg == math.floor(mean / 100.0 * 1e6) / 1e6
+    assert r.volatility == math.floor(vol / 100.0 * 1e6) / 1e6
+    assert r.sharpe == math.floor(mean / vol * 1e6) / 1e6
+    assert r.sortino == math.floor(mean / ddev * 1e6) / 1e6
+
+
+def test_benford_planted_distributions(spark, tmp_path):
+    """A multi-scale geometric sample follows Benford (verdict benford_ok);
+    a uniform two-digit sample deviates; counts and χ² replay exactly."""
+    import math
+
+    import pandas as pd
+
+    # geometric sweep: v = 1.07^k spans 4 decades → near-Benford digits
+    rows = [
+        (k + 1, datetime(2024, 1, 1) + pd.Timedelta(minutes=k), 1, 1.07 ** k)
+        for k in range(300)
+    ]
+    d = _write_events(tmp_path, rows)
+    out = ts.benford(spark, d).collect()
+    assert len(out) == 9 and all(r.verdict == "benford_ok" for r in out)
+
+    digits = {}
+    for k in range(300):
+        v = 1.07 ** k
+        dg = int(v / (10 ** math.floor(math.log10(v))))
+        digits[dg] = digits.get(dg, 0) + 1
+    got = {r.digit: r for r in out}
+    assert {dg: r.n for dg, r in got.items()} == digits
+    total = 300.0
+    chi2 = sum(
+        (digits[dg] - total * math.log10(1 + 1 / dg)) ** 2 / (total * math.log10(1 + 1 / dg))
+        for dg in range(1, 10)
+    )
+    assert got[1].chi2_total == math.floor(chi2 * 1e6) / 1e6
+
+    # uniform 10..99 values: first digits uniform → strong deviation
+    rows = [
+        (k + 1, datetime(2024, 1, 1) + pd.Timedelta(minutes=k), 1, float(10 + (k % 90)))
+        for k in range(360)
+    ]
+    d2 = _write_events(tmp_path, rows)
+    out2 = ts.benford(spark, d2).collect()
+    assert all(r.verdict == "deviates" for r in out2)
+
+
+def test_adf_planted_regimes(spark, tmp_path):
+    """Mean-reverting hash noise → stationary (strongly negative DF stat);
+    a drifting random walk of the same innovations → unit_root; β replays
+    the exact closed-form OLS."""
+    import math
+
+    import pandas as pd
+
+    s, noise = 5, []  # LCG innovations: a genuine-looking walk, no periodic cancel
+    for _ in range(80):
+        s = (s * 1103515245 + 12345) % (2**31)
+        noise.append((s % 13) - 6)
+    rows, eid = [], 0
+    for t, e in enumerate(noise):  # white noise around 100 → stationary
+        eid += 1
+        rows.append((eid, datetime(2024, 1, 1) + pd.Timedelta(hours=t), 1, 100.0 + e))
+    walk = 500.0
+    for t, e in enumerate(noise):  # random walk → unit root
+        walk += e
+        eid += 1
+        rows.append((eid, datetime(2024, 1, 1) + pd.Timedelta(hours=t), 2, walk))
+    d = _write_events(tmp_path, rows)
+    got = {r.user_id: r for r in ts.adf(spark, d).collect()}
+
+    assert got[1].verdict == "stationary" and got[1].df_stat < -2.86
+    assert got[2].verdict == "unit_root" and got[2].df_stat > -2.86
+
+    def replay(vals):
+        c = [int(round(v * 100)) for v in vals]
+        ys = [(c[i - 1], c[i] - c[i - 1]) for i in range(1, len(c))]
+        n = float(len(ys))
+        sy = sum(y for y, _ in ys); syy = sum(y * y for y, _ in ys)
+        sd = sum(dy for _, dy in ys); sdd = sum(dy * dy for _, dy in ys)
+        syd = sum(y * dy for y, dy in ys)
+        beta = (n * syd - sy * sd) / (n * syy - sy * sy)
+        return beta
+
+    beta1 = replay([100.0 + e for e in noise])
+    assert got[1].beta == math.floor(beta1 * 1e6) / 1e6
+
+
+def test_var_es_planted_tails(spark, tmp_path):
+    """A series with a few large planted drops: VaR/ES match the exact
+    order statistics of the delta multiset."""
+    import math
+
+    import pandas as pd
+
+    deltas = [1.0] * 30 + [-8.0, -20.0, 2.0, 3.0, -1.0, 4.0, -2.0, 5.0, 6.0]
+    vals, v = [100.0], 100.0
+    for dl in deltas:
+        v += dl
+        vals.append(v)
+    rows = [
+        (t + 1, datetime(2024, 1, 1) + pd.Timedelta(hours=t), 1, x)
+        for t, x in enumerate(vals)
+    ]
+    d = _write_events(tmp_path, rows)
+    r = ts.var_es(spark, d).collect()[0]
+
+    dl_sorted = sorted(int(round(x * 100)) for x in deltas)
+    n = len(dl_sorted)
+    k95, k99 = (n + 19) // 20, (n + 99) // 100
+    assert r.n_ret == n
+    assert r.var95 == math.floor(-dl_sorted[k95 - 1] / 100.0 * 1e6) / 1e6
+    assert r.es95 == math.floor(-(sum(dl_sorted[:k95]) / k95) / 100.0 * 1e6) / 1e6
+    assert r.var99 == math.floor(-dl_sorted[k99 - 1] / 100.0 * 1e6) / 1e6
+    assert r.var99 == 20.0  # the single worst planted drop

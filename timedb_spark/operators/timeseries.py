@@ -4309,3 +4309,525 @@ SELECT type_a, type_b, CAST(lag AS INT) AS lag, n AS n_points,
              * 1e6) / 1e6 AS ccf
 FROM g WHERE n >= {_CCF_MIN_PAIRS}
 """
+
+
+# ---------------------------------------------------------------------------
+# MACD — moving-average convergence/divergence momentum readout
+# ---------------------------------------------------------------------------
+
+_MACD_FAST = 2.0 / 13.0   # EMA-12 smoothing
+_MACD_SLOW = 2.0 / 27.0   # EMA-26 smoothing
+_MACD_SIG = 0.2           # EMA-9 smoothing of the MACD line
+_MACD_MIN_OBS = 30
+
+
+def macd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MACD(12, 26, 9) momentum readout per user series (Appel's
+    moving-average convergence/divergence): fast-minus-slow EMA spread, its
+    signal EMA, and the histogram (spread − signal) whose sign is the
+    classic momentum verdict. Completes the finance-style monitor family:
+    ts_rsi (bounded oscillator), ts_bollinger (volatility envelope),
+    ts_drawdown (peak loss) — this one reads trend ACCELERATION, the first
+    derivative the level smoothers miss.
+
+    One groupBy(user) sorted collect (the theta/rsi shuffle shape); all
+    three EMA recursions advance in a SINGLE 5-slot ``F.aggregate`` fold
+    (e12, e26, signal, running hist max/min) — each slot one independent
+    arithmetic expression (inlined, never a conditional duplicated across
+    slots — the DuckDB list_reduce constraint), seeded from the first
+    observation with a zero signal so the rule is uniform from step two.
+    Values fold as exact integer cents cast to double; both engines run the
+    identical expression tree, so the doubles agree bit-for-bit and the
+    floor-scale projection hashes clean. Zero Python; per-user cost bounded
+    by entity history — the 100 TB shape."""
+    ev = load_table(spark, sf_dir, "events")
+    s = F.struct(F.col("ts"), F.col("event_id"), F.col("value"))
+    g = ev.groupBy("user_id").agg(F.array_sort(F.collect_list(s)).alias("hist"))
+    cents = F.transform(
+        "hist",
+        lambda r: (r["value"].cast("decimal(18,2)") * 100).cast("long").cast("double"),
+    )
+    g = g.select("user_id", cents.alias("x"), F.size("hist").alias("n_obs"))
+    g = g.filter(F.col("n_obs") >= _MACD_MIN_OBS)
+    fa, sl, sg = _MACD_FAST, _MACD_SLOW, _MACD_SIG
+
+    def _step(st, x):
+        e12 = st.e12 + (x - st.e12) * fa
+        e26 = st.e26 + (x - st.e26) * sl
+        sig = st.sig + ((st.e12 + (x - st.e12) * fa) - (st.e26 + (x - st.e26) * sl) - st.sig) * sg
+        hist = (
+            (st.e12 + (x - st.e12) * fa) - (st.e26 + (x - st.e26) * sl)
+            - (st.sig + ((st.e12 + (x - st.e12) * fa) - (st.e26 + (x - st.e26) * sl) - st.sig) * sg)
+        )
+        return F.struct(
+            e12.alias("e12"),
+            e26.alias("e26"),
+            sig.alias("sig"),
+            F.greatest(st.hmax, hist).alias("hmax"),
+            F.least(st.hmin, hist).alias("hmin"),
+        )
+
+    x0 = F.element_at("x", 1)
+    init = F.struct(
+        x0.alias("e12"), x0.alias("e26"),
+        F.lit(0.0).alias("sig"), F.lit(0.0).alias("hmax"), F.lit(0.0).alias("hmin"),
+    )
+    g = g.withColumn("st", F.aggregate(F.slice("x", 2, F.size("x") - 1), init, _step))
+    macd_c = F.col("st.e12") - F.col("st.e26")
+    hist_c = macd_c - F.col("st.sig")
+    verdict = (
+        F.when(hist_c > 0.0, F.lit("bullish"))
+        .when(hist_c < 0.0, F.lit("bearish"))
+        .otherwise(F.lit("flat"))
+    )
+    return g.select(
+        "user_id",
+        "n_obs",
+        (F.floor(macd_c / 100.0 * 1e6) / 1e6).alias("macd"),
+        (F.floor(F.col("st.sig") / 100.0 * 1e6) / 1e6).alias("macd_signal"),
+        (F.floor(hist_c / 100.0 * 1e6) / 1e6).alias("macd_hist"),
+        (F.floor(F.col("st.hmax") / 100.0 * 1e6) / 1e6).alias("hist_max"),
+        (F.floor(F.col("st.hmin") / 100.0 * 1e6) / 1e6).alias("hist_min"),
+        verdict.alias("verdict"),
+    )
+
+
+MACD_SQL = f"""
+WITH RECURSIVE hist AS (
+    SELECT user_id,
+           list_transform(
+               list_sort(list(struct_pack(ts := ts, e := event_id, v := value))),
+               s -> CAST(CAST(CAST(s.v AS DECIMAL(18,2)) * 100 AS BIGINT) AS DOUBLE)) AS x
+    FROM events GROUP BY user_id
+),
+base AS (
+    SELECT user_id, len(x) AS n_obs, x[1] AS x0, x AS x
+    FROM hist WHERE len(x) >= {_MACD_MIN_OBS}
+),
+-- Row-at-a-time recursion instead of a list_reduce fold: DuckDB v1.0.0
+-- mis-evaluates IDENTICAL arithmetic subexpressions duplicated across fold
+-- struct slots (the ts_drawdown/ts_cusum finding — here the inlined
+-- e12'/e26' appear in the sig/hmax/hmin slots and the fold silently
+-- diverges, verified against the Python reference). The recursive CTE
+-- computes e12/e26/sig/hist ONCE per step via lateral aliases — exactly
+-- the Spark F.aggregate lambda's evaluation order.
+xt AS (
+    SELECT user_id, unnest(range(2, CAST(n_obs AS INT) + 1)) AS t,
+           unnest(x[2:]) AS xv
+    FROM base
+),
+steps AS (
+    SELECT user_id, n_obs, CAST(1 AS BIGINT) AS t,
+           x0 AS e12, x0 AS e26,
+           CAST(0.0 AS DOUBLE) AS sig,
+           CAST(0.0 AS DOUBLE) AS hmax, CAST(0.0 AS DOUBLE) AS hmin
+    FROM base
+    UNION ALL
+    SELECT user_id, n_obs, t, e12b, e26b, sigb,
+           greatest(hmax, e12b - e26b - sigb),
+           least(hmin, e12b - e26b - sigb)
+    FROM (
+        SELECT s.user_id, s.n_obs, CAST(x.t AS BIGINT) AS t,
+               s.hmax, s.hmin,
+               s.e12 + (x.xv - s.e12) * {_MACD_FAST!r} AS e12b,
+               s.e26 + (x.xv - s.e26) * {_MACD_SLOW!r} AS e26b,
+               s.sig + (e12b - e26b - s.sig) * {_MACD_SIG!r} AS sigb
+        FROM steps s JOIN xt x ON x.user_id = s.user_id AND x.t = s.t + 1
+    )
+)
+SELECT user_id, CAST(n_obs AS INT) AS n_obs,
+       floor((e12 - e26) / 100.0 * 1e6) / 1e6 AS macd,
+       floor(sig / 100.0 * 1e6) / 1e6 AS macd_signal,
+       floor((e12 - e26 - sig) / 100.0 * 1e6) / 1e6 AS macd_hist,
+       floor(hmax / 100.0 * 1e6) / 1e6 AS hist_max,
+       floor(hmin / 100.0 * 1e6) / 1e6 AS hist_min,
+       CASE WHEN e12 - e26 - sig > 0.0 THEN 'bullish'
+            WHEN e12 - e26 - sig < 0.0 THEN 'bearish'
+            ELSE 'flat' END AS verdict
+FROM steps WHERE t = n_obs
+"""
+
+
+# ---------------------------------------------------------------------------
+# Sharpe/Sortino — risk-adjusted change statistics per series
+# ---------------------------------------------------------------------------
+
+_SHARPE_MIN_OBS = 30
+
+
+def sharpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Risk-adjusted change statistics per user series: mean one-step
+    change, volatility (population σ), downside deviation (RMS of negative
+    changes), and the Sharpe / Sortino ratios — "is this series drifting up
+    relative to its own noise, and does the downside carry the risk?". The
+    per-step complement to ts_drawdown's path-wise loss readout.
+
+    One groupBy(user) sorted collect; deltas are exact integer cents and
+    the three moment sums (Σd, Σd², Σ min(d,0)²) accumulate as ONE 3-slot
+    integer ``F.aggregate`` fold — exact BIGINT arithmetic, so the fold is
+    order-insensitive and the only doubles are the final five projections
+    (identical expression trees both engines, floor-scaled). d² ≤ 1e14 and
+    per-series Σ ≤ 1e17 stay far under the 2^63 ceiling. Zero Python."""
+    ev = load_table(spark, sf_dir, "events")
+    s = F.struct(F.col("ts"), F.col("event_id"), F.col("value"))
+    g = ev.groupBy("user_id").agg(F.array_sort(F.collect_list(s)).alias("hist"))
+    cents = F.transform("hist", lambda r: (r["value"].cast("decimal(18,2)") * 100).cast("long"))
+    g = g.select("user_id", cents.alias("c"), F.size("hist").alias("n_obs"))
+    g = g.filter(F.col("n_obs") >= _SHARPE_MIN_OBS)
+    deltas = F.transform(
+        F.sequence(F.lit(2), F.col("n_obs")),
+        lambda i: F.element_at("c", i.cast("int")) - F.element_at("c", (i - 1).cast("int")),
+    )
+    g = g.withColumn("d", deltas)
+    zero = F.lit(0).cast("long")
+    fold = F.aggregate(
+        "d",
+        F.struct(zero.alias("s1"), zero.alias("s2"), zero.alias("sd2")),
+        lambda st, x: F.struct(
+            (st.s1 + x).alias("s1"),
+            (st.s2 + x * x).alias("s2"),
+            (st.sd2 + F.least(x, F.lit(0).cast("long")) * F.least(x, F.lit(0).cast("long"))).alias("sd2"),
+        ),
+    )
+    g = g.withColumn("st", fold).withColumn("n_ret", (F.col("n_obs") - 1).cast("long"))
+    n = F.col("n_ret").cast("double")
+    mean = F.col("st.s1").cast("double") / n
+    var = F.col("st.s2").cast("double") / n - mean * mean
+    vol = F.sqrt(F.greatest(var, F.lit(0.0)))
+    ddev = F.sqrt(F.col("st.sd2").cast("double") / n)
+    return g.select(
+        "user_id",
+        "n_ret",
+        (F.floor(mean / 100.0 * 1e6) / 1e6).alias("mean_chg"),
+        (F.floor(vol / 100.0 * 1e6) / 1e6).alias("volatility"),
+        (F.floor(ddev / 100.0 * 1e6) / 1e6).alias("downside_dev"),
+        F.when(vol > 0.0, F.floor(mean / vol * 1e6) / 1e6).alias("sharpe"),
+        F.when(ddev > 0.0, F.floor(mean / ddev * 1e6) / 1e6).alias("sortino"),
+    )
+
+
+SHARPE_SQL = f"""
+WITH hist AS (
+    SELECT user_id,
+           list_transform(
+               list_sort(list(struct_pack(ts := ts, e := event_id, v := value))),
+               s -> CAST(CAST(s.v AS DECIMAL(18,2)) * 100 AS BIGINT)) AS c
+    FROM events GROUP BY user_id
+),
+base AS (
+    SELECT user_id, len(c) AS n_obs,
+           list_transform(range(2, len(c) + 1),
+                          i -> c[CAST(i AS INT)] - c[CAST(i AS INT) - 1]) AS d
+    FROM hist WHERE len(c) >= {_SHARPE_MIN_OBS}
+),
+folded AS (
+    SELECT user_id, CAST(n_obs - 1 AS BIGINT) AS n_ret,
+           list_reduce(
+               list_prepend(
+                   struct_pack(s1 := CAST(0 AS BIGINT), s2 := CAST(0 AS BIGINT), sd2 := CAST(0 AS BIGINT)),
+                   list_transform(d, x -> struct_pack(s1 := x, s2 := x, sd2 := x))),
+               (st, e) -> struct_pack(
+                   s1 := st.s1 + e.s1,
+                   s2 := st.s2 + e.s2 * e.s2,
+                   sd2 := st.sd2 + least(e.sd2, CAST(0 AS BIGINT)) * least(e.sd2, CAST(0 AS BIGINT)))) AS st
+    FROM base
+),
+m AS (
+    SELECT user_id, n_ret,
+           CAST(st.s1 AS DOUBLE) / CAST(n_ret AS DOUBLE) AS mean,
+           sqrt(greatest(CAST(st.s2 AS DOUBLE) / CAST(n_ret AS DOUBLE)
+                - (CAST(st.s1 AS DOUBLE) / CAST(n_ret AS DOUBLE)) * (CAST(st.s1 AS DOUBLE) / CAST(n_ret AS DOUBLE)), 0.0)) AS vol,
+           sqrt(CAST(st.sd2 AS DOUBLE) / CAST(n_ret AS DOUBLE)) AS ddev
+    FROM folded
+)
+SELECT user_id, n_ret,
+       floor(mean / 100.0 * 1e6) / 1e6 AS mean_chg,
+       floor(vol / 100.0 * 1e6) / 1e6 AS volatility,
+       floor(ddev / 100.0 * 1e6) / 1e6 AS downside_dev,
+       CASE WHEN vol > 0.0 THEN floor(mean / vol * 1e6) / 1e6 END AS sharpe,
+       CASE WHEN ddev > 0.0 THEN floor(mean / ddev * 1e6) / 1e6 END AS sortino
+FROM m
+"""
+
+
+# ---------------------------------------------------------------------------
+# Benford first-digit audit — data-integrity screening
+# ---------------------------------------------------------------------------
+
+_BENFORD_CHI2_CRIT = 20.09  # chi-square df=8, p=0.01
+
+
+def benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-significant-digit audit over the event values — the
+    classic fabricated/synthetic-data screen (Newcomb 1881, Benford 1938):
+    naturally-occurring multi-scale amounts follow P(d) = log10(1 + 1/d);
+    uniform or hand-entered data doesn't. Emits one row per digit 1-9 with
+    observed vs expected shares, the per-digit χ² contribution, and the
+    dataset verdict at the df=8, p=0.01 critical value.
+
+    Shape: ONE map-side-combined groupBy over nine keys (first digit via
+    pure log10/floor math — no string casts), then a 9-row window rollup
+    for the total and the verdict. At 100 TB this is a single scan with a
+    9-group partial aggregate — the cheapest possible audit pass."""
+    ev = load_table(spark, sf_dir, "events")
+    a = F.abs(F.col("value"))
+    digit = F.floor(a / F.pow(F.lit(10.0), F.floor(F.log10(a)))).cast("int")
+    d = (
+        ev.filter(a > 1e-9)
+        .select(digit.alias("digit"))
+        .filter((F.col("digit") >= 1) & (F.col("digit") <= 9))
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy()
+    total = F.sum("n").over(w).cast("double")
+    exp_share = F.log10(1.0 + 1.0 / F.col("digit").cast("double"))
+    contrib = (F.col("n").cast("double") - total * exp_share) * (
+        F.col("n").cast("double") - total * exp_share
+    ) / (total * exp_share)
+    d = d.select(
+        "digit",
+        "n",
+        (F.floor(F.col("n").cast("double") / total * 1e6) / 1e6).alias("obs_share"),
+        (F.floor(exp_share * 1e6) / 1e6).alias("exp_share"),
+        (F.floor(contrib * 1e6) / 1e6).alias("chi2_contrib"),
+        contrib.alias("_c"),
+    )
+    chi2 = F.sum("_c").over(w)
+    return d.select(
+        "digit", "n", "obs_share", "exp_share", "chi2_contrib",
+        (F.floor(chi2 * 1e6) / 1e6).alias("chi2_total"),
+        F.when(chi2 > _BENFORD_CHI2_CRIT, F.lit("deviates")).otherwise(F.lit("benford_ok")).alias("verdict"),
+    )
+
+
+BENFORD_SQL = f"""
+WITH digits AS (
+    SELECT CAST(floor(abs(value) / pow(10.0, floor(log10(abs(value))))) AS INT) AS digit
+    FROM events WHERE abs(value) > 1e-9
+),
+counts AS (
+    SELECT digit, count(*) AS n FROM digits WHERE digit BETWEEN 1 AND 9 GROUP BY digit
+),
+c AS (
+    SELECT digit, n,
+           CAST(sum(n) OVER () AS DOUBLE) AS total,
+           log10(1.0 + 1.0 / CAST(digit AS DOUBLE)) AS exp_share
+    FROM counts
+),
+x AS (
+    SELECT digit, n, total, exp_share,
+           (CAST(n AS DOUBLE) - total * exp_share) * (CAST(n AS DOUBLE) - total * exp_share)
+               / (total * exp_share) AS contrib
+    FROM c
+)
+SELECT digit, n,
+       floor(CAST(n AS DOUBLE) / total * 1e6) / 1e6 AS obs_share,
+       floor(exp_share * 1e6) / 1e6 AS exp_share,
+       floor(contrib * 1e6) / 1e6 AS chi2_contrib,
+       floor(sum(contrib) OVER () * 1e6) / 1e6 AS chi2_total,
+       CASE WHEN sum(contrib) OVER () > {_BENFORD_CHI2_CRIT!r} THEN 'deviates' ELSE 'benford_ok' END AS verdict
+FROM x
+"""
+
+
+# ---------------------------------------------------------------------------
+# ADF — Dickey-Fuller unit-root / stationarity test
+# ---------------------------------------------------------------------------
+
+_ADF_MIN_OBS = 30
+_ADF_CRIT_5PCT = -2.86  # DF tau-mu critical value, 5%, large n
+
+
+def adf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dickey-Fuller unit-root test per user series (the lag-0 DF
+    regression Δy_t = α + β·y_{t-1} + ε): a significantly negative β means
+    shocks mean-revert (stationary); β ≈ 0 means a random walk. The
+    stationarity gate that decides whether ts_ewma-style level smoothing or
+    ts_rate-style differencing is the right downstream transform —
+    complements ts_mk_trend (monotone drift) and ts_hurst (long memory).
+
+    Shape: ONE per-user window lag (no arrays, no fold) feeding exact
+    BIGINT moment sums (Σy, Σy², ΣΔ, ΣΔ², ΣyΔ) in a map-side-combined
+    aggregate; the OLS slope, intercept, residual variance (computed from
+    the sums — no second pass), standard error, and t-statistic are final
+    double projections with identical expression trees both engines.
+    Per-user cost is O(history); the aggregate is order-insensitive
+    (exact integers), so no sort is needed beyond the lag window's."""
+    ev = load_table(spark, sf_dir, "events")
+    c = (F.col("value").cast("decimal(18,2)") * 100).cast("long")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    d = ev.select("user_id", c.alias("y"), F.lag(c).over(w).alias("yp"))
+    d = d.filter(F.col("yp").isNotNull()).withColumn("dy", F.col("y") - F.col("yp"))
+    g = d.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("yp").alias("sy"),
+        F.sum(F.col("yp") * F.col("yp")).alias("syy"),
+        F.sum("dy").alias("sd"),
+        F.sum(F.col("dy") * F.col("dy")).alias("sdd"),
+        F.sum(F.col("yp") * F.col("dy")).alias("syd"),
+    )
+    g = g.filter(F.col("n") >= _ADF_MIN_OBS)
+    nd = F.col("n").cast("double")
+    sy, syy = F.col("sy").cast("double"), F.col("syy").cast("double")
+    sd, sdd = F.col("sd").cast("double"), F.col("sdd").cast("double")
+    syd = F.col("syd").cast("double")
+    var_y = syy - sy * sy / nd
+    beta = (nd * syd - sy * sd) / (nd * syy - sy * sy)
+    alpha = (sd - beta * sy) / nd
+    ssr = sdd - 2.0 * alpha * sd - 2.0 * beta * syd + nd * alpha * alpha + 2.0 * alpha * beta * sy + beta * beta * syy
+    se2 = F.greatest(ssr, F.lit(0.0)) / (nd - 2.0) / var_y
+    df_stat = F.when((var_y > 0.0) & (se2 > 0.0), beta / F.sqrt(se2))
+    verdict = (
+        F.when(df_stat < _ADF_CRIT_5PCT, F.lit("stationary"))
+        .when(df_stat.isNotNull(), F.lit("unit_root"))
+    )
+    return g.select(
+        "user_id",
+        "n",
+        F.when(var_y > 0.0, F.floor(beta * 1e6) / 1e6).alias("beta"),
+        F.when(var_y > 0.0, F.floor(alpha / 100.0 * 1e6) / 1e6).alias("alpha"),
+        F.when(df_stat.isNotNull(), F.floor(df_stat * 1e6) / 1e6).alias("df_stat"),
+        verdict.alias("verdict"),
+    )
+
+
+ADF_SQL = f"""
+WITH lagged AS (
+    SELECT user_id,
+           CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS y,
+           lag(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+               OVER (PARTITION BY user_id ORDER BY ts, event_id) AS yp
+    FROM events
+),
+g AS (
+    SELECT user_id, count(*) AS n,
+           CAST(sum(yp) AS BIGINT) AS sy,
+           CAST(sum(yp * yp) AS BIGINT) AS syy,
+           CAST(sum(y - yp) AS BIGINT) AS sd,
+           CAST(sum((y - yp) * (y - yp)) AS BIGINT) AS sdd,
+           CAST(sum(yp * (y - yp)) AS BIGINT) AS syd
+    FROM lagged WHERE yp IS NOT NULL GROUP BY user_id
+),
+m AS (
+    SELECT user_id, n,
+           CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) AS var_y,
+           (CAST(n AS DOUBLE) * CAST(syd AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sd AS DOUBLE))
+               / (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) AS beta,
+           CAST(sy AS DOUBLE) AS sy_d, CAST(sd AS DOUBLE) AS sd_d,
+           CAST(sdd AS DOUBLE) AS sdd_d, CAST(syd AS DOUBLE) AS syd_d, CAST(syy AS DOUBLE) AS syy_d,
+           CAST(n AS DOUBLE) AS nd
+    FROM g WHERE n >= {_ADF_MIN_OBS}
+),
+f AS (
+    SELECT user_id, n, var_y, beta, nd,
+           (sd_d - beta * sy_d) / nd AS alpha,
+           sd_d, sdd_d, syd_d, syy_d, sy_d
+    FROM m
+),
+r AS (
+    SELECT user_id, n, var_y, beta, alpha,
+           greatest(sdd_d - 2.0 * alpha * sd_d - 2.0 * beta * syd_d + nd * alpha * alpha
+                    + 2.0 * alpha * beta * sy_d + beta * beta * syy_d, 0.0)
+               / (nd - 2.0) / var_y AS se2
+    FROM f
+)
+SELECT user_id, n,
+       CASE WHEN var_y > 0.0 THEN floor(beta * 1e6) / 1e6 END AS beta,
+       CASE WHEN var_y > 0.0 THEN floor(alpha / 100.0 * 1e6) / 1e6 END AS alpha,
+       CASE WHEN var_y > 0.0 AND se2 > 0.0 THEN floor(beta / sqrt(se2) * 1e6) / 1e6 END AS df_stat,
+       CASE WHEN var_y > 0.0 AND se2 > 0.0 AND beta / sqrt(se2) < {_ADF_CRIT_5PCT!r} THEN 'stationary'
+            WHEN var_y > 0.0 AND se2 > 0.0 THEN 'unit_root' END AS verdict
+FROM r
+"""
+
+
+# ---------------------------------------------------------------------------
+# VaR / Expected Shortfall — tail-risk readout on one-step changes
+# ---------------------------------------------------------------------------
+
+_VAR_MIN_OBS = 30
+
+
+def var_es(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Historical Value-at-Risk and Expected Shortfall per user series, on
+    one-step changes: VaR95 = the loss at the empirical 5th percentile of
+    changes, ES95 = the average loss beyond it (CVaR) — plus the 99% pair.
+    Exact ORDER STATISTICS (k = ⌈0.05·n⌉ smallest deltas), not interpolated
+    quantiles, so there is no interpolation-mode ambiguity between engines.
+    The tail-risk complement to ts_sharpe's central moments.
+
+    One groupBy(user) sorted collect; deltas are exact integer cents,
+    sorted once per series (array_sort, per-key cost bounded by history);
+    the k-th element and the exact-integer tail sums are array projections
+    — zero Python, one shuffle, no global sort."""
+    ev = load_table(spark, sf_dir, "events")
+    s = F.struct(F.col("ts"), F.col("event_id"), F.col("value"))
+    g = ev.groupBy("user_id").agg(F.array_sort(F.collect_list(s)).alias("hist"))
+    cents = F.transform("hist", lambda r: (r["value"].cast("decimal(18,2)") * 100).cast("long"))
+    g = g.select("user_id", cents.alias("c"), F.size("hist").alias("n_obs"))
+    g = g.filter(F.col("n_obs") >= _VAR_MIN_OBS)
+    deltas = F.transform(
+        F.sequence(F.lit(2), F.col("n_obs")),
+        lambda i: F.element_at("c", i.cast("int")) - F.element_at("c", (i - 1).cast("int")),
+    )
+    g = g.select("user_id", F.array_sort(deltas).alias("d"), (F.col("n_obs") - 1).cast("long").alias("n_ret"))
+    k95 = F.floor((F.col("n_ret") + 19) / 20).cast("int")
+    k99 = F.floor((F.col("n_ret") + 99) / 100).cast("int")
+    g = g.withColumn("k95", k95).withColumn("k99", k99)
+    zero = F.lit(0).cast("long")
+
+    def tail_sum(k):
+        return F.aggregate(F.slice("d", 1, k), zero, lambda a, x: a + x)
+
+    var95 = -F.element_at("d", F.col("k95")).cast("double")
+    var99 = -F.element_at("d", F.col("k99")).cast("double")
+    es95 = -tail_sum(F.col("k95")).cast("double") / F.col("k95").cast("double")
+    es99 = -tail_sum(F.col("k99")).cast("double") / F.col("k99").cast("double")
+    return g.select(
+        "user_id",
+        "n_ret",
+        (F.floor(var95 / 100.0 * 1e6) / 1e6).alias("var95"),
+        (F.floor(es95 / 100.0 * 1e6) / 1e6).alias("es95"),
+        (F.floor(var99 / 100.0 * 1e6) / 1e6).alias("var99"),
+        (F.floor(es99 / 100.0 * 1e6) / 1e6).alias("es99"),
+    )
+
+
+VAR_ES_SQL = f"""
+WITH hist AS (
+    SELECT user_id,
+           list_transform(
+               list_sort(list(struct_pack(ts := ts, e := event_id, v := value))),
+               s -> CAST(CAST(s.v AS DECIMAL(18,2)) * 100 AS BIGINT)) AS c
+    FROM events GROUP BY user_id
+),
+base AS (
+    SELECT user_id, CAST(len(c) - 1 AS BIGINT) AS n_ret,
+           list_sort(list_transform(range(2, len(c) + 1),
+                          i -> c[CAST(i AS INT)] - c[CAST(i AS INT) - 1])) AS d
+    FROM hist WHERE len(c) >= {_VAR_MIN_OBS}
+),
+ks AS (
+    SELECT user_id, n_ret, d,
+           CAST((n_ret + 19) // 20 AS INT) AS k95,
+           CAST((n_ret + 99) // 100 AS INT) AS k99
+    FROM base
+),
+t AS (
+    SELECT user_id, n_ret, k95, k99,
+           -CAST(d[k95] AS DOUBLE) AS var95,
+           -CAST(d[k99] AS DOUBLE) AS var99,
+           -CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), d[1:k95]), (a, x) -> a + x) AS DOUBLE)
+               / CAST(k95 AS DOUBLE) AS es95,
+           -CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), d[1:k99]), (a, x) -> a + x) AS DOUBLE)
+               / CAST(k99 AS DOUBLE) AS es99
+    FROM ks
+)
+SELECT user_id, n_ret,
+       floor(var95 / 100.0 * 1e6) / 1e6 AS var95,
+       floor(es95 / 100.0 * 1e6) / 1e6 AS es95,
+       floor(var99 / 100.0 * 1e6) / 1e6 AS var99,
+       floor(es99 / 100.0 * 1e6) / 1e6 AS es99
+FROM t
+"""
