@@ -1242,6 +1242,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_benford": timeseries.benford,
         "ts_adf": timeseries.adf,
         "ts_var_es": timeseries.var_es,
+        "graph_modularity": analytics.graph_modularity,
+        "graph_clustering": analytics.graph_clustering,
+        "events_srm": analytics.events_srm,
     }
     out = {k: reg[k] for k in _R7_WINDOW}
     out.update((k, v) for k, v in reg.items() if k not in out)
@@ -1628,6 +1631,9 @@ def oracle_sql() -> dict[str, str]:
         "ts_benford": timeseries.BENFORD_SQL,
         "ts_adf": timeseries.ADF_SQL,
         "ts_var_es": timeseries.VAR_ES_SQL,
+        "graph_modularity": analytics.GRAPH_MODULARITY_SQL,
+        "graph_clustering": analytics.GRAPH_CLUSTERING_SQL,
+        "events_srm": analytics.EVENTS_SRM_SQL,
         "events_abtest": analytics.EVENTS_ABTEST_SQL,
         "profile_drift": pipeline.PROFILE_DRIFT_SQL,
         "events_paths": analytics.EVENTS_PATHS_SQL,

@@ -660,3 +660,96 @@ def test_events_seasonality_hand_profile(spark, tmp_path):
     assert c.night_share == pytest.approx(0.333333)
     v = got["view"]
     assert (v.n_events, v.peak_hour, v.weekend_share) == (1, 12, 1.0)
+
+
+def test_graph_modularity_two_cliques(spark, tmp_path):
+    """Two disjoint 3-cliques: each community holds half the edges and half
+    the degree mass → Q = 2 · (1/2 − 1/4²·4) = 0.5 exactly."""
+    import os
+
+    import pandas as pd
+
+    rows = [(1, p) for p in (10, 11, 12)] + [(2, p) for p in (20, 21, 22)]
+    pdf = pd.DataFrame(rows, columns=["l_orderkey", "l_partkey"])
+    d = str(tmp_path / "sf")
+    os.makedirs(d)
+    pdf.to_parquet(os.path.join(d, "lineitem.parquet"))
+
+    out = {r.community: r for r in analytics.graph_modularity(spark, d).collect()}
+    assert set(out) == {10, 20}
+    for c in (10, 20):
+        assert out[c].community_size == 3
+        assert out[c].internal_edges == 3
+        assert out[c].degree_sum == 6
+        assert out[c].contribution == 0.25  # 3/6 − (6/12)²
+        assert out[c].modularity == 0.5
+
+
+def test_graph_clustering_planted(spark, tmp_path):
+    """A 3-clique with a pendant node: the two pure-clique corners have
+    lcc = 1, the corner carrying the pendant 1/3; transitivity = 3T/wedges
+    = 3/5; degree-1 pendant excluded."""
+    import os
+
+    import pandas as pd
+
+    rows = [(1, p) for p in (10, 11, 12)] + [(2, 10), (2, 13)]
+    pdf = pd.DataFrame(rows, columns=["l_orderkey", "l_partkey"])
+    d = str(tmp_path / "sf")
+    os.makedirs(d)
+    pdf.to_parquet(os.path.join(d, "lineitem.parquet"))
+
+    out = analytics.graph_clustering(spark, d).collect()
+    assert [r.node for r in out] == [11, 12, 10]  # lcc desc, tri desc, node
+    by = {r.node: r for r in out}
+    assert by[11].lcc == 1.0 and by[12].lcc == 1.0
+    assert by[10].lcc == 0.333333 and by[10].degree == 3
+    assert all(r.transitivity == 0.6 for r in out)
+    assert all(r.n_triangles == 1 for r in out)
+
+
+def test_events_srm_planted(spark, tmp_path):
+    """Sequential users replay the exact χ² against the python reference;
+    a user population planted entirely into one hash bucket flags SRM."""
+    import math
+    import os
+    from datetime import datetime
+
+    import pandas as pd
+
+    def bucket(uid):
+        return (uid * 2654435761) % 2147483648 % 12
+
+    def write(users, path):
+        rows = [
+            (i + 1, datetime(2024, 1, 1), u, "click", 1.0)
+            for i, u in enumerate(users)
+        ]
+        pdf = pd.DataFrame(rows, columns=["event_id", "ts", "user_id", "event_type", "value"])
+        pdf["props"] = ""
+        d = str(path)
+        os.makedirs(d)
+        pdf.to_parquet(os.path.join(d, "events.parquet"))
+        return d
+
+    users = list(range(1, 601))
+    d = write(users, tmp_path / "healthy")
+    out = analytics.events_srm(spark, d).collect()
+    counts = {}
+    for u in users:
+        counts[bucket(u)] = counts.get(bucket(u), 0) + 1
+    exp = len(users) / 12.0
+    chi2 = sum((counts.get(b, 0) - exp) ** 2 / exp for b in range(12))
+    got = {r.bucket: r for r in out}
+    assert {b: r.n_users for b, r in got.items()} == counts
+    assert all(r.chi2_total == math.floor(chi2 * 1e6) / 1e6 for r in out)
+    expected_verdict = "srm_detected" if chi2 > 24.725 else "healthy"
+    assert all(r.verdict == expected_verdict for r in out)
+
+    # plant 48 users that all hash into bucket 0 → massive χ², SRM flagged
+    planted = [u for u in range(1, 20000) if bucket(u) == 0][:48]
+    assert len(planted) == 48
+    d2 = write(planted, tmp_path / "broken")
+    out2 = analytics.events_srm(spark, d2).collect()
+    assert len(out2) == 1 and out2[0].bucket == 0
+    assert out2[0].verdict == "srm_detected"

@@ -1493,6 +1493,34 @@ LIMIT 20
 _LP_ROUNDS = 4
 
 
+def _lp_run(spark: SparkSession, sf_dir: str):
+    """Shared label-propagation core: returns (undirected pair list,
+    directed edge list, final label table) after ``_LP_ROUNDS`` synchronous
+    rounds — used by :func:`graph_label_prop` (community readout) and
+    :func:`graph_modularity` (partition quality)."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_a"))
+    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_b"))
+    pairs = (
+        a.join(b, "ok").filter(F.col("part_a") < F.col("part_b")).select("part_a", "part_b").distinct()
+    )
+    edges = pairs.select(F.col("part_a").alias("src"), F.col("part_b").alias("dst")).unionByName(
+        pairs.select(F.col("part_b").alias("src"), F.col("part_a").alias("dst"))
+    ).localCheckpoint(eager=False)
+    labels = edges.select(F.col("src").alias("node")).distinct().withColumn("lbl", F.col("node"))
+    w = Window.partitionBy("node").orderBy(F.col("c").desc(), F.col("lbl").asc())
+    for _ in range(_LP_ROUNDS):
+        hist = (
+            edges.join(labels, edges.src == labels.node)
+            .groupBy(F.col("dst").alias("node"), "lbl")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        labels = (
+            hist.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1).select("node", "lbl")
+        )
+    return pairs, edges, labels
+
+
 def graph_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Community detection by synchronous label propagation (Raghavan et
     al. 2007) over the co-purchase part graph — the fourth member of the
@@ -1517,26 +1545,7 @@ def graph_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
     materialization included). For deep propagation at 100 TB, also
     localCheckpoint labels per round (dedup_clusters' pattern) to truncate
     lineage."""
-    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
-    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_a"))
-    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_b"))
-    pairs = (
-        a.join(b, "ok").filter(F.col("part_a") < F.col("part_b")).select("part_a", "part_b").distinct()
-    )
-    edges = pairs.select(F.col("part_a").alias("src"), F.col("part_b").alias("dst")).unionByName(
-        pairs.select(F.col("part_b").alias("src"), F.col("part_a").alias("dst"))
-    ).localCheckpoint(eager=False)
-    labels = edges.select(F.col("src").alias("node")).distinct().withColumn("lbl", F.col("node"))
-    w = Window.partitionBy("node").orderBy(F.col("c").desc(), F.col("lbl").asc())
-    for _ in range(_LP_ROUNDS):
-        hist = (
-            edges.join(labels, edges.src == labels.node)
-            .groupBy(F.col("dst").alias("node"), "lbl")
-            .agg(F.count(F.lit(1)).alias("c"))
-        )
-        labels = (
-            hist.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1).select("node", "lbl")
-        )
+    pairs, edges, labels = _lp_run(spark, sf_dir)
     sizes = labels.groupBy("lbl").agg(F.count(F.lit(1)).alias("community_size"))
     return labels.join(sizes, "lbl").select(
         "node", F.col("lbl").alias("community"), "community_size"
@@ -2374,4 +2383,309 @@ SELECT p.event_type, p.n_events,
        floor(CAST(s.n_weekend AS DOUBLE) / CAST(p.n_events AS DOUBLE) * 1e6) / 1e6 AS weekend_share,
        floor(CAST(s.n_night AS DOUBLE) / CAST(p.n_events AS DOUBLE) * 1e6) / 1e6 AS night_share
 FROM peak p JOIN shares s ON s.event_type = p.event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# modularity — partition quality of the label-prop communities
+# ---------------------------------------------------------------------------
+
+
+def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity of the label-propagation partition over the
+    co-purchase graph: Q = Σ_c (e_c/m − (d_c/2m)²) — the standard "are
+    these communities denser than chance?" quality gate for
+    graph_label_prop's output (Q > 0.3 is the usual 'real structure' bar).
+    Emits one row per community (size, internal edges, degree mass,
+    contribution) plus the global Q on every row.
+
+    Composes :func:`_lp_run` (the label tables are shared code with
+    graph_label_prop — same rounds, bit-identical labels), then: degree
+    sums ride ONE broadcast-ready join of the label table with the degree
+    table; internal-edge counts join the undirected pair list against the
+    label table twice (both joins on node id — dimension-sized build
+    sides); m arrives as a 1-row broadcast, never a driver collect. All
+    counters exact integers; the only doubles are the final contribution
+    projections (identical trees both engines, floor-scaled). Community
+    count is bounded by the part dimension, so the output is small by
+    construction."""
+    pairs, edges, labels = _lp_run(spark, sf_dir)
+    mdf = pairs.agg(F.count(F.lit(1)).alias("m"))
+    deg = edges.groupBy(F.col("src").alias("node")).agg(F.count(F.lit(1)).alias("deg"))
+    dsum = (
+        labels.join(deg, "node")
+        .groupBy("lbl")
+        .agg(F.count(F.lit(1)).alias("community_size"), F.sum("deg").alias("degree_sum"))
+    )
+    la = labels.select(F.col("node").alias("part_a"), F.col("lbl").alias("lbl_a"))
+    lb = labels.select(F.col("node").alias("part_b"), F.col("lbl").alias("lbl_b"))
+    internal = (
+        pairs.join(la, "part_a")
+        .join(lb, "part_b")
+        .filter(F.col("lbl_a") == F.col("lbl_b"))
+        .groupBy(F.col("lbl_a").alias("lbl"))
+        .agg(F.count(F.lit(1)).alias("internal_edges"))
+    )
+    comm = (
+        dsum.join(internal, "lbl", "left")
+        .withColumn("internal_edges", F.coalesce("internal_edges", F.lit(0)).cast("long"))
+        .crossJoin(F.broadcast(mdf))
+    )
+    md = F.col("m").cast("double")
+    contrib = (
+        F.col("internal_edges").cast("double") / md
+        - (F.col("degree_sum").cast("double") / (2.0 * md)) * (F.col("degree_sum").cast("double") / (2.0 * md))
+    )
+    comm = comm.select(
+        F.col("lbl").alias("community"),
+        "community_size",
+        "internal_edges",
+        F.col("degree_sum").cast("long").alias("degree_sum"),
+        (F.floor(contrib * 1e6) / 1e6).alias("contribution"),
+        contrib.alias("_c"),
+    )
+    w = Window.partitionBy()
+    q = F.sum("_c").over(w)
+    return comm.select(
+        "community", "community_size", "internal_edges", "degree_sum", "contribution",
+        (F.floor(q * 1e6) / 1e6).alias("modularity"),
+    )
+
+
+GRAPH_MODULARITY_SQL = f"""
+WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+pairs AS (
+    SELECT DISTINCT a.l_partkey AS part_a, b.l_partkey AS part_b
+    FROM op a JOIN op b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+edges AS (
+    SELECT part_a AS src, part_b AS dst FROM pairs
+    UNION
+    SELECT part_b AS src, part_a AS dst FROM pairs
+),
+l0 AS (SELECT DISTINCT src AS node, src AS lbl FROM edges),
+{_lp_iter_sql("l0", "l1")},
+{_lp_iter_sql("l1", "l2")},
+{_lp_iter_sql("l2", "l3")},
+{_lp_iter_sql("l3", "l4")},
+mrow AS (SELECT count(*) AS m FROM pairs),
+deg AS (SELECT src AS node, count(*) AS deg FROM edges GROUP BY src),
+dsum AS (
+    SELECT l.lbl, count(*) AS community_size, CAST(sum(d.deg) AS BIGINT) AS degree_sum
+    FROM l4 l JOIN deg d ON d.node = l.node GROUP BY l.lbl
+),
+internal AS (
+    SELECT la.lbl AS lbl, count(*) AS internal_edges
+    FROM pairs p
+    JOIN l4 la ON la.node = p.part_a
+    JOIN l4 lb ON lb.node = p.part_b
+    WHERE la.lbl = lb.lbl
+    GROUP BY la.lbl
+),
+comm AS (
+    SELECT d.lbl AS community, d.community_size,
+           CAST(coalesce(i.internal_edges, 0) AS BIGINT) AS internal_edges,
+           d.degree_sum, m.m
+    FROM dsum d LEFT JOIN internal i ON i.lbl = d.lbl CROSS JOIN mrow m
+),
+x AS (
+    SELECT community, community_size, internal_edges, degree_sum,
+           CAST(internal_edges AS DOUBLE) / CAST(m AS DOUBLE)
+           - (CAST(degree_sum AS DOUBLE) / (2.0 * CAST(m AS DOUBLE)))
+             * (CAST(degree_sum AS DOUBLE) / (2.0 * CAST(m AS DOUBLE))) AS contrib
+    FROM comm
+)
+SELECT community, community_size, internal_edges, degree_sum,
+       floor(contrib * 1e6) / 1e6 AS contribution,
+       floor(sum(contrib) OVER () * 1e6) / 1e6 AS modularity
+FROM x
+"""
+
+
+# ---------------------------------------------------------------------------
+# local clustering coefficient + global transitivity
+# ---------------------------------------------------------------------------
+
+
+def graph_clustering(spark: SparkSession, sf_dir: str, *, top_n: int = 20) -> DataFrame:
+    """Local clustering coefficient per node over the co-purchase graph —
+    lcc(v) = 2·tri(v) / (deg(v)·(deg(v)−1)), "how close is v's
+    neighborhood to a clique" — plus the GLOBAL transitivity
+    3·triangles / wedges on every row. Top-N nodes by lcc. The per-node
+    refinement of graph_triangles' raw counts (a node on many triangles of
+    a hub can still have a sparse neighborhood; lcc normalizes by the
+    possible pairs).
+
+    Same oriented-wedge shape as graph_triangles (every triangle generated
+    once at its lowest corner, two equi-joins, never cartesian; id
+    orientation — the co-purchase graph is degree-uniform, and
+    graph_triangles' auto rule keeps choosing it); per-node counts from one
+    corner explode + map-side combine. Transitivity avoids any double
+    averaging: 3T and Σ deg(deg−1)/2 are EXACT longs combined in one final
+    division (a float average over nodes would be partial-order-sensitive
+    across engines). Degrees left-join the triangle counts so
+    triangle-free nodes keep lcc = 0."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pa"))
+    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pb"))
+    edges = (
+        a.join(b, "ok").filter(F.col("pa") < F.col("pb")).select("pa", "pb").distinct()
+        .localCheckpoint(eager=False)
+    )
+    und = edges.unionByName(edges.select(F.col("pb").alias("pa"), F.col("pa").alias("pb")))
+    deg = und.groupBy(F.col("pa").alias("node")).agg(F.count(F.lit(1)).alias("degree"))
+    o1 = edges.select(F.col("pa").alias("src"), F.col("pb").alias("v"))
+    o2 = edges.select(F.col("pa").alias("src2"), F.col("pb").alias("w"))
+    closing = edges.select(F.col("pa").alias("v"), F.col("pb").alias("w"))
+    # graph_triangles' broadcast policy: keep the Σdeg² wedge stream inside
+    # one codegen pipeline when the edge list is broadcastable; past the
+    # threshold fall back to shuffle joins (the 100 TB path).
+    if edges.limit(_TRI_BROADCAST_EDGES + 1).count() <= _TRI_BROADCAST_EDGES:
+        o2, closing = F.broadcast(o2), F.broadcast(closing)
+    wedges = o1.join(o2, F.col("src") == F.col("src2")).filter(F.col("v") < F.col("w"))
+    tri = wedges.join(closing, ["v", "w"]).select(
+        F.col("src").alias("x"), F.col("v").alias("y"), F.col("w").alias("z")
+    )
+    tcounts = (
+        tri.select(F.explode(F.array("x", "y", "z")).alias("node"))
+        .groupBy("node").agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    nodes = (
+        deg.join(tcounts, "node", "left")
+        .withColumn("n_triangles", F.coalesce("n_triangles", F.lit(0)).cast("long"))
+        .filter(F.col("degree") >= 2)
+    )
+    glob = nodes.agg(
+        F.sum("n_triangles").alias("t3"),  # Σ per-node counts = 3·triangles
+        F.sum(F.col("degree") * (F.col("degree") - 1) / 2).cast("long").alias("wedges"),
+    )
+    dd = F.col("degree").cast("double")
+    lcc = 2.0 * F.col("n_triangles").cast("double") / (dd * (dd - 1.0))
+    return (
+        nodes.crossJoin(F.broadcast(glob))
+        .select(
+            "node",
+            "degree",
+            "n_triangles",
+            (F.floor(lcc * 1e6) / 1e6).alias("lcc"),
+            (F.floor(F.col("t3").cast("double") / F.col("wedges").cast("double") * 1e6) / 1e6).alias("transitivity"),
+        )
+        .orderBy(F.col("lcc").desc(), F.col("n_triangles").desc(), F.col("node"))
+        .limit(top_n)
+    )
+
+
+GRAPH_CLUSTERING_SQL = """
+WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+edges AS (
+    SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb
+    FROM op a JOIN op b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+und AS (SELECT pa, pb FROM edges UNION ALL SELECT pb, pa FROM edges),
+deg AS (SELECT pa AS node, count(*) AS degree FROM und GROUP BY pa),
+tri AS (
+    SELECT e1.pa AS x, e1.pb AS y, e2.pb AS z
+    FROM edges e1
+    JOIN edges e2 ON e2.pa = e1.pb
+    JOIN edges e3 ON e3.pa = e1.pa AND e3.pb = e2.pb
+),
+tcounts AS (
+    SELECT node, count(*) AS n_triangles FROM (
+        SELECT x AS node FROM tri UNION ALL SELECT y FROM tri UNION ALL SELECT z FROM tri
+    ) GROUP BY node
+),
+nodes AS (
+    SELECT d.node, d.degree, CAST(coalesce(t.n_triangles, 0) AS BIGINT) AS n_triangles
+    FROM deg d LEFT JOIN tcounts t ON t.node = d.node
+    WHERE d.degree >= 2
+),
+tot AS (
+    SELECT CAST(sum(n_triangles) AS BIGINT) AS t3,
+           CAST(sum(degree * (degree - 1) // 2) AS BIGINT) AS wedges
+    FROM nodes
+)
+SELECT n.node, n.degree, n.n_triangles,
+       floor(2.0 * CAST(n.n_triangles AS DOUBLE)
+             / (CAST(n.degree AS DOUBLE) * (CAST(n.degree AS DOUBLE) - 1.0)) * 1e6) / 1e6 AS lcc,
+       floor(CAST(g.t3 AS DOUBLE) / CAST(g.wedges AS DOUBLE) * 1e6) / 1e6 AS transitivity
+FROM nodes n CROSS JOIN tot g
+ORDER BY lcc DESC, n.n_triangles DESC, n.node
+LIMIT 20
+"""
+
+
+# ---------------------------------------------------------------------------
+# sample-ratio mismatch — experiment assignment health
+# ---------------------------------------------------------------------------
+
+_SRM_BUCKETS = 12
+_SRM_CHI2_CRIT = 24.725  # chi-square df=11, p=0.01
+
+
+def events_srm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-ratio-mismatch health check for the experiment assignment
+    behind events_abtest: users hash into {0..11} buckets via a
+    Knuth-multiplicative mix of user_id; under a healthy randomizer every
+    bucket holds ≈ 1/12 of users, and the df=11 χ² against uniform flags a
+    broken assignment pipe at p < 0.01 — the canonical pre-test gate
+    (Fabijan et al. 2019: an SRM invalidates the experiment no matter how
+    good the p-value looks).
+
+    Shape: one user-grained aggregate (users are already the grain — no
+    distinct shuffle), a 12-group map-side-combined count, and a 12-row
+    window rollup. The bucket mix is pure BIGINT arithmetic (multiply, mod)
+    identical in both engines — no engine hash functions, which don't
+    match across Spark and DuckDB."""
+    ev = load_table(spark, sf_dir, "events")
+    users = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_events"))
+    bucket = (F.col("user_id") * F.lit(2654435761).cast("long")) % F.lit(2147483648).cast("long") % _SRM_BUCKETS
+    d = users.groupBy(bucket.cast("int").alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("n_events").cast("long").alias("n_events"),
+    )
+    w = Window.partitionBy()
+    total = F.sum("n_users").over(w).cast("double")
+    exp = total / float(_SRM_BUCKETS)
+    contrib = (F.col("n_users").cast("double") - exp) * (F.col("n_users").cast("double") - exp) / exp
+    d = d.select(
+        "bucket", "n_users", "n_events",
+        (F.floor(F.col("n_users").cast("double") / total * 1e6) / 1e6).alias("share"),
+        contrib.alias("_c"),
+    )
+    chi2 = F.sum("_c").over(w)
+    return d.select(
+        "bucket", "n_users", "n_events", "share",
+        (F.floor(F.col("_c") * 1e6) / 1e6).alias("chi2_contrib"),
+        (F.floor(chi2 * 1e6) / 1e6).alias("chi2_total"),
+        F.when(chi2 > _SRM_CHI2_CRIT, F.lit("srm_detected")).otherwise(F.lit("healthy")).alias("verdict"),
+    )
+
+
+EVENTS_SRM_SQL = f"""
+WITH users AS (
+    SELECT user_id, count(*) AS n_events FROM events GROUP BY user_id
+),
+buckets AS (
+    SELECT CAST(user_id * 2654435761 % 2147483648 % {_SRM_BUCKETS} AS INT) AS bucket,
+           count(*) AS n_users, CAST(sum(n_events) AS BIGINT) AS n_events
+    FROM users GROUP BY 1
+),
+c AS (
+    SELECT bucket, n_users, n_events,
+           CAST(sum(n_users) OVER () AS DOUBLE) AS total
+    FROM buckets
+),
+x AS (
+    SELECT bucket, n_users, n_events, total,
+           (CAST(n_users AS DOUBLE) - total / {float(_SRM_BUCKETS)!r})
+           * (CAST(n_users AS DOUBLE) - total / {float(_SRM_BUCKETS)!r})
+           / (total / {float(_SRM_BUCKETS)!r}) AS contrib
+    FROM c
+)
+SELECT bucket, n_users, n_events,
+       floor(CAST(n_users AS DOUBLE) / total * 1e6) / 1e6 AS share,
+       floor(contrib * 1e6) / 1e6 AS chi2_contrib,
+       floor(sum(contrib) OVER () * 1e6) / 1e6 AS chi2_total,
+       CASE WHEN sum(contrib) OVER () > {_SRM_CHI2_CRIT!r} THEN 'srm_detected' ELSE 'healthy' END AS verdict
+FROM x
 """
