@@ -1245,6 +1245,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_modularity": analytics.graph_modularity,
         "graph_clustering": analytics.graph_clustering,
         "events_srm": analytics.events_srm,
+        "ann_filtered": similarity.ann_filtered,
+        "embed_centroid_drift": similarity.embed_centroid_drift,
+        "text_code_detect": text.text_code_detect,
     }
     out = {k: reg[k] for k in _R7_WINDOW}
     out.update((k, v) for k, v in reg.items() if k not in out)
@@ -1634,6 +1637,9 @@ def oracle_sql() -> dict[str, str]:
         "graph_modularity": analytics.GRAPH_MODULARITY_SQL,
         "graph_clustering": analytics.GRAPH_CLUSTERING_SQL,
         "events_srm": analytics.EVENTS_SRM_SQL,
+        "ann_filtered": similarity.ANN_FILTERED_SQL,
+        "embed_centroid_drift": similarity.EMBED_CENTROID_DRIFT_SQL,
+        "text_code_detect": text.TEXT_CODE_DETECT_SQL,
         "events_abtest": analytics.EVENTS_ABTEST_SQL,
         "profile_drift": pipeline.PROFILE_DRIFT_SQL,
         "events_paths": analytics.EVENTS_PATHS_SQL,

@@ -397,3 +397,55 @@ def test_embed_cluster_purity_consistent_with_kmeans(spark, sf_dir):
         assert (r.n_vecs, r.n_labels) == (n, len(by_label))
         assert (r.top_label, r.top_n) == (top_label, top_n)
         assert r.purity == math.floor(top_n / n * 1e6) / 1e6
+
+
+def test_ann_filtered_label_scope(spark, clustered_dir):
+    """Every neighbour carries the query's own label, and the top-k equals
+    an exact numpy replay of label-restricted cosine ranking."""
+    rows = sim.ann_filtered(spark, clustered_dir).collect()
+    # fixture: vec_id // 50 == label, 10 queries (vec_id < 10) all label 0
+    by_q = {}
+    for r in rows:
+        assert r.label == 0 and 0 <= r.neighbor_id < 50
+        by_q.setdefault(r.query_id, []).append(r)
+    assert set(by_q) == set(range(10))
+
+    import pandas as pd
+
+    pdf = pd.read_parquet(os.path.join(clustered_dir, "embeddings.parquet"))
+    q = np.array([np.round(np.array(v, dtype=np.float64) * 1e6) for v in pdf.embedding], dtype=np.int64)
+    labels = pdf.label.to_numpy()
+    ids = pdf.vec_id.to_numpy()
+    for qid in range(10):
+        qi = np.where(ids == qid)[0][0]
+        mask = (labels == labels[qi]) & (ids != qid)
+        cand = np.where(mask)[0]
+        cos = (q[cand] @ q[qi]) / (
+            np.sqrt((q[cand] * q[cand]).sum(axis=1)) * np.sqrt(float(q[qi] @ q[qi]))
+        )
+        order = sorted(zip(-cos, ids[cand]))[:5]
+        expect = [int(i) for _, i in order]
+        got = [r.neighbor_id for r in sorted(by_q[qid], key=lambda r: r.rank)]
+        assert got == expect
+
+
+def test_embed_centroid_drift_planted(spark, tmp_path):
+    """A label whose halves share a direction is stable (cos ≈ 1, ratio 1);
+    a label whose odd half rotates to an orthogonal direction is drifted."""
+    rows = []
+    e1 = [1.0] + [0.0] * 63
+    e2 = [0.0, 1.0] + [0.0] * 62
+    for vid in range(20):  # label 0: identical direction both halves
+        rows.append((vid, e1, 0))
+    for vid in range(20, 40):  # label 1: even → e1, odd → e2 (orthogonal)
+        rows.append((vid, e1 if vid % 2 == 0 else e2, 1))
+    d = str(tmp_path / "drift")
+    spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int").coalesce(
+        1
+    ).write.mode("overwrite").parquet(os.path.join(d, "embeddings.parquet"))
+
+    out = {r.label: r for r in sim.embed_centroid_drift(spark, d).collect()}
+    assert out[0].verdict == "stable" and out[0].centroid_cosine == 1.0
+    assert out[0].norm_ratio == 1.0 and out[0].n_old == out[0].n_new == 10
+    assert out[1].verdict == "drifted" and out[1].centroid_cosine == 0.0
+    assert out[1].drift == 1.0

@@ -291,3 +291,39 @@ def test_text_diversity_hand_corpus(spark, tmp_path):
     assert (r3.n_tokens, r3.n_types, r3.n_hapax) == (6, 3, 1)
     sum_v2 = 9 + 4 + 1
     assert r3.yule_k == math.floor(1e4 * (sum_v2 - 6.0) / 36.0 * 1e6) / 1e6
+
+
+def test_text_code_detect_planted(spark, tmp_path):
+    """A symbol-dense snippet routes to code, plain prose to prose, and a
+    snake_case-heavy doc trips the identifier rule; counts replay re."""
+    import os
+    import re
+
+    import pandas as pd
+
+    code = "def foo(a, b):\n    x = a[0] + b[1];\n    return {x: (a, b)};"
+    prose = "The quick brown fox jumps over the lazy dog and naps in the sun."
+    snakey = "the model_name and run_id map to data_dir plus log_path here"
+    docs = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": [code, prose, snakey],
+            "lang": ["en"] * 3,
+            "source": ["s"] * 3,
+            "n_chars": [len(code), len(prose), len(snakey)],
+        }
+    )
+    d = str(tmp_path / "sf")
+    os.makedirs(d)
+    docs.to_parquet(os.path.join(d, "documents.parquet"))
+
+    from timedb_spark.operators import text as tx
+
+    out = {r.doc_id: r for r in tx.text_code_detect(spark, d).collect()}
+    assert out[1].verdict == "code"
+    assert out[2].verdict == "prose"
+    assert out[3].verdict == "code" and out[3].n_ident_hits >= 4
+
+    n_sym = len(re.findall(r"[{}()\[\];=<>]", code))
+    assert out[1].n_symbols == n_sym
+    assert out[2].n_ident_hits == 0

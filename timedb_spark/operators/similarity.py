@@ -1470,3 +1470,174 @@ SELECT t.cluster, z.n_vecs, z.n_labels, t.label AS top_label,
 FROM top t JOIN tot z ON z.cluster = t.cluster
 WHERE t.rn = 1
 """
+
+
+# ---------------------------------------------------------------------------
+# metadata-filtered ANN — predicate-constrained vector search
+# ---------------------------------------------------------------------------
+
+
+def ann_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered vector search: exact top-k cosine neighbours CONSTRAINED to
+    the query's own label — the "WHERE clause on a vector index" every
+    production vector store exposes (category-scoped retrieval, per-tenant
+    search). Pre-filtering via an EQUI-join on the predicate column, not
+    post-filtering a global top-k (which under-fills whenever the label is
+    a minority — the classic filtered-ANN failure mode).
+
+    Plan shape: the label join composes with the broadcast query join into
+    ONE candidate projection — candidates shrink by the label's
+    selectivity BEFORE any scoring, and at 100 TB the label becomes the
+    partition key so each query scans exactly one partition family. Dot
+    products are exact quantized-integer folds (vx convention); one window
+    top-k per query."""
+    vecs = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", vx.quantize(F.col("embedding")).alias("q")
+    )
+    queries = vecs.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("qlabel"),
+        F.col("q").alias("qv"),
+    )
+    scored = (
+        vecs.join(
+            F.broadcast(queries),
+            (F.col("label") == F.col("qlabel")) & (F.col("vec_id") != F.col("query_id")),
+        )
+        .select(
+            "query_id",
+            F.col("qlabel").alias("label"),
+            F.col("vec_id").alias("neighbor_id"),
+            vx.cosine_q(F.col("qv"), F.col("q")).alias("_cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("_cos").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _TOP_K)
+        .select(
+            "query_id", "label", "neighbor_id",
+            (F.floor(F.col("_cos") * 1e6) / 1e6).alias("cosine"), "rank",
+        )
+    )
+
+
+ANN_FILTERED_SQL = f"""
+WITH vecs AS (
+    SELECT vec_id, label, {vx.QUANTIZE_SQL.format(v='embedding')} AS q FROM embeddings
+),
+queries AS (
+    SELECT vec_id AS query_id, label AS qlabel, q AS qv FROM vecs WHERE vec_id < {_N_QUERIES}
+),
+scored AS (
+    SELECT query_id, qlabel AS label, v.vec_id AS neighbor_id,
+           {vx.cosine_q_sql('qv', 'v.q')} AS c
+    FROM vecs v JOIN queries ON v.label = qlabel AND v.vec_id != query_id
+),
+ranked AS (
+    SELECT query_id, label, neighbor_id, c,
+           row_number() OVER (PARTITION BY query_id ORDER BY c DESC, neighbor_id) AS rank
+    FROM scored
+)
+SELECT query_id, label, neighbor_id, floor(c * 1e6) / 1e6 AS cosine, rank
+FROM ranked WHERE rank <= {_TOP_K}
+"""
+
+
+# ---------------------------------------------------------------------------
+# embedding centroid drift — per-class distribution monitoring
+# ---------------------------------------------------------------------------
+
+_DRIFT_COS_MIN = 0.98
+
+
+def embed_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding drift monitor between two halves of the corpus
+    (vec_id parity as the deterministic stand-in for an old/new snapshot
+    column): cosine between the halves' class centroids, the drift score
+    1 − cos, and the centroid-norm ratio — the standard "did the encoder
+    or the data shift?" check run before trusting cached ANN indexes or
+    classifiers on refreshed data.
+
+    Exactness: the centroid cosine is computed on per-dimension SUM
+    vectors (cosine is scale-invariant, so sums ≡ means) — exact BIGINT
+    component sums via ONE posexplode + (label, half, dim) map-side
+    combined aggregate; #labels × 2 × 64 rows shuffle, nothing else. The
+    only doubles are the final cosine/ratio (norm ratio rescales by the
+    exact counts). At 100 TB the partial agg absorbs the scan; the
+    centroid table is KB-sized."""
+    vecs = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", vx.quantize(F.col("embedding")).alias("q")
+    )
+    pe = vecs.select(
+        "label",
+        (F.col("vec_id") % 2).cast("int").alias("half"),
+        F.posexplode("q").alias("pos", "comp"),
+    )
+    sums = pe.groupBy("label", "half", "pos").agg(F.sum("comp").alias("s"))
+    cent = (
+        sums.groupBy("label", "half")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("pos", "s"))).alias("arr"),
+        )
+        .select("label", "half", F.transform("arr", lambda x: x["s"]).alias("sv"))
+    )
+    counts = vecs.groupBy("label", (F.col("vec_id") % 2).cast("int").alias("half")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    cent = cent.join(counts, ["label", "half"])
+    old = cent.filter(F.col("half") == 0).select("label", F.col("sv").alias("sv0"), F.col("n").alias("n_old"))
+    new = cent.filter(F.col("half") == 1).select("label", F.col("sv").alias("sv1"), F.col("n").alias("n_new"))
+    j = old.join(new, "label")
+    cos = vx.cosine_q(F.col("sv0"), F.col("sv1"))
+    norm0 = F.sqrt(vx.norm_sq_q(F.col("sv0")).cast("double")) / F.col("n_old").cast("double")
+    norm1 = F.sqrt(vx.norm_sq_q(F.col("sv1")).cast("double")) / F.col("n_new").cast("double")
+    return j.select(
+        "label",
+        "n_old",
+        "n_new",
+        (F.floor(cos * 1e6) / 1e6).alias("centroid_cosine"),
+        (F.floor((1.0 - cos) * 1e6) / 1e6).alias("drift"),
+        (F.floor(norm1 / norm0 * 1e6) / 1e6).alias("norm_ratio"),
+        F.when(cos < _DRIFT_COS_MIN, F.lit("drifted")).otherwise(F.lit("stable")).alias("verdict"),
+    ).orderBy("label")
+
+
+EMBED_CENTROID_DRIFT_SQL = f"""
+WITH vecs AS (
+    SELECT vec_id, label, {vx.QUANTIZE_SQL.format(v='embedding')} AS q FROM embeddings
+),
+pe AS (
+    SELECT label, CAST(vec_id % 2 AS INT) AS half,
+           unnest(range(1, len(q) + 1)) AS pos, unnest(q) AS comp
+    FROM vecs
+),
+sums AS (
+    SELECT label, half, pos, CAST(sum(comp) AS BIGINT) AS s
+    FROM pe GROUP BY label, half, pos
+),
+cent AS (
+    SELECT label, half,
+           list_transform(list_sort(list(struct_pack(pos := pos, s := s))), x -> x.s) AS sv
+    FROM sums GROUP BY label, half
+),
+counts AS (
+    SELECT label, CAST(vec_id % 2 AS INT) AS half, count(*) AS n
+    FROM vecs GROUP BY 1, 2
+),
+cj AS (SELECT c.label, c.half, c.sv, k.n FROM cent c JOIN counts k ON k.label = c.label AND k.half = c.half),
+j AS (
+    SELECT o.label, o.sv AS sv0, o.n AS n_old, w.sv AS sv1, w.n AS n_new
+    FROM (SELECT * FROM cj WHERE half = 0) o
+    JOIN (SELECT * FROM cj WHERE half = 1) w ON w.label = o.label
+)
+SELECT label, n_old, n_new,
+       floor({vx.cosine_q_sql('sv0', 'sv1')} * 1e6) / 1e6 AS centroid_cosine,
+       floor((1.0 - {vx.cosine_q_sql('sv0', 'sv1')}) * 1e6) / 1e6 AS drift,
+       floor((sqrt(CAST({vx.DOT_Q_SQL.format(a='sv1', b='sv1')} AS DOUBLE)) / CAST(n_new AS DOUBLE))
+             / (sqrt(CAST({vx.DOT_Q_SQL.format(a='sv0', b='sv0')} AS DOUBLE)) / CAST(n_old AS DOUBLE))
+             * 1e6) / 1e6 AS norm_ratio,
+       CASE WHEN {vx.cosine_q_sql('sv0', 'sv1')} < {_DRIFT_COS_MIN!r} THEN 'drifted' ELSE 'stable' END AS verdict
+FROM j
+ORDER BY label
+"""

@@ -1072,3 +1072,68 @@ SELECT doc_id, n_tokens, n_types, n_hapax,
              / (CAST(n_tokens AS DOUBLE) * CAST(n_tokens AS DOUBLE)) * 1e6) / 1e6 AS yule_k
 FROM g
 """
+
+
+# ---------------------------------------------------------------------------
+# code-likeness detection — corpus routing for code vs prose
+# ---------------------------------------------------------------------------
+
+_CODE_SYM_RATIO = 0.04
+_CODE_IDENT_MIN = 4
+
+
+def text_code_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Code-likeness screen per document: density of programming symbols
+    ({}()[];=<>), snake_case / camelCase identifier hits, and digit share —
+    the router that sends code to a code-aware tokenizer/dedup pipeline and
+    prose to the text one (mixing them degrades both: code needs exact
+    whitespace, prose needs sentence segmentation). Rule: code when the
+    symbol density clears 4% of characters or ≥ 4 identifier-style hits.
+
+    Shape: four ``regexp_count`` projections over one scan — zero shuffles,
+    zero Python, whole-stage-codegen friendly (the readability pattern).
+    Ratios are exact-count divisions, floor-scaled."""
+    docs = load_table(spark, sf_dir, "documents")
+    text = F.col("text")
+    n_sym = F.regexp_count(text, F.lit(r"[{}()\[\];=<>]"))
+    n_digit = F.regexp_count(text, F.lit(r"[0-9]"))
+    n_snake = F.regexp_count(text, F.lit(r"[a-z]+_[a-z]+"))
+    n_camel = F.regexp_count(text, F.lit(r"[a-z][A-Z][a-z]"))
+    d = docs.select(
+        "doc_id",
+        "n_chars",
+        n_sym.cast("long").alias("n_symbols"),
+        n_digit.cast("long").alias("n_digits"),
+        (n_snake + n_camel).cast("long").alias("n_ident_hits"),
+    )
+    nc = F.greatest(F.col("n_chars").cast("double"), F.lit(1.0))
+    sym_ratio = F.col("n_symbols").cast("double") / nc
+    is_code = (sym_ratio >= _CODE_SYM_RATIO) | (F.col("n_ident_hits") >= _CODE_IDENT_MIN)
+    return d.select(
+        "doc_id",
+        "n_symbols",
+        "n_digits",
+        "n_ident_hits",
+        (F.floor(sym_ratio * 1e6) / 1e6).alias("symbol_ratio"),
+        (F.floor(F.col("n_digits").cast("double") / nc * 1e6) / 1e6).alias("digit_ratio"),
+        F.when(is_code, F.lit("code")).otherwise(F.lit("prose")).alias("verdict"),
+    )
+
+
+TEXT_CODE_DETECT_SQL = f"""
+WITH d AS (
+    SELECT doc_id, n_chars,
+           CAST(len(regexp_extract_all(text, '[{{}}()\\[\\];=<>]')) AS BIGINT) AS n_symbols,
+           CAST(len(regexp_extract_all(text, '[0-9]')) AS BIGINT) AS n_digits,
+           CAST(len(regexp_extract_all(text, '[a-z]+_[a-z]+'))
+                + len(regexp_extract_all(text, '[a-z][A-Z][a-z]')) AS BIGINT) AS n_ident_hits
+    FROM documents
+)
+SELECT doc_id, n_symbols, n_digits, n_ident_hits,
+       floor(CAST(n_symbols AS DOUBLE) / greatest(CAST(n_chars AS DOUBLE), 1.0) * 1e6) / 1e6 AS symbol_ratio,
+       floor(CAST(n_digits AS DOUBLE) / greatest(CAST(n_chars AS DOUBLE), 1.0) * 1e6) / 1e6 AS digit_ratio,
+       CASE WHEN CAST(n_symbols AS DOUBLE) / greatest(CAST(n_chars AS DOUBLE), 1.0) >= {_CODE_SYM_RATIO!r}
+                 OR n_ident_hits >= {_CODE_IDENT_MIN}
+            THEN 'code' ELSE 'prose' END AS verdict
+FROM d
+"""
