@@ -163,6 +163,12 @@ def _q_interval_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bt.interval_merge(interval_frame(spark, sf_dir))
 
 
+def _q_bt_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Valid-time coverage audit: per-series covered fraction, span/gap
+    counts, and largest hole over the interval-validity frame."""
+    return bt.coverage(interval_frame(spark, sf_dir))
+
+
 def _q_write_skip_unchanged(spark: SparkSession, sf_dir: str) -> DataFrame:
     """skip_unchanged=True write-filter semantics (ref write.py:172-233) as a
     query: 'stored' = events rows with even event_id, 'incoming' = the latest
@@ -1248,6 +1254,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_filtered": similarity.ann_filtered,
         "embed_centroid_drift": similarity.embed_centroid_drift,
         "text_code_detect": text.text_code_detect,
+        "bt_coverage": _q_bt_coverage,
+        "ts_motif": timeseries.sax_motif,
     }
     out = {k: reg[k] for k in _R7_WINDOW}
     out.update((k, v) for k, v in reg.items() if k not in out)
@@ -1640,6 +1648,55 @@ def oracle_sql() -> dict[str, str]:
         "ann_filtered": similarity.ANN_FILTERED_SQL,
         "embed_centroid_drift": similarity.EMBED_CENTROID_DRIFT_SQL,
         "text_code_detect": text.TEXT_CODE_DETECT_SQL,
+        "bt_coverage": f"""
+            WITH sv AS ({INTERVAL_ORACLE_SQL}),
+            iv AS (SELECT DISTINCT series_id, valid_time, valid_time_end FROM sv),
+            m AS (
+                SELECT series_id, valid_time, valid_time_end,
+                       CASE WHEN max(valid_time_end) OVER wprev IS NULL
+                              OR valid_time > max(valid_time_end) OVER wprev
+                            THEN 1 ELSE 0 END AS ni
+                FROM iv
+                WINDOW wprev AS (PARTITION BY series_id
+                                 ORDER BY valid_time, valid_time_end
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+            ),
+            i AS (
+                SELECT *, CAST(sum(ni) OVER (PARTITION BY series_id
+                                             ORDER BY valid_time, valid_time_end
+                                             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS island
+                FROM m
+            ),
+            spans AS (
+                SELECT series_id, island,
+                       min(valid_time) AS span_start,
+                       max(valid_time_end) AS span_end,
+                       count(*) AS n_intervals
+                FROM i GROUP BY series_id, island
+            ),
+            gaps AS (
+                SELECT series_id, n_intervals,
+                       epoch_us(span_start) AS s_us, epoch_us(span_end) AS e_us,
+                       epoch_us(span_start)
+                       - lag(epoch_us(span_end)) OVER (PARTITION BY series_id ORDER BY span_start) AS gap_us
+                FROM spans
+            ),
+            g AS (
+                SELECT series_id,
+                       CAST(count(*) AS BIGINT) AS n_spans,
+                       CAST(sum(n_intervals) AS BIGINT) AS n_intervals,
+                       CAST(sum(e_us - s_us) AS BIGINT) AS covered_us,
+                       CAST(min(s_us) AS BIGINT) AS first_us,
+                       CAST(max(e_us) AS BIGINT) AS last_us,
+                       CAST(max(coalesce(gap_us, 0)) AS BIGINT) AS largest_gap_us
+                FROM gaps GROUP BY series_id
+            )
+            SELECT series_id, n_spans, n_intervals, covered_us, largest_gap_us,
+                   floor(CAST(covered_us AS DOUBLE)
+                         / CAST(last_us - first_us AS DOUBLE) * 1e6) / 1e6 AS coverage_ratio
+            FROM g
+        """,
+        "ts_motif": timeseries.SAX_MOTIF_SQL,
         "events_abtest": analytics.EVENTS_ABTEST_SQL,
         "profile_drift": pipeline.PROFILE_DRIFT_SQL,
         "events_paths": analytics.EVENTS_PATHS_SQL,

@@ -204,3 +204,29 @@ def test_interval_merge_islands(spark, tmp_path):
         ((r.span_start, r.span_end, r.n_intervals) for r in bt.interval_merge(interval_frame(spark, d)).collect())
     )
     assert out == [(t(10), t(13), 3), (t(20), t(21), 1)]
+
+
+def test_coverage_hand_spans(spark, tmp_path):
+    """Same planted intervals as the merge test: [10,13) + [20,21) covered
+    of the [10,21) extent → ratio 4/11, one 7-hour gap."""
+    import math
+
+    from timedb_spark.io.tables import interval_frame
+    from timedb_spark.operators import bitemporal as bt
+
+    t = lambda h: datetime(2024, 1, 1, h)
+    d = _events_dir(
+        tmp_path,
+        [
+            (1, t(10), 1, "x", 1.0),  # [10,12)
+            (3, t(11), 1, "x", 1.0),  # [11,12)
+            (6, t(12), 1, "x", 1.0),  # [12,13) adjacent — merges
+            (9, t(20), 1, "x", 1.0),  # [20,21) island
+        ],
+    )
+    r = bt.coverage(interval_frame(spark, d)).collect()[0]
+    assert r.n_spans == 2 and r.n_intervals == 4
+    hour = 3600 * 1_000_000
+    assert r.covered_us == 4 * hour
+    assert r.largest_gap_us == 7 * hour
+    assert r.coverage_ratio == math.floor(4.0 / 11.0 * 1e6) / 1e6

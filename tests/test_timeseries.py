@@ -1847,3 +1847,30 @@ def test_var_es_planted_tails(spark, tmp_path):
     assert r.es95 == math.floor(-(sum(dl_sorted[:k95]) / k95) / 100.0 * 1e6) / 1e6
     assert r.var99 == math.floor(-dl_sorted[k99 - 1] / 100.0 * 1e6) / 1e6
     assert r.var99 == 20.0  # the single worst planted drop
+
+
+def test_sax_motif_shape_groups(spark, tmp_path):
+    """Two identical up-ramps share one SAX word (n_series = 2, example =
+    min user); a down-ramp lands in the mirrored word; shares floor-scale."""
+    import math
+
+    import pandas as pd
+
+    rows, eid = [], 0
+    for uid in (1, 2):  # identical up-ramps → same word
+        for t in range(16):
+            eid += 1
+            rows.append((eid, datetime(2024, 1, 1) + pd.Timedelta(hours=t), uid, 10.0 + t))
+    for t in range(16):  # down-ramp → mirrored word
+        eid += 1
+        rows.append((eid, datetime(2024, 1, 1) + pd.Timedelta(hours=t), 3, 40.0 - t))
+    d = _write_events(tmp_path, rows)
+
+    out = ts.sax_motif(spark, d).collect()
+    assert [r.n_series for r in out] == [2, 1]
+    top = out[0]
+    assert top.example_user == 1 and top.sax_word == out[0].sax_word
+    assert top.share == math.floor(2.0 / 3.0 * 1e6) / 1e6
+    # ramps symbolize monotonically: word ascends a→d, mirror descends
+    assert top.sax_word == "".join(sorted(top.sax_word))
+    assert out[1].sax_word == top.sax_word[::-1]

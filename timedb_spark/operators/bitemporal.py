@@ -653,3 +653,40 @@ def revision_latency(df: DataFrame) -> DataFrame:
         (F.floor(F.percentile("gap_min", F.lit(0.9)) * 1e6) / 1e6).alias("gap_min_p90"),
         (F.floor(F.max("gap_min") * 1e6) / 1e6).alias("gap_min_max"),
     )
+
+
+def coverage(df: DataFrame) -> DataFrame:
+    """Valid-time coverage audit per series — the summary a data steward
+    reads off :func:`interval_merge`'s spans: how much of each series'
+    overall [first, last) valid extent is actually covered by observations,
+    how many contiguous spans/gaps there are, and the largest hole (in
+    exact integer microseconds — the zone-map unit). The interval-store
+    sibling of ts_gap_detect (which audits point-sample spacing): this one
+    audits DECLARED validity intervals, e.g. "which sensors have
+    certification holes".
+
+    Shape: interval_merge's one window sort per series, a lag over the
+    per-series span list (already tiny — spans ≤ intervals), and one
+    map-side-combined rollup. Micros arithmetic is exact integer; the
+    coverage ratio is the only double, floor-scaled.
+    """
+    spans = interval_merge(df)
+    w = Window.partitionBy("series_id").orderBy("span_start")
+    gap = F.unix_micros(F.col("span_start")) - F.unix_micros(F.lag("span_end").over(w))
+    g = spans.withColumn("gap_us", gap).groupBy("series_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_spans"),
+        F.sum("n_intervals").cast("long").alias("n_intervals"),
+        F.sum(F.unix_micros("span_end") - F.unix_micros("span_start")).cast("long").alias("covered_us"),
+        F.min(F.unix_micros("span_start")).alias("first_us"),
+        F.max(F.unix_micros("span_end")).alias("last_us"),
+        F.max(F.coalesce(F.col("gap_us"), F.lit(0).cast("long"))).cast("long").alias("largest_gap_us"),
+    )
+    extent = (F.col("last_us") - F.col("first_us")).cast("double")
+    return g.select(
+        "series_id",
+        "n_spans",
+        "n_intervals",
+        "covered_us",
+        "largest_gap_us",
+        (F.floor(F.col("covered_us").cast("double") / extent * 1e6) / 1e6).alias("coverage_ratio"),
+    )

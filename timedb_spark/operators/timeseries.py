@@ -4831,3 +4831,53 @@ SELECT user_id, n_ret,
        floor(es99 / 100.0 * 1e6) / 1e6 AS es99
 FROM t
 """
+
+
+# ---------------------------------------------------------------------------
+# SAX-word motif discovery — cross-series shape clustering
+# ---------------------------------------------------------------------------
+
+
+def sax_motif(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-series shape motifs: group series by their SAX word (the
+    8-segment symbolization from :func:`sax_symbolize`) and rank the
+    recurring shapes — "which weekly/level patterns does this fleet of
+    series share, and how common is each" (Lin et al.'s motif-discovery
+    use of SAX, lifted from within-series subsequences to the cross-series
+    catalog a monitoring team actually browses). ``example_user`` pins a
+    deterministic representative per shape.
+
+    Pure composition: sax_symbolize's one sorted-collect shuffle, then a
+    word-keyed map-side-combined count (alphabet⁸ ≤ 65k distinct words, so
+    the rollup is dimension-sized at any scale) and one tiny window for
+    the share; exact integers everywhere but the floor-scaled share."""
+    words = sax_symbolize(spark, sf_dir)
+    g = words.groupBy("sax_word").agg(
+        F.count(F.lit(1)).cast("long").alias("n_series"),
+        F.min("user_id").alias("example_user"),
+        F.min("n_points").alias("min_points"),
+        F.max("n_points").alias("max_points"),
+    )
+    w = Window.partitionBy()
+    total = F.sum("n_series").over(w).cast("double")
+    return (
+        g.select(
+            "sax_word", "n_series", "example_user", "min_points", "max_points",
+            (F.floor(F.col("n_series").cast("double") / total * 1e6) / 1e6).alias("share"),
+        )
+        .orderBy(F.col("n_series").desc(), F.col("sax_word"))
+    )
+
+
+SAX_MOTIF_SQL = f"""
+WITH sax AS ({SAX_SQL}),
+g AS (
+    SELECT sax_word, count(*) AS n_series, min(user_id) AS example_user,
+           min(n_points) AS min_points, max(n_points) AS max_points
+    FROM sax GROUP BY sax_word
+)
+SELECT sax_word, n_series, example_user, min_points, max_points,
+       floor(CAST(n_series AS DOUBLE) / CAST(sum(n_series) OVER () AS DOUBLE) * 1e6) / 1e6 AS share
+FROM g
+ORDER BY n_series DESC, sax_word
+"""
