@@ -1503,6 +1503,10 @@ def _lp_run(spark: SparkSession, sf_dir: str):
     b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_b"))
     pairs = (
         a.join(b, "ok").filter(F.col("part_a") < F.col("part_b")).select("part_a", "part_b").distinct()
+        # pairs feeds the edge list AND graph_modularity's internal-edge /
+        # edge-count branches — cut the lineage here so the lineitem
+        # self-join runs once, not once per consumer.
+        .localCheckpoint(eager=False)
     )
     edges = pairs.select(F.col("part_a").alias("src"), F.col("part_b").alias("dst")).unionByName(
         pairs.select(F.col("part_b").alias("src"), F.col("part_a").alias("dst"))
@@ -2410,6 +2414,10 @@ def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     count is bounded by the part dimension, so the output is small by
     construction."""
     pairs, edges, labels = _lp_run(spark, sf_dir)
+    # the label table feeds the degree-mass AND internal-edge branches —
+    # without the barrier the whole 4-round propagation DAG inlines into
+    # both (measured 18.7 s → label-prop band at sf0.1).
+    labels = labels.localCheckpoint(eager=False)
     mdf = pairs.agg(F.count(F.lit(1)).alias("m"))
     deg = edges.groupBy(F.col("src").alias("node")).agg(F.count(F.lit(1)).alias("deg"))
     dsum = (
