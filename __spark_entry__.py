@@ -1256,6 +1256,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_code_detect": text.text_code_detect,
         "bt_coverage": _q_bt_coverage,
         "ts_motif": timeseries.sax_motif,
+        "embed_index_stats": similarity.embed_index_stats,
+        "events_power": analytics.events_power,
+        "events_anomaly_daily": analytics.events_anomaly_daily,
+        "events_markov_stationary": analytics.events_markov_stationary,
     }
     out = {k: reg[k] for k in _R7_WINDOW}
     out.update((k, v) for k, v in reg.items() if k not in out)
@@ -1697,6 +1701,10 @@ def oracle_sql() -> dict[str, str]:
             FROM g
         """,
         "ts_motif": timeseries.SAX_MOTIF_SQL,
+        "embed_index_stats": similarity.EMBED_INDEX_STATS_SQL,
+        "events_power": analytics.EVENTS_POWER_SQL,
+        "events_anomaly_daily": analytics.EVENTS_ANOMALY_DAILY_SQL,
+        "events_markov_stationary": analytics.EVENTS_MARKOV_STATIONARY_SQL,
         "events_abtest": analytics.EVENTS_ABTEST_SQL,
         "profile_drift": pipeline.PROFILE_DRIFT_SQL,
         "events_paths": analytics.EVENTS_PATHS_SQL,

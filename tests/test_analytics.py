@@ -753,3 +753,161 @@ def test_events_srm_planted(spark, tmp_path):
     out2 = analytics.events_srm(spark, d2).collect()
     assert len(out2) == 1 and out2[0].bucket == 0
     assert out2[0].verdict == "srm_detected"
+
+
+def test_events_power_hand_computed(spark, tmp_path):
+    """Planted conversion counts replay the closed-form MDE and needed-n;
+    a large planted delta reads 'powered'."""
+    import math
+    import os
+    from datetime import datetime
+
+    import pandas as pd
+
+    rows, eid = [], 0
+    # 20 even users (variant 0): 2 convert; 20 odd (variant 1): 12 convert
+    for uid in range(1, 41):
+        eid += 1
+        rows.append((eid, datetime(2024, 1, 1), uid, "view", 1.0))
+        converts = (uid % 2 == 0 and uid <= 4) or (uid % 2 == 1 and uid <= 24)
+        if converts:
+            eid += 1
+            rows.append((eid, datetime(2024, 1, 2), uid, "purchase", 150.0))
+    pdf = pd.DataFrame(rows, columns=["event_id", "ts", "user_id", "event_type", "value"])
+    pdf["props"] = ""
+    d = str(tmp_path / "sf")
+    os.makedirs(d)
+    pdf.to_parquet(os.path.join(d, "events.parquet"))
+
+    r = analytics.events_power(spark, d).collect()[0]
+    assert (r.n_a, r.conv_a, r.n_b, r.conv_b) == (20, 2, 20, 12)
+    pool = 14 / 40
+    delta = 12 / 20 - 2 / 20
+    zsum = 1.959963984540054 + 0.8416212335729143
+    mde = zsum * math.sqrt(pool * (1 - pool) * (1 / 20 + 1 / 20))
+    assert r.observed_delta == math.floor(delta * 1e6) / 1e6
+    assert r.mde_abs == math.floor(mde * 1e6) / 1e6
+    assert r.needed_n_per_arm == math.ceil(zsum**2 * 2 * pool * (1 - pool) / delta**2)
+    assert r.verdict == "powered" and abs(delta) >= mde
+
+
+def test_events_anomaly_daily_spike(spark, tmp_path):
+    """Eight weeks of weekday-patterned volume with one planted spike: only
+    the spiked day flags, and every z replays the weekday-scoped formula.
+    (Eight weeks because the day sits inside its own weekday baseline, so
+    one outlier among k samples is bounded at |z| ≤ √(k−1) — with four
+    weeks the |z| > 2 gate is unreachable by construction.)"""
+    import math
+    import os
+    from datetime import datetime, timedelta
+
+    import pandas as pd
+
+    base = datetime(2024, 1, 1)
+    counts = {}
+    rows, eid = [], 0
+    for d_off in range(56):
+        day = base + timedelta(days=d_off)
+        n = 20 + (d_off % 7) * 3 + (d_off // 7)  # weekday level + weekly creep
+        if d_off == 16:
+            n += 300  # planted spike
+        counts[day] = n
+        for i in range(n):
+            eid += 1
+            rows.append((eid, day + timedelta(minutes=i), 1 + (i % 5), "click", 1.0))
+    pdf = pd.DataFrame(rows, columns=["event_id", "ts", "user_id", "event_type", "value"])
+    pdf["props"] = ""
+    d = str(tmp_path / "sf")
+    os.makedirs(d)
+    pdf.to_parquet(os.path.join(d, "events.parquet"))
+
+    out = {r.day: r for r in analytics.events_anomaly_daily(spark, d).collect()}
+    assert len(out) == 56
+    spiked = base + timedelta(days=16)
+    assert out[spiked].verdict == "anomalous"
+    assert sum(1 for r in out.values() if r.verdict == "anomalous") == 1
+
+    by_dow = {}
+    for day, n in counts.items():
+        by_dow.setdefault((day - datetime(1970, 1, 1)).days % 7, []).append(n)
+    for day, r in out.items():
+        ns = by_dow[(day - datetime(1970, 1, 1)).days % 7]
+        mean = sum(ns) / len(ns)
+        sd = math.sqrt(max(sum(x * x for x in ns) / len(ns) - mean * mean, 0.0))
+        z = (counts[day] - mean) / sd
+        assert r.z == math.floor(z * 1e6) / 1e6
+
+
+def test_events_markov_stationary_biased_chain(spark, tmp_path):
+    """a→a 3×/a→b 1×, b→a always ⇒ P rows (.75,.25)/(1,0); six synchronous
+    iterations from uniform replay exactly and rank a first."""
+    import math
+    import os
+    from datetime import datetime, timedelta
+
+    import pandas as pd
+
+    # one user walks: pattern with exact transition counts a→a 9, a→b 3, b→a 3
+    seq = ("a a a a b " * 3).split()  # transitions: a→a 9, a→b 3, b→a 2 (+1 via wrap row)
+    seq = seq + ["a"]  # close the last b→a
+    rows = [
+        (i + 1, datetime(2024, 1, 1) + timedelta(hours=i), 1, t, 1.0)
+        for i, t in enumerate(seq)
+    ]
+    pdf = pd.DataFrame(rows, columns=["event_id", "ts", "user_id", "event_type", "value"])
+    pdf["props"] = ""
+    d = str(tmp_path / "sf")
+    os.makedirs(d)
+    pdf.to_parquet(os.path.join(d, "events.parquet"))
+
+    out = {r.event_type: r for r in analytics.events_markov_stationary(spark, d).collect()}
+
+    # python replay of exactly 6 synchronous iterations
+    trans = {}
+    for pv, nx in zip(seq, seq[1:]):
+        trans[(pv, nx)] = trans.get((pv, nx), 0) + 1
+    types = sorted({pv for pv, _ in trans})
+    totals = {t: sum(n for (pv, _), n in trans.items() if pv == t) for t in types}
+    p = {(pv, nx): n / totals[pv] for (pv, nx), n in trans.items()}
+    pi = {t: 1.0 / len(types) for t in types}
+    for _ in range(6):
+        nxt = {}
+        for t in types:
+            terms = sorted((pv, pi[pv] * p[(pv, t)]) for pv in types if (pv, t) in p)
+            acc = 0.0
+            for _, term in terms:
+                acc += term
+            nxt[t] = acc
+        pi = nxt
+    for t in types:
+        assert out[t].stationary_p == math.floor(pi[t] * 1e6) / 1e6
+    assert out["a"].rank == 1 and out["b"].rank == 2
+
+
+def test_embed_index_stats_contract(spark, tmp_path):
+    """Cell counts sum to the corpus, shares/imbalance are consistent, and
+    empty-cell accounting matches the row count."""
+    import numpy as np
+    import os
+
+    rng = np.random.default_rng(3)
+    rows = [
+        (vid, [float(x) for x in rng.normal(size=64).astype(np.float32)], int(vid % 10))
+        for vid in range(200)
+    ]
+    d = str(tmp_path / "emb")
+    spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int").coalesce(
+        1
+    ).write.mode("overwrite").parquet(os.path.join(d, "embeddings.parquet"))
+
+    from timedb_spark.operators import similarity as sim
+
+    out = sim.embed_index_stats(spark, d).collect()
+    assert sum(r.n_vecs for r in out) == 200
+    assert all(r.n_empty_cells == 16 - len(out) for r in out)
+    assert abs(sum(r.share for r in out) - 1.0) < 1e-4
+    max_n = max(r.n_vecs for r in out)
+    import math
+    expect_imb = math.floor(max_n / (200 / 16.0) * 1e6) / 1e6
+    assert all(r.imbalance == expect_imb for r in out)
+    assert all(r.min_cos <= r.max_cos for r in out)

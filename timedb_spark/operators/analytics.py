@@ -2697,3 +2697,287 @@ SELECT bucket, n_users, n_events,
        CASE WHEN sum(contrib) OVER () > {_SRM_CHI2_CRIT!r} THEN 'srm_detected' ELSE 'healthy' END AS verdict
 FROM x
 """
+
+
+# ---------------------------------------------------------------------------
+# experiment power analysis — MDE and required sample size
+# ---------------------------------------------------------------------------
+
+_POWER_Z_ALPHA = 1.959963984540054  # two-sided alpha = 0.05
+_POWER_Z_BETA = 0.8416212335729143  # power = 0.80
+
+
+def events_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Power analysis for the events_abtest experiment: the minimum
+    detectable effect at alpha 0.05 / power 0.80 given the observed arm
+    sizes and pooled rate, the per-arm sample size the OBSERVED delta
+    would need, and the powered/underpowered verdict — the question asked
+    right after (or, properly, before) reading the z-test: "could this
+    experiment even see the effect it's looking for?".
+
+    Composes the same one-pass user-grained conversion aggregate as
+    events_abtest (exact integer counts; the variant split and conversion
+    predicate are shared constants). One row out; normal quantiles are
+    python literals — no engine erf/quantile functions, which don't match
+    across engines."""
+    ev = load_table(spark, sf_dir, "events")
+    conv = (F.col("event_type") == "purchase") & (F.col("value") >= _ABTEST_VALUE_MIN)
+    per_user = ev.groupBy("user_id").agg(F.max(F.when(conv, 1).otherwise(0)).alias("converted"))
+    per_variant = per_user.groupBy((F.col("user_id") % 2).alias("variant")).agg(
+        F.count(F.lit(1)).alias("n_users"), F.sum("converted").alias("n_conv")
+    )
+    a = per_variant.filter(F.col("variant") == 0).select(
+        F.col("n_users").alias("n_a"), F.col("n_conv").alias("conv_a")
+    )
+    b = per_variant.filter(F.col("variant") == 1).select(
+        F.col("n_users").alias("n_b"), F.col("n_conv").alias("conv_b")
+    )
+    j = a.join(F.broadcast(b))
+    na, nb = F.col("n_a").cast("double"), F.col("n_b").cast("double")
+    p_a = F.col("conv_a").cast("double") / na
+    p_b = F.col("conv_b").cast("double") / nb
+    pool = (F.col("conv_a") + F.col("conv_b")).cast("double") / (F.col("n_a") + F.col("n_b")).cast("double")
+    se = F.sqrt(pool * (1.0 - pool) * (1.0 / na + 1.0 / nb))
+    zsum = _POWER_Z_ALPHA + _POWER_Z_BETA
+    mde = zsum * se
+    delta = p_b - p_a
+    need_n = F.when(
+        delta != 0.0,
+        F.ceil(zsum * zsum * 2.0 * pool * (1.0 - pool) / (delta * delta)).cast("long"),
+    )
+    verdict = F.when(F.abs(delta) >= mde, F.lit("powered")).otherwise(F.lit("underpowered"))
+    return j.select(
+        "n_a", "conv_a", "n_b", "conv_b",
+        (F.floor(delta * 1e6) / 1e6).alias("observed_delta"),
+        (F.floor(mde * 1e6) / 1e6).alias("mde_abs"),
+        need_n.alias("needed_n_per_arm"),
+        verdict.alias("verdict"),
+    )
+
+
+EVENTS_POWER_SQL = f"""
+WITH per_user AS (
+    SELECT user_id,
+           max(CASE WHEN event_type = 'purchase' AND value >= {_ABTEST_VALUE_MIN} THEN 1 ELSE 0 END) AS converted
+    FROM events GROUP BY user_id
+),
+pv AS (
+    SELECT user_id % 2 AS variant, count(*) AS n_users, CAST(sum(converted) AS BIGINT) AS n_conv
+    FROM per_user GROUP BY 1
+),
+j AS (
+    SELECT a.n_users AS n_a, a.n_conv AS conv_a, b.n_users AS n_b, b.n_conv AS conv_b
+    FROM (SELECT * FROM pv WHERE variant = 0) a, (SELECT * FROM pv WHERE variant = 1) b
+),
+m AS (
+    SELECT n_a, conv_a, n_b, conv_b,
+           CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE)
+               - CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS delta,
+           CAST(conv_a + conv_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE) AS pool
+    FROM j
+),
+x AS (
+    SELECT *,
+           {_POWER_Z_ALPHA + _POWER_Z_BETA!r}
+               * sqrt(pool * (1.0 - pool) * (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE))) AS mde
+    FROM m
+)
+SELECT n_a, conv_a, n_b, conv_b,
+       floor(delta * 1e6) / 1e6 AS observed_delta,
+       floor(mde * 1e6) / 1e6 AS mde_abs,
+       CASE WHEN delta != 0.0 THEN CAST(ceil({(_POWER_Z_ALPHA + _POWER_Z_BETA) ** 2!r} * 2.0 * pool * (1.0 - pool)
+                                             / (delta * delta)) AS BIGINT) END AS needed_n_per_arm,
+       CASE WHEN abs(delta) >= mde THEN 'powered' ELSE 'underpowered' END AS verdict
+FROM x
+"""
+
+
+# ---------------------------------------------------------------------------
+# daily volume anomalies — platform-level monitoring
+# ---------------------------------------------------------------------------
+
+_DAILY_Z_CRIT = 2.0
+
+
+def events_anomaly_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Platform-level daily volume anomalies, day-of-week adjusted: each
+    day's event count is z-scored against ITS OWN weekday's mean/σ (a quiet
+    Sunday is normal; a Sunday-sized Wednesday is the incident) — the
+    monitoring complement to the per-user detectors (ts_anomaly_*,
+    stream_anomaly_v2) at the whole-platform grain.
+
+    The weekday index is pure integer arithmetic (days-since-epoch mod 7)
+    — engine dow() conventions differ (Spark 1=Sun, DuckDB 0=Sun), so
+    neither is used. One daily count (map-side combined), a 7-key weekday
+    rollup broadcast back, and exact-integer sums feeding the only double
+    math at the end. Output is #days rows — bounded by the calendar, not
+    the data.
+
+    Sensitivity note: each day sits inside its own weekday baseline, so a
+    single outlier among k same-weekday samples is bounded at
+    |z| ≤ √(k−1) — the detector needs ≥ 6 weeks of history before the
+    |z| > 2 gate is even reachable (pinned in the spike test)."""
+    ev = load_table(spark, sf_dir, "events")
+    day = F.date_trunc("day", "ts")
+    daily = ev.groupBy(day.alias("day")).agg(F.count(F.lit(1)).alias("n_events"))
+    dow = (F.datediff(F.col("day"), F.lit("1970-01-01")) % 7).cast("int")
+    daily = daily.withColumn("dow_idx", dow)
+    stats = daily.groupBy("dow_idx").agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("n_events").alias("s1"),
+        F.sum(F.col("n_events") * F.col("n_events")).alias("s2"),
+    )
+    j = daily.join(F.broadcast(stats), "dow_idx")
+    kd = F.col("k").cast("double")
+    mean = F.col("s1").cast("double") / kd
+    sd = F.sqrt(F.greatest(F.col("s2").cast("double") / kd - mean * mean, F.lit(0.0)))
+    z = F.when(sd > 0.0, (F.col("n_events").cast("double") - mean) / sd)
+    verdict = (
+        F.when(F.abs(z) > _DAILY_Z_CRIT, F.lit("anomalous"))
+        .when(z.isNotNull(), F.lit("normal"))
+    )
+    return j.select(
+        "day",
+        "dow_idx",
+        "n_events",
+        (F.floor(mean * 1e6) / 1e6).alias("dow_mean"),
+        F.when(z.isNotNull(), F.floor(z * 1e6) / 1e6).alias("z"),
+        verdict.alias("verdict"),
+    )
+
+
+EVENTS_ANOMALY_DAILY_SQL = f"""
+WITH daily AS (
+    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, count(*) AS n_events
+    FROM events GROUP BY 1
+),
+d AS (
+    SELECT day, n_events,
+           CAST(datediff('day', DATE '1970-01-01', day) % 7 AS INT) AS dow_idx
+    FROM daily
+),
+stats AS (
+    SELECT dow_idx, count(*) AS k,
+           CAST(sum(n_events) AS BIGINT) AS s1,
+           CAST(sum(n_events * n_events) AS BIGINT) AS s2
+    FROM d GROUP BY dow_idx
+),
+j AS (
+    SELECT d.day, d.dow_idx, d.n_events,
+           CAST(s.s1 AS DOUBLE) / CAST(s.k AS DOUBLE) AS mean,
+           sqrt(greatest(CAST(s.s2 AS DOUBLE) / CAST(s.k AS DOUBLE)
+                - (CAST(s.s1 AS DOUBLE) / CAST(s.k AS DOUBLE)) * (CAST(s.s1 AS DOUBLE) / CAST(s.k AS DOUBLE)), 0.0)) AS sd
+    FROM d JOIN stats s ON s.dow_idx = d.dow_idx
+)
+SELECT day, dow_idx, n_events,
+       floor(mean * 1e6) / 1e6 AS dow_mean,
+       CASE WHEN sd > 0.0 THEN floor((CAST(n_events AS DOUBLE) - mean) / sd * 1e6) / 1e6 END AS z,
+       CASE WHEN sd > 0.0 AND abs((CAST(n_events AS DOUBLE) - mean) / sd) > {_DAILY_Z_CRIT!r} THEN 'anomalous'
+            WHEN sd > 0.0 THEN 'normal' END AS verdict
+FROM j
+"""
+
+
+# ---------------------------------------------------------------------------
+# Markov stationary distribution — long-run journey mix
+# ---------------------------------------------------------------------------
+
+_STATIONARY_ITERS = 6
+
+
+def events_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Long-run stationary distribution of the events_markov journey
+    chain: where does a user's action mix converge if the observed
+    transition behavior persists — the steady-state complement to
+    events_markov's one-step matrix (capacity planning reads this as the
+    eventual per-action load shares). Fixed-point via ``_STATIONARY_ITERS``
+    synchronous power iterations from the uniform vector.
+
+    Chain closure: the universe is the types WITH outgoing transitions and
+    rows renormalize within it (a sink type would otherwise leak mass and
+    the totals stop summing to 1 — documented spec, applied identically in
+    the oracle). Each iteration is a ≤k²-row join; the per-type Σ p·π
+    accumulates through a SORTED-array fold so the double addition order
+    is pinned cross-engine (k ≤ 5 — the grid is vocabulary-sized, the
+    events scan happens exactly once)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    steps = ev.select(
+        F.col("event_type").alias("next_type"), F.lag("event_type").over(w).alias("prev_type")
+    ).filter(F.col("prev_type").isNotNull())
+    grid = steps.groupBy("prev_type", "next_type").agg(F.count(F.lit(1)).alias("n"))
+    universe = grid.select(F.col("prev_type").alias("t")).distinct()
+    closed = grid.join(universe.select(F.col("t").alias("next_type")), "next_type")
+    totals = closed.groupBy("prev_type").agg(F.sum("n").alias("row_total"))
+    p = closed.join(totals, "prev_type").select(
+        "prev_type", "next_type",
+        (F.col("n").cast("double") / F.col("row_total").cast("double")).alias("p"),
+    ).localCheckpoint(eager=False)
+    k = universe.agg(F.count(F.lit(1)).alias("k"))
+    pi = universe.crossJoin(F.broadcast(k)).select(
+        F.col("t").alias("event_type"), (F.lit(1.0) / F.col("k").cast("double")).alias("pi")
+    )
+    for _ in range(_STATIONARY_ITERS):
+        terms = pi.join(p, pi.event_type == p.prev_type).select(
+            F.col("next_type"), F.col("prev_type"), (F.col("pi") * F.col("p")).alias("term")
+        )
+        pi = (
+            terms.groupBy(F.col("next_type").alias("event_type"))
+            .agg(F.array_sort(F.collect_list(F.struct("prev_type", "term"))).alias("arr"))
+            .select(
+                "event_type",
+                F.aggregate("arr", F.lit(0.0), lambda a, x: a + x["term"]).alias("pi"),
+            )
+        )
+    r = Window.orderBy(F.col("pi").desc(), F.col("event_type"))
+    return pi.select(
+        "event_type",
+        (F.floor(F.col("pi") * 1e6) / 1e6).alias("stationary_p"),
+        F.row_number().over(r).alias("rank"),
+    )
+
+
+def _stationary_iter_sql(prev: str, out: str) -> str:
+    return f"""
+{out} AS (
+    SELECT next_type AS event_type,
+           list_reduce(
+               list_prepend(CAST(0.0 AS DOUBLE),
+                   list_transform(list_sort(list(struct_pack(pt := prev_type, term := pi * p))),
+                                  s -> s.term)),
+               (a, b) -> a + b) AS pi
+    FROM {prev} v JOIN p ON p.prev_type = v.event_type
+    GROUP BY next_type
+)"""
+
+
+EVENTS_MARKOV_STATIONARY_SQL = f"""
+WITH steps AS (
+    SELECT event_type AS next_type,
+           lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+    FROM events
+),
+grid AS (
+    SELECT prev_type, next_type, count(*) AS n FROM steps
+    WHERE prev_type IS NOT NULL GROUP BY 1, 2
+),
+universe AS (SELECT DISTINCT prev_type AS t FROM grid),
+closed AS (
+    SELECT g.* FROM grid g JOIN universe u ON u.t = g.next_type
+),
+totals AS (SELECT prev_type, sum(n) AS row_total FROM closed GROUP BY prev_type),
+p AS (
+    SELECT c.prev_type, c.next_type,
+           CAST(c.n AS DOUBLE) / CAST(t.row_total AS DOUBLE) AS p
+    FROM closed c JOIN totals t ON t.prev_type = c.prev_type
+),
+pi0 AS (
+    SELECT t AS event_type, 1.0 / CAST((SELECT count(*) FROM universe) AS DOUBLE) AS pi
+    FROM universe
+),
+{",".join(_stationary_iter_sql(f"pi{i}", f"pi{i + 1}") for i in range(_STATIONARY_ITERS))}
+SELECT event_type,
+       floor(pi * 1e6) / 1e6 AS stationary_p,
+       row_number() OVER (ORDER BY pi DESC, event_type) AS rank
+FROM pi{_STATIONARY_ITERS}
+"""

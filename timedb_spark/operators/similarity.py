@@ -142,19 +142,12 @@ _IVF_CELLS = 16
 _IVF_NPROBE = 2
 
 
-def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-flat approximate top-k: a coarse quantizer (one deterministic
-    averaging step over ``vec_id % C`` seed cells) partitions the vectors
-    into C inverted lists; each query scores only its ``nprobe`` nearest
-    cells' lists.
-
-    All arithmetic is exact-integer (quantized components, integer-average
-    centroids via ``floor(sum/count + 0.5)``) so the DuckDB oracle is
-    bit-identical. At 100 TB: centroids are a broadcast table (C ≪ n), the
-    inverted lists are a plain ``cell`` column — candidate generation is an
-    equi-join on it (shuffle-hash at scale), candidates per query ≈
-    nprobe·n/C instead of n. Recall vs brute force is measured in tests.
-    """
+def _ivf_assign(spark: SparkSession, sf_dir: str):
+    """Shared IVF coarse quantizer: seed cells by vec_id stride, integer-
+    mean centroids, max-cosine assignment with a deterministic tiebreak.
+    Returns (scored_c, the per-vector ranking window, the assignment) —
+    used by :func:`ann_ivf` (search) and :func:`embed_index_stats`
+    (index-health audit)."""
     vecs = _quantized(spark, sf_dir).withColumn("scell", F.col("vec_id") % _IVF_CELLS)
 
     # coarse centroids: elementwise integer mean per seed cell
@@ -171,7 +164,24 @@ def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", "q", "cell", vx.cosine_q(F.col("q"), F.col("cq")).alias("cs")
     )
     wa = Window.partitionBy("vec_id").orderBy(F.col("cs").desc(), F.col("cell"))
-    assign = scored_c.withColumn("rn", F.row_number().over(wa)).filter(F.col("rn") == 1).select("vec_id", "q", "cell")
+    assign = scored_c.withColumn("rn", F.row_number().over(wa)).filter(F.col("rn") == 1).select("vec_id", "q", "cell", "cs")
+    return scored_c, wa, assign
+
+
+def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-flat approximate top-k: a coarse quantizer (one deterministic
+    averaging step over ``vec_id % C`` seed cells) partitions the vectors
+    into C inverted lists; each query scores only its ``nprobe`` nearest
+    cells' lists.
+
+    All arithmetic is exact-integer (quantized components, integer-average
+    centroids via ``floor(sum/count + 0.5)``) so the DuckDB oracle is
+    bit-identical. At 100 TB: centroids are a broadcast table (C ≪ n), the
+    inverted lists are a plain ``cell`` column — candidate generation is an
+    equi-join on it (shuffle-hash at scale), candidates per query ≈
+    nprobe·n/C instead of n. Recall vs brute force is measured in tests.
+    """
+    scored_c, wa, assign = _ivf_assign(spark, sf_dir)
 
     # queries probe their nprobe nearest cells
     probes = (
@@ -1641,3 +1651,83 @@ SELECT label, n_old, n_new,
 FROM j
 ORDER BY label
 """
+
+
+# ---------------------------------------------------------------------------
+# IVF index-health audit — cell balance and cohesion
+# ---------------------------------------------------------------------------
+
+
+def embed_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index-health audit of the IVF coarse quantizer: per-cell list
+    length and share, worst/best member-to-centroid cosine (cohesion
+    range), plus the global imbalance factor (max list / mean list) and
+    empty-cell count on every row — the numbers that decide whether an
+    IVF index needs retraining before a 100 TB search campaign (a hot cell
+    degrades probing to brute force over n/imbalance of the corpus; empty
+    cells waste nprobe budget).
+
+    Composes :func:`_ivf_assign` (shared code with ann_ivf — same
+    centroids, same deterministic assignment). Cohesion bounds are
+    MIN/MAX over doubles (order-insensitive — a float MEAN would be
+    partial-aggregation-order-sensitive across engines, so it is
+    deliberately absent); counts and shares are exact integers. One
+    ≤C-row window rollup."""
+    _, _, assign = _ivf_assign(spark, sf_dir)
+    cells = assign.groupBy("cell").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.min("cs").alias("min_cos"),
+        F.max("cs").alias("max_cos"),
+    )
+    w = Window.partitionBy()
+    total = F.sum("n_vecs").over(w).cast("double")
+    maxn = F.max("n_vecs").over(w).cast("double")
+    ncells = F.count(F.lit(1)).over(w)
+    return cells.select(
+        "cell",
+        "n_vecs",
+        (F.floor(F.col("n_vecs").cast("double") / total * 1e6) / 1e6).alias("share"),
+        (F.floor(F.col("min_cos") * 1e6) / 1e6).alias("min_cos"),
+        (F.floor(F.col("max_cos") * 1e6) / 1e6).alias("max_cos"),
+        (F.floor(maxn / (total / float(_IVF_CELLS)) * 1e6) / 1e6).alias("imbalance"),
+        (F.lit(_IVF_CELLS) - ncells).cast("int").alias("n_empty_cells"),
+    ).orderBy("cell")
+
+
+EMBED_INDEX_STATS_SQL = f"""
+WITH vecs AS (
+    SELECT vec_id, {{q}} AS q, vec_id % {_IVF_CELLS} AS scell
+    FROM embeddings
+),
+comp AS (
+    SELECT scell, i, q[i] AS x
+    FROM vecs CROSS JOIN (SELECT unnest(range(1, {_IVF_DIM} + 1)) AS i) idx
+),
+centroid AS (
+    SELECT scell, i, CAST(floor(CAST(sum(x) AS DOUBLE) / count(*) + 0.5) AS BIGINT) AS c
+    FROM comp GROUP BY scell, i
+),
+cent AS (SELECT scell AS cell, list(c ORDER BY i) AS cq FROM centroid GROUP BY scell),
+scored_c AS (
+    SELECT v.vec_id, v.q, c.cell, {vx.cosine_q_sql('v.q', 'c.cq')} AS cs
+    FROM vecs v CROSS JOIN cent c
+),
+assign AS (
+    SELECT vec_id, cell, cs FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cell) AS rn FROM scored_c
+    ) t WHERE rn = 1
+),
+cells AS (
+    SELECT cell, count(*) AS n_vecs, min(cs) AS min_cos, max(cs) AS max_cos
+    FROM assign GROUP BY cell
+)
+SELECT cell, n_vecs,
+       floor(CAST(n_vecs AS DOUBLE) / CAST(sum(n_vecs) OVER () AS DOUBLE) * 1e6) / 1e6 AS share,
+       floor(min_cos * 1e6) / 1e6 AS min_cos,
+       floor(max_cos * 1e6) / 1e6 AS max_cos,
+       floor(CAST(max(n_vecs) OVER () AS DOUBLE)
+             / (CAST(sum(n_vecs) OVER () AS DOUBLE) / {float(_IVF_CELLS)!r}) * 1e6) / 1e6 AS imbalance,
+       CAST({_IVF_CELLS} - count(*) OVER () AS INT) AS n_empty_cells
+FROM cells
+ORDER BY cell
+""".format(q=vx.QUANTIZE_SQL.format(v="embedding"))
