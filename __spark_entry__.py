@@ -1260,6 +1260,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_power": analytics.events_power,
         "events_anomaly_daily": analytics.events_anomaly_daily,
         "events_markov_stationary": analytics.events_markov_stationary,
+        "graph_assortativity": analytics.graph_assortativity,
+        "sample_kcenter": sampling.sample_kcenter,
     }
     out = {k: reg[k] for k in _R7_WINDOW}
     out.update((k, v) for k, v in reg.items() if k not in out)
@@ -1705,6 +1707,8 @@ def oracle_sql() -> dict[str, str]:
         "events_power": analytics.EVENTS_POWER_SQL,
         "events_anomaly_daily": analytics.EVENTS_ANOMALY_DAILY_SQL,
         "events_markov_stationary": analytics.EVENTS_MARKOV_STATIONARY_SQL,
+        "graph_assortativity": analytics.GRAPH_ASSORTATIVITY_SQL,
+        "sample_kcenter": sampling.SAMPLE_KCENTER_SQL,
         "events_abtest": analytics.EVENTS_ABTEST_SQL,
         "profile_drift": pipeline.PROFILE_DRIFT_SQL,
         "events_paths": analytics.EVENTS_PATHS_SQL,

@@ -911,3 +911,32 @@ def test_embed_index_stats_contract(spark, tmp_path):
     expect_imb = math.floor(max_n / (200 / 16.0) * 1e6) / 1e6
     assert all(r.imbalance == expect_imb for r in out)
     assert all(r.min_cos <= r.max_cos for r in out)
+
+
+def test_graph_assortativity_star_and_regular(spark, tmp_path):
+    """A perfect star is maximally disassortative (r = −1); a
+    degree-regular graph has zero degree variance → r NULL, verdict NULL."""
+    import os
+
+    import pandas as pd
+
+    rows = [(i, p) for i, (a, b) in enumerate([(1, 10), (1, 11), (1, 12), (1, 13)]) for p in (a, b)]
+    # one order per edge: orders 0..3 each hold {hub 1, leaf}
+    pdf = pd.DataFrame(
+        [(i, a) for i, (a, b) in enumerate([(1, 10), (1, 11), (1, 12), (1, 13)])]
+        + [(i, b) for i, (a, b) in enumerate([(1, 10), (1, 11), (1, 12), (1, 13)])],
+        columns=["l_orderkey", "l_partkey"],
+    )
+    d = str(tmp_path / "star")
+    os.makedirs(d)
+    pdf.to_parquet(os.path.join(d, "lineitem.parquet"))
+    r = analytics.graph_assortativity(spark, d).collect()[0]
+    assert r.n_edges == 4 and r.assortativity == -1.0 and r.verdict == "disassortative"
+
+    # 3-clique: every degree 2 → zero variance → NULL
+    pdf2 = pd.DataFrame([(1, 10), (1, 11), (1, 12)], columns=["l_orderkey", "l_partkey"])
+    d2 = str(tmp_path / "clique")
+    os.makedirs(d2)
+    pdf2.to_parquet(os.path.join(d2, "lineitem.parquet"))
+    r2 = analytics.graph_assortativity(spark, d2).collect()[0]
+    assert r2.n_edges == 3 and r2.assortativity is None and r2.verdict is None

@@ -219,3 +219,35 @@ def test_sample_temperature_rebalances_toward_tail(spark, tmp_path):
         assert r.expected_docs == math.floor(q * n_total * 1e6) / 1e6
     assert got["en"].doc_weight < 1.0 < got["sw"].doc_weight
     assert abs(sum(r.q_share for r in got.values()) - 1.0) < 1e-5
+
+
+def test_sample_kcenter_planted_geometry(spark, tmp_path):
+    """Orthogonal axes get picked before duplicates and midpoints, in
+    farthest-first order with the min-id tiebreak; n < k yields n rows."""
+    import math
+    import os
+
+    from timedb_spark.operators import sampling as sp
+
+    e = lambda i: [1.0 if j == i else 0.0 for j in range(64)]
+    mid = [0.7071067811865476 if j in (0, 1) else 0.0 for j in range(64)]
+    rows = [(0, e(0), 0), (1, e(0), 0), (2, e(1), 0), (3, e(2), 0), (4, mid, 0)]
+    rows = [(vid, [float(x) for x in v], lab) for vid, v, lab in rows]
+    d = str(tmp_path / "kc")
+    spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int").coalesce(
+        1
+    ).write.mode("overwrite").parquet(os.path.join(d, "embeddings.parquet"))
+
+    out = sp.sample_kcenter(spark, d).collect()
+    assert [r.vec_id for r in out] == [0, 2, 3, 4, 1]
+    assert [r.pick_rank for r in out] == [1, 2, 3, 4, 5]
+    assert out[0].min_dist is None
+    assert out[1].min_dist == 1.0 and out[2].min_dist == 1.0  # orthogonal picks
+    # midpoint's distance replays the quantized-integer cosine exactly
+    import numpy as np
+
+    q = lambda v: np.round(np.array(np.array(v, dtype=np.float32), dtype=np.float64) * 1e6)
+    qm, q0 = q(mid), q(e(0))
+    cos = float(qm @ q0) / (math.sqrt(float(qm @ qm)) * math.sqrt(float(q0 @ q0)))
+    assert out[3].min_dist == math.floor((1.0 - cos) * 1e6) / 1e6
+    assert out[4].min_dist == 0.0  # the duplicate comes last

@@ -2981,3 +2981,99 @@ SELECT event_type,
        row_number() OVER (ORDER BY pi DESC, event_type) AS rank
 FROM pi{_STATIONARY_ITERS}
 """
+
+
+# ---------------------------------------------------------------------------
+# degree assortativity — hub-mixing structure
+# ---------------------------------------------------------------------------
+
+_ASSORT_NEUTRAL = 0.05
+
+
+def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the co-purchase graph (Newman 2002): the
+    Pearson correlation of endpoint degrees over all directed edges —
+    positive = hubs link to hubs (social-style), negative = hubs link to
+    leaves (hub-and-spoke), the one-number mixing profile that predicts
+    whether degree-orientation (graph_triangles' power-law path) buys
+    anything. Complements graph_degree_profile's tail index: α̂ reads the
+    degree DISTRIBUTION, r reads the degree CORRELATION STRUCTURE.
+
+    One-row output from exact BIGINT moment sums (Σx, Σy, Σxy, Σx², Σy²
+    over the 2m directed edge rows — degrees are dimension-bounded ints,
+    sums exact; both directions included so x/y are symmetric and r is
+    orientation-free). Two node-keyed joins of the KB-sized degree table,
+    one map-side-combined rollup, one final double projection."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pa"))
+    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pb"))
+    edges = (
+        a.join(b, "ok").filter(F.col("pa") < F.col("pb")).select("pa", "pb").distinct()
+        .localCheckpoint(eager=False)  # feeds the degree agg AND the edge join
+    )
+    und = edges.unionByName(edges.select(F.col("pb").alias("pa"), F.col("pa").alias("pb")))
+    deg = und.groupBy(F.col("pa").alias("node")).agg(F.count(F.lit(1)).alias("deg"))
+    j = (
+        und.join(F.broadcast(deg.select(F.col("node").alias("pa"), F.col("deg").alias("dx"))), "pa")
+        .join(F.broadcast(deg.select(F.col("node").alias("pb"), F.col("deg").alias("dy"))), "pb")
+    )
+    g = j.agg(
+        F.count(F.lit(1)).alias("n_dir_edges"),
+        F.sum("dx").alias("sx"),
+        F.sum("dy").alias("sy"),
+        F.sum(F.col("dx") * F.col("dy")).alias("sxy"),
+        F.sum(F.col("dx") * F.col("dx")).alias("sxx"),
+        F.sum(F.col("dy") * F.col("dy")).alias("syy"),
+    )
+    n = F.col("n_dir_edges").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxy, sxx, syy = F.col("sxy").cast("double"), F.col("sxx").cast("double"), F.col("syy").cast("double")
+    num = n * sxy - sx * sy
+    den = F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)
+    r = F.when(den > 0.0, num / den)
+    verdict = (
+        F.when(r > _ASSORT_NEUTRAL, F.lit("assortative"))
+        .when(r < -_ASSORT_NEUTRAL, F.lit("disassortative"))
+        .when(r.isNotNull(), F.lit("neutral"))
+    )
+    return g.select(
+        (F.col("n_dir_edges") / 2).cast("long").alias("n_edges"),
+        F.when(r.isNotNull(), F.floor(r * 1e6) / 1e6).alias("assortativity"),
+        verdict.alias("verdict"),
+    )
+
+
+GRAPH_ASSORTATIVITY_SQL = f"""
+WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+edges AS (
+    SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb
+    FROM op a JOIN op b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+und AS (SELECT pa, pb FROM edges UNION ALL SELECT pb, pa FROM edges),
+deg AS (SELECT pa AS node, count(*) AS deg FROM und GROUP BY pa),
+j AS (
+    SELECT dx.deg AS dx, dy.deg AS dy
+    FROM und u JOIN deg dx ON dx.node = u.pa JOIN deg dy ON dy.node = u.pb
+),
+g AS (
+    SELECT count(*) AS n_dir_edges,
+           CAST(sum(dx) AS BIGINT) AS sx, CAST(sum(dy) AS BIGINT) AS sy,
+           CAST(sum(dx * dy) AS BIGINT) AS sxy,
+           CAST(sum(dx * dx) AS BIGINT) AS sxx,
+           CAST(sum(dy * dy) AS BIGINT) AS syy
+    FROM j
+),
+m AS (
+    SELECT n_dir_edges,
+           CAST(n_dir_edges AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS num,
+           sqrt(CAST(n_dir_edges AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+           * sqrt(CAST(n_dir_edges AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) AS den
+    FROM g
+)
+SELECT CAST(n_dir_edges // 2 AS BIGINT) AS n_edges,
+       CASE WHEN den > 0.0 THEN floor(num / den * 1e6) / 1e6 END AS assortativity,
+       CASE WHEN den > 0.0 AND num / den > {_ASSORT_NEUTRAL!r} THEN 'assortative'
+            WHEN den > 0.0 AND num / den < -{_ASSORT_NEUTRAL!r} THEN 'disassortative'
+            WHEN den > 0.0 THEN 'neutral' END AS verdict
+FROM m
+"""

@@ -547,3 +547,106 @@ FROM ds
 ORDER BY es_key DESC, doc_id
 LIMIT {SAMPLE_WEIGHTED_K}
 """
+
+
+# ---------------------------------------------------------------------------
+# greedy k-center coreset — diversity-maximizing sample
+# ---------------------------------------------------------------------------
+
+_KCENTER_K = 8
+
+
+def sample_kcenter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy k-center coreset over the embedding corpus (Gonzalez 1985 /
+    'farthest-point' selection): start from the minimum vec_id, repeatedly
+    add the vector FARTHEST (max min-cosine-distance) from everything
+    chosen so far — the 2-approximation diversity sample that seeds
+    balanced eval sets, prompts-for-labeling, and kmeans++-style inits
+    (where sample_stratified balances by a LABEL, this balances by
+    GEOMETRY and needs no labels).
+
+    Scale shape: k−1 rounds, each ONE scan with the ≤k chosen vectors as a
+    broadcast (no pairwise n² join ever); the argmax is a global
+    TakeOrdered (top-1) per round — deterministic via the (distance desc,
+    vec_id) tiebreak, identical in the oracle's k−1 unrolled CTEs. Chosen
+    rows localCheckpoint per round so round r doesn't replay rounds
+    1..r−1. Distances = 1 − exact-quantized-integer cosine; comparisons on
+    bit-identical doubles both engines."""
+    from timedb_spark.functions import vectors as vx
+
+    vecs = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", vx.quantize(F.col("embedding")).alias("q")
+    ).localCheckpoint(eager=False)
+    first = (
+        vecs.orderBy("vec_id").limit(1)
+        .select("vec_id", "q", F.lit(1).cast("int").alias("pick_rank"),
+                F.lit(None).cast("double").alias("min_dist"))
+    )
+    chosen = first.localCheckpoint(eager=False)
+    for r in range(2, _KCENTER_K + 1):
+        c = chosen.select(F.col("vec_id").alias("cid"), F.col("q").alias("cq"))
+        cand = (
+            vecs.join(F.broadcast(c), F.col("vec_id") != F.col("cid"))
+            .groupBy("vec_id")
+            .agg(
+                F.min(1.0 - vx.cosine_q(F.col("q"), F.col("cq"))).alias("d"),
+                F.count(F.lit(1)).alias("nc"),
+            )
+            # vectors already chosen match only k-1 of the k chosen rows —
+            # exclude them by the join-arity count, not a second join
+            .filter(F.col("nc") == (r - 1))
+        )
+        best = (
+            cand.orderBy(F.col("d").desc(), F.col("vec_id")).limit(1)
+            .join(vecs, "vec_id")
+            .select("vec_id", "q", F.lit(r).cast("int").alias("pick_rank"),
+                    F.col("d").alias("min_dist"))
+        )
+        chosen = chosen.unionByName(best).localCheckpoint(eager=False)
+    return chosen.select(
+        "pick_rank", "vec_id",
+        F.when(F.col("min_dist").isNotNull(), F.floor(F.col("min_dist") * 1e6) / 1e6).alias("min_dist"),
+    ).orderBy("pick_rank")
+
+
+def _kcenter_iter_sql(prev: str, out: str, r: int, cosine_sql) -> str:
+    return f"""
+{out} AS (
+    SELECT * FROM {prev}
+    UNION ALL
+    SELECT vec_id, q, {r} AS pick_rank, d AS min_dist FROM (
+        -- subquery so ORDER/LIMIT bind to the argmax arm, not the union
+        SELECT * FROM (
+            SELECT v.vec_id, v.q, min(1.0 - {cosine_sql}) AS d, count(*) AS nc
+            FROM vecs v JOIN {prev} c ON v.vec_id != c.vec_id
+            GROUP BY v.vec_id, v.q
+        ) WHERE nc = {r - 1}
+        ORDER BY d DESC, vec_id LIMIT 1
+    )
+)"""
+
+
+def _kcenter_sql() -> str:
+    from timedb_spark.functions import vectors as vx
+
+    cos = vx.cosine_q_sql("v.q", "c.q")
+    iters = ",".join(
+        _kcenter_iter_sql(f"s{r - 1}", f"s{r}", r, cos) for r in range(2, _KCENTER_K + 1)
+    )
+    return f"""
+WITH vecs AS (
+    SELECT vec_id, {vx.QUANTIZE_SQL.format(v='embedding')} AS q FROM embeddings
+),
+s1 AS (
+    SELECT vec_id, q, 1 AS pick_rank, CAST(NULL AS DOUBLE) AS min_dist
+    FROM vecs ORDER BY vec_id LIMIT 1
+),
+{iters}
+SELECT CAST(pick_rank AS INT) AS pick_rank, vec_id,
+       CASE WHEN min_dist IS NOT NULL THEN floor(min_dist * 1e6) / 1e6 END AS min_dist
+FROM s{_KCENTER_K}
+ORDER BY pick_rank
+"""
+
+
+SAMPLE_KCENTER_SQL = _kcenter_sql()
