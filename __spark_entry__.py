@@ -1262,6 +1262,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_markov_stationary": analytics.events_markov_stationary,
         "graph_assortativity": analytics.graph_assortativity,
         "sample_kcenter": sampling.sample_kcenter,
+        "ts_forecast_ensemble": timeseries.forecast_ensemble,
     }
     out = {k: reg[k] for k in _R7_WINDOW}
     out.update((k, v) for k, v in reg.items() if k not in out)
@@ -1709,6 +1710,7 @@ def oracle_sql() -> dict[str, str]:
         "events_markov_stationary": analytics.EVENTS_MARKOV_STATIONARY_SQL,
         "graph_assortativity": analytics.GRAPH_ASSORTATIVITY_SQL,
         "sample_kcenter": sampling.SAMPLE_KCENTER_SQL,
+        "ts_forecast_ensemble": timeseries.FORECAST_ENSEMBLE_SQL,
         "events_abtest": analytics.EVENTS_ABTEST_SQL,
         "profile_drift": pipeline.PROFILE_DRIFT_SQL,
         "events_paths": analytics.EVENTS_PATHS_SQL,

@@ -1874,3 +1874,42 @@ def test_sax_motif_shape_groups(spark, tmp_path):
     # ramps symbolize monotonically: word ascends a→d, mirror descends
     assert top.sax_word == "".join(sorted(top.sax_word))
     assert out[1].sax_word == top.sax_word[::-1]
+
+
+def test_forecast_ensemble_weights_and_blend(spark, tmp_path):
+    """A pure seasonal series (period 24) gives snaive zero holdout error →
+    it dominates the weights, and every output replays the exact inverse-
+    MAE combination in python."""
+    import math
+
+    import pandas as pd
+
+    vals = [10.0 + 5.0 * ((t % 24) in (3, 7)) + (t % 3) * 0.25 for t in range(96)]
+    rows = [
+        (t + 1, datetime(2024, 1, 1) + pd.Timedelta(hours=t), 1, v)
+        for t, v in enumerate(vals)
+    ]
+    d = _write_events(tmp_path, rows)
+    r = ts.forecast_ensemble(spark, d).collect()[0]
+
+    c = [int(round(v * 100)) for v in vals]
+    n, H, S = len(c), 24, 24
+    hold, lt = c[n - H:], c[n - H - 1]
+    mu = sum(c[: n - H]) / (n - H)
+    mn = sum(abs(x - lt) for x in hold) / (100.0 * H)
+    ms = sum(abs(c[n - H + j] - c[n - H - S + j]) for j in range(H)) / (100.0 * H)
+    acc = 0.0
+    for x in hold:
+        acc += abs(float(x) - mu)
+    mm = acc / (100.0 * H)
+    eps = 0.01
+    iv = [1 / (mn + eps), 1 / (ms + eps), 1 / (mm + eps)]
+    tot = iv[0] + iv[1] + iv[2]
+    f = [float(c[-1]), float(c[n - S]), sum(c) / n]
+    blend = (iv[0] * f[0] + iv[1] * f[1] + iv[2] * f[2]) / tot
+
+    assert ms == 0.0 and r.mae_snaive == 0.0
+    assert r.w_snaive > r.w_naive and r.w_snaive > r.w_mean
+    assert r.w_naive == math.floor(iv[0] / tot * 1e6) / 1e6
+    assert r.w_snaive == math.floor(iv[1] / tot * 1e6) / 1e6
+    assert r.forecast_blend == math.floor(blend / 100.0 * 1e6) / 1e6

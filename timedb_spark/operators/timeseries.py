@@ -4881,3 +4881,144 @@ SELECT sax_word, n_series, example_user, min_points, max_points,
 FROM g
 ORDER BY n_series DESC, sax_word
 """
+
+
+# ---------------------------------------------------------------------------
+# inverse-MAE forecast ensemble — blended one-step-ahead forecast
+# ---------------------------------------------------------------------------
+
+_ENS_EPS = 1.0  # one cent — keeps a zero-MAE model from dividing by zero
+
+
+def forecast_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverse-MAE forecast combination per series (Bates–Granger 1969,
+    the simple combination that routinely beats its members in the M
+    competitions): holdout-MAE the three baselines exactly as ts_backtest,
+    convert to weights w_m ∝ 1/(MAE_m + 1¢), and blend their one-step-
+    ahead forecasts (naive = last value, seasonal naive = one season back,
+    mean = full-series mean). ts_backtest picks a WINNER; this hedges
+    across all three — the production default when the winner flips
+    series to series.
+
+    Same one-shuffle sorted-collect shape and exact-integer error folds as
+    ts_backtest (docstring there); weights and the blend are final double
+    projections in identical op order, floor-scaled. Series shorter than
+    two seasons are excluded."""
+    ev = load_table(spark, sf_dir, "events")
+    s = F.struct(F.col("ts"), F.col("event_id"), F.col("value"))
+    g = ev.groupBy("user_id").agg(F.array_sort(F.collect_list(s)).alias("hist"))
+    cents = F.transform("hist", lambda r: (r["value"].cast("decimal(18,2)") * 100).cast("long"))
+    g = g.select("user_id", cents.alias("c")).withColumn("n", F.size("c")).filter(
+        F.col("n") >= 2 * _BT_SEASON
+    )
+    n = F.col("n")
+    g = g.withColumn("hold", F.slice("c", n - _BT_HOLD + 1, _BT_HOLD))
+    last_train = F.element_at("c", F.col("n") - _BT_HOLD)
+    train_sum = F.aggregate(
+        F.slice("c", 1, F.col("n") - _BT_HOLD), F.lit(0).cast("long"), lambda a, x: a + x
+    )
+    g = g.withColumn("lt", last_train).withColumn(
+        "mu", train_sum.cast("double") / (F.col("n") - _BT_HOLD).cast("double")
+    )
+    ae_naive = F.aggregate(
+        F.transform("hold", lambda x: F.abs(x - F.col("lt"))),
+        F.lit(0).cast("long"), lambda a, x: a + x,
+    )
+    ae_snaive = F.aggregate(
+        F.transform(
+            F.sequence(F.lit(1), F.lit(_BT_HOLD)),
+            lambda j: F.abs(
+                F.element_at("c", F.col("n") - _BT_HOLD + j)
+                - F.element_at("c", F.col("n") - _BT_HOLD - _BT_SEASON + j)
+            ),
+        ),
+        F.lit(0).cast("long"), lambda a, x: a + x,
+    )
+    ae_mean = F.aggregate(
+        F.transform("hold", lambda x: F.abs(x.cast("double") - F.col("mu"))),
+        F.lit(0.0), lambda a, x: a + x,
+    )
+    g = (
+        g.withColumn("mn", ae_naive.cast("double") / (100.0 * _BT_HOLD))
+        .withColumn("ms", ae_snaive.cast("double") / (100.0 * _BT_HOLD))
+        .withColumn("mm", ae_mean / (100.0 * _BT_HOLD))
+    )
+    eps = _ENS_EPS / 100.0  # one cent in value units
+    iv_n = 1.0 / (F.col("mn") + eps)
+    iv_s = 1.0 / (F.col("ms") + eps)
+    iv_m = 1.0 / (F.col("mm") + eps)
+    tot = iv_n + iv_s + iv_m
+    # one-step-ahead member forecasts (full series)
+    f_naive = F.element_at("c", F.col("n")).cast("double")
+    f_snaive = F.element_at("c", F.col("n") - _BT_SEASON + 1).cast("double")
+    full_sum = F.aggregate("c", F.lit(0).cast("long"), lambda a, x: a + x)
+    f_mean = full_sum.cast("double") / F.col("n").cast("double")
+    blend = (iv_n * f_naive + iv_s * f_snaive + iv_m * f_mean) / tot
+    return g.select(
+        F.col("user_id").alias("series_id"),
+        (F.floor(F.col("mn") * 1e6) / 1e6).alias("mae_naive"),
+        (F.floor(F.col("ms") * 1e6) / 1e6).alias("mae_snaive"),
+        (F.floor(F.col("mm") * 1e6) / 1e6).alias("mae_mean"),
+        (F.floor(iv_n / tot * 1e6) / 1e6).alias("w_naive"),
+        (F.floor(iv_s / tot * 1e6) / 1e6).alias("w_snaive"),
+        (F.floor(iv_m / tot * 1e6) / 1e6).alias("w_mean"),
+        (F.floor(blend / 100.0 * 1e6) / 1e6).alias("forecast_blend"),
+    )
+
+
+FORECAST_ENSEMBLE_SQL = f"""
+WITH hist AS (
+    SELECT user_id,
+           list_transform(
+               list_sort(list(struct_pack(ts := ts, e := event_id, v := value))),
+               s -> CAST(CAST(s.v AS DECIMAL(18,2)) * 100 AS BIGINT)) AS c
+    FROM events GROUP BY user_id
+),
+base AS (
+    SELECT user_id, c, len(c) AS n,
+           c[len(c) - {_BT_HOLD} + 1 : len(c)] AS hold,
+           c[len(c) - {_BT_HOLD}] AS lt,
+           CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), c[1 : len(c) - {_BT_HOLD}]),
+                (a, b) -> a + b) AS DOUBLE) / (len(c) - {_BT_HOLD}) AS mu
+    FROM hist WHERE len(c) >= {2 * _BT_SEASON}
+),
+errs AS (
+    SELECT user_id, c, n, mu,
+           CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_transform(hold, x -> abs(x - lt))), (a, b) -> a + b) AS DOUBLE)
+               / {100.0 * _BT_HOLD} AS mn,
+           CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_transform(range(1, {_BT_HOLD} + 1), j ->
+                   abs(c[n - {_BT_HOLD} + j] - c[n - {_BT_HOLD} - {_BT_SEASON} + j]))),
+               (a, b) -> a + b) AS DOUBLE) / {100.0 * _BT_HOLD} AS ms,
+           list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list_transform(hold, x -> abs(CAST(x AS DOUBLE) - mu))), (a, b) -> a + b)
+               / {100.0 * _BT_HOLD} AS mm
+    FROM base
+),
+w AS (
+    SELECT user_id, c, n, mu, mn, ms, mm,
+           1.0 / (mn + {_ENS_EPS / 100.0!r}) AS iv_n,
+           1.0 / (ms + {_ENS_EPS / 100.0!r}) AS iv_s,
+           1.0 / (mm + {_ENS_EPS / 100.0!r}) AS iv_m
+    FROM errs
+),
+f AS (
+    SELECT user_id, mn, ms, mm, iv_n, iv_s, iv_m,
+           iv_n + iv_s + iv_m AS tot,
+           CAST(c[n] AS DOUBLE) AS f_naive,
+           CAST(c[n - {_BT_SEASON} + 1] AS DOUBLE) AS f_snaive,
+           CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), c), (a, b) -> a + b) AS DOUBLE)
+               / CAST(n AS DOUBLE) AS f_mean
+    FROM w
+)
+SELECT user_id AS series_id,
+       floor(mn * 1e6) / 1e6 AS mae_naive,
+       floor(ms * 1e6) / 1e6 AS mae_snaive,
+       floor(mm * 1e6) / 1e6 AS mae_mean,
+       floor(iv_n / tot * 1e6) / 1e6 AS w_naive,
+       floor(iv_s / tot * 1e6) / 1e6 AS w_snaive,
+       floor(iv_m / tot * 1e6) / 1e6 AS w_mean,
+       floor((iv_n * f_naive + iv_s * f_snaive + iv_m * f_mean) / tot / 100.0 * 1e6) / 1e6 AS forecast_blend
+FROM f
+"""
