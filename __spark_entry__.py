@@ -1263,6 +1263,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_assortativity": analytics.graph_assortativity,
         "sample_kcenter": sampling.sample_kcenter,
         "ts_forecast_ensemble": timeseries.forecast_ensemble,
+        "pipeline_dataset_card": pipeline.pipeline_dataset_card,
+        "events_ltv": analytics.events_ltv,
     }
     out = {k: reg[k] for k in _R7_WINDOW}
     out.update((k, v) for k, v in reg.items() if k not in out)
@@ -1711,6 +1713,8 @@ def oracle_sql() -> dict[str, str]:
         "graph_assortativity": analytics.GRAPH_ASSORTATIVITY_SQL,
         "sample_kcenter": sampling.SAMPLE_KCENTER_SQL,
         "ts_forecast_ensemble": timeseries.FORECAST_ENSEMBLE_SQL,
+        "pipeline_dataset_card": pipeline.PIPELINE_DATASET_CARD_SQL,
+        "events_ltv": analytics.EVENTS_LTV_SQL,
         "events_abtest": analytics.EVENTS_ABTEST_SQL,
         "profile_drift": pipeline.PROFILE_DRIFT_SQL,
         "events_paths": analytics.EVENTS_PATHS_SQL,

@@ -940,3 +940,45 @@ def test_graph_assortativity_star_and_regular(spark, tmp_path):
     pdf2.to_parquet(os.path.join(d2, "lineitem.parquet"))
     r2 = analytics.graph_assortativity(spark, d2).collect()[0]
     assert r2.n_edges == 3 and r2.assortativity is None and r2.verdict is None
+
+
+def test_events_ltv_hand_cohorts(spark, tmp_path):
+    """Two cohorts with planted purchases: cumulative per-user LTV replays
+    the hand math, including a user who churns (divides the cohort
+    average without contributing later revenue)."""
+    import os
+    from datetime import datetime, timedelta
+
+    import pandas as pd
+
+    wk = timedelta(days=7)
+    w0 = datetime(2024, 1, 1)  # a Monday — week-truncation-stable
+    rows, eid = [], 0
+
+    def ev(uid, when, etype, value):
+        nonlocal eid
+        eid += 1
+        rows.append((eid, when, uid, etype, value))
+
+    # cohort w0: users 1, 2. user 1 buys 10 in wk0 and 20 in wk1;
+    # user 2 buys 30 in wk0 then churns.
+    ev(1, w0, "purchase", 10.0)
+    ev(1, w0 + wk, "purchase", 20.0)
+    ev(2, w0 + timedelta(days=1), "purchase", 30.0)
+    # cohort w0+2wk: user 3 buys 40 two weeks later (offset 2)
+    ev(3, w0 + 2 * wk, "view", 0.0)
+    ev(3, w0 + 4 * wk, "purchase", 40.0)
+    pdf = pd.DataFrame(rows, columns=["event_id", "ts", "user_id", "event_type", "value"])
+    pdf["props"] = ""
+    d = str(tmp_path / "sf")
+    os.makedirs(d)
+    pdf.to_parquet(os.path.join(d, "events.parquet"))
+
+    out = {(r.cohort_wk, r.week_offset): r for r in analytics.events_ltv(spark, d).collect()}
+    c0 = w0
+    assert out[(c0, 0)].n_users == 2 and out[(c0, 0)].revenue == 40.0
+    assert out[(c0, 0)].cum_ltv == 20.0          # (10+30)/2
+    assert out[(c0, 1)].revenue == 20.0
+    assert out[(c0, 1)].cum_ltv == 30.0          # (40+20)/2 — churned user drags
+    c1 = w0 + 2 * wk
+    assert out[(c1, 2)].n_users == 1 and out[(c1, 2)].cum_ltv == 40.0

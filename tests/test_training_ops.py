@@ -284,3 +284,44 @@ def test_dedup_lsh_tuning_invariants_and_minhash_consistency(spark):
         r = rows[b]
         assert r.rows_per_band == 16 // b
         assert r.n_verified <= r.n_candidates
+
+
+def test_pipeline_dataset_card_hand_corpus(spark, tmp_path):
+    """A five-doc corpus with one exact duplicate pair, two languages and
+    a short doc: every card stat replays the hand computation."""
+    import math
+    import os
+
+    import pandas as pd
+
+    texts = [
+        ("alpha beta gamma", "en", "s1"),
+        ("alpha beta gamma", "en", "s2"),      # exact duplicate
+        ("uno dos", "es", "s1"),
+        ("one two three four five six", "en", "s1"),
+        ("x", "en", "s3"),                      # short
+    ]
+    docs = pd.DataFrame(
+        {
+            "doc_id": range(1, 6),
+            "text": [t for t, _, _ in texts],
+            "lang": [l for _, l, _ in texts],
+            "source": [s for _, _, s in texts],
+            "n_chars": [len(t) for t, _, _ in texts],
+        }
+    )
+    d = str(tmp_path / "sf")
+    os.makedirs(d)
+    docs.to_parquet(os.path.join(d, "documents.parquet"))
+
+    from timedb_spark.operators import pipeline as pl
+
+    r = pl.pipeline_dataset_card(spark, d).collect()[0]
+    assert (r.n_docs, r.n_sources, r.n_langs) == (5, 3, 2)
+    assert r.total_tokens_ws == 3 + 3 + 2 + 6 + 1
+    assert r.dup_rate == math.floor((1 - 4 / 5) * 1e6) / 1e6
+    assert r.top_lang == "en" and r.top_lang_share == math.floor(4 / 5 * 1e6) / 1e6
+    assert r.short_share == 1.0  # all docs < 200 chars
+    total_chars = sum(len(t) for t, _, _ in texts)
+    assert r.total_chars == total_chars
+    assert r.mean_chars == math.floor(total_chars / 5 * 1e6) / 1e6

@@ -3077,3 +3077,87 @@ SELECT CAST(n_dir_edges // 2 AS BIGINT) AS n_edges,
             WHEN den > 0.0 THEN 'neutral' END AS verdict
 FROM m
 """
+
+
+# ---------------------------------------------------------------------------
+# LTV curve — cumulative revenue per user by cohort age
+# ---------------------------------------------------------------------------
+
+
+def events_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort LTV curve: for each first-activity-week cohort, cumulative
+    purchase revenue PER COHORT USER by week offset — the payback-period
+    readout ("when does a January user clear acquisition cost?") that
+    events_cohort's retention counts feed but don't answer. One row per
+    (cohort, age) cell, revenue in exact cents until the final division.
+
+    Shape: first-seen is one user-grained aggregate (events_cohort's);
+    weekly purchase revenue re-uses the same user→cohort join; the
+    cumulative sum is a window over the per-cohort age axis — a few
+    hundred cells, not the event stream. Cohort size divides at the end,
+    so mid-cohort churn correctly drags the average (the standard LTV
+    definition)."""
+    ev = load_table(spark, sf_dir, "events")
+    wk = F.date_trunc("week", "ts")
+    uw = ev.select("user_id", wk.alias("wk")).distinct()
+    first = uw.groupBy("user_id").agg(F.min("wk").alias("cohort_wk"))
+    sizes = first.groupBy("cohort_wk").agg(F.count(F.lit(1)).alias("n_users"))
+    rev = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select("user_id", wk.alias("wk"), (F.col("value").cast("decimal(18,2)") * 100).cast("long").alias("cents"))
+        .join(first, "user_id")
+    )
+    week_off = (
+        (F.unix_micros("wk") - F.unix_micros("cohort_wk")) / (7 * 24 * 3600 * 1_000_000)
+    ).cast("int")
+    cells = rev.groupBy("cohort_wk", week_off.alias("week_offset")).agg(
+        F.sum("cents").alias("rev_cents")
+    )
+    w = Window.partitionBy("cohort_wk").orderBy("week_offset").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cells = cells.withColumn("cum_cents", F.sum("rev_cents").over(w)).join(
+        F.broadcast(sizes), "cohort_wk"
+    )
+    return cells.select(
+        "cohort_wk",
+        "week_offset",
+        "n_users",
+        (F.floor(F.col("rev_cents").cast("double") / 100.0 * 1e6) / 1e6).alias("revenue"),
+        (F.floor(F.col("cum_cents").cast("double") / F.col("n_users").cast("double") / 100.0 * 1e6) / 1e6).alias("cum_ltv"),
+    )
+
+
+EVENTS_LTV_SQL = """
+WITH uw AS (
+    SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS TIMESTAMP) AS wk FROM events
+),
+first AS (
+    SELECT user_id, min(wk) AS cohort_wk FROM uw GROUP BY user_id
+),
+sizes AS (
+    SELECT cohort_wk, count(*) AS n_users FROM first GROUP BY cohort_wk
+),
+rev AS (
+    SELECT f.cohort_wk,
+           CAST((epoch_us(CAST(date_trunc('week', e.ts) AS TIMESTAMP)) - epoch_us(f.cohort_wk))
+                // (7 * 24 * 3600 * CAST(1000000 AS BIGINT)) AS INT) AS week_offset,
+           CAST(CAST(e.value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+    FROM events e JOIN first f ON f.user_id = e.user_id
+    WHERE e.event_type = 'purchase'
+),
+cells AS (
+    SELECT cohort_wk, week_offset, CAST(sum(cents) AS BIGINT) AS rev_cents
+    FROM rev GROUP BY 1, 2
+),
+c AS (
+    SELECT cohort_wk, week_offset, rev_cents,
+           CAST(sum(rev_cents) OVER (PARTITION BY cohort_wk ORDER BY week_offset
+                                     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_cents
+    FROM cells
+)
+SELECT c.cohort_wk, c.week_offset, s.n_users,
+       floor(CAST(c.rev_cents AS DOUBLE) / 100.0 * 1e6) / 1e6 AS revenue,
+       floor(CAST(c.cum_cents AS DOUBLE) / CAST(s.n_users AS DOUBLE) / 100.0 * 1e6) / 1e6 AS cum_ltv
+FROM c JOIN sizes s ON s.cohort_wk = c.cohort_wk
+"""

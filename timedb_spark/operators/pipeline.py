@@ -466,3 +466,81 @@ FROM r
 
 
 PIPELINE_DQ_RULES_SQL = _dq_rules_sql()
+
+
+# ---------------------------------------------------------------------------
+# dataset card — the one-row corpus summary block
+# ---------------------------------------------------------------------------
+
+_CARD_SHORT_CHARS = 200
+
+
+def pipeline_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dataset-card stats block as ONE row: corpus volume (docs,
+    sources, languages, chars, whitespace tokens), exact-duplicate rate,
+    dominant language + share, mean document length, and the short-doc
+    share — the summary a curation team publishes with every training-data
+    release (Datasheets for Datasets / HF dataset-card conventions), here
+    as a single reproducible query instead of a hand-assembled table.
+
+    Scale shape: one scan feeding a global aggregate (counts, char/token
+    sums — all map-side combined), one (lang) rollup for the dominant
+    language, one md5-keyed distinct count for the dup rate (the
+    profile_sources hashing pattern at corpus grain). All counters exact
+    integers; ratios are final floor-scaled divisions."""
+    docs = load_table(spark, sf_dir, "documents")
+    from timedb_spark.functions import texttools as tt
+
+    base = docs.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("source").alias("n_sources"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.sum(F.size(tt.ws_tokens(F.col("text"))).cast("long")).alias("total_tokens_ws"),
+        F.countDistinct(F.md5("text")).alias("n_unique_texts"),
+        F.sum(F.when(F.col("n_chars") < _CARD_SHORT_CHARS, 1).otherwise(0)).cast("long").alias("n_short"),
+    )
+    lang = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("lc"))
+    top = (
+        lang.orderBy(F.col("lc").desc(), F.col("lang")).limit(1)
+        .select(F.col("lang").alias("top_lang"), F.col("lc").alias("top_lc"))
+    )
+    j = base.crossJoin(F.broadcast(top))
+    nd = F.col("n_docs").cast("double")
+    return j.select(
+        "n_docs",
+        F.col("n_sources").cast("long").alias("n_sources"),
+        F.col("n_langs").cast("long").alias("n_langs"),
+        F.col("total_chars").cast("long").alias("total_chars"),
+        "total_tokens_ws",
+        (F.floor((1.0 - F.col("n_unique_texts").cast("double") / nd) * 1e6) / 1e6).alias("dup_rate"),
+        "top_lang",
+        (F.floor(F.col("top_lc").cast("double") / nd * 1e6) / 1e6).alias("top_lang_share"),
+        (F.floor(F.col("total_chars").cast("double") / nd * 1e6) / 1e6).alias("mean_chars"),
+        (F.floor(F.col("n_short").cast("double") / nd * 1e6) / 1e6).alias("short_share"),
+    )
+
+
+PIPELINE_DATASET_CARD_SQL = rf"""
+WITH base AS (
+    SELECT count(*) AS n_docs,
+           CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+           CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS total_tokens_ws,
+           CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_unique_texts,
+           CAST(sum(CASE WHEN n_chars < {_CARD_SHORT_CHARS} THEN 1 ELSE 0 END) AS BIGINT) AS n_short
+    FROM documents
+),
+top AS (
+    SELECT lang AS top_lang, count(*) AS top_lc
+    FROM documents GROUP BY lang ORDER BY count(*) DESC, lang LIMIT 1
+)
+SELECT n_docs, n_sources, n_langs, total_chars, total_tokens_ws,
+       floor((1.0 - CAST(n_unique_texts AS DOUBLE) / CAST(n_docs AS DOUBLE)) * 1e6) / 1e6 AS dup_rate,
+       top_lang,
+       floor(CAST(top_lc AS DOUBLE) / CAST(n_docs AS DOUBLE) * 1e6) / 1e6 AS top_lang_share,
+       floor(CAST(total_chars AS DOUBLE) / CAST(n_docs AS DOUBLE) * 1e6) / 1e6 AS mean_chars,
+       floor(CAST(n_short AS DOUBLE) / CAST(n_docs AS DOUBLE) * 1e6) / 1e6 AS short_share
+FROM base CROSS JOIN top
+"""
