@@ -1265,6 +1265,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_forecast_ensemble": timeseries.forecast_ensemble,
         "pipeline_dataset_card": pipeline.pipeline_dataset_card,
         "events_ltv": analytics.events_ltv,
+        "ts_granger": timeseries.granger,
     }
     out = {k: reg[k] for k in _R7_WINDOW}
     out.update((k, v) for k, v in reg.items() if k not in out)
@@ -1715,6 +1716,7 @@ def oracle_sql() -> dict[str, str]:
         "ts_forecast_ensemble": timeseries.FORECAST_ENSEMBLE_SQL,
         "pipeline_dataset_card": pipeline.PIPELINE_DATASET_CARD_SQL,
         "events_ltv": analytics.EVENTS_LTV_SQL,
+        "ts_granger": timeseries.GRANGER_SQL,
         "events_abtest": analytics.EVENTS_ABTEST_SQL,
         "profile_drift": pipeline.PROFILE_DRIFT_SQL,
         "events_paths": analytics.EVENTS_PATHS_SQL,

@@ -1913,3 +1913,61 @@ def test_forecast_ensemble_weights_and_blend(spark, tmp_path):
     assert r.w_naive == math.floor(iv[0] / tot * 1e6) / 1e6
     assert r.w_snaive == math.floor(iv[1] / tot * 1e6) / 1e6
     assert r.forecast_blend == math.floor(blend / 100.0 * 1e6) / 1e6
+
+
+def test_granger_planted_causality(spark, tmp_path):
+    """y follows x's previous hour exactly (y_t = x_{t-1}) while x is LCG
+    noise: x→y is flagged granger-causal with a huge F, the reverse
+    direction is not, and both F statistics replay the closed form."""
+    import math
+
+    import pandas as pd
+
+    s, xs = 11, []
+    for _ in range(81):
+        s = (s * 1103515245 + 12345) % (2**31)
+        xs.append(float(10 + (s % 50)))
+    # y = x one hour late + small jitter (an EXACT copy fits perfectly,
+    # ssr_u = 0, and the zero-residual guard correctly NULLs the test)
+    ys = {t: xs[t - 1] + 0.25 * ((t * 7) % 4) for t in range(1, 81)}
+    import os
+
+    rows, eid = [], 0
+    for t, xv in enumerate(xs):
+        eid += 1
+        rows.append((eid, datetime(2024, 1, 1) + pd.Timedelta(hours=t), 1, "x", xv))
+        if t >= 1:
+            eid += 1
+            rows.append((eid, datetime(2024, 1, 1) + pd.Timedelta(hours=t), 2, "y", ys[t]))
+    pdf = pd.DataFrame(rows, columns=["event_id", "ts", "user_id", "event_type", "value"])
+    pdf["props"] = ""
+    d = str(tmp_path / "sf")
+    os.makedirs(d)
+    pdf.to_parquet(os.path.join(d, "events.parquet"))
+    out = {(r.type_x, r.type_y): r for r in ts.granger(spark, d).collect()}
+
+    assert out[("x", "y")].verdict == "granger_causal"
+    assert out[("y", "x")].verdict == "no_evidence"
+
+    # hourly grid: x series at hours 0..80, y at hours 1..80
+    xh = {t: xs[t] for t in range(81)}
+    # x→y rows: y_t at h, y_{t-1} and x_{t-1} at h-1 (h >= 2)
+    yt = [ys[h] for h in range(2, 81)]
+    y1 = [ys[h - 1] for h in range(2, 81)]
+    x1 = [xh[h - 1] for h in range(2, 81)]
+    nd = float(len(yt))
+    S = lambda a, b: sum(i * j for i, j in zip(a, b))
+    cyy = S(yt, yt) - sum(yt) ** 2 / nd
+    cy1y1 = S(y1, y1) - sum(y1) ** 2 / nd
+    cx1x1 = S(x1, x1) - sum(x1) ** 2 / nd
+    cyy1 = S(yt, y1) - sum(yt) * sum(y1) / nd
+    cyx1 = S(yt, x1) - sum(yt) * sum(x1) / nd
+    cy1x1 = S(y1, x1) - sum(y1) * sum(x1) / nd
+    ssr_r = cyy - cyy1**2 / cy1y1
+    det = cy1y1 * cx1x1 - cy1x1**2
+    b = (cyy1 * cx1x1 - cyx1 * cy1x1) / det
+    c = (cyx1 * cy1y1 - cyy1 * cy1x1) / det
+    ssr_u = cyy - b * cyy1 - c * cyx1
+    f = (ssr_r - ssr_u) / (ssr_u / (nd - 3.0))
+    assert out[("x", "y")].f_stat == math.floor(f * 1e6) / 1e6
+    assert out[("x", "y")].n == len(yt)

@@ -5022,3 +5022,145 @@ SELECT user_id AS series_id,
        floor((iv_n * f_naive + iv_s * f_snaive + iv_m * f_mean) / tot / 100.0 * 1e6) / 1e6 AS forecast_blend
 FROM f
 """
+
+
+# ---------------------------------------------------------------------------
+# Granger lead-lag test — does X's past improve predicting Y?
+# ---------------------------------------------------------------------------
+
+_GRANGER_F_CRIT = 6.635  # F(1, large-n) at p = 0.01 (= chi-square_1)
+_GRANGER_MIN_OBS = 30
+
+
+def granger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1 Granger causality between every ORDERED event-type pair on
+    the hourly-sum grid: does adding x_{t−1} to the autoregression
+    y_t ~ y_{t−1} significantly shrink the residual (F-test on one
+    restriction)? ts_ccf finds WHO MOVES FIRST by correlation; this one
+    asks whether the lead is PREDICTIVE beyond y's own momentum — the
+    final member of the causal-screening family (corr → lead-lag →
+    incremental predictability).
+
+    Closed-form OLS throughout: centered co-moments from EXACT decimal
+    sums over the bounded hourly grid (one triple self-join on adjacent
+    hours per ordered pair — no fact-scale shuffle), the restricted slope
+    as one division, the unrestricted pair via 2×2 Cramer, SSRs and the
+    F statistic as final double projections in identical op order both
+    engines. No iteration, no matrix library."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        F.expr("unix_micros(ts) div 3600000000").alias("h"),
+        F.col("event_type").alias("etype"),
+    ).agg(F.sum(_d("value")).alias("v")).localCheckpoint(eager=False)
+    y = hourly.select("h", F.col("etype").alias("type_y"), F.col("v").alias("yt"))
+    y1 = hourly.select(
+        (F.col("h") + 1).alias("h"), F.col("etype").alias("type_y"), F.col("v").alias("y1")
+    )
+    x1 = hourly.select(
+        (F.col("h") + 1).alias("h"), F.col("etype").alias("type_x"), F.col("v").alias("x1")
+    )
+    rows = (
+        y.join(y1, ["h", "type_y"])
+        .join(F.broadcast(x1), "h")
+        .filter(F.col("type_x") != F.col("type_y"))
+    )
+    g = rows.groupBy("type_x", "type_y").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("yt").alias("sy"),
+        F.sum("y1").alias("sy1"),
+        F.sum("x1").alias("sx1"),
+        F.sum(F.col("yt") * F.col("yt")).alias("syy"),
+        F.sum(F.col("y1") * F.col("y1")).alias("sy1y1"),
+        F.sum(F.col("x1") * F.col("x1")).alias("sx1x1"),
+        F.sum(F.col("yt") * F.col("y1")).alias("syy1"),
+        F.sum(F.col("yt") * F.col("x1")).alias("syx1"),
+        F.sum(F.col("y1") * F.col("x1")).alias("sy1x1"),
+    ).filter(F.col("n") >= _GRANGER_MIN_OBS)
+    nd = F.col("n").cast("double")
+
+    def cm(sab, sa, sb):  # centered co-moment from raw decimal sums
+        return F.col(sab).cast("double") - F.col(sa).cast("double") * F.col(sb).cast("double") / nd
+
+    cyy = cm("syy", "sy", "sy")
+    cy1y1 = cm("sy1y1", "sy1", "sy1")
+    cx1x1 = cm("sx1x1", "sx1", "sx1")
+    cyy1 = cm("syy1", "sy", "sy1")
+    cyx1 = cm("syx1", "sy", "sx1")
+    cy1x1 = cm("sy1x1", "sy1", "sx1")
+    ssr_r = cyy - cyy1 * cyy1 / cy1y1
+    det = cy1y1 * cx1x1 - cy1x1 * cy1x1
+    b_u = (cyy1 * cx1x1 - cyx1 * cy1x1) / det
+    c_u = (cyx1 * cy1y1 - cyy1 * cy1x1) / det
+    ssr_u = cyy - b_u * cyy1 - c_u * cyx1
+    valid = (cy1y1 > 0.0) & (det > 0.0) & (ssr_u > 0.0)
+    f_stat = F.when(valid, (ssr_r - ssr_u) / (ssr_u / (nd - 3.0)))
+    verdict = (
+        F.when(f_stat > _GRANGER_F_CRIT, F.lit("granger_causal"))
+        .when(f_stat.isNotNull(), F.lit("no_evidence"))
+    )
+    return g.select(
+        "type_x",
+        "type_y",
+        "n",
+        F.when(valid, F.floor(c_u * 1e6) / 1e6).alias("beta_x"),
+        F.when(valid, F.floor(f_stat * 1e6) / 1e6).alias("f_stat"),
+        verdict.alias("verdict"),
+    )
+
+
+GRANGER_SQL = f"""
+WITH hourly AS (
+    SELECT epoch_us(ts) // 3600000000 AS h, event_type AS etype,
+           sum(CAST(value AS DECIMAL(18,2))) AS v
+    FROM events GROUP BY 1, 2
+),
+rows_ AS (
+    SELECT x1.etype AS type_x, y.etype AS type_y, y.v AS yt, y1.v AS y1, x1.v AS x1
+    FROM hourly y
+    JOIN hourly y1 ON y1.h = y.h - 1 AND y1.etype = y.etype
+    JOIN hourly x1 ON x1.h = y.h - 1 AND x1.etype != y.etype
+),
+g AS (
+    SELECT type_x, type_y, count(*) AS n,
+           sum(yt) AS sy, sum(y1) AS sy1, sum(x1) AS sx1,
+           sum(yt * yt) AS syy, sum(y1 * y1) AS sy1y1, sum(x1 * x1) AS sx1x1,
+           sum(yt * y1) AS syy1, sum(yt * x1) AS syx1, sum(y1 * x1) AS sy1x1
+    FROM rows_ GROUP BY 1, 2 HAVING count(*) >= {_GRANGER_MIN_OBS}
+),
+c AS (
+    SELECT type_x, type_y, n, CAST(n AS DOUBLE) AS nd,
+           CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) AS cyy,
+           CAST(sy1y1 AS DOUBLE) - CAST(sy1 AS DOUBLE) * CAST(sy1 AS DOUBLE) / CAST(n AS DOUBLE) AS cy1y1,
+           CAST(sx1x1 AS DOUBLE) - CAST(sx1 AS DOUBLE) * CAST(sx1 AS DOUBLE) / CAST(n AS DOUBLE) AS cx1x1,
+           CAST(syy1 AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy1 AS DOUBLE) / CAST(n AS DOUBLE) AS cyy1,
+           CAST(syx1 AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sx1 AS DOUBLE) / CAST(n AS DOUBLE) AS cyx1,
+           CAST(sy1x1 AS DOUBLE) - CAST(sy1 AS DOUBLE) * CAST(sx1 AS DOUBLE) / CAST(n AS DOUBLE) AS cy1x1
+    FROM g
+),
+m AS (
+    SELECT type_x, type_y, n, nd, cyy, cy1y1, cx1x1, cyy1, cyx1, cy1x1,
+           cyy - cyy1 * cyy1 / cy1y1 AS ssr_r,
+           cy1y1 * cx1x1 - cy1x1 * cy1x1 AS det
+    FROM c
+),
+u AS (
+    SELECT type_x, type_y, n, nd, cyy, cyy1, cyx1, cy1y1, ssr_r, det, cx1x1,
+           (cyy1 * cx1x1 - cyx1 * cy1x1) / det AS b_u,
+           (cyx1 * cy1y1 - cyy1 * cy1x1) / det AS c_u
+    FROM m
+),
+r AS (
+    SELECT type_x, type_y, n, nd, cy1y1, det, c_u, ssr_r,
+           cyy - b_u * cyy1 - c_u * cyx1 AS ssr_u
+    FROM u
+)
+SELECT type_x, type_y, n,
+       CASE WHEN cy1y1 > 0.0 AND det > 0.0 AND ssr_u > 0.0
+            THEN floor(c_u * 1e6) / 1e6 END AS beta_x,
+       CASE WHEN cy1y1 > 0.0 AND det > 0.0 AND ssr_u > 0.0
+            THEN floor((ssr_r - ssr_u) / (ssr_u / (nd - 3.0)) * 1e6) / 1e6 END AS f_stat,
+       CASE WHEN cy1y1 > 0.0 AND det > 0.0 AND ssr_u > 0.0
+                 AND (ssr_r - ssr_u) / (ssr_u / (nd - 3.0)) > {_GRANGER_F_CRIT!r} THEN 'granger_causal'
+            WHEN cy1y1 > 0.0 AND det > 0.0 AND ssr_u > 0.0 THEN 'no_evidence' END AS verdict
+FROM r
+"""
