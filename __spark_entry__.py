@@ -1266,6 +1266,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_dataset_card": pipeline.pipeline_dataset_card,
         "events_ltv": analytics.events_ltv,
         "ts_granger": timeseries.granger,
+        "embed_knn_graph": similarity.embed_knn_graph,
     }
     out = {k: reg[k] for k in _R7_WINDOW}
     out.update((k, v) for k, v in reg.items() if k not in out)
@@ -1717,6 +1718,7 @@ def oracle_sql() -> dict[str, str]:
         "pipeline_dataset_card": pipeline.PIPELINE_DATASET_CARD_SQL,
         "events_ltv": analytics.EVENTS_LTV_SQL,
         "ts_granger": timeseries.GRANGER_SQL,
+        "embed_knn_graph": similarity.EMBED_KNN_GRAPH_SQL,
         "events_abtest": analytics.EVENTS_ABTEST_SQL,
         "profile_drift": pipeline.PROFILE_DRIFT_SQL,
         "events_paths": analytics.EVENTS_PATHS_SQL,

@@ -449,3 +449,24 @@ def test_embed_centroid_drift_planted(spark, tmp_path):
     assert out[0].norm_ratio == 1.0 and out[0].n_old == out[0].n_new == 10
     assert out[1].verdict == "drifted" and out[1].centroid_cosine == 0.0
     assert out[1].drift == 1.0
+
+
+def test_embed_knn_graph_clustered(spark, clustered_dir):
+    """On the planted clusters every vector gets exactly 3 ranked
+    neighbors, cluster-mates dominate, and mutuality is symmetric:
+    edge (a→b) is mutual iff (b→a) exists in the edge set."""
+    rows = sim.embed_knn_graph(spark, clustered_dir).collect()
+    by_src = {}
+    edges = set()
+    for r in rows:
+        by_src.setdefault(r.vec_id, []).append(r)
+        edges.add((r.vec_id, r.neighbor_id))
+    # ranks are contiguous from 1; vectors in cells smaller than k+1
+    # correctly get fewer edges
+    assert all(sorted(x.rank for x in v) == list(range(1, len(v) + 1)) for v in by_src.values())
+    assert max(len(v) for v in by_src.values()) == 3
+    # same planted cluster (vec_id // 50) for the top neighbor, tight clusters
+    same = sum(1 for r in rows if r.rank == 1 and r.neighbor_id // 50 == r.vec_id // 50)
+    assert same / len(by_src) > 0.95
+    for r in rows:
+        assert r.mutual == (1 if (r.neighbor_id, r.vec_id) in edges else 0)

@@ -1731,3 +1731,90 @@ SELECT cell, n_vecs,
 FROM cells
 ORDER BY cell
 """.format(q=vx.QUANTIZE_SQL.format(v="embedding"))
+
+
+# ---------------------------------------------------------------------------
+# kNN graph — cell-blocked neighbor edges + reciprocity
+# ---------------------------------------------------------------------------
+
+_KNN_K = 3
+
+
+def embed_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cell-blocked kNN graph over the embedding corpus: each vector's
+    top-k cosine neighbors WITHIN its IVF cell, with a mutuality flag
+    (am I in my neighbor's top-k too?) — the edge list that graph-based
+    dedup/community/HNSW-style index construction starts from, plus the
+    reciprocity signal that separates true clusters (mutual edges) from
+    hub attraction (one-way edges into a dense region).
+
+    Scale shape: candidates come from ONE equi-join on the learned cell id
+    (Σ|cell|² pairs — the SemDeDup blocking bound, never n²; the
+    :func:`_ivf_assign` centroids are shared code with ann_ivf), one
+    window top-k per vector, and the mutuality check is a self-join of the
+    k·n edge list against itself reversed — linear in edges. Exact
+    quantized-integer dot folds; floor-scaled cosine; mutual as 0/1 int
+    (gate-friendly flat schema)."""
+    _, _, assign = _ivf_assign(spark, sf_dir)
+    a = assign.select("cell", F.col("vec_id").alias("src"), F.col("q").alias("qa"))
+    b = assign.select("cell", F.col("vec_id").alias("dst"), F.col("q").alias("qb"))
+    cand = a.join(b, "cell").filter(F.col("src") != F.col("dst"))
+    scored = cand.select(
+        "src", "dst", vx.cosine_q(F.col("qa"), F.col("qb")).alias("_cos")
+    )
+    w = Window.partitionBy("src").orderBy(F.col("_cos").desc(), F.col("dst"))
+    knn = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _KNN_K)
+        .select("src", "dst", "rank", "_cos")
+        .localCheckpoint(eager=False)  # feeds the output AND the reversed self-join
+    )
+    rev = knn.select(F.col("dst").alias("src"), F.col("src").alias("dst"), F.lit(1).alias("m"))
+    out = knn.join(rev, ["src", "dst"], "left")
+    return out.select(
+        F.col("src").alias("vec_id"),
+        F.col("dst").alias("neighbor_id"),
+        "rank",
+        (F.floor(F.col("_cos") * 1e6) / 1e6).alias("cosine"),
+        F.coalesce(F.col("m"), F.lit(0)).cast("int").alias("mutual"),
+    )
+
+
+EMBED_KNN_GRAPH_SQL = f"""
+WITH vecs AS (
+    SELECT vec_id, {{q}} AS q, vec_id % {_IVF_CELLS} AS scell
+    FROM embeddings
+),
+comp AS (
+    SELECT scell, i, q[i] AS x
+    FROM vecs CROSS JOIN (SELECT unnest(range(1, {_IVF_DIM} + 1)) AS i) idx
+),
+centroid AS (
+    SELECT scell, i, CAST(floor(CAST(sum(x) AS DOUBLE) / count(*) + 0.5) AS BIGINT) AS c
+    FROM comp GROUP BY scell, i
+),
+cent AS (SELECT scell AS cell, list(c ORDER BY i) AS cq FROM centroid GROUP BY scell),
+scored_c AS (
+    SELECT v.vec_id, v.q, c.cell, {vx.cosine_q_sql('v.q', 'c.cq')} AS cs
+    FROM vecs v CROSS JOIN cent c
+),
+assign AS (
+    SELECT vec_id, q, cell FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cell) AS rn FROM scored_c
+    ) t WHERE rn = 1
+),
+cand AS (
+    SELECT a.vec_id AS src, b.vec_id AS dst, {vx.cosine_q_sql('a.q', 'b.q')} AS cos
+    FROM assign a JOIN assign b ON a.cell = b.cell AND a.vec_id != b.vec_id
+),
+knn AS (
+    SELECT src, dst, rank, cos FROM (
+        SELECT *, row_number() OVER (PARTITION BY src ORDER BY cos DESC, dst) AS rank
+        FROM cand
+    ) t WHERE rank <= {_KNN_K}
+)
+SELECT k.src AS vec_id, k.dst AS neighbor_id, k.rank,
+       floor(k.cos * 1e6) / 1e6 AS cosine,
+       CAST(CASE WHEN r.src IS NOT NULL THEN 1 ELSE 0 END AS INT) AS mutual
+FROM knn k LEFT JOIN knn r ON r.src = k.dst AND r.dst = k.src
+""".format(q=vx.QUANTIZE_SQL.format(v="embedding"))
