@@ -1267,6 +1267,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_ltv": analytics.events_ltv,
         "ts_granger": timeseries.granger,
         "embed_knn_graph": similarity.embed_knn_graph,
+        "ts_load_curve": timeseries.load_curve,
+        "events_dau": analytics.events_dau,
     }
     out = {k: reg[k] for k in _R7_WINDOW}
     out.update((k, v) for k, v in reg.items() if k not in out)
@@ -1719,6 +1721,8 @@ def oracle_sql() -> dict[str, str]:
         "events_ltv": analytics.EVENTS_LTV_SQL,
         "ts_granger": timeseries.GRANGER_SQL,
         "embed_knn_graph": similarity.EMBED_KNN_GRAPH_SQL,
+        "ts_load_curve": timeseries.LOAD_CURVE_SQL,
+        "events_dau": analytics.EVENTS_DAU_SQL,
         "events_abtest": analytics.EVENTS_ABTEST_SQL,
         "profile_drift": pipeline.PROFILE_DRIFT_SQL,
         "events_paths": analytics.EVENTS_PATHS_SQL,

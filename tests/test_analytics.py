@@ -982,3 +982,37 @@ def test_events_ltv_hand_cohorts(spark, tmp_path):
     assert out[(c0, 1)].cum_ltv == 30.0          # (40+20)/2 — churned user drags
     c1 = w0 + 2 * wk
     assert out[(c1, 2)].n_users == 1 and out[(c1, 2)].cum_ltv == 40.0
+
+
+def test_events_dau_hand_board(spark, tmp_path):
+    """Three users across four days: new/returning splits, the trailing
+    7-day WAU union, and stickiness all replay the hand computation."""
+    import math
+    import os
+    from datetime import datetime, timedelta
+
+    import pandas as pd
+
+    d0 = datetime(2024, 1, 1)
+    day = timedelta(days=1)
+    acts = [(1, 0), (2, 0), (1, 1), (3, 1), (1, 3), (2, 3)]
+    rows = [
+        (i + 1, d0 + off * day + timedelta(hours=2), uid, "click", 1.0)
+        for i, (uid, off) in enumerate(acts)
+    ]
+    pdf = pd.DataFrame(rows, columns=["event_id", "ts", "user_id", "event_type", "value"])
+    pdf["props"] = ""
+    d = str(tmp_path / "sf")
+    os.makedirs(d)
+    pdf.to_parquet(os.path.join(d, "events.parquet"))
+
+    out = {r.day: r for r in analytics.events_dau(spark, d).collect()}
+    assert set(out) == {d0, d0 + day, d0 + 3 * day}
+    assert (out[d0].dau, out[d0].new_users, out[d0].returning_users) == (2, 2, 0)
+    assert (out[d0 + day].dau, out[d0 + day].new_users) == (2, 1)  # user 3 new
+    assert (out[d0 + 3 * day].dau, out[d0 + 3 * day].new_users) == (2, 0)
+    # WAU: all activity within 7 days of each active day
+    assert out[d0].wau == 2
+    assert out[d0 + day].wau == 3
+    assert out[d0 + 3 * day].wau == 3
+    assert out[d0 + 3 * day].stickiness == math.floor(2 / 3 * 1e6) / 1e6

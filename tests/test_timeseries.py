@@ -1971,3 +1971,33 @@ def test_granger_planted_causality(spark, tmp_path):
     f = (ssr_r - ssr_u) / (ssr_u / (nd - 3.0))
     assert out[("x", "y")].f_stat == math.floor(f * 1e6) / 1e6
     assert out[("x", "y")].n == len(yt)
+
+
+def test_load_curve_planted_profile(spark, tmp_path):
+    """A 20-observation profile with one peak: exceedance picks replay the
+    exact k = ceil(q*n) order statistics and the load factor is
+    mean/peak."""
+    import math
+
+    import pandas as pd
+
+    vals = [float(v) for v in [50, 52, 48, 51, 49, 50, 53, 47, 50, 52,
+                               100, 51, 49, 50, 48, 52, 50, 51, 49, 50]]
+    rows = [
+        (t + 1, datetime(2024, 1, 1) + pd.Timedelta(hours=t), 1, v)
+        for t, v in enumerate(vals)
+    ]
+    d = _write_events(tmp_path, rows)
+    r = ts.load_curve(spark, d).collect()[0]
+
+    c = sorted(int(round(v * 100)) for v in vals)
+    n = len(c)
+    pick = lambda qn, qd: c[n - ((n * qn + qd - 1) // qd)] / 100.0
+    assert r.n_obs == 20 and r.peak == 100.0
+    assert r.p10_exceed == pick(1, 10)
+    assert r.p50_exceed == pick(1, 2)
+    assert r.p90_exceed == pick(9, 10)
+    mean = sum(c) / n / 100.0
+    assert r.mean_load == math.floor(mean * 1e6) / 1e6
+    assert r.load_factor == math.floor(mean / 100.0 * 1e6) / 1e6
+    assert r.peak_trough_ratio == math.floor(100.0 / 47.0 * 1e6) / 1e6

@@ -3161,3 +3161,89 @@ SELECT c.cohort_wk, c.week_offset, s.n_users,
        floor(CAST(c.cum_cents AS DOUBLE) / CAST(s.n_users AS DOUBLE) / 100.0 * 1e6) / 1e6 AS cum_ltv
 FROM c JOIN sizes s ON s.cohort_wk = c.cohort_wk
 """
+
+
+# ---------------------------------------------------------------------------
+# DAU / new-vs-returning / stickiness — the daily engagement board
+# ---------------------------------------------------------------------------
+
+
+def events_dau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The daily engagement board: DAU split into new vs returning users,
+    trailing-7-day WAU, and stickiness DAU/WAU — the first dashboard every
+    product team builds on an event stream (events_cohort reads retention
+    by cohort; this reads the same dynamics calendar-first).
+
+    Shape: ONE (user, day) distinct pre-aggregation feeds everything —
+    new/returning via a user-grained first-day join (never a second event
+    scan), WAU via a bounded 7-row day-range join against the (user, day)
+    frame followed by a distinct-by-construction count (users are already
+    deduped per day, so counting (window_day, user) pairs after the range
+    join needs one more distinct on a calendar-bounded frame, not a
+    count-distinct shuffle over events). Stickiness is the only double,
+    floor-scaled."""
+    ev = load_table(spark, sf_dir, "events")
+    day = F.date_trunc("day", "ts")
+    ud = ev.select("user_id", day.alias("day")).distinct().localCheckpoint(eager=False)
+    first = ud.groupBy("user_id").agg(F.min("day").alias("first_day"))
+    dau = (
+        ud.join(first, "user_id")
+        .groupBy("day")
+        .agg(
+            F.count(F.lit(1)).alias("dau"),
+            F.sum(F.when(F.col("day") == F.col("first_day"), 1).otherwise(0)).cast("long").alias("new_users"),
+        )
+        .withColumn("returning_users", (F.col("dau") - F.col("new_users")).cast("long"))
+    )
+    days = ud.select("day").distinct()
+    # trailing 7-day window membership: day-range join bounded by the calendar
+    wau = (
+        days.join(
+            ud.select(F.col("day").alias("uday"), "user_id"),
+            (F.col("uday") <= F.col("day"))
+            & (F.col("uday") > F.col("day") - F.expr("INTERVAL 7 DAYS")),
+        )
+        .select("day", "user_id")
+        .distinct()
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).alias("wau"))
+    )
+    out = dau.join(wau, "day")
+    return out.select(
+        "day",
+        "dau",
+        "new_users",
+        "returning_users",
+        "wau",
+        (F.floor(F.col("dau").cast("double") / F.col("wau").cast("double") * 1e6) / 1e6).alias("stickiness"),
+    )
+
+
+EVENTS_DAU_SQL = """
+WITH ud AS (
+    SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day FROM events
+),
+first AS (
+    SELECT user_id, min(day) AS first_day FROM ud GROUP BY user_id
+),
+dau AS (
+    SELECT u.day,
+           count(*) AS dau,
+           CAST(sum(CASE WHEN u.day = f.first_day THEN 1 ELSE 0 END) AS BIGINT) AS new_users
+    FROM ud u JOIN first f ON f.user_id = u.user_id
+    GROUP BY u.day
+),
+days AS (SELECT DISTINCT day FROM ud),
+wau AS (
+    SELECT d.day, count(*) AS wau FROM (
+        SELECT DISTINCT d.day, u.user_id
+        FROM days d JOIN ud u
+          ON u.day <= d.day AND u.day > d.day - INTERVAL 7 DAY
+    ) d GROUP BY d.day
+)
+SELECT d.day, d.dau, d.new_users,
+       CAST(d.dau - d.new_users AS BIGINT) AS returning_users,
+       w.wau,
+       floor(CAST(d.dau AS DOUBLE) / CAST(w.wau AS DOUBLE) * 1e6) / 1e6 AS stickiness
+FROM dau d JOIN wau w ON w.day = d.day
+"""

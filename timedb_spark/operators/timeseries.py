@@ -5164,3 +5164,93 @@ SELECT type_x, type_y, n,
             WHEN cy1y1 > 0.0 AND det > 0.0 AND ssr_u > 0.0 THEN 'no_evidence' END AS verdict
 FROM r
 """
+
+
+# ---------------------------------------------------------------------------
+# load-duration curve — exceedance quantiles + load factor per series
+# ---------------------------------------------------------------------------
+
+_LDC_MIN_OBS = 20
+
+
+def load_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Load-duration-curve readout per user series — the energy-analytics
+    staple the reference's users live on (sort the observations descending
+    and read the exceedance levels): peak, p10/p50/p90 exceedance values
+    as EXACT order statistics, load factor (mean/peak — how flat is the
+    profile), and the peak-to-trough ratio. A flat industrial base load
+    reads load_factor ≈ 1; a spiky residential profile reads ≪ 1 and
+    drives capacity sizing.
+
+    One groupBy(user) sorted collect (the theta shuffle shape); the curve
+    IS the descending sort of the cents array, levels are k = ⌈q·n⌉
+    element picks (integer-div formula, no interpolation-mode ambiguity —
+    the ts_var_es convention), mean from the exact integer sum. Doubles
+    only in the two final ratios, floor-scaled."""
+    ev = load_table(spark, sf_dir, "events")
+    s = F.struct(F.col("ts"), F.col("event_id"), F.col("value"))
+    g = ev.groupBy("user_id").agg(F.array_sort(F.collect_list(s)).alias("hist"))
+    cents = F.transform("hist", lambda r: (r["value"].cast("decimal(18,2)") * 100).cast("long"))
+    g = g.select("user_id", F.array_sort(cents).alias("asc"), F.size("hist").cast("long").alias("n_obs"))
+    g = g.filter(F.col("n_obs") >= _LDC_MIN_OBS)
+    # descending curve = ascending array read from the top
+    n = F.col("n_obs")
+
+    def exceed(q_num: int, q_den: int):
+        # value exceeded q of the time = element ⌈q·n⌉ from the top
+        k = F.floor((n * q_num + q_den - 1) / q_den).cast("int")
+        return F.element_at("asc", (n.cast("int") - k + 1))
+
+    peak = F.element_at("asc", n.cast("int"))
+    trough = F.element_at("asc", 1)
+    total = F.aggregate("asc", F.lit(0).cast("long"), lambda a, x: a + x)
+    mean = total.cast("double") / n.cast("double")
+    lf = F.when(peak > 0, mean / peak.cast("double"))
+    ptr = F.when(trough > 0, peak.cast("double") / trough.cast("double"))
+    return g.select(
+        "user_id",
+        "n_obs",
+        (peak.cast("double") / 100.0).alias("peak"),
+        (exceed(1, 10).cast("double") / 100.0).alias("p10_exceed"),
+        (exceed(1, 2).cast("double") / 100.0).alias("p50_exceed"),
+        (exceed(9, 10).cast("double") / 100.0).alias("p90_exceed"),
+        (F.floor(mean / 100.0 * 1e6) / 1e6).alias("mean_load"),
+        F.when(lf.isNotNull(), F.floor(lf * 1e6) / 1e6).alias("load_factor"),
+        F.when(ptr.isNotNull(), F.floor(ptr * 1e6) / 1e6).alias("peak_trough_ratio"),
+    )
+
+
+LOAD_CURVE_SQL = f"""
+WITH hist AS (
+    SELECT user_id,
+           list_sort(list_transform(
+               list_sort(list(struct_pack(ts := ts, e := event_id, v := value))),
+               s -> CAST(CAST(s.v AS DECIMAL(18,2)) * 100 AS BIGINT))) AS asc_,
+           count(*) AS n_obs
+    FROM events GROUP BY user_id
+),
+base AS (
+    SELECT user_id, asc_, CAST(n_obs AS BIGINT) AS n_obs,
+           CAST(len(asc_) AS INT) AS ni
+    FROM hist WHERE n_obs >= {_LDC_MIN_OBS}
+),
+m AS (
+    SELECT user_id, n_obs, ni, asc_,
+           asc_[ni] AS peak, asc_[1] AS trough,
+           CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), asc_), (a, x) -> a + x) AS DOUBLE)
+               / CAST(n_obs AS DOUBLE) AS mean_c,
+           asc_[ni - CAST((n_obs * 1 + 9) // 10 AS INT) + 1] AS e10,
+           asc_[ni - CAST((n_obs * 1 + 1) // 2 AS INT) + 1] AS e50,
+           asc_[ni - CAST((n_obs * 9 + 9) // 10 AS INT) + 1] AS e90
+    FROM base
+)
+SELECT user_id, n_obs,
+       CAST(peak AS DOUBLE) / 100.0 AS peak,
+       CAST(e10 AS DOUBLE) / 100.0 AS p10_exceed,
+       CAST(e50 AS DOUBLE) / 100.0 AS p50_exceed,
+       CAST(e90 AS DOUBLE) / 100.0 AS p90_exceed,
+       floor(mean_c / 100.0 * 1e6) / 1e6 AS mean_load,
+       CASE WHEN peak > 0 THEN floor(mean_c / CAST(peak AS DOUBLE) * 1e6) / 1e6 END AS load_factor,
+       CASE WHEN trough > 0 THEN floor(CAST(peak AS DOUBLE) / CAST(trough AS DOUBLE) * 1e6) / 1e6 END AS peak_trough_ratio
+FROM m
+"""
