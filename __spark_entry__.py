@@ -1269,6 +1269,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_knn_graph": similarity.embed_knn_graph,
         "ts_load_curve": timeseries.load_curve,
         "events_dau": analytics.events_dau,
+        "ts_peak_detect": timeseries.peak_detect,
     }
     out = {k: reg[k] for k in _R7_WINDOW}
     out.update((k, v) for k, v in reg.items() if k not in out)
@@ -1723,6 +1724,7 @@ def oracle_sql() -> dict[str, str]:
         "embed_knn_graph": similarity.EMBED_KNN_GRAPH_SQL,
         "ts_load_curve": timeseries.LOAD_CURVE_SQL,
         "events_dau": analytics.EVENTS_DAU_SQL,
+        "ts_peak_detect": timeseries.PEAK_DETECT_SQL,
         "events_abtest": analytics.EVENTS_ABTEST_SQL,
         "profile_drift": pipeline.PROFILE_DRIFT_SQL,
         "events_paths": analytics.EVENTS_PATHS_SQL,

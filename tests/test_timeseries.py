@@ -2001,3 +2001,32 @@ def test_load_curve_planted_profile(spark, tmp_path):
     assert r.mean_load == math.floor(mean * 1e6) / 1e6
     assert r.load_factor == math.floor(mean / 100.0 * 1e6) / 1e6
     assert r.peak_trough_ratio == math.floor(100.0 / 47.0 * 1e6) / 1e6
+
+
+def test_peak_detect_planted_peaks(spark, tmp_path):
+    """Two prominent spikes on a flat line are the only peaks; a strict-max
+    plateau (two equal tops) and a sub-prominence wiggle are rejected;
+    spacing replays the exact microsecond mean."""
+    import math
+
+    import pandas as pd
+
+    vals = [100.0] * 30
+    vals[5] = 150.0    # peak 1
+    vals[20] = 140.0   # peak 2
+    vals[10] = 102.0   # wiggle: 20*(10200-10000)=40000 < 10200? no — prominent?
+    vals[10] = 100.5   # 20*(10050-10000)=1000 < 10050 → NOT prominent
+    vals[14] = 130.0   # plateau pair...
+    vals[15] = 130.0   # two equal tops → neither is a STRICT max
+    rows = [
+        (t + 1, datetime(2024, 1, 1) + pd.Timedelta(hours=t), 1, v)
+        for t, v in enumerate(vals)
+    ]
+    d = _write_events(tmp_path, rows)
+    r = ts.peak_detect(spark, d).collect()[0]
+
+    assert r.n_obs == 30 and r.n_peaks == 2
+    assert r.max_peak == 150.0
+    assert r.peak_rate == math.floor(2 / 30 * 1e6) / 1e6
+    # peaks at hours 5 and 20 → one 15-hour gap
+    assert r.mean_gap_minutes == 15 * 60.0

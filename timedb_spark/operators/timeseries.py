@@ -5254,3 +5254,94 @@ SELECT user_id, n_obs,
        CASE WHEN trough > 0 THEN floor(CAST(peak AS DOUBLE) / CAST(trough AS DOUBLE) * 1e6) / 1e6 END AS peak_trough_ratio
 FROM m
 """
+
+
+# ---------------------------------------------------------------------------
+# peak detection — demand peaks with a prominence floor
+# ---------------------------------------------------------------------------
+
+_PEAK_HALF_WIN = 2      # ±2 neighbors
+_PEAK_PROM_PCT = 20     # prominence: 20·(x − wmin) ≥ x  ⇔  (x − wmin) ≥ 5% of x
+
+
+def peak_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Demand-peak detection per user series: a peak is a STRICT local
+    maximum over ±2 neighbors whose prominence over the window minimum
+    clears 5% of its own level — the capacity/billing-relevant events
+    (energy demand charges bill the monthly peak; ts_anomaly_* hunts
+    errors, this hunts legitimate extremes). Emits per-series peak count,
+    peak rate, the maximum peak level, and the mean inter-peak spacing.
+
+    ONE per-user window sort shared by every column (bollinger's shape):
+    the ±2 frame rides as a 5-element collected array, strictness is
+    "exactly one element ≥ x" and prominence is pure integer-cent
+    arithmetic (20·(x−min) ≥ x — no floats in the predicate); the rollup
+    is map-side combined. Mean spacing = (last − first)/(n−1) on exact
+    microseconds — one double division, floor-scaled."""
+    ev = load_table(spark, sf_dir, "events")
+    c = (F.col("value").cast("decimal(18,2)") * 100).cast("long")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    frame = w.rowsBetween(-_PEAK_HALF_WIN, _PEAK_HALF_WIN)
+    d = ev.select("user_id", "ts", c.alias("x"), F.collect_list(c).over(frame).alias("arr"))
+    full = F.size("arr") == (2 * _PEAK_HALF_WIN + 1)
+    strict_max = F.size(F.filter("arr", lambda v: v >= F.col("x"))) == 1
+    wmin = F.array_min("arr")
+    prominent = (F.lit(_PEAK_PROM_PCT) * (F.col("x") - wmin)) >= F.col("x")
+    d = d.withColumn("is_peak", full & strict_max & prominent & (F.col("x") > 0))
+    peaks = d.filter(F.col("is_peak"))
+    g = peaks.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_peaks"),
+        F.max("x").alias("max_peak_c"),
+        F.min(F.unix_micros("ts")).alias("first_us"),
+        F.max(F.unix_micros("ts")).alias("last_us"),
+    )
+    totals = d.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_obs"))
+    g = g.join(totals, "user_id")
+    spacing = F.when(
+        F.col("n_peaks") > 1,
+        (F.col("last_us") - F.col("first_us")).cast("double")
+        / (F.col("n_peaks") - 1).cast("double") / 60_000_000.0,
+    )
+    return g.select(
+        "user_id",
+        "n_obs",
+        "n_peaks",
+        (F.col("max_peak_c").cast("double") / 100.0).alias("max_peak"),
+        (F.floor(F.col("n_peaks").cast("double") / F.col("n_obs").cast("double") * 1e6) / 1e6).alias("peak_rate"),
+        F.when(spacing.isNotNull(), F.floor(spacing * 1e6) / 1e6).alias("mean_gap_minutes"),
+    )
+
+
+PEAK_DETECT_SQL = f"""
+WITH base AS (
+    SELECT user_id, ts,
+           CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS x,
+           list(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN {_PEAK_HALF_WIN} PRECEDING AND {_PEAK_HALF_WIN} FOLLOWING) AS arr
+    FROM events
+),
+flags AS (
+    SELECT user_id, ts, x,
+           len(arr) = {2 * _PEAK_HALF_WIN + 1}
+           AND len(list_filter(arr, v -> v >= x)) = 1
+           AND {_PEAK_PROM_PCT} * (x - list_min(arr)) >= x
+           AND x > 0 AS is_peak
+    FROM base
+),
+peaks AS (
+    SELECT user_id, count(*) AS n_peaks,
+           CAST(max(x) AS BIGINT) AS max_peak_c,
+           CAST(min(epoch_us(ts)) AS BIGINT) AS first_us,
+           CAST(max(epoch_us(ts)) AS BIGINT) AS last_us
+    FROM flags WHERE is_peak GROUP BY user_id
+),
+totals AS (SELECT user_id, count(*) AS n_obs FROM flags GROUP BY user_id)
+SELECT p.user_id, t.n_obs, p.n_peaks,
+       CAST(p.max_peak_c AS DOUBLE) / 100.0 AS max_peak,
+       floor(CAST(p.n_peaks AS DOUBLE) / CAST(t.n_obs AS DOUBLE) * 1e6) / 1e6 AS peak_rate,
+       CASE WHEN p.n_peaks > 1
+            THEN floor(CAST(p.last_us - p.first_us AS DOUBLE)
+                       / CAST(p.n_peaks - 1 AS DOUBLE) / 60000000.0 * 1e6) / 1e6 END AS mean_gap_minutes
+FROM peaks p JOIN totals t ON t.user_id = p.user_id
+"""
