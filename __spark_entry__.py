@@ -1270,6 +1270,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_load_curve": timeseries.load_curve,
         "events_dau": analytics.events_dau,
         "ts_peak_detect": timeseries.peak_detect,
+        "dedup_winnowing": dedup.dedup_winnowing,
+        "ts_missingness": timeseries.missingness,
     }
     out = {k: reg[k] for k in _R7_WINDOW}
     out.update((k, v) for k, v in reg.items() if k not in out)
@@ -1725,6 +1727,8 @@ def oracle_sql() -> dict[str, str]:
         "ts_load_curve": timeseries.LOAD_CURVE_SQL,
         "events_dau": analytics.EVENTS_DAU_SQL,
         "ts_peak_detect": timeseries.PEAK_DETECT_SQL,
+        "dedup_winnowing": dedup.DEDUP_WINNOWING_SQL,
+        "ts_missingness": timeseries.MISSINGNESS_SQL,
         "events_abtest": analytics.EVENTS_ABTEST_SQL,
         "profile_drift": pipeline.PROFILE_DRIFT_SQL,
         "events_paths": analytics.EVENTS_PATHS_SQL,

@@ -327,3 +327,65 @@ def test_text_code_detect_planted(spark, tmp_path):
     n_sym = len(re.findall(r"[{}()\[\];=<>]", code))
     assert out[1].n_symbols == n_sym
     assert out[2].n_ident_hits == 0
+
+
+def test_dedup_winnowing_planted_copy(spark, tmp_path):
+    """A doc and its suffix-appended copy share nearly all winnowed
+    fingerprints (overlap ≥ τ); two unrelated docs share none. Replays the
+    exact window-min selection in python."""
+    import math
+    import os
+
+    import pandas as pd
+
+    base = "the quick brown fox jumps over the lazy dog again and again " * 3
+    other = "completely different words about completely different topics here " * 3
+    docs = pd.DataFrame(
+        {
+            "doc_id": [1, 2],
+            "text": [base, other],
+            "lang": ["en", "en"],
+            "source": ["s", "s"],
+            "n_chars": [len(base), len(other)],
+        }
+    )
+    d = str(tmp_path / "sf")
+    os.makedirs(d)
+    docs.to_parquet(os.path.join(d, "documents.parquet"))
+
+    from timedb_spark.operators import dedup as dd
+
+    # doc_corpus plants: +100000 near-copy of doc_id % 10 == 0 (none here),
+    # +200000 exact copy of doc_id % 7 == 0 (none) — so pairs come only
+    # from the two planted docs, which should NOT pair.
+    out = dd.dedup_winnowing(spark, d).collect()
+    assert out == []
+
+    # ids divisible by 10 get a near-copy planted by doc_corpus
+    docs2 = docs.copy()
+    docs2["doc_id"] = [10, 3]
+    d2 = str(tmp_path / "sf2")
+    os.makedirs(d2)
+    docs2.to_parquet(os.path.join(d2, "documents.parquet"))
+    out2 = dd.dedup_winnowing(spark, d2).collect()
+    assert len(out2) == 1
+    r = out2[0]
+    assert (r.doc_a, r.doc_b) == (10, 100010)
+    assert r.overlap >= 0.6
+
+    # python replay of the fingerprint sets
+    import hashlib
+
+    def fps(text):
+        w = text.split()
+        g = []
+        for i in range(len(w) - 2):
+            s = " ".join(w[i : i + 3])
+            g.append(int(hashlib.md5(s.encode()).hexdigest()[:6], 16))
+        return g, {min(g[j : j + 4]) for j in range(len(g) - 3)}
+
+    g1, f1 = fps(base)
+    _, f2 = fps(base + " qq zz yy xx")
+    shared = len(f1 & f2)
+    assert r.n_shared == shared
+    assert r.overlap == math.floor(shared / min(len(f1), len(f2)) * 1e6) / 1e6

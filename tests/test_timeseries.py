@@ -2030,3 +2030,28 @@ def test_peak_detect_planted_peaks(spark, tmp_path):
     assert r.peak_rate == math.floor(2 / 30 * 1e6) / 1e6
     # peaks at hours 5 and 20 → one 15-hour gap
     assert r.mean_gap_minutes == 15 * 60.0
+
+
+def test_missingness_planted_holes(spark, tmp_path):
+    """A series spanning 50 hours with 5 missing ones scores 45/50; a
+    dense series is 'complete'."""
+    import math
+
+    import pandas as pd
+
+    rows, eid = [], 0
+    holes = {7, 13, 21, 33, 40}
+    for t in range(50):
+        if t in holes:
+            continue
+        eid += 1
+        rows.append((eid, datetime(2024, 1, 1) + pd.Timedelta(hours=t), 1, 10.0))
+    for t in range(30):
+        eid += 1
+        rows.append((eid, datetime(2024, 1, 1) + pd.Timedelta(hours=t), 2, 10.0))
+    d = _write_events(tmp_path, rows)
+    out = {r.user_id: r for r in ts.missingness(spark, d).collect()}
+    assert out[1].n_hours_expected == 50 and out[1].n_missing == 5
+    assert out[1].completeness == math.floor(45 / 50 * 1e6) / 1e6
+    assert out[1].verdict == "gappy"
+    assert out[2].verdict == "complete" and out[2].n_missing == 0

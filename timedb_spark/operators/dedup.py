@@ -1073,3 +1073,126 @@ true_pairs AS MATERIALIZED (
 )
 {" UNION ALL ".join(_lsh_row_sql(b, r, s50, f"b{b}") for b, r, s50 in _LSH_CONFIGS)}
 """
+
+
+# ---------------------------------------------------------------------------
+# winnowing fingerprints — the plagiarism-detection dedup (MOSS)
+# ---------------------------------------------------------------------------
+
+_WIN_K = 3    # word k-grams
+_WIN_W = 4    # winnowing window (guarantee: every W consecutive k-grams share a pick)
+_WIN_TAU = 0.6
+
+
+def dedup_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing near-dup detection (Schleimer, Wilkerson & Aiken 2003 —
+    the MOSS fingerprint): hash every word 3-gram, slide a window of 4
+    hashes, keep each window's MINIMUM — the selection with the guarantee
+    that any match of ≥ w+k−1 tokens shares at least one fingerprint, at
+    ~2/(w+1) storage. Docs pairing on shared fingerprints with overlap
+    ≥ τ·min-set-size are near-dups — the fourth candidate-generation
+    strategy next to minhash (set-sketch), simhash (bit-sketch) and
+    shingle blocking (exact), and the one that localizes WHERE the copy
+    is (value-set variant here; positions ride along in the full MOSS).
+
+    Shape: fingerprints are per-doc array math on one scan (no explode
+    until the selected ~2/(w+1) subset), candidates from ONE equi-join on
+    the fingerprint key — bounded by co-occurrence like every dedup
+    member, never n². Hashes are exact 24-bit md5-nibble integers (the
+    text_fingerprint convention), so both engines select identical
+    minima."""
+    corpus = doc_corpus(spark, sf_dir)
+    w = tt.ws_tokens(F.col("text"))
+    d = corpus.select("doc_id", w.alias("w")).withColumn("nw", F.size("w"))
+    d = d.filter(F.col("nw") >= _WIN_K + _WIN_W - 1)
+    # gram strings once, then ONE md5 per gram (conv(hex) == the nibble
+    # chain's value; the chain re-evaluates md5 per nibble inside a lambda
+    # — measured 295 s → 8 s at sf0.01)
+    gstr = F.transform(
+        F.sequence(F.lit(1), F.col("nw") - (_WIN_K - 1)),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at("w", (i + k).cast("int")) for k in range(_WIN_K)]
+        ),
+    )
+    d = d.withColumn("gs", gstr)
+    grams = F.transform(
+        "gs", lambda s: F.conv(F.substring(F.md5(s), 1, 6), 16, 10).cast("long")
+    )
+    d = d.withColumn("g", grams).withColumn("ng", F.size("g"))
+    # Window minima via posexplode + a ROWS window, NOT array lambdas:
+    # Catalyst inlines the gram transform into every element access, so an
+    # array-side slice/array_min formulation re-evaluates the md5 chain
+    # per WINDOW — O(m²) hash work (measured 114 s at sf0.01; this shape
+    # is 3 s). The explode evaluates g exactly once per document.
+    from pyspark.sql import Window as _W
+
+    pe = d.select("doc_id", "ng", F.posexplode("g").alias("pos", "h"))
+    roww = _W.partitionBy("doc_id").orderBy("pos").rowsBetween(0, _WIN_W - 1)
+    mins = pe.select(
+        "doc_id", "pos", "ng", F.min("h").over(roww).alias("fp")
+    ).filter(F.col("pos") <= F.col("ng") - _WIN_W)
+    sel = mins.select("doc_id", "fp").distinct()
+    sizes = sel.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_fp"))
+    ex = sel.join(sizes, "doc_id").select("doc_id", "n_fp", "fp")
+    a = ex.select(F.col("doc_id").alias("doc_a"), F.col("n_fp").alias("na"), "fp")
+    b = ex.select(F.col("doc_id").alias("doc_b"), F.col("n_fp").alias("nb"), "fp")
+    pairs = (
+        a.join(b, "fp")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b", "na", "nb")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    overlap = F.col("n_shared").cast("double") / F.least("na", "nb").cast("double")
+    return (
+        pairs.select(
+            "doc_a", "doc_b", "n_shared",
+            (F.floor(overlap * 1e6) / 1e6).alias("overlap"),
+        )
+        .filter(F.col("overlap") >= _WIN_TAU)
+    )
+
+
+_WIN_TH_SQL = (
+    "((strpos('0123456789abcdef', substr(md5({t}),1,1))-1) * 1048576"
+    " + (strpos('0123456789abcdef', substr(md5({t}),2,1))-1) * 65536"
+    " + (strpos('0123456789abcdef', substr(md5({t}),3,1))-1) * 4096"
+    " + (strpos('0123456789abcdef', substr(md5({t}),4,1))-1) * 256"
+    " + (strpos('0123456789abcdef', substr(md5({t}),5,1))-1) * 16"
+    " + (strpos('0123456789abcdef', substr(md5({t}),6,1))-1))"
+)
+
+DEDUP_WINNOWING_SQL = rf"""
+WITH corpus AS ({DOC_CORPUS_SQL}),
+toks AS (
+    SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+    FROM corpus
+),
+base AS (
+    SELECT doc_id, w, len(w) AS nw FROM toks WHERE len(w) >= {_WIN_K + _WIN_W - 1}
+),
+grams AS (
+    SELECT doc_id,
+           list_transform(range(1, nw - {_WIN_K - 1} + 1),
+               i -> {_WIN_TH_SQL.format(t="array_to_string(w[i:i+" + str(_WIN_K - 1) + "], ' ')")}) AS g
+    FROM base
+),
+sel AS (
+    SELECT doc_id,
+           list_distinct(list_transform(range(1, len(g) - {_WIN_W - 1} + 1),
+               j -> list_min(g[j:j+{_WIN_W - 1}]))) AS fps
+    FROM grams
+),
+ex AS (
+    SELECT doc_id, len(fps) AS n_fp, unnest(fps) AS fp FROM sel
+),
+pairs AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.n_fp AS na, b.n_fp AS nb,
+           count(*) AS n_shared
+    FROM ex a JOIN ex b ON a.fp = b.fp AND a.doc_id < b.doc_id
+    GROUP BY 1, 2, 3, 4
+)
+SELECT doc_a, doc_b, n_shared,
+       floor(CAST(n_shared AS DOUBLE) / CAST(least(na, nb) AS DOUBLE) * 1e6) / 1e6 AS overlap
+FROM pairs
+WHERE CAST(n_shared AS DOUBLE) / CAST(least(na, nb) AS DOUBLE) >= {_WIN_TAU}
+"""

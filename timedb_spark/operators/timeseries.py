@@ -5345,3 +5345,57 @@ SELECT p.user_id, t.n_obs, p.n_peaks,
                        / CAST(p.n_peaks - 1 AS DOUBLE) / 60000000.0 * 1e6) / 1e6 END AS mean_gap_minutes
 FROM peaks p JOIN totals t ON t.user_id = p.user_id
 """
+
+
+# ---------------------------------------------------------------------------
+# missingness — feed completeness on the hourly grid
+# ---------------------------------------------------------------------------
+
+_MISS_COMPLETE = 0.99
+
+
+def missingness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feed-completeness scorecard per user series on the hourly grid:
+    distinct observed hours vs the hours the series' own [first, last]
+    extent implies — the single number ("98.4% complete, 37 holes") that
+    decides whether ts_resample_locf/ts_interpolate is safe to run, where
+    ts_gap_detect lists the individual holes. One fine-keyed distinct +
+    one map-side-combined rollup; all exact integers except the
+    floor-scaled ratio."""
+    ev = load_table(spark, sf_dir, "events")
+    h = F.expr("unix_micros(ts) div 3600000000")
+    hours = ev.select("user_id", h.alias("h")).distinct()
+    g = hours.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_hours_observed"),
+        F.min("h").alias("first_h"),
+        F.max("h").alias("last_h"),
+    )
+    expected = (F.col("last_h") - F.col("first_h") + 1).cast("long")
+    ratio = F.col("n_hours_observed").cast("double") / expected.cast("double")
+    return g.select(
+        "user_id",
+        "n_hours_observed",
+        expected.alias("n_hours_expected"),
+        (expected - F.col("n_hours_observed")).cast("long").alias("n_missing"),
+        (F.floor(ratio * 1e6) / 1e6).alias("completeness"),
+        F.when(ratio >= _MISS_COMPLETE, F.lit("complete")).otherwise(F.lit("gappy")).alias("verdict"),
+    )
+
+
+MISSINGNESS_SQL = f"""
+WITH hours AS (
+    SELECT DISTINCT user_id, epoch_us(ts) // 3600000000 AS h FROM events
+),
+g AS (
+    SELECT user_id, count(*) AS n_hours_observed,
+           min(h) AS first_h, max(h) AS last_h
+    FROM hours GROUP BY user_id
+)
+SELECT user_id, n_hours_observed,
+       CAST(last_h - first_h + 1 AS BIGINT) AS n_hours_expected,
+       CAST(last_h - first_h + 1 - n_hours_observed AS BIGINT) AS n_missing,
+       floor(CAST(n_hours_observed AS DOUBLE) / CAST(last_h - first_h + 1 AS DOUBLE) * 1e6) / 1e6 AS completeness,
+       CASE WHEN CAST(n_hours_observed AS DOUBLE) / CAST(last_h - first_h + 1 AS DOUBLE) >= {_MISS_COMPLETE!r}
+            THEN 'complete' ELSE 'gappy' END AS verdict
+FROM g
+"""
