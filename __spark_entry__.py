@@ -1272,6 +1272,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_peak_detect": timeseries.peak_detect,
         "dedup_winnowing": dedup.dedup_winnowing,
         "ts_missingness": timeseries.missingness,
+        "ts_arch_test": timeseries.arch_test,
     }
     out = {k: reg[k] for k in _R7_WINDOW}
     out.update((k, v) for k, v in reg.items() if k not in out)
@@ -1729,6 +1730,7 @@ def oracle_sql() -> dict[str, str]:
         "ts_peak_detect": timeseries.PEAK_DETECT_SQL,
         "dedup_winnowing": dedup.DEDUP_WINNOWING_SQL,
         "ts_missingness": timeseries.MISSINGNESS_SQL,
+        "ts_arch_test": timeseries.ARCH_TEST_SQL,
         "events_abtest": analytics.EVENTS_ABTEST_SQL,
         "profile_drift": pipeline.PROFILE_DRIFT_SQL,
         "events_paths": analytics.EVENTS_PATHS_SQL,

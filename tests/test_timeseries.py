@@ -2055,3 +2055,63 @@ def test_missingness_planted_holes(spark, tmp_path):
     assert out[1].completeness == math.floor(45 / 50 * 1e6) / 1e6
     assert out[1].verdict == "gappy"
     assert out[2].verdict == "complete" and out[2].n_missing == 0
+
+
+def test_arch_test_planted_regimes(spark, tmp_path):
+    """Alternating calm/turbulent blocks autocorrelate the squared changes
+    (arch_effect); same-magnitude changes applied uniformly are
+    homoskedastic; Q replays the exact fold."""
+    import math
+
+    import pandas as pd
+
+    rows, eid = [], 0
+    # user 1: 10 calm (±0.1) then 10 wild (±8) alternating blocks — ARCH
+    v, vals1 = 100.0, []
+    for t in range(80):
+        amp = 8.0 if (t // 10) % 2 else 0.1
+        v += amp if t % 2 == 0 else -amp
+        vals1.append(v)
+    for t, x in enumerate(vals1):
+        eid += 1
+        rows.append((eid, datetime(2024, 1, 1) + pd.Timedelta(hours=t), 1, x))
+    # user 2: constant ±3 alternation — squared changes constant → denom 0
+    # guard? no: all squared deltas equal → dev 0 → denom 0 → filtered out
+    v, vals2 = 100.0, []
+    for t in range(80):
+        v += 3.0 if t % 2 == 0 else -3.0
+        vals2.append(v)
+    for t, x in enumerate(vals2):
+        eid += 1
+        rows.append((eid, datetime(2024, 1, 1) + pd.Timedelta(hours=t), 2, x))
+    # user 3: LCG-modulated magnitudes, no regime structure
+    s, v, vals3 = 9, 100.0, []
+    for t in range(80):
+        s = (s * 1103515245 + 12345) % (2**31)
+        amp = 1.0 + (s % 7)
+        v += amp if t % 2 == 0 else -amp
+        vals3.append(v)
+    for t, x in enumerate(vals3):
+        eid += 1
+        rows.append((eid, datetime(2024, 1, 1) + pd.Timedelta(hours=t), 3, x))
+    d = _write_events(tmp_path, rows)
+
+    out = {r.user_id: r for r in ts.arch_test(spark, d).collect()}
+    assert out[1].verdict == "arch_effect" and out[1].acf_sq_lag1 > 0.3
+    assert 2 not in out  # zero-variance squared changes filtered by denom>0
+    assert out[3].verdict == "homoskedastic"
+
+    def replay(vals):
+        c = [int(round(x * 100)) for x in vals]
+        c2 = [(c[i] - c[i - 1]) ** 2 for i in range(1, len(c))]
+        n = len(c2)
+        mu = sum(c2) / n
+        dev = [x - mu for x in c2]
+        denom = sum(x * x for x in dev)
+        q = 0.0
+        for k in range(1, 6):
+            rk = sum(dev[t] * dev[t + k] for t in range(n - k)) / denom
+            q += rk * rk / (n - k)
+        return n * (n + 2.0) * q
+
+    assert out[1].q_stat == math.floor(replay(vals1) * 1e6) / 1e6

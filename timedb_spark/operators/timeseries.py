@@ -5399,3 +5399,131 @@ SELECT user_id, n_hours_observed,
             THEN 'complete' ELSE 'gappy' END AS verdict
 FROM g
 """
+
+
+# ---------------------------------------------------------------------------
+# ARCH-effect test — volatility clustering on squared changes
+# ---------------------------------------------------------------------------
+
+_ARCH_CRIT = 15.08627246938899  # chi-square df=5, p=0.01
+_ARCH_MIN_OBS = 31  # >= 30 squared deltas
+
+
+def arch_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ARCH-effect (volatility-clustering) screen per user series: the
+    Ljung-Box portmanteau applied to SQUARED one-step changes — quiet and
+    turbulent periods alternating (GARCH territory) autocorrelate the
+    squared changes even when the changes themselves are white
+    (McLeod–Li 1983). ts_ljung_box reads level structure; this reads RISK
+    structure — the check that decides whether ts_bollinger's
+    local-volatility envelope is needed over ts_anomaly_zscore's global
+    σ. Verdict at the χ²₅, p = 0.01 critical value.
+
+    Shape and determinism are ts_ljung_box's verbatim (one sorted collect,
+    exact integer-cent deltas squared as exact longs, fixed-order
+    deviation folds); only the input sequence differs."""
+    ev = load_table(spark, sf_dir, "events")
+    s = F.struct(F.col("ts"), F.col("event_id"), F.col("value"))
+    g = ev.groupBy("user_id").agg(F.array_sort(F.collect_list(s)).alias("hist"))
+    cents = F.transform("hist", lambda r: (r["value"].cast("decimal(18,2)") * 100).cast("long"))
+    g = g.select("user_id", cents.alias("c"), F.size("hist").alias("n_raw"))
+    g = g.filter(F.col("n_raw") >= _ARCH_MIN_OBS)
+    sq = F.transform(
+        F.sequence(F.lit(2), F.col("n_raw")),
+        lambda i: (
+            (F.element_at("c", i.cast("int")) - F.element_at("c", (i - 1).cast("int")))
+            * (F.element_at("c", i.cast("int")) - F.element_at("c", (i - 1).cast("int")))
+        ),
+    )
+    g = g.select("user_id", sq.alias("c2"), (F.col("n_raw") - 1).alias("n_obs"))
+    zero = F.lit(0).cast("long")
+    sx = F.aggregate("c2", zero, lambda acc, x: acc + x)
+    mu = sx.cast("double") / F.col("n_obs").cast("double")
+    g = g.withColumn("mu", mu)
+    g = g.withColumn("dev", F.transform("c2", lambda x: x.cast("double") - F.col("mu")))
+    g = g.withColumn("denom", F.aggregate("dev", F.lit(0.0), lambda acc, x: acc + x * x))
+
+    def _num(k: int):
+        return F.aggregate(
+            F.sequence(F.lit(1), F.col("n_obs") - k),
+            F.lit(0.0),
+            lambda acc, t: acc
+            + F.element_at("dev", t.cast("int")) * F.element_at("dev", (t + k).cast("int")),
+        )
+
+    nd = F.col("n_obs").cast("double")
+    q = F.lit(0.0)
+    r1 = None
+    for k in range(1, _LB_LAGS + 1):
+        rk = _num(k) / F.col("denom")
+        if k == 1:
+            r1 = rk
+        q = q + rk * rk / (nd - float(k))
+    q = nd * (nd + 2.0) * q
+    return g.filter(F.col("denom") > 0).select(
+        "user_id",
+        F.col("n_obs").cast("long").alias("n_sq_changes"),
+        (F.floor(r1 * 1e6) / 1e6).alias("acf_sq_lag1"),
+        (F.floor(q * 1e6) / 1e6).alias("q_stat"),
+        F.when(q > _ARCH_CRIT, F.lit("arch_effect")).otherwise(F.lit("homoskedastic")).alias("verdict"),
+    )
+
+
+ARCH_TEST_SQL = f"""
+WITH hist AS (
+    SELECT user_id,
+           list_transform(
+               list_sort(list(struct_pack(ts := ts, e := event_id, v := value))),
+               s -> CAST(CAST(s.v AS DECIMAL(18,2)) * 100 AS BIGINT)) AS c
+    FROM events GROUP BY user_id
+),
+sq AS (
+    SELECT user_id, len(c) - 1 AS n_obs,
+           list_transform(range(2, len(c) + 1),
+               i -> (c[CAST(i AS INT)] - c[CAST(i AS INT) - 1])
+                  * (c[CAST(i AS INT)] - c[CAST(i AS INT) - 1])) AS c2
+    FROM hist WHERE len(c) >= {_ARCH_MIN_OBS}
+),
+base AS (
+    SELECT user_id, n_obs,
+           CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), c2), (a, x) -> a + x) AS DOUBLE)
+               / CAST(n_obs AS DOUBLE) AS mu,
+           c2
+    FROM sq
+),
+dv AS (
+    SELECT user_id, n_obs,
+           list_transform(c2, x -> CAST(x AS DOUBLE) - mu) AS dev
+    FROM base
+),
+dn AS (
+    SELECT user_id, n_obs, dev,
+           list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                                    list_transform(dev, x -> x * x)), (a, b) -> a + b) AS denom
+    FROM dv
+),
+rk AS (
+    SELECT user_id, n_obs, denom,
+           {_lb_num_sql(1)} / denom AS r1,
+           {_lb_num_sql(2)} / denom AS r2,
+           {_lb_num_sql(3)} / denom AS r3,
+           {_lb_num_sql(4)} / denom AS r4,
+           {_lb_num_sql(5)} / denom AS r5
+    FROM dn WHERE denom > 0
+),
+q AS (
+    SELECT user_id, n_obs, r1,
+           CAST(n_obs AS DOUBLE) * (CAST(n_obs AS DOUBLE) + 2.0) *
+           (r1 * r1 / (CAST(n_obs AS DOUBLE) - 1.0)
+          + r2 * r2 / (CAST(n_obs AS DOUBLE) - 2.0)
+          + r3 * r3 / (CAST(n_obs AS DOUBLE) - 3.0)
+          + r4 * r4 / (CAST(n_obs AS DOUBLE) - 4.0)
+          + r5 * r5 / (CAST(n_obs AS DOUBLE) - 5.0)) AS q_stat
+    FROM rk
+)
+SELECT user_id, CAST(n_obs AS BIGINT) AS n_sq_changes,
+       floor(r1 * 1e6) / 1e6 AS acf_sq_lag1,
+       floor(q_stat * 1e6) / 1e6 AS q_stat,
+       CASE WHEN q_stat > {_ARCH_CRIT!r} THEN 'arch_effect' ELSE 'homoskedastic' END AS verdict
+FROM q
+"""
