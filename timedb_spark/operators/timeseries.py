@@ -5419,23 +5419,31 @@ def arch_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     local-volatility envelope is needed over ts_anomaly_zscore's global
     σ. Verdict at the χ²₅, p = 0.01 critical value.
 
-    Shape and determinism are ts_ljung_box's verbatim (one sorted collect,
-    exact integer-cent deltas squared as exact longs, fixed-order
-    deviation folds); only the input sequence differs."""
+    Shape and determinism are ts_ljung_box's verbatim (exact integer-cent
+    deltas squared as exact longs, fixed-order deviation folds); only the
+    input sequence differs. The squared deltas come from a row-level lag
+    window COLLECTED into the per-user array — an aggregation-boundary
+    column the folds read physically. Deriving c² as an array transform
+    instead lets Catalyst inline the transform into the folds' element
+    accesses and the md5-class O(n²) re-evaluation returns (the
+    dedup_winnowing finding; measured 281 s → ljung_box band at sf0.1)."""
     ev = load_table(spark, sf_dir, "events")
-    s = F.struct(F.col("ts"), F.col("event_id"), F.col("value"))
-    g = ev.groupBy("user_id").agg(F.array_sort(F.collect_list(s)).alias("hist"))
-    cents = F.transform("hist", lambda r: (r["value"].cast("decimal(18,2)") * 100).cast("long"))
-    g = g.select("user_id", cents.alias("c"), F.size("hist").alias("n_raw"))
-    g = g.filter(F.col("n_raw") >= _ARCH_MIN_OBS)
-    sq = F.transform(
-        F.sequence(F.lit(2), F.col("n_raw")),
-        lambda i: (
-            (F.element_at("c", i.cast("int")) - F.element_at("c", (i - 1).cast("int")))
-            * (F.element_at("c", i.cast("int")) - F.element_at("c", (i - 1).cast("int")))
-        ),
+    c = (F.col("value").cast("decimal(18,2)") * 100).cast("long")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    d = ev.select("user_id", "ts", "event_id", (c - F.lag(c).over(w)).alias("d"))
+    d = d.filter(F.col("d").isNotNull())
+    s = F.struct(F.col("ts"), F.col("event_id"), (F.col("d") * F.col("d")).alias("sq"))
+    g = d.groupBy("user_id").agg(F.array_sort(F.collect_list(s)).alias("hist"))
+    g = g.select(
+        "user_id",
+        F.transform("hist", lambda r: r["sq"]).alias("c2"),
+        F.size("hist").alias("n_obs"),
     )
-    g = g.select("user_id", sq.alias("c2"), (F.col("n_raw") - 1).alias("n_obs"))
+    g = g.filter(F.col("n_obs") >= _ARCH_MIN_OBS - 1)
+    # materialize c2/n_obs at an exchange-free projection boundary: the
+    # transform above is single-referenced downstream, so without the
+    # barrier Catalyst would inline it into every fold element access
+    g = g.localCheckpoint(eager=False)
     zero = F.lit(0).cast("long")
     sx = F.aggregate("c2", zero, lambda acc, x: acc + x)
     mu = sx.cast("double") / F.col("n_obs").cast("double")
