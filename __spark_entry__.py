@@ -1273,6 +1273,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_winnowing": dedup.dedup_winnowing,
         "ts_missingness": timeseries.missingness,
         "ts_arch_test": timeseries.arch_test,
+        "multimodal_audio_hash": multimodal.multimodal_audio_hash,
     }
     out = {k: reg[k] for k in _R7_WINDOW}
     out.update((k, v) for k, v in reg.items() if k not in out)
@@ -1731,6 +1732,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_winnowing": dedup.DEDUP_WINNOWING_SQL,
         "ts_missingness": timeseries.MISSINGNESS_SQL,
         "ts_arch_test": timeseries.ARCH_TEST_SQL,
+        "multimodal_audio_hash": multimodal.MULTIMODAL_AUDIO_HASH_SQL,
         "events_abtest": analytics.EVENTS_ABTEST_SQL,
         "profile_drift": pipeline.PROFILE_DRIFT_SQL,
         "events_paths": analytics.EVENTS_PATHS_SQL,

@@ -245,3 +245,55 @@ def test_phash_replays_keystream_and_banding(spark, sf_dir):
             assert r.min_hamming == mh, did
         else:
             assert r.min_hamming is None, did
+
+
+def test_audio_hash_replay_and_bands(spark, tmp_path):
+    """The envelope dHash replays the exact keystream frame energies in
+    python for every doc, and band-match accounting is symmetric."""
+    import hashlib
+    import os
+
+    import pandas as pd
+
+    from timedb_spark.operators import multimodal as mm
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": list(range(1, 13)),
+            "text": ["x"] * 12,
+            "lang": ["en"] * 12,
+            "source": ["s"] * 12,
+            "n_chars": [1] * 12,
+        }
+    )
+    d = str(tmp_path / "sf")
+    os.makedirs(d)
+    docs.to_parquet(os.path.join(d, "documents.parquet"))
+
+    out = {r.doc_id: r for r in mm.multimodal_audio_hash(spark, d).collect()}
+    assert set(out) == set(range(1, 13))
+
+    def replay(doc_id):
+        n = 256 + doc_id % 128
+        need = 2 * n
+        hx = hashlib.md5(str(doc_id).encode()).hexdigest()
+        body = (hx * (need // 32 + 2))[:need].encode()
+        smp = [body[2 * i] + 256 * body[2 * i + 1] for i in range(n)]
+        e = [sum(abs(x) for x in smp[(j * n) // 17 : ((j + 1) * n) // 17]) for j in range(17)]
+        h = 0
+        for j in range(16):
+            h |= (1 if e[j] > e[j + 1] else 0) << j
+        return h
+
+    for did, r in out.items():
+        assert r.ahash == replay(did), did
+
+    # band-match symmetry: if a counts b as a candidate, b counts a
+    def bands(h):
+        return {(b, (h >> (4 * b)) & 15) for b in range(4)}
+
+    for da, ra in out.items():
+        n_match = sum(
+            1 for db, rb in out.items() if db != da and bands(ra.ahash) & bands(rb.ahash)
+        )
+        assert ra.n_band_matches == n_match, da

@@ -734,3 +734,136 @@ SELECT p.doc_id, p.phash,
        a.min_hamming
 FROM ph p LEFT JOIN agg a ON a.doc_id = p.doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# audio fingerprint — envelope dHash + banded near-dup stats
+# ---------------------------------------------------------------------------
+
+_AHASH_FRAMES = 17   # 16 gradient bits
+_AHASH_BANDS = 4     # 4 bits per band
+
+
+def audio_hash_docs(df: DataFrame) -> DataFrame:
+    """Decode WAV payloads and compute a 16-bit envelope dHash per clip:
+    split the samples into 17 index frames, sum |amplitude| per frame
+    (exact integers), bit j = 1 iff frame j's energy exceeds frame j+1's —
+    the audio twin of the image dHash (gradient of the energy envelope,
+    robust to level scaling). Runs in the same Arrow-batched mapInPandas
+    as :func:`audio_features` — the real decode path, rows never
+    shuffle."""
+    from pyspark.sql import types as TT
+
+    schema = TT.StructType(
+        [
+            TT.StructField("doc_id", TT.LongType()),
+            TT.StructField("ahash", TT.LongType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples(index=False):
+                s, _rate, _nch = decode_wav(bytes(row.payload))
+                a = np.abs(s.astype(np.int64))
+                n = a.size
+                e = [
+                    int(a[(j * n) // _AHASH_FRAMES : ((j + 1) * n) // _AHASH_FRAMES].sum())
+                    for j in range(_AHASH_FRAMES)
+                ]
+                h = 0
+                for j in range(_AHASH_FRAMES - 1):
+                    h |= (1 if e[j] > e[j + 1] else 0) << j
+                out.append((row.doc_id, h))
+            yield pd.DataFrame(out, columns=["doc_id", "ahash"])
+
+    return df.mapInPandas(run, schema=schema)
+
+
+def multimodal_audio_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-clip audio fingerprint + banded near-duplicate candidate stats —
+    the audio member of the perceptual-dedup family (multimodal_phash for
+    images, this for clips): the 16-bit envelope dHash, how many other
+    clips share at least one 4-bit band, and the minimum exact hamming
+    distance among those candidates.
+
+    Scale shape is multimodal_phash's verbatim: candidates ONLY from the
+    (band_idx, band_value) equi-join — the standard LSH shuffle — with
+    exact hamming (bit_count of xor) on collisions alone. The oracle
+    recomputes every decoded frame energy from the md5 keystream in SQL
+    (the multimodal_audio convention), so the hash is value-checked
+    end-to-end through the REAL wave codec."""
+    docs = load_table(spark, sf_dir, "documents")
+    ah = audio_hash_docs(attach_audio_payload(docs))
+    bands = ah.select(
+        "doc_id",
+        "ahash",
+        F.explode(F.array(*[F.lit(b) for b in range(_AHASH_BANDS)])).alias("bi"),
+    ).withColumn("bval", F.expr("shiftright(ahash, bi * 4) & 15"))
+    a = bands.select(F.col("doc_id").alias("da"), F.col("ahash").alias("pa"), "bi", "bval")
+    b = bands.select(F.col("doc_id").alias("db"), F.col("ahash").alias("pb"), "bi", "bval")
+    cand = (
+        a.join(b, ["bi", "bval"])
+        .filter(F.col("da") != F.col("db"))
+        .select("da", "db", "pa", "pb")
+        .distinct()
+    )
+    agg = cand.groupBy(F.col("da").alias("doc_id")).agg(
+        F.count(F.lit(1)).alias("n_band_matches"),
+        F.min(F.expr("bit_count(pa ^ pb)")).cast("int").alias("min_hamming"),
+    )
+    return ah.join(agg, "doc_id", "left").select(
+        "doc_id",
+        "ahash",
+        F.coalesce("n_band_matches", F.lit(0).cast("long")).alias("n_band_matches"),
+        "min_hamming",
+    )
+
+
+_AHASH_FRAME_E = f"""list_transform(range(0, {_AHASH_FRAMES}), j -> CAST(list_sum(
+        list_transform(range(j * n_samples // {_AHASH_FRAMES} + 1,
+                             (j + 1) * n_samples // {_AHASH_FRAMES} + 1),
+                       i -> abs(smp[CAST(i AS INT)]))) AS BIGINT))"""
+
+MULTIMODAL_AUDIO_HASH_SQL = f"""
+WITH meta AS (
+    SELECT doc_id, CAST(256 + doc_id % 128 AS INT) AS n_samples
+    FROM documents
+), b AS (
+    SELECT doc_id, n_samples,
+           substring(repeat(md5(CAST(doc_id AS VARCHAR)),
+                            CAST((2*n_samples) // 32 + 2 AS INT)), 1, 2*n_samples) AS body
+    FROM meta
+), s AS (
+    SELECT doc_id, n_samples,
+           list_transform(range(1, n_samples+1),
+                          i -> ascii(substr(body, CAST(2*i-1 AS INT), 1))
+                               + 256 * ascii(substr(body, CAST(2*i AS INT), 1))) AS smp
+    FROM b
+), e AS (
+    SELECT doc_id, {_AHASH_FRAME_E} AS fe FROM s
+), h AS (
+    SELECT doc_id,
+           CAST(list_sum(list_transform(range(1, {_AHASH_FRAMES}),
+               j -> CASE WHEN fe[CAST(j AS INT)] > fe[CAST(j AS INT) + 1]
+                         THEN CAST(pow(2, j - 1) AS BIGINT) ELSE 0 END)) AS BIGINT) AS ahash
+    FROM e
+), bands AS (
+    SELECT doc_id, ahash, bi, (ahash >> (bi * 4)) & 15 AS bval
+    FROM h CROSS JOIN (SELECT unnest(range(0, {_AHASH_BANDS})) AS bi) bb
+), cand AS (
+    SELECT DISTINCT a.doc_id AS da, b.doc_id AS db, a.ahash AS pa, b.ahash AS pb
+    FROM bands a JOIN bands b ON a.bi = b.bi AND a.bval = b.bval AND a.doc_id != b.doc_id
+), agg AS (
+    SELECT da AS doc_id, count(*) AS n_band_matches,
+           CAST(min(bit_count(xor(pa, pb))) AS INT) AS min_hamming
+    FROM cand GROUP BY da
+)
+SELECT h.doc_id, h.ahash,
+       CAST(coalesce(a.n_band_matches, 0) AS BIGINT) AS n_band_matches,
+       a.min_hamming
+FROM h LEFT JOIN agg a ON a.doc_id = h.doc_id
+"""
