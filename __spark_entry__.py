@@ -1274,6 +1274,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_missingness": timeseries.missingness,
         "ts_arch_test": timeseries.arch_test,
         "multimodal_audio_hash": multimodal.multimodal_audio_hash,
+        "contamination_semantic": pipeline.contamination_semantic,
+        "text_instruction_detect": text.text_instruction_detect,
     }
     out = {k: reg[k] for k in _R7_WINDOW}
     out.update((k, v) for k, v in reg.items() if k not in out)
@@ -1733,6 +1735,8 @@ def oracle_sql() -> dict[str, str]:
         "ts_missingness": timeseries.MISSINGNESS_SQL,
         "ts_arch_test": timeseries.ARCH_TEST_SQL,
         "multimodal_audio_hash": multimodal.MULTIMODAL_AUDIO_HASH_SQL,
+        "contamination_semantic": pipeline.CONTAMINATION_SEMANTIC_SQL,
+        "text_instruction_detect": text.TEXT_INSTRUCTION_DETECT_SQL,
         "events_abtest": analytics.EVENTS_ABTEST_SQL,
         "profile_drift": pipeline.PROFILE_DRIFT_SQL,
         "events_paths": analytics.EVENTS_PATHS_SQL,

@@ -325,3 +325,63 @@ def test_pipeline_dataset_card_hand_corpus(spark, tmp_path):
     total_chars = sum(len(t) for t, _, _ in texts)
     assert r.total_chars == total_chars
     assert r.mean_chars == math.floor(total_chars / 5 * 1e6) / 1e6
+
+
+def test_contamination_semantic_planted_leak(spark, tmp_path):
+    """A scan vector that is a near-copy of a benchmark vector flags
+    contaminated with the right offender; orthogonal vectors stay clean."""
+    import os
+
+    e = lambda i: [1.0 if j == i else 0.0 for j in range(64)]
+    near = [0.999 if j == 0 else (0.02 if j == 1 else 0.0) for j in range(64)]
+    rows = [
+        (0, e(0), 0),    # benchmark (0 % 11 == 0)
+        (11, e(1), 0),   # benchmark, orthogonal direction
+        (1, near, 0),    # scan: near-copy of bench 0 → contaminated
+        (2, e(2), 0),    # scan: orthogonal → clean
+    ]
+    rows = [(vid, [float(x) for x in v], lab) for vid, v, lab in rows]
+    d = str(tmp_path / "emb")
+    spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int").coalesce(
+        1
+    ).write.mode("overwrite").parquet(os.path.join(d, "embeddings.parquet"))
+
+    from timedb_spark.operators import pipeline as pl
+
+    out = {r.vec_id: r for r in pl.contamination_semantic(spark, d).collect()}
+    assert set(out) == {1, 2}
+    assert out[1].verdict == "contaminated" and out[1].bench_id == 0
+    assert out[1].cosine > 0.99
+    assert out[2].verdict == "clean"
+
+
+def test_text_instruction_detect_planted(spark, tmp_path):
+    """An instruction-style doc (imperatives + list + questions) routes to
+    'instruction'; descriptive prose stays 'plain'; counts replay re."""
+    import os
+    import re
+
+    import pandas as pd
+
+    instr = "Follow these steps. 1. Open the panel. 2. Select your file. Do you see it?"
+    plain = "The river flows gently through the valley and the birds sing at dawn."
+    docs = pd.DataFrame(
+        {
+            "doc_id": [1, 2],
+            "text": [instr, plain],
+            "lang": ["en"] * 2,
+            "source": ["s"] * 2,
+            "n_chars": [len(instr), len(plain)],
+        }
+    )
+    d = str(tmp_path / "sf")
+    os.makedirs(d)
+    docs.to_parquet(os.path.join(d, "documents.parquet"))
+
+    from timedb_spark.operators import text as tx
+
+    out = {r.doc_id: r for r in tx.text_instruction_detect(spark, d).collect()}
+    assert out[1].verdict == "instruction" and out[1].n_signal_families >= 3
+    assert out[2].verdict == "plain" and out[2].n_signal_families == 0
+    assert out[1].n_questions == instr.count("?")
+    assert out[1].n_list_markers == len(re.findall(r"(^|\s)\d+[.)]\s", instr))

@@ -544,3 +544,85 @@ SELECT n_docs, n_sources, n_langs, total_chars, total_tokens_ws,
        floor(CAST(n_short AS DOUBLE) / CAST(n_docs AS DOUBLE) * 1e6) / 1e6 AS short_share
 FROM base CROSS JOIN top
 """
+
+
+# ---------------------------------------------------------------------------
+# semantic contamination — embedding-space decontamination twin
+# ---------------------------------------------------------------------------
+
+_SEM_CONTAM_TAU = 0.92
+_SEM_BENCH_MOD = 11
+
+
+def contamination_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space test-set contamination scan — the semantic twin of
+    contamination_check (which catches VERBATIM 8-gram leakage; paraphrased
+    or lightly-edited leaks evade n-grams but not the encoder): flag corpus
+    vectors whose cosine to any benchmark vector (vec_id % 11, the held-out
+    slice) clears τ = 0.92, with the offending benchmark id and the exact
+    score — the semantic decontam delete-list (Yang et al. 2023's rephrased
+    contamination finding made this pass standard next to the n-gram one).
+
+    Scale shape is contamination_check's verbatim: the benchmark side is
+    ~9% of vectors → BROADCAST; the corpus side streams through one
+    projection of exact quantized-integer dot products — no shuffle of the
+    big side at all (a window picks each doc's worst offender, keyed by the
+    corpus vector). At 100 TB: benchmark embeddings always fit memory;
+    the scan is one pass."""
+    from timedb_spark.functions import vectors as vx
+
+    vecs = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", vx.quantize(F.col("embedding")).alias("q")
+    )
+    is_bench = F.col("vec_id") % _SEM_BENCH_MOD == 0
+    bench = vecs.filter(is_bench).select(
+        F.col("vec_id").alias("bench_id"), F.col("q").alias("bq")
+    )
+    scan = vecs.filter(~is_bench)
+    scored = scan.join(F.broadcast(bench)).select(
+        "vec_id", "bench_id", vx.cosine_q(F.col("q"), F.col("bq")).alias("_cos")
+    )
+    from pyspark.sql import Window as _W
+
+    # every vector's WORST offender rides the output (hash-checking real
+    # values even on a clean corpus); the verdict column is the decision
+    w = _W.partitionBy("vec_id").orderBy(F.col("_cos").desc(), F.col("bench_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "vec_id",
+            "bench_id",
+            (F.floor(F.col("_cos") * 1e6) / 1e6).alias("cosine"),
+            F.when(F.col("_cos") >= _SEM_CONTAM_TAU, F.lit("contaminated"))
+            .otherwise(F.lit("clean")).alias("verdict"),
+        )
+    )
+
+
+from timedb_spark.functions import vectors as _vx_sql  # noqa: E402
+
+CONTAMINATION_SEMANTIC_SQL = f"""
+WITH vecs AS (
+    SELECT vec_id, {{q}} AS q FROM embeddings
+),
+bench AS (
+    SELECT vec_id AS bench_id, q AS bq FROM vecs WHERE vec_id % {_SEM_BENCH_MOD} = 0
+),
+scored AS (
+    SELECT v.vec_id, b.bench_id, {{cos}} AS c
+    FROM vecs v CROSS JOIN bench b
+    WHERE v.vec_id % {_SEM_BENCH_MOD} != 0
+),
+hits AS (
+    SELECT vec_id, bench_id, c,
+           row_number() OVER (PARTITION BY vec_id ORDER BY c DESC, bench_id) AS rn
+    FROM scored
+)
+SELECT vec_id, bench_id, floor(c * 1e6) / 1e6 AS cosine,
+       CASE WHEN c >= {_SEM_CONTAM_TAU!r} THEN 'contaminated' ELSE 'clean' END AS verdict
+FROM hits WHERE rn = 1
+""".format(
+    q=_vx_sql.QUANTIZE_SQL.format(v="embedding"),
+    cos=_vx_sql.cosine_q_sql("v.q", "b.bq"),
+)

@@ -1137,3 +1137,74 @@ SELECT doc_id, n_symbols, n_digits, n_ident_hits,
             THEN 'code' ELSE 'prose' END AS verdict
 FROM d
 """
+
+
+# ---------------------------------------------------------------------------
+# instruction-style detection — SFT-data mining router
+# ---------------------------------------------------------------------------
+
+_INSTR_MIN_SIGNALS = 2
+
+
+def text_instruction_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Instruction-style screen per document — the router that mines
+    SFT/chat-style material out of a web corpus (the counterpart of
+    text_code_detect's code-vs-prose split): counts of question marks,
+    imperative sentence openers (Do/Make/Write/List/Explain/Describe/
+    Use/Find/Create/Follow...), enumerated-list markers (1. / 2. /
+    step N), and second-person address ("you/your"). A document clearing
+    ≥ 2 distinct signal families routes to the instruction-mining
+    pipeline.
+
+    Four regexp_count projections over one scan — zero shuffles, zero
+    Python (the readability/code_detect shape). Counts exact; no floats
+    anywhere."""
+    docs = load_table(spark, sf_dir, "documents")
+    text = F.col("text")
+    n_q = F.regexp_count(text, F.lit(r"\?"))
+    n_imp = F.regexp_count(
+        text,
+        F.lit(r"(?i)(^|[.!?]\s+)(do|make|write|list|explain|describe|use|find|create|follow|add|remove|select|click|choose)\b"),
+    )
+    n_enum = F.regexp_count(text, F.lit(r"(^|\s)\d+[.)]\s"))
+    n_you = F.regexp_count(F.lower(text), F.lit(r"\byou(r)?\b"))
+    d = docs.select(
+        "doc_id",
+        n_q.cast("long").alias("n_questions"),
+        n_imp.cast("long").alias("n_imperatives"),
+        n_enum.cast("long").alias("n_list_markers"),
+        n_you.cast("long").alias("n_second_person"),
+    )
+    signals = (
+        (F.col("n_questions") > 0).cast("int")
+        + (F.col("n_imperatives") > 0).cast("int")
+        + (F.col("n_list_markers") > 0).cast("int")
+        + (F.col("n_second_person") > 0).cast("int")
+    )
+    return d.select(
+        "doc_id", "n_questions", "n_imperatives", "n_list_markers", "n_second_person",
+        signals.alias("n_signal_families"),
+        F.when(signals >= _INSTR_MIN_SIGNALS, F.lit("instruction")).otherwise(F.lit("plain")).alias("verdict"),
+    )
+
+
+TEXT_INSTRUCTION_DETECT_SQL = rf"""
+WITH d AS (
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '\?')) AS BIGINT) AS n_questions,
+           CAST(len(regexp_extract_all(text,
+               '(?i)(^|[.!?]\s+)(do|make|write|list|explain|describe|use|find|create|follow|add|remove|select|click|choose)\b')) AS BIGINT) AS n_imperatives,
+           CAST(len(regexp_extract_all(text, '(^|\s)\d+[.)]\s')) AS BIGINT) AS n_list_markers,
+           CAST(len(regexp_extract_all(lower(text), '\byou(r)?\b')) AS BIGINT) AS n_second_person
+    FROM documents
+)
+SELECT doc_id, n_questions, n_imperatives, n_list_markers, n_second_person,
+       CAST(CAST(n_questions > 0 AS INT) + CAST(n_imperatives > 0 AS INT)
+            + CAST(n_list_markers > 0 AS INT) + CAST(n_second_person > 0 AS INT) AS INT)
+           AS n_signal_families,
+       CASE WHEN CAST(n_questions > 0 AS INT) + CAST(n_imperatives > 0 AS INT)
+                 + CAST(n_list_markers > 0 AS INT) + CAST(n_second_person > 0 AS INT)
+                 >= {_INSTR_MIN_SIGNALS}
+            THEN 'instruction' ELSE 'plain' END AS verdict
+FROM d
+"""
