@@ -2115,3 +2115,59 @@ def test_arch_test_planted_regimes(spark, tmp_path):
         return n * (n + 2.0) * q
 
     assert out[1].q_stat == math.floor(replay(vals1) * 1e6) / 1e6
+
+
+def test_dist_drift_planted_shift(spark, tmp_path):
+    """A series whose second half jumps to a new level drifts (all mass in
+    the top bin); a stationary hash-noise series is stable; χ² replays."""
+    import math
+
+    import pandas as pd
+
+    rows, eid = [], 0
+    vals1 = [10.0 + ((t * 7) % 5) for t in range(30)] + [50.0 + ((t * 7) % 5) for t in range(30)]
+    for t, v in enumerate(vals1):
+        eid += 1
+        rows.append((eid, datetime(2024, 1, 1) + pd.Timedelta(hours=t), 1, v))
+    vals2 = [20.0 + ((t * 11) % 9) for t in range(60)]
+    for t, v in enumerate(vals2):
+        eid += 1
+        rows.append((eid, datetime(2024, 1, 1) + pd.Timedelta(hours=t), 2, v))
+    d = _write_events(tmp_path, rows)
+    out = {r.user_id: r for r in ts.dist_drift(spark, d).collect()}
+
+    assert out[1].verdict == "drifted"
+    # the shifted half sits entirely above the full-series median: the two
+    # lower bins empty (q3 falls inside the shifted level band, so the
+    # upper mass splits between bins 3 and 4)
+    assert out[1].h2_bin1 == 0 and out[1].h2_bin2 == 0
+    assert out[1].h2_bin3 + out[1].h2_bin4 == 30
+    assert out[2].verdict == "stable"
+
+    def replay(vals):
+        c = sorted(int(round(v * 100)) for v in vals)
+        n = len(c)
+        q = lambda qn, qd: c[((n * qn + qd - 1) // qd) - 1]
+        q1, q2, q3 = q(1, 4), q(1, 2), q(3, 4)
+        raw = [int(round(v * 100)) for v in vals]
+        nh = n // 2
+        h1, h2 = raw[:nh], raw[nh:]
+
+        def bins(h):
+            return [
+                sum(1 for x in h if x <= q1),
+                sum(1 for x in h if q1 < x <= q2),
+                sum(1 for x in h if q2 < x <= q3),
+                sum(1 for x in h if x > q3),
+            ]
+
+        a, b = bins(h1), bins(h2)
+        n2 = float(len(h2))
+        chi2 = 0.0
+        for ac, bc in zip(a, b):
+            exp = max(ac / nh * n2, 0.5)
+            chi2 += (bc - exp) ** 2 / exp
+        return chi2
+
+    assert out[1].chi2 == math.floor(replay(vals1) * 1e6) / 1e6
+    assert out[2].chi2 == math.floor(replay(vals2) * 1e6) / 1e6

@@ -5535,3 +5535,142 @@ SELECT user_id, CAST(n_obs AS BIGINT) AS n_sq_changes,
        CASE WHEN q_stat > {_ARCH_CRIT!r} THEN 'arch_effect' ELSE 'homoskedastic' END AS verdict
 FROM q
 """
+
+
+# ---------------------------------------------------------------------------
+# distribution drift — first-half vs second-half value shift per series
+# ---------------------------------------------------------------------------
+
+_DRIFT_MIN_OBS = 40
+_DRIFT_CHI2_CRIT = 11.345  # chi-square df=3, p=0.01
+
+
+def dist_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-series value-distribution drift: split each series' history in
+    half, bin BOTH halves at the FULL series' exact quartile cut points
+    (order statistics — no interpolation), and χ²-test the second half's
+    bin counts against the first half's shares — "did this sensor/feed
+    change its operating regime", the per-series complement of
+    profile_drift's corpus-level PSI (a level shift ts_cusum sees AND any
+    shape change it doesn't: variance regime, bimodality, clipping).
+
+    One sorted-collect shuffle (theta's shape); cut points are ⌈q·n⌉
+    element picks of the sorted cents; bin counts are exact integer folds
+    over each half (strict-inequality binning, deterministic on ties);
+    the χ² is the only float, floor-scaled."""
+    ev = load_table(spark, sf_dir, "events")
+    s = F.struct(F.col("ts"), F.col("event_id"), F.col("value"))
+    g = ev.groupBy("user_id").agg(F.array_sort(F.collect_list(s)).alias("hist"))
+    cents = F.transform("hist", lambda r: (r["value"].cast("decimal(18,2)") * 100).cast("long"))
+    g = g.select("user_id", cents.alias("c"), F.size("hist").alias("n_obs"))
+    g = g.filter(F.col("n_obs") >= _DRIFT_MIN_OBS)
+    n = F.col("n_obs")
+    g = g.withColumn("srt", F.array_sort("c")).withColumn("nh", F.floor(n / 2).cast("int"))
+
+    def cut(qn: int, qd: int):
+        k = F.floor((n * qn + qd - 1) / qd).cast("int")
+        return F.element_at("srt", k)
+
+    g = (
+        g.withColumn("q1", cut(1, 4))
+        .withColumn("q2", cut(1, 2))
+        .withColumn("q3", cut(3, 4))
+    )
+
+    def bin_counts(arr):
+        # 4 bins by strict thresholds: x <= q1 | <= q2 | <= q3 | rest
+        def cnt(pred):
+            return F.size(F.filter(arr, pred)).cast("long")
+
+        b1 = cnt(lambda x: x <= F.col("q1"))
+        b2 = cnt(lambda x: (x > F.col("q1")) & (x <= F.col("q2")))
+        b3 = cnt(lambda x: (x > F.col("q2")) & (x <= F.col("q3")))
+        b4 = cnt(lambda x: x > F.col("q3"))
+        return b1, b2, b3, b4
+
+    first = F.slice("c", 1, F.col("nh"))
+    second = F.slice("c", F.col("nh") + 1, n - F.col("nh"))
+    a1, a2, a3, a4 = bin_counts(first)
+    b1, b2, b3, b4 = bin_counts(second)
+    g = g.select(
+        "user_id", "n_obs", "nh",
+        a1.alias("a1"), a2.alias("a2"), a3.alias("a3"), a4.alias("a4"),
+        b1.alias("b1"), b2.alias("b2"), b3.alias("b3"), b4.alias("b4"),
+    )
+    n2 = (F.col("n_obs") - F.col("nh")).cast("double")
+    chi2 = F.lit(0.0)
+    for ac, bc in (("a1", "b1"), ("a2", "b2"), ("a3", "b3"), ("a4", "b4")):
+        exp = F.greatest(
+            F.col(ac).cast("double") / F.col("nh").cast("double") * n2, F.lit(0.5)
+        )
+        chi2 = chi2 + (F.col(bc).cast("double") - exp) * (F.col(bc).cast("double") - exp) / exp
+    verdict = F.when(chi2 > _DRIFT_CHI2_CRIT, F.lit("drifted")).otherwise(F.lit("stable"))
+    return g.select(
+        "user_id",
+        "n_obs",
+        F.col("b1").alias("h2_bin1"), F.col("b2").alias("h2_bin2"),
+        F.col("b3").alias("h2_bin3"), F.col("b4").alias("h2_bin4"),
+        (F.floor(chi2 * 1e6) / 1e6).alias("chi2"),
+        verdict.alias("verdict"),
+    )
+
+
+DIST_DRIFT_SQL = f"""
+WITH hist AS (
+    SELECT user_id,
+           list_transform(
+               list_sort(list(struct_pack(ts := ts, e := event_id, v := value))),
+               s -> CAST(CAST(s.v AS DECIMAL(18,2)) * 100 AS BIGINT)) AS c
+    FROM events GROUP BY user_id
+),
+base AS (
+    SELECT user_id, c, len(c) AS n_obs, list_sort(c) AS srt,
+           CAST(len(c) // 2 AS INT) AS nh
+    FROM hist WHERE len(c) >= {_DRIFT_MIN_OBS}
+),
+cuts AS (
+    SELECT user_id, c, n_obs, nh,
+           srt[CAST((n_obs * 1 + 3) // 4 AS INT)] AS q1,
+           srt[CAST((n_obs * 1 + 1) // 2 AS INT)] AS q2,
+           srt[CAST((n_obs * 3 + 3) // 4 AS INT)] AS q3
+    FROM base
+),
+halves AS (
+    SELECT user_id, n_obs, nh, q1, q2, q3,
+           c[1:nh] AS h1, c[nh+1:CAST(n_obs AS INT)] AS h2
+    FROM cuts
+),
+bins AS (
+    SELECT user_id, n_obs, nh,
+           CAST(len(list_filter(h1, x -> x <= q1)) AS BIGINT) AS a1,
+           CAST(len(list_filter(h1, x -> x > q1 AND x <= q2)) AS BIGINT) AS a2,
+           CAST(len(list_filter(h1, x -> x > q2 AND x <= q3)) AS BIGINT) AS a3,
+           CAST(len(list_filter(h1, x -> x > q3)) AS BIGINT) AS a4,
+           CAST(len(list_filter(h2, x -> x <= q1)) AS BIGINT) AS b1,
+           CAST(len(list_filter(h2, x -> x > q1 AND x <= q2)) AS BIGINT) AS b2,
+           CAST(len(list_filter(h2, x -> x > q2 AND x <= q3)) AS BIGINT) AS b3,
+           CAST(len(list_filter(h2, x -> x > q3)) AS BIGINT) AS b4
+    FROM halves
+),
+x AS (
+    SELECT user_id, n_obs, b1, b2, b3, b4,
+           (CAST(b1 AS DOUBLE) - greatest(CAST(a1 AS DOUBLE) / CAST(nh AS DOUBLE) * CAST(n_obs - nh AS DOUBLE), 0.5))
+         * (CAST(b1 AS DOUBLE) - greatest(CAST(a1 AS DOUBLE) / CAST(nh AS DOUBLE) * CAST(n_obs - nh AS DOUBLE), 0.5))
+         / greatest(CAST(a1 AS DOUBLE) / CAST(nh AS DOUBLE) * CAST(n_obs - nh AS DOUBLE), 0.5)
+         + (CAST(b2 AS DOUBLE) - greatest(CAST(a2 AS DOUBLE) / CAST(nh AS DOUBLE) * CAST(n_obs - nh AS DOUBLE), 0.5))
+         * (CAST(b2 AS DOUBLE) - greatest(CAST(a2 AS DOUBLE) / CAST(nh AS DOUBLE) * CAST(n_obs - nh AS DOUBLE), 0.5))
+         / greatest(CAST(a2 AS DOUBLE) / CAST(nh AS DOUBLE) * CAST(n_obs - nh AS DOUBLE), 0.5)
+         + (CAST(b3 AS DOUBLE) - greatest(CAST(a3 AS DOUBLE) / CAST(nh AS DOUBLE) * CAST(n_obs - nh AS DOUBLE), 0.5))
+         * (CAST(b3 AS DOUBLE) - greatest(CAST(a3 AS DOUBLE) / CAST(nh AS DOUBLE) * CAST(n_obs - nh AS DOUBLE), 0.5))
+         / greatest(CAST(a3 AS DOUBLE) / CAST(nh AS DOUBLE) * CAST(n_obs - nh AS DOUBLE), 0.5)
+         + (CAST(b4 AS DOUBLE) - greatest(CAST(a4 AS DOUBLE) / CAST(nh AS DOUBLE) * CAST(n_obs - nh AS DOUBLE), 0.5))
+         * (CAST(b4 AS DOUBLE) - greatest(CAST(a4 AS DOUBLE) / CAST(nh AS DOUBLE) * CAST(n_obs - nh AS DOUBLE), 0.5))
+         / greatest(CAST(a4 AS DOUBLE) / CAST(nh AS DOUBLE) * CAST(n_obs - nh AS DOUBLE), 0.5) AS chi2
+    FROM bins
+)
+SELECT user_id, CAST(n_obs AS INT) AS n_obs,
+       b1 AS h2_bin1, b2 AS h2_bin2, b3 AS h2_bin3, b4 AS h2_bin4,
+       floor(chi2 * 1e6) / 1e6 AS chi2,
+       CASE WHEN chi2 > {_DRIFT_CHI2_CRIT!r} THEN 'drifted' ELSE 'stable' END AS verdict
+FROM x
+"""
