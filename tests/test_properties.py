@@ -587,3 +587,81 @@ def test_bollinger_property_matches_replay(spark, tmp_path_factory, cents_series
             assert r.pct_b_last is None
         else:
             assert r.pct_b_last == math.floor(pb_last * 1e6) / 1e6
+
+
+@pytest.mark.filterwarnings("ignore")
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(st.lists(st.lists(st.integers(0, 20000), min_size=30, max_size=45), min_size=1, max_size=3))
+def test_macd_property_matches_replay(spark, tmp_path_factory, cents_series):
+    import math
+
+    from timedb_spark.operators import timeseries as ts
+
+    d = _events_frame(spark, str(tmp_path_factory.mktemp("macd")), cents_series)
+    got = {r.user_id: r for r in ts.macd(spark, d).collect()}
+    fa, sl, sg = 2.0 / 13.0, 2.0 / 27.0, 0.2
+    for uid, c in enumerate(cents_series, start=1):
+        e12 = e26 = float(c[0])
+        sig = hmax = hmin = 0.0
+        for ci in c[1:]:
+            x = float(ci)
+            e12 = e12 + (x - e12) * fa
+            e26 = e26 + (x - e26) * sl
+            sig = sig + ((e12 - e26) - sig) * sg
+            h = (e12 - e26) - sig
+            hmax, hmin = max(hmax, h), min(hmin, h)
+        r = got[uid]
+        assert r.macd == math.floor((e12 - e26) / 100.0 * 1e6) / 1e6
+        assert r.macd_signal == math.floor(sig / 100.0 * 1e6) / 1e6
+        assert r.hist_max == math.floor(hmax / 100.0 * 1e6) / 1e6
+        assert r.hist_min == math.floor(hmin / 100.0 * 1e6) / 1e6
+
+
+@pytest.mark.filterwarnings("ignore")
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(st.lists(st.lists(st.integers(0, 20000), min_size=31, max_size=45), min_size=1, max_size=3))
+def test_var_es_property_matches_replay(spark, tmp_path_factory, cents_series):
+    import math
+
+    from timedb_spark.operators import timeseries as ts
+
+    d = _events_frame(spark, str(tmp_path_factory.mktemp("var")), cents_series)
+    got = {r.user_id: r for r in ts.var_es(spark, d).collect()}
+    for uid, c in enumerate(cents_series, start=1):
+        dl = sorted(c[i] - c[i - 1] for i in range(1, len(c)))
+        n = len(dl)
+        k95, k99 = (n + 19) // 20, (n + 99) // 100
+        r = got[uid]
+        assert r.n_ret == n
+        assert r.var95 == math.floor(-dl[k95 - 1] / 100.0 * 1e6) / 1e6
+        assert r.es95 == math.floor(-(sum(dl[:k95]) / k95) / 100.0 * 1e6) / 1e6
+        assert r.var99 == math.floor(-dl[k99 - 1] / 100.0 * 1e6) / 1e6
+
+
+@pytest.mark.filterwarnings("ignore")
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(st.lists(st.lists(st.integers(0, 20000), min_size=30, max_size=45), min_size=1, max_size=3))
+def test_sharpe_property_matches_replay(spark, tmp_path_factory, cents_series):
+    import math
+
+    from timedb_spark.operators import timeseries as ts
+
+    d = _events_frame(spark, str(tmp_path_factory.mktemp("sh")), cents_series)
+    got = {r.user_id: r for r in ts.sharpe(spark, d).collect()}
+    for uid, c in enumerate(cents_series, start=1):
+        dl = [c[i] - c[i - 1] for i in range(1, len(c))]
+        n = float(len(dl))
+        mean = sum(dl) / n
+        vol = math.sqrt(max(sum(x * x for x in dl) / n - mean * mean, 0.0))
+        ddev = math.sqrt(sum(min(x, 0) ** 2 for x in dl) / n)
+        r = got[uid]
+        assert r.mean_chg == math.floor(mean / 100.0 * 1e6) / 1e6
+        assert r.volatility == math.floor(vol / 100.0 * 1e6) / 1e6
+        if vol > 0:
+            assert r.sharpe == math.floor(mean / vol * 1e6) / 1e6
+        else:
+            assert r.sharpe is None
+        if ddev > 0:
+            assert r.sortino == math.floor(mean / ddev * 1e6) / 1e6
+        else:
+            assert r.sortino is None
