@@ -801,3 +801,64 @@ def test_bt_audit_window_plus_single_agg(spark, sf_dir):
     phys = df._jdf.queryExecution().executedPlan().toString()
     assert "Python" not in phys
     assert phys.count("Window") == 1
+
+
+def test_ann_filtered_broadcast_label_scope(spark, sf_dir):
+    """The label pre-filter composes with the broadcast query join into one
+    candidate projection — at least one broadcast join, no cartesian, the
+    vectors stay JVM-side."""
+    from timedb_spark.operators import similarity as sim
+
+    df = sim.ann_filtered(spark, sf_dir)
+    plans.assert_no_cartesian(df)
+    plans.assert_broadcast_joins(df, 1)
+    phys = df._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in phys
+
+
+def test_ts_macd_single_shuffle_stays_jvm(spark, sf_dir):
+    """All three EMA recursions ride the one groupBy(user) sorted collect —
+    a single shuffle, zero Python."""
+    from timedb_spark.operators import timeseries as ts
+
+    df = ts.macd(spark, sf_dir)
+    plans.assert_max_shuffles(df, 1)
+    phys = df._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in phys
+
+
+def test_ts_load_curve_single_shuffle_stays_jvm(spark, sf_dir):
+    """The load-duration curve is one sorted collect per series; exceedance
+    picks are array projections — a single shuffle, zero Python."""
+    from timedb_spark.operators import timeseries as ts
+
+    df = ts.load_curve(spark, sf_dir)
+    plans.assert_max_shuffles(df, 1)
+    phys = df._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in phys
+
+
+def test_events_dau_no_count_distinct_over_events(spark, sf_dir):
+    """Everything derives from the ONE (user, day) distinct frame; the WAU
+    range join is calendar-bounded and no expansion over raw events
+    appears — no cartesian, zero Python."""
+    from timedb_spark.operators import analytics
+
+    df = analytics.events_dau(spark, sf_dir)
+    plans.assert_no_cartesian(df)
+    phys = df._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in phys
+
+
+def test_contamination_semantic_broadcast_bench(spark, sf_dir):
+    """The benchmark embedding slice broadcasts; the corpus side streams
+    through one projection. The scan × bench pairing carries no equi-key,
+    so it compiles to a BroadcastNestedLoopJoin (the broadcast is the
+    point — the big side never shuffles); zero Python."""
+    from timedb_spark.operators import pipeline
+
+    df = pipeline.contamination_semantic(spark, sf_dir)
+    phys = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in phys
+    assert "CartesianProduct" not in phys
+    assert "Python" not in phys
