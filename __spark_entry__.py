@@ -1277,6 +1277,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination_semantic": pipeline.contamination_semantic,
         "text_instruction_detect": text.text_instruction_detect,
         "ts_dist_drift": timeseries.dist_drift,
+        "train_split_temporal": sampling.train_split_temporal,
     }
     out = {k: reg[k] for k in _R7_WINDOW}
     out.update((k, v) for k, v in reg.items() if k not in out)
@@ -1739,6 +1740,7 @@ def oracle_sql() -> dict[str, str]:
         "contamination_semantic": pipeline.CONTAMINATION_SEMANTIC_SQL,
         "text_instruction_detect": text.TEXT_INSTRUCTION_DETECT_SQL,
         "ts_dist_drift": timeseries.DIST_DRIFT_SQL,
+        "train_split_temporal": sampling.TRAIN_SPLIT_TEMPORAL_SQL,
         "events_abtest": analytics.EVENTS_ABTEST_SQL,
         "profile_drift": pipeline.PROFILE_DRIFT_SQL,
         "events_paths": analytics.EVENTS_PATHS_SQL,

@@ -251,3 +251,37 @@ def test_sample_kcenter_planted_geometry(spark, tmp_path):
     cos = float(qm @ q0) / (math.sqrt(float(qm @ qm)) * math.sqrt(float(q0 @ q0)))
     assert out[3].min_dist == math.floor((1.0 - cos) * 1e6) / 1e6
     assert out[4].min_dist == 0.0  # the duplicate comes last
+
+
+def test_train_split_temporal_boundaries(spark, tmp_path):
+    """n = 10 → exactly 2 test rows; the boundary timestamp is the 9th
+    observation; a 23-row series gets ceil(23/5) = 5 test rows."""
+    import os
+    from datetime import datetime, timedelta
+
+    import pandas as pd
+
+    from timedb_spark.operators import sampling as sp
+
+    rows, eid = [], 0
+    t0 = datetime(2024, 1, 1)
+    for t in range(10):
+        eid += 1
+        rows.append((eid, t0 + timedelta(hours=t), 1, "x", 1.0))
+    for t in range(23):
+        eid += 1
+        rows.append((eid, t0 + timedelta(hours=t), 2, "x", 1.0))
+    pdf = pd.DataFrame(rows, columns=["event_id", "ts", "user_id", "event_type", "value"])
+    pdf["props"] = ""
+    d = str(tmp_path / "sf")
+    os.makedirs(d)
+    pdf.to_parquet(os.path.join(d, "events.parquet"))
+
+    out = {r.user_id: r for r in sp.train_split_temporal(spark, d).collect()}
+    r1 = out[1]
+    assert (r1.n_obs, r1.n_train, r1.n_test) == (10, 8, 2)
+    assert r1.test_start_ts == t0 + timedelta(hours=8)
+    assert r1.last_ts == t0 + timedelta(hours=9)
+    r2 = out[2]
+    assert (r2.n_obs, r2.n_train, r2.n_test) == (23, 18, 5)
+    assert r2.test_start_ts == t0 + timedelta(hours=18)

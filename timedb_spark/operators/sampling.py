@@ -16,7 +16,7 @@ group key, then packs greedily inside each group via applyInPandas.
 from __future__ import annotations
 
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from timedb_spark.io.tables import load_table
@@ -650,3 +650,81 @@ ORDER BY pick_rank
 
 
 SAMPLE_KCENTER_SQL = _kcenter_sql()
+
+
+# ---------------------------------------------------------------------------
+# temporal split — leakage-free forecasting train/test boundaries
+# ---------------------------------------------------------------------------
+
+_TSPLIT_TEST_PCT_NUM = 1
+_TSPLIT_TEST_PCT_DEN = 5  # last 20% of each series is the test window
+_TSPLIT_MIN_OBS = 10
+
+
+def train_split_temporal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal train/test split per series: the LAST 20% of each series'
+    observations (by event time) become the test window — the only
+    leakage-free split for forecasting models (train_split's hash split is
+    right for exchangeable documents and WRONG for time series: a random
+    split trains on the future). Emits per-series boundary facts a trainer
+    consumes: counts per side and the exact boundary timestamp (first test
+    observation).
+
+    One per-series ROW_NUMBER window (no arrays); the test size is the
+    exact integer ⌈n/5⌉ so both engines cut at the identical row; boundary
+    timestamps ride max/min aggregates. The output is per-series (one row)
+    — the event-level assignment is the same window expression inlined in
+    a trainer's own scan, documented here as the contract."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    d = ev.select("user_id", "ts", F.row_number().over(w).alias("rn"))
+    g = d.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_obs"), F.max("ts").alias("last_ts"))
+    g = g.filter(F.col("n_obs") >= _TSPLIT_MIN_OBS)
+    n_test = F.ceil(
+        F.col("n_obs") * _TSPLIT_TEST_PCT_NUM / _TSPLIT_TEST_PCT_DEN
+    ).cast("long")
+    g = g.withColumn("n_test", n_test).withColumn(
+        "n_train", (F.col("n_obs") - F.col("n_test")).cast("long")
+    )
+    first_test = (
+        d.join(g.select("user_id", "n_train"), "user_id")
+        .filter(F.col("rn") == F.col("n_train") + 1)
+        .select("user_id", F.col("ts").alias("test_start_ts"))
+    )
+    return g.join(first_test, "user_id").select(
+        "user_id",
+        F.col("n_obs").cast("long").alias("n_obs"),
+        "n_train",
+        "n_test",
+        "test_start_ts",
+        "last_ts",
+    )
+
+
+TRAIN_SPLIT_TEMPORAL_SQL = f"""
+WITH d AS (
+    SELECT user_id, ts,
+           row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+    FROM events
+),
+g AS (
+    SELECT user_id, count(*) AS n_obs, max(ts) AS last_ts
+    FROM d GROUP BY user_id HAVING count(*) >= {_TSPLIT_MIN_OBS}
+),
+sizes AS (
+    SELECT user_id, n_obs, last_ts,
+           CAST(ceil(CAST(n_obs AS DOUBLE) * {_TSPLIT_TEST_PCT_NUM} / {_TSPLIT_TEST_PCT_DEN}) AS BIGINT) AS n_test
+    FROM g
+),
+firsts AS (
+    SELECT d.user_id, d.ts AS test_start_ts
+    FROM d JOIN sizes s ON s.user_id = d.user_id AND d.rn = s.n_obs - s.n_test + 1
+)
+SELECT s.user_id,
+       CAST(s.n_obs AS BIGINT) AS n_obs,
+       CAST(s.n_obs - s.n_test AS BIGINT) AS n_train,
+       s.n_test,
+       f.test_start_ts,
+       s.last_ts
+FROM sizes s JOIN firsts f ON f.user_id = s.user_id
+"""
