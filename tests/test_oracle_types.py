@@ -59,8 +59,41 @@ def test_every_gate_query_output_schema_is_flat(spark):
     (concat_ws / array_to_string on both sides)."""
     from tools.parity import nonflat_columns
 
+    # Leaves whose rows reach the plan through an RDD boundary instead of a
+    # data source scan. Two very different populations share this shape:
+    # (a) driver-side Python objects fed to createDataFrame — the
+    #     partition_stats class, where cell RENDERING is driver-controlled;
+    # (b) Spark-computed rows round-tripped through localCheckpoint (lineage
+    #     cuts) or a streaming memory sink — values born in Spark execution,
+    #     exactly like every scan-rooted query.
+    # Population (b) is exempted explicitly below; anything else whose plan
+    # has ONLY RDD/local leaves must keep to driver-safe cell types.
+    DRIVER_DATA_LEAVES = {"LogicalRDD", "LocalRelation", "OneRowRelation"}
+    # Cell classes with exactly ONE rendering everywhere — python, JVM,
+    # pyarrow, pandas, and the driver canonicalizer all agree on them.
+    DRIVER_SAFE_TYPES = {"string", "tinyint", "smallint", "int", "bigint", "boolean"}
+    # Queries whose only-RDD-leaf plans hold SPARK-COMPUTED rows:
+    # every stream_* drain (micro-batch results round-tripped through the
+    # memory sink) plus the localCheckpoint lineage cuts (the checkpointed
+    # RDD is a materialized Spark plan, not driver Python). A NEW gate query
+    # built from driver-side Python is NOT in this set and gets flagged.
+    SPARK_ORIGIN_RDD = {
+        "graph_link_predict",    # analytics.py edges localCheckpoint
+        "graph_modularity",
+        "graph_clustering",
+        "graph_assortativity",
+        "events_dau",
+        "dedup_semantic",        # dedup_minhash pairs localCheckpoint
+        "dedup_lsh_tuning",
+        "sample_kcenter",        # per-round chosen-set localCheckpoint
+        "embed_knn_graph",
+        "ts_granger",
+        "ts_arch_test",
+    }
+
     offenders = {}
     plan_offenders = {}
+    local_offenders = {}
     for name, fn in entrymod.queries().items():
         df = fn(spark, SF_DIR)
         bad = nonflat_columns(df.schema)
@@ -70,15 +103,44 @@ def test_every_gate_query_output_schema_is_flat(spark):
         # anywhere, and no row-at-a-time Python UDF (BatchEvalPython) —
         # Arrow-batched pandas exec nodes (ArrowEvalPython / mapInPandas /
         # FlatMapGroupsInPandas) are the sanctioned Python path.
-        phys = df._jdf.queryExecution().executedPlan().toString()
+        qe = df._jdf.queryExecution()
+        phys = qe.executedPlan().toString()
         hazards = [h for h in ("CartesianProduct", "BatchEvalPython") if h in phys]
         if hazards:
             plan_offenders[name] = hazards
+        # createDataFrame-canonicalization class (VERDICT r7 task #2):
+        # partition_stats hash-redded TWO rounds while value-identical to
+        # its oracle — the one distinguishing property being that its gate
+        # values are driver-side Python, not a Spark SQL plan output. Close
+        # the CLASS: any query whose analyzed plan reads ONLY driver-data
+        # leaves (no file/source scan anywhere) must restrict its output
+        # schema to {str, int} cells, which have a single canonical
+        # rendering on every engine. Queries with at least one real source
+        # scan derive their values from Spark SQL and are exempt.
+        leaves = qe.analyzed().collectLeaves()
+        leaf_names = {leaves.apply(i).nodeName() for i in range(leaves.size())}
+        if (
+            leaf_names
+            and leaf_names <= DRIVER_DATA_LEAVES
+            and name not in SPARK_ORIGIN_RDD
+            and not name.startswith("stream_")
+        ):
+            risky = [
+                (f.name, f.dataType.simpleString())
+                for f in df.schema.fields
+                if f.dataType.simpleString() not in DRIVER_SAFE_TYPES
+            ]
+            if risky:
+                local_offenders[name] = risky
     assert not offenders, (
         f"gate queries with driver-unsortable output columns: {offenders}"
     )
     assert not plan_offenders, (
         f"gate queries with plan hazards (cartesian / row-at-a-time UDF): {plan_offenders}"
+    )
+    assert not local_offenders, (
+        "gate queries built from driver-side Python whose cells are not "
+        f"{{str,int}} (the partition_stats r6/r7 hash-red class): {local_offenders}"
     )
 
 

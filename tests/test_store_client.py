@@ -815,3 +815,29 @@ def test_delta_log_liveness_is_latest_action_not_ever_removed(spark, tmp_path):
     (logdir / "00000000000000000003.json").write_text(remove("B"))
     live2 = {r["path"]: r["numRecords"] for r in _live_adds(spark, tmp_path / "series_values").collect()}
     assert live2 == {"A": 10, "C": 10}
+
+
+def test_compact_zorder_gate_store_really_compacts(spark):
+    """The store_compact_zorder GATE query only proves invariance if the
+    rewrite actually happened — a store that never fragmented would make
+    pre==post vacuously true. Pin the wrapper's mechanics at sf0.001: the
+    two interleaved appends leave >1 file in every partition, compact()
+    touches every partition, and afterwards each holds exactly one
+    z-ordered file (target_files=1) with the SAME per-partition row count
+    the pre fingerprint recorded."""
+    import __spark_entry__ as entrymod
+
+    st, pre, n_compacted = entrymod._materialized_compact_store(
+        spark, "/root/testdata/sf0.001"
+    )
+    parts = sorted(st.values_path.glob("retention=*/vt_month=*"))
+    assert parts, "gate store has no partitions"
+    assert n_compacted == len(parts), "compact() skipped fragmented partitions"
+    for p in parts:
+        assert len(list(p.glob("*.parquet"))) == 1, f"{p} not rewritten to one file"
+    pre_counts = {(r[1], r[2]): r[3] for r in pre}  # (retention, vt_month) -> n_rows
+    post = {
+        (r["retention"], r["vt_month"]): r["n_rows"]
+        for r in entrymod._compact_partition_agg(st.read_values()).collect()
+    }
+    assert post == pre_counts

@@ -2565,7 +2565,11 @@ def graph_clustering(spark: SparkSession, sf_dir: str, *, top_n: int = 20) -> Da
     )
     glob = nodes.agg(
         F.sum("n_triangles").alias("t3"),  # Σ per-node counts = 3·triangles
-        F.sum(F.col("degree") * (F.col("degree") - 1) / 2).cast("long").alias("wedges"),
+        # deg·(deg−1) is always even, so `div 2` per row is exact and the
+        # fold is a pure BIGINT sum — a double division here would sum
+        # doubles and silently lose exactness past 2^53 (ADVICE r7),
+        # diverging from the oracle's integer `// 2` fold.
+        F.sum(F.expr("(degree * (degree - 1)) div 2")).cast("long").alias("wedges"),
     )
     dd = F.col("degree").cast("double")
     lcc = 2.0 * F.col("n_triangles").cast("double") / (dd * (dd - 1.0))

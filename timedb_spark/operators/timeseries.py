@@ -4522,14 +4522,22 @@ base AS (
 ),
 folded AS (
     SELECT user_id, CAST(n_obs - 1 AS BIGINT) AS n_ret,
+           -- x*x and min(x,0)^2 are precomputed in the prepacked element
+           -- struct so every fold slot is a single st.f + e.f addition
+           -- with NO repeated subexpression — the duplicated-predicate
+           -- list_reduce miscompile class that forced MACD/CUSUM onto
+           -- recursive CTEs (ADVICE r7).
            list_reduce(
                list_prepend(
                    struct_pack(s1 := CAST(0 AS BIGINT), s2 := CAST(0 AS BIGINT), sd2 := CAST(0 AS BIGINT)),
-                   list_transform(d, x -> struct_pack(s1 := x, s2 := x, sd2 := x))),
+                   list_transform(d, x -> struct_pack(
+                       s1 := x,
+                       s2 := x * x,
+                       sd2 := CASE WHEN x < 0 THEN x * x ELSE CAST(0 AS BIGINT) END))),
                (st, e) -> struct_pack(
                    s1 := st.s1 + e.s1,
-                   s2 := st.s2 + e.s2 * e.s2,
-                   sd2 := st.sd2 + least(e.sd2, CAST(0 AS BIGINT)) * least(e.sd2, CAST(0 AS BIGINT)))) AS st
+                   s2 := st.s2 + e.s2,
+                   sd2 := st.sd2 + e.sd2)) AS st
     FROM base
 ),
 m AS (
@@ -4565,13 +4573,23 @@ def benford(spark: SparkSession, sf_dir: str) -> DataFrame:
     observed vs expected shares, the per-digit χ² contribution, and the
     dataset verdict at the df=8, p=0.01 critical value.
 
-    Shape: ONE map-side-combined groupBy over nine keys (first digit via
-    pure log10/floor math — no string casts), then a 9-row window rollup
-    for the total and the verdict. At 100 TB this is a single scan with a
-    9-group partial aggregate — the cheapest possible audit pass."""
+    Shape: ONE map-side-combined groupBy over nine keys, then a 9-row
+    window rollup for the total and the verdict. At 100 TB this is a
+    single scan with a 9-group partial aggregate — the cheapest possible
+    audit pass.
+
+    First-digit extraction (ADVICE r7): NOT float log10/pow/floor — a
+    value at an exact power of ten sits on the floor(log10) boundary,
+    where a 1-ulp libm difference between the JVM and DuckDB would flip a
+    digit bin or drop the row via the 1..9 filter. Instead the value is
+    cast to DECIMAL(38,18) (fixed-point rendering, no scientific notation,
+    deterministic correctly-rounded double→decimal conversion on both
+    engines) and the first [1-9] character of its string form is the first
+    significant digit — exact for every |value| in (1e-9, 1e18), which the
+    >1e-9 filter and the events domain guarantee."""
     ev = load_table(spark, sf_dir, "events")
     a = F.abs(F.col("value"))
-    digit = F.floor(a / F.pow(F.lit(10.0), F.floor(F.log10(a)))).cast("int")
+    digit = F.regexp_extract(a.cast("decimal(38,18)").cast("string"), "[1-9]", 0).cast("int")
     d = (
         ev.filter(a > 1e-9)
         .select(digit.alias("digit"))
@@ -4603,7 +4621,9 @@ def benford(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 BENFORD_SQL = f"""
 WITH digits AS (
-    SELECT CAST(floor(abs(value) / pow(10.0, floor(log10(abs(value))))) AS INT) AS digit
+    -- first significant digit from the DECIMAL string rendering, not float
+    -- log10/pow math (exact-digit convention; see benford docstring)
+    SELECT CAST(regexp_extract(CAST(CAST(abs(value) AS DECIMAL(38,18)) AS VARCHAR), '[1-9]') AS INT) AS digit
     FROM events WHERE abs(value) > 1e-9
 ),
 counts AS (
