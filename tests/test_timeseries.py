@@ -2171,3 +2171,44 @@ def test_dist_drift_planted_shift(spark, tmp_path):
 
     assert out[1].chi2 == math.floor(replay(vals1) * 1e6) / 1e6
     assert out[2].chi2 == math.floor(replay(vals2) * 1e6) / 1e6
+
+
+def test_benford_first_digit_power_of_ten_boundaries(spark, tmp_path):
+    """The r8 digit extraction (DECIMAL string rendering, not float
+    log10/pow/floor) must bin exact powers of ten as digit 1 and their
+    1-ulp-below neighbors as digit 9 — the boundary where a libm
+    difference between engines could flip a bin under the old float
+    formulation. Spark and the DuckDB oracle replay must agree bin for
+    bin on the planted boundary set."""
+    import math
+
+    import duckdb
+    import pandas as pd
+
+    vals = [
+        1.0, 10.0, 100.0, 1000.0, 0.1, 0.001,          # exact powers of ten -> 1
+        math.nextafter(1.0, 0.0),                      # 0.999... -> 9
+        math.nextafter(10.0, 0.0),                     # 9.999... -> 9
+        math.nextafter(1.0, 2.0),                      # 1.000...1 -> 1
+        9.999999999999998, 560.21, 2.5, -30.0,         # sign stripped -> 3
+    ]
+    expected = [1, 1, 1, 1, 1, 1, 9, 9, 1, 9, 5, 2, 3]
+    rows = [
+        (k + 1, datetime(2024, 1, 1) + pd.Timedelta(minutes=k), 1, v)
+        for k, v in enumerate(vals)
+    ]
+    d = _write_events(tmp_path, rows)
+    out = {r.digit: r.n for r in ts.benford(spark, d).collect()}
+    want = {}
+    for dg in expected:
+        want[dg] = want.get(dg, 0) + 1
+    assert {dg: n for dg, n in out.items() if n} == want
+
+    pdf = pd.DataFrame(rows, columns=["event_id", "ts", "user_id", "value"])
+    pdf["event_type"] = "x"
+    pdf["props"] = ""
+    con = duckdb.connect()
+    con.register("events_df", pdf)
+    con.sql("CREATE VIEW events AS SELECT * FROM events_df")
+    duck = {r[0]: r[1] for r in con.sql(ts.BENFORD_SQL).fetchall()}
+    assert duck == out
