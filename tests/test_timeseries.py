@@ -2191,8 +2191,13 @@ def test_benford_first_digit_power_of_ten_boundaries(spark, tmp_path):
         math.nextafter(10.0, 0.0),                     # 9.999... -> 9
         math.nextafter(1.0, 2.0),                      # 1.000...1 -> 1
         9.999999999999998, 560.21, 2.5, -30.0,         # sign stripped -> 3
+        0.0,                                           # no digit at all: must be
+                                                       # DROPPED, not a cast error
+                                                       # (DuckDB reorders filter
+                                                       # conjuncts past the
+                                                       # abs>1e-9 guard)
     ]
-    expected = [1, 1, 1, 1, 1, 1, 9, 9, 1, 9, 5, 2, 3]
+    expected = [1, 1, 1, 1, 1, 1, 9, 9, 1, 9, 5, 2, 3]  # 0.0 contributes nothing
     rows = [
         (k + 1, datetime(2024, 1, 1) + pd.Timedelta(minutes=k), 1, v)
         for k, v in enumerate(vals)

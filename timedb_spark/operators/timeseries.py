@@ -4589,7 +4589,14 @@ def benford(spark: SparkSession, sf_dir: str) -> DataFrame:
     >1e-9 filter and the events domain guarantee."""
     ev = load_table(spark, sf_dir, "events")
     a = F.abs(F.col("value"))
-    digit = F.regexp_extract(a.cast("decimal(38,18)").cast("string"), "[1-9]", 0).cast("int")
+    # nullif makes the cast TOTAL: a zero value renders as all-zero decimal
+    # digits, regexp_extract returns '', and DuckDB's optimizer reorders
+    # filter conjuncts so the cast CAN see such a row before the
+    # abs>1e-9 guard applies (observed at sf0.1: CAST('' AS INT) aborted
+    # the oracle). '' -> NULL -> dropped by the 1..9 gate on both engines.
+    digit = F.nullif(
+        F.regexp_extract(a.cast("decimal(38,18)").cast("string"), "[1-9]", 0), F.lit("")
+    ).cast("int")
     d = (
         ev.filter(a > 1e-9)
         .select(digit.alias("digit"))
@@ -4622,8 +4629,11 @@ def benford(spark: SparkSession, sf_dir: str) -> DataFrame:
 BENFORD_SQL = f"""
 WITH digits AS (
     -- first significant digit from the DECIMAL string rendering, not float
-    -- log10/pow math (exact-digit convention; see benford docstring)
-    SELECT CAST(regexp_extract(CAST(CAST(abs(value) AS DECIMAL(38,18)) AS VARCHAR), '[1-9]') AS INT) AS digit
+    -- log10/pow math (exact-digit convention; see benford docstring).
+    -- nullif keeps the cast total: the optimizer reorders filter conjuncts,
+    -- so the cast can see a zero row (all-zero digits -> '') before the
+    -- abs>1e-9 guard applies.
+    SELECT CAST(nullif(regexp_extract(CAST(CAST(abs(value) AS DECIMAL(38,18)) AS VARCHAR), '[1-9]'), '') AS INT) AS digit
     FROM events WHERE abs(value) > 1e-9
 ),
 counts AS (

@@ -48,7 +48,13 @@ def _norm_cell(v):
         if math.isnan(v):
             return "NaN"
         if v == 0:
-            return "0"
+            # FAITHFUL: -0.0 and +0.0 render differently downstream (repr,
+            # str, pandas). Collapsing both to "0" would hide an engine that
+            # emits -0.0 where the other emits +0.0 — the same mimic-blind-
+            # spot class as the r5 array str() and r6 tz strip. An r8 scan
+            # found zero -0.0 cells on either engine across all registered
+            # queries at sf0.01; this keeps it that way.
+            return "-0" if math.copysign(1.0, v) < 0 else "0"
         return f"{v:.9g}"
     if isinstance(v, datetime):
         # FAITHFUL: keep tzinfo. The driver canonicalizer renders aware and
