@@ -1530,15 +1530,17 @@ def oracle_sql() -> dict[str, str]:
                     FROM sv
                 ) t WHERE rn = 1
             )
+            -- floor(x*1e6+0.5)/1e6, not round(x,6): identical halfway mode
+            -- as the Spark side (see backtest_error docstring)
             SELECT series_id,
                    count(*) AS n_points,
-                   round(CAST(sum(abs(err)) AS DOUBLE) / count(*), 6) AS mae,
-                   round(sqrt(CAST(sum(err2) AS DOUBLE) / count(*)), 6) AS rmse,
-                   round(CAST(sum(err) AS DOUBLE) / count(*), 6) AS bias
+                   floor(CAST(sum(abs(err)) AS DOUBLE) / count(*) * 1e6 + 0.5) / 1e6 AS mae,
+                   floor(sqrt(CAST(sum(err2) AS DOUBLE) / count(*)) * 1e6 + 0.5) / 1e6 AS rmse,
+                   floor(CAST(sum(err) AS DOUBLE) / count(*) * 1e6 + 0.5) / 1e6 AS bias
             FROM (
                 SELECT f.series_id,
-                       CAST(round(f.forecast - a.actual, 6) AS DECIMAL(28,6)) AS err,
-                       CAST(round((f.forecast - a.actual) * (f.forecast - a.actual), 6) AS DECIMAL(28,6)) AS err2
+                       CAST(floor((f.forecast - a.actual) * 1e6 + 0.5) / 1e6 AS DECIMAL(28,6)) AS err,
+                       CAST(floor((f.forecast - a.actual) * (f.forecast - a.actual) * 1e6 + 0.5) / 1e6 AS DECIMAL(28,6)) AS err2
                 FROM forecast f JOIN actual a
                   ON f.series_id = a.series_id AND f.valid_time = a.valid_time
             ) e

@@ -410,8 +410,13 @@ def backtest_error(
         df, window_length=window_length, issue_offset=issue_offset, start_window=start_window
     ).withColumnRenamed("value", "forecast")
     actual = latest(df).withColumnRenamed("value", "actual")
-    err = F.round(F.col("forecast") - F.col("actual"), 6).cast("decimal(28,6)")
-    err2 = F.round((F.col("forecast") - F.col("actual")) * (F.col("forecast") - F.col("actual")), 6).cast(
+    # floor(x*1e6+0.5)/1e6 everywhere, not round(x,6): Spark's HALF_UP on
+    # the exact decimal expansion and DuckDB's round disagree by 1e-6 on
+    # half-boundary values (observed at sf0.1 in mae/bias) — floor+0.5 on
+    # bit-identical doubles is bit-identical on both engines.
+    r6 = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)  # noqa: E731
+    err = r6(F.col("forecast") - F.col("actual")).cast("decimal(28,6)")
+    err2 = r6((F.col("forecast") - F.col("actual")) * (F.col("forecast") - F.col("actual"))).cast(
         "decimal(28,6)"
     )
     n = F.count(F.lit(1))
@@ -420,9 +425,9 @@ def backtest_error(
         .groupBy("series_id")
         .agg(
             n.alias("n_points"),
-            F.round(F.sum(F.abs(err)).cast("double") / n, 6).alias("mae"),
-            F.round(F.sqrt(F.sum(err2).cast("double") / n), 6).alias("rmse"),
-            F.round(F.sum(err).cast("double") / n, 6).alias("bias"),
+            r6(F.sum(F.abs(err)).cast("double") / n).alias("mae"),
+            r6(F.sqrt(F.sum(err2).cast("double") / n)).alias("rmse"),
+            r6(F.sum(err).cast("double") / n).alias("bias"),
         )
     )
 

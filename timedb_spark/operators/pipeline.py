@@ -39,16 +39,18 @@ def pipeline_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     canonical = keyed.groupBy("text_key").agg(F.min("doc_id").alias("keep_id"))
     kept = keyed.join(canonical, "text_key").filter(F.col("doc_id") == F.col("keep_id"))
 
-    # stage 2: quality floor (same formula as operators.text.text_quality)
+    # stage 2: quality floor (same formula as operators.text.text_quality,
+    # including its floor(x*1e6+0.5)/1e6 rounding — round(x,6) half-mode
+    # divergence between the engines flipped a 6th decimal at sf0.1)
+    r6 = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)  # noqa: E731
     n_tok = F.size(tt.ws_tokens(text))
     punct_ratio = tt.punct_count(text).cast("double") / F.greatest(F.length(text), F.lit(1))
     stop_ratio = tt.stopword_count(text, tt.LANG_STOPWORDS["en"]).cast("double") / F.greatest(n_tok, F.lit(1))
     len_score = F.least(F.length(text).cast("double") / F.lit(200.0), F.lit(1.0))
-    score = F.round(
+    score = r6(
         0.5 * len_score
-        + 0.25 * (1 - F.least(F.round(punct_ratio, 6) * 10, F.lit(1.0)))
-        + 0.25 * F.least(F.round(stop_ratio, 6) * 5, F.lit(1.0)),
-        6,
+        + 0.25 * (1 - F.least(r6(punct_ratio) * 10, F.lit(1.0)))
+        + 0.25 * F.least(r6(stop_ratio) * 5, F.lit(1.0))
     )
     scored = kept.withColumn("quality_score", score).filter(F.col("quality_score") >= QUALITY_FLOOR)
 
@@ -69,13 +71,14 @@ kept AS (
     SELECT k.* FROM keyed k JOIN canonical c ON k.text_key = c.text_key AND k.doc_id = c.keep_id
 ),
 scored AS (
+    -- floor(x*1e6+0.5)/1e6, not round(x,6): identical halfway mode as the
+    -- Spark side (see text_quality docstring)
     SELECT doc_id, lang, source,
-           round(0.5 * least(CAST(length(text) AS DOUBLE) / 200.0, 1.0)
-               + 0.25 * (1 - least(round(CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS DOUBLE)
-                                         / greatest(length(text), 1), 6) * 10, 1.0))
-               + 0.25 * least(round(CAST(len(regexp_extract_all(lower(text), '{tt.LANG_STOPWORDS["en"]}')) AS DOUBLE)
-                                    / greatest(len(string_split_regex(trim(text), '\s+')), 1), 6) * 5, 1.0),
-               6) AS quality_score
+           floor((0.5 * least(CAST(length(text) AS DOUBLE) / 200.0, 1.0)
+               + 0.25 * (1 - least(floor(CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS DOUBLE)
+                                         / greatest(length(text), 1) * 1e6 + 0.5) / 1e6 * 10, 1.0))
+               + 0.25 * least(floor(CAST(len(regexp_extract_all(lower(text), '{tt.LANG_STOPWORDS["en"]}')) AS DOUBLE)
+                                    / greatest(len(string_split_regex(trim(text), '\s+')), 1) * 1e6 + 0.5) / 1e6 * 5, 1.0)) * 1e6 + 0.5) / 1e6 AS quality_score
     FROM kept
 )
 SELECT doc_id, lang, source, quality_score,

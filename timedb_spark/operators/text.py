@@ -47,16 +47,23 @@ FROM documents
 def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Length / punctuation / stopword-ratio quality signals + a composite
     score in [0,1]: long-enough, low-punctuation, some-stopwords documents
-    rank high (the classic boilerplate/gibberish filter)."""
+    rank high (the classic boilerplate/gibberish filter).
+
+    Rounding is floor(x*1e6+0.5)/1e6 on BOTH engines, not round(x,6):
+    Spark's HALF_UP on the exact decimal expansion and DuckDB's round
+    disagree by 1e-6 when a score lands on the half boundary — observed at
+    sf0.1 (docs 1210/2760/3851), the same class that cost r3/r5 red rows.
+    floor+0.5 on bit-identical doubles is bit-identical."""
     docs = load_table(spark, sf_dir, "documents")
     text = F.col("text")
+    r6 = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)  # noqa: E731
     n_tok = F.size(tt.ws_tokens(text))
     n_punct = tt.punct_count(text)
     n_stop = tt.stopword_count(text, tt.LANG_STOPWORDS["en"])
-    punct_ratio = F.round(n_punct.cast("double") / F.greatest(F.length(text), F.lit(1)), 6)
-    stop_ratio = F.round(n_stop.cast("double") / F.greatest(n_tok, F.lit(1)), 6)
+    punct_ratio = r6(n_punct.cast("double") / F.greatest(F.length(text), F.lit(1)))
+    stop_ratio = r6(n_stop.cast("double") / F.greatest(n_tok, F.lit(1)))
     len_score = F.least(F.length(text).cast("double") / F.lit(200.0), F.lit(1.0))
-    score = F.round(0.5 * len_score + 0.25 * (1 - F.least(punct_ratio * 10, F.lit(1.0))) + 0.25 * F.least(stop_ratio * 5, F.lit(1.0)), 6)
+    score = r6(0.5 * len_score + 0.25 * (1 - F.least(punct_ratio * 10, F.lit(1.0))) + 0.25 * F.least(stop_ratio * 5, F.lit(1.0)))
     return docs.select(
         "doc_id",
         F.length(text).alias("n_chars_measured"),
@@ -75,9 +82,11 @@ WITH base AS (
     FROM documents
 ),
 ratios AS (
+    -- floor(x*1e6+0.5)/1e6, not round(x,6): identical halfway mode as the
+    -- Spark side (see text_quality docstring)
     SELECT doc_id, text,
-           round(CAST(n_punct AS DOUBLE) / greatest(length(text), 1), 6) AS punct_ratio,
-           round(CAST(n_stop AS DOUBLE) / greatest(n_tok, 1), 6) AS stop_ratio,
+           floor(CAST(n_punct AS DOUBLE) / greatest(length(text), 1) * 1e6 + 0.5) / 1e6 AS punct_ratio,
+           floor(CAST(n_stop AS DOUBLE) / greatest(n_tok, 1) * 1e6 + 0.5) / 1e6 AS stop_ratio,
            least(CAST(length(text) AS DOUBLE) / 200.0, 1.0) AS len_score
     FROM base
 )
@@ -85,7 +94,7 @@ SELECT doc_id,
        length(text) AS n_chars_measured,
        punct_ratio,
        stop_ratio AS stopword_ratio,
-       round(0.5*len_score + 0.25*(1 - least(punct_ratio*10, 1.0)) + 0.25*least(stop_ratio*5, 1.0), 6) AS quality_score
+       floor((0.5*len_score + 0.25*(1 - least(punct_ratio*10, 1.0)) + 0.25*least(stop_ratio*5, 1.0)) * 1e6 + 0.5) / 1e6 AS quality_score
 FROM ratios
 """
 
