@@ -2439,23 +2439,30 @@ def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("internal_edges", F.coalesce("internal_edges", F.lit(0)).cast("long"))
         .crossJoin(F.broadcast(mdf))
     )
-    md = F.col("m").cast("double")
-    contrib = (
-        F.col("internal_edges").cast("double") / md
-        - (F.col("degree_sum").cast("double") / (2.0 * md)) * (F.col("degree_sum").cast("double") / (2.0 * md))
-    )
+    # exact-BIGINT modularity fold: e_c/m − (d_c/2m)² = (4m·e_c − d_c²)/(4m²),
+    # so Σ(4m·e_c − d_c²) accumulates as exact integers (order-insensitive)
+    # and the only double op is ONE final division — a float Σcontrib
+    # window-sum is partial-order-sensitive across engines (the events_srm
+    # sf0.001 finding). |num| ≤ 4m² keeps the fold under 2^63 for m up to
+    # ~1.5·10⁹ edges.
+    m_l = F.col("m").cast("long")
+    d_l = F.col("degree_sum").cast("long")
+    num = (F.lit(4).cast("long") * m_l * F.col("internal_edges") - d_l * d_l).alias("_num")
+    den = (F.lit(4).cast("long") * m_l * m_l).cast("double").alias("_den")
     comm = comm.select(
         F.col("lbl").alias("community"),
         "community_size",
         "internal_edges",
         F.col("degree_sum").cast("long").alias("degree_sum"),
-        (F.floor(contrib * 1e6) / 1e6).alias("contribution"),
-        contrib.alias("_c"),
+        num,
+        den,
     )
     w = Window.partitionBy()
-    q = F.sum("_c").over(w)
+    contrib = F.col("_num").cast("double") / F.col("_den")
+    q = F.sum("_num").over(w).cast("double") / F.col("_den")
     return comm.select(
-        "community", "community_size", "internal_edges", "degree_sum", "contribution",
+        "community", "community_size", "internal_edges", "degree_sum",
+        (F.floor(contrib * 1e6) / 1e6).alias("contribution"),
         (F.floor(q * 1e6) / 1e6).alias("modularity"),
     )
 
@@ -2497,15 +2504,16 @@ comm AS (
     FROM dsum d LEFT JOIN internal i ON i.lbl = d.lbl CROSS JOIN mrow m
 ),
 x AS (
+    -- exact-BIGINT modularity fold: Σ(4m·e_c − d_c²) in integers, one
+    -- final double division (see graph_modularity docstring)
     SELECT community, community_size, internal_edges, degree_sum,
-           CAST(internal_edges AS DOUBLE) / CAST(m AS DOUBLE)
-           - (CAST(degree_sum AS DOUBLE) / (2.0 * CAST(m AS DOUBLE)))
-             * (CAST(degree_sum AS DOUBLE) / (2.0 * CAST(m AS DOUBLE))) AS contrib
+           CAST(4 * m * internal_edges - degree_sum * degree_sum AS BIGINT) AS num,
+           CAST(4 * m * m AS DOUBLE) AS den
     FROM comm
 )
 SELECT community, community_size, internal_edges, degree_sum,
-       floor(contrib * 1e6) / 1e6 AS contribution,
-       floor(sum(contrib) OVER () * 1e6) / 1e6 AS modularity
+       floor(CAST(num AS DOUBLE) / den * 1e6) / 1e6 AS contribution,
+       floor(CAST(sum(num) OVER () AS BIGINT) / den * 1e6) / 1e6 AS modularity
 FROM x
 """
 
@@ -2647,7 +2655,16 @@ def events_srm(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct shuffle), a 12-group map-side-combined count, and a 12-row
     window rollup. The bucket mix is pure BIGINT arithmetic (multiply, mod)
     identical in both engines — no engine hash functions, which don't
-    match across Spark and DuckDB."""
+    match across Spark and DuckDB.
+
+    χ² is an exact-BIGINT fold, not a float sum: with exp = T/12, each
+    contribution is (n_b − T/12)²/(T/12) = (12·n_b − T)²/(12·T), so
+    Σ(12·n_b − T)² accumulates as exact integers (order-insensitive) and
+    the only double op is ONE final division — a float Σcontrib window-sum
+    diverged between the engines at sf0.001, where the total landed
+    exactly on a 1e-6 floor boundary (17.05 vs 17.049999). The integer
+    square stays under 2^63 for T up to ~8·10⁸ users per the 11·T
+    worst-case deviation bound."""
     ev = load_table(spark, sf_dir, "events")
     users = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_events"))
     bucket = (F.col("user_id") * F.lit(2654435761).cast("long")) % F.lit(2147483648).cast("long") % _SRM_BUCKETS
@@ -2656,18 +2673,20 @@ def events_srm(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_events").cast("long").alias("n_events"),
     )
     w = Window.partitionBy()
-    total = F.sum("n_users").over(w).cast("double")
-    exp = total / float(_SRM_BUCKETS)
-    contrib = (F.col("n_users").cast("double") - exp) * (F.col("n_users").cast("double") - exp) / exp
+    total_i = F.sum("n_users").over(w).cast("long")
+    dev = F.lit(_SRM_BUCKETS).cast("long") * F.col("n_users") - total_i
+    num = (dev * dev).alias("_num")  # exact BIGINT per bucket
+    denom = (F.lit(_SRM_BUCKETS).cast("long") * total_i).cast("double")
     d = d.select(
         "bucket", "n_users", "n_events",
-        (F.floor(F.col("n_users").cast("double") / total * 1e6) / 1e6).alias("share"),
-        contrib.alias("_c"),
+        (F.floor(F.col("n_users").cast("double") / total_i.cast("double") * 1e6) / 1e6).alias("share"),
+        num,
+        denom.alias("_den"),
     )
-    chi2 = F.sum("_c").over(w)
+    chi2 = F.sum("_num").over(w).cast("double") / F.col("_den")
     return d.select(
         "bucket", "n_users", "n_events", "share",
-        (F.floor(F.col("_c") * 1e6) / 1e6).alias("chi2_contrib"),
+        (F.floor(F.col("_num").cast("double") / F.col("_den") * 1e6) / 1e6).alias("chi2_contrib"),
         (F.floor(chi2 * 1e6) / 1e6).alias("chi2_total"),
         F.when(chi2 > _SRM_CHI2_CRIT, F.lit("srm_detected")).otherwise(F.lit("healthy")).alias("verdict"),
     )
@@ -2684,21 +2703,23 @@ buckets AS (
 ),
 c AS (
     SELECT bucket, n_users, n_events,
-           CAST(sum(n_users) OVER () AS DOUBLE) AS total
+           CAST(sum(n_users) OVER () AS BIGINT) AS total_i
     FROM buckets
 ),
 x AS (
-    SELECT bucket, n_users, n_events, total,
-           (CAST(n_users AS DOUBLE) - total / {float(_SRM_BUCKETS)!r})
-           * (CAST(n_users AS DOUBLE) - total / {float(_SRM_BUCKETS)!r})
-           / (total / {float(_SRM_BUCKETS)!r}) AS contrib
+    -- exact-BIGINT chi2 fold: (12·n − T)² sums as integers, the only
+    -- double op is the final /(12·T) (see events_srm docstring)
+    SELECT bucket, n_users, n_events, total_i,
+           CAST({_SRM_BUCKETS} * n_users - total_i AS BIGINT)
+           * CAST({_SRM_BUCKETS} * n_users - total_i AS BIGINT) AS num,
+           CAST({_SRM_BUCKETS} * total_i AS DOUBLE) AS den
     FROM c
 )
 SELECT bucket, n_users, n_events,
-       floor(CAST(n_users AS DOUBLE) / total * 1e6) / 1e6 AS share,
-       floor(contrib * 1e6) / 1e6 AS chi2_contrib,
-       floor(sum(contrib) OVER () * 1e6) / 1e6 AS chi2_total,
-       CASE WHEN sum(contrib) OVER () > {_SRM_CHI2_CRIT!r} THEN 'srm_detected' ELSE 'healthy' END AS verdict
+       floor(CAST(n_users AS DOUBLE) / CAST(total_i AS DOUBLE) * 1e6) / 1e6 AS share,
+       floor(CAST(num AS DOUBLE) / den * 1e6) / 1e6 AS chi2_contrib,
+       floor(CAST(sum(num) OVER () AS DOUBLE) / den * 1e6) / 1e6 AS chi2_total,
+       CASE WHEN CAST(sum(num) OVER () AS DOUBLE) / den > {_SRM_CHI2_CRIT!r} THEN 'srm_detected' ELSE 'healthy' END AS verdict
 FROM x
 """
 

@@ -4563,6 +4563,9 @@ FROM m
 # ---------------------------------------------------------------------------
 
 _BENFORD_CHI2_CRIT = 20.09  # chi-square df=8, p=0.01
+#: log10(1 + 1/d) for d = 1..9, computed ONCE driver-side and shipped as
+#: literals to BOTH engines (no per-engine libm; see benford docstring).
+_BENFORD_EXP_SHARES = [math.log10(1.0 + 1.0 / d) for d in range(1, 10)]
 
 
 def benford(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4606,7 +4609,13 @@ def benford(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = Window.partitionBy()
     total = F.sum("n").over(w).cast("double")
-    exp_share = F.log10(1.0 + 1.0 / F.col("digit").cast("double"))
+    # log10(1 + 1/d) for d in 1..9 are NINE CONSTANTS — ship them as
+    # driver-computed literals instead of calling each engine's libm (a
+    # 1-ulp log10 disagreement near a 1e-6 multiple would flip the
+    # floor-scaled exp_share / chi2 columns).
+    exp_share = F.element_at(
+        F.array(*[F.lit(v) for v in _BENFORD_EXP_SHARES]), F.col("digit").cast("int")
+    )
     contrib = (F.col("n").cast("double") - total * exp_share) * (
         F.col("n").cast("double") - total * exp_share
     ) / (total * exp_share)
@@ -4618,7 +4627,18 @@ def benford(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.floor(contrib * 1e6) / 1e6).alias("chi2_contrib"),
         contrib.alias("_c"),
     )
-    chi2 = F.sum("_c").over(w)
+    # chi2 total: fold the ≤9 contributions in ASCENDING DIGIT ORDER (an
+    # unordered float window-sum is partial-order-sensitive across engines
+    # — the events_srm sf0.001 finding; the oracle folds the same order).
+    tot = d.agg(
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct(F.col("digit"), F.col("_c").alias("c")))),
+            F.lit(0.0),
+            lambda acc, x: acc + x["c"],
+        ).alias("_chi2")
+    )
+    d = d.crossJoin(F.broadcast(tot))
+    chi2 = F.col("_chi2")
     return d.select(
         "digit", "n", "obs_share", "exp_share", "chi2_contrib",
         (F.floor(chi2 * 1e6) / 1e6).alias("chi2_total"),
@@ -4640,9 +4660,11 @@ counts AS (
     SELECT digit, count(*) AS n FROM digits WHERE digit BETWEEN 1 AND 9 GROUP BY digit
 ),
 c AS (
+    -- exp_share as the SAME driver-computed literals the Spark side ships
+    -- (no per-engine libm log10; see benford docstring)
     SELECT digit, n,
            CAST(sum(n) OVER () AS DOUBLE) AS total,
-           log10(1.0 + 1.0 / CAST(digit AS DOUBLE)) AS exp_share
+           [{", ".join(repr(v) for v in _BENFORD_EXP_SHARES)}][digit] AS exp_share
     FROM counts
 ),
 x AS (
@@ -4650,14 +4672,23 @@ x AS (
            (CAST(n AS DOUBLE) - total * exp_share) * (CAST(n AS DOUBLE) - total * exp_share)
                / (total * exp_share) AS contrib
     FROM c
+),
+tot AS (
+    -- chi2 folded in ascending digit order (single-slot scalar fold; an
+    -- unordered float window-sum is partial-order-sensitive across engines)
+    SELECT list_reduce(
+               list_prepend(CAST(0.0 AS DOUBLE),
+                   list_transform(list_sort(list(struct_pack(d := digit, c := contrib))), s -> s.c)),
+               (a, b) -> a + b) AS chi2
+    FROM x
 )
 SELECT digit, n,
        floor(CAST(n AS DOUBLE) / total * 1e6) / 1e6 AS obs_share,
        floor(exp_share * 1e6) / 1e6 AS exp_share,
        floor(contrib * 1e6) / 1e6 AS chi2_contrib,
-       floor(sum(contrib) OVER () * 1e6) / 1e6 AS chi2_total,
-       CASE WHEN sum(contrib) OVER () > {_BENFORD_CHI2_CRIT!r} THEN 'deviates' ELSE 'benford_ok' END AS verdict
-FROM x
+       floor(chi2 * 1e6) / 1e6 AS chi2_total,
+       CASE WHEN chi2 > {_BENFORD_CHI2_CRIT!r} THEN 'deviates' ELSE 'benford_ok' END AS verdict
+FROM x CROSS JOIN tot
 """
 
 
