@@ -862,3 +862,41 @@ def test_contamination_semantic_broadcast_bench(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" in phys
     assert "CartesianProduct" not in phys
     assert "Python" not in phys
+
+
+def test_events_srm_two_aggs_zero_python(spark, sf_dir):
+    """The SRM gate is one user-grain aggregate + one 12-bucket aggregate +
+    a 12-row window rollup: two shuffles total, the χ² numerators exact
+    BIGINTs (no float Σ — the r8 order-sensitivity fix), zero Python, no
+    cartesian."""
+    from timedb_spark.operators import analytics
+
+    df = analytics.events_srm(spark, sf_dir)
+    plans.assert_no_cartesian(df)
+    plans.assert_max_shuffles(df, 3)  # user agg + bucket agg + 12-row window
+    phys = df._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in phys
+
+
+def test_ts_benford_single_scan_broadcast_chi2(spark, sf_dir):
+    """Benford is ONE events scan into a 9-group aggregate; the χ² total
+    arrives as a broadcast 1-row fold (digit-ordered — the r8 determinism
+    fix), so no cartesian product and zero Python appear."""
+    from timedb_spark.operators import timeseries as ts
+
+    df = ts.benford(spark, sf_dir)
+    plans.assert_no_cartesian(df)
+    phys = df._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in phys
+    assert "BroadcastNestedLoopJoin" in phys  # the 1-row chi2 fold join
+
+
+def test_store_compact_zorder_gate_single_scan_post(spark):
+    """The compaction gate's post-side is one partition-pruned scan of the
+    compacted store into one fingerprint aggregate — no cartesian, zero
+    Python, and the pre-side is a local {str,int} relation (class-tested
+    in test_oracle_types)."""
+    df = entry._q_store_compact_zorder(spark, "/root/testdata/sf0.001")
+    plans.assert_no_cartesian(df)
+    phys = df._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in phys
