@@ -1031,7 +1031,11 @@ def events_rfm(spark: SparkSession, sf_dir: str, *, exact: bool = False) -> Data
         .agg(
             F.max(F.unix_micros(F.col("ts"))).alias("last_us"),
             F.count(F.lit(1)).alias("frequency"),
-            F.round(F.sum("value"), 6).alias("monetary"),
+            # exact DECIMAL(18,2) fold, not a float sum: purchase values are
+            # 2-dp money, a raw double Σ is partial-order-sensitive across
+            # engines (the events_srm r8 finding), and monetary feeds the
+            # quintile ORDER BY where a 1-ulp flip reassigns segments.
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("monetary"),
         )
         .join(F.broadcast(anchor))
         .select(
@@ -1101,7 +1105,7 @@ per_user AS (
     SELECT user_id,
            (anchor_us - max(epoch_us(ts))) // 1000000 AS recency_s,
            count(*) AS frequency,
-           round(sum(value), 6) AS monetary
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS monetary
     FROM events, anchor
     WHERE event_type = 'purchase'
     GROUP BY user_id, anchor_us
