@@ -665,3 +665,56 @@ def test_sharpe_property_matches_replay(spark, tmp_path_factory, cents_series):
             assert r.sortino == math.floor(mean / ddev * 1e6) / 1e6
         else:
             assert r.sortino is None
+
+
+@pytest.mark.filterwarnings("ignore")
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.tuples(st.integers(1, 5000), st.integers(1, 4)),  # (user_id, n_events)
+        min_size=2,
+        max_size=40,
+        unique_by=lambda t: t[0],
+    )
+)
+def test_srm_property_matches_exact_replay(spark, tmp_path_factory, users):
+    """events_srm's χ² must equal the EXACT integer replay
+    Σ(12·n_b − T)² / (12·T) for arbitrary bucket occupancies — including
+    the empty-bucket shapes sf0.001 produces (the r8 float-Σ red row). The
+    replay folds pure ints, so any order-sensitivity regression in the
+    operator diverges here."""
+    import math
+    import os
+
+    import pandas as pd
+
+    rows, eid = [], 0
+    for uid, n in users:
+        for k in range(n):
+            eid += 1
+            rows.append((eid, datetime(2024, 1, 1) + timedelta(minutes=eid), uid, "x", 1.0))
+    pdf = pd.DataFrame(rows, columns=["event_id", "ts", "user_id", "event_type", "value"])
+    pdf["props"] = ""
+    d = os.path.join(str(tmp_path_factory.mktemp("srm")), "sf")
+    os.makedirs(d, exist_ok=True)
+    pdf.to_parquet(os.path.join(d, "events.parquet"))
+
+    from timedb_spark.operators import analytics
+
+    out = analytics.events_srm(spark, d).collect()
+
+    buckets: dict[int, int] = {}
+    for uid, _n in users:
+        b = uid * 2654435761 % 2147483648 % 12
+        buckets[b] = buckets.get(b, 0) + 1
+    T = sum(buckets.values())
+    num = {b: (12 * n - T) ** 2 for b, n in buckets.items()}
+    chi2 = sum(num.values()) / (12.0 * T)
+
+    got = {r.bucket: r for r in out}
+    assert set(got) == set(buckets)
+    for b, r in got.items():
+        assert r.n_users == buckets[b]
+        assert r.chi2_contrib == math.floor(num[b] / (12.0 * T) * 1e6) / 1e6
+        assert r.chi2_total == math.floor(chi2 * 1e6) / 1e6
+        assert r.verdict == ("srm_detected" if chi2 > 24.725 else "healthy")
