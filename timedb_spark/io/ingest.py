@@ -196,7 +196,10 @@ def stream_landing_to_store(
             good = good.withColumn("retention", F.coalesce("retention", F.lit(DEFAULT_RETENTION)))
         if not good.isEmpty():
             db.write(good, txn=(app_id, int(batch_id)))
-        split.bad.write.mode("overwrite").parquet(f"{quarantine_dir}/batch_id={batch_id}")
+        from timedb_spark.session import micros_parquet_writes
+
+        with micros_parquet_writes(batch_df.sparkSession):
+            split.bad.write.mode("overwrite").parquet(f"{quarantine_dir}/batch_id={batch_id}")
 
     q = (
         raw_stream.writeStream.foreachBatch(_write)

@@ -31,6 +31,7 @@ from pathlib import Path
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from timedb_spark.session import micros_parquet_writes
 from timedb_spark.snapstore import SnapshotStore
 
 #: decimal type for exact, order-free partial sums
@@ -137,7 +138,8 @@ class ContinuousAggregate:
                 merged = _hourly_partial(self.store.read_values())
 
         state_rel = f"state/v{cur_v:012d}-{uuid.uuid4().hex[:8]}"
-        merged.write.mode("overwrite").parquet(str(self.root / state_rel))
+        with micros_parquet_writes(self.spark):
+            merged.write.mode("overwrite").parquet(str(self.root / state_rel))
         self._commit_meta(cur_v, state_rel, cur_files)
         self._gc_states(keep=state_rel)
         return {"mode": mode, "version": cur_v, "files_scanned": scanned}

@@ -49,6 +49,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from timedb_spark.session import micros_parquet_writes
+
 from timedb_spark.schema import RETENTION_TTL_DAYS, SERIES_VALUES_SCHEMA
 from timedb_spark.store import _SORT_KEY, Store
 
@@ -232,14 +234,15 @@ class SnapshotStore(Store):
                 f"append schema drift: unexpected={sorted(got - expected)} missing={sorted(expected - got)}"
             )
         stage = self._stage_dir()
-        (
-            df.withColumn("vt_month", F.date_format("valid_time", "yyyyMM"))
-            .repartition("retention", "vt_month")
-            .sortWithinPartitions("retention", "vt_month", *_SORT_KEY)
-            .write.partitionBy("retention", "vt_month")
-            .mode("overwrite")
-            .parquet(str(stage))
-        )
+        with micros_parquet_writes(self.spark):
+            (
+                df.withColumn("vt_month", F.date_format("valid_time", "yyyyMM"))
+                .repartition("retention", "vt_month")
+                .sortWithinPartitions("retention", "vt_month", *_SORT_KEY)
+                .write.partitionBy("retention", "vt_month")
+                .mode("overwrite")
+                .parquet(str(stage))
+            )
         added: list[str] = []
         self.values_path.mkdir(parents=True, exist_ok=True)
         for src in sorted(stage.rglob("*.parquet")):
@@ -313,17 +316,18 @@ class SnapshotStore(Store):
                 if len(fs) <= max_files_per_partition:
                     continue
                 tmp = self.root / "_compact_tmp" / uuid.uuid4().hex
-                (
-                    self._cluster_sort(
-                        self.spark.read.option("basePath", str(self.values_path))
-                        .parquet(*[str(self.values_path / f) for f in fs])
-                        .drop("retention", "vt_month"),
-                        cluster,
-                        target_files,
+                with micros_parquet_writes(self.spark):
+                    (
+                        self._cluster_sort(
+                            self.spark.read.option("basePath", str(self.values_path))
+                            .parquet(*[str(self.values_path / f) for f in fs])
+                            .drop("retention", "vt_month"),
+                            cluster,
+                            target_files,
+                        )
+                        .write.mode("overwrite")
+                        .parquet(str(tmp))
                     )
-                    .write.mode("overwrite")
-                    .parquet(str(tmp))
-                )
                 for src in sorted(tmp.rglob("*.parquet")):
                     rel = f"{part}/compact-{uuid.uuid4().hex}-{src.name}"
                     os.replace(src, self.values_path / rel)
@@ -371,16 +375,17 @@ class SnapshotStore(Store):
                 if have_stats and lo is not None and not any(lo <= t <= hi for t in targets):
                     continue  # zone maps prove absence — partition untouched
                 tmp = self.root / "_delete_tmp" / uuid.uuid4().hex
-                (
-                    self.spark.read.option("basePath", str(self.values_path))
-                    .parquet(*[str(self.values_path / f) for f in fs])
-                    .filter(~F.col("series_id").isin(targets))
-                    .drop("retention", "vt_month")
-                    .repartition(1)
-                    .sortWithinPartitions(*_SORT_KEY)
-                    .write.mode("overwrite")
-                    .parquet(str(tmp))
-                )
+                with micros_parquet_writes(self.spark):
+                    (
+                        self.spark.read.option("basePath", str(self.values_path))
+                        .parquet(*[str(self.values_path / f) for f in fs])
+                        .filter(~F.col("series_id").isin(targets))
+                        .drop("retention", "vt_month")
+                        .repartition(1)
+                        .sortWithinPartitions(*_SORT_KEY)
+                        .write.mode("overwrite")
+                        .parquet(str(tmp))
+                    )
                 for src in sorted(tmp.rglob("*.parquet")):
                     rel = f"{part}/erase-{uuid.uuid4().hex}-{src.name}"
                     os.replace(src, self.values_path / rel)
@@ -405,7 +410,8 @@ class SnapshotStore(Store):
                 ~F.col("series_id").isin(targets)
             )
             tmp_rs = self.root / "_delete_tmp" / "run_series"
-            rs.write.mode("overwrite").parquet(str(tmp_rs))
+            with micros_parquet_writes(self.spark):
+                rs.write.mode("overwrite").parquet(str(tmp_rs))
             shutil.rmtree(self.run_series_path)
             tmp_rs.rename(self.run_series_path)
             shutil.rmtree(self.root / "_delete_tmp", ignore_errors=True)

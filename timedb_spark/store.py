@@ -40,6 +40,7 @@ from timedb_spark.schema import (
     RUN_SERIES_SCHEMA,
     SERIES_VALUES_SCHEMA,
 )
+from timedb_spark.session import micros_parquet_writes
 
 _SORT_KEY = ["series_id", "valid_time", "knowledge_time", "change_time"]
 
@@ -77,7 +78,8 @@ class Store:
             self._write_values(empty)
         if not self.run_series_path.exists():
             empty_rs = self.spark.createDataFrame([], RUN_SERIES_SCHEMA)
-            empty_rs.write.mode("append").parquet(str(self.run_series_path))
+            with micros_parquet_writes(self.spark):
+                empty_rs.write.mode("append").parquet(str(self.run_series_path))
 
     def delete(self) -> None:
         """Drop both tables."""
@@ -114,18 +116,19 @@ class Store:
 
     def _write_values(self, df: DataFrame) -> None:
         stage = self._stage_dir()
-        (
-            df.withColumn("vt_month", F.date_format("valid_time", "yyyyMM"))
-            .repartition("retention", "vt_month")
-            # Partition cols lead the sort so FileFormatWriter's required
-            # per-task ordering (partition cols) is already satisfied and the
-            # writer does NOT re-sort — preserving the (series_id, valid_time,
-            # ...) row order that gives parquet row-group zone maps.
-            .sortWithinPartitions("retention", "vt_month", *_SORT_KEY)
-            .write.partitionBy("retention", "vt_month")
-            .mode("overwrite")
-            .parquet(str(stage))
-        )
+        with micros_parquet_writes(self.spark):
+            (
+                df.withColumn("vt_month", F.date_format("valid_time", "yyyyMM"))
+                .repartition("retention", "vt_month")
+                # Partition cols lead the sort so FileFormatWriter's required
+                # per-task ordering (partition cols) is already satisfied and the
+                # writer does NOT re-sort — preserving the (series_id, valid_time,
+                # ...) row order that gives parquet row-group zone maps.
+                .sortWithinPartitions("retention", "vt_month", *_SORT_KEY)
+                .write.partitionBy("retention", "vt_month")
+                .mode("overwrite")
+                .parquet(str(stage))
+            )
         self._publish(stage, self.values_path)
 
     def append_values(self, df: DataFrame) -> None:
@@ -133,7 +136,8 @@ class Store:
 
     def append_run_series(self, df: DataFrame) -> None:
         stage = self._stage_dir()
-        df.select("series_id", "run_id", "first_seen").write.mode("overwrite").parquet(str(stage))
+        with micros_parquet_writes(self.spark):
+            df.select("series_id", "run_id", "first_seen").write.mode("overwrite").parquet(str(stage))
         self._publish(stage, self.run_series_path)
 
     # -- reads -------------------------------------------------------------
@@ -208,6 +212,23 @@ class Store:
                                 mn, mx = _naive_utc(st.min), _naive_utc(st.max)
                                 vt_min = mn if vt_min is None else min(vt_min, mn)
                                 vt_max = mx if vt_max is None else max(vt_max, mx)
+                if n_rows > 0 and (vt_min is None or sid_min is None):
+                    # Never return silent None bounds for a non-empty
+                    # partition: absent footer stats mean the store's zone
+                    # maps are void (r6-r8 this surfaced as three rounds of
+                    # driver-red — INT96 timestamp parquet written under a
+                    # default session carries no min/max statistics).
+                    raise RuntimeError(
+                        f"partition retention={tier}/vt_month={ym} has {n_rows} rows but "
+                        "no parquet footer min/max statistics on "
+                        f"{'valid_time' if vt_min is None else 'series_id'}. The files were "
+                        "likely written with spark.sql.parquet.outputTimestampType=INT96 "
+                        "(Spark's default), which stores NO row-group statistics for "
+                        "timestamps and silently voids the store's zone maps. Rewrite the "
+                        "partition via Store.compact() with a session pinning "
+                        "outputTimestampType=TIMESTAMP_MICROS (timedb_spark.session.get_spark "
+                        "does; Store's own write paths now pin it regardless of session)."
+                    )
                 out.append(
                     {
                         "retention": tier,
@@ -268,11 +289,12 @@ class Store:
                 if len(files) <= max_files_per_partition:
                     continue
                 tmp = tmp_root / tier_dir.name / month_dir.name
-                (
-                    self._cluster_sort(self.spark.read.parquet(str(month_dir)), cluster, target_files)
-                    .write.mode("overwrite")
-                    .parquet(str(tmp))
-                )
+                with micros_parquet_writes(self.spark):
+                    (
+                        self._cluster_sort(self.spark.read.parquet(str(month_dir)), cluster, target_files)
+                        .write.mode("overwrite")
+                        .parquet(str(tmp))
+                    )
                 shutil.rmtree(month_dir)
                 tmp.rename(month_dir)
                 compacted.append(f"{tier_dir.name}/{month_dir.name}")
@@ -399,9 +421,10 @@ class Store:
                     ~F.col("series_id").isin(targets)
                 )
                 tmp = tmp_root / tier_dir.name / month_dir.name
-                df.repartition(1).sortWithinPartitions(*_SORT_KEY).write.mode(
-                    "overwrite"
-                ).parquet(str(tmp))
+                with micros_parquet_writes(self.spark):
+                    df.repartition(1).sortWithinPartitions(*_SORT_KEY).write.mode(
+                        "overwrite"
+                    ).parquet(str(tmp))
                 shutil.rmtree(month_dir)
                 tmp.rename(month_dir)
                 rewritten.append(f"{tier_dir.name}/{month_dir.name}")
@@ -413,7 +436,8 @@ class Store:
                 ~F.col("series_id").isin(targets)
             )
             tmp_rs = tmp_root / "run_series"
-            rs.write.mode("overwrite").parquet(str(tmp_rs))
+            with micros_parquet_writes(self.spark):
+                rs.write.mode("overwrite").parquet(str(tmp_rs))
             shutil.rmtree(self.run_series_path)
             tmp_rs.rename(self.run_series_path)
             shutil.rmtree(tmp_root, ignore_errors=True)

@@ -89,7 +89,10 @@ def stage_ordered_landing(df: DataFrame, path: str, n_files: int, order_col: str
     import os
     import time
 
-    df.repartitionByRange(n_files, order_col).write.mode("overwrite").parquet(path)
+    from timedb_spark.session import micros_parquet_writes
+
+    with micros_parquet_writes(df.sparkSession):
+        df.repartitionByRange(n_files, order_col).write.mode("overwrite").parquet(path)
     parts = sorted(f for f in os.listdir(path) if f.startswith("part-") and f.endswith(".parquet"))
     base = int(time.time()) - 10 * len(parts) - 60
     for i, f in enumerate(parts):
