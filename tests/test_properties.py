@@ -679,10 +679,11 @@ def test_sharpe_property_matches_replay(spark, tmp_path_factory, cents_series):
 )
 def test_srm_property_matches_exact_replay(spark, tmp_path_factory, users):
     """events_srm's χ² must equal the EXACT integer replay
-    Σ(12·n_b − T)² / (12·T) for arbitrary bucket occupancies — including
-    the empty-bucket shapes sf0.001 produces (the r8 float-Σ red row). The
-    replay folds pure ints, so any order-sensitivity regression in the
-    operator diverges here."""
+    Σ(12·n_b − T)² / (12·T) folded over the FULL 0..11 bucket domain
+    (ADVICE r8: an empty bucket contributes T², the strongest SRM signal —
+    the operator left-joins the domain so it can never vanish from the
+    aggregate). The replay folds pure ints, so any order-sensitivity
+    regression in the operator diverges here."""
     import math
     import os
 
@@ -703,16 +704,16 @@ def test_srm_property_matches_exact_replay(spark, tmp_path_factory, users):
 
     out = analytics.events_srm(spark, d).collect()
 
-    buckets: dict[int, int] = {}
+    buckets: dict[int, int] = {b: 0 for b in range(12)}
     for uid, _n in users:
         b = uid * 2654435761 % 2147483648 % 12
-        buckets[b] = buckets.get(b, 0) + 1
+        buckets[b] += 1
     T = sum(buckets.values())
     num = {b: (12 * n - T) ** 2 for b, n in buckets.items()}
     chi2 = sum(num.values()) / (12.0 * T)
 
     got = {r.bucket: r for r in out}
-    assert set(got) == set(buckets)
+    assert set(got) == set(range(12))
     for b, r in got.items():
         assert r.n_users == buckets[b]
         assert r.chi2_contrib == math.floor(num[b] / (12.0 * T) * 1e6) / 1e6

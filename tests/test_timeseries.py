@@ -2217,3 +2217,27 @@ def test_benford_first_digit_power_of_ten_boundaries(spark, tmp_path):
     con.sql("CREATE VIEW events AS SELECT * FROM events_df")
     duck = {r[0]: r[1] for r in con.sql(ts.BENFORD_SQL).fetchall()}
     assert duck == out
+
+    # ADVICE r8 residual-band probes: a double 1 ulp BELOW a negative power
+    # of ten. Spark converts via shortest-repr BigDecimal + HALF_UP
+    # setScale(18) while DuckDB multiplies by 10^18 in double precision and
+    # rounds, so a value in this band could in principle round across the
+    # boundary in one engine only, flipping the bin 9↔1. No hand expectation
+    # here — the contract under test is ENGINE AGREEMENT bin-for-bin (plus
+    # the k=9 probe landing below the abs>1e-9 guard on both engines).
+    probes = [math.nextafter(10.0**-k, 0.0) for k in range(2, 10)]
+    rows2 = [
+        (k + 1, datetime(2024, 1, 1) + pd.Timedelta(minutes=k), 1, v)
+        for k, v in enumerate(probes)
+    ]
+    d2 = _write_events(tmp_path / "ulp_band", rows2)
+    out2 = {r.digit: r.n for r in ts.benford(spark, d2).collect()}
+    assert sum(out2.values()) == len(probes) - 1  # k=9 probe < 1e-9: dropped
+    pdf2 = pd.DataFrame(rows2, columns=["event_id", "ts", "user_id", "value"])
+    pdf2["event_type"] = "x"
+    pdf2["props"] = ""
+    con2 = duckdb.connect()
+    con2.register("events_df", pdf2)
+    con2.sql("CREATE VIEW events AS SELECT * FROM events_df")
+    duck2 = {r[0]: r[1] for r in con2.sql(ts.BENFORD_SQL).fetchall()}
+    assert duck2 == out2

@@ -2448,8 +2448,23 @@ def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     # and the only double op is ONE final division — a float Σcontrib
     # window-sum is partial-order-sensitive across engines (the events_srm
     # sf0.001 finding). |num| ≤ 4m² keeps the fold under 2^63 for m up to
-    # ~1.5·10⁹ edges.
-    m_l = F.col("m").cast("long")
+    # ~1.5·10⁹ edges — past that bound Spark's non-ANSI long multiply would
+    # WRAP SILENTLY while the DuckDB oracle aborts (ADVICE r8), so the
+    # guard below turns the Spark side equally loud instead of letting a
+    # wrapped-but-plausible modularity ship.
+    m_l = F.when(
+        F.col("m").cast("long") <= F.lit(1_500_000_000).cast("long"),
+        F.col("m").cast("long"),
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit("graph_modularity: m="),
+                F.col("m").cast("string"),
+                F.lit(" edges exceeds the exact-BIGINT fold bound (~1.5e9); "
+                      "4m^2 would overflow int64 — rescale or shard the fold"),
+            )
+        ).cast("long")
+    )
     d_l = F.col("degree_sum").cast("long")
     num = (F.lit(4).cast("long") * m_l * F.col("internal_edges") - d_l * d_l).alias("_num")
     den = (F.lit(4).cast("long") * m_l * m_l).cast("double").alias("_den")
@@ -2668,16 +2683,41 @@ def events_srm(spark: SparkSession, sf_dir: str) -> DataFrame:
     diverged between the engines at sf0.001, where the total landed
     exactly on a 1e-6 floor boundary (17.05 vs 17.049999). The integer
     square stays under 2^63 for T up to ~8·10⁸ users per the 11·T
-    worst-case deviation bound."""
+    worst-case deviation bound.
+
+    The χ² is UNCONDITIONAL on observed buckets (ADVICE r8): the groupBy
+    result is left-joined back onto the full 0..11 bucket domain, so an
+    EMPTY bucket — the strongest possible SRM signal — surfaces as an
+    n_users=0 row contributing (12·0 − T)² = T² to the numerator instead
+    of being silently dropped by the aggregate."""
     ev = load_table(spark, sf_dir, "events")
     users = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_events"))
     bucket = (F.col("user_id") * F.lit(2654435761).cast("long")) % F.lit(2147483648).cast("long") % _SRM_BUCKETS
-    d = users.groupBy(bucket.cast("int").alias("bucket")).agg(
+    observed = users.groupBy(bucket.cast("int").alias("bucket")).agg(
         F.count(F.lit(1)).alias("n_users"),
         F.sum("n_events").cast("long").alias("n_events"),
     )
+    domain = spark.range(_SRM_BUCKETS).select(F.col("id").cast("int").alias("bucket"))
+    d = domain.join(observed, "bucket", "left").select(
+        "bucket",
+        F.coalesce("n_users", F.lit(0)).cast("long").alias("n_users"),
+        F.coalesce("n_events", F.lit(0)).cast("long").alias("n_events"),
+    )
     w = Window.partitionBy()
-    total_i = F.sum("n_users").over(w).cast("long")
+    # |12·n_b − T| ≤ 11·T, so dev² ≤ 121·T² stays under 2^63 for T up to
+    # ~8·10⁸ users. Past the bound Spark's non-ANSI multiply wraps silently
+    # while the DuckDB oracle aborts (ADVICE r8) — raise loudly instead.
+    total_raw = F.sum("n_users").over(w).cast("long")
+    total_i = F.when(total_raw <= F.lit(800_000_000).cast("long"), total_raw).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit("events_srm: T="),
+                total_raw.cast("string"),
+                F.lit(" users exceeds the exact-BIGINT chi-square bound (~8e8); "
+                      "(12n-T)^2 would overflow int64 — shard the fold"),
+            )
+        ).cast("long")
+    )
     dev = F.lit(_SRM_BUCKETS).cast("long") * F.col("n_users") - total_i
     num = (dev * dev).alias("_num")  # exact BIGINT per bucket
     denom = (F.lit(_SRM_BUCKETS).cast("long") * total_i).cast("double")
@@ -2700,10 +2740,19 @@ EVENTS_SRM_SQL = f"""
 WITH users AS (
     SELECT user_id, count(*) AS n_events FROM events GROUP BY user_id
 ),
-buckets AS (
+observed AS (
     SELECT CAST(user_id * 2654435761 % 2147483648 % {_SRM_BUCKETS} AS INT) AS bucket,
            count(*) AS n_users, CAST(sum(n_events) AS BIGINT) AS n_events
     FROM users GROUP BY 1
+),
+-- unconditional χ²: left-join the full 0..11 domain so an EMPTY bucket
+-- contributes (12·0 − T)² = T² instead of vanishing from the aggregate
+buckets AS (
+    SELECT d.bucket,
+           CAST(COALESCE(o.n_users, 0) AS BIGINT) AS n_users,
+           CAST(COALESCE(o.n_events, 0) AS BIGINT) AS n_events
+    FROM (SELECT CAST(range AS INT) AS bucket FROM range({_SRM_BUCKETS})) d
+    LEFT JOIN observed o USING (bucket)
 ),
 c AS (
     SELECT bucket, n_users, n_events,

@@ -414,6 +414,13 @@ def backtest_error(
     # the exact decimal expansion and DuckDB's round disagree by 1e-6 on
     # half-boundary values (observed at sf0.1 in mae/bias) — floor+0.5 on
     # bit-identical doubles is bit-identical on both engines.
+    # Tie semantics (ADVICE r8): for NEGATIVE values an exact tie rounds
+    # toward +inf (-1.0000005 → -1.000000), not away from zero like
+    # HALF_UP (→ -1.000001). Signed outputs (bias, the raw err) therefore
+    # carry toward-+inf ties; both engines apply the identical convention,
+    # and the reference publishes no tie rule of its own (it returns raw
+    # ClickHouse floats unrounded), so cross-engine agreement is the
+    # binding contract here.
     r6 = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)  # noqa: E731
     err = r6(F.col("forecast") - F.col("actual")).cast("decimal(28,6)")
     err2 = r6((F.col("forecast") - F.col("actual")) * (F.col("forecast") - F.col("actual"))).cast(

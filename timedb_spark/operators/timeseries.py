@@ -4585,11 +4585,19 @@ def benford(spark: SparkSession, sf_dir: str) -> DataFrame:
     value at an exact power of ten sits on the floor(log10) boundary,
     where a 1-ulp libm difference between the JVM and DuckDB would flip a
     digit bin or drop the row via the 1..9 filter. Instead the value is
-    cast to DECIMAL(38,18) (fixed-point rendering, no scientific notation,
-    deterministic correctly-rounded double→decimal conversion on both
-    engines) and the first [1-9] character of its string form is the first
-    significant digit — exact for every |value| in (1e-9, 1e18), which the
-    >1e-9 filter and the events domain guarantee."""
+    cast to DECIMAL(38,18) (fixed-point rendering, no scientific notation)
+    and the first [1-9] character of its string form is the first
+    significant digit — exact for every |value| ≥ 1, and for (1e-9, 1) up
+    to a residual ulp band (ADVICE r8): the double→decimal conversions are
+    not bit-identical across engines (Spark: shortest-repr BigDecimal +
+    HALF_UP setScale(18); DuckDB: ×10¹⁸ in double precision, then round),
+    so a double within ~1 ulp below a negative power of ten can in
+    principle round across the boundary in one engine only, flipping the
+    bin 9↔1. Current data never enters the band (3-SF parity green), and
+    tests/test_timeseries.py plants nextafter(10⁻ᵏ, 0) probes for k=2..9
+    so any engine disagreement in the band fails the Spark-vs-DuckDB
+    replay loudly. The >1e-9 filter and the events domain bound |value|
+    inside (1e-9, 1e18)."""
     ev = load_table(spark, sf_dir, "events")
     a = F.abs(F.col("value"))
     # nullif makes the cast TOTAL: a zero value renders as all-zero decimal
