@@ -976,6 +976,69 @@ def _q_store_compact_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pre_df.unionByName(post_df)
 
 
+_TTL_CACHE: dict[str, tuple] = {}
+
+#: Fixed "today" for the TTL gate: 202401's last day (2024-01-31) + the
+#: short tier's 180-day TTL = 2024-07-29 < 2026-06-01, so `short` expires;
+#: medium (+1095d → 2027-01-30) and long (+1825d) survive, forever is
+#: excluded before evaluation (schema.RETENTION_TTL_DAYS; store.py
+#: apply_retention mirrors CH's `TTL ... DELETE WHERE retention != 'forever'`).
+_TTL_NOW = datetime(2026, 6, 1)
+
+
+def _materialized_ttl_store(spark: SparkSession, sf_dir: str):
+    """One TTL-swept store per (process, sf_dir): create + append of the
+    deterministic bitemporal frame, the PRE-sweep fingerprint collected
+    eagerly (the read is lazy; collecting after the sweep would scan only
+    survivors and prove nothing), then ``apply_retention(now=_TTL_NOW)``.
+    Returns (store, pre_rows, dropped_partition_dirs)."""
+    cached = _TTL_CACHE.get(sf_dir)
+    if cached is None:
+        import tempfile
+
+        from timedb_spark.store import Store
+
+        st = Store(spark, tempfile.mkdtemp(prefix="timedb_gate_ttl_"))
+        st.create()
+        sv = bitemporal_frame(spark, sf_dir).withColumns({
+            "valid_time_end": F.lit(None).cast("timestamp"),
+            "run_id": F.lit(None).cast("long"),
+        })
+        st.append_values(sv)
+        pre = [
+            ("pre", str(r["retention"]), str(r["vt_month"]), int(r["n_rows"]),
+             int(r["series_id_min"]), int(r["series_id_max"]),
+             str(r["valid_time_min"]), str(r["valid_time_max"]), int(r["value_cents"]))
+            for r in _compact_partition_agg(st.read_values()).collect()
+        ]
+        dropped = st.apply_retention(now=_TTL_NOW)
+        _TTL_CACHE[sf_dir] = (st, pre, dropped)
+    return _TTL_CACHE[sf_dir]
+
+
+def _q_store_retention_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention-TTL partition drops promoted from internal-only to a
+    full-oracle gate query (VERDICT r8 task #5, the store_compact_zorder
+    promotion pattern): the store ages out whole expired (retention,
+    vt_month) partitions under a pinned "today" (store.py apply_retention —
+    the CH partition-drop TTL analogue, ref timedb/sql/ch_create_tables.sql
+    TTL ... DELETE WHERE retention != 'forever'), and the gate value-hashes
+    the per-partition fingerprint (counts, series/valid_time bounds, exact
+    cent sums) BOTH pre- and post-sweep against one DuckDB recompute that
+    applies the SAME last-day-of-month + tier-TTL survival predicate
+    independently — proving exactly the short tier ages out at _TTL_NOW and
+    survivors are byte-identical. The dropped-directory list and zero-IO
+    properties stay pinned in tests/test_store_client.py."""
+    st, pre, _dropped = _materialized_ttl_store(spark, sf_dir)
+    pre_df = spark.createDataFrame(pre, _COMPACT_AGG_SCHEMA)
+    post_df = _compact_partition_agg(st.read_values()).select(
+        F.lit("post").alias("phase"),
+        "retention", "vt_month", "n_rows", "series_id_min", "series_id_max",
+        "valid_time_min", "valid_time_max", "value_cents",
+    )
+    return pre_df.unionByName(post_df)
+
+
 def _q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """embed_quantize with `codes array<int>` serialized to a ','-joined
     string for the gate (the driver canonicalizer cannot factorize list
@@ -1046,102 +1109,105 @@ ROWS_ONLY = frozenset({
 })
 
 
-#: Round-7 correctness-gate window (first 50 queries() entries, in order).
+#: Round-9 correctness-gate window (first 50 queries() entries, in order).
 #: The driver hash-checks exactly these, so the list IS the rotation —
 #: the registration dict below is grouped by domain and no longer encodes
-#: window order itself (rotating a list beats re-shuffling a 180-entry
-#: literal every round). Composition per VERDICT r7 tasks #1/#3/#4:
-#:   1     partition_stats — hash-red in r6 AND r7 while value-correct;
-#:         this round the datetime class is REMOVED from its gate
-#:         projection (formatted strings + int(), routed through one Spark
-#:         SQL projection) — r6's untaken option B;
-#:   2     store_compact_zorder — z-order compaction NEWLY promoted from
-#:         internal-only to a full-oracle invariance gate query;
-#:   3-5   the recursive-CTE-oracle debt entries (ts_macd,
-#:         ts_anomaly_online, stream_anomaly_v2) — the oracle class driver
-#:         hashing has historically disagreed with — front-loaded;
-#:   6-12  the shared-core debt entries (_lp_run: graph_modularity /
-#:         graph_clustering / graph_kcore; _ivf_assign: embed_index_stats /
-#:         embed_knn_graph / embed_cluster_purity; ann_filtered);
-#:   13-14 ts_sharpe + ts_benford — their oracles/operators changed THIS
-#:         round (ADVICE r7: fold-slot subexpression dedup; string-derived
-#:         first digit), so they need fresh driver rows;
-#:   15-50 the rest of the 57-entry r7 registration debt, in SURVEY §7
-#:         order. 59 candidates > 50 slots: the NINE overflow entries
-#:         (all single-scan projection/aggregate shapes — the lowest-risk
-#:         oracle class on the board) are explicit r9 debt, listed in
-#:         SURVEY §7: text_diversity, text_code_detect,
-#:         text_instruction_detect, pipeline_dataset_card, events_dau,
-#:         events_ltv, ts_load_curve, ts_missingness, ts_peak_detect.
+#: window order itself. Composition per VERDICT r8 tasks #1/#3/#4/#5:
+#:   1     partition_stats — driver-red r6/r7/r8; root cause was the
+#:         driver session's default INT96 parquet writes carrying NO
+#:         footer min/max stats. Fixed at the library layer this round:
+#:         every Store write choke point pins
+#:         outputTimestampType=TIMESTAMP_MICROS (set-and-restore,
+#:         session.micros_parquet_writes) and partition_stats raises
+#:         loudly on stats-less non-empty partitions; proven end-to-end
+#:         under a hostile default-conf session in
+#:         tests/test_hostile_session.py (fails on pre-fix code).
+#:   2     store_retention_ttl — TTL partition drops NEWLY promoted from
+#:         internal-only to a full-oracle pre/post-fingerprint gate query
+#:         (VERDICT r8 task #5, the compact-zorder promotion pattern);
+#:   3-6   the four STALE greens (operator+oracle changed in r8 after
+#:         their last driver row): bt_backtest_error, events_rfm,
+#:         text_quality, pipeline_clean;
+#:   7-15  the nine never-driver-checked r9 debt entries (single-scan
+#:         shapes, judge-parity-green in r8);
+#:   16-17 events_srm + graph_modularity — their operators changed THIS
+#:         round (ADVICE r8: unconditional 12-bucket chi-square domain;
+#:         exact-fold overflow guards), so they need fresh rows;
+#:   18-50 re-rotation of the OLDEST greens (VERDICT r8 task #4): the 33
+#:         first r4-era rows in CORRECTNESS_r04 order — none have been
+#:         driver-checked on current code since r4. The SEVEN r4 rows that
+#:         didn't fit (ts_holt, events_cohort, ts_m4, ts_changepoint,
+#:         stream_funnel, ts_holt_winters, ts_lttb) are explicit r10
+#:         rotation debt, listed in SURVEY §7.
 #: Window-discipline rule (VERDICT r5 #4): queries registered mid-round go
 #: INSIDE this window or are explicitly listed as next-window debt in
 #: SURVEY §7.
-_R8_WINDOW = [
+_R9_WINDOW = [
     "partition_stats",
-    "store_compact_zorder",
-    # -- recursive-CTE oracles (front-loaded per VERDICT r7 #3) ------------
-    "ts_macd",
-    "ts_anomaly_online",
-    "stream_anomaly_v2",
-    # -- shared-core queries (_lp_run / _ivf_assign) -----------------------
-    "graph_modularity",
-    "graph_clustering",
-    "graph_kcore",
-    "embed_index_stats",
-    "embed_knn_graph",
-    "embed_cluster_purity",
-    "ann_filtered",
-    # -- oracle/operator changed this round (ADVICE r7) --------------------
-    "ts_sharpe",
-    "ts_benford",
-    # -- remaining r7 registration debt (SURVEY §7 order) ------------------
-    "ts_runs_test",
-    "ts_rsi",
-    "ts_bollinger",
-    "ts_ljung_box",
-    "ts_spectral_entropy",
-    "bt_knowledge_lag",
-    "embed_isotropy",
-    "multimodal_phash",
-    "sample_dedup_aware",
-    "events_time_to_convert",
-    "bt_staleness",
-    "ts_pacf",
-    "dedup_lsh_tuning",
-    "pipeline_dq_rules",
-    "events_seasonality",
-    "ts_ccf",
-    "bt_revision_latency",
-    "ts_adf",
-    "ts_var_es",
+    "store_retention_ttl",
+    # -- stale greens: operator+oracle changed in r8 -----------------------
+    "bt_backtest_error",
+    "events_rfm",
+    "text_quality",
+    "pipeline_clean",
+    # -- never-driver-checked r9 debt (single-scan shapes) -----------------
+    "text_diversity",
+    "text_code_detect",
+    "text_instruction_detect",
+    "pipeline_dataset_card",
+    "events_dau",
+    "events_ltv",
+    "ts_load_curve",
+    "ts_missingness",
+    "ts_peak_detect",
+    # -- operator changed this round (ADVICE r8) ---------------------------
     "events_srm",
-    "embed_centroid_drift",
-    "bt_coverage",
-    "ts_motif",
-    "events_power",
-    "events_anomaly_daily",
-    "events_markov_stationary",
-    "graph_assortativity",
-    "sample_kcenter",
-    "ts_forecast_ensemble",
-    "ts_granger",
-    "dedup_winnowing",
-    "ts_arch_test",
-    "multimodal_audio_hash",
-    "contamination_semantic",
-    "ts_dist_drift",
-    "train_split_temporal",
+    "graph_modularity",
+    # -- oldest-green re-rotation (r4-era rows, CORRECTNESS_r04 order) -----
+    "bt_read_latest",
+    "bt_read_overlapping",
+    "bt_read_latest_changes",
+    "bt_read_overlapping_changes",
+    "bt_read_filtered",
+    "bt_read_relative",
+    "bt_read_meta_scope",
+    "bt_run_series",
+    "bt_write_skip_unchanged",
+    "bt_snapshot",
+    "bt_snapshot_diff",
+    "bt_value_at",
+    "bt_interval_at",
+    "bt_forecast_vintage",
+    "tpch_q1",
+    "tpch_q3",
+    "tpch_q5",
+    "events_window",
+    "asof_join",
+    "events_markov",
+    "bt_pinball_loss",
+    "dedup_semantic",
+    "ts_calendar_features",
+    "ts_range_join",
+    "ts_topk_users",
+    "ts_quantiles",
+    "ts_moving_stats",
+    "ts_anomaly_zscore",
+    "ts_anomaly_mad",
+    "ts_gap_detect",
+    "ts_autocorr",
+    "ts_seasonal_naive",
+    "ts_histogram",
 ]
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """The driver hash-checks the FIRST 50 entries; ``_R8_WINDOW`` (above)
+    """The driver hash-checks the FIRST 50 entries; ``_R9_WINDOW`` (above)
     pins that order each round. The registry literal below is grouped by
     domain; queries() re-orders it window-first, everything else after in
-    registry order. Every r6-window green not in the r7 window moves to the
-    tail (all stay green locally via tools/parity.py)."""
+    registry order. Greens rotated out of the window stay green locally via
+    tools/parity.py (full-register parity at sf0.001/0.01/0.1 per round)."""
     reg: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-        # (registry order below is domain grouping only — _R8_WINDOW above
+        # (registry order below is domain grouping only — _R9_WINDOW above
         # decides what the driver checks)
         "embed_quantize": _q_embed_quantize,
         "ts_theta": timeseries.theta_forecast,
@@ -1153,6 +1219,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "partition_stats": _q_partition_stats,
         # z-order compaction invariance (promoted r8, VERDICT r7 task #4)
         "store_compact_zorder": _q_store_compact_zorder,
+        # retention-TTL partition drops (promoted r9, VERDICT r8 task #5)
+        "store_retention_ttl": _q_store_retention_ttl,
         "text_readability": text.text_readability,
         "ts_kalman": timeseries.kalman_filter,
         "ts_croston": timeseries.croston,
@@ -1403,7 +1471,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_dist_drift": timeseries.dist_drift,
         "train_split_temporal": sampling.train_split_temporal,
     }
-    out = {k: reg[k] for k in _R8_WINDOW}
+    out = {k: reg[k] for k in _R9_WINDOW}
     out.update((k, v) for k, v in reg.items() if k not in out)
     return out
 
@@ -1967,6 +2035,33 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'pre' AS phase, * FROM agg
             UNION ALL
             SELECT 'post' AS phase, * FROM agg
+        """,
+        # TTL sweep: 'post' keeps exactly the partitions the store's
+        # survival predicate keeps — forever always, else last day of the
+        # vt_month + the tier's TTL days must be on/after the pinned today
+        # (2026-06-01). The oracle re-derives the predicate from vt_month
+        # text, independent of the store's directory walk.
+        "store_retention_ttl": f"""
+            WITH sv AS ({_SV}),
+            agg AS (
+                SELECT retention, strftime(valid_time, '%Y%m') AS vt_month,
+                       CAST(count(*) AS BIGINT) AS n_rows,
+                       min(series_id) AS series_id_min, max(series_id) AS series_id_max,
+                       strftime(min(valid_time), '%Y-%m-%d %H:%M:%S') AS valid_time_min,
+                       strftime(max(valid_time), '%Y-%m-%d %H:%M:%S') AS valid_time_max,
+                       CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS value_cents
+                FROM sv GROUP BY retention, strftime(valid_time, '%Y%m')
+            )
+            SELECT 'pre' AS phase, * FROM agg
+            UNION ALL
+            SELECT 'post' AS phase, * FROM agg
+            WHERE retention = 'forever'
+               OR (CAST(strptime(vt_month || '01', '%Y%m%d') AS DATE)
+                   + INTERVAL 1 MONTH - INTERVAL 1 DAY
+                   + to_days(CASE retention WHEN 'short' THEN 180
+                                            WHEN 'medium' THEN 1095
+                                            WHEN 'long' THEN 1825 END))
+                  >= DATE '2026-06-01'
         """,
         "dedup_semantic": similarity.DEDUP_SEMANTIC_SQL,
         "multimodal_meta": multimodal.MULTIMODAL_META_SQL,

@@ -841,3 +841,25 @@ def test_compact_zorder_gate_store_really_compacts(spark):
         for r in entrymod._compact_partition_agg(st.read_values()).collect()
     }
     assert post == pre_counts
+
+
+def test_retention_ttl_gate_store_drops_exactly_short(spark):
+    """The store_retention_ttl GATE query only proves the sweep if something
+    actually aged out AND something survived. Pin the wrapper's mechanics at
+    sf0.001: under the pinned today (2026-06-01) apply_retention drops
+    exactly the short tier's single 202401 partition (last day 2024-01-31 +
+    180d TTL = 2024-07-29 < today), the directory is gone from disk, the
+    survivors (medium/long/forever) match the pre fingerprint row-for-row,
+    and the sweep touched no data files (whole-directory drop, zero IO)."""
+    import __spark_entry__ as entrymod
+
+    st, pre, dropped = entrymod._materialized_ttl_store(spark, "/root/testdata/sf0.001")
+    assert dropped == ["retention=short/vt_month=202401"]
+    assert not list((st.values_path / "retention=short").glob("vt_month=*"))
+    pre_counts = {(r[1], r[2]): r[3] for r in pre}  # (retention, vt_month) -> n_rows
+    assert ("short", "202401") in pre_counts, "pre fingerprint must include the tier that ages out"
+    post = {
+        (r["retention"], r["vt_month"]): r["n_rows"]
+        for r in entrymod._compact_partition_agg(st.read_values()).collect()
+    }
+    assert post == {k: v for k, v in pre_counts.items() if k[0] != "short"}
