@@ -741,7 +741,8 @@ def test_events_srm_planted(spark, tmp_path):
     exp = len(users) / 12.0
     chi2 = sum((counts.get(b, 0) - exp) ** 2 / exp for b in range(12))
     got = {r.bucket: r for r in out}
-    assert {b: r.n_users for b, r in got.items()} == counts
+    # full 0..11 domain (ADVICE r8): unoccupied buckets surface as 0 rows
+    assert {b: r.n_users for b, r in got.items()} == {b: counts.get(b, 0) for b in range(12)}
     assert all(r.chi2_total == math.floor(chi2 * 1e6) / 1e6 for r in out)
     expected_verdict = "srm_detected" if chi2 > 24.725 else "healthy"
     assert all(r.verdict == expected_verdict for r in out)
@@ -751,8 +752,15 @@ def test_events_srm_planted(spark, tmp_path):
     assert len(planted) == 48
     d2 = write(planted, tmp_path / "broken")
     out2 = analytics.events_srm(spark, d2).collect()
-    assert len(out2) == 1 and out2[0].bucket == 0
-    assert out2[0].verdict == "srm_detected"
+    # unconditional χ²: the 11 EMPTY buckets each contribute T² = 48², so
+    # the exact total is 48²·(11² + 11)/(12·48) = 528 — pre-ADVICE-r8 the
+    # aggregate dropped them and only bucket 0's contribution survived
+    assert len(out2) == 12
+    by_bucket = {r.bucket: r for r in out2}
+    assert by_bucket[0].n_users == 48
+    assert all(by_bucket[b].n_users == 0 for b in range(1, 12))
+    assert all(r.chi2_total == 528.0 for r in out2)
+    assert all(r.verdict == "srm_detected" for r in out2)
 
 
 def test_events_power_hand_computed(spark, tmp_path):

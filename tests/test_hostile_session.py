@@ -134,12 +134,23 @@ def test_store_gate_queries_end_to_end_under_hostile_session(hostile, sf_dir):
     correct answers'). Caches cleared on both sides so the materializations
     genuinely happen under the hostile session and later tests rebuild their
     own."""
-    caches = (entrymod._STORE_CACHE, entrymod._SNAP_CACHE, entrymod._COMPACT_CACHE)
+    caches = (
+        entrymod._STORE_CACHE,
+        entrymod._SNAP_CACHE,
+        entrymod._COMPACT_CACHE,
+        entrymod._TTL_CACHE,
+    )
     for c in caches:
         c.clear()
     try:
         qs = entrymod.queries()
-        for name in ("partition_stats", "fast_count", "store_compact_zorder", "snap_time_travel"):
+        for name in (
+            "partition_stats",
+            "fast_count",
+            "store_compact_zorder",
+            "snap_time_travel",
+            "store_retention_ttl",
+        ):
             rows = qs[name](hostile, sf_dir).collect()
             assert rows, f"{name}: no rows under hostile session"
             for r in rows:
