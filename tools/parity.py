@@ -1,11 +1,22 @@
 """Local driver-mimic: run every __spark_entry__ query against its DuckDB
 oracle at a given scale factor and report row-count / column / value parity.
 
-Usage: python tools/parity.py [sf_dir] [query ...]
+Usage: python tools/parity.py [sf_dir] [--hostile] [query ...]
 
 Normalization mirrors the driver contract: columns sorted by name, rows
 compared as an order-insensitive multiset, floats rounded to 9 significant
 digits, timestamps as ISO strings.
+
+``--hostile`` runs every Spark query under a DRIVER-DEFAULT session instead
+of the repo's tuned ``get_spark`` one: a ``newSession()`` with the Spark
+default value restored for every runtime conf ``get_spark`` pins (INT96
+output timestamps, no nanos-as-long legacy read, no arrow). This is the
+full-register version of tests/test_hostile_session.py — the r6-r8
+partition_stats reds were invisible to the pinned-conf mimic precisely
+because the driver's own session carries Spark defaults (VERDICT r8
+What's-wrong #1/#2: "gate correctness must not depend on driver-session
+configuration the repo doesn't pin"). Run both postures before shipping a
+window.
 """
 
 from __future__ import annotations
@@ -22,6 +33,25 @@ sys.path.insert(0, "/root/repo")
 import __spark_entry__ as entrymod  # noqa: E402
 from timedb_spark.io.tables import TABLE_NAMES  # noqa: E402
 from timedb_spark.session import get_spark  # noqa: E402
+
+#: (conf get_spark pins, Spark-default value the driver session runs with).
+#: Mirrors tests/test_hostile_session.py::_DRIVER_DEFAULTS — keep in sync.
+_DRIVER_DEFAULTS = {
+    "spark.sql.parquet.outputTimestampType": "INT96",
+    "spark.sql.legacy.parquet.nanosAsLong": "false",
+    "spark.sql.execution.arrow.pyspark.enabled": "false",
+}
+
+
+def hostile_spark():
+    """A session with the driver-default posture for every runtime conf the
+    repo's ``get_spark`` pins. ``newSession`` shares the JVM but carries its
+    own SQLConf; builder-time confs are inherited, so the explicit sets are
+    what make it hostile."""
+    h = get_spark("parity-hostile").newSession()
+    for k, v in _DRIVER_DEFAULTS.items():
+        h.conf.set(k, v)
+    return h
 
 
 def nonflat_columns(schema) -> list[str]:
@@ -87,8 +117,11 @@ def _norm_rows(cols, rows):
     return sorted("|".join(_norm_cell(r[i]) for i in order) for r in rows)
 
 
-def run(sf_dir: str, only: list[str] | None = None) -> bool:
-    spark = get_spark("parity")
+def run(sf_dir: str, only: list[str] | None = None, hostile: bool = False) -> bool:
+    spark = hostile_spark() if hostile else get_spark("parity")
+    if hostile:
+        print("  [hostile driver-default session: "
+              + ", ".join(f"{'.'.join(k.split('.')[-2:])}={v}" for k, v in _DRIVER_DEFAULTS.items()) + "]")
     con = duckdb.connect()
     for t in TABLE_NAMES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
@@ -163,8 +196,10 @@ def run(sf_dir: str, only: list[str] | None = None) -> bool:
 
 if __name__ == "__main__":
     args = sys.argv[1:]
+    hostile = "--hostile" in args
+    args = [a for a in args if a != "--hostile"]
     sf = args[0] if args and "/" in args[0] else "/root/testdata/sf0.01"
     only = [a for a in args if "/" not in a] or None
-    ok = run(sf, only)
+    ok = run(sf, only, hostile=hostile)
     print("PARITY:", "ALL OK" if ok else "FAILURES")
     sys.exit(0 if ok else 1)
