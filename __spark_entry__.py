@@ -1039,6 +1039,67 @@ def _q_store_retention_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pre_df.unionByName(post_df)
 
 
+_DELETE_CACHE: dict[str, tuple] = {}
+
+#: Fixed erasure target set for the delete_series gate: ids ≡ 3 (mod 7)
+#: below 100 — a literal list (no runtime collect) that exists at every SF
+#: (user_id domain is 0..14 / 0..149 / 0..1499 at sf0.001/0.01/0.1) and is
+#: trivially mirrored by the oracle's NOT IN.
+_DELETE_TARGETS = list(range(3, 100, 7))
+
+
+def _materialized_delete_store(spark: SparkSession, sf_dir: str):
+    """One erased store per (process, sf_dir): create + append of the
+    deterministic bitemporal frame, the PRE-erasure fingerprint collected
+    eagerly (the read is lazy; collecting after the delete would scan only
+    survivors and prove nothing), then ``delete_series(_DELETE_TARGETS)``.
+    Returns (store, pre_rows, rewritten_partition_dirs)."""
+    cached = _DELETE_CACHE.get(sf_dir)
+    if cached is None:
+        import tempfile
+
+        from timedb_spark.store import Store
+
+        st = Store(spark, tempfile.mkdtemp(prefix="timedb_gate_delete_"))
+        st.create()
+        sv = bitemporal_frame(spark, sf_dir).withColumns({
+            "valid_time_end": F.lit(None).cast("timestamp"),
+            "run_id": F.lit(None).cast("long"),
+        })
+        st.append_values(sv)
+        pre = [
+            ("pre", str(r["retention"]), str(r["vt_month"]), int(r["n_rows"]),
+             int(r["series_id_min"]), int(r["series_id_max"]),
+             str(r["valid_time_min"]), str(r["valid_time_max"]), int(r["value_cents"]))
+            for r in _compact_partition_agg(st.read_values()).collect()
+        ]
+        rewritten = st.delete_series(_DELETE_TARGETS)
+        _DELETE_CACHE[sf_dir] = (st, pre, rewritten)
+    return _DELETE_CACHE[sf_dir]
+
+
+def _q_store_delete_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Targeted series erasure (the GDPR right-to-erasure path) promoted
+    from internal-only to a full-oracle gate query (VERDICT r8 task #5's
+    promotion pattern, after store_compact_zorder and store_retention_ttl):
+    ``delete_series`` (store.py:387) anti-join-rewrites ONLY the partitions
+    whose footer series_id zone maps can contain a target id, and the gate
+    value-hashes the per-partition fingerprint (counts, series/valid_time
+    bounds, exact cent sums) BOTH pre- and post-erasure against one DuckDB
+    recompute that applies the SAME ``series_id NOT IN targets`` predicate
+    independently — proving the erasure removes exactly the targets and
+    leaves every surviving row byte-identical. Zone-map pruning (innocent
+    partitions untouched) stays pinned in tests/test_store_client.py."""
+    st, pre, _rewritten = _materialized_delete_store(spark, sf_dir)
+    pre_df = spark.createDataFrame(pre, _COMPACT_AGG_SCHEMA)
+    post_df = _compact_partition_agg(st.read_values()).select(
+        F.lit("post").alias("phase"),
+        "retention", "vt_month", "n_rows", "series_id_min", "series_id_max",
+        "valid_time_min", "valid_time_max", "value_cents",
+    )
+    return pre_df.unionByName(post_df)
+
+
 def _q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """embed_quantize with `codes array<int>` serialized to a ','-joined
     string for the gate (the driver canonicalizer cannot factorize list
@@ -1125,19 +1186,23 @@ ROWS_ONLY = frozenset({
 #:   2     store_retention_ttl — TTL partition drops NEWLY promoted from
 #:         internal-only to a full-oracle pre/post-fingerprint gate query
 #:         (VERDICT r8 task #5, the compact-zorder promotion pattern);
-#:   3-6   the four STALE greens (operator+oracle changed in r8 after
+#:   3     store_delete_series — targeted GDPR-style erasure, promoted the
+#:         same way this round (pre/post partition fingerprints vs a DuckDB
+#:         NOT IN recompute);
+#:   4-7   the four STALE greens (operator+oracle changed in r8 after
 #:         their last driver row): bt_backtest_error, events_rfm,
 #:         text_quality, pipeline_clean;
-#:   7-15  the nine never-driver-checked r9 debt entries (single-scan
+#:   8-16  the nine never-driver-checked r9 debt entries (single-scan
 #:         shapes, judge-parity-green in r8);
-#:   16-17 events_srm + graph_modularity — their operators changed THIS
+#:   17-18 events_srm + graph_modularity — their operators changed THIS
 #:         round (ADVICE r8: unconditional 12-bucket chi-square domain;
 #:         exact-fold overflow guards), so they need fresh rows;
-#:   18-50 re-rotation of the OLDEST greens (VERDICT r8 task #4): the 33
+#:   19-50 re-rotation of the OLDEST greens (VERDICT r8 task #4): the 32
 #:         first r4-era rows in CORRECTNESS_r04 order — none have been
-#:         driver-checked on current code since r4. The SEVEN r4 rows that
+#:         driver-checked on current code since r4. The EIGHT r4 rows that
 #:         didn't fit (ts_holt, events_cohort, ts_m4, ts_changepoint,
-#:         stream_funnel, ts_holt_winters, ts_lttb) are explicit r10
+#:         stream_funnel, ts_holt_winters, ts_lttb, ts_histogram — the
+#:         last displaced by the delete_series promotion) are explicit r10
 #:         rotation debt, listed in SURVEY §7.
 #: Window-discipline rule (VERDICT r5 #4): queries registered mid-round go
 #: INSIDE this window or are explicitly listed as next-window debt in
@@ -1145,6 +1210,7 @@ ROWS_ONLY = frozenset({
 _R9_WINDOW = [
     "partition_stats",
     "store_retention_ttl",
+    "store_delete_series",
     # -- stale greens: operator+oracle changed in r8 -----------------------
     "bt_backtest_error",
     "events_rfm",
@@ -1196,7 +1262,6 @@ _R9_WINDOW = [
     "ts_gap_detect",
     "ts_autocorr",
     "ts_seasonal_naive",
-    "ts_histogram",
 ]
 
 
@@ -1221,6 +1286,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "store_compact_zorder": _q_store_compact_zorder,
         # retention-TTL partition drops (promoted r9, VERDICT r8 task #5)
         "store_retention_ttl": _q_store_retention_ttl,
+        # targeted erasure partition rewrites (promoted r9, same pattern)
+        "store_delete_series": _q_store_delete_series,
         "text_readability": text.text_readability,
         "ts_kalman": timeseries.kalman_filter,
         "ts_croston": timeseries.croston,
@@ -2062,6 +2129,35 @@ def oracle_sql() -> dict[str, str]:
                                             WHEN 'medium' THEN 1095
                                             WHEN 'long' THEN 1825 END))
                   >= DATE '2026-06-01'
+        """,
+        # Series erasure: 'post' keeps every row whose series_id is not in
+        # the fixed literal target set (ids ≡ 3 mod 7 below 100); groups and
+        # bounds are recomputed from survivors on both engines.
+        "store_delete_series": f"""
+            WITH sv AS ({_SV}),
+            agg_pre AS (
+                SELECT retention, strftime(valid_time, '%Y%m') AS vt_month,
+                       CAST(count(*) AS BIGINT) AS n_rows,
+                       min(series_id) AS series_id_min, max(series_id) AS series_id_max,
+                       strftime(min(valid_time), '%Y-%m-%d %H:%M:%S') AS valid_time_min,
+                       strftime(max(valid_time), '%Y-%m-%d %H:%M:%S') AS valid_time_max,
+                       CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS value_cents
+                FROM sv GROUP BY retention, strftime(valid_time, '%Y%m')
+            ),
+            agg_post AS (
+                SELECT retention, strftime(valid_time, '%Y%m') AS vt_month,
+                       CAST(count(*) AS BIGINT) AS n_rows,
+                       min(series_id) AS series_id_min, max(series_id) AS series_id_max,
+                       strftime(min(valid_time), '%Y-%m-%d %H:%M:%S') AS valid_time_min,
+                       strftime(max(valid_time), '%Y-%m-%d %H:%M:%S') AS valid_time_max,
+                       CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS value_cents
+                FROM sv
+                WHERE series_id NOT IN ({", ".join(str(t) for t in _DELETE_TARGETS)})
+                GROUP BY retention, strftime(valid_time, '%Y%m')
+            )
+            SELECT 'pre' AS phase, * FROM agg_pre
+            UNION ALL
+            SELECT 'post' AS phase, * FROM agg_post
         """,
         "dedup_semantic": similarity.DEDUP_SEMANTIC_SQL,
         "multimodal_meta": multimodal.MULTIMODAL_META_SQL,

@@ -139,6 +139,7 @@ def test_store_gate_queries_end_to_end_under_hostile_session(hostile, sf_dir):
         entrymod._SNAP_CACHE,
         entrymod._COMPACT_CACHE,
         entrymod._TTL_CACHE,
+        entrymod._DELETE_CACHE,
     )
     for c in caches:
         c.clear()
@@ -150,6 +151,7 @@ def test_store_gate_queries_end_to_end_under_hostile_session(hostile, sf_dir):
             "store_compact_zorder",
             "snap_time_travel",
             "store_retention_ttl",
+            "store_delete_series",
         ):
             rows = qs[name](hostile, sf_dir).collect()
             assert rows, f"{name}: no rows under hostile session"
