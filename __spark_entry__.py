@@ -1039,6 +1039,70 @@ def _q_store_retention_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pre_df.unionByName(post_df)
 
 
+_ROLLUP_CACHE: dict[str, tuple] = {}
+
+
+def _materialized_rollup(spark: SparkSession, sf_dir: str):
+    """One refreshed ContinuousAggregate per (process, sf_dir): snapshot
+    store + TWO commits (even/odd series_id) with a refresh after each —
+    the first must take the FULL path (no prior state), the second the
+    INCREMENTAL path (manifest diff = commit 2's files only). Mode
+    mismatches raise loudly: a second-refresh full recompute would still
+    produce correct values, so only the assert proves the incremental
+    merge actually ran. Returns (aggregate, (refresh1, refresh2))."""
+    cached = _ROLLUP_CACHE.get(sf_dir)
+    if cached is None:
+        import tempfile
+
+        from timedb_spark.rollup import ContinuousAggregate
+        from timedb_spark.snapstore import SnapshotStore
+
+        st = SnapshotStore(spark, tempfile.mkdtemp(prefix="timedb_gate_rollup_"))
+        st.create()
+        sv = bitemporal_frame(spark, sf_dir).withColumns({
+            "valid_time_end": F.lit(None).cast("timestamp"),
+            "run_id": F.lit(None).cast("long"),
+        })
+        ca = ContinuousAggregate(st, name="gate_hourly")
+        st.append_values(sv.filter(F.col("series_id") % 2 == 0))
+        r1 = ca.refresh()
+        st.append_values(sv.filter(F.col("series_id") % 2 != 0))
+        r2 = ca.refresh()
+        if (r1["mode"], r2["mode"]) != ("full", "incremental"):
+            raise RuntimeError(
+                f"continuous-aggregate gate expected refresh modes "
+                f"('full', 'incremental'), got ({r1['mode']!r}, {r2['mode']!r})"
+            )
+        _ROLLUP_CACHE[sf_dir] = (ca, (r1, r2))
+    return _ROLLUP_CACHE[sf_dir]
+
+
+def _q_rollup_continuous_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous aggregate (rollup.py:102) promoted from internal-only to
+    a full-oracle gate query (the snap_time_travel/TTL/delete promotion
+    pattern): two snapshot commits land the even/odd halves of the
+    bitemporal frame, the hourly rollup refreshes after EACH (full, then
+    incremental — asserted, so the gate hashes state produced by the
+    manifest-diff merge path, not a recompute), and the materialized state
+    re-rolls to per-(series, day) fingerprints — sum-of-n, exact cent sums
+    from the decimal vsum partials, min-of-min, max-of-max, exercising
+    decomposability once more — against one DuckDB recompute from the same
+    events derivation. Refresh-mode economics (files_scanned bounded by the
+    new commit) stay pinned in tests/test_rollup.py."""
+    ca, _modes = _materialized_rollup(spark, sf_dir)
+    state = ca.read(partials=True)
+    return (
+        state.groupBy(
+            "series_id", F.date_format("bucket", "yyyy-MM-dd").alias("day")
+        ).agg(
+            F.sum("n").cast("long").alias("n_rows"),
+            (F.sum("vsum") * 100).cast("long").alias("value_cents"),
+            F.min("vmin").alias("vmin"),
+            F.max("vmax").alias("vmax"),
+        )
+    )
+
+
 _DELETE_CACHE: dict[str, tuple] = {}
 
 #: Fixed erasure target set for the delete_series gate: ids ≡ 3 (mod 7)
@@ -1189,21 +1253,26 @@ ROWS_ONLY = frozenset({
 #:   3     store_delete_series — targeted GDPR-style erasure, promoted the
 #:         same way this round (pre/post partition fingerprints vs a DuckDB
 #:         NOT IN recompute);
-#:   4-7   the four STALE greens (operator+oracle changed in r8 after
+#:   4     rollup_continuous_agg — incremental continuous-aggregate refresh
+#:         promoted the same way (full-then-incremental refresh asserted,
+#:         day-level re-rollup of the materialized state vs a direct DuckDB
+#:         recompute);
+#:   5-8   the four STALE greens (operator+oracle changed in r8 after
 #:         their last driver row): bt_backtest_error, events_rfm,
 #:         text_quality, pipeline_clean;
-#:   8-16  the nine never-driver-checked r9 debt entries (single-scan
+#:   9-17  the nine never-driver-checked r9 debt entries (single-scan
 #:         shapes, judge-parity-green in r8);
-#:   17-18 events_srm + graph_modularity — their operators changed THIS
+#:   18-19 events_srm + graph_modularity — their operators changed THIS
 #:         round (ADVICE r8: unconditional 12-bucket chi-square domain;
 #:         exact-fold overflow guards), so they need fresh rows;
-#:   19-50 re-rotation of the OLDEST greens (VERDICT r8 task #4): the 32
+#:   20-50 re-rotation of the OLDEST greens (VERDICT r8 task #4): the 31
 #:         first r4-era rows in CORRECTNESS_r04 order — none have been
-#:         driver-checked on current code since r4. The EIGHT r4 rows that
+#:         driver-checked on current code since r4. The NINE r4 rows that
 #:         didn't fit (ts_holt, events_cohort, ts_m4, ts_changepoint,
-#:         stream_funnel, ts_holt_winters, ts_lttb, ts_histogram — the
-#:         last displaced by the delete_series promotion) are explicit r10
-#:         rotation debt, listed in SURVEY §7.
+#:         stream_funnel, ts_holt_winters, ts_lttb, ts_histogram,
+#:         ts_seasonal_naive — the last two displaced by this round's two
+#:         store promotions) are explicit r10 rotation debt, listed in
+#:         SURVEY §7.
 #: Window-discipline rule (VERDICT r5 #4): queries registered mid-round go
 #: INSIDE this window or are explicitly listed as next-window debt in
 #: SURVEY §7.
@@ -1211,6 +1280,7 @@ _R9_WINDOW = [
     "partition_stats",
     "store_retention_ttl",
     "store_delete_series",
+    "rollup_continuous_agg",
     # -- stale greens: operator+oracle changed in r8 -----------------------
     "bt_backtest_error",
     "events_rfm",
@@ -1261,7 +1331,6 @@ _R9_WINDOW = [
     "ts_anomaly_mad",
     "ts_gap_detect",
     "ts_autocorr",
-    "ts_seasonal_naive",
 ]
 
 
@@ -1288,6 +1357,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "store_retention_ttl": _q_store_retention_ttl,
         # targeted erasure partition rewrites (promoted r9, same pattern)
         "store_delete_series": _q_store_delete_series,
+        # incremental continuous-aggregate refresh (promoted r9, same pattern)
+        "rollup_continuous_agg": _q_rollup_continuous_agg,
         "text_readability": text.text_readability,
         "ts_kalman": timeseries.kalman_filter,
         "ts_croston": timeseries.croston,
@@ -2158,6 +2229,20 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'pre' AS phase, * FROM agg_pre
             UNION ALL
             SELECT 'post' AS phase, * FROM agg_post
+        """,
+        # Continuous aggregate: the materialized hourly state re-rolled to
+        # (series, day) must equal a direct recompute from the source rows —
+        # count, exact cent sum via the decimal partials, min, max.
+        "rollup_continuous_agg": f"""
+            WITH sv AS ({_SV})
+            SELECT series_id,
+                   strftime(valid_time, '%Y-%m-%d') AS day,
+                   CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST(sum(CAST(value AS DECIMAL(38,6))) * 100 AS BIGINT) AS value_cents,
+                   min(value) AS vmin,
+                   max(value) AS vmax
+            FROM sv
+            GROUP BY series_id, strftime(valid_time, '%Y-%m-%d')
         """,
         "dedup_semantic": similarity.DEDUP_SEMANTIC_SQL,
         "multimodal_meta": multimodal.MULTIMODAL_META_SQL,

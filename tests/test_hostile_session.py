@@ -140,6 +140,7 @@ def test_store_gate_queries_end_to_end_under_hostile_session(hostile, sf_dir):
         entrymod._COMPACT_CACHE,
         entrymod._TTL_CACHE,
         entrymod._DELETE_CACHE,
+        entrymod._ROLLUP_CACHE,
     )
     for c in caches:
         c.clear()
@@ -152,6 +153,7 @@ def test_store_gate_queries_end_to_end_under_hostile_session(hostile, sf_dir):
             "snap_time_travel",
             "store_retention_ttl",
             "store_delete_series",
+            "rollup_continuous_agg",
         ):
             rows = qs[name](hostile, sf_dir).collect()
             assert rows, f"{name}: no rows under hostile session"

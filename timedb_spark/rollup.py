@@ -165,20 +165,28 @@ class ContinuousAggregate:
 
     # -- reads -------------------------------------------------------------
 
-    def read(self) -> DataFrame:
-        """The materialized rollup (avg derived from exact partials)."""
+    def read(self, *, partials: bool = False) -> DataFrame:
+        """The materialized rollup (avg derived from exact partials).
+
+        ``partials=True`` additionally exposes the exact decimal ``vsum``
+        partial — the decomposable state itself — for callers that need to
+        merge further (coarser re-rollups, cross-engine fingerprints)
+        without reintroducing float division."""
         meta = self._meta()
         if meta["state"] is None:
             raise ValueError("rollup has never been refreshed — call refresh() first")
         df = self.spark.read.parquet(str(self.root / meta["state"]))
-        return df.select(
-            "series_id",
-            "bucket",
-            "n",
-            "vmin",
-            "vmax",
+        cols = [
+            F.col("series_id"),
+            F.col("bucket"),
+            F.col("n"),
+            F.col("vmin"),
+            F.col("vmax"),
             F.round((F.col("vsum") / F.col("n")).cast("double"), 6).alias("vavg"),
-        )
+        ]
+        if partials:
+            cols.insert(3, F.col("vsum"))
+        return df.select(*cols)
 
     def refreshed_version(self) -> int:
         return self._meta()["refreshed_version"]
