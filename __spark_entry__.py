@@ -1103,6 +1103,105 @@ def _q_rollup_continuous_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_INGEST_CACHE: dict[str, tuple] = {}
+
+#: Deterministic landing-file corruption classes, keyed by event_id % 13.
+#: Disjoint by construction so the quarantine's reason precedence never
+#: has to be mirrored — each bad row fails exactly one parse.
+_INGEST_BAD = {
+    0: "bad_value",                      # value -> 'N/A'
+    1: "bad_valid_time_or_no_offset",    # timestamp without an offset
+    2: "bad_retention",                  # retention -> 'eternal'
+    3: "bad_series_id",                  # series_id -> 'u<id>'
+}
+_INGEST_KT = datetime(2024, 2, 1)
+
+
+def _materialized_ingest(spark: SparkSession, sf_dir: str):
+    """One ingested store per (process, sf_dir): derive a CSV landing
+    directory from events with four deterministic corruption classes
+    injected (event_id % 13 ∈ {0,1,2,3}), run the full batch landing path —
+    explicit-schema PERMISSIVE csv scan → typed quarantine split →
+    client write with per-row retention — and return
+    (db, IngestResult)."""
+    cached = _INGEST_CACHE.get(sf_dir)
+    if cached is None:
+        import tempfile
+
+        from timedb_spark.client import TimeDB
+        from timedb_spark.io.ingest import ingest_landing, read_csv_landing
+
+        ev = load_table(spark, sf_dir, "events")
+        m = F.col("event_id") % 13
+        retention = (
+            F.when(F.col("event_type").isin("click", "view"), "short")
+            .when(F.col("event_type") == "purchase", "long")
+            .when(F.col("event_type") == "signup", "forever")
+            .otherwise("medium")
+        )
+        line = F.concat_ws(
+            ",",
+            F.when(m == 3, F.concat(F.lit("u"), F.col("user_id"))).otherwise(
+                F.col("user_id").cast("string")
+            ),
+            F.concat(
+                F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"),
+                F.when(m == 1, F.lit("")).otherwise(F.lit("+00:00")),
+            ),
+            F.when(m == 0, F.lit("N/A")).otherwise(F.col("value").cast("string")),
+            F.when(m == 2, F.lit("eternal")).otherwise(retention),
+        )
+        landing_dir = tempfile.mkdtemp(prefix="timedb_gate_landing_")
+        ev.select(line.alias("value")).write.mode("overwrite").text(landing_dir)
+
+        db = TimeDB(spark, tempfile.mkdtemp(prefix="timedb_gate_ingest_"))
+        db.create()
+        batch = read_csv_landing(spark, landing_dir, header=False)
+        res = ingest_landing(db, batch, knowledge_time=_INGEST_KT)
+        _INGEST_CACHE[sf_dir] = (db, batch, res)
+    return _INGEST_CACHE[sf_dir]
+
+
+def _q_store_landing_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch landing-zone ingestion (io/ingest.py:98-140) promoted from
+    internal-only to a full-oracle gate query (the r9 promotion pattern):
+    a CSV landing directory is derived deterministically from events with
+    four disjoint corruption classes injected (unparseable value,
+    offset-less timestamp, invalid retention tier, non-numeric series_id —
+    event_id % 13 ∈ {0..3}), flows through the real path — explicit-schema
+    PERMISSIVE scan, typed quarantine split, client write with per-row
+    retention and pinned knowledge_time — and the gate value-hashes BOTH
+    sides of the split: per-retention row counts + exact cent sums read
+    back from the store, and per-reason quarantine counts, against one
+    DuckDB recompute applying the same modular predicates to events.
+    Corrupt-line capture and replay semantics stay pinned in
+    tests/test_store_client.py / test_streaming.py."""
+    db, batch, res = _materialized_ingest(spark, sf_dir)
+    cents = (F.col("value").cast("decimal(18,2)") * 100).cast("long")
+    store_side = (
+        db.store.read_values()
+        .withColumn("cents", cents)
+        .groupBy(F.lit("store").alias("phase"), F.col("retention").alias("key"))
+        .agg(F.count(F.lit(1)).alias("n_rows"), F.sum("cents").alias("value_cents"))
+    )
+    # The hashed quarantine side is the INGESTER's own reject frame (the
+    # lazy PERMISSIVE scan + typed split), keyed by reject reason — the
+    # oracle predicts it independently from the modular corruption classes.
+    quarantine_side = (
+        batch.bad.groupBy(F.col("reject_reason").alias("key"))
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .select(
+            F.lit("quarantine").alias("phase"),
+            "key",
+            "n_rows",
+            F.lit(0).cast("long").alias("value_cents"),
+        )
+    )
+    if res.quarantined == 0 or res.written == 0:
+        raise RuntimeError(f"landing gate: degenerate ingest result {res}")
+    return store_side.unionByName(quarantine_side)
+
+
 _DELETE_CACHE: dict[str, tuple] = {}
 
 #: Fixed erasure target set for the delete_series gate: ids ≡ 3 (mod 7)
@@ -1257,22 +1356,26 @@ ROWS_ONLY = frozenset({
 #:         promoted the same way (full-then-incremental refresh asserted,
 #:         day-level re-rollup of the materialized state vs a direct DuckDB
 #:         recompute);
-#:   5-8   the four STALE greens (operator+oracle changed in r8 after
+#:   5     store_landing_ingest — batch CSV landing ingestion with typed
+#:         quarantine, promoted the same way (four disjoint corruption
+#:         classes injected deterministically; store readback + the
+#:         ingester's reject frame vs one DuckDB prediction);
+#:   6-9   the four STALE greens (operator+oracle changed in r8 after
 #:         their last driver row): bt_backtest_error, events_rfm,
 #:         text_quality, pipeline_clean;
-#:   9-17  the nine never-driver-checked r9 debt entries (single-scan
+#:   10-18 the nine never-driver-checked r9 debt entries (single-scan
 #:         shapes, judge-parity-green in r8);
-#:   18-19 events_srm + graph_modularity — their operators changed THIS
+#:   19-20 events_srm + graph_modularity — their operators changed THIS
 #:         round (ADVICE r8: unconditional 12-bucket chi-square domain;
 #:         exact-fold overflow guards), so they need fresh rows;
-#:   20-50 re-rotation of the OLDEST greens (VERDICT r8 task #4): the 31
+#:   21-50 re-rotation of the OLDEST greens (VERDICT r8 task #4): the 30
 #:         first r4-era rows in CORRECTNESS_r04 order — none have been
-#:         driver-checked on current code since r4. The NINE r4 rows that
+#:         driver-checked on current code since r4. The TEN r4 rows that
 #:         didn't fit (ts_holt, events_cohort, ts_m4, ts_changepoint,
 #:         stream_funnel, ts_holt_winters, ts_lttb, ts_histogram,
-#:         ts_seasonal_naive — the last two displaced by this round's two
-#:         store promotions) are explicit r10 rotation debt, listed in
-#:         SURVEY §7.
+#:         ts_seasonal_naive, ts_autocorr — the last three displaced by
+#:         this round's three store-path promotions) are explicit r10
+#:         rotation debt, listed in SURVEY §7.
 #: Window-discipline rule (VERDICT r5 #4): queries registered mid-round go
 #: INSIDE this window or are explicitly listed as next-window debt in
 #: SURVEY §7.
@@ -1281,6 +1384,7 @@ _R9_WINDOW = [
     "store_retention_ttl",
     "store_delete_series",
     "rollup_continuous_agg",
+    "store_landing_ingest",
     # -- stale greens: operator+oracle changed in r8 -----------------------
     "bt_backtest_error",
     "events_rfm",
@@ -1330,7 +1434,6 @@ _R9_WINDOW = [
     "ts_anomaly_zscore",
     "ts_anomaly_mad",
     "ts_gap_detect",
-    "ts_autocorr",
 ]
 
 
@@ -1359,6 +1462,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "store_delete_series": _q_store_delete_series,
         # incremental continuous-aggregate refresh (promoted r9, same pattern)
         "rollup_continuous_agg": _q_rollup_continuous_agg,
+        # CSV landing ingestion with typed quarantine (promoted r9, same pattern)
+        "store_landing_ingest": _q_store_landing_ingest,
         "text_readability": text.text_readability,
         "ts_kalman": timeseries.kalman_filter,
         "ts_croston": timeseries.croston,
@@ -2229,6 +2334,38 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'pre' AS phase, * FROM agg_pre
             UNION ALL
             SELECT 'post' AS phase, * FROM agg_post
+        """,
+        # Landing ingestion: good rows (per-retention counts + exact cent
+        # sums read back from the store) and the quarantine (per-reason
+        # counts from the ingester's reject frame) must both equal the
+        # oracle's independent prediction from the modular corruption
+        # classes (event_id % 13: 0 bad_value, 1 offset-less timestamp,
+        # 2 bad_retention, 3 bad_series_id; else clean).
+        "store_landing_ingest": """
+            WITH cls AS (
+                SELECT event_id % 13 AS m, user_id, ts, value,
+                       CASE event_type
+                           WHEN 'click'    THEN 'short'
+                           WHEN 'view'     THEN 'short'
+                           WHEN 'purchase' THEN 'long'
+                           WHEN 'signup'   THEN 'forever'
+                           ELSE 'medium'
+                       END AS retention
+                FROM events
+            )
+            SELECT 'store' AS phase, retention AS key,
+                   CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS value_cents
+            FROM cls WHERE m NOT IN (0, 1, 2, 3) GROUP BY retention
+            UNION ALL
+            SELECT 'quarantine' AS phase,
+                   CASE m WHEN 0 THEN 'bad_value'
+                          WHEN 1 THEN 'bad_valid_time_or_no_offset'
+                          WHEN 2 THEN 'bad_retention'
+                          WHEN 3 THEN 'bad_series_id' END AS key,
+                   CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST(0 AS BIGINT) AS value_cents
+            FROM cls WHERE m IN (0, 1, 2, 3) GROUP BY m
         """,
         # Continuous aggregate: the materialized hourly state re-rolled to
         # (series, day) must equal a direct recompute from the source rows —

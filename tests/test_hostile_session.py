@@ -141,6 +141,7 @@ def test_store_gate_queries_end_to_end_under_hostile_session(hostile, sf_dir):
         entrymod._TTL_CACHE,
         entrymod._DELETE_CACHE,
         entrymod._ROLLUP_CACHE,
+        entrymod._INGEST_CACHE,
     )
     for c in caches:
         c.clear()
@@ -154,6 +155,7 @@ def test_store_gate_queries_end_to_end_under_hostile_session(hostile, sf_dir):
             "store_retention_ttl",
             "store_delete_series",
             "rollup_continuous_agg",
+            "store_landing_ingest",
         ):
             rows = qs[name](hostile, sf_dir).collect()
             assert rows, f"{name}: no rows under hostile session"
