@@ -1103,6 +1103,155 @@ def _q_rollup_continuous_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_VACUUM_CACHE: dict[str, tuple] = {}
+
+
+def _vacuum_retention_agg(df: DataFrame, phase: str) -> DataFrame:
+    cents = (F.col("value").cast("decimal(18,2)") * 100).cast("long")
+    return (
+        df.withColumn("cents", cents)
+        .groupBy(F.lit(phase).alias("phase"), "retention")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.date_format(F.min("valid_time"), "yyyy-MM-dd HH:mm:ss").alias("vt_min"),
+            F.date_format(F.max("valid_time"), "yyyy-MM-dd HH:mm:ss").alias("vt_max"),
+            F.sum("cents").alias("value_cents"),
+        )
+    )
+
+
+def _materialized_vacuum(spark: SparkSession, sf_dir: str):
+    """One vacuumed SnapshotStore per (process, sf_dir): two commits, the
+    PRE fingerprint collected eagerly, a compaction (which supersedes every
+    pre-compaction data file), then ``vacuum(keep_last=1, min_age_s=0)``.
+    Loud assertions pin the physical effects the fingerprint can't see:
+    files and manifests actually removed, history truncated to one
+    version, and time travel to the pre-vacuum version raising."""
+    cached = _VACUUM_CACHE.get(sf_dir)
+    if cached is None:
+        import tempfile
+
+        from timedb_spark.snapstore import SnapshotStore
+
+        st = SnapshotStore(spark, tempfile.mkdtemp(prefix="timedb_gate_vacuum_"))
+        st.create()
+        sv = bitemporal_frame(spark, sf_dir).withColumns({
+            "valid_time_end": F.lit(None).cast("timestamp"),
+            "run_id": F.lit(None).cast("long"),
+        })
+        st.append_values(sv.filter(F.col("series_id") % 2 == 0))
+        st.append_values(sv.filter(F.col("series_id") % 2 != 0))
+        v_old = st.versions()[0]["version"]
+        pre = [
+            ("pre", str(r["retention"]), int(r["n_rows"]), str(r["vt_min"]),
+             str(r["vt_max"]), int(r["value_cents"]))
+            for r in _vacuum_retention_agg(st.read_values(), "pre").collect()
+        ]
+        if not st.compact(max_files_per_partition=1):
+            raise RuntimeError("vacuum gate: compaction rewrote nothing")
+        res = st.vacuum(keep_last=1, min_age_s=0.0)
+        if res["removed_files"] == 0 or res["removed_manifests"] == 0:
+            raise RuntimeError(f"vacuum gate: nothing removed ({res})")
+        if len(st.versions()) != 1:
+            raise RuntimeError("vacuum gate: history not truncated to keep_last=1")
+        try:
+            st.read_values(version=v_old)
+        except Exception:
+            pass  # expected: truncated version unreachable
+        else:
+            raise RuntimeError("vacuum gate: time travel to a vacuumed version succeeded")
+        _VACUUM_CACHE[sf_dir] = (st, pre, res)
+    return _VACUUM_CACHE[sf_dir]
+
+
+def _q_snap_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SnapshotStore vacuum (snapstore.py:496) promoted from internal-only
+    to a full-oracle gate query (the r9 promotion pattern): after a
+    compaction supersedes every original data file, ``vacuum(keep_last=1,
+    min_age_s=0)`` must delete the unreferenced files and truncated
+    manifests WITHOUT changing a single visible row — the gate value-hashes
+    per-retention fingerprints (counts, valid_time bounds, exact cent sums)
+    before the compact+vacuum and from a live scan after, against one
+    DuckDB recompute emitted for both phases. History truncation, file
+    removal counts, and dead time travel raise loudly in materialization
+    (they are physical effects a row fingerprint cannot see); the
+    concurrent-writer min_age grace is pinned in tests/test_snapstore.py."""
+    st, pre, _res = _materialized_vacuum(spark, sf_dir)
+    pre_df = spark.createDataFrame(
+        pre, "phase string, retention string, n_rows bigint, vt_min string, vt_max string, value_cents bigint"
+    )
+    return pre_df.unionByName(_vacuum_retention_agg(st.read_values(), "post"))
+
+
+def _q_client_write_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The client write path's validation CONTRACT as data (ref
+    timedb/write.py:259-261 ambiguity raises, write.py:236-368 vocab and
+    tz checks): each known-bad write attempt must raise the documented
+    error with the documented message — the gate catches each and emits
+    (check_name, error type, message-contains-expected) rows, hashed
+    against a literal VALUES oracle. A NO_ERROR row (the attempt silently
+    succeeded) or a wrong error class hash-mismatches. All nine checks
+    raise during validation/normalization, before any store write."""
+    import tempfile
+
+    import pandas as pd
+
+    from timedb_spark.client import TimeDB
+
+    db = TimeDB(spark, tempfile.mkdtemp(prefix="timedb_gate_valid_"))
+    db.create()
+    base = spark.range(3).select(
+        F.col("id").alias("series_id"),
+        F.to_timestamp(F.lit("2024-01-05 00:00:00")).alias("valid_time"),
+        (F.col("id").cast("double") * 1.5).alias("value"),
+    )
+    rows: list[tuple] = []
+
+    def attempt(check_name: str, fn, expect_sub: str) -> None:
+        try:
+            fn()
+        except Exception as exc:  # noqa: BLE001 — the error IS the result
+            rows.append((check_name, type(exc).__name__, expect_sub in str(exc)))
+        else:
+            rows.append((check_name, "NO_ERROR", False))
+
+    attempt("missing_columns", lambda: db.write(base.drop("value")),
+            "missing required columns")
+    attempt("ambiguous_retention",
+            lambda: db.write(base.withColumn("retention", F.lit("short")), retention="short"),
+            "Ambiguous retention")
+    attempt("bad_retention_kwarg", lambda: db.write(base, retention="eternal"),
+            "Unknown retention")
+    attempt("bad_retention_column",
+            lambda: db.write(base.withColumn("retention", F.lit("eternal"))),
+            "Unknown retention values")
+    attempt("ambiguous_knowledge_time",
+            lambda: db.write(
+                base.withColumn("knowledge_time", F.to_timestamp(F.lit("2024-01-06 00:00:00"))),
+                knowledge_time=datetime(2024, 1, 6),
+            ),
+            "Ambiguous knowledge_time")
+    attempt("bad_unchanged_scope",
+            lambda: db.write(base, skip_unchanged=True, unchanged_scope="bogus"),
+            "Unknown unchanged_scope")
+    attempt("naive_pandas_timestamp",
+            lambda: db.write(pd.DataFrame({
+                "series_id": [1],
+                "valid_time": [pd.Timestamp("2024-01-05")],
+                "value": [1.0],
+            })),
+            "must be timezone-aware")
+    attempt("txn_on_directory_store", lambda: db.write(base, txn=("app", 1)),
+            "table_format='snapshot'")
+    attempt("bad_table_format",
+            lambda: TimeDB(spark, tempfile.mkdtemp(prefix="timedb_gate_badfmt_"),
+                           table_format="iceberg"),
+            "Unknown table_format")
+    return spark.createDataFrame(
+        rows, "check_name string, error string, message_ok boolean"
+    )
+
+
 _INGEST_CACHE: dict[str, tuple] = {}
 
 #: Deterministic landing-file corruption classes, keyed by event_id % 13.
@@ -1464,6 +1613,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_continuous_agg": _q_rollup_continuous_agg,
         # CSV landing ingestion with typed quarantine (promoted r9, same pattern)
         "store_landing_ingest": _q_store_landing_ingest,
+        # -- promoted r9 BEYOND the 50-slot window (r10 window debt,
+        # SURVEY §7): snapshot vacuum + the write-validation contract
+        "snap_vacuum": _q_snap_vacuum,
+        "client_write_validation": _q_client_write_validation,
         "text_readability": text.text_readability,
         "ts_kalman": timeseries.kalman_filter,
         "ts_croston": timeseries.croston,
@@ -2366,6 +2519,36 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_rows,
                    CAST(0 AS BIGINT) AS value_cents
             FROM cls WHERE m IN (0, 1, 2, 3) GROUP BY m
+        """,
+        # Vacuum is a pure physical-history operation: the visible rows are
+        # identical before and after, so both phases share one recompute.
+        "snap_vacuum": f"""
+            WITH sv AS ({_SV}),
+            agg AS (
+                SELECT retention, CAST(count(*) AS BIGINT) AS n_rows,
+                       strftime(min(valid_time), '%Y-%m-%d %H:%M:%S') AS vt_min,
+                       strftime(max(valid_time), '%Y-%m-%d %H:%M:%S') AS vt_max,
+                       CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS value_cents
+                FROM sv GROUP BY retention
+            )
+            SELECT 'pre' AS phase, * FROM agg
+            UNION ALL
+            SELECT 'post' AS phase, * FROM agg
+        """,
+        # The write path's validation contract: every known-bad attempt
+        # raises ValueError with the documented message.
+        "client_write_validation": """
+            SELECT * FROM (VALUES
+                ('missing_columns',          'ValueError', TRUE),
+                ('ambiguous_retention',      'ValueError', TRUE),
+                ('bad_retention_kwarg',      'ValueError', TRUE),
+                ('bad_retention_column',     'ValueError', TRUE),
+                ('ambiguous_knowledge_time', 'ValueError', TRUE),
+                ('bad_unchanged_scope',      'ValueError', TRUE),
+                ('naive_pandas_timestamp',   'ValueError', TRUE),
+                ('txn_on_directory_store',   'ValueError', TRUE),
+                ('bad_table_format',         'ValueError', TRUE)
+            ) AS t(check_name, error, message_ok)
         """,
         # Continuous aggregate: the materialized hourly state re-rolled to
         # (series, day) must equal a direct recompute from the source rows —

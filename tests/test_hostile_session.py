@@ -142,6 +142,7 @@ def test_store_gate_queries_end_to_end_under_hostile_session(hostile, sf_dir):
         entrymod._DELETE_CACHE,
         entrymod._ROLLUP_CACHE,
         entrymod._INGEST_CACHE,
+        entrymod._VACUUM_CACHE,
     )
     for c in caches:
         c.clear()
@@ -156,6 +157,8 @@ def test_store_gate_queries_end_to_end_under_hostile_session(hostile, sf_dir):
             "store_delete_series",
             "rollup_continuous_agg",
             "store_landing_ingest",
+            "snap_vacuum",
+            "client_write_validation",
         ):
             rows = qs[name](hostile, sf_dir).collect()
             assert rows, f"{name}: no rows under hostile session"
