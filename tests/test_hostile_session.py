@@ -31,6 +31,11 @@ import __spark_entry__ as entrymod
 from timedb_spark.store import Store
 
 #: (conf get_spark pins, Spark-default value the driver session runs with).
+#: Covers exactly: outputTimestampType, nanosAsLong, arrow, and (added in
+#: the fixture, JVM-default value) session.timeZone — the four pinned confs
+#: that change RESULTS. Not restored: AQE/shuffle.partitions (plan shape
+#: only) and inferTimestampNTZ (builder-frozen schema inference).
+#: Mirrors tools/parity.py::_DRIVER_DEFAULTS — keep in sync.
 _DRIVER_DEFAULTS = {
     "spark.sql.parquet.outputTimestampType": "INT96",
     "spark.sql.legacy.parquet.nanosAsLong": "false",
@@ -40,14 +45,20 @@ _DRIVER_DEFAULTS = {
 
 @pytest.fixture(scope="module")
 def hostile(spark):
-    """A session with the driver-default posture for every runtime conf the
-    repo's ``get_spark`` pins. ``newSession`` shares the JVM/SparkContext but
-    carries its own SQLConf; the explicit sets below undo the values the
-    shared SparkConf seeded (builder-time confs are inherited by new
-    sessions, so without the sets this would NOT be hostile)."""
+    """A session with the driver-default posture for the result-bearing
+    runtime confs the repo's ``get_spark`` pins (see _DRIVER_DEFAULTS).
+    ``newSession`` shares the JVM/SparkContext but carries its own SQLConf;
+    the explicit sets below undo the values the shared SparkConf seeded
+    (builder-time confs are inherited by new sessions, so without the sets
+    this would NOT be hostile). ``session.timeZone`` is reset to the JVM
+    default (what a driver session gets with no pin, ADVICE r9) — on a
+    non-UTC host every date_format-based fingerprint would shift, so the
+    library's own formatting paths must not lean on the ambient session TZ."""
     h = spark.newSession()
     for k, v in _DRIVER_DEFAULTS.items():
         h.conf.set(k, v)
+    jvm_tz = spark._jvm.java.util.TimeZone.getDefault().getID()
+    h.conf.set("spark.sql.session.timeZone", jvm_tz)
     return h
 
 
@@ -143,6 +154,7 @@ def test_store_gate_queries_end_to_end_under_hostile_session(hostile, sf_dir):
         entrymod._ROLLUP_CACHE,
         entrymod._INGEST_CACHE,
         entrymod._VACUUM_CACHE,
+        entrymod._NULLSENT_CACHE,
     )
     for c in caches:
         c.clear()
@@ -159,6 +171,7 @@ def test_store_gate_queries_end_to_end_under_hostile_session(hostile, sf_dir):
             "store_landing_ingest",
             "snap_vacuum",
             "client_write_validation",
+            "client_null_sentinel",
         ):
             rows = qs[name](hostile, sf_dir).collect()
             assert rows, f"{name}: no rows under hostile session"

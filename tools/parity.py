@@ -35,6 +35,10 @@ from timedb_spark.io.tables import TABLE_NAMES  # noqa: E402
 from timedb_spark.session import get_spark  # noqa: E402
 
 #: (conf get_spark pins, Spark-default value the driver session runs with).
+#: Covers exactly: outputTimestampType, nanosAsLong, arrow, and (added in
+#: hostile_spark, JVM-default value) session.timeZone — the four pinned
+#: confs that change RESULTS. Not restored: AQE/shuffle.partitions (plan
+#: shape only) and inferTimestampNTZ (builder-frozen schema inference).
 #: Mirrors tests/test_hostile_session.py::_DRIVER_DEFAULTS — keep in sync.
 _DRIVER_DEFAULTS = {
     "spark.sql.parquet.outputTimestampType": "INT96",
@@ -44,13 +48,19 @@ _DRIVER_DEFAULTS = {
 
 
 def hostile_spark():
-    """A session with the driver-default posture for every runtime conf the
-    repo's ``get_spark`` pins. ``newSession`` shares the JVM but carries its
-    own SQLConf; builder-time confs are inherited, so the explicit sets are
-    what make it hostile."""
-    h = get_spark("parity-hostile").newSession()
+    """A session with the driver-default posture for the result-bearing
+    runtime confs ``get_spark`` pins (see _DRIVER_DEFAULTS). ``newSession``
+    shares the JVM but carries its own SQLConf; builder-time confs are
+    inherited, so the explicit sets are what make it hostile.
+    ``session.timeZone`` is reset to the JVM default (ADVICE r9): a driver
+    session on a non-UTC host would shift every date_format-based
+    fingerprint unless the library pins formatting itself."""
+    base = get_spark("parity-hostile")
+    h = base.newSession()
     for k, v in _DRIVER_DEFAULTS.items():
         h.conf.set(k, v)
+    jvm_tz = base._jvm.java.util.TimeZone.getDefault().getID()
+    h.conf.set("spark.sql.session.timeZone", jvm_tz)
     return h
 
 
