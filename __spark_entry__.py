@@ -1107,6 +1107,88 @@ def _q_rollup_continuous_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BTROLLUP_CACHE: dict[str, tuple] = {}
+
+
+def _materialized_bt_rollup(spark: SparkSession, sf_dir: str):
+    """One refreshed BitemporalContinuousAggregate per (process, sf_dir).
+
+    Revision-level commit split (bitemporal_frame's knowledge offset is
+    ``change_time - knowledge_time`` ∈ {0,1,2,3} hours): commit 1 lands the
+    middle offsets {1,2}, commit 2 lands {0,3} — so the second (incremental)
+    refresh must handle BOTH bitemporal invalidation classes at once:
+    offset-0 rows RESTATE already-aggregated valid times (newest knowledge
+    — must replace the stored winner) and offset-3 rows BACKFILL older
+    knowledge (must lose to it). A naive partial merge double-counts both.
+    Loud asserts pin the refresh-mode economics the hash can't see: modes
+    (full, incremental) and buckets_recomputed == the independently
+    recomputed affected-key count."""
+    cached = _BTROLLUP_CACHE.get(sf_dir)
+    if cached is None:
+        import tempfile
+
+        from timedb_spark.rollup import BitemporalContinuousAggregate
+        from timedb_spark.snapstore import SnapshotStore
+
+        st = SnapshotStore(spark, tempfile.mkdtemp(prefix="timedb_gate_btrollup_"))
+        st.create()
+        sv = bitemporal_frame(spark, sf_dir).withColumns({
+            "valid_time_end": F.lit(None).cast("timestamp"),
+            "run_id": F.lit(None).cast("long"),
+        })
+        off_h = (F.unix_micros("change_time") - F.unix_micros("knowledge_time")) / 3600000000
+        ca = BitemporalContinuousAggregate(st, name="gate_hourly_bt")
+        st.append_values(sv.filter(off_h.isin(1, 2)))
+        r1 = ca.refresh()
+        commit2 = sv.filter(off_h.isin(0, 3))
+        st.append_values(commit2)
+        r2 = ca.refresh()
+        if (r1["mode"], r2["mode"]) != ("full", "incremental"):
+            raise RuntimeError(
+                f"bitemporal-rollup gate expected refresh modes ('full', 'incremental'), "
+                f"got ({r1['mode']!r}, {r2['mode']!r})"
+            )
+        expected_affected = (
+            commit2.select("series_id", F.date_trunc("hour", "valid_time").alias("bucket"))
+            .distinct().count()
+        )
+        if r2["buckets_recomputed"] != expected_affected or expected_affected == 0:
+            raise RuntimeError(
+                f"bitemporal-rollup gate: invalidation scope mismatch — recomputed "
+                f"{r2['buckets_recomputed']} buckets, expected {expected_affected}"
+            )
+        _BTROLLUP_CACHE[sf_dir] = (ca, (r1, r2))
+    return _BTROLLUP_CACHE[sf_dir]
+
+
+def _q_rollup_bitemporal_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitemporal-aware continuous aggregate (rollup.py
+    BitemporalContinuousAggregate — VERDICT r9 task #7's named composition:
+    latest-collapse INSIDE the incremental refresh). Two snapshot commits
+    split the revision history by knowledge offset so the incremental
+    refresh must replace restated buckets and resist backfills (see
+    _materialized_bt_rollup); the materialized latest-collapsed state
+    re-rolls to per-(series, day) fingerprints — sum-of-n (valid times, not
+    revisions), exact cents from the decimal partials, min/max of winners —
+    against one DuckDB recompute that latest-collapses the full revision
+    set directly. A partial-append merge (the non-bitemporal rollup's
+    correct behavior, wrong here) double-counts every restated valid_time
+    and hash-reds. Refresh-mode + invalidation-scope economics are
+    asserted in materialization and pinned in tests/test_rollup.py."""
+    ca, _modes = _materialized_bt_rollup(spark, sf_dir)
+    state = ca.read(partials=True)
+    return (
+        state.groupBy(
+            "series_id", F.date_format("bucket", "yyyy-MM-dd").alias("day")
+        ).agg(
+            F.sum("n").cast("long").alias("n_rows"),
+            F.round(F.sum("vsum") * 100, 0).cast("long").alias("value_cents"),
+            F.min("vmin").alias("vmin"),
+            F.max("vmax").alias("vmax"),
+        )
+    )
+
+
 _VACUUM_CACHE: dict[str, tuple] = {}
 
 
@@ -1741,6 +1823,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snap_vacuum": _q_snap_vacuum,
         "client_write_validation": _q_client_write_validation,
         "client_null_sentinel": _q_client_null_sentinel,
+        # r10 growth (VERDICT r9 task #7's two named compositions) —
+        # registered beyond the window, explicit r11 debt in SURVEY §7
+        "rollup_bitemporal_agg": _q_rollup_bitemporal_agg,
+        "bt_pit_features": forecasting.pit_features,
         "text_readability": text.text_readability,
         "ts_kalman": timeseries.kalman_filter,
         "ts_croston": timeseries.croston,
@@ -2737,6 +2823,29 @@ def oracle_sql() -> dict[str, str]:
             FROM sv
             GROUP BY series_id, strftime(valid_time, '%Y-%m-%d')
         """,
+        # Bitemporal rollup: the materialized latest-collapsed state
+        # re-rolled to (series, day) must equal a direct latest-collapse
+        # recompute — n counts valid times (winners), never revisions.
+        "rollup_bitemporal_agg": f"""
+            WITH sv AS ({_SV}),
+            win AS (
+                SELECT series_id, valid_time, value FROM (
+                    SELECT series_id, valid_time, value,
+                           row_number() OVER (PARTITION BY series_id, valid_time
+                                              ORDER BY knowledge_time DESC, change_time DESC) AS rn
+                    FROM sv
+                ) t WHERE rn = 1
+            )
+            SELECT series_id,
+                   strftime(valid_time, '%Y-%m-%d') AS day,
+                   CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST(sum(CAST(value AS DECIMAL(38,6))) * 100 AS BIGINT) AS value_cents,
+                   min(value) AS vmin,
+                   max(value) AS vmax
+            FROM win
+            GROUP BY series_id, strftime(valid_time, '%Y-%m-%d')
+        """,
+        "bt_pit_features": forecasting.pit_features_sql(_SV),
         "dedup_semantic": similarity.DEDUP_SEMANTIC_SQL,
         "multimodal_meta": multimodal.MULTIMODAL_META_SQL,
         "multimodal_decode": multimodal.DECODE_FEATURES_SQL,

@@ -230,3 +230,27 @@ def test_coverage_hand_spans(spark, tmp_path):
     assert r.covered_us == 4 * hour
     assert r.largest_gap_us == 7 * hour
     assert r.coverage_ratio == math.floor(4.0 / 11.0 * 1e6) / 1e6
+
+
+def test_pit_features_cutoff_correctness(spark, tmp_path):
+    # Revisions of (sid 1, Jan1 14:00): kt 14:00 (v=10, the final winner),
+    # kt 12:45 (v=20), kt 11:30 (v=30 — the only revision known by the
+    # day-ahead cutoff, Jan1 12:00). The Jan2 14:00 target's lag_24h_pit
+    # must be 30, NOT the final 10 — a join onto the latest state (the
+    # feature-leakage bug) would return 10. kt offsets come from
+    # bitemporal_frame's event_id % 4 derivation.
+    d = _events_dir(tmp_path, [
+        (4, datetime(2024, 1, 1, 14, 0), 1, "x", 10.0),    # kt 14:00
+        (2, datetime(2024, 1, 1, 14, 45), 1, "x", 20.0),   # kt 12:45
+        (3, datetime(2024, 1, 1, 14, 30), 1, "x", 30.0),   # kt 11:30
+        (8, datetime(2024, 1, 2, 14, 0), 1, "x", 99.0),    # target row
+    ])
+    out = {r.valid_time: r for r in fc.pit_features(spark, d).collect()}
+    assert set(out) == {datetime(2024, 1, 1, 14), datetime(2024, 1, 2, 14)}
+    tgt = out[datetime(2024, 1, 2, 14)]
+    assert tgt.y == 99.0
+    assert tgt.lag_24h_pit == 30.0       # as-of the TARGET's cutoff
+    assert tgt.lag_168h_pit is None      # no data a week back
+    src = out[datetime(2024, 1, 1, 14)]
+    assert src.y == 10.0                 # label is the realized latest
+    assert src.lag_24h_pit is None       # no data a day back

@@ -156,3 +156,85 @@ def test_pinned_reader_survives_refresh_and_aged_states_gc(db):
     left = [d.name for d in ca.state_dir.iterdir()]
     assert left == [cur.split("/", 1)[1]]
     assert _got(ca) == _expect(db)
+
+
+# ---------------------------------------------------------------------------
+# BitemporalContinuousAggregate: latest-collapse inside the refresh
+# ---------------------------------------------------------------------------
+
+
+def _bt_got(ca):
+    return sorted(
+        (r.series_id, r.bucket, r.n, r.vmin, r.vmax, r.vavg) for r in ca.read().collect()
+    )
+
+
+def test_bitemporal_refresh_replaces_restated_buckets(db, spark):
+    """A restating commit (newer knowledge for an aggregated valid_time)
+    must REPLACE the stored winner — n stays the count of valid times, and
+    the value flips to the new revision. The plain partial merge would
+    report n=2 and keep the old value in vmin."""
+    from timedb_spark.rollup import BitemporalContinuousAggregate
+
+    ca = BitemporalContinuousAggregate(db.store, name="bt")
+    db.write(_batch(1, 1, hours=(0,), base=10.0), knowledge_time=datetime(2024, 1, 1, 6, tzinfo=UTC))
+    r1 = ca.refresh()
+    assert r1["mode"] == "full"
+    assert _bt_got(ca) == [(1, datetime(2024, 1, 1, 0), 1, 10.0, 10.0, 10.0)]
+
+    db.write(_batch(1, 1, hours=(0,), base=99.0), knowledge_time=datetime(2024, 1, 1, 7, tzinfo=UTC))
+    r2 = ca.refresh()
+    assert r2["mode"] == "incremental"
+    assert r2["buckets_recomputed"] == 1
+    assert _bt_got(ca) == [(1, datetime(2024, 1, 1, 0), 1, 99.0, 99.0, 99.0)]
+
+
+def test_bitemporal_backfill_loses_to_stored_winner(db):
+    """A late-arriving OLDER-knowledge revision must not displace the
+    stored winner — the re-collapse sees all revisions of the bucket and
+    max_by keeps the newest knowledge."""
+    from timedb_spark.rollup import BitemporalContinuousAggregate
+
+    ca = BitemporalContinuousAggregate(db.store, name="bt")
+    db.write(_batch(1, 1, hours=(0,), base=99.0), knowledge_time=datetime(2024, 1, 1, 7, tzinfo=UTC))
+    ca.refresh()
+    db.write(_batch(1, 1, hours=(0,), base=5.0), knowledge_time=datetime(2024, 1, 1, 2, tzinfo=UTC))
+    r2 = ca.refresh()
+    assert r2["mode"] == "incremental"
+    assert _bt_got(ca) == [(1, datetime(2024, 1, 1, 0), 1, 99.0, 99.0, 99.0)]
+
+
+def test_bitemporal_invalidation_scope_is_bounded(db):
+    """Only the buckets the new commit touches are recomputed; untouched
+    buckets carry over from the previous state unchanged."""
+    from timedb_spark.rollup import BitemporalContinuousAggregate
+
+    ca = BitemporalContinuousAggregate(db.store, name="bt")
+    db.write(_batch(1, 1, hours=(0, 1), base=10.0), knowledge_time=datetime(2024, 1, 1, 6, tzinfo=UTC))
+    db.write(_batch(2, 2, hours=(3,), base=20.0), knowledge_time=datetime(2024, 1, 2, 6, tzinfo=UTC))
+    ca.refresh()
+    db.write(_batch(1, 1, hours=(1,), base=50.0), knowledge_time=datetime(2024, 1, 1, 8, tzinfo=UTC))
+    r = ca.refresh()
+    assert r["mode"] == "incremental"
+    assert r["buckets_recomputed"] == 1
+    assert _bt_got(ca) == [
+        (1, datetime(2024, 1, 1, 0), 1, 10.0, 10.0, 10.0),
+        (1, datetime(2024, 1, 1, 1), 1, 50.0, 50.0, 50.0),
+        (2, datetime(2024, 1, 2, 3), 1, 20.0, 20.0, 20.0),
+    ]
+
+
+def test_bitemporal_delete_falls_back_to_full(db):
+    """Removed files (delete_series rewrite) can't be handled by
+    invalidation — the refresh detects them in the manifest diff and
+    recomputes from scratch, like the base class."""
+    from timedb_spark.rollup import BitemporalContinuousAggregate
+
+    ca = BitemporalContinuousAggregate(db.store, name="bt")
+    db.write(_batch(1, 1, hours=(0,), base=10.0), knowledge_time=datetime(2024, 1, 1, 6, tzinfo=UTC))
+    db.write(_batch(2, 1, hours=(0,), base=20.0), knowledge_time=datetime(2024, 1, 1, 6, tzinfo=UTC))
+    ca.refresh()
+    db.store.delete_series([2])
+    r = ca.refresh()
+    assert r["mode"] == "full"
+    assert _bt_got(ca) == [(1, datetime(2024, 1, 1, 0), 1, 10.0, 10.0, 10.0)]

@@ -495,3 +495,125 @@ SELECT retention,
 FROM r WHERE gap_min IS NOT NULL
 GROUP BY retention
 """
+
+
+# ---------------------------------------------------------------------------
+# PIT-correct feature retrieval: day-ahead features joined onto calendar ints
+# ---------------------------------------------------------------------------
+
+#: hour offsets of the PIT lag features (yesterday / last week, the two a
+#: day-ahead energy forecaster always uses)
+PIT_LAGS = (24, 168)
+
+
+def pit_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time-correct training matrix for a day-ahead forecaster —
+    the feature-store PIT join composed from the repo's own bitemporal
+    reads (VERDICT r9 task #7's named composition: read_relative semantics
+    joined onto ts_calendar_features).
+
+    For every target (series, hour) the knowledge cutoff is the day-ahead
+    auction close: **noon of the previous day** (``date_trunc('day', vt) -
+    12h`` — the ref's days_ahead=1 / time_of_day=12:00 parameterization,
+    timedb/read.py:461-527). Each lag feature is the value of the lagged
+    hour **as known at the TARGET's cutoff** — not at the lagged hour's own
+    cutoff, which is the classic feature-leakage bug this operator exists
+    to prevent: a revision landing between the two cutoffs must be visible
+    to the later target and invisible to the earlier one. The label ``y``
+    is the realized value (final latest revision), what the trained model
+    is scored against. Calendar fields are the pure integer forms of
+    :func:`calendar_features` (no timezone/locale functions).
+
+    Scale shape: one distinct over (series, hour) builds the target grid;
+    the label is the store's latest-collapse (map-side-combined max_by);
+    each lag is ONE equi-join of the revision set shifted by the lag onto
+    the grid (join key (series_id, valid_time) — co-partitioned with the
+    grid, so AQE reuses the exchange across lags) followed by a
+    max_by-collapse keyed the same way. No window over the revision
+    history, no cross join, no per-row Python; the revision history
+    crosses the wire once per lag, already filtered to knowledge ≤ cutoff.
+    """
+    sv = bitemporal_frame(spark, sf_dir)
+    cutoff = (F.date_trunc("day", F.col("valid_time")) - F.make_interval(hours=F.lit(12))).alias("cutoff")
+    grid = sv.select("series_id", "valid_time").distinct().select("series_id", "valid_time", cutoff)
+
+    from timedb_spark.operators import bitemporal
+
+    y = bitemporal.latest(sv).withColumnRenamed("value", "y")
+    out = grid.join(y, ["series_id", "valid_time"], "left")
+    for lag in PIT_LAGS:
+        rev = sv.select(
+            "series_id",
+            (F.col("valid_time") + F.make_interval(hours=F.lit(lag))).alias("valid_time"),
+            "knowledge_time",
+            "change_time",
+            "value",
+        )
+        cand = (
+            grid.join(rev, ["series_id", "valid_time"])
+            .filter(F.col("knowledge_time") <= F.col("cutoff"))
+            .groupBy("series_id", "valid_time")
+            .agg(
+                F.max_by("value", F.struct("knowledge_time", "change_time")).alias(f"lag_{lag}h_pit")
+            )
+        )
+        out = out.join(cand, ["series_id", "valid_time"], "left")
+    h = F.expr("unix_micros(valid_time) div 3600000000")
+    return out.withColumn("h", h).select(
+        "series_id",
+        "valid_time",
+        (F.col("h") % 24).alias("hour_of_day"),
+        F.expr("(h div 24 + 4) % 7").alias("day_of_week"),
+        F.expr("(h div 24 + 4) % 7 IN (0, 6)").alias("is_weekend"),
+        "y",
+        *[f"lag_{lag}h_pit" for lag in PIT_LAGS],
+    )
+
+
+def pit_features_sql(sv_sql: str) -> str:
+    """DuckDB twin of :func:`pit_features` — same grid, same per-target
+    cutoff, same as-known-at-cutoff winner per lag via row_number."""
+    lag_ctes = []
+    lag_joins = []
+    for lag in PIT_LAGS:
+        lag_ctes.append(f"""
+l{lag} AS (
+    SELECT series_id, valid_time, value AS lag_{lag}h_pit FROM (
+        SELECT g.series_id, g.valid_time, s.value,
+               row_number() OVER (PARTITION BY g.series_id, g.valid_time
+                                  ORDER BY s.knowledge_time DESC, s.change_time DESC) AS rn
+        FROM grid g
+        JOIN sv s ON s.series_id = g.series_id
+                 AND s.valid_time = g.valid_time - to_hours({lag})
+        WHERE s.knowledge_time <= g.cutoff
+    ) t WHERE rn = 1
+)""")
+        lag_joins.append(
+            f"LEFT JOIN l{lag} ON l{lag}.series_id = g.series_id AND l{lag}.valid_time = g.valid_time"
+        )
+    return f"""
+WITH sv AS ({sv_sql}),
+grid AS (
+    SELECT DISTINCT series_id, valid_time,
+           date_trunc('day', valid_time) - to_hours(12) AS cutoff
+    FROM sv
+),
+y AS (
+    SELECT series_id, valid_time, value AS y FROM (
+        SELECT series_id, valid_time, value,
+               row_number() OVER (PARTITION BY series_id, valid_time
+                                  ORDER BY knowledge_time DESC, change_time DESC) AS rn
+        FROM sv
+    ) t WHERE rn = 1
+),
+{",".join(lag_ctes)}
+SELECT g.series_id, g.valid_time,
+       (epoch_us(g.valid_time) // 3600000000) % 24 AS hour_of_day,
+       ((epoch_us(g.valid_time) // 3600000000) // 24 + 4) % 7 AS day_of_week,
+       ((epoch_us(g.valid_time) // 3600000000) // 24 + 4) % 7 IN (0, 6) AS is_weekend,
+       y.y AS y,
+       {", ".join(f"l{lag}.lag_{lag}h_pit AS lag_{lag}h_pit" for lag in PIT_LAGS)}
+FROM grid g
+LEFT JOIN y ON y.series_id = g.series_id AND y.valid_time = g.valid_time
+{chr(10).join(lag_joins)}
+"""

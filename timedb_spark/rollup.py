@@ -190,3 +190,130 @@ class ContinuousAggregate:
 
     def refreshed_version(self) -> int:
         return self._meta()["refreshed_version"]
+
+
+# ---------------------------------------------------------------------------
+# Bitemporal-aware continuous aggregate: latest-collapse INSIDE the refresh
+# ---------------------------------------------------------------------------
+
+
+def _latest_hourly(df: DataFrame) -> DataFrame:
+    """Per-(series, hour) aggregate of the LATEST revision per (series,
+    valid_time) — the bitemporal rollup's unit of state. ``n`` counts valid
+    times (latest rows), not revisions."""
+    from timedb_spark.operators.bitemporal import latest
+
+    return latest(df).groupBy(
+        "series_id", F.date_trunc("hour", "valid_time").alias("bucket")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast(_DSUM)).alias("vsum"),
+        F.min("value").alias("vmin"),
+        F.max("value").alias("vmax"),
+    )
+
+
+class BitemporalContinuousAggregate(ContinuousAggregate):
+    """Continuous aggregate whose state reflects the LATEST revision per
+    (series_id, valid_time) — the bitemporal-aware variant VERDICT r9 task
+    #7 names (latest-collapse INSIDE the incremental refresh).
+
+    Why the plain partial-merge is wrong here: a restating commit (a new
+    revision for an already-aggregated valid_time) must REPLACE the old
+    revision's contribution, and a backfill (an older-knowledge revision
+    landing late) must lose to the stored winner — neither is expressible
+    as a decomposable merge of per-commit partials (count/sum would double
+    by revision). The TimescaleDB continuous-aggregate answer is an
+    invalidation log; the manifest diff IS that log here: the refresh reads
+    ONLY the newly committed files, derives the affected (series, bucket)
+    keys, re-collapses exactly those buckets from the store's current file
+    set (partition-pruned to the affected vt_months, so revisions of a
+    valid_time — which always share its vt_month partition — are all
+    seen), and swaps them into the carried state with a broadcast
+    anti-join. Scan cost per refresh: the new files + the affected months'
+    partitions, never the table; at 100 TB with a daily cadence that is
+    the day's partition plus whatever months restatements actually touch.
+    Removed files (delete_series / TTL / vacuum-after-rewrite commits)
+    still force the full-recompute fallback, exactly like the base class.
+    """
+
+    def __init__(self, store: SnapshotStore, name: str = "hourly_bt", state_retention_s: float = 600.0):
+        super().__init__(store, name=name, state_retention_s=state_retention_s)
+
+    def refresh(self) -> dict:
+        meta = self._meta()
+        cur_v, cur_files = self.store._load()
+        if cur_v == meta["refreshed_version"]:
+            return {"mode": "noop", "version": cur_v, "files_scanned": 0, "buckets_recomputed": 0}
+        old_files = set(meta["files"])
+        new_files = [f for f in cur_files if f not in old_files]
+        removed = old_files - set(cur_files)
+
+        base = str(self.store.values_path)
+        if meta["state"] is not None and not removed:
+            mode = "incremental"
+            scanned = len(new_files)
+            if new_files:
+                delta = self.spark.read.option("basePath", base).parquet(
+                    *[f"{base}/{f}" for f in new_files]
+                )
+                affected = (
+                    delta.select(
+                        "series_id", F.date_trunc("hour", "valid_time").alias("bucket")
+                    ).distinct().localCheckpoint(eager=True)  # pin: later reads race the state swap
+                )
+                n_affected = affected.count()
+                # Every revision of a valid_time lives in its vt_month
+                # partition, so pruning the re-collapse scan to the
+                # affected months is sound AND bounded by what the new
+                # commit actually touched (a bounded-month collect, not a
+                # row collect).
+                months = [
+                    r["m"]
+                    for r in affected.select(
+                        F.date_format("bucket", "yyyyMM").alias("m")
+                    ).distinct().collect()
+                ]
+                scope = self.store.read_values().filter(F.col("vt_month").isin(months))
+                recomputed = _latest_hourly(
+                    scope.join(
+                        F.broadcast(affected),
+                        on=[
+                            scope.series_id == affected.series_id,
+                            F.date_trunc("hour", scope.valid_time) == affected.bucket,
+                        ],
+                        how="leftsemi",
+                    )
+                )
+                prev = self.spark.read.parquet(str(self.root / meta["state"]))
+                kept = prev.join(
+                    F.broadcast(affected), ["series_id", "bucket"], "left_anti"
+                )
+                merged = kept.unionByName(recomputed)
+            else:
+                n_affected = 0
+                merged = self.spark.read.parquet(str(self.root / meta["state"]))
+        else:
+            mode = "full"
+            scanned = len(cur_files)
+            n_affected = -1
+            if cur_files:
+                merged = _latest_hourly(
+                    self.spark.read.option("basePath", base).parquet(
+                        *[f"{base}/{f}" for f in cur_files]
+                    )
+                )
+            else:
+                merged = _latest_hourly(self.store.read_values())
+
+        state_rel = f"state/v{cur_v:012d}-{uuid.uuid4().hex[:8]}"
+        with micros_parquet_writes(self.spark):
+            merged.write.mode("overwrite").parquet(str(self.root / state_rel))
+        self._commit_meta(cur_v, state_rel, cur_files)
+        self._gc_states(keep=state_rel)
+        return {
+            "mode": mode,
+            "version": cur_v,
+            "files_scanned": scanned,
+            "buckets_recomputed": n_affected,
+        }
