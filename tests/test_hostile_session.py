@@ -155,6 +155,7 @@ def test_store_gate_queries_end_to_end_under_hostile_session(hostile, sf_dir):
         entrymod._INGEST_CACHE,
         entrymod._VACUUM_CACHE,
         entrymod._NULLSENT_CACHE,
+        entrymod._BTROLLUP_CACHE,
     )
     for c in caches:
         c.clear()
@@ -172,6 +173,7 @@ def test_store_gate_queries_end_to_end_under_hostile_session(hostile, sf_dir):
             "snap_vacuum",
             "client_write_validation",
             "client_null_sentinel",
+            "rollup_bitemporal_agg",
         ):
             rows = qs[name](hostile, sf_dir).collect()
             assert rows, f"{name}: no rows under hostile session"

@@ -12,6 +12,9 @@ builds energy-forecast tooling) runs on top of the bitemporal reads:
   calendar features) fed to a downstream forecast model.
 - ``changepoint``       — rolling mean-shift detection (CUSUM-style
   two-window contrast) over the hourly series.
+- ``pit_features``      — point-in-time-correct training matrix: lag
+  features as known at each TARGET's day-ahead cutoff (the feature-store
+  PIT join), label = realized latest, calendar ints.
 
 Scale posture: vintage + restatements are groupBy aggregations keyed by the
 fine-grained (series_id, valid_time) — map-side partial combine, one
