@@ -900,3 +900,17 @@ def test_store_compact_zorder_gate_single_scan_post(spark):
     plans.assert_no_cartesian(df)
     phys = df._jdf.queryExecution().executedPlan().toString()
     assert "Python" not in phys
+
+
+def test_pit_features_no_cartesian_bounded_shuffles(spark, sf_dir):
+    # grid distinct + latest-collapse + one equi-join per lag, all keyed by
+    # (series_id, valid_time): no cartesian, no Python, and the exchange
+    # count stays bounded (a per-target or per-revision fanout would blow
+    # past it). At tiny SF AQE converts the co-partitioned joins to
+    # broadcast; at scale they run as co-partitioned SMJ — both shapes fit
+    # the same bound.
+    from timedb_spark.operators import forecasting as fc
+
+    df = fc.pit_features(spark, sf_dir)
+    plans.assert_no_cartesian(df)
+    plans.assert_max_shuffles(df, 12)
