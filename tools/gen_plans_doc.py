@@ -74,6 +74,12 @@ PICKS = [
     ("ts_hampel", "Rolling-median outlier repair: ONE exchange on user_id feeding a single "
      "ROWS-framed window sort; both medians (window, MAD) are sorted-array picks in plain "
      "projections after the window — no second window pass, no Python, no join."),
+    ("bt_pit_features", "PIT-correct feature retrieval (r10): the target grid, the latest-collapse "
+     "label, and each lag's as-of-cutoff winner all key on (series_id, valid_time) — one equi-join "
+     "per lag, max_by collapse, zero windows over the revision history, zero cartesian/Python."),
+    ("rollup_bitemporal_agg", "Bitemporal continuous aggregate (r10): the gate plan is a pure "
+     "re-roll of the materialized latest-collapsed state; the refresh that built it scanned only "
+     "the new commit plus the affected vt_month partitions (manifest diff as invalidation log)."),
     ("embed_outliers", "Centroid-margin mislabel detection: label centroids collapse to a SINGLE "
      "broadcast row of (label, centroid) structs; own-cosine and best-other picks are array "
      "expressions in one zero-fan-out projection — no n×K row blow-up, no window."),
