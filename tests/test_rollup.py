@@ -238,3 +238,49 @@ def test_bitemporal_delete_falls_back_to_full(db):
     r = ca.refresh()
     assert r["mode"] == "full"
     assert _bt_got(ca) == [(1, datetime(2024, 1, 1, 0), 1, 10.0, 10.0, 10.0)]
+
+
+@pytest.mark.parametrize("seed", [7, 23, 101])
+def test_bitemporal_rollup_random_commit_splits_match_direct(db, seed):
+    """Property: however a revision history is split across commits, the
+    incrementally refreshed bitemporal state must equal a direct
+    latest-collapse recompute of the whole store. Randomized revision
+    shapes (ties on (sid, vt), interleaved knowledge order, restatements
+    and backfills in every commit) with deterministic seeds."""
+    import random
+
+    from timedb_spark.rollup import BitemporalContinuousAggregate, _latest_hourly
+
+    rng = random.Random(seed)
+    kt_minutes = rng.sample(range(1440), 30)  # collision-free: a (kt, ct)
+    # tie between different values would make the winner partition-order
+    # dependent in BOTH engines — not the property under test
+    rows = [
+        {
+            "series_id": rng.randint(1, 3),
+            "valid_time": datetime(2024, 1, rng.randint(1, 3), rng.randint(0, 3), 30, tzinfo=UTC),
+            "knowledge_time": datetime(2024, 1, 4, tzinfo=UTC) + pd.Timedelta(minutes=kt_minutes[i]),
+            "value": float(rng.randint(-50, 50)),
+        }
+        for i in range(30)
+    ]
+    commits = [[], [], []]
+    for r in rows:
+        commits[rng.randint(0, 2)].append(r)
+
+    ca = BitemporalContinuousAggregate(db.store, name=f"prop{seed}")
+    modes = []
+    for batch in commits:
+        if not batch:
+            continue
+        db.write(pd.DataFrame(batch))
+        modes.append(ca.refresh()["mode"])
+    assert modes[0] == "full" and all(m == "incremental" for m in modes[1:])
+
+    def key(r):
+        return (r.series_id, r.bucket, r.n, str(r.vsum), r.vmin, r.vmax)
+
+    got = sorted(key(r) for r in ca.read(partials=True)
+                 .select("series_id", "bucket", "n", "vsum", "vmin", "vmax").collect())
+    want = sorted(key(r) for r in _latest_hourly(db.store.read_values()).collect())
+    assert got == want
