@@ -1364,7 +1364,10 @@ def _materialized_null_store(spark: SparkSession, sf_dir: str):
 
         db = TimeDB(spark, tempfile.mkdtemp(prefix="timedb_gate_nullsent_"))
         db.create()
-        frame = bitemporal_frame(spark, sf_dir).withColumn(
+        # scope to the id range the readback's explicit series_ids list
+        # covers (a no-op at every driver SF — user_id < 1500 everywhere —
+        # but keeps store and oracle identical at ANY scale)
+        frame = bitemporal_frame(spark, sf_dir).filter(F.col("series_id") < 1500).withColumn(
             "value",
             F.when(_null_plant(), F.lit(None).cast("double")).otherwise(F.col("value")),
         )
@@ -2771,6 +2774,7 @@ def oracle_sql() -> dict[str, str]:
                        CASE WHEN (series_id + extract(hour FROM valid_time)) % 7 = 3
                             THEN NULL ELSE value END AS value
                 FROM sv0
+                WHERE series_id < 1500
             ),
             lat AS (
                 SELECT value FROM (
