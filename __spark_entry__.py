@@ -1157,7 +1157,7 @@ def _materialized_bt_rollup(spark: SparkSession, sf_dir: str):
                 f"bitemporal-rollup gate: invalidation scope mismatch — recomputed "
                 f"{r2['buckets_recomputed']} buckets, expected {expected_affected}"
             )
-        _BTROLLUP_CACHE[sf_dir] = (ca, (r1, r2))
+        _BTROLLUP_CACHE[sf_dir] = ca
     return _BTROLLUP_CACHE[sf_dir]
 
 
@@ -1175,7 +1175,7 @@ def _q_rollup_bitemporal_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     correct behavior, wrong here) double-counts every restated valid_time
     and hash-reds. Refresh-mode + invalidation-scope economics are
     asserted in materialization and pinned in tests/test_rollup.py."""
-    ca, _modes = _materialized_bt_rollup(spark, sf_dir)
+    ca = _materialized_bt_rollup(spark, sf_dir)
     state = ca.read(partials=True)
     return (
         state.groupBy(

@@ -51,9 +51,11 @@ def hostile(spark):
     the explicit sets below undo the values the shared SparkConf seeded
     (builder-time confs are inherited by new sessions, so without the sets
     this would NOT be hostile). ``session.timeZone`` is reset to the JVM
-    default (what a driver session gets with no pin, ADVICE r9) — on a
-    non-UTC host every date_format-based fingerprint would shift, so the
-    library's own formatting paths must not lean on the ambient session TZ."""
+    default (what a driver session gets with no pin, ADVICE r9) — the
+    faithful driver posture. Scope caveat: the driver host and this
+    container both run UTC JVMs, so the reset is a no-op here; gate
+    fingerprints are DEFINED over the UTC reading of the NTZ testdata and
+    a non-UTC host is out of contract (see tools/parity.py)."""
     h = spark.newSession()
     for k, v in _DRIVER_DEFAULTS.items():
         h.conf.set(k, v)

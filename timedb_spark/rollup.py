@@ -104,19 +104,40 @@ class ContinuousAggregate:
 
         Returns stats including the refresh ``mode`` ("noop" | "incremental"
         | "full") and how many data files were scanned — the incremental
-        path's scan is bounded by the new commits, never the table."""
+        path's scan is bounded by the new commits, never the table.
+
+        Template method: the manifest-diff preamble and the atomic
+        state-commit/GC tail are shared with every subclass; only
+        :meth:`_compute_merged` (how the new state frame is produced)
+        varies. Keeps concurrency-sensitive logic (the version pin, the
+        META swap) in exactly one place."""
         meta = self._meta()
         cur_v, cur_files = self.store._load()
         if cur_v == meta["refreshed_version"]:
-            return {"mode": "noop", "version": cur_v, "files_scanned": 0}
+            return {"mode": "noop", "version": cur_v, "files_scanned": 0, **self._noop_extra()}
         old_files = set(meta["files"])
         new_files = [f for f in cur_files if f not in old_files]
         removed = old_files - set(cur_files)
 
+        merged, mode, scanned, extra = self._compute_merged(meta, cur_v, cur_files, new_files, removed)
+
+        state_rel = f"state/v{cur_v:012d}-{uuid.uuid4().hex[:8]}"
+        with micros_parquet_writes(self.spark):
+            merged.write.mode("overwrite").parquet(str(self.root / state_rel))
+        self._commit_meta(cur_v, state_rel, cur_files)
+        self._gc_states(keep=state_rel)
+        return {"mode": mode, "version": cur_v, "files_scanned": scanned, **extra}
+
+    def _noop_extra(self) -> dict:
+        return {}
+
+    def _compute_merged(self, meta, cur_v, cur_files, new_files, removed):
+        """(merged_frame, mode, files_scanned, extra_stats) for a non-noop
+        refresh. Decomposable partials: append commits merge map-side;
+        removed files (deletes/TTL) can't be subtracted (min/max aren't
+        invertible) → full recompute from the pinned manifest's file set."""
         base = str(self.store.values_path)
         if meta["state"] is not None and not removed:
-            mode = "incremental"
-            scanned = len(new_files)
             if new_files:
                 delta = _hourly_partial(
                     self.spark.read.option("basePath", base).parquet(*[f"{base}/{f}" for f in new_files])
@@ -125,24 +146,14 @@ class ContinuousAggregate:
                 merged = _merge_partials(prev.unionByName(delta))
             else:
                 merged = self.spark.read.parquet(str(self.root / meta["state"]))
+            return merged, "incremental", len(new_files), {}
+        if cur_files:
+            merged = _hourly_partial(
+                self.spark.read.option("basePath", base).parquet(*[f"{base}/{f}" for f in cur_files])
+            )
         else:
-            # deletes/TTL removed files → decomposable merge can't subtract;
-            # recompute from the current manifest's file set.
-            mode = "full"
-            scanned = len(cur_files)
-            if cur_files:
-                merged = _hourly_partial(
-                    self.spark.read.option("basePath", base).parquet(*[f"{base}/{f}" for f in cur_files])
-                )
-            else:
-                merged = _hourly_partial(self.store.read_values())
-
-        state_rel = f"state/v{cur_v:012d}-{uuid.uuid4().hex[:8]}"
-        with micros_parquet_writes(self.spark):
-            merged.write.mode("overwrite").parquet(str(self.root / state_rel))
-        self._commit_meta(cur_v, state_rel, cur_files)
-        self._gc_states(keep=state_rel)
-        return {"mode": mode, "version": cur_v, "files_scanned": scanned}
+            merged = _hourly_partial(self.store.read_values(version=cur_v))
+        return merged, "full", len(cur_files), {}
 
     def _gc_states(self, keep: str) -> int:
         """Delete superseded state dirs AGED past the retention window —
@@ -240,80 +251,65 @@ class BitemporalContinuousAggregate(ContinuousAggregate):
     def __init__(self, store: SnapshotStore, name: str = "hourly_bt", state_retention_s: float = 600.0):
         super().__init__(store, name=name, state_retention_s=state_retention_s)
 
-    def refresh(self) -> dict:
-        meta = self._meta()
-        cur_v, cur_files = self.store._load()
-        if cur_v == meta["refreshed_version"]:
-            return {"mode": "noop", "version": cur_v, "files_scanned": 0, "buckets_recomputed": 0}
-        old_files = set(meta["files"])
-        new_files = [f for f in cur_files if f not in old_files]
-        removed = old_files - set(cur_files)
+    def _noop_extra(self) -> dict:
+        return {"buckets_recomputed": 0}
 
+    def _compute_merged(self, meta, cur_v, cur_files, new_files, removed):
         base = str(self.store.values_path)
         if meta["state"] is not None and not removed:
-            mode = "incremental"
-            scanned = len(new_files)
-            if new_files:
-                delta = self.spark.read.option("basePath", base).parquet(
-                    *[f"{base}/{f}" for f in new_files]
+            if not new_files:
+                return (
+                    self.spark.read.parquet(str(self.root / meta["state"])),
+                    "incremental", 0, {"buckets_recomputed": 0},
                 )
-                affected = (
-                    delta.select(
-                        "series_id", F.date_trunc("hour", "valid_time").alias("bucket")
-                    ).distinct().localCheckpoint(eager=True)  # pin: later reads race the state swap
+            delta = self.spark.read.option("basePath", base).parquet(
+                *[f"{base}/{f}" for f in new_files]
+            )
+            affected = (
+                delta.select(
+                    "series_id", F.date_trunc("hour", "valid_time").alias("bucket")
+                ).distinct().localCheckpoint(eager=True)  # pin: later reads race the state swap
+            )
+            n_affected = affected.count()
+            # Every revision of a valid_time lives in its vt_month
+            # partition, so pruning the re-collapse scan to the affected
+            # months is sound AND bounded by what the new commit actually
+            # touched (a bounded-month collect, not a row collect). The
+            # scan pins version=cur_v — the SAME manifest the preamble
+            # resolved — so a concurrent append committing between _load
+            # and this read cannot leak post-cur_v revisions into a state
+            # that records refreshed_version=cur_v.
+            months = [
+                r["m"]
+                for r in affected.select(
+                    F.date_format("bucket", "yyyyMM").alias("m")
+                ).distinct().collect()
+            ]
+            scope = self.store.read_values(version=cur_v).filter(F.col("vt_month").isin(months))
+            recomputed = _latest_hourly(
+                scope.join(
+                    F.broadcast(affected),
+                    on=[
+                        scope.series_id == affected.series_id,
+                        F.date_trunc("hour", scope.valid_time) == affected.bucket,
+                    ],
+                    how="leftsemi",
                 )
-                n_affected = affected.count()
-                # Every revision of a valid_time lives in its vt_month
-                # partition, so pruning the re-collapse scan to the
-                # affected months is sound AND bounded by what the new
-                # commit actually touched (a bounded-month collect, not a
-                # row collect).
-                months = [
-                    r["m"]
-                    for r in affected.select(
-                        F.date_format("bucket", "yyyyMM").alias("m")
-                    ).distinct().collect()
-                ]
-                scope = self.store.read_values().filter(F.col("vt_month").isin(months))
-                recomputed = _latest_hourly(
-                    scope.join(
-                        F.broadcast(affected),
-                        on=[
-                            scope.series_id == affected.series_id,
-                            F.date_trunc("hour", scope.valid_time) == affected.bucket,
-                        ],
-                        how="leftsemi",
-                    )
+            )
+            prev = self.spark.read.parquet(str(self.root / meta["state"]))
+            kept = prev.join(
+                F.broadcast(affected), ["series_id", "bucket"], "left_anti"
+            )
+            return (
+                kept.unionByName(recomputed),
+                "incremental", len(new_files), {"buckets_recomputed": n_affected},
+            )
+        if cur_files:
+            merged = _latest_hourly(
+                self.spark.read.option("basePath", base).parquet(
+                    *[f"{base}/{f}" for f in cur_files]
                 )
-                prev = self.spark.read.parquet(str(self.root / meta["state"]))
-                kept = prev.join(
-                    F.broadcast(affected), ["series_id", "bucket"], "left_anti"
-                )
-                merged = kept.unionByName(recomputed)
-            else:
-                n_affected = 0
-                merged = self.spark.read.parquet(str(self.root / meta["state"]))
+            )
         else:
-            mode = "full"
-            scanned = len(cur_files)
-            n_affected = -1
-            if cur_files:
-                merged = _latest_hourly(
-                    self.spark.read.option("basePath", base).parquet(
-                        *[f"{base}/{f}" for f in cur_files]
-                    )
-                )
-            else:
-                merged = _latest_hourly(self.store.read_values())
-
-        state_rel = f"state/v{cur_v:012d}-{uuid.uuid4().hex[:8]}"
-        with micros_parquet_writes(self.spark):
-            merged.write.mode("overwrite").parquet(str(self.root / state_rel))
-        self._commit_meta(cur_v, state_rel, cur_files)
-        self._gc_states(keep=state_rel)
-        return {
-            "mode": mode,
-            "version": cur_v,
-            "files_scanned": scanned,
-            "buckets_recomputed": n_affected,
-        }
+            merged = _latest_hourly(self.store.read_values(version=cur_v))
+        return merged, "full", len(cur_files), {"buckets_recomputed": -1}

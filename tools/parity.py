@@ -52,9 +52,15 @@ def hostile_spark():
     runtime confs ``get_spark`` pins (see _DRIVER_DEFAULTS). ``newSession``
     shares the JVM but carries its own SQLConf; builder-time confs are
     inherited, so the explicit sets are what make it hostile.
-    ``session.timeZone`` is reset to the JVM default (ADVICE r9): a driver
-    session on a non-UTC host would shift every date_format-based
-    fingerprint unless the library pins formatting itself."""
+    ``session.timeZone`` is reset to the JVM default (ADVICE r9) so the
+    posture matches what an unpinned driver session actually runs with.
+    Caveat (scope, not a bug): gate fingerprints are defined over the
+    UTC-wall-clock reading of the NTZ testdata — both the driver host and
+    this container run a UTC JVM, so the reset is a faithful no-op here;
+    on a hypothetical non-UTC host, Spark's NTZ→session-TZ cast shifts
+    instants while DuckDB stays naive, so date_format/unix_micros-based
+    fingerprints would diverge BY CONSTRUCTION for every engine pair, not
+    through a library defect. Non-UTC driver hosts are out of contract."""
     base = get_spark("parity-hostile")
     h = base.newSession()
     for k, v in _DRIVER_DEFAULTS.items():
