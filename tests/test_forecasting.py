@@ -254,3 +254,51 @@ def test_pit_features_cutoff_correctness(spark, tmp_path):
     src = out[datetime(2024, 1, 1, 14)]
     assert src.y == 10.0                 # label is the realized latest
     assert src.lag_24h_pit is None       # no data a day back
+
+
+def test_pit_features_random_histories_match_python_replay(spark, tmp_path):
+    """Property (seeded): on random revision histories, every pit_features
+    cell must equal a direct Python recompute of the PIT semantics —
+    per-target cutoff = trunc_day(vt) - 12h, lag winner = max-(kt, ct)
+    revision of the lagged hour with kt ≤ the TARGET's cutoff, label =
+    unconditional max-(kt, ct). Timestamps are generated collision-free
+    per (user, ts) so (kt, ct) ties cannot make winners order-dependent."""
+    import random
+
+    rng = random.Random(42)
+    rows = []
+    used = set()
+    for i in range(120):
+        day = rng.randint(1, 9)
+        hour = rng.randint(0, 23)
+        minute = rng.randint(0, 59)
+        user = rng.randint(1, 4)
+        key = (user, day, hour, minute)
+        if key in used:
+            continue
+        used.add(key)
+        rows.append((i * 7 + rng.randint(0, 6), datetime(2024, 1, day, hour, minute),
+                     user, "x", float(rng.randint(-99, 99))))
+    d = _events_dir(tmp_path, rows)
+
+    # python replay of the bitemporal_frame derivation + PIT semantics
+    revs = {}
+    for event_id, ts, user, _et, value in rows:
+        vt = ts.replace(minute=0, second=0)
+        kt = ts - timedelta(hours=event_id % 4)
+        revs.setdefault((user, vt), []).append((kt, ts, value))
+
+    def winner(sid, vt, cutoff=None):
+        cands = [(kt, ct, v) for kt, ct, v in revs.get((sid, vt), [])
+                 if cutoff is None or kt <= cutoff]
+        return max(cands)[2] if cands else None
+
+    out = fc.pit_features(spark, d).collect()
+    assert len(out) == len(revs)
+    for r in out:
+        cutoff = r.valid_time.replace(hour=0) - timedelta(hours=12)
+        assert r.y == winner(r.series_id, r.valid_time), (r, "y")
+        for lag in (24, 168):
+            want = winner(r.series_id, r.valid_time - timedelta(hours=lag), cutoff)
+            got = getattr(r, f"lag_{lag}h_pit")
+            assert got == want, (r, lag, want)
