@@ -284,3 +284,44 @@ def test_bitemporal_rollup_random_commit_splits_match_direct(db, seed):
                  .select("series_id", "bucket", "n", "vsum", "vmin", "vmax").collect())
     want = sorted(key(r) for r in _latest_hourly(db.store.read_values()).collect())
     assert got == want
+
+
+def test_bitemporal_refresh_pins_version_against_concurrent_append(db, monkeypatch):
+    """Regression (r10 review): the incremental re-collapse must scan the
+    SAME manifest version the refresh preamble pinned. A concurrent append
+    landing between `_load` and the scoped scan (injected here on the
+    refresh's first `read_values` call) must NOT leak into the state that
+    records the pre-append `refreshed_version`; the NEXT refresh picks it
+    up instead. Before the fix, the scan resolved the latest manifest and
+    the injected restatement flipped the bucket a version early."""
+    from timedb_spark.rollup import BitemporalContinuousAggregate
+
+    ca = BitemporalContinuousAggregate(db.store, name="race")
+    db.write(_batch(1, 1, hours=(0,), base=10.0), knowledge_time=datetime(2024, 1, 1, 6, tzinfo=UTC))
+    assert ca.refresh()["mode"] == "full"
+    db.write(_batch(1, 1, hours=(1,), base=20.0), knowledge_time=datetime(2024, 1, 1, 6, tzinfo=UTC))
+
+    orig_read_values = db.store.read_values
+    injected = {"done": False}
+
+    def racing_read_values(version=None):
+        if not injected["done"]:
+            injected["done"] = True
+            # the concurrent writer: restates hour 0 with newer knowledge
+            db.write(_batch(1, 1, hours=(0,), base=99.0),
+                     knowledge_time=datetime(2024, 1, 1, 9, tzinfo=UTC))
+        return orig_read_values(version=version)
+
+    monkeypatch.setattr(db.store, "read_values", racing_read_values)
+    r = ca.refresh()
+    monkeypatch.setattr(db.store, "read_values", orig_read_values)
+    assert r["mode"] == "incremental" and injected["done"]
+    # the pinned-version state must still show hour 0 = 10.0 (pre-append)
+    got = {(x.series_id, x.bucket): x.vavg for x in ca.read().collect()}
+    assert got[(1, datetime(2024, 1, 1, 0))] == 10.0
+    assert got[(1, datetime(2024, 1, 1, 1))] == 20.0
+    # the follow-up refresh folds the concurrent commit in
+    r2 = ca.refresh()
+    assert r2["mode"] == "incremental" and r2["buckets_recomputed"] == 1
+    got2 = {(x.series_id, x.bucket): x.vavg for x in ca.read().collect()}
+    assert got2[(1, datetime(2024, 1, 1, 0))] == 99.0
