@@ -1039,7 +1039,7 @@ def _q_store_retention_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pre_df.unionByName(post_df)
 
 
-_ROLLUP_CACHE: dict[str, tuple] = {}
+_ROLLUP_CACHE: dict[str, object] = {}
 
 
 def _materialized_rollup(spark: SparkSession, sf_dir: str):
@@ -1049,7 +1049,7 @@ def _materialized_rollup(spark: SparkSession, sf_dir: str):
     INCREMENTAL path (manifest diff = commit 2's files only). Mode
     mismatches raise loudly: a second-refresh full recompute would still
     produce correct values, so only the assert proves the incremental
-    merge actually ran. Returns (aggregate, (refresh1, refresh2))."""
+    merge actually ran. Returns the refreshed aggregate."""
     cached = _ROLLUP_CACHE.get(sf_dir)
     if cached is None:
         import tempfile
@@ -1073,7 +1073,7 @@ def _materialized_rollup(spark: SparkSession, sf_dir: str):
                 f"continuous-aggregate gate expected refresh modes "
                 f"('full', 'incremental'), got ({r1['mode']!r}, {r2['mode']!r})"
             )
-        _ROLLUP_CACHE[sf_dir] = (ca, (r1, r2))
+        _ROLLUP_CACHE[sf_dir] = ca
     return _ROLLUP_CACHE[sf_dir]
 
 
@@ -1089,7 +1089,7 @@ def _q_rollup_continuous_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     decomposability once more — against one DuckDB recompute from the same
     events derivation. Refresh-mode economics (files_scanned bounded by the
     new commit) stay pinned in tests/test_rollup.py."""
-    ca, _modes = _materialized_rollup(spark, sf_dir)
+    ca = _materialized_rollup(spark, sf_dir)
     state = ca.read(partials=True)
     return (
         state.groupBy(
@@ -1107,7 +1107,7 @@ def _q_rollup_continuous_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_BTROLLUP_CACHE: dict[str, tuple] = {}
+_BTROLLUP_CACHE: dict[str, object] = {}
 
 
 def _materialized_bt_rollup(spark: SparkSession, sf_dir: str):
