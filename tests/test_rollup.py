@@ -325,3 +325,53 @@ def test_bitemporal_refresh_pins_version_against_concurrent_append(db, monkeypat
     assert r2["mode"] == "incremental" and r2["buckets_recomputed"] == 1
     got2 = {(x.series_id, x.bucket): x.vavg for x in ca.read().collect()}
     assert got2[(1, datetime(2024, 1, 1, 0))] == 99.0
+
+
+def test_bitemporal_wide_commit_takes_shuffled_invalidation_path(db):
+    """ADVICE r10: the affected-key set is only force-broadcast while it is
+    provably small. A commit wider than ``broadcast_key_limit`` (limit
+    pinned to 1 here) must refresh through the AQE-planned shuffled
+    semi/anti joins and still produce exactly the direct-recompute state —
+    at 100 TB a full-day commit over ~1M series carries tens of millions
+    of (series, hour) keys, past any sane broadcast budget."""
+    from timedb_spark.rollup import BitemporalContinuousAggregate, _latest_hourly
+
+    ca = BitemporalContinuousAggregate(db.store, name="wide")
+    ca.broadcast_key_limit = 1
+    db.write(_batch(1, 1, hours=(0, 1, 2), base=10.0),
+             knowledge_time=datetime(2024, 1, 1, 6, tzinfo=UTC))
+    assert ca.refresh()["mode"] == "full"
+    # wide commit: 2 series × 3 hours = 6 affected keys (> limit), one of
+    # them a restatement so the replace semantics ride the shuffled path
+    db.write(_batch(1, 1, hours=(0, 3, 4), base=99.0),
+             knowledge_time=datetime(2024, 1, 1, 8, tzinfo=UTC))
+    db.write(_batch(2, 1, hours=(0, 1, 2), base=20.0),
+             knowledge_time=datetime(2024, 1, 1, 8, tzinfo=UTC))
+    r = ca.refresh()
+    assert r["mode"] == "incremental" and r["buckets_recomputed"] == 6
+
+    def key(r):
+        return (r.series_id, r.bucket, r.n, str(r.vsum), r.vmin, r.vmax)
+
+    got = sorted(key(x) for x in ca.read(partials=True)
+                 .select("series_id", "bucket", "n", "vsum", "vmin", "vmax").collect())
+    want = sorted(key(x) for x in _latest_hourly(db.store.read_values()).collect())
+    assert got == want
+    # and the restated bucket flipped to the newer-knowledge revision
+    avg = {(x.series_id, x.bucket): x.vavg for x in ca.read().collect()}
+    assert avg[(1, datetime(2024, 1, 1, 0))] == 99.0
+
+
+def test_bitemporal_full_recompute_omits_buckets_recomputed(db):
+    """ADVICE r10: the full path's stats no longer carry the -1 sentinel —
+    the key is present on noop (0) and incremental (= affected count)
+    refreshes only."""
+    from timedb_spark.rollup import BitemporalContinuousAggregate
+
+    ca = BitemporalContinuousAggregate(db.store, name="stats")
+    db.write(_batch(1, 1, hours=(0,), base=10.0),
+             knowledge_time=datetime(2024, 1, 1, 6, tzinfo=UTC))
+    r_full = ca.refresh()
+    assert r_full["mode"] == "full" and "buckets_recomputed" not in r_full
+    r_noop = ca.refresh()
+    assert r_noop["mode"] == "noop" and r_noop["buckets_recomputed"] == 0

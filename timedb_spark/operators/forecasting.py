@@ -260,6 +260,27 @@ def pinball_loss_sql(sv_sql: str) -> str:
 # ---------------------------------------------------------------------------
 
 
+def _floor_hours(ts_col: str):
+    """FLOOR-division hour index of a timestamp column, exact in BIGINT.
+
+    ``unix_micros - pmod(unix_micros, 3600000000)`` is an exact multiple of
+    the divisor, so the truncating ``div`` equals floor division for any
+    sign — matching DuckDB's ``epoch_us(ts) // 3600000000`` even pre-epoch
+    (Spark ``div`` truncates toward zero, DuckDB ``//`` floors)."""
+    us = f"unix_micros({ts_col})"
+    return F.expr(f"({us} - pmod({us}, 3600000000)) div 3600000000")
+
+
+#: floor-semantics day-of-week from the hour index ``h`` (0 = Sunday):
+#: floor-div h by 24 via the same exact-multiple trick, then pmod by 7.
+_DOW_H = "pmod((h - pmod(h, 24)) div 24 + 4, 7)"
+
+#: DuckDB twins — ``//`` already floors; ``%`` keeps the dividend's sign,
+#: so the double-mod makes it non-negative for pre-epoch hour indexes.
+_DOW_H_SQL = "(((h // 24 + 4) % 7) + 7) % 7"
+_HOD_H_SQL = "((h % 24) + 24) % 24"
+
+
 def calendar_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The model-input matrix for an hourly forecaster: target ``y`` with
     1 h / 24 h / 168 h lags and integer calendar features.
@@ -270,15 +291,19 @@ def calendar_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     three frames share one (series, hour) sort; no self-joins. Calendar
     fields are pure integer arithmetic on the hour index (epoch day 0 =
     Thursday ⇒ dow = (d + 4) % 7 with 0 = Sunday) — identical cross-engine,
-    no timezone/locale functions involved."""
-    s = _hourly_series(spark, sf_dir).withColumn("h", F.expr("unix_micros(valid_time) div 3600000000"))
+    no timezone/locale functions involved. All divisions/mods use FLOOR
+    semantics on both engines (Spark: pmod + exact-multiple div; DuckDB:
+    ``//`` plus double-mod), so pre-1970 valid times can't make the
+    engines diverge (Spark ``div``/``%`` truncate toward zero while
+    DuckDB ``//`` floors — ADVICE r10)."""
+    s = _hourly_series(spark, sf_dir).withColumn("h", _floor_hours("valid_time"))
     w = Window.partitionBy("series_id").orderBy("h")
     out = s.select(
         "series_id",
         "valid_time",
-        (F.col("h") % 24).alias("hour_of_day"),
-        F.expr("(h div 24 + 4) % 7").alias("day_of_week"),
-        F.expr("(h div 24 + 4) % 7 IN (0, 6)").alias("is_weekend"),
+        F.expr("pmod(h, 24)").alias("hour_of_day"),
+        F.expr(_DOW_H).alias("day_of_week"),
+        F.expr(f"{_DOW_H} IN (0, 6)").alias("is_weekend"),
         F.max("value").over(w.rangeBetween(-1, -1)).alias("lag_1h"),
         F.max("value").over(w.rangeBetween(-24, -24)).alias("lag_24h"),
         F.max("value").over(w.rangeBetween(-168, -168)).alias("lag_168h"),
@@ -291,9 +316,9 @@ CALENDAR_FEATURES_SQL = f"""
 WITH s AS ({_HOURLY_SERIES_SQL}),
 hx AS (SELECT *, epoch_us(valid_time) // 3600000000 AS h FROM s)
 SELECT series_id, valid_time,
-       h % 24 AS hour_of_day,
-       (h // 24 + 4) % 7 AS day_of_week,
-       (h // 24 + 4) % 7 IN (0, 6) AS is_weekend,
+       {_HOD_H_SQL} AS hour_of_day,
+       {_DOW_H_SQL} AS day_of_week,
+       {_DOW_H_SQL} IN (0, 6) AS is_weekend,
        max(value) OVER (PARTITION BY series_id ORDER BY h
                         RANGE BETWEEN 1 PRECEDING AND 1 PRECEDING) AS lag_1h,
        max(value) OVER (PARTITION BY series_id ORDER BY h
@@ -561,13 +586,12 @@ def pit_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         out = out.join(cand, ["series_id", "valid_time"], "left")
-    h = F.expr("unix_micros(valid_time) div 3600000000")
-    return out.withColumn("h", h).select(
+    return out.withColumn("h", _floor_hours("valid_time")).select(
         "series_id",
         "valid_time",
-        (F.col("h") % 24).alias("hour_of_day"),
-        F.expr("(h div 24 + 4) % 7").alias("day_of_week"),
-        F.expr("(h div 24 + 4) % 7 IN (0, 6)").alias("is_weekend"),
+        F.expr("pmod(h, 24)").alias("hour_of_day"),
+        F.expr(_DOW_H).alias("day_of_week"),
+        F.expr(f"{_DOW_H} IN (0, 6)").alias("is_weekend"),
         "y",
         *[f"lag_{lag}h_pit" for lag in PIT_LAGS],
     )
@@ -598,7 +622,8 @@ l{lag} AS (
 WITH sv AS ({sv_sql}),
 grid AS (
     SELECT DISTINCT series_id, valid_time,
-           date_trunc('day', valid_time) - to_hours(12) AS cutoff
+           date_trunc('day', valid_time) - to_hours(12) AS cutoff,
+           epoch_us(valid_time) // 3600000000 AS h
     FROM sv
 ),
 y AS (
@@ -611,9 +636,9 @@ y AS (
 ),
 {",".join(lag_ctes)}
 SELECT g.series_id, g.valid_time,
-       (epoch_us(g.valid_time) // 3600000000) % 24 AS hour_of_day,
-       ((epoch_us(g.valid_time) // 3600000000) // 24 + 4) % 7 AS day_of_week,
-       ((epoch_us(g.valid_time) // 3600000000) // 24 + 4) % 7 IN (0, 6) AS is_weekend,
+       {_HOD_H_SQL} AS hour_of_day,
+       {_DOW_H_SQL} AS day_of_week,
+       {_DOW_H_SQL} IN (0, 6) AS is_weekend,
        y.y AS y,
        {", ".join(f"l{lag}.lag_{lag}h_pit AS lag_{lag}h_pit" for lag in PIT_LAGS)}
 FROM grid g

@@ -246,7 +246,25 @@ class BitemporalContinuousAggregate(ContinuousAggregate):
     the day's partition plus whatever months restatements actually touch.
     Removed files (delete_series / TTL / vacuum-after-rewrite commits)
     still force the full-recompute fallback, exactly like the base class.
+
+    Stats contract: ``refresh()`` reports ``buckets_recomputed`` on the
+    noop (0) and incremental (= the commit's distinct affected-key count)
+    paths only; the full-recompute path OMITS the key — every bucket is
+    rebuilt there, so a count would just restate the state size.
+
+    Broadcast discipline: the affected-key set is broadcast into the
+    semi/anti invalidation joins only while ``n_affected`` stays under
+    ``broadcast_key_limit``. A restatement-heavy or full-day commit over
+    ~1M series can carry tens of millions of (series, hour) keys — past
+    any sane broadcast budget — so above the limit the hint is dropped
+    and AQE picks the join strategy (a shuffled semi/anti join, which is
+    exactly right at that width).
     """
+
+    #: max distinct (series_id, bucket) keys the invalidation joins will
+    #: force-broadcast; ~50 B/key puts 200k keys ≈ 10 MB (Spark's default
+    #: autoBroadcastJoinThreshold). Beyond this, AQE decides.
+    broadcast_key_limit: int = 200_000
 
     def __init__(self, store: SnapshotStore, name: str = "hourly_bt", state_retention_s: float = 600.0):
         super().__init__(store, name=name, state_retention_s=state_retention_s)
@@ -286,20 +304,26 @@ class BitemporalContinuousAggregate(ContinuousAggregate):
                 ).distinct().collect()
             ]
             scope = self.store.read_values(version=cur_v).filter(F.col("vt_month").isin(months))
+            # Only force the broadcast while the key set is provably small;
+            # a wide commit's key set goes through AQE-planned shuffled
+            # semi/anti joins instead (see class docstring).
+            inval = (
+                F.broadcast(affected)
+                if n_affected <= self.broadcast_key_limit
+                else affected
+            )
             recomputed = _latest_hourly(
                 scope.join(
-                    F.broadcast(affected),
+                    inval,
                     on=[
-                        scope.series_id == affected.series_id,
-                        F.date_trunc("hour", scope.valid_time) == affected.bucket,
+                        scope.series_id == inval.series_id,
+                        F.date_trunc("hour", scope.valid_time) == inval.bucket,
                     ],
                     how="leftsemi",
                 )
             )
             prev = self.spark.read.parquet(str(self.root / meta["state"]))
-            kept = prev.join(
-                F.broadcast(affected), ["series_id", "bucket"], "left_anti"
-            )
+            kept = prev.join(inval, ["series_id", "bucket"], "left_anti")
             return (
                 kept.unionByName(recomputed),
                 "incremental", len(new_files), {"buckets_recomputed": n_affected},
@@ -312,4 +336,6 @@ class BitemporalContinuousAggregate(ContinuousAggregate):
             )
         else:
             merged = _latest_hourly(self.store.read_values(version=cur_v))
-        return merged, "full", len(cur_files), {"buckets_recomputed": -1}
+        # Full recompute rebuilds every bucket — a count would restate the
+        # state size, so the key is omitted (stats contract in docstring).
+        return merged, "full", len(cur_files), {}
