@@ -1189,6 +1189,163 @@ def _q_rollup_bitemporal_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_rollup_pit_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIT backtest over the bitemporal rollup (VERDICT r10 task #5a —
+    composes BOTH r10 flagships): the day-ahead seasonal-naive forecast
+    built from PIT-correct knowledge is scored against the MATERIALIZED
+    hourly state, proving the rollup is usable for leakage-free evaluation.
+
+    For each bucket of the refreshed state the forecast is the 24 h-lagged
+    bucket's latest-collapse sum using only revisions known at the target's
+    day-ahead cutoff (noon of the previous day — read_relative's
+    days_ahead=1 / time_of_day=12:00 parameterization, ref
+    timedb/read.py:461-527, same cutoff as bt_pit_features); the actual is
+    the state's own vsum partial. Per-(series, day) scores stay exact:
+    cent-integer |err| and bias sums (no float division), n_scored counts
+    buckets whose lag source had ANY revision known by the cutoff — day 1
+    and afternoon-source hours score 0, by construction, not by luck.
+
+    Scale shape: the state is the small side (one row per (series, hour));
+    the PIT side is ONE co-partitioned equi-join of the revision set
+    shifted by the lag onto the state grid, then a two-level max_by/sum
+    collapse — no window over revisions, no cross join (the
+    bt_pit_features shape, re-pointed at the rollup's materialized state).
+    """
+    ca = _materialized_bt_rollup(spark, sf_dir)
+    state = ca.read(partials=True)
+    actual = state.select(
+        "series_id", "bucket",
+        F.round(F.col("vsum") * 100, 0).cast("long").alias("actual_cents"),
+    )
+    grid = actual.select(
+        "series_id", "bucket",
+        (F.date_trunc("day", "bucket") - F.make_interval(hours=F.lit(12))).alias("cutoff"),
+    )
+    rev = bitemporal_frame(spark, sf_dir).select(
+        "series_id",
+        (F.date_trunc("hour", "valid_time") + F.make_interval(hours=F.lit(24))).alias("bucket"),
+        "valid_time", "knowledge_time", "change_time", "value",
+    )
+    fc = (
+        grid.join(rev, ["series_id", "bucket"])
+        .filter(F.col("knowledge_time") <= F.col("cutoff"))
+        .groupBy("series_id", "bucket", "valid_time")
+        .agg(F.max_by("value", F.struct("knowledge_time", "change_time")).alias("pit_v"))
+        .groupBy("series_id", "bucket")
+        .agg(
+            F.round(F.sum(F.col("pit_v").cast("decimal(38,6)")) * 100, 0)
+            .cast("long").alias("fc_cents")
+        )
+    )
+    joined = actual.join(fc, ["series_id", "bucket"], "left")
+    return joined.groupBy(
+        "series_id", F.date_format("bucket", "yyyy-MM-dd").alias("day")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_buckets"),
+        F.count("fc_cents").cast("long").alias("n_scored"),
+        F.coalesce(
+            F.sum(F.abs(F.col("fc_cents") - F.col("actual_cents"))), F.lit(0)
+        ).cast("long").alias("err_cents"),
+        F.coalesce(
+            F.sum(F.col("fc_cents") - F.col("actual_cents")), F.lit(0)
+        ).cast("long").alias("bias_cents"),
+    )
+
+
+_ROLLUPTTL_CACHE: dict[str, tuple] = {}
+
+_ROLLUP_DAY_SCHEMA = (
+    "phase string, day string, n_buckets bigint, n_rows bigint, "
+    "value_cents bigint, vmin_cents bigint, vmax_cents bigint"
+)
+
+
+def _rollup_day_agg(state: DataFrame, phase) -> DataFrame:
+    """Per-day fingerprint of a (bitemporal) rollup state: bucket count,
+    sum-of-n, exact cents from the decimal vsum partials, and cent-integer
+    winner bounds — every cell {str,int}, the gate cell-type contract."""
+    c18 = lambda c: (F.col(c).cast("decimal(18,2)") * 100).cast("long")  # noqa: E731
+    return state.groupBy(
+        F.lit(phase).alias("phase"), F.date_format("bucket", "yyyy-MM-dd").alias("day")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_buckets"),
+        F.sum("n").cast("long").alias("n_rows"),
+        F.round(F.sum("vsum") * 100, 0).cast("long").alias("value_cents"),
+        F.min(c18("vmin")).alias("vmin_cents"),
+        F.max(c18("vmax")).alias("vmax_cents"),
+    )
+
+
+def _materialized_rollup_ttl(spark: SparkSession, sf_dir: str):
+    """One TTL-swept bitemporal rollup per (process, sf_dir) — the
+    removed-files full-recompute fallback exercised as a GATE (VERDICT r10
+    task #5b) rather than a pytest. Two commits + a refresh after each
+    (full, then incremental — asserted), the PRE fingerprint collected
+    EAGERLY (a lazy read after the sweep would scan the swept store and
+    prove nothing), then ``apply_retention(now=_TTL_NOW)`` drops the
+    expired (retention, vt_month) partitions and the THIRD refresh must
+    detect the removed files in the manifest diff and take the FULL path —
+    a partial merge can't subtract, and an invalidation swap keyed on new
+    files would silently keep the dropped rows' buckets alive. The sweep
+    is genuinely bitemporal: dropping a tier can expose an older surviving
+    revision of the same (series, valid_time) as the NEW winner, so the
+    post state is a re-collapse of survivors, not a filter of the pre
+    state — the oracle recomputes it exactly that way."""
+    cached = _ROLLUPTTL_CACHE.get(sf_dir)
+    if cached is None:
+        import tempfile
+
+        from timedb_spark.rollup import BitemporalContinuousAggregate
+        from timedb_spark.snapstore import SnapshotStore
+
+        st = SnapshotStore(spark, tempfile.mkdtemp(prefix="timedb_gate_rollupttl_"))
+        st.create()
+        sv = bitemporal_frame(spark, sf_dir).withColumns({
+            "valid_time_end": F.lit(None).cast("timestamp"),
+            "run_id": F.lit(None).cast("long"),
+        })
+        ca = BitemporalContinuousAggregate(st, name="gate_hourly_ttl")
+        st.append_values(sv.filter(F.col("series_id") % 2 == 0))
+        r1 = ca.refresh()
+        st.append_values(sv.filter(F.col("series_id") % 2 != 0))
+        r2 = ca.refresh()
+        if (r1["mode"], r2["mode"]) != ("full", "incremental"):
+            raise RuntimeError(
+                f"rollup-TTL gate expected refresh modes ('full', 'incremental'), "
+                f"got ({r1['mode']!r}, {r2['mode']!r})"
+            )
+        pre = [
+            (str(r["phase"]), str(r["day"]), int(r["n_buckets"]), int(r["n_rows"]),
+             int(r["value_cents"]), int(r["vmin_cents"]), int(r["vmax_cents"]))
+            for r in _rollup_day_agg(ca.read(partials=True), "pre").collect()
+        ]
+        dropped = st.apply_retention(now=_TTL_NOW)
+        if not dropped:
+            raise RuntimeError("rollup-TTL gate: sweep dropped nothing at _TTL_NOW")
+        r3 = ca.refresh()
+        if r3["mode"] != "full":
+            raise RuntimeError(
+                f"rollup-TTL gate: post-sweep refresh took {r3['mode']!r}, "
+                "expected the removed-files full-recompute fallback"
+            )
+        _ROLLUPTTL_CACHE[sf_dir] = (ca, pre)
+    return _ROLLUPTTL_CACHE[sf_dir]
+
+
+def _q_rollup_retention_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TTL sweep on the base store followed by an incremental-refresh cycle
+    (VERDICT r10 task #5b): value-hashes the bitemporal rollup's per-day
+    fingerprint BOTH before the sweep and after the post-sweep refresh
+    against one DuckDB recompute that latest-collapses the full revision
+    set (pre) and the TTL survivors (post) independently — proving the
+    refresh noticed the manifest's removed files, fell back to a full
+    recompute, and re-derived winners from survivors (see
+    _materialized_rollup_ttl for the refresh-mode asserts)."""
+    ca, pre = _materialized_rollup_ttl(spark, sf_dir)
+    pre_df = spark.createDataFrame(pre, _ROLLUP_DAY_SCHEMA)
+    return pre_df.unionByName(_rollup_day_agg(ca.read(partials=True), "post"))
+
+
 _VACUUM_CACHE: dict[str, tuple] = {}
 
 
@@ -1690,118 +1847,97 @@ ROWS_ONLY = frozenset({
 #:         text_langid, text_tokens, text_vocab) are explicit r11
 #:         rotation debt, listed in SURVEY §7.
 #:
-#: Round-9 window rationale (kept for the audit trail):
+#: Round-11 window rationale (audit trail):
 #: The driver hash-checks exactly these, so the list IS the rotation —
 #: the registration dict below is grouped by domain and no longer encodes
-#: window order itself. Composition per VERDICT r8 tasks #1/#3/#4/#5:
-#:   1     partition_stats — driver-red r6/r7/r8; root cause was the
-#:         driver session's default INT96 parquet writes carrying NO
-#:         footer min/max stats. Fixed at the library layer this round:
-#:         every Store write choke point pins
-#:         outputTimestampType=TIMESTAMP_MICROS (set-and-restore,
-#:         session.micros_parquet_writes) and partition_stats raises
-#:         loudly on stats-less non-empty partitions; proven end-to-end
-#:         under a hostile default-conf session in
-#:         tests/test_hostile_session.py (fails on pre-fix code).
-#:   2     store_retention_ttl — TTL partition drops NEWLY promoted from
-#:         internal-only to a full-oracle pre/post-fingerprint gate query
-#:         (VERDICT r8 task #5, the compact-zorder promotion pattern);
-#:   3     store_delete_series — targeted GDPR-style erasure, promoted the
-#:         same way this round (pre/post partition fingerprints vs a DuckDB
-#:         NOT IN recompute);
-#:   4     rollup_continuous_agg — incremental continuous-aggregate refresh
-#:         promoted the same way (full-then-incremental refresh asserted,
-#:         day-level re-rollup of the materialized state vs a direct DuckDB
-#:         recompute);
-#:   5     store_landing_ingest — batch CSV landing ingestion with typed
-#:         quarantine, promoted the same way (four disjoint corruption
-#:         classes injected deterministically; store readback + the
-#:         ingester's reject frame vs one DuckDB prediction);
-#:   6-9   the four STALE greens (operator+oracle changed in r8 after
-#:         their last driver row): bt_backtest_error, events_rfm,
-#:         text_quality, pipeline_clean;
-#:   10-18 the nine never-driver-checked r9 debt entries (single-scan
-#:         shapes, judge-parity-green in r8);
-#:   19-20 events_srm + graph_modularity — their operators changed THIS
-#:         round (ADVICE r8: unconditional 12-bucket chi-square domain;
-#:         exact-fold overflow guards), so they need fresh rows;
-#:   21-50 re-rotation of the OLDEST greens (VERDICT r8 task #4): the 30
-#:         first r4-era rows in CORRECTNESS_r04 order — none have been
-#:         driver-checked on current code since r4. The TEN r4 rows that
-#:         didn't fit (ts_holt, events_cohort, ts_m4, ts_changepoint,
-#:         stream_funnel, ts_holt_winters, ts_lttb, ts_histogram,
-#:         ts_seasonal_naive, ts_autocorr — the last three displaced by
-#:         this round's three store-path promotions) are explicit r10
-#:         rotation debt, listed in SURVEY §7.
+#: window order itself. Composition per VERDICT r10 tasks #1/#2/#4/#5:
+#:   1-2   rollup_bitemporal_agg + bt_pit_features — the r10 flagships,
+#:         the only registered queries with no driver row (registered
+#:         beyond the r10 window); front-loaded per task #1.
+#:   3-11  the nine r5-era leftovers (events_abtest/json/pivot/rank,
+#:         profile_drift, text_boilerplate/langid/tokens/vocab) — task #2;
+#:         with these green, NO green predates r6 for the first time.
+#:   12-13 rollup_pit_backtest + rollup_retention_refresh — this round's
+#:         two earned compositions (task #5a/b: PIT backtest replayed
+#:         against the materialized hourly state; TTL sweep driving the
+#:         removed-files full-recompute fallback as a gate), registered
+#:         in-window so they carry driver rows from birth.
+#:   14-50 re-rotation of the OLDEST remaining greens (task #4): 37 of
+#:         the 40 r6-era rows, oldest-first toward the next criterion
+#:         ("no green predates r7"). The three that didn't fit (ts_sax,
+#:         ts_seasonal_strength, ts_theta) are explicit r12 rotation
+#:         debt, listed in SURVEY §7.
 #: Window-discipline rule (VERDICT r5 #4): queries registered mid-round go
 #: INSIDE this window or are explicitly listed as next-window debt in
 #: SURVEY §7.
-_R10_WINDOW = [
-    # -- never-driver-checked (registered beyond the r9 window) ------------
-    "snap_vacuum",
-    "client_write_validation",
-    # -- promoted this round (null ↔ NaN sentinel roundtrip) ---------------
-    "client_null_sentinel",
-    # -- r4-era rotation debt displaced by the r9 store promotions ---------
-    "ts_holt",
-    "events_cohort",
-    "ts_m4",
-    "ts_changepoint",
-    "stream_funnel",
-    "ts_holt_winters",
-    "ts_lttb",
-    "ts_histogram",
-    "ts_seasonal_naive",
-    "ts_autocorr",
-    # -- oldest-green re-rotation: r5-era rows (37 of 46) ------------------
-    "tpch_q2",
-    "tpch_q4",
-    "tpch_q6",
-    "tpch_q7",
-    "tpch_q8",
-    "tpch_q9",
-    "tpch_q10",
-    "tpch_q11",
-    "tpch_q12",
-    "tpch_q13",
-    "tpch_q14",
-    "tpch_q15",
-    "tpch_q16",
-    "tpch_q17",
-    "tpch_q18",
-    "tpch_q19",
-    "tpch_q20",
-    "tpch_q21",
-    "tpch_q22",
-    "asof_forward",
-    "asof_tolerance",
-    "asof_nearest",
-    "basket_pairs",
-    "events_window_sliding",
-    "bt_interval_merge",
-    "bt_restatements",
-    "graph_pagerank",
-    "pack_documents",
-    "stream_latest_state_v2",
-    "ann_hybrid",
-    "ann_lsh",
-    "ann_range",
-    "multimodal_decode",
-    "multimodal_audio",
-    "multimodal_video",
-    "events_attribution",
-    "events_funnel",
+_R11_WINDOW = [
+    # -- never-driver-checked (the two r10 flagships, registered beyond the
+    # -- r10 window — VERDICT r10 task #1: front-load at positions 1-2) ----
+    "rollup_bitemporal_agg",
+    "bt_pit_features",
+    # -- the 9 r5-era leftovers (task #2 — freshness criterion complete) ---
+    "events_abtest",
+    "events_json",
+    "events_pivot",
+    "events_rank",
+    "profile_drift",
+    "text_boilerplate",
+    "text_langid",
+    "text_tokens",
+    "text_vocab",
+    # -- r11 growth, registered in-window (task #5's two compositions) -----
+    "rollup_pit_backtest",
+    "rollup_retention_refresh",
+    # -- oldest-green re-rotation: r6-era rows, oldest-first (37 of 40;
+    # -- ts_sax / ts_seasonal_strength / ts_theta displaced -> r12 debt) ---
+    "ann_mmr",
+    "ann_recall",
+    "bt_audit",
+    "dedup_spans",
+    "embed_outliers",
+    "embed_quantize",
+    "events_entropy",
+    "events_gini",
+    "events_interarrival",
+    "events_survival",
+    "fast_count",
+    "graph_degree_profile",
+    "graph_label_prop",
+    "sample_temperature",
+    "sample_weighted",
+    "stream_dedup_v2",
+    "stream_funnel_v2",
+    "stream_sessionize_v2",
+    "stream_topk_users_v2",
+    "text_chunk",
+    "text_collocations",
+    "text_fingerprint",
+    "text_pii",
+    "text_readability",
+    "text_repetition",
+    "text_tfidf",
+    "text_zipf",
+    "ts_anomaly_resid",
+    "ts_backtest",
+    "ts_croston",
+    "ts_drawdown",
+    "ts_hampel",
+    "ts_kalman",
+    "ts_mk_trend",
+    "ts_periodogram",
+    "ts_perm_entropy",
+    "ts_pi_naive",
 ]
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """The driver hash-checks the FIRST 50 entries; ``_R10_WINDOW`` (above)
+    """The driver hash-checks the FIRST 50 entries; ``_R11_WINDOW`` (above)
     pins that order each round. The registry literal below is grouped by
     domain; queries() re-orders it window-first, everything else after in
     registry order. Greens rotated out of the window stay green locally via
     tools/parity.py (full-register parity at sf0.001/0.01/0.1 per round)."""
     reg: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-        # (registry order below is domain grouping only — _R10_WINDOW above
+        # (registry order below is domain grouping only — _R11_WINDOW above
         # decides what the driver checks)
         "embed_quantize": _q_embed_quantize,
         "ts_theta": timeseries.theta_forecast,
@@ -1827,9 +1963,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "client_write_validation": _q_client_write_validation,
         "client_null_sentinel": _q_client_null_sentinel,
         # r10 growth (VERDICT r9 task #7's two named compositions) —
-        # registered beyond the window, explicit r11 debt in SURVEY §7
+        # front-loaded at _R11_WINDOW positions 1-2 (VERDICT r10 task #1)
         "rollup_bitemporal_agg": _q_rollup_bitemporal_agg,
         "bt_pit_features": forecasting.pit_features,
+        # r11 growth (VERDICT r10 task #5's two earned compositions) —
+        # registered IN-WINDOW this round (positions pinned in _R11_WINDOW)
+        "rollup_pit_backtest": _q_rollup_pit_backtest,
+        "rollup_retention_refresh": _q_rollup_retention_refresh,
         "text_readability": text.text_readability,
         "ts_kalman": timeseries.kalman_filter,
         "ts_croston": timeseries.croston,
@@ -2080,7 +2220,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_dist_drift": timeseries.dist_drift,
         "train_split_temporal": sampling.train_split_temporal,
     }
-    out = {k: reg[k] for k in _R10_WINDOW}
+    out = {k: reg[k] for k in _R11_WINDOW}
     out.update((k, v) for k, v in reg.items() if k not in out)
     return out
 
@@ -2850,6 +2990,107 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY series_id, strftime(valid_time, '%Y-%m-%d')
         """,
         "bt_pit_features": forecasting.pit_features_sql(_SV),
+        # PIT backtest over the bitemporal rollup: actuals = the hourly
+        # latest-collapse state; forecast = the 24h-lagged bucket's winner
+        # sum using only revisions known at the target's noon-prev-day
+        # cutoff. Scores are exact cent integers; unscored days COALESCE
+        # to 0 on both engines (n_scored says which).
+        "rollup_pit_backtest": f"""
+            WITH sv AS ({_SV}),
+            state AS (
+                SELECT series_id, date_trunc('hour', valid_time) AS bucket,
+                       CAST(sum(CAST(value AS DECIMAL(38,6))) * 100 AS BIGINT) AS actual_cents
+                FROM (
+                    SELECT series_id, valid_time, value,
+                           row_number() OVER (PARTITION BY series_id, valid_time
+                                              ORDER BY knowledge_time DESC, change_time DESC) AS rn
+                    FROM sv
+                ) t WHERE rn = 1
+                GROUP BY series_id, date_trunc('hour', valid_time)
+            ),
+            fc AS (
+                SELECT series_id, bucket,
+                       CAST(sum(CAST(pit_v AS DECIMAL(38,6))) * 100 AS BIGINT) AS fc_cents
+                FROM (
+                    SELECT g.series_id, g.bucket, s.valid_time, s.value AS pit_v,
+                           row_number() OVER (PARTITION BY g.series_id, g.bucket, s.valid_time
+                                              ORDER BY s.knowledge_time DESC, s.change_time DESC) AS rn
+                    FROM (SELECT series_id, bucket,
+                                 date_trunc('day', bucket) - to_hours(12) AS cutoff
+                          FROM state) g
+                    JOIN sv s ON s.series_id = g.series_id
+                             AND date_trunc('hour', s.valid_time) = g.bucket - to_hours(24)
+                    WHERE s.knowledge_time <= g.cutoff
+                ) t WHERE rn = 1
+                GROUP BY series_id, bucket
+            )
+            SELECT st.series_id, strftime(st.bucket, '%Y-%m-%d') AS day,
+                   CAST(count(*) AS BIGINT) AS n_buckets,
+                   CAST(count(fc.fc_cents) AS BIGINT) AS n_scored,
+                   CAST(COALESCE(sum(abs(fc.fc_cents - st.actual_cents)), 0) AS BIGINT) AS err_cents,
+                   CAST(COALESCE(sum(fc.fc_cents - st.actual_cents), 0) AS BIGINT) AS bias_cents
+            FROM state st
+            LEFT JOIN fc ON fc.series_id = st.series_id AND fc.bucket = st.bucket
+            GROUP BY st.series_id, strftime(st.bucket, '%Y-%m-%d')
+        """,
+        # TTL-then-refresh: 'pre' latest-collapses the full revision set,
+        # 'post' latest-collapses ONLY the TTL survivors (the store's
+        # last-day-of-month + tier-TTL predicate at the pinned today) —
+        # dropping a tier can hand the win to an older surviving revision
+        # of the same (series, valid_time), so post is a re-collapse, not
+        # a filter of pre.
+        "rollup_retention_refresh": f"""
+            WITH sv AS ({_SV}),
+            surv AS (
+                SELECT * FROM sv
+                WHERE retention = 'forever'
+                   OR (CAST(strptime(strftime(valid_time, '%Y%m') || '01', '%Y%m%d') AS DATE)
+                       + INTERVAL 1 MONTH - INTERVAL 1 DAY
+                       + to_days(CASE retention WHEN 'short' THEN 180
+                                                WHEN 'medium' THEN 1095
+                                                WHEN 'long' THEN 1825 END))
+                      >= DATE '2026-06-01'
+            ),
+            pre_state AS (
+                SELECT series_id, date_trunc('hour', valid_time) AS bucket,
+                       count(*) AS n, sum(CAST(value AS DECIMAL(38,6))) AS vsum,
+                       min(value) AS vmin, max(value) AS vmax
+                FROM (
+                    SELECT series_id, valid_time, value,
+                           row_number() OVER (PARTITION BY series_id, valid_time
+                                              ORDER BY knowledge_time DESC, change_time DESC) AS rn
+                    FROM sv
+                ) t WHERE rn = 1
+                GROUP BY series_id, date_trunc('hour', valid_time)
+            ),
+            post_state AS (
+                SELECT series_id, date_trunc('hour', valid_time) AS bucket,
+                       count(*) AS n, sum(CAST(value AS DECIMAL(38,6))) AS vsum,
+                       min(value) AS vmin, max(value) AS vmax
+                FROM (
+                    SELECT series_id, valid_time, value,
+                           row_number() OVER (PARTITION BY series_id, valid_time
+                                              ORDER BY knowledge_time DESC, change_time DESC) AS rn
+                    FROM surv
+                ) t WHERE rn = 1
+                GROUP BY series_id, date_trunc('hour', valid_time)
+            )
+            SELECT 'pre' AS phase, strftime(bucket, '%Y-%m-%d') AS day,
+                   CAST(count(*) AS BIGINT) AS n_buckets,
+                   CAST(sum(n) AS BIGINT) AS n_rows,
+                   CAST(sum(vsum) * 100 AS BIGINT) AS value_cents,
+                   CAST(min(CAST(CAST(vmin AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS vmin_cents,
+                   CAST(max(CAST(CAST(vmax AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS vmax_cents
+            FROM pre_state GROUP BY strftime(bucket, '%Y-%m-%d')
+            UNION ALL
+            SELECT 'post' AS phase, strftime(bucket, '%Y-%m-%d') AS day,
+                   CAST(count(*) AS BIGINT) AS n_buckets,
+                   CAST(sum(n) AS BIGINT) AS n_rows,
+                   CAST(sum(vsum) * 100 AS BIGINT) AS value_cents,
+                   CAST(min(CAST(CAST(vmin AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS vmin_cents,
+                   CAST(max(CAST(CAST(vmax AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS vmax_cents
+            FROM post_state GROUP BY strftime(bucket, '%Y-%m-%d')
+        """,
         "dedup_semantic": similarity.DEDUP_SEMANTIC_SQL,
         "multimodal_meta": multimodal.MULTIMODAL_META_SQL,
         "multimodal_decode": multimodal.DECODE_FEATURES_SQL,

@@ -158,6 +158,7 @@ def test_store_gate_queries_end_to_end_under_hostile_session(hostile, sf_dir):
         entrymod._VACUUM_CACHE,
         entrymod._NULLSENT_CACHE,
         entrymod._BTROLLUP_CACHE,
+        entrymod._ROLLUPTTL_CACHE,
     )
     for c in caches:
         c.clear()
@@ -176,6 +177,8 @@ def test_store_gate_queries_end_to_end_under_hostile_session(hostile, sf_dir):
             "client_write_validation",
             "client_null_sentinel",
             "rollup_bitemporal_agg",
+            "rollup_pit_backtest",
+            "rollup_retention_refresh",
         ):
             rows = qs[name](hostile, sf_dir).collect()
             assert rows, f"{name}: no rows under hostile session"

@@ -375,3 +375,38 @@ def test_bitemporal_full_recompute_omits_buckets_recomputed(db):
     assert r_full["mode"] == "full" and "buckets_recomputed" not in r_full
     r_noop = ca.refresh()
     assert r_noop["mode"] == "noop" and r_noop["buckets_recomputed"] == 0
+
+
+def test_bitemporal_ttl_sweep_exposes_older_surviving_winner(db):
+    """The r11 gate composition's load-bearing semantic (VERDICT r10 task
+    #5b): a TTL sweep that removes the NEWER-knowledge revision's partition
+    must hand the win back to an older SURVIVING revision of the same
+    (series, valid_time) — the post-sweep refresh is a full re-collapse of
+    survivors (removed files in the manifest diff), never a filter of the
+    pre state. Pinned here with an expired 'short' winner over a 'forever'
+    loser; the oracle-side twin lives in __spark_entry__'s
+    rollup_retention_refresh SQL."""
+    from datetime import datetime as dt
+
+    from timedb_spark.rollup import BitemporalContinuousAggregate
+
+    ca = BitemporalContinuousAggregate(db.store, name="ttlwin")
+    # older knowledge, surviving tier
+    db.write(_batch(1, 1, hours=(0,), base=10.0), retention="forever",
+             knowledge_time=dt(2024, 1, 1, 2, tzinfo=UTC))
+    assert ca.refresh()["mode"] == "full"
+    # newer knowledge restates the same valid_time in the short tier —
+    # incremental invalidation flips the bucket to 99.0
+    db.write(_batch(1, 1, hours=(0,), base=99.0), retention="short",
+             knowledge_time=dt(2024, 1, 1, 9, tzinfo=UTC))
+    r2 = ca.refresh()
+    assert r2["mode"] == "incremental" and r2["buckets_recomputed"] == 1
+    assert _bt_got(ca) == [(1, datetime(2024, 1, 1, 0), 1, 99.0, 99.0, 99.0)]
+    # TTL at a "today" past short's 180d but inside forever: the 99.0
+    # revision's partition drops, refresh falls back to full, and the
+    # SURVIVING 10.0 revision wins again
+    dropped = db.store.apply_retention(now=dt(2026, 6, 1, tzinfo=UTC))
+    assert dropped, "sweep removed nothing — fixture dates drifted"
+    r3 = ca.refresh()
+    assert r3["mode"] == "full" and "buckets_recomputed" not in r3
+    assert _bt_got(ca) == [(1, datetime(2024, 1, 1, 0), 1, 10.0, 10.0, 10.0)]
