@@ -1212,43 +1212,8 @@ def _q_rollup_pit_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
     bt_pit_features shape, re-pointed at the rollup's materialized state).
     """
     ca = _materialized_bt_rollup(spark, sf_dir)
-    state = ca.read(partials=True)
-    actual = state.select(
-        "series_id", "bucket",
-        F.round(F.col("vsum") * 100, 0).cast("long").alias("actual_cents"),
-    )
-    grid = actual.select(
-        "series_id", "bucket",
-        (F.date_trunc("day", "bucket") - F.make_interval(hours=F.lit(12))).alias("cutoff"),
-    )
-    rev = bitemporal_frame(spark, sf_dir).select(
-        "series_id",
-        (F.date_trunc("hour", "valid_time") + F.make_interval(hours=F.lit(24))).alias("bucket"),
-        "valid_time", "knowledge_time", "change_time", "value",
-    )
-    fc = (
-        grid.join(rev, ["series_id", "bucket"])
-        .filter(F.col("knowledge_time") <= F.col("cutoff"))
-        .groupBy("series_id", "bucket", "valid_time")
-        .agg(F.max_by("value", F.struct("knowledge_time", "change_time")).alias("pit_v"))
-        .groupBy("series_id", "bucket")
-        .agg(
-            F.round(F.sum(F.col("pit_v").cast("decimal(38,6)")) * 100, 0)
-            .cast("long").alias("fc_cents")
-        )
-    )
-    joined = actual.join(fc, ["series_id", "bucket"], "left")
-    return joined.groupBy(
-        "series_id", F.date_format("bucket", "yyyy-MM-dd").alias("day")
-    ).agg(
-        F.count(F.lit(1)).cast("long").alias("n_buckets"),
-        F.count("fc_cents").cast("long").alias("n_scored"),
-        F.coalesce(
-            F.sum(F.abs(F.col("fc_cents") - F.col("actual_cents"))), F.lit(0)
-        ).cast("long").alias("err_cents"),
-        F.coalesce(
-            F.sum(F.col("fc_cents") - F.col("actual_cents")), F.lit(0)
-        ).cast("long").alias("bias_cents"),
+    return forecasting.rollup_pit_backtest(
+        ca.read(partials=True), bitemporal_frame(spark, sf_dir)
     )
 
 

@@ -46,13 +46,25 @@ def main() -> None:
     # Warm the JVM + file index once (not counted): tiny plan end-to-end.
     queries["tpch_q3"](spark, sf_dir).write.format("noop").mode("overwrite").save()
 
+    # Three passes, per-query MIN: the host's throughput swings ~2× day to
+    # day (documented since r2; VERDICT r10 asked the recorded artifact to
+    # capture the session floor rather than a single noisy pass). The min
+    # is the reproducible number — noise only ever adds time.
+    passes = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "3"))
     times: dict[str, float] = {}
-    for name in HEADLINE:
-        if name not in queries:
-            continue
-        t0 = time.perf_counter()
-        queries[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-        times[name] = round(time.perf_counter() - t0, 3)
+    run_totals: list[float] = []
+    for _ in range(passes):
+        total = 0.0
+        for name in HEADLINE:
+            if name not in queries:
+                continue
+            t0 = time.perf_counter()
+            queries[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+            dt = round(time.perf_counter() - t0, 3)
+            total += dt
+            if name not in times or dt < times[name]:
+                times[name] = dt
+        run_totals.append(round(total, 3))
 
     out = {
         "metric": "headline_total",
@@ -60,6 +72,8 @@ def main() -> None:
         "unit": "sec",
         "queries": times,
         "sf": sf,
+        "aggregation": f"per-query min of {passes} in-session passes",
+        "run_totals": run_totals,
     }
     print(json.dumps(out))
 

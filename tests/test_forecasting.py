@@ -302,3 +302,37 @@ def test_pit_features_random_histories_match_python_replay(spark, tmp_path):
             want = winner(r.series_id, r.valid_time - timedelta(hours=lag), cutoff)
             got = getattr(r, f"lag_{lag}h_pit")
             assert got == want, (r, lag, want)
+
+
+def test_rollup_pit_backtest_hand_computed(spark, tmp_path):
+    """r11 composition pin: the day-ahead forecast for a bucket must be
+    the 24 h-lagged bucket's winner AS KNOWN AT THE TARGET'S CUTOFF (noon
+    prev day) — never the lagged bucket's final winner (the leakage bug) —
+    scored in exact cents against the materialized latest-collapse state.
+
+    Source hour Jan1 14:00 has kt 11:30 (v=30, the only revision known by
+    the Jan2 cutoff = Jan1 12:00), kt 12:45 (v=20) and kt 14:00 (v=10, the
+    FINAL winner). The Jan2 14:00 target (actual 99.0) must be forecast as
+    30.0 → err 6900 cents; a leaky join onto the final state would score
+    |1000-9900| = 8900. Jan2 20:00 has no lag-source data → unscored;
+    Jan1's own bucket has no day-0 source → day 1 coalesces to 0/0."""
+    from timedb_spark.io.tables import bitemporal_frame
+    from timedb_spark.rollup import _latest_hourly
+
+    d = _events_dir(tmp_path, [
+        (4, datetime(2024, 1, 1, 14, 0), 1, "x", 10.0),    # kt 14:00 (final)
+        (2, datetime(2024, 1, 1, 14, 45), 1, "x", 20.0),   # kt 12:45
+        (3, datetime(2024, 1, 1, 14, 30), 1, "x", 30.0),   # kt 11:30 (PIT)
+        (8, datetime(2024, 1, 2, 14, 0), 1, "x", 99.0),    # target, actual
+        (5, datetime(2024, 1, 2, 20, 0), 1, "x", 7.0),     # unscored target
+    ])
+    sv = bitemporal_frame(spark, d)
+    out = {
+        (r.series_id, r.day): r
+        for r in fc.rollup_pit_backtest(_latest_hourly(sv), sv).collect()
+    }
+    assert set(out) == {(1, "2024-01-01"), (1, "2024-01-02")}
+    d1 = out[(1, "2024-01-01")]
+    assert (d1.n_buckets, d1.n_scored, d1.err_cents, d1.bias_cents) == (1, 0, 0, 0)
+    d2 = out[(1, "2024-01-02")]
+    assert (d2.n_buckets, d2.n_scored, d2.err_cents, d2.bias_cents) == (2, 1, 6900, -6900)

@@ -914,3 +914,22 @@ def test_pit_features_no_cartesian_bounded_shuffles(spark, sf_dir):
     df = fc.pit_features(spark, sf_dir)
     plans.assert_no_cartesian(df)
     plans.assert_max_shuffles(df, 12)
+
+
+def test_rollup_pit_backtest_no_cartesian_bounded_shuffles(spark, sf_dir):
+    """The backtest is the pit_features shape re-pointed at a rollup state:
+    the lag-shifted revision set crosses the wire once through an equi-join
+    on (series_id, bucket), then two keyed collapses and the per-day score —
+    no cartesian, zero Python, bounded exchanges. The state side here is an
+    in-memory _latest_hourly of the same frame (the gate reads the
+    materialized parquet state instead — strictly cheaper)."""
+    from timedb_spark.io.tables import bitemporal_frame
+    from timedb_spark.operators import forecasting as fc
+    from timedb_spark.rollup import _latest_hourly
+
+    sv = bitemporal_frame(spark, sf_dir)
+    df = fc.rollup_pit_backtest(_latest_hourly(sv), sv)
+    plans.assert_no_cartesian(df)
+    phys = df._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in phys
+    plans.assert_max_shuffles(df, 12)

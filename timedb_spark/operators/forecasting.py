@@ -645,3 +645,70 @@ FROM grid g
 LEFT JOIN y ON y.series_id = g.series_id AND y.valid_time = g.valid_time
 {chr(10).join(lag_joins)}
 """
+
+
+# ---------------------------------------------------------------------------
+# PIT backtest over a materialized (bitemporal) rollup state
+# ---------------------------------------------------------------------------
+
+
+def rollup_pit_backtest(state: DataFrame, revisions: DataFrame, *, lag_hours: int = 24) -> DataFrame:
+    """Score a day-ahead seasonal-naive forecast built from PIT-correct
+    knowledge against a MATERIALIZED hourly rollup state — the leakage-free
+    evaluation loop a TimeDB user runs over a continuous aggregate
+    (read_relative's days_ahead=1 / time_of_day=12:00 cutoffs, ref
+    timedb/read.py:461-527, replayed against the rollup).
+
+    ``state`` is a bitemporal rollup read with partials (``series_id``,
+    ``bucket``, decimal ``vsum``); ``revisions`` the raw bitemporal frame.
+    For each state bucket the forecast is the ``lag_hours``-earlier
+    bucket's latest-collapse sum using only revisions with
+    ``knowledge_time`` ≤ the TARGET's cutoff (noon of its previous day).
+    Scores per (series, day) stay exact — cent-integer ``err_cents`` /
+    ``bias_cents`` (no float division); ``n_scored`` counts buckets whose
+    lag source had ANY revision known by the cutoff, and unscored days
+    coalesce to 0 rather than NULL (both engines).
+
+    Scale shape: the state is the bounded side (one row per (series,
+    hour)); the revision set crosses the wire ONCE through a
+    co-partitioned equi-join on (series_id, bucket) after the lag shift,
+    then a two-level max_by/sum collapse — no window over the revision
+    history, no cross join, no per-row Python.
+    """
+    actual = state.select(
+        "series_id", "bucket",
+        F.round(F.col("vsum") * 100, 0).cast("long").alias("actual_cents"),
+    )
+    grid = actual.select(
+        "series_id", "bucket",
+        (F.date_trunc("day", "bucket") - F.make_interval(hours=F.lit(12))).alias("cutoff"),
+    )
+    rev = revisions.select(
+        "series_id",
+        (F.date_trunc("hour", "valid_time") + F.make_interval(hours=F.lit(lag_hours))).alias("bucket"),
+        "valid_time", "knowledge_time", "change_time", "value",
+    )
+    fc = (
+        grid.join(rev, ["series_id", "bucket"])
+        .filter(F.col("knowledge_time") <= F.col("cutoff"))
+        .groupBy("series_id", "bucket", "valid_time")
+        .agg(F.max_by("value", F.struct("knowledge_time", "change_time")).alias("pit_v"))
+        .groupBy("series_id", "bucket")
+        .agg(
+            F.round(F.sum(F.col("pit_v").cast("decimal(38,6)")) * 100, 0)
+            .cast("long").alias("fc_cents")
+        )
+    )
+    joined = actual.join(fc, ["series_id", "bucket"], "left")
+    return joined.groupBy(
+        "series_id", F.date_format("bucket", "yyyy-MM-dd").alias("day")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_buckets"),
+        F.count("fc_cents").cast("long").alias("n_scored"),
+        F.coalesce(
+            F.sum(F.abs(F.col("fc_cents") - F.col("actual_cents"))), F.lit(0)
+        ).cast("long").alias("err_cents"),
+        F.coalesce(
+            F.sum(F.col("fc_cents") - F.col("actual_cents")), F.lit(0)
+        ).cast("long").alias("bias_cents"),
+    )
