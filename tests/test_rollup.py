@@ -410,3 +410,52 @@ def test_bitemporal_ttl_sweep_exposes_older_surviving_winner(db):
     r3 = ca.refresh()
     assert r3["mode"] == "full" and "buckets_recomputed" not in r3
     assert _bt_got(ca) == [(1, datetime(2024, 1, 1, 0), 1, 10.0, 10.0, 10.0)]
+
+
+@pytest.mark.parametrize("seed", [11, 47])
+def test_bitemporal_rollup_ttl_sweep_matches_survivor_recompute(db, seed):
+    """Property (seeded): after random commits land under MIXED retention
+    tiers (alternating short/forever) and the rollup refreshes after each,
+    a TTL sweep at a pinned today (past short's 180 d, inside forever) must
+    drive the next refresh through the removed-files FULL path and leave a
+    state equal to a direct latest-collapse of the SURVIVORS — whatever
+    revisions the sweep deleted, including cases where a short-tier winner
+    drops and an older forever-tier revision takes the bucket back."""
+    import random
+
+    from timedb_spark.rollup import BitemporalContinuousAggregate, _latest_hourly
+
+    rng = random.Random(seed)
+    kt_minutes = rng.sample(range(1440), 24)
+    rows = [
+        {
+            "series_id": rng.randint(1, 3),
+            "valid_time": datetime(2024, 1, rng.randint(1, 3), rng.randint(0, 3), 30, tzinfo=UTC),
+            "knowledge_time": datetime(2024, 1, 4, tzinfo=UTC) + pd.Timedelta(minutes=kt_minutes[i]),
+            "value": float(rng.randint(-50, 50)),
+        }
+        for i in range(24)
+    ]
+    commits = [[], [], []]
+    for r in rows:
+        commits[rng.randint(0, 2)].append(r)
+
+    ca = BitemporalContinuousAggregate(db.store, name=f"ttlprop{seed}")
+    for i, batch in enumerate(commits):
+        if not batch:
+            continue
+        db.write(pd.DataFrame(batch), retention="short" if i % 2 == 0 else "forever")
+        ca.refresh()
+
+    dropped = db.store.apply_retention(now=datetime(2026, 6, 1, tzinfo=UTC))
+    assert dropped, "no short-tier partition expired — fixture dates drifted"
+    r = ca.refresh()
+    assert r["mode"] == "full" and "buckets_recomputed" not in r
+
+    def key(x):
+        return (x.series_id, x.bucket, x.n, str(x.vsum), x.vmin, x.vmax)
+
+    got = sorted(key(x) for x in ca.read(partials=True)
+                 .select("series_id", "bucket", "n", "vsum", "vmin", "vmax").collect())
+    want = sorted(key(x) for x in _latest_hourly(db.store.read_values()).collect())
+    assert got == want
