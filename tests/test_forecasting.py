@@ -336,3 +336,56 @@ def test_rollup_pit_backtest_hand_computed(spark, tmp_path):
     assert (d1.n_buckets, d1.n_scored, d1.err_cents, d1.bias_cents) == (1, 0, 0, 0)
     d2 = out[(1, "2024-01-02")]
     assert (d2.n_buckets, d2.n_scored, d2.err_cents, d2.bias_cents) == (2, 1, 6900, -6900)
+
+
+def test_calendar_and_pit_floor_semantics_pre_epoch_cross_engine(spark, tmp_path):
+    """ADVICE r10 closure, reviewer-hardened: for PRE-EPOCH valid times the
+    calendar ints must agree between engines. Both engines' native integer
+    ops truncate toward zero (Spark `div`/`%`; DuckDB 1.0.0 `//`/`%` —
+    `-91 // 24 = -3`, NOT floor), so each side applies its own
+    exact-multiple floor construction (_floor_hours/_DOW_H vs
+    _floor_div_sql/_DOW_H_SQL); this test runs BOTH engines on a pre-epoch
+    frame and compares cell-for-cell — it reds if either side regresses to
+    native truncation. 1969-12-28 is a Sunday (dow 0, weekend);
+    1969-12-31 is a Wednesday (dow 3)."""
+    import duckdb
+
+    # hours chosen ≡ 0/1 (mod 3) so _hourly_series keeps them
+    rows = [
+        (0, datetime(1969, 12, 28, 4, 0), 1, "x", 1.0),    # Sunday pre-epoch
+        (4, datetime(1969, 12, 31, 22, 0), 1, "x", 2.0),   # Wednesday, h=-2
+        (8, datetime(1970, 1, 1, 0, 0), 1, "x", 3.0),      # epoch itself
+        (3, datetime(1970, 1, 4, 13, 0), 1, "x", 4.0),     # Sunday post-epoch
+    ]
+    d = _events_dir(tmp_path, rows)
+
+    def norm(recs):
+        return sorted(
+            (r["series_id"], str(r["valid_time"]), int(r["hour_of_day"]),
+             int(r["day_of_week"]), bool(r["is_weekend"]))
+            for r in recs
+        )
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM read_parquet('{d}/events.parquet')")
+
+    cal_spark = norm(r.asDict() for r in fc.calendar_features(spark, d).collect())
+    cal_duck = norm(
+        dict(zip([c[0] for c in con.description], row))
+        for row in (con.execute(fc.CALENDAR_FEATURES_SQL), con.fetchall())[1]
+    )
+    assert cal_spark == cal_duck
+    by_vt = {vt: (hod, dow, wk) for (_, vt, hod, dow, wk) in cal_spark}
+    assert by_vt["1969-12-28 04:00:00"] == (4, 0, True)   # floor, not trunc
+    assert by_vt["1969-12-31 22:00:00"] == (22, 3, False)  # h=-2 → hod 22
+    assert by_vt["1970-01-01 00:00:00"] == (0, 4, False)
+    assert by_vt["1970-01-04 13:00:00"] == (13, 0, True)
+
+    from timedb_spark.io.tables import BITEMPORAL_ORACLE_SQL
+
+    pit_spark = norm(r.asDict() for r in fc.pit_features(spark, d).collect())
+    pit_duck = norm(
+        dict(zip([c[0] for c in con.description], row))
+        for row in (con.execute(fc.pit_features_sql(BITEMPORAL_ORACLE_SQL)), con.fetchall())[1]
+    )
+    assert pit_spark == pit_duck

@@ -333,7 +333,13 @@ def test_bitemporal_wide_commit_takes_shuffled_invalidation_path(db):
     pinned to 1 here) must refresh through the AQE-planned shuffled
     semi/anti joins and still produce exactly the direct-recompute state —
     at 100 TB a full-day commit over ~1M series carries tens of millions
-    of (series, hour) keys, past any sane broadcast budget."""
+    of (series, hour) keys, past any sane broadcast budget. The hint drop
+    is pinned directly (reviewer finding): a counting wrapper around
+    F.broadcast sees ZERO calls during the wide refresh — result equality
+    alone would also pass on the broadcast path — and the narrow control
+    commit afterwards broadcasts again under the same counter."""
+    import pyspark.sql.functions as SF
+
     from timedb_spark.rollup import BitemporalContinuousAggregate, _latest_hourly
 
     ca = BitemporalContinuousAggregate(db.store, name="wide")
@@ -347,8 +353,20 @@ def test_bitemporal_wide_commit_takes_shuffled_invalidation_path(db):
              knowledge_time=datetime(2024, 1, 1, 8, tzinfo=UTC))
     db.write(_batch(2, 1, hours=(0, 1, 2), base=20.0),
              knowledge_time=datetime(2024, 1, 1, 8, tzinfo=UTC))
-    r = ca.refresh()
+    calls = {"n": 0}
+    orig_broadcast = SF.broadcast
+
+    def counting_broadcast(frame):
+        calls["n"] += 1
+        return orig_broadcast(frame)
+
+    SF.broadcast = counting_broadcast
+    try:
+        r = ca.refresh()
+    finally:
+        SF.broadcast = orig_broadcast
     assert r["mode"] == "incremental" and r["buckets_recomputed"] == 6
+    assert calls["n"] == 0, "wide commit still forced the broadcast hint"
 
     def key(r):
         return (r.series_id, r.bucket, r.n, str(r.vsum), r.vmin, r.vmax)
@@ -360,6 +378,18 @@ def test_bitemporal_wide_commit_takes_shuffled_invalidation_path(db):
     # and the restated bucket flipped to the newer-knowledge revision
     avg = {(x.series_id, x.bucket): x.vavg for x in ca.read().collect()}
     assert avg[(1, datetime(2024, 1, 1, 0))] == 99.0
+    # control: a narrow commit under a sane limit broadcasts again — the
+    # counter genuinely observes the invalidation joins, so the zero above
+    # means "hint dropped", not "wrapper never engaged"
+    ca.broadcast_key_limit = 200_000
+    db.write(_batch(1, 1, hours=(5,), base=1.0),
+             knowledge_time=datetime(2024, 1, 1, 9, tzinfo=UTC))
+    SF.broadcast = counting_broadcast
+    try:
+        r2 = ca.refresh()
+    finally:
+        SF.broadcast = orig_broadcast
+    assert r2["mode"] == "incremental" and calls["n"] > 0
 
 
 def test_bitemporal_full_recompute_omits_buckets_recomputed(db):

@@ -265,20 +265,35 @@ def _floor_hours(ts_col: str):
 
     ``unix_micros - pmod(unix_micros, 3600000000)`` is an exact multiple of
     the divisor, so the truncating ``div`` equals floor division for any
-    sign — matching DuckDB's ``epoch_us(ts) // 3600000000`` even pre-epoch
-    (Spark ``div`` truncates toward zero, DuckDB ``//`` floors)."""
+    sign. The DuckDB twin is :func:`_floor_div_sql` — BOTH engines truncate
+    toward zero on integers (Spark ``div``; DuckDB integer ``//``, verified
+    on 1.0.0: ``-91 // 24 = -3``), so both need the same exact-multiple
+    trick to get floor semantics pre-epoch."""
     us = f"unix_micros({ts_col})"
     return F.expr(f"({us} - pmod({us}, 3600000000)) div 3600000000")
 
 
-#: floor-semantics day-of-week from the hour index ``h`` (0 = Sunday):
+def _floor_div_sql(num: str, den: int) -> str:
+    """FLOOR integer division in DuckDB SQL. DuckDB's integer ``//``
+    truncates toward zero (1.0.0: ``-91 // 24 = -3``, floor is -4), so:
+    double-mod to a non-negative remainder, subtract, divide the exact
+    multiple — on which truncation equals floor."""
+    m = f"((({num}) % {den}) + {den}) % {den}"
+    return f"((({num}) - {m}) // {den})"
+
+
+#: floor-semantics day-of-week from the FLOOR hour index ``h`` (0 = Sunday):
 #: floor-div h by 24 via the same exact-multiple trick, then pmod by 7.
 _DOW_H = "pmod((h - pmod(h, 24)) div 24 + 4, 7)"
 
-#: DuckDB twins — ``//`` already floors; ``%`` keeps the dividend's sign,
-#: so the double-mod makes it non-negative for pre-epoch hour indexes.
-_DOW_H_SQL = "(((h // 24 + 4) % 7) + 7) % 7"
+#: DuckDB twins over a FLOOR hour index ``h`` (both engines' native ops
+#: truncate; see _floor_div_sql) — double-mod makes the residues
+#: non-negative, _floor_div_sql makes the day index a true floor.
+_DOW_H_SQL = f"((({_floor_div_sql('h', 24)} + 4) % 7) + 7) % 7"
 _HOD_H_SQL = "((h % 24) + 24) % 24"
+
+#: DuckDB FLOOR hour index of a timestamp expression.
+_H_SQL = _floor_div_sql("epoch_us(valid_time)", 3600000000)
 
 
 def calendar_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -314,7 +329,7 @@ def calendar_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 CALENDAR_FEATURES_SQL = f"""
 WITH s AS ({_HOURLY_SERIES_SQL}),
-hx AS (SELECT *, epoch_us(valid_time) // 3600000000 AS h FROM s)
+hx AS (SELECT *, {_H_SQL} AS h FROM s)
 SELECT series_id, valid_time,
        {_HOD_H_SQL} AS hour_of_day,
        {_DOW_H_SQL} AS day_of_week,
@@ -623,7 +638,7 @@ WITH sv AS ({sv_sql}),
 grid AS (
     SELECT DISTINCT series_id, valid_time,
            date_trunc('day', valid_time) - to_hours(12) AS cutoff,
-           epoch_us(valid_time) // 3600000000 AS h
+           {_H_SQL} AS h
     FROM sv
 ),
 y AS (
