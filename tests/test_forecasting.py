@@ -360,22 +360,27 @@ def test_calendar_and_pit_floor_semantics_pre_epoch_cross_engine(spark, tmp_path
     d = _events_dir(tmp_path, rows)
 
     def norm(recs):
+        # FULL-row comparison: every column, not just the calendar ints —
+        # floats/None stringified stably so a lag/label regression on
+        # either side also reds this test
         return sorted(
-            (r["series_id"], str(r["valid_time"]), int(r["hour_of_day"]),
-             int(r["day_of_week"]), bool(r["is_weekend"]))
-            for r in recs
+            tuple(sorted((k, str(v)) for k, v in r.items())) for r in recs
         )
+
+    def duck_rows(con, sql):
+        rows = con.execute(sql).fetchall()
+        cols = [c[0] for c in con.description]
+        return [dict(zip(cols, row)) for row in rows]
 
     con = duckdb.connect()
     con.execute(f"CREATE VIEW events AS SELECT * FROM read_parquet('{d}/events.parquet')")
 
-    cal_spark = norm(r.asDict() for r in fc.calendar_features(spark, d).collect())
-    cal_duck = norm(
-        dict(zip([c[0] for c in con.description], row))
-        for row in (con.execute(fc.CALENDAR_FEATURES_SQL), con.fetchall())[1]
-    )
-    assert cal_spark == cal_duck
-    by_vt = {vt: (hod, dow, wk) for (_, vt, hod, dow, wk) in cal_spark}
+    cal_spark_rows = [r.asDict() for r in fc.calendar_features(spark, d).collect()]
+    assert norm(cal_spark_rows) == norm(duck_rows(con, fc.CALENDAR_FEATURES_SQL))
+    by_vt = {
+        str(r["valid_time"]): (r["hour_of_day"], r["day_of_week"], r["is_weekend"])
+        for r in cal_spark_rows
+    }
     assert by_vt["1969-12-28 04:00:00"] == (4, 0, True)   # floor, not trunc
     assert by_vt["1969-12-31 22:00:00"] == (22, 3, False)  # h=-2 → hod 22
     assert by_vt["1970-01-01 00:00:00"] == (0, 4, False)
@@ -384,8 +389,5 @@ def test_calendar_and_pit_floor_semantics_pre_epoch_cross_engine(spark, tmp_path
     from timedb_spark.io.tables import BITEMPORAL_ORACLE_SQL
 
     pit_spark = norm(r.asDict() for r in fc.pit_features(spark, d).collect())
-    pit_duck = norm(
-        dict(zip([c[0] for c in con.description], row))
-        for row in (con.execute(fc.pit_features_sql(BITEMPORAL_ORACLE_SQL)), con.fetchall())[1]
-    )
+    pit_duck = norm(duck_rows(con, fc.pit_features_sql(BITEMPORAL_ORACLE_SQL)))
     assert pit_spark == pit_duck

@@ -327,7 +327,7 @@ def test_bitemporal_refresh_pins_version_against_concurrent_append(db, monkeypat
     assert got2[(1, datetime(2024, 1, 1, 0))] == 99.0
 
 
-def test_bitemporal_wide_commit_takes_shuffled_invalidation_path(db):
+def test_bitemporal_wide_commit_takes_shuffled_invalidation_path(db, monkeypatch):
     """ADVICE r10: the affected-key set is only force-broadcast while it is
     provably small. A commit wider than ``broadcast_key_limit`` (limit
     pinned to 1 here) must refresh through the AQE-planned shuffled
@@ -360,11 +360,11 @@ def test_bitemporal_wide_commit_takes_shuffled_invalidation_path(db):
         calls["n"] += 1
         return orig_broadcast(frame)
 
-    SF.broadcast = counting_broadcast
-    try:
-        r = ca.refresh()
-    finally:
-        SF.broadcast = orig_broadcast
+    # the fixture restores the module attr at teardown wherever a failure
+    # lands (same idiom as the version-pin test above)
+    monkeypatch.setattr(SF, "broadcast", counting_broadcast)
+    r = ca.refresh()
+    monkeypatch.setattr(SF, "broadcast", orig_broadcast)
     assert r["mode"] == "incremental" and r["buckets_recomputed"] == 6
     assert calls["n"] == 0, "wide commit still forced the broadcast hint"
 
@@ -384,11 +384,9 @@ def test_bitemporal_wide_commit_takes_shuffled_invalidation_path(db):
     ca.broadcast_key_limit = 200_000
     db.write(_batch(1, 1, hours=(5,), base=1.0),
              knowledge_time=datetime(2024, 1, 1, 9, tzinfo=UTC))
-    SF.broadcast = counting_broadcast
-    try:
-        r2 = ca.refresh()
-    finally:
-        SF.broadcast = orig_broadcast
+    monkeypatch.setattr(SF, "broadcast", counting_broadcast)
+    r2 = ca.refresh()
+    monkeypatch.setattr(SF, "broadcast", orig_broadcast)
     assert r2["mode"] == "incremental" and calls["n"] > 0
 
 
