@@ -391,3 +391,65 @@ def test_calendar_and_pit_floor_semantics_pre_epoch_cross_engine(spark, tmp_path
     pit_spark = norm(r.asDict() for r in fc.pit_features(spark, d).collect())
     pit_duck = norm(duck_rows(con, fc.pit_features_sql(BITEMPORAL_ORACLE_SQL)))
     assert pit_spark == pit_duck
+
+
+def test_rollup_pit_backtest_random_histories_match_python_replay(spark, tmp_path):
+    """Property (seeded): on random revision histories, every per-(series,
+    day) backtest cell must equal a direct Python recompute — actual = the
+    bucket's unconditional max-(kt, ct) winner, forecast = the 24 h-lagged
+    bucket's winner restricted to kt ≤ the TARGET's noon-prev-day cutoff,
+    err/bias as exact cent integers, unscored days 0/0. Same collision-free
+    generation discipline as the pit_features replay."""
+    import random
+
+    from timedb_spark.io.tables import bitemporal_frame
+    from timedb_spark.rollup import _latest_hourly
+
+    rng = random.Random(1117)
+    rows = []
+    used = set()
+    for i in range(140):
+        day = rng.randint(1, 9)
+        hour = rng.randint(0, 23)
+        minute = rng.randint(0, 59)
+        user = rng.randint(1, 3)
+        key = (user, day, hour, minute)
+        if key in used:
+            continue
+        used.add(key)
+        rows.append((i * 7 + rng.randint(0, 6), datetime(2024, 1, day, hour, minute),
+                     user, "x", float(rng.randint(-99, 99))))
+    d = _events_dir(tmp_path, rows)
+
+    revs = {}
+    for event_id, ts, user, _et, value in rows:
+        vt = ts.replace(minute=0, second=0)
+        kt = ts - timedelta(hours=event_id % 4)
+        revs.setdefault((user, vt), []).append((kt, ts, value))
+
+    def winner(sid, vt, cutoff=None):
+        cands = [(kt, ct, v) for kt, ct, v in revs.get((sid, vt), [])
+                 if cutoff is None or kt <= cutoff]
+        return max(cands)[2] if cands else None
+
+    expect = {}
+    for (sid, vt) in revs:
+        day = vt.strftime("%Y-%m-%d")
+        actual = round(winner(sid, vt) * 100)
+        cutoff = vt.replace(hour=0) - timedelta(hours=12)
+        fc_v = winner(sid, vt - timedelta(hours=24), cutoff)
+        e = expect.setdefault((sid, day), [0, 0, 0, 0])  # n_buckets, n_scored, err, bias
+        e[0] += 1
+        if fc_v is not None:
+            fc_c = round(fc_v * 100)
+            e[1] += 1
+            e[2] += abs(fc_c - actual)
+            e[3] += fc_c - actual
+
+    sv = bitemporal_frame(spark, d)
+    got = {
+        (r.series_id, r.day): [r.n_buckets, r.n_scored, r.err_cents, r.bias_cents]
+        for r in fc.rollup_pit_backtest(_latest_hourly(sv), sv).collect()
+    }
+    assert got == expect
+    assert sum(v[1] for v in expect.values()) > 0, "no scored buckets — fixture degenerate"
