@@ -453,3 +453,35 @@ def test_rollup_pit_backtest_random_histories_match_python_replay(spark, tmp_pat
     }
     assert got == expect
     assert sum(v[1] for v in expect.values()) > 0, "no scored buckets — fixture degenerate"
+
+
+def test_floor_division_twins_exhaustive_signed_range(spark):
+    """Both engines' floor constructions equal Python's floor semantics
+    (`//`/`%` ARE floor in Python) over every hour index in [-1000, 1000)
+    — stronger than the 4-point pre-epoch pin: any trunc-vs-floor or
+    double-mod slip on either side reds within the range."""
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    from timedb_spark.operators.forecasting import _DOW_H, _DOW_H_SQL, _HOD_H_SQL, _floor_div_sql
+
+    rows = duckdb.connect().execute(f"""
+        WITH t AS (SELECT unnest(range(-1000, 1000)) AS h)
+        SELECT h, {_floor_div_sql('h', 24)}, {_HOD_H_SQL}, {_DOW_H_SQL} FROM t
+    """).fetchall()
+    assert all(
+        fd == h // 24 and hod == h % 24 and dow == (h // 24 + 4) % 7
+        for h, fd, hod, dow in rows
+    )
+
+    out = spark.range(-1000, 1000).select(F.col("id").alias("h")).select(
+        "h",
+        F.expr("(h - pmod(h, 24)) div 24").alias("fd"),
+        F.expr("pmod(h, 24)").alias("hod"),
+        F.expr(_DOW_H).alias("dow"),
+    ).collect()
+    assert all(
+        r.fd == r.h // 24 and r.hod == r.h % 24 and r.dow == (r.h // 24 + 4) % 7
+        for r in out
+    )
