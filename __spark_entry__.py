@@ -25,6 +25,23 @@ from timedb_spark.operators import bitemporal as bt
 
 _SV = BITEMPORAL_ORACLE_SQL
 
+
+def _ttl_days_case_sql() -> str:
+    """The retention-tier → TTL-days CASE used by both TTL-gate oracles,
+    generated from ``schema.RETENTION_TTL_DAYS`` so a future tier can never
+    silently NULL out of the predicate (ADVICE r11): 'forever' maps to an
+    explicit NULL arm (those rows are kept by the ``retention = 'forever'``
+    disjunct and must not error even if the OR doesn't short-circuit), and
+    any UNKNOWN tier hits ``error(...)`` — the oracle aborts loudly instead
+    of dropping the tier's rows from the survivor set."""
+    from timedb_spark.schema import RETENTION_TTL_DAYS
+
+    arms = " ".join(f"WHEN '{tier}' THEN {days}" for tier, days in sorted(RETENTION_TTL_DAYS.items()))
+    return (
+        f"CASE retention {arms} WHEN 'forever' THEN NULL "
+        "ELSE CAST(error('unknown retention tier: ' || retention) AS INT) END"
+    )
+
 # ---------------------------------------------------------------------------
 # Bitemporal queries (SURVEY §2a)
 # ---------------------------------------------------------------------------
@@ -1658,6 +1675,101 @@ def _q_store_landing_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return store_side.unionByName(quarantine_side)
 
 
+_STREAM_INGEST_CACHE: dict[str, tuple] = {}
+
+
+def _materialized_stream_ingest(spark: SparkSession, sf_dir: str):
+    """One stream-ingested SnapshotStore per (process, sf_dir): the
+    deterministic bitemporal frame lands as THREE parquet files and drains
+    through the REAL Structured Streaming path (availableNow +
+    maxFilesPerTrigger=1 → ≥3 foreachBatch invocations, one idempotent
+    ``txn=(app_id, batch_id)`` commit each — streaming/ingest.py), then the
+    exactly-once contract is attacked twice and both attacks must commit
+    NOTHING:
+
+    - a checkpoint RESTART over the same landing dir — the crash-recovery
+      replay Structured Streaming actually performs; committed offsets mean
+      no batch re-runs;
+    - a FORCED re-commit of batch 0's (app_id, batch_id) pair directly via
+      ``append_values`` (the tests/test_snapstore.py replay technique) —
+      the manifest txn marker must dedup it.
+
+    Version positions are asserted loudly after each attack: a duplicated
+    batch would also move the row fingerprint the gate hashes, but a replay
+    the store deduped leaves rows unchanged BY DESIGN — only the version
+    count proves the dedup happened at the commit protocol rather than by
+    accident. Ref anchor: the reference's sessionless parallel-insert
+    guarantee (timedb/write.py:236-368, tests/test_write_concurrency.py)."""
+    cached = _STREAM_INGEST_CACHE.get(sf_dir)
+    if cached is None:
+        import tempfile
+
+        from timedb_spark.schema import SERIES_VALUES_SCHEMA
+        from timedb_spark.session import micros_parquet_writes
+        from timedb_spark.snapstore import SnapshotStore
+        from timedb_spark.streaming import stream_append_to_store
+
+        root = tempfile.mkdtemp(prefix="timedb_gate_streamingest_")
+        sv = bitemporal_frame(spark, sf_dir).withColumns({
+            "valid_time_end": F.lit(None).cast("timestamp"),
+            "run_id": F.lit(None).cast("long"),
+        }).select([f.name for f in SERIES_VALUES_SCHEMA.fields])
+        landing = f"{root}/landing"
+        with micros_parquet_writes(spark):
+            sv.repartition(3).write.parquet(landing)
+
+        st = SnapshotStore(spark, f"{root}/store")
+        st.create()
+        ckpt = f"{root}/ckpt"
+        stream = (
+            spark.readStream.schema(sv.schema).option("maxFilesPerTrigger", 1).parquet(landing)
+        )
+        n1 = stream_append_to_store(stream, st, checkpoint_dir=ckpt)
+        if n1 < 3:
+            raise RuntimeError(f"stream-ingest gate: expected >=3 micro-batches, got {n1}")
+        versions = st.versions()
+        n_appends = sum(1 for v in versions if v["op"] == "append")
+        if n_appends != n1:
+            raise RuntimeError(
+                f"stream-ingest gate: {n_appends} append commits != {n1} foreachBatch invocations"
+            )
+        v_top = versions[-1]["version"]
+        n_rows = st.read_values().count()
+
+        # attack 1: checkpoint restart (no new input) — nothing re-commits
+        stream2 = (
+            spark.readStream.schema(sv.schema).option("maxFilesPerTrigger", 1).parquet(landing)
+        )
+        stream_append_to_store(stream2, st, checkpoint_dir=ckpt)
+        if st.versions()[-1]["version"] != v_top:
+            raise RuntimeError("stream-ingest gate: checkpoint restart re-committed a batch")
+
+        # attack 2: forced replay of batch 0's txn pair (default app_id of
+        # stream_append_to_store) — the manifest txn marker must dedup it
+        st.append_values(sv.limit(5), txn=("timedb-ingest", 0))
+        if st.versions()[-1]["version"] != v_top:
+            raise RuntimeError("stream-ingest gate: replayed (app_id, batch_id) committed")
+        if st.read_values().count() != n_rows:
+            raise RuntimeError("stream-ingest gate: row count moved under replay attacks")
+        _STREAM_INGEST_CACHE[sf_dir] = (st,)
+    return _STREAM_INGEST_CACHE[sf_dir]
+
+
+def _q_stream_ingest_once(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exactly-once ingestion (streaming/ingest.py) promoted from
+    internal-only to a full-oracle gate query (VERDICT r11 task #2, the
+    rollup_retention_refresh pattern): after a 3-micro-batch availableNow
+    drain, a checkpoint restart AND a forced same-(app_id, batch_id) replay
+    — both asserted to commit nothing in materialization — the store's
+    per-(retention, vt_month) fingerprint (counts, series/valid_time
+    bounds, exact cent sums) must equal one DuckDB recompute of the batch
+    set, i.e. the source frame read ONCE: a lost batch or a surviving
+    duplicate moves counts and cents. The crash-inside-the-write ordering
+    guarantee stays pinned in tests/test_snapstore.py."""
+    (st,) = _materialized_stream_ingest(spark, sf_dir)
+    return _compact_partition_agg(st.read_values())
+
+
 _DELETE_CACHE: dict[str, tuple] = {}
 
 #: Fixed erasure target set for the delete_series gate: ids ≡ 3 (mod 7)
@@ -1835,74 +1947,75 @@ ROWS_ONLY = frozenset({
 #: Window-discipline rule (VERDICT r5 #4): queries registered mid-round go
 #: INSIDE this window or are explicitly listed as next-window debt in
 #: SURVEY §7.
-_R11_WINDOW = [
-    # -- never-driver-checked (the two r10 flagships, registered beyond the
-    # -- r10 window — VERDICT r10 task #1: front-load at positions 1-2) ----
-    "rollup_bitemporal_agg",
-    "bt_pit_features",
-    # -- the 9 r5-era leftovers (task #2 — freshness criterion complete) ---
-    "events_abtest",
-    "events_json",
-    "events_pivot",
-    "events_rank",
-    "profile_drift",
-    "text_boilerplate",
-    "text_langid",
-    "text_tokens",
-    "text_vocab",
-    # -- r11 growth, registered in-window (task #5's two compositions) -----
-    "rollup_pit_backtest",
-    "rollup_retention_refresh",
-    # -- oldest-green re-rotation: r6-era rows, oldest-first (37 of 40;
-    # -- ts_sax / ts_seasonal_strength / ts_theta displaced -> r12 debt) ---
-    "ann_mmr",
-    "ann_recall",
-    "bt_audit",
-    "dedup_spans",
-    "embed_outliers",
-    "embed_quantize",
-    "events_entropy",
-    "events_gini",
-    "events_interarrival",
-    "events_survival",
-    "fast_count",
-    "graph_degree_profile",
-    "graph_label_prop",
-    "sample_temperature",
-    "sample_weighted",
-    "stream_dedup_v2",
-    "stream_funnel_v2",
-    "stream_sessionize_v2",
-    "stream_topk_users_v2",
-    "text_chunk",
-    "text_collocations",
-    "text_fingerprint",
-    "text_pii",
-    "text_readability",
-    "text_repetition",
-    "text_tfidf",
-    "text_zipf",
-    "ts_anomaly_resid",
-    "ts_backtest",
-    "ts_croston",
-    "ts_drawdown",
-    "ts_hampel",
-    "ts_kalman",
-    "ts_mk_trend",
-    "ts_periodogram",
-    "ts_perm_entropy",
-    "ts_pi_naive",
+_R12_WINDOW = [
+    # -- the last three r6-era greens (VERDICT r11 task #1, positions 1-3:
+    # -- with these fresh, no green predates r7) --------------------------
+    "ts_sax",
+    "ts_seasonal_strength",
+    "ts_theta",
+    # -- r12 growth, registered IN-window: the exactly-once streaming
+    # -- ingestion promotion (task #2) + the earned composition (task #3) --
+    "stream_ingest_once",
+    "pit_train_split",
+    # -- oldest-green re-rotation: r7-era rows in CORRECTNESS_r07 order
+    # -- (45 of 48; text_lm_score / events_paths / graph_triangles
+    # -- displaced -> r13 debt, SURVEY §7) --------------------------------
+    "graph_link_predict",
+    "snap_time_travel",
+    "ts_cusum",
+    "stream_cusum_v2",
+    "ts_hurst",
+    "events_lift",
+    "dedup_containment",
+    "dedup_report",
+    "text_novelty",
+    "profile_sources",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_minhash",
+    "dedup_simhash",
+    "dedup_embedding",
+    "dedup_editdist",
+    "dedup_clusters",
+    "contamination_check",
+    "profile_table",
+    "sample_stratified",
+    "sample_mix",
+    "train_split",
+    "shard_assign",
+    "ann_bruteforce",
+    "ann_ivf",
+    "ann_pq",
+    "embed_kmeans",
+    "multimodal_meta",
+    "stream_window",
+    "stream_latest_state",
+    "stream_dedup",
+    "stream_sessionize",
+    "stream_join",
+    "stream_join_ordered",
+    "ts_resample_locf",
+    "ts_interpolate_linear",
+    "ts_rollup_multires",
+    "ts_sessionize",
+    "ts_ohlc",
+    "ts_ewma",
+    "ts_rate",
+    "ts_corr",
+    "ts_decompose",
+    "events_session_window",
+    "text_script",
 ]
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """The driver hash-checks the FIRST 50 entries; ``_R11_WINDOW`` (above)
+    """The driver hash-checks the FIRST 50 entries; ``_R12_WINDOW`` (above)
     pins that order each round. The registry literal below is grouped by
     domain; queries() re-orders it window-first, everything else after in
     registry order. Greens rotated out of the window stay green locally via
     tools/parity.py (full-register parity at sf0.001/0.01/0.1 per round)."""
     reg: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-        # (registry order below is domain grouping only — _R11_WINDOW above
+        # (registry order below is domain grouping only — _R12_WINDOW above
         # decides what the driver checks)
         "embed_quantize": _q_embed_quantize,
         "ts_theta": timeseries.theta_forecast,
@@ -1928,13 +2041,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "client_write_validation": _q_client_write_validation,
         "client_null_sentinel": _q_client_null_sentinel,
         # r10 growth (VERDICT r9 task #7's two named compositions) —
-        # front-loaded at _R11_WINDOW positions 1-2 (VERDICT r10 task #1)
+        # front-loaded at the r11 window positions 1-2 (VERDICT r10 task #1)
         "rollup_bitemporal_agg": _q_rollup_bitemporal_agg,
         "bt_pit_features": forecasting.pit_features,
         # r11 growth (VERDICT r10 task #5's two earned compositions) —
-        # registered IN-WINDOW this round (positions pinned in _R11_WINDOW)
+        # registered IN-WINDOW r11 (positions pinned in the r11 window)
         "rollup_pit_backtest": _q_rollup_pit_backtest,
         "rollup_retention_refresh": _q_rollup_retention_refresh,
+        # r12: streaming exactly-once ingestion promoted to a gate
+        # (VERDICT r11 task #2 — the last promotable internal item) + the
+        # earned composition (task #3); both registered IN-WINDOW
+        "stream_ingest_once": _q_stream_ingest_once,
+        "pit_train_split": forecasting.pit_train_split,
         "text_readability": text.text_readability,
         "ts_kalman": timeseries.kalman_filter,
         "ts_croston": timeseries.croston,
@@ -2185,7 +2303,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_dist_drift": timeseries.dist_drift,
         "train_split_temporal": sampling.train_split_temporal,
     }
-    out = {k: reg[k] for k in _R11_WINDOW}
+    out = {k: reg[k] for k in _R12_WINDOW}
     out.update((k, v) for k, v in reg.items() if k not in out)
     return out
 
@@ -2772,9 +2890,7 @@ def oracle_sql() -> dict[str, str]:
             WHERE retention = 'forever'
                OR (CAST(strptime(vt_month || '01', '%Y%m%d') AS DATE)
                    + INTERVAL 1 MONTH - INTERVAL 1 DAY
-                   + to_days(CASE retention WHEN 'short' THEN 180
-                                            WHEN 'medium' THEN 1095
-                                            WHEN 'long' THEN 1825 END))
+                   + to_days({_ttl_days_case_sql()}))
                   >= DATE '2026-06-01'
         """,
         # Series erasure: 'post' keeps every row whose series_id is not in
@@ -2837,6 +2953,20 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_rows,
                    CAST(0 AS BIGINT) AS value_cents
             FROM cls WHERE m IN (0, 1, 2, 3) GROUP BY m
+        """,
+        # Streaming exactly-once ingestion: the stream-drained store (after
+        # a checkpoint restart AND a forced txn replay, both asserted no-ops
+        # in materialization) must equal the source frame read ONCE — a
+        # lost micro-batch or a surviving duplicate moves n_rows and cents.
+        "stream_ingest_once": f"""
+            WITH sv AS ({_SV})
+            SELECT retention, strftime(valid_time, '%Y%m') AS vt_month,
+                   CAST(count(*) AS BIGINT) AS n_rows,
+                   min(series_id) AS series_id_min, max(series_id) AS series_id_max,
+                   strftime(min(valid_time), '%Y-%m-%d %H:%M:%S') AS valid_time_min,
+                   strftime(max(valid_time), '%Y-%m-%d %H:%M:%S') AS valid_time_max,
+                   CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS value_cents
+            FROM sv GROUP BY retention, strftime(valid_time, '%Y%m')
         """,
         # Vacuum is a pure physical-history operation: the visible rows are
         # identical before and after, so both phases share one recompute.
@@ -2955,16 +3085,25 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY series_id, strftime(valid_time, '%Y-%m-%d')
         """,
         "bt_pit_features": forecasting.pit_features_sql(_SV),
+        # r12 earned composition: the PIT matrix + per-series temporal
+        # holdout — row-level split labels, so the oracle re-derives the
+        # full assignment (same ceil(n/5) tail + min-obs floor as
+        # train_split_temporal).
+        "pit_train_split": forecasting.pit_train_split_sql(_SV),
         # PIT backtest over the bitemporal rollup: actuals = the hourly
         # latest-collapse state; forecast = the 24h-lagged bucket's winner
         # sum using only revisions known at the target's noon-prev-day
         # cutoff. Scores are exact cent integers; unscored days COALESCE
-        # to 0 on both engines (n_scored says which).
+        # to 0 on both engines (n_scored says which). Cent rounding is
+        # EXPLICIT round-half-away-from-zero on both engines (ADVICE r11):
+        # Spark F.round is HALF_UP and DuckDB's round()/decimal→BIGINT cast
+        # both round ties away from zero (2.5→3, -2.5→-3; cross-engine
+        # half-cent pin: tests/test_forecasting.py).
         "rollup_pit_backtest": f"""
             WITH sv AS ({_SV}),
             state AS (
                 SELECT series_id, date_trunc('hour', valid_time) AS bucket,
-                       CAST(sum(CAST(value AS DECIMAL(38,6))) * 100 AS BIGINT) AS actual_cents
+                       CAST(round(sum(CAST(value AS DECIMAL(38,6))) * 100, 0) AS BIGINT) AS actual_cents
                 FROM (
                     SELECT series_id, valid_time, value,
                            row_number() OVER (PARTITION BY series_id, valid_time
@@ -2975,7 +3114,7 @@ def oracle_sql() -> dict[str, str]:
             ),
             fc AS (
                 SELECT series_id, bucket,
-                       CAST(sum(CAST(pit_v AS DECIMAL(38,6))) * 100 AS BIGINT) AS fc_cents
+                       CAST(round(sum(CAST(pit_v AS DECIMAL(38,6))) * 100, 0) AS BIGINT) AS fc_cents
                 FROM (
                     SELECT g.series_id, g.bucket, s.valid_time, s.value AS pit_v,
                            row_number() OVER (PARTITION BY g.series_id, g.bucket, s.valid_time
@@ -3011,9 +3150,7 @@ def oracle_sql() -> dict[str, str]:
                 WHERE retention = 'forever'
                    OR (CAST(strptime(strftime(valid_time, '%Y%m') || '01', '%Y%m%d') AS DATE)
                        + INTERVAL 1 MONTH - INTERVAL 1 DAY
-                       + to_days(CASE retention WHEN 'short' THEN 180
-                                                WHEN 'medium' THEN 1095
-                                                WHEN 'long' THEN 1825 END))
+                       + to_days({_ttl_days_case_sql()}))
                       >= DATE '2026-06-01'
             ),
             pre_state AS (

@@ -2,15 +2,18 @@
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
 JSON line: {"metric": ..., "value": floor_sec, "unit": "sec",
 "queries": {name: sec, ...}, "sf": ..., "aggregation": ...,
-"run_totals": [...]}.
+"run_totals": [...], "best_pass": min_total_sec}.
 
 "value" is the SESSION FLOOR: each query's minimum over
 $SPARK_GRAFT_BENCH_PASSES (default 3) in-session passes, summed — a
 composite no single pass necessarily achieved (it can undercut
 min(run_totals) when different queries bottom out in different passes).
-The measured per-pass wall-clock totals are in "run_totals"; the host's
-~2× day-over-day throughput swing (documented since r2) is why the floor,
-not a single noisy pass, is the recorded number.
+"best_pass" = min(run_totals) is the best ACTUALLY-MEASURED pass
+(ADVICE r11) — compare THAT against pre-r11 single-pass BENCH artifacts;
+the composite floor is only like-for-like with other floors. The measured
+per-pass wall-clock totals are in "run_totals"; the host's ~2×
+day-over-day throughput swing (documented since r2) is why the floor,
+not a single noisy pass, is the recorded headline.
 
 Materialization uses the noop datasource: the full plan executes on the
 cluster (every row produced and serialized) with no driver-side collect —
@@ -83,6 +86,7 @@ def main() -> None:
         "sf": sf,
         "aggregation": f"per-query min of {passes} in-session passes",
         "run_totals": run_totals,
+        "best_pass": min(run_totals) if run_totals else None,
     }
     print(json.dumps(out))
 

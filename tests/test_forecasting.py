@@ -485,3 +485,88 @@ def test_floor_division_twins_exhaustive_signed_range(spark):
         r.fd == r.h // 24 and r.hod == r.h % 24 and r.dow == (r.h // 24 + 4) % 7
         for r in out
     )
+
+
+def test_rollup_pit_backtest_half_cent_ties_cross_engine(spark, tmp_path):
+    """ADVICE r11 closure, premise checked like the r11 floor advice: the
+    claim was that Spark F.round (HALF_UP) and the oracle's decimal→BIGINT
+    cast diverge on exact half-cent sums — empirically DuckDB 1.0.0's cast
+    AND round() both round ties AWAY FROM ZERO (2.5→3, -2.5→-3), i.e. the
+    engines already agreed; the oracle now spells round(x, 0) explicitly
+    and this test pins the tie cells by LITERAL value on both engines, so
+    either engine changing its tie rule (even both together) reds."""
+    import duckdb
+
+    import __spark_entry__ as entrymod
+    from timedb_spark.io.tables import bitemporal_frame
+    from timedb_spark.rollup import _latest_hourly
+
+    # event_id % 4 == 0 → knowledge_time = ts (always ≤ the noon-prev-day
+    # cutoff for a next-day 10:00 target). Values are exact half-cents
+    # after the DECIMAL(38,6) cast: ±0.005 → ±0.5 cents, -0.015 → -1.5.
+    t = lambda day, h: datetime(2024, 1, day, h, 0)
+    d = _events_dir(
+        tmp_path,
+        [
+            (100, t(4, 10), 1, "x", -0.005),  # lag source: fc tie -0.5 → -1
+            (104, t(5, 10), 1, "x", 0.005),   # actual tie 0.5 → 1
+            (108, t(4, 10), 2, "x", 0.015),   # fc 1.5 → 2
+            (112, t(5, 10), 2, "x", -0.015),  # actual -1.5 → -2
+        ],
+    )
+
+    sv = bitemporal_frame(spark, d)
+    got = {
+        (r.series_id, r.day): (r.n_buckets, r.n_scored, r.err_cents, r.bias_cents)
+        for r in fc.rollup_pit_backtest(_latest_hourly(sv), sv).collect()
+    }
+    # literal pins: away-from-zero on both signs
+    assert got[(1, "2024-01-05")] == (1, 1, 2, -2)    # fc -1 vs actual 1
+    assert got[(2, "2024-01-05")] == (1, 1, 4, 4)     # fc 2 vs actual -2
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM read_parquet('{d}/events.parquet')")
+    sql = entrymod.oracle_sql()["rollup_pit_backtest"]
+    cols = [c[0] for c in con.execute(sql).description]
+    duck = {
+        (r["series_id"], r["day"]): (r["n_buckets"], r["n_scored"], r["err_cents"], r["bias_cents"])
+        for r in (dict(zip(cols, row)) for row in con.execute(sql).fetchall())
+    }
+    assert duck == got
+
+
+def test_pit_train_split_boundary_and_min_obs_cross_engine(spark, tmp_path):
+    """Hand-pinned split boundary + the min-obs exclusion (NOT exercised by
+    the gate data at sf0.01, where every series clears the floor — this
+    test is the coverage): series 1 has 12 PIT rows → n_test = ceil(12/5) =
+    3, so exactly its last three hours are 'test'; series 2 has 9 rows
+    (< _TSPLIT_MIN_OBS = 10) and must be EXCLUDED, not defaulted to train.
+    The same frame then runs through the DuckDB twin and must match
+    cell-for-cell."""
+    import duckdb
+
+    from timedb_spark.io.tables import BITEMPORAL_ORACLE_SQL
+
+    rows = []
+    for h in range(12):  # series 1: 12 hourly points
+        rows.append((h * 4, datetime(2024, 1, 10, h, 0), 1, "x", float(h)))
+    for h in range(9):   # series 2: 9 points -> below the floor
+        rows.append((100 + h * 4, datetime(2024, 1, 10, h, 0), 2, "x", float(h)))
+    d = _events_dir(tmp_path, rows)
+
+    out = fc.pit_train_split(spark, d).collect()
+    assert {r.series_id for r in out} == {1}
+    by_hour = {r.valid_time.hour: r.split for r in out}
+    assert len(by_hour) == 12
+    assert [by_hour[h] for h in range(12)] == ["train"] * 9 + ["test"] * 3
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM read_parquet('{d}/events.parquet')")
+    sql = fc.pit_train_split_sql(BITEMPORAL_ORACLE_SQL)
+    cols = [c[0] for c in con.execute(sql).description]
+    duck = sorted(
+        tuple(sorted((k, str(v)) for k, v in dict(zip(cols, row)).items()))
+        for row in con.execute(sql).fetchall()
+    )
+    got = sorted(tuple(sorted((k, str(v)) for k, v in r.asDict().items())) for r in out)
+    assert got == duck

@@ -159,6 +159,7 @@ def test_store_gate_queries_end_to_end_under_hostile_session(hostile, sf_dir):
         entrymod._NULLSENT_CACHE,
         entrymod._BTROLLUP_CACHE,
         entrymod._ROLLUPTTL_CACHE,
+        entrymod._STREAM_INGEST_CACHE,
     )
     for c in caches:
         c.clear()
@@ -179,6 +180,7 @@ def test_store_gate_queries_end_to_end_under_hostile_session(hostile, sf_dir):
             "rollup_bitemporal_agg",
             "rollup_pit_backtest",
             "rollup_retention_refresh",
+            "stream_ingest_once",
         ):
             rows = qs[name](hostile, sf_dir).collect()
             assert rows, f"{name}: no rows under hostile session"

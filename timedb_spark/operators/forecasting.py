@@ -684,6 +684,14 @@ def rollup_pit_backtest(state: DataFrame, revisions: DataFrame, *, lag_hours: in
     lag source had ANY revision known by the cutoff, and unscored days
     coalesce to 0 rather than NULL (both engines).
 
+    Cent rounding on a half-cent sum is round-half-AWAY-FROM-ZERO on both
+    engines (ADVICE r11, premise checked empirically like the r11 floor
+    advice): Spark ``F.round`` is java HALF_UP (2.5→3, -2.5→-3) and DuckDB
+    1.0.0's decimal→BIGINT cast AND ``round()`` do the same — the oracle
+    now spells the ``round(x, 0)`` explicitly and the tie is pinned
+    cross-engine in tests/test_forecasting.py (exact half-cent sums built
+    from 0.005-valued revisions run through BOTH engines).
+
     Scale shape: the state is the bounded side (one row per (series,
     hour)); the revision set crosses the wire ONCE through a
     co-partitioned equi-join on (series_id, bucket) after the lag shift,
@@ -727,3 +735,80 @@ def rollup_pit_backtest(state: DataFrame, revisions: DataFrame, *, lag_hours: in
             F.sum(F.col("fc_cents") - F.col("actual_cents")), F.lit(0)
         ).cast("long").alias("bias_cents"),
     )
+
+
+# ---------------------------------------------------------------------------
+# leakage-free forecasting dataset: PIT matrix + per-series temporal holdout
+# ---------------------------------------------------------------------------
+
+
+def pit_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The two leakage defenses composed into one training-dataset gate
+    (VERDICT r11 task #3's earned composition): the point-in-time-correct
+    feature matrix (:func:`pit_features` — every lag as known at the
+    TARGET's day-ahead cutoff, ref timedb/read.py:461-527) with a
+    per-series TEMPORAL holdout over it — the last ⌈n/5⌉ PIT rows of each
+    series (by valid_time) become ``split='test'``, mirroring
+    ``sampling.train_split_temporal``'s contract (same 20% tail, same
+    ⌈·⌉ cut, same minimum-observation floor) applied to the MATRIX rather
+    than raw events: a random split over PIT rows would still train on the
+    future even though each row's features are individually leak-free.
+
+    Series with fewer than ``sampling._TSPLIT_MIN_OBS`` matrix rows are
+    excluded (nothing to hold out), exactly as the event-level splitter
+    drops them. Output is row-level — every matrix row carries its split
+    label, so the oracle re-derives the full assignment, not just counts.
+
+    Scale shape: :func:`pit_features`' own plan (grid + one equi-join per
+    lag, no window over revisions) plus ONE shuffle on series_id for the
+    two same-partitioned analytic windows (row_number + count share the
+    exchange); the revision history is not re-scanned."""
+    from timedb_spark.operators.sampling import (
+        _TSPLIT_MIN_OBS,
+        _TSPLIT_TEST_PCT_DEN,
+        _TSPLIT_TEST_PCT_NUM,
+    )
+
+    feats = pit_features(spark, sf_dir)
+    cols = feats.columns
+    w = Window.partitionBy("series_id").orderBy("valid_time")
+    wn = Window.partitionBy("series_id")
+    d = (
+        feats.withColumn("rn", F.row_number().over(w))
+        .withColumn("n_obs", F.count(F.lit(1)).over(wn))
+        .filter(F.col("n_obs") >= _TSPLIT_MIN_OBS)
+    )
+    n_test = F.ceil(
+        F.col("n_obs") * _TSPLIT_TEST_PCT_NUM / _TSPLIT_TEST_PCT_DEN
+    ).cast("long")
+    return d.select(
+        *cols,
+        F.when(F.col("rn") > F.col("n_obs") - n_test, "test")
+        .otherwise("train")
+        .alias("split"),
+    )
+
+
+def pit_train_split_sql(sv_sql: str) -> str:
+    """DuckDB twin of :func:`pit_train_split` — the :func:`pit_features_sql`
+    matrix as a CTE, the same ⌈n/5⌉ temporal tail per series."""
+    from timedb_spark.operators.sampling import (
+        _TSPLIT_MIN_OBS,
+        _TSPLIT_TEST_PCT_DEN,
+        _TSPLIT_TEST_PCT_NUM,
+    )
+
+    return f"""
+WITH pit AS ({pit_features_sql(sv_sql)}),
+d AS (
+    SELECT *,
+           row_number() OVER (PARTITION BY series_id ORDER BY valid_time) AS rn,
+           count(*) OVER (PARTITION BY series_id) AS n_obs
+    FROM pit
+)
+SELECT series_id, valid_time, hour_of_day, day_of_week, is_weekend, y,
+       {", ".join(f"lag_{lag}h_pit" for lag in PIT_LAGS)},
+       CASE WHEN rn > n_obs - CAST(ceil(CAST(n_obs AS DOUBLE) * {_TSPLIT_TEST_PCT_NUM} / {_TSPLIT_TEST_PCT_DEN}) AS BIGINT)
+            THEN 'test' ELSE 'train' END AS split
+FROM d WHERE n_obs >= {_TSPLIT_MIN_OBS}
+"""
