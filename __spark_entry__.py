@@ -18,6 +18,7 @@ from datetime import datetime, timedelta
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from timedb_spark.functions.rounding import floor6 as _floor6
 from timedb_spark.io.tables import BITEMPORAL_ORACLE_SQL, INTERVAL_ORACLE_SQL, bitemporal_frame, interval_frame, load_table
 from timedb_spark.streaming.joins import STREAM_JOIN_SQL
 from timedb_spark.operators import analytics, asof, dedup, forecasting, funnel, multimodal, pipeline, sampling, similarity, text, timeseries, tpch_ext
@@ -699,7 +700,7 @@ def _q_multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "n_samples",
         "duration_ms",
-        F.round("rms", 6).alias("rms"),
+        _floor6(F.col("rms")).alias("rms"),
         "n_zero_crossings",
         "peak",
     )
@@ -729,8 +730,8 @@ def _q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         "fmt",
         "width",
         "height",
-        F.round("mean_px", 6).alias("mean_px"),
-        F.round("std_px", 6).alias("std_px"),
+        _floor6(F.col("mean_px")).alias("mean_px"),
+        _floor6(F.col("std_px")).alias("std_px"),
         F.concat_ws(
             "|",
             F.transform("thumb", lambda x: F.coalesce(F.format_string("%.6f", x), F.lit("NaN"))),

@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from timedb_spark.functions import texttools as tt
+from timedb_spark.functions.rounding import floor6
 from timedb_spark.functions import vectors as vx
 from timedb_spark.io.tables import load_table
 
@@ -133,7 +134,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         inter.join(sa, "doc_a")
         .join(sb, "doc_b")
-        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+        .select("doc_a", "doc_b", floor6(jac).alias("jaccard"))
         .filter(F.col("jaccard") >= _JACCARD_TAU)
     )
 
@@ -157,11 +158,11 @@ inter AS (
     GROUP BY a.doc_id, b.doc_id
 )
 SELECT doc_a, doc_b,
-       round(CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter), 6) AS jaccard
+       floor((CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter)) * 1e6 + 0.5) / 1e6 AS jaccard
 FROM inter
 JOIN sizes sa ON sa.doc_id = doc_a
 JOIN sizes sb ON sb.doc_id = doc_b
-WHERE round(CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter), 6) >= {_JACCARD_TAU}
+WHERE floor((CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter)) * 1e6 + 0.5) / 1e6 >= {_JACCARD_TAU}
 """
 
 
@@ -234,7 +235,7 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         inter.join(sa, "doc_a")
         .join(sb, "doc_b")
-        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+        .select("doc_a", "doc_b", floor6(jac).alias("jaccard"))
         .filter(F.col("jaccard") >= _JACCARD_TAU)
     )
 
@@ -269,11 +270,11 @@ inter AS (
     GROUP BY c.doc_a, c.doc_b
 )
 SELECT doc_a, doc_b,
-       round(CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter), 6) AS jaccard
+       floor((CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter)) * 1e6 + 0.5) / 1e6 AS jaccard
 FROM inter
 JOIN sizes sa ON sa.doc_id = doc_a
 JOIN sizes sb ON sb.doc_id = doc_b
-WHERE round(CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter), 6) >= {_JACCARD_TAU}
+WHERE floor((CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter)) * 1e6 + 0.5) / 1e6 >= {_JACCARD_TAU}
 """
 
 
@@ -402,7 +403,7 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("a.vec_id").alias("vec_a"),
             F.col("b.vec_id").alias("vec_b"),
-            F.round(cos, 6).alias("cosine"),
+            floor6(cos).alias("cosine"),
         )
         .filter(F.col("cosine") >= _EMB_TAU)
     )
@@ -416,10 +417,10 @@ corpus AS (
     SELECT *, sqrt(CAST({vx.DOT_Q_SQL.format(a='q', b='q')} AS DOUBLE)) AS nq FROM base
 )
 SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-       round(CAST({_EMB_DOT} AS DOUBLE) / (a.nq * b.nq), 6) AS cosine
+       floor((CAST({_EMB_DOT} AS DOUBLE) / (a.nq * b.nq)) * 1e6 + 0.5) / 1e6 AS cosine
 FROM corpus a JOIN corpus b
   ON a.label = b.label AND a.vec_id < b.vec_id
-WHERE round(CAST({_EMB_DOT} AS DOUBLE) / (a.nq * b.nq), 6) >= {_EMB_TAU}
+WHERE floor((CAST({_EMB_DOT} AS DOUBLE) / (a.nq * b.nq)) * 1e6 + 0.5) / 1e6 >= {_EMB_TAU}
 """
 
 
@@ -984,7 +985,7 @@ def dedup_lsh_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
     true_pairs = (
         inter.join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na")), "doc_a")
         .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb")), "doc_b")
-        .filter(F.round(jac, 6) >= _JACCARD_TAU)
+        .filter(floor6(jac) >= _JACCARD_TAU)
         .select("doc_a", "doc_b")
         .localCheckpoint(eager=False)
     )
@@ -1069,7 +1070,7 @@ true_pairs AS MATERIALIZED (
     SELECT doc_a, doc_b FROM inter
     JOIN sizes sa ON sa.doc_id = doc_a
     JOIN sizes sb ON sb.doc_id = doc_b
-    WHERE round(CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter), 6) >= {_JACCARD_TAU}
+    WHERE floor((CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter)) * 1e6 + 0.5) / 1e6 >= {_JACCARD_TAU}
 )
 {" UNION ALL ".join(_lsh_row_sql(b, r, s50, f"b{b}") for b, r, s50 in _LSH_CONFIGS)}
 """

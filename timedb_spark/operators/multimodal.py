@@ -557,8 +557,8 @@ SELECT doc_id,
        CASE WHEN doc_id % 7 = 0 THEN 'png' ELSE 'fakeimg' END AS fmt,
        CAST(width AS INT) AS width,
        CAST(height AS INT) AS height,
-       round(CAST(sx AS DOUBLE) / n, 6) AS mean_px,
-       round(sqrt(CAST(sxx AS DOUBLE)/n - (CAST(sx AS DOUBLE)/n) * (CAST(sx AS DOUBLE)/n)), 6) AS std_px,
+       floor(CAST(sx AS DOUBLE) / n * 1e6 + 0.5) / 1e6 AS mean_px,
+       floor(sqrt(CAST(sxx AS DOUBLE)/n - (CAST(sx AS DOUBLE)/n) * (CAST(sx AS DOUBLE)/n)) * 1e6 + 0.5) / 1e6 AS std_px,
        {_chunk_mean_sql(0)} || '|' || {_chunk_mean_sql(1)} || '|' || {_chunk_mean_sql(2)} || '|' || {_chunk_mean_sql(3)} AS thumb
 FROM agg
 """
@@ -585,7 +585,7 @@ WITH meta AS (
 SELECT doc_id,
        n_samples,
        CAST(n_samples AS DOUBLE) * 1000.0 / 8000.0 AS duration_ms,
-       round(sqrt(CAST(list_sum(list_transform(smp, x -> x*x)) AS DOUBLE) / n_samples), 6) AS rms,
+       floor(sqrt(CAST(list_sum(list_transform(smp, x -> x*x)) AS DOUBLE) / n_samples) * 1e6 + 0.5) / 1e6 AS rms,
        CAST(list_sum(list_transform(range(2, n_samples+1),
             i -> CASE WHEN (smp[CAST(i AS INT)] < 0) != (smp[CAST(i-1 AS INT)] < 0) THEN 1 ELSE 0 END)) AS INT)
            AS n_zero_crossings,

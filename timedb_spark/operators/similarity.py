@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 
 from timedb_spark.functions import texttools as tt
 from timedb_spark.functions import vectors as vx
+from timedb_spark.functions.rounding import floor6
 from timedb_spark.io.tables import load_table
 
 _TOP_K = 5
@@ -558,7 +559,7 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=False)
     )
     a, b = c.alias("a"), c.alias("b")
-    cos = F.round(vx.dot_q(F.col("a.q"), F.col("b.q")) / (F.col("a.nq") * F.col("b.nq")), 6)
+    cos = floor6(vx.dot_q(F.col("a.q"), F.col("b.q")) / (F.col("a.nq") * F.col("b.nq")))
     dup_counts = (
         a.join(
             b,
@@ -609,7 +610,7 @@ cl AS (
 dups AS (
     SELECT b.vec_id, count(*) AS n_dup_lower
     FROM cl a JOIN cl b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
-    WHERE round(CAST({dot} AS DOUBLE) / (a.nq * b.nq), 6) >= {_EMB_TAU}
+    WHERE floor((CAST({dot} AS DOUBLE) / (a.nq * b.nq)) * 1e6 + 0.5) / 1e6 >= {_EMB_TAU}
     GROUP BY b.vec_id
 )
 SELECT cl.vec_id, cl.cluster,
@@ -1270,10 +1271,10 @@ def embed_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.select(
         "vec_id",
         "label",
-        F.round(own, 6).alias("cos_own"),
+        floor6(own).alias("cos_own"),
         best.clabel.alias("best_other"),
-        F.round(best.cs, 6).alias("cos_other"),
-        F.round(own - best.cs, 6).alias("margin"),
+        floor6(best.cs).alias("cos_other"),
+        floor6(own - best.cs).alias("margin"),
         (best.cs > own).alias("is_mislabeled"),
     )
 
@@ -1303,10 +1304,10 @@ other AS (
     ) t WHERE rn = 1
 )
 SELECT o.vec_id, o.label,
-       round(o.cos_own, 6) AS cos_own,
+       floor(o.cos_own * 1e6 + 0.5) / 1e6 AS cos_own,
        t.best_other,
-       round(t.cos_other, 6) AS cos_other,
-       round(o.cos_own - t.cos_other, 6) AS margin,
+       floor(t.cos_other * 1e6 + 0.5) / 1e6 AS cos_other,
+       floor((o.cos_own - t.cos_other) * 1e6 + 0.5) / 1e6 AS margin,
        t.cos_other > o.cos_own AS is_mislabeled
 FROM own o JOIN other t ON o.vec_id = t.vec_id
 """

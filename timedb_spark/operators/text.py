@@ -12,6 +12,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from timedb_spark.functions import texttools as tt
+from timedb_spark.functions.rounding import floor6
 from timedb_spark.io.tables import load_table
 
 # ---------------------------------------------------------------------------
@@ -527,7 +528,7 @@ def text_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             "n_shingles",
             "n_boiler",
-            F.round(F.col("n_boiler") / F.col("n_shingles"), 6).alias("boiler_ratio"),
+            floor6(F.col("n_boiler") / F.col("n_shingles")).alias("boiler_ratio"),
         )
     )
 
@@ -549,7 +550,7 @@ marked AS (
 SELECT doc_id,
        count(*) AS n_shingles,
        count(*) FILTER (df >= {_BOILER_MIN_DOCS}) AS n_boiler,
-       round(count(*) FILTER (df >= {_BOILER_MIN_DOCS}) / count(*), 6) AS boiler_ratio
+       floor(count(*) FILTER (df >= {_BOILER_MIN_DOCS}) / count(*) * 1e6 + 0.5) / 1e6 AS boiler_ratio
 FROM marked
 GROUP BY doc_id
 """
@@ -585,7 +586,7 @@ def text_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
         "token",
         "n",
         F.row_number().over(w).alias("rank"),
-        F.round(F.sum("n").over(cum) / F.sum("n").over(total), 6).alias("cum_share"),
+        floor6(F.sum("n").over(cum) / F.sum("n").over(total)).alias("cum_share"),
     )
 
 
@@ -597,8 +598,8 @@ WITH counts AS (
 )
 SELECT token, n,
        row_number() OVER (ORDER BY n DESC, token) AS rank,
-       round(sum(n) OVER (ORDER BY n DESC, token ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-             / sum(n) OVER (), 6) AS cum_share
+       floor(sum(n) OVER (ORDER BY n DESC, token ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             / sum(n) OVER () * 1e6 + 0.5) / 1e6 AS cum_share
 FROM counts
 """
 

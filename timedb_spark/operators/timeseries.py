@@ -26,6 +26,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from timedb_spark.functions.rounding import floor6
 from timedb_spark.io.tables import load_table
 
 
@@ -563,9 +564,9 @@ def mad_anomaly(spark: SparkSession, sf_dir: str, exact: bool = False) -> DataFr
         "event_id",
         "event_type",
         "value",
-        F.round("med", 6).alias("med"),
-        F.round("mad", 6).alias("mad"),
-        F.round("dev", 6).alias("dev"),
+        floor6(F.col("med")).alias("med"),
+        floor6(F.col("mad")).alias("mad"),
+        floor6(F.col("dev")).alias("dev"),
     )
 
 
@@ -579,7 +580,8 @@ dev AS (
 ),
 mad AS (SELECT event_type, quantile_cont(dev, 0.5) AS mad FROM dev GROUP BY event_type)
 SELECT d.event_id, d.event_type, d.value,
-       round(d.med, 6) AS med, round(m.mad, 6) AS mad, round(d.dev, 6) AS dev
+       floor(d.med * 1e6 + 0.5) / 1e6 AS med, floor(m.mad * 1e6 + 0.5) / 1e6 AS mad,
+       floor(d.dev * 1e6 + 0.5) / 1e6 AS dev
 FROM dev d JOIN mad m USING (event_type)
 WHERE d.dev > {_MAD_K} * m.mad
 """
@@ -598,14 +600,14 @@ def _hourly_series(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         ev.filter(keep)
         .groupBy(F.col("user_id").alias("series_id"), F.date_trunc("hour", "ts").alias("valid_time"))
-        .agg(F.round(F.avg("value"), 6).alias("value"))
+        .agg(floor6(F.avg("value")).alias("value"))
     )
 
 
 _HOURLY_SERIES_SQL = """
 SELECT user_id AS series_id,
        date_trunc('hour', ts) AS valid_time,
-       round(avg(value), 6) AS value
+       floor(avg(value) * 1e6 + 0.5) / 1e6 AS value
 FROM events
 WHERE hour(ts) % 3 < 2
 GROUP BY 1, 2
@@ -735,7 +737,7 @@ def moving_stats(spark: SparkSession, sf_dir: str, *, n: int = 24) -> DataFrame:
         "user_id",
         "event_id",
         "ts",
-        F.round(F.avg("value").over(w), 6).alias("mov_avg"),
+        floor6(F.avg("value").over(w)).alias("mov_avg"),
         F.min("value").over(w).alias("mov_min"),
         F.max("value").over(w).alias("mov_max"),
         F.count(F.lit(1)).over(w).alias("n_in_window"),
@@ -744,7 +746,7 @@ def moving_stats(spark: SparkSession, sf_dir: str, *, n: int = 24) -> DataFrame:
 
 MOVING_STATS_SQL = """
 SELECT user_id, event_id, ts,
-       round(avg(value) OVER w, 6) AS mov_avg,
+       floor(avg(value) OVER w * 1e6 + 0.5) / 1e6 AS mov_avg,
        min(value) OVER w AS mov_min,
        max(value) OVER w AS mov_max,
        count(*) OVER w AS n_in_window
@@ -764,7 +766,7 @@ def anomaly_zscore(spark: SparkSession, sf_dir: str, *, threshold: float = 2.5) 
     sd = F.stddev_samp("value").over(w)
     z = (F.col("value") - mu) / sd
     return (
-        ev.select("user_id", "event_id", "ts", "value", F.round(z, 4).alias("zscore"))
+        ev.select("user_id", "event_id", "ts", "value", (F.floor(z * F.lit(1e4) + F.lit(0.5)) / F.lit(1e4)).alias("zscore"))
         .filter(F.abs(F.col("zscore")) > threshold)
     )
 
@@ -772,7 +774,7 @@ def anomaly_zscore(spark: SparkSession, sf_dir: str, *, threshold: float = 2.5) 
 ANOMALY_ZSCORE_SQL = """
 SELECT user_id, event_id, ts, value, zscore FROM (
     SELECT user_id, event_id, ts, value,
-           round((value - avg(value) OVER w) / stddev_samp(value) OVER w, 4) AS zscore
+           floor((value - avg(value) OVER w) / stddev_samp(value) OVER w * 1e4 + 0.5) / 1e4 AS zscore
     FROM events
     WINDOW w AS (PARTITION BY user_id)
 ) t WHERE abs(zscore) > 2.5
@@ -906,7 +908,7 @@ def autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
     sxy, sxx, syy = (F.col(c).cast("double") for c in ("sxy", "sxx", "syy"))
     r = (n * sxy - sx * sy) / F.sqrt(n * sxx - sx * sx) / F.sqrt(n * syy - sy * sy)
     return g.filter(F.col("n") >= 4).select(
-        "series_id", "lag", F.col("n").alias("n_pairs"), F.round(r, 6).alias("acf")
+        "series_id", "lag", F.col("n").alias("n_pairs"), floor6(r).alias("acf")
     )
 
 
@@ -931,9 +933,9 @@ g AS (
     FROM pairs GROUP BY 1, 2
 )
 SELECT series_id, lag, n AS n_pairs,
-       round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+       floor(((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
              / sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
-             / sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)), 6) AS acf
+             / sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) * 1e6 + 0.5) / 1e6 AS acf
 FROM g WHERE n >= 4
 """
 
@@ -958,16 +960,16 @@ def seasonal_naive(spark: SparkSession, sf_dir: str, *, period_hours: int = 168)
     ).agg(F.sum(_d("value")).cast("double").alias("v"))
     shift = F.timestamp_seconds(F.unix_timestamp("h") + period_hours * 3600)
     past = hourly.select(F.col("series_id").alias("p_sid"), shift.alias("h_fore"), F.col("v").alias("v_past"))
-    err_d = F.round(F.col("v") - F.col("v_past"), 6).cast("decimal(28,6)")
-    err2_d = F.round((F.col("v") - F.col("v_past")) * (F.col("v") - F.col("v_past")), 6).cast("decimal(28,6)")
+    err_d = floor6(F.col("v") - F.col("v_past")).cast("decimal(28,6)")
+    err2_d = floor6((F.col("v") - F.col("v_past")) * (F.col("v") - F.col("v_past"))).cast("decimal(28,6)")
     n = F.count(F.lit(1))
     return (
         hourly.join(past, (hourly.series_id == past.p_sid) & (hourly.h == past.h_fore))
         .groupBy("series_id")
         .agg(
             n.alias("n_points"),
-            F.round(F.sum(F.abs(err_d)).cast("double") / n, 6).alias("mae"),
-            F.round(F.sqrt(F.sum(err2_d).cast("double") / n), 6).alias("rmse"),
+            floor6(F.sum(F.abs(err_d)).cast("double") / n).alias("mae"),
+            floor6(F.sqrt(F.sum(err2_d).cast("double") / n)).alias("rmse"),
         )
     )
 
@@ -980,15 +982,15 @@ WITH hourly AS (
 ),
 j AS (
     SELECT cur.series_id,
-           CAST(round(cur.v - past.v, 6) AS DECIMAL(28,6)) AS err,
-           CAST(round((cur.v - past.v) * (cur.v - past.v), 6) AS DECIMAL(28,6)) AS err2
+           CAST(floor((cur.v - past.v) * 1e6 + 0.5) / 1e6 AS DECIMAL(28,6)) AS err,
+           CAST(floor((cur.v - past.v) * (cur.v - past.v) * 1e6 + 0.5) / 1e6 AS DECIMAL(28,6)) AS err2
     FROM hourly cur JOIN hourly past
       ON cur.series_id = past.series_id
      AND cur.h = past.h + INTERVAL 168 HOUR
 )
 SELECT series_id, count(*) AS n_points,
-       round(CAST(sum(abs(err)) AS DOUBLE) / count(*), 6) AS mae,
-       round(sqrt(CAST(sum(err2) AS DOUBLE) / count(*)), 6) AS rmse
+       floor(CAST(sum(abs(err)) AS DOUBLE) / count(*) * 1e6 + 0.5) / 1e6 AS mae,
+       floor(sqrt(CAST(sum(err2) AS DOUBLE) / count(*)) * 1e6 + 0.5) / 1e6 AS rmse
 FROM j
 GROUP BY series_id
 """

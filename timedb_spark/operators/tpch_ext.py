@@ -35,6 +35,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from timedb_spark.functions.rounding import floor6
 from timedb_spark.io.tables import load_table
 
 _DEC = "decimal(18,2)"
@@ -58,14 +59,14 @@ def derived_partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.groupBy(
         F.col("l_partkey").alias("ps_partkey"), F.col("l_suppkey").alias("ps_suppkey")
     ).agg(
-        F.min(F.round(F.col("l_extendedprice") / F.col("l_quantity"), 6)).alias("ps_supplycost"),
+        F.min(floor6(F.col("l_extendedprice") / F.col("l_quantity"))).alias("ps_supplycost"),
         F.sum(_d("l_quantity")).cast("double").alias("ps_availqty"),
     )
 
 
 PS_SQL = """
     SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
-           min(round(l_extendedprice / l_quantity, 6)) AS ps_supplycost,
+           min(floor(l_extendedprice / l_quantity * 1e6 + 0.5) / 1e6) AS ps_supplycost,
            CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS ps_availqty
     FROM lineitem GROUP BY 1, 2
 """
