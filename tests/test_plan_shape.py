@@ -933,3 +933,40 @@ def test_rollup_pit_backtest_no_cartesian_bounded_shuffles(spark, sf_dir):
     phys = df._jdf.queryExecution().executedPlan().toString()
     assert "Python" not in phys
     plans.assert_max_shuffles(df, 12)
+
+
+def test_dedup_family_never_broadcasts_raw_exploded_sides(spark, sf_dir):
+    """The scaleprobe r12 driver-OOM class, pinned at gate SF (non-vacuous:
+    at sf0.01 the PRE-explode size estimates are all under the broadcast
+    threshold, so WITHOUT the merge hints the static planner broadcasts
+    the exploded-shingle / banded-signature sides — this test reds on the
+    un-hinted code). contamination_check is exempt: its one broadcast is
+    the explicit F.broadcast(bench_sh) — the benchmark suite is a FIXED
+    eval slice that does not scale with the corpus (documented contract)."""
+    qs = entry.queries()
+    for name in (
+        "dedup_ngram_jaccard",
+        "dedup_minhash",
+        "dedup_simhash",
+        "dedup_containment",
+        "dedup_lsh_tuning",
+        "dedup_report",
+    ):
+        plans.assert_no_broadcast_over_raw_explode(qs[name](spark, sf_dir))
+
+    # negative control (the r11 lesson: a green assert proves nothing unless
+    # the detector demonstrably engages): the same exploded self-join WITHOUT
+    # the hint must trip the audit at this SF — i.e. the static planner does
+    # choose broadcast here, so the hinted queries above pass by the hint,
+    # not by luck.
+    from timedb_spark.operators.dedup import _shingled, doc_corpus
+
+    ex = _shingled(doc_corpus(spark, sf_dir)).select(
+        "doc_id", F.explode("sh").alias("s")
+    )
+    unhinted = ex.alias("a").join(
+        ex.alias("b"),
+        (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")),
+    )
+    with pytest.raises(AssertionError, match="explode-derived"):
+        plans.assert_no_broadcast_over_raw_explode(unhinted)

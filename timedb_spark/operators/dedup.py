@@ -122,7 +122,13 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     sizes = sh.select("doc_id", F.size("sh").alias("n_sh"))
     ex = sh.select("doc_id", F.explode("sh").alias("s"))
     a = ex.alias("a")
-    b = ex.alias("b")
+    # merge hint: the exploded-shingle frame's Catalyst size estimate is the
+    # PRE-explode scan size, so without the hint a side gets STATICALLY
+    # broadcast (AQE cannot demote it) — ~128 MB driver build at 10x sf0.1
+    # (tools/scaleprobe.py r12), a driver OOM at 100 TB. Sort-merge makes
+    # no memory assumption; "explode-derived sides never broadcast" is the
+    # rule across all shingle-blocked legs below.
+    b = ex.alias("b").hint("merge")
     inter = (
         a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
         .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
@@ -209,7 +215,11 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("band"),
     ).select("doc_id", "band.band_idx", "band.band_key")
     a = bands.alias("a")
-    b = bands.alias("b")
+    # merge hints: see dedup_ngram_jaccard — the banded-signature and
+    # exploded-shingle frames carry pre-explode size estimates, so without
+    # them a side gets statically broadcast (driver OOM class at scale,
+    # found by tools/scaleprobe.py r12).
+    b = bands.alias("b").hint("merge")
     cand = (
         a.join(
             b,
@@ -224,8 +234,8 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     ex = sh.select("doc_id", F.explode("sh").alias("s"))
     inter = (
         ex.alias("x")
-        .join(cand, F.col("x.doc_id") == F.col("doc_a"))
-        .join(ex.alias("y"), (F.col("y.doc_id") == F.col("doc_b")) & (F.col("x.s") == F.col("y.s")))
+        .join(cand.hint("merge"), F.col("x.doc_id") == F.col("doc_a"))
+        .join(ex.alias("y").hint("merge"), (F.col("y.doc_id") == F.col("doc_b")) & (F.col("x.s") == F.col("y.s")))
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("inter"))
     )
@@ -311,7 +321,10 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("band"),
     ).select("doc_id", "sig", "band.band_idx", "band.byte")
     a = bands.alias("a")
-    b = bands.alias("b")
+    # merge hint: bands is explode-derived (4 rows/doc) — linear in the
+    # corpus, so it must never be statically broadcast (the scaleprobe r12
+    # class); the 1024-key byte-bucket shuffle is the documented shape.
+    b = bands.alias("b").hint("merge")
     pairs = (
         a.join(
             b,
@@ -749,7 +762,9 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     sizes = sh.select("doc_id", F.size("sh").alias("n_sh"))
     ex = sh.select("doc_id", F.explode("sh").alias("s"))
     a = ex.alias("a")
-    b = ex.alias("b")
+    # merge hint: explode-derived sides never broadcast (see
+    # dedup_ngram_jaccard — the scaleprobe r12 driver-OOM class)
+    b = ex.alias("b").hint("merge")
     inter = (
         a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
         .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
@@ -958,7 +973,7 @@ def dedup_lsh_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             ).alias("band"),
         ).select("doc_id", "band.band_idx", "band.band_key")
-        a, bb = bands.alias("a"), bands.alias("b")
+        a, bb = bands.alias("a"), bands.alias("b").hint("merge")
         return (
             a.join(
                 bb,
@@ -976,8 +991,8 @@ def dedup_lsh_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
     ex = sh.select("doc_id", F.explode("sh").alias("s"))
     inter = (
         ex.alias("x")
-        .join(loosest, F.col("x.doc_id") == F.col("doc_a"))
-        .join(ex.alias("y"), (F.col("y.doc_id") == F.col("doc_b")) & (F.col("x.s") == F.col("y.s")))
+        .join(loosest.hint("merge"), F.col("x.doc_id") == F.col("doc_a"))
+        .join(ex.alias("y").hint("merge"), (F.col("y.doc_id") == F.col("doc_b")) & (F.col("x.s") == F.col("y.s")))
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("inter"))
     )

@@ -95,3 +95,51 @@ def assert_no_cartesian(df: DataFrame) -> None:
 def assert_max_shuffles(df: DataFrame, n: int) -> None:
     got = num_shuffles(df)
     assert got <= n, f"plan has {got} shuffle Exchanges (> {n})"
+
+
+def assert_no_broadcast_over_raw_explode(df: DataFrame) -> None:
+    """No BroadcastExchange may build a RAW explode-derived relation.
+
+    Catalyst estimates a post-``explode`` frame at its PRE-explode scan
+    size, so the static planner broadcasts sides that are actually linear
+    in the data (and AQE cannot demote a statically-chosen broadcast) —
+    at 10× sf0.1 that was a ~128 MB driver hash-relation build, at 100 TB
+    a driver OOM (found by tools/scaleprobe.py, r12). A ``Generate`` BELOW
+    a size-collapsing node (aggregate, top-k, or another join) is fine —
+    the collapsed output is genuinely small; only an unbroken
+    Generate→BroadcastExchange path is the bug. Fix at the call site with
+    ``.hint("merge")`` on the explode-derived side."""
+    lines = executed_plan(df).splitlines()
+    offenders: list[str] = []
+    for i, line in enumerate(lines):
+        if "BroadcastExchange" not in line:
+            continue
+        m0 = re.search(r"[+:]-", line)
+        if not m0:
+            continue
+        depth = m0.start()
+        blocked: int | None = None  # indent below which a collapsing node shields
+        for j in range(i + 1, len(lines)):
+            m1 = re.search(r"[+:]-", lines[j])
+            if m1 is None:
+                continue
+            dj = m1.start()
+            if dj <= depth:
+                break
+            if blocked is not None and dj > blocked:
+                continue
+            blocked = None
+            if any(c in lines[j] for c in (
+                "HashAggregate", "SortAggregate", "ObjectHashAggregate",
+                "TakeOrderedAndProject", "BroadcastHashJoin",
+                "BroadcastNestedLoopJoin", "SortMergeJoin", "ShuffledHashJoin",
+            )):
+                blocked = dj
+                continue
+            if "Generate" in lines[j]:
+                offenders.append(line.strip()[:120])
+                break
+    assert not offenders, (
+        "BroadcastExchange builds a raw explode-derived side "
+        f"(driver-OOM class at scale): {offenders}"
+    )
