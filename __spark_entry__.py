@@ -1730,9 +1730,13 @@ def _materialized_stream_ingest(spark: SparkSession, sf_dir: str):
             raise RuntimeError(f"stream-ingest gate: expected >=3 micro-batches, got {n1}")
         versions = st.versions()
         n_appends = sum(1 for v in versions if v["op"] == "append")
-        if n_appends != n1:
+        # at-least-once foreachBatch means invocations may EXCEED commits (a
+        # legitimately deduped replay invokes but commits nothing — r12
+        # review); commits exceeding invocations would mean phantom writes.
+        if not (3 <= n_appends <= n1):
             raise RuntimeError(
-                f"stream-ingest gate: {n_appends} append commits != {n1} foreachBatch invocations"
+                f"stream-ingest gate: {n_appends} append commits outside "
+                f"[3, {n1} foreachBatch invocations]"
             )
         v_top = versions[-1]["version"]
         n_rows = st.read_values().count()

@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from timedb_spark.functions import texttools as tt
-from timedb_spark.functions.rounding import floor6
+from timedb_spark.functions.rounding import floor6, floor6_sql
 from timedb_spark.functions import vectors as vx
 from timedb_spark.io.tables import load_table
 
@@ -91,6 +91,9 @@ FROM keyed k JOIN groups g USING (text_key)
 
 _JACCARD_TAU = 0.5
 _SHINGLE_N = 5
+
+#: shared jaccard twin — the guarded floor-scale convention, generated once
+_JAC_F6_SQL = floor6_sql("CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter)")
 
 
 def _shingled(corpus: DataFrame) -> DataFrame:
@@ -164,11 +167,11 @@ inter AS (
     GROUP BY a.doc_id, b.doc_id
 )
 SELECT doc_a, doc_b,
-       floor((CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter)) * 1e6 + 0.5) / 1e6 AS jaccard
+       {_JAC_F6_SQL} AS jaccard
 FROM inter
 JOIN sizes sa ON sa.doc_id = doc_a
 JOIN sizes sb ON sb.doc_id = doc_b
-WHERE floor((CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter)) * 1e6 + 0.5) / 1e6 >= {_JACCARD_TAU}
+WHERE {_JAC_F6_SQL} >= {_JACCARD_TAU}
 """
 
 
@@ -280,11 +283,11 @@ inter AS (
     GROUP BY c.doc_a, c.doc_b
 )
 SELECT doc_a, doc_b,
-       floor((CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter)) * 1e6 + 0.5) / 1e6 AS jaccard
+       {_JAC_F6_SQL} AS jaccard
 FROM inter
 JOIN sizes sa ON sa.doc_id = doc_a
 JOIN sizes sb ON sb.doc_id = doc_b
-WHERE floor((CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter)) * 1e6 + 0.5) / 1e6 >= {_JACCARD_TAU}
+WHERE {_JAC_F6_SQL} >= {_JACCARD_TAU}
 """
 
 
@@ -423,6 +426,7 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _EMB_DOT = vx.DOT_Q_SQL.format(a="a.q", b="b.q")
+_EMB_F6_SQL = floor6_sql(f"CAST({_EMB_DOT} AS DOUBLE) / (a.nq * b.nq)")
 
 DEDUP_EMBEDDING_SQL = f"""
 WITH base AS ({EMB_CORPUS_SQL}),
@@ -430,10 +434,10 @@ corpus AS (
     SELECT *, sqrt(CAST({vx.DOT_Q_SQL.format(a='q', b='q')} AS DOUBLE)) AS nq FROM base
 )
 SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-       floor((CAST({_EMB_DOT} AS DOUBLE) / (a.nq * b.nq)) * 1e6 + 0.5) / 1e6 AS cosine
+       {_EMB_F6_SQL} AS cosine
 FROM corpus a JOIN corpus b
   ON a.label = b.label AND a.vec_id < b.vec_id
-WHERE floor((CAST({_EMB_DOT} AS DOUBLE) / (a.nq * b.nq)) * 1e6 + 0.5) / 1e6 >= {_EMB_TAU}
+WHERE {_EMB_F6_SQL} >= {_EMB_TAU}
 """
 
 
@@ -1085,7 +1089,7 @@ true_pairs AS MATERIALIZED (
     SELECT doc_a, doc_b FROM inter
     JOIN sizes sa ON sa.doc_id = doc_a
     JOIN sizes sb ON sb.doc_id = doc_b
-    WHERE floor((CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter)) * 1e6 + 0.5) / 1e6 >= {_JACCARD_TAU}
+    WHERE {_JAC_F6_SQL} >= {_JACCARD_TAU}
 )
 {" UNION ALL ".join(_lsh_row_sql(b, r, s50, f"b{b}") for b, r, s50 in _LSH_CONFIGS)}
 """

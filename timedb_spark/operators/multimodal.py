@@ -29,6 +29,8 @@ from collections.abc import Iterator
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from timedb_spark.functions.rounding import floor6_sql
 from pyspark.sql import types as T
 
 from timedb_spark.io.tables import load_table
@@ -557,14 +559,14 @@ SELECT doc_id,
        CASE WHEN doc_id % 7 = 0 THEN 'png' ELSE 'fakeimg' END AS fmt,
        CAST(width AS INT) AS width,
        CAST(height AS INT) AS height,
-       floor(CAST(sx AS DOUBLE) / n * 1e6 + 0.5) / 1e6 AS mean_px,
-       floor(sqrt(CAST(sxx AS DOUBLE)/n - (CAST(sx AS DOUBLE)/n) * (CAST(sx AS DOUBLE)/n)) * 1e6 + 0.5) / 1e6 AS std_px,
+       {floor6_sql('CAST(sx AS DOUBLE) / n')} AS mean_px,
+       {floor6_sql('sqrt(CAST(sxx AS DOUBLE)/n - (CAST(sx AS DOUBLE)/n) * (CAST(sx AS DOUBLE)/n))')} AS std_px,
        {_chunk_mean_sql(0)} || '|' || {_chunk_mean_sql(1)} || '|' || {_chunk_mean_sql(2)} || '|' || {_chunk_mean_sql(3)} AS thumb
 FROM agg
 """
 
 
-AUDIO_FEATURES_SQL = """
+AUDIO_FEATURES_SQL = f"""
 WITH meta AS (
     SELECT doc_id, CAST(256 + doc_id % 128 AS INT) AS n_samples
     FROM documents
@@ -585,7 +587,7 @@ WITH meta AS (
 SELECT doc_id,
        n_samples,
        CAST(n_samples AS DOUBLE) * 1000.0 / 8000.0 AS duration_ms,
-       floor(sqrt(CAST(list_sum(list_transform(smp, x -> x*x)) AS DOUBLE) / n_samples) * 1e6 + 0.5) / 1e6 AS rms,
+       {floor6_sql('sqrt(CAST(list_sum(list_transform(smp, x -> x*x)) AS DOUBLE) / n_samples)')} AS rms,
        CAST(list_sum(list_transform(range(2, n_samples+1),
             i -> CASE WHEN (smp[CAST(i AS INT)] < 0) != (smp[CAST(i-1 AS INT)] < 0) THEN 1 ELSE 0 END)) AS INT)
            AS n_zero_crossings,

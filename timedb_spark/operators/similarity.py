@@ -17,7 +17,7 @@ from pyspark.sql import functions as F
 
 from timedb_spark.functions import texttools as tt
 from timedb_spark.functions import vectors as vx
-from timedb_spark.functions.rounding import floor6
+from timedb_spark.functions.rounding import floor6, floor6_sql
 from timedb_spark.io.tables import load_table
 
 _TOP_K = 5
@@ -610,7 +610,7 @@ cl AS (
 dups AS (
     SELECT b.vec_id, count(*) AS n_dup_lower
     FROM cl a JOIN cl b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
-    WHERE floor((CAST({dot} AS DOUBLE) / (a.nq * b.nq)) * 1e6 + 0.5) / 1e6 >= {_EMB_TAU}
+    WHERE {floor6_sql(f'CAST({dot} AS DOUBLE) / (a.nq * b.nq)')} >= {_EMB_TAU}
     GROUP BY b.vec_id
 )
 SELECT cl.vec_id, cl.cluster,
@@ -1304,10 +1304,10 @@ other AS (
     ) t WHERE rn = 1
 )
 SELECT o.vec_id, o.label,
-       floor(o.cos_own * 1e6 + 0.5) / 1e6 AS cos_own,
+       {floor6_sql('o.cos_own')} AS cos_own,
        t.best_other,
-       floor(t.cos_other * 1e6 + 0.5) / 1e6 AS cos_other,
-       floor((o.cos_own - t.cos_other) * 1e6 + 0.5) / 1e6 AS margin,
+       {floor6_sql('t.cos_other')} AS cos_other,
+       {floor6_sql('o.cos_own - t.cos_other')} AS margin,
        t.cos_other > o.cos_own AS is_mislabeled
 FROM own o JOIN other t ON o.vec_id = t.vec_id
 """

@@ -12,7 +12,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from timedb_spark.functions import texttools as tt
-from timedb_spark.functions.rounding import floor6
+from timedb_spark.functions.rounding import floor6, floor6_sql
 from timedb_spark.io.tables import load_table
 
 # ---------------------------------------------------------------------------
@@ -550,7 +550,7 @@ marked AS (
 SELECT doc_id,
        count(*) AS n_shingles,
        count(*) FILTER (df >= {_BOILER_MIN_DOCS}) AS n_boiler,
-       floor(count(*) FILTER (df >= {_BOILER_MIN_DOCS}) / count(*) * 1e6 + 0.5) / 1e6 AS boiler_ratio
+       {floor6_sql(f'count(*) FILTER (df >= {_BOILER_MIN_DOCS}) / count(*)')} AS boiler_ratio
 FROM marked
 GROUP BY doc_id
 """
@@ -590,7 +590,7 @@ def text_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-TEXT_VOCAB_SQL = r"""
+TEXT_VOCAB_SQL = rf"""
 WITH counts AS (
     SELECT token, count(*) AS n
     FROM (SELECT unnest(string_split_regex(trim(text), '\s+')) AS token FROM documents)
@@ -598,8 +598,7 @@ WITH counts AS (
 )
 SELECT token, n,
        row_number() OVER (ORDER BY n DESC, token) AS rank,
-       floor(sum(n) OVER (ORDER BY n DESC, token ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-             / sum(n) OVER () * 1e6 + 0.5) / 1e6 AS cum_share
+       {floor6_sql("sum(n) OVER (ORDER BY n DESC, token ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) / sum(n) OVER ()")} AS cum_share
 FROM counts
 """
 

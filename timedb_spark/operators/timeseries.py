@@ -26,7 +26,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from timedb_spark.functions.rounding import floor6
+from timedb_spark.functions.rounding import floor6, floor6_sql, floor_scale, floor_scale_sql
 from timedb_spark.io.tables import load_table
 
 
@@ -580,8 +580,8 @@ dev AS (
 ),
 mad AS (SELECT event_type, quantile_cont(dev, 0.5) AS mad FROM dev GROUP BY event_type)
 SELECT d.event_id, d.event_type, d.value,
-       floor(d.med * 1e6 + 0.5) / 1e6 AS med, floor(m.mad * 1e6 + 0.5) / 1e6 AS mad,
-       floor(d.dev * 1e6 + 0.5) / 1e6 AS dev
+       {floor6_sql('d.med')} AS med, {floor6_sql('m.mad')} AS mad,
+       {floor6_sql('d.dev')} AS dev
 FROM dev d JOIN mad m USING (event_type)
 WHERE d.dev > {_MAD_K} * m.mad
 """
@@ -604,10 +604,10 @@ def _hourly_series(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_HOURLY_SERIES_SQL = """
+_HOURLY_SERIES_SQL = f"""
 SELECT user_id AS series_id,
        date_trunc('hour', ts) AS valid_time,
-       floor(avg(value) * 1e6 + 0.5) / 1e6 AS value
+       {floor6_sql('avg(value)')} AS value
 FROM events
 WHERE hour(ts) % 3 < 2
 GROUP BY 1, 2
@@ -744,9 +744,9 @@ def moving_stats(spark: SparkSession, sf_dir: str, *, n: int = 24) -> DataFrame:
     )
 
 
-MOVING_STATS_SQL = """
+MOVING_STATS_SQL = f"""
 SELECT user_id, event_id, ts,
-       floor(avg(value) OVER w * 1e6 + 0.5) / 1e6 AS mov_avg,
+       {floor6_sql('avg(value) OVER w')} AS mov_avg,
        min(value) OVER w AS mov_min,
        max(value) OVER w AS mov_max,
        count(*) OVER w AS n_in_window
@@ -766,15 +766,15 @@ def anomaly_zscore(spark: SparkSession, sf_dir: str, *, threshold: float = 2.5) 
     sd = F.stddev_samp("value").over(w)
     z = (F.col("value") - mu) / sd
     return (
-        ev.select("user_id", "event_id", "ts", "value", (F.floor(z * F.lit(1e4) + F.lit(0.5)) / F.lit(1e4)).alias("zscore"))
+        ev.select("user_id", "event_id", "ts", "value", floor_scale(z, 4).alias("zscore"))
         .filter(F.abs(F.col("zscore")) > threshold)
     )
 
 
-ANOMALY_ZSCORE_SQL = """
+ANOMALY_ZSCORE_SQL = f"""
 SELECT user_id, event_id, ts, value, zscore FROM (
     SELECT user_id, event_id, ts, value,
-           floor((value - avg(value) OVER w) / stddev_samp(value) OVER w * 1e4 + 0.5) / 1e4 AS zscore
+           {floor_scale_sql('(value - avg(value) OVER w) / stddev_samp(value) OVER w', 4)} AS zscore
     FROM events
     WINDOW w AS (PARTITION BY user_id)
 ) t WHERE abs(zscore) > 2.5
@@ -933,9 +933,7 @@ g AS (
     FROM pairs GROUP BY 1, 2
 )
 SELECT series_id, lag, n AS n_pairs,
-       floor(((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
-             / sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
-             / sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) * 1e6 + 0.5) / 1e6 AS acf
+       {floor6_sql("(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) / sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) / sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))")} AS acf
 FROM g WHERE n >= 4
 """
 
@@ -974,7 +972,7 @@ def seasonal_naive(spark: SparkSession, sf_dir: str, *, period_hours: int = 168)
     )
 
 
-SEASONAL_NAIVE_SQL = """
+SEASONAL_NAIVE_SQL = f"""
 WITH hourly AS (
     SELECT user_id AS series_id, date_trunc('hour', ts) AS h,
            CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS v
@@ -982,15 +980,15 @@ WITH hourly AS (
 ),
 j AS (
     SELECT cur.series_id,
-           CAST(floor((cur.v - past.v) * 1e6 + 0.5) / 1e6 AS DECIMAL(28,6)) AS err,
-           CAST(floor((cur.v - past.v) * (cur.v - past.v) * 1e6 + 0.5) / 1e6 AS DECIMAL(28,6)) AS err2
+           CAST({floor6_sql('cur.v - past.v')} AS DECIMAL(28,6)) AS err,
+           CAST({floor6_sql('(cur.v - past.v) * (cur.v - past.v)')} AS DECIMAL(28,6)) AS err2
     FROM hourly cur JOIN hourly past
       ON cur.series_id = past.series_id
      AND cur.h = past.h + INTERVAL 168 HOUR
 )
 SELECT series_id, count(*) AS n_points,
-       floor(CAST(sum(abs(err)) AS DOUBLE) / count(*) * 1e6 + 0.5) / 1e6 AS mae,
-       floor(sqrt(CAST(sum(err2) AS DOUBLE) / count(*)) * 1e6 + 0.5) / 1e6 AS rmse
+       {floor6_sql('CAST(sum(abs(err)) AS DOUBLE) / count(*)')} AS mae,
+       {floor6_sql('sqrt(CAST(sum(err2) AS DOUBLE) / count(*))')} AS rmse
 FROM j
 GROUP BY series_id
 """

@@ -35,7 +35,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from timedb_spark.functions.rounding import floor6
+from timedb_spark.functions.rounding import floor6, floor6_sql
 from timedb_spark.io.tables import load_table
 
 _DEC = "decimal(18,2)"
@@ -64,9 +64,9 @@ def derived_partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-PS_SQL = """
+PS_SQL = f"""
     SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
-           min(floor(l_extendedprice / l_quantity * 1e6 + 0.5) / 1e6) AS ps_supplycost,
+           min({floor6_sql('l_extendedprice / l_quantity')}) AS ps_supplycost,
            CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS ps_availqty
     FROM lineitem GROUP BY 1, 2
 """

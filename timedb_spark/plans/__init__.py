@@ -129,10 +129,14 @@ def assert_no_broadcast_over_raw_explode(df: DataFrame) -> None:
             if blocked is not None and dj > blocked:
                 continue
             blocked = None
+            # ONLY genuinely size-collapsing nodes shield: aggregates and
+            # top-k. A JOIN does NOT — its output is at least as large as
+            # its probe side, so a broadcast of a join-over-raw-explode is
+            # still the driver-OOM class (r12 review finding: shielding on
+            # joins made exactly that shape a false negative).
             if any(c in lines[j] for c in (
                 "HashAggregate", "SortAggregate", "ObjectHashAggregate",
-                "TakeOrderedAndProject", "BroadcastHashJoin",
-                "BroadcastNestedLoopJoin", "SortMergeJoin", "ShuffledHashJoin",
+                "TakeOrderedAndProject",
             )):
                 blocked = dj
                 continue

@@ -22,7 +22,15 @@ per-key density, so the workload shape stays comparable:
              does not);
 - lineitem:  part/order/supp keys offset per replica — disjoint
              co-purchase graphs (a real sf1 has more parts, not denser
-             ones).
+             ones);
+- embeddings: vec_id AND label offset per replica, vector components
+             ROLLED by the replica index — norms and within-replica
+             geometry are preserved while cross-replica cosines
+             decorrelate (identical copies would make every LSH/kmeans
+             bucket 10× denser with genuine near-dups, growing the pair
+             space quadratically in replicas). The fixed ANN query set
+             (vec_id < N_QUERIES) stays replica-0 only — corpus scales,
+             queries sampled, the production ANN shape.
 
 Usage: python tools/scaleprobe.py [--replicas 10] [--out SCALEPROBE.json]
 """
@@ -47,6 +55,13 @@ PROBES = [
     "graph_triangles",
     "rollup_bitemporal_agg",
     "rollup_pit_backtest",
+    # similarity / text family (r12 extension — embeddings replicated too)
+    "dedup_semantic",
+    "ann_ivf",
+    "embed_kmeans",
+    "dedup_winnowing",
+    "text_tfidf",
+    "contamination_check",
 ]
 
 BASE_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -80,7 +95,10 @@ def build_stress_dir(spark: SparkSession, base: str, out_dir: str, replicas: int
     )
 
     docs = load_table(spark, base, "documents")
-    d_span = docs.agg(F.max("doc_id")).collect()[0][0] + 1
+    # doc ids carry no density assumption (shingle ops never key on id
+    # arithmetic), so the stride simply clears doc_corpus's planted space
+    # (+100000 near, +200000 exact) for any replica count
+    d_span = docs.agg(F.max("doc_id")).collect()[0][0] + 1 + 200001
 
     def doc_tx(df, i):
         df = df.withColumn("doc_id", F.col("doc_id") + F.lit(i * d_span))
@@ -93,6 +111,35 @@ def build_stress_dir(spark: SparkSession, base: str, out_dir: str, replicas: int
         return df.withColumn("text", suffixed)
 
     replicate("documents", doc_tx)
+
+    emb = load_table(spark, base, "embeddings")
+    # DENSE stride: the kmeans/SemDeDup centroid seeding keys on vec_id
+    # modulo (dense-id testdata contract), so a sparse stride collapses the
+    # cluster structure into one giant quadratic bucket. Density + the
+    # planted-id space (+100000) instead bound the replica count — guarded
+    # loudly below.
+    v_span = emb.agg(F.max("vec_id")).collect()[0][0] + 1
+    if replicas * v_span > 100000:
+        raise SystemExit(
+            f"replicas*{v_span} vec_ids would collide with emb_corpus's "
+            "+100000 planted-duplicate id space — lower --replicas"
+        )
+    l_span = emb.agg(F.max("label")).collect()[0][0] + 1
+
+    def emb_tx(df, i):
+        df = df.withColumns({
+            "vec_id": F.col("vec_id") + F.lit(i * v_span),
+            "label": (F.col("label") + F.lit(i * l_span)).cast("int"),
+        })
+        if i == 0:
+            return df
+        dim_m = 64 - (i % 64)
+        rolled = F.concat(
+            F.slice("embedding", i % 64 + 1, dim_m), F.slice("embedding", 1, i % 64)
+        )
+        return df.withColumn("embedding", rolled)
+
+    replicate("embeddings", emb_tx)
 
     li = load_table(spark, base, "lineitem")
     spans = li.agg(
@@ -116,6 +163,9 @@ def main() -> None:
     ap.add_argument("--keep", action="store_true", help="keep the stress dir")
     args = ap.parse_args()
 
+    if args.replicas > 64:
+        sys.exit("replicas > 64 would produce identity vector rolls (i % 64 == 0)")
+
     from timedb_spark.session import get_spark
 
     spark = get_spark("timedb_spark-scaleprobe")
@@ -125,9 +175,18 @@ def main() -> None:
 
     queries = entrymod.queries()
     stress_dir = f"/tmp/timedb_scaleprobe_x{args.replicas}"
-    if not os.path.exists(f"{stress_dir}/lineitem.parquet"):
+    manifest = {"replicas": args.replicas, "tables": ["events", "documents", "embeddings", "lineitem"], "v": 3}
+    mpath = f"{stress_dir}/_MANIFEST.json"
+    have = None
+    if os.path.exists(mpath):
+        with open(mpath) as f:
+            have = json.load(f)
+    if have != manifest:
+        shutil.rmtree(stress_dir, ignore_errors=True)
         t0 = time.perf_counter()
         build_stress_dir(spark, BASE_SF_DIR, stress_dir, args.replicas)
+        with open(mpath, "w") as f:
+            json.dump(manifest, f)
         print(f"built {stress_dir} in {time.perf_counter() - t0:.1f}s", file=sys.stderr)
 
     def run(name: str, sf_dir: str) -> float:
