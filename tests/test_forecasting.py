@@ -570,3 +570,52 @@ def test_pit_train_split_boundary_and_min_obs_cross_engine(spark, tmp_path):
     )
     got = sorted(tuple(sorted((k, str(v)) for k, v in r.asDict().items())) for r in out)
     assert got == duck
+
+
+def test_pit_train_split_random_histories_match_python_replay(spark, tmp_path):
+    """Property (seeded): on random event histories the full row-level
+    split assignment must equal a pure-Python recompute — grid = distinct
+    (series, hour), per-series rows ordered by valid_time, last ⌈n/5⌉
+    are 'test', series with n < 10 excluded entirely. Catches an
+    off-by-one in the tail cut, a wrong ordering column, or the exclusion
+    silently defaulting to 'train'."""
+    import math
+    import random
+
+    rng = random.Random(1217)
+    rows = []
+    used = set()
+    for i in range(220):
+        user = rng.randint(1, 6)      # mixed sizes: some series < 10 hours
+        day = rng.randint(1, 5)
+        hour = rng.randint(0, 23)
+        key = (user, day, hour)
+        if key in used:
+            continue
+        used.add(key)
+        rows.append((i * 4, datetime(2024, 1, day, hour, rng.randint(0, 59)),
+                     user, "x", float(rng.randint(-50, 50))))
+    for h in range(4):  # series 99: below the min-obs floor by construction
+        rows.append((1000 + h * 4, datetime(2024, 1, 2, h, 30), 99, "x", 1.0))
+    d = _events_dir(tmp_path, rows)
+
+    hours = {}
+    for _eid, ts, user, _et, _v in rows:
+        hours.setdefault(user, set()).add(ts.replace(minute=0, second=0))
+    expect = {}
+    for user, hs in hours.items():
+        ordered = sorted(hs)
+        n = len(ordered)
+        if n < 10:
+            continue  # excluded, never 'train'
+        n_test = math.ceil(n / 5)
+        for i, vt in enumerate(ordered):
+            expect[(user, vt)] = "test" if i >= n - n_test else "train"
+
+    got = {
+        (r.series_id, r.valid_time): r.split
+        for r in fc.pit_train_split(spark, d).collect()
+    }
+    assert got == expect
+    assert any(v == "test" for v in expect.values())
+    assert len(hours) > len({u for u, _ in expect}), "no series excluded — fixture degenerate"
