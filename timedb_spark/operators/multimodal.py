@@ -673,7 +673,11 @@ def multimodal_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(F.array(*[F.lit(b) for b in range(_PHASH_BANDS)])).alias("bi"),
     ).withColumn("bval", F.expr("shiftright(phash, bi * 16) & 65535"))
     a = bands.select(F.col("doc_id").alias("da"), F.col("phash").alias("pa"), "bi", "bval")
-    b = bands.select(F.col("doc_id").alias("db"), F.col("phash").alias("pb"), "bi", "bval")
+    # merge hint: band frames are explode-derived (linear in the corpus) —
+    # Catalyst's post-explode estimate is the pre-explode scan size, so a
+    # side would be STATICALLY broadcast (the scaleprobe r12 driver-OOM
+    # class; AQE cannot demote it).
+    b = bands.select(F.col("doc_id").alias("db"), F.col("phash").alias("pb"), "bi", "bval").hint("merge")
     cand = (
         a.join(b, ["bi", "bval"])
         .filter(F.col("da") != F.col("db"))
@@ -806,7 +810,11 @@ def multimodal_audio_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(F.array(*[F.lit(b) for b in range(_AHASH_BANDS)])).alias("bi"),
     ).withColumn("bval", F.expr("shiftright(ahash, bi * 4) & 15"))
     a = bands.select(F.col("doc_id").alias("da"), F.col("ahash").alias("pa"), "bi", "bval")
-    b = bands.select(F.col("doc_id").alias("db"), F.col("ahash").alias("pb"), "bi", "bval")
+    # merge hint: band frames are explode-derived (linear in the corpus) —
+    # Catalyst's post-explode estimate is the pre-explode scan size, so a
+    # side would be STATICALLY broadcast (the scaleprobe r12 driver-OOM
+    # class; AQE cannot demote it).
+    b = bands.select(F.col("doc_id").alias("db"), F.col("ahash").alias("pb"), "bi", "bval").hint("merge")
     cand = (
         a.join(b, ["bi", "bval"])
         .filter(F.col("da") != F.col("db"))

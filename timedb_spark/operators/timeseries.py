@@ -447,7 +447,11 @@ def range_join_events(spark: SparkSession, sf_dir: str, *, hours: int = 3) -> Da
         ),
     )
     right_b = right.withColumn("bucket", F.date_trunc("hour", "r_ts"))
-    j = left_b.join(right_b, on=["k", "bucket"]).filter(
+    # merge hint: left_b is explode-derived (x4 hour buckets, linear in
+    # events) — without it the static planner can broadcast it (the
+    # scaleprobe r12 driver-OOM class), defeating the binning that exists
+    # precisely to avoid a broadcast-nested-loop at scale.
+    j = left_b.hint("merge").join(right_b, on=["k", "bucket"]).filter(
         (F.col("r_ts") > F.col("ev_ts"))
         & (F.col("r_ts") <= F.col("ev_ts") + F.expr(f"interval {hours} hours"))
     )
@@ -892,8 +896,12 @@ def autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(F.array(*[F.lit(k) for k in _ACF_LAGS])).alias("lag"),
         F.col("h").alias("hl"),
     )
+    # merge hint: lagged is explode-derived (x|_ACF_LAGS|, linear in the
+    # hourly frame) — a static broadcast of it is the scaleprobe r12
+    # driver-OOM class at scale.
     pairs = base.join(
-        lagged, (F.col("series_id") == F.col("sid_l")) & (F.col("h") == F.col("hl") + F.col("lag"))
+        lagged.hint("merge"),
+        (F.col("series_id") == F.col("sid_l")) & (F.col("h") == F.col("hl") + F.col("lag")),
     ).select(F.col("series_id").alias("sid"), "lag", F.col("v").alias("x"), F.col("vl").alias("y"))
     g = pairs.groupBy(F.col("sid").alias("series_id"), "lag").agg(
         F.count(F.lit(1)).alias("n"),
