@@ -977,7 +977,10 @@ def test_registry_never_broadcasts_raw_exploded_sides(spark, sf_dir):
             continue
         if name.startswith("stream_"):
             continue  # streaming drains; plan audited via their batch twins
-        plans.assert_no_broadcast_over_raw_explode(fn(spark, sf_dir))
+        try:
+            plans.assert_no_broadcast_over_raw_explode(fn(spark, sf_dir))
+        except AssertionError as exc:
+            raise AssertionError(f"{name}: {exc}") from None
 
     # negative control (the r11 lesson: a green assert proves nothing unless
     # the detector demonstrably engages): the same exploded self-join WITHOUT

@@ -70,13 +70,16 @@ def test_floor6_literal_pins(spark):
 
 
 def test_r12_converted_oracles_carry_the_guard(spark):
-    """Every oracle converted to the floor-scale convention in r12
-    generates from the guarded helper (isnan/huge pass-through) — a
-    regression to a hand-inlined unguarded form reds here. Pre-r12
-    floor-scale sites (the r6–r9 analytics conventions, some deliberately
-    +0.5-less truncation) are grandfathered: they share the non-finite
-    divergence risk only on data-degenerate inputs and stay fenced by the
-    multi-SF parity battery (SURVEY §7 inventory)."""
+    """Each listed oracle's R12-CONVERTED SITE (the round(x,6) pair
+    rewritten this round — for the hourly-grid queries that site is the
+    shared _HOURLY_SERIES_SQL avg) generates from the guarded helper
+    (isnan/huge pass-through): un-guarding that site reds every consumer
+    here. The claim is deliberately per-converted-site, NOT per-query
+    (r12 review #2): ts_interpolate_linear / ts_holt_winters also carry
+    PRE-r12 floor-scale sites in their own outputs — the grandfathered
+    r6–r9 convention, whose non-finite divergence risk predates r12
+    unchanged (a NaN diverged at those sites under round(x,6) too) and
+    stays fenced by the multi-SF parity battery (SURVEY §7 inventory)."""
     import __spark_entry__ as entrymod
 
     o = entrymod.oracle_sql()

@@ -34,7 +34,12 @@ PASS_LIMIT = 1e12
 
 def floor_scale(c: Column, digits: int = 6) -> Column:
     """``floor(x*1eN + 0.5)/1eN`` with the non-finite/huge pass-through —
-    the gate rounding convention (Spark side)."""
+    the gate rounding convention (Spark side). ``digits`` is capped at 6:
+    PASS_LIMIT guards Spark's floor→BIGINT saturation only while
+    ``PASS_LIMIT * 10^digits < 2^63`` (at digits=7 the unguarded band
+    9.23e11..1e12 would reopen the divergence — r12 review)."""
+    if digits > 6:
+        raise ValueError(f"floor_scale supports digits <= 6 (got {digits}): PASS_LIMIT*10^digits must stay below 2^63")
     s = F.lit(float(10**digits))
     cd = c.cast("double")
     return F.when(F.isnan(cd) | (F.abs(cd) > F.lit(PASS_LIMIT)), cd).otherwise(
@@ -46,6 +51,8 @@ def floor_scale_sql(expr: str, digits: int = 6) -> str:
     """DuckDB twin of :func:`floor_scale` (textual SQL form). The input
     expression is inlined three times (guard + value) — fine for oracles,
     where clarity of the shared convention beats micro-CSE."""
+    if digits > 6:
+        raise ValueError(f"floor_scale_sql supports digits <= 6 (got {digits})")
     e = f"CAST(({expr}) AS DOUBLE)"
     s = f"1e{digits}"
     return (

@@ -30,9 +30,9 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from timedb_spark.functions.rounding import floor6_sql
 from pyspark.sql import types as T
 
+from timedb_spark.functions.rounding import floor6_sql
 from timedb_spark.io.tables import load_table
 
 MAGIC = "FAKEIMG1"

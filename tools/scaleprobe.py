@@ -175,7 +175,8 @@ def main() -> None:
 
     queries = entrymod.queries()
     stress_dir = f"/tmp/timedb_scaleprobe_x{args.replicas}"
-    manifest = {"replicas": args.replicas, "tables": ["events", "documents", "embeddings", "lineitem"], "v": 3}
+    manifest = {"replicas": args.replicas, "base_sf_dir": BASE_SF_DIR,
+                "tables": ["events", "documents", "embeddings", "lineitem"], "v": 4}
     mpath = f"{stress_dir}/_MANIFEST.json"
     have = None
     if os.path.exists(mpath):
