@@ -1906,121 +1906,88 @@ ROWS_ONLY = frozenset({
 })
 
 
-#: Round-10 correctness-gate window (first 50 queries() entries, in order).
-#: Composition per VERDICT r9 tasks #1-#4:
-#:   1-2   snap_vacuum + client_write_validation — the ONLY two registered
-#:         queries with no driver row ever (registered beyond the r9
-#:         window; parity-green in both pinned and hostile postures);
-#:   3     client_null_sentinel — the null ↔ NaN storage-sentinel
-#:         roundtrip PROMOTED this round from internal-only (VERDICT r9
-#:         task #4, the last SQL-checkable internal item; ref read.py:57-67,
-#:         write.py:313);
-#:   4-13  the ten r4-era rotation-debt entries displaced by the r9 store
-#:         promotions (SURVEY §7 r10 debt list);
-#:   14-50 oldest-green re-rotation (VERDICT r8 task #4 done-criterion:
-#:         no green older than r6): 37 of the 46 remaining r5-era greens —
-#:         tpch q2/q4/q6-q22, the asof family, basket_pairs,
-#:         events_window_sliding (the VERDICT-named set), then the
-#:         riskier multi-stage shapes (interval_merge, restatements,
-#:         pagerank, pack_documents, stream v2 state, ANN variants,
-#:         multimodal codecs, attribution, funnel). The NINE single-scan
-#:         r5 greens that didn't fit (events_abtest, events_json,
-#:         events_pivot, events_rank, profile_drift, text_boilerplate,
-#:         text_langid, text_tokens, text_vocab) are explicit r11
-#:         rotation debt, listed in SURVEY §7.
-#:
-#: Round-11 window rationale (audit trail):
-#: The driver hash-checks exactly these, so the list IS the rotation —
-#: the registration dict below is grouped by domain and no longer encodes
-#: window order itself. Composition per VERDICT r10 tasks #1/#2/#4/#5:
-#:   1-2   rollup_bitemporal_agg + bt_pit_features — the r10 flagships,
-#:         the only registered queries with no driver row (registered
-#:         beyond the r10 window); front-loaded per task #1.
-#:   3-11  the nine r5-era leftovers (events_abtest/json/pivot/rank,
-#:         profile_drift, text_boilerplate/langid/tokens/vocab) — task #2;
-#:         with these green, NO green predates r6 for the first time.
-#:   12-13 rollup_pit_backtest + rollup_retention_refresh — this round's
-#:         two earned compositions (task #5a/b: PIT backtest replayed
-#:         against the materialized hourly state; TTL sweep driving the
-#:         removed-files full-recompute fallback as a gate), registered
-#:         in-window so they carry driver rows from birth.
-#:   14-50 re-rotation of the OLDEST remaining greens (task #4): 37 of
-#:         the 40 r6-era rows, oldest-first toward the next criterion
-#:         ("no green predates r7"). The three that didn't fit (ts_sax,
-#:         ts_seasonal_strength, ts_theta) are explicit r12 rotation
-#:         debt, listed in SURVEY §7.
+#: Round-13 correctness-gate window (first 50 queries() entries, in order).
+#: The driver hash-checks exactly these, so the list IS the rotation — the
+#: registration dict below is grouped by domain and does not encode window
+#: order itself. Composition per VERDICT r12 task #2 (finish the freshness
+#: ladder):
+#:   1-3   text_lm_score, events_paths, graph_triangles — the declared r13
+#:         rotation debt (the last three r7-era greens, displaced from the
+#:         r12 window); with these fresh, NO green predates r8.
+#:   4-50  the ENTIRE r8-era block: all 47 queries whose newest green row
+#:         is CORRECTNESS_r08, oldest-first in that file's order (the
+#:         freshness ledger r7:3/r8:47 means the whole era fits the
+#:         remaining slots exactly — zero displaced, zero r14 rotation
+#:         debt; the next-oldest rows are r9-era).
 #: Window-discipline rule (VERDICT r5 #4): queries registered mid-round go
 #: INSIDE this window or are explicitly listed as next-window debt in
 #: SURVEY §7.
-_R12_WINDOW = [
-    # -- the last three r6-era greens (VERDICT r11 task #1, positions 1-3:
-    # -- with these fresh, no green predates r7) --------------------------
-    "ts_sax",
-    "ts_seasonal_strength",
-    "ts_theta",
-    # -- r12 growth, registered IN-window: the exactly-once streaming
-    # -- ingestion promotion (task #2) + the earned composition (task #3) --
-    "stream_ingest_once",
-    "pit_train_split",
-    # -- oldest-green re-rotation: r7-era rows in CORRECTNESS_r07 order
-    # -- (45 of 48; text_lm_score / events_paths / graph_triangles
-    # -- displaced -> r13 debt, SURVEY §7) --------------------------------
-    "graph_link_predict",
-    "snap_time_travel",
-    "ts_cusum",
-    "stream_cusum_v2",
-    "ts_hurst",
-    "events_lift",
-    "dedup_containment",
-    "dedup_report",
-    "text_novelty",
-    "profile_sources",
-    "dedup_exact",
-    "dedup_ngram_jaccard",
-    "dedup_minhash",
-    "dedup_simhash",
-    "dedup_embedding",
-    "dedup_editdist",
-    "dedup_clusters",
-    "contamination_check",
-    "profile_table",
-    "sample_stratified",
-    "sample_mix",
-    "train_split",
-    "shard_assign",
-    "ann_bruteforce",
-    "ann_ivf",
-    "ann_pq",
-    "embed_kmeans",
-    "multimodal_meta",
-    "stream_window",
-    "stream_latest_state",
-    "stream_dedup",
-    "stream_sessionize",
-    "stream_join",
-    "stream_join_ordered",
-    "ts_resample_locf",
-    "ts_interpolate_linear",
-    "ts_rollup_multires",
-    "ts_sessionize",
-    "ts_ohlc",
-    "ts_ewma",
-    "ts_rate",
-    "ts_corr",
-    "ts_decompose",
-    "events_session_window",
-    "text_script",
+_R13_WINDOW = [
+    # -- the declared r13 rotation debt (VERDICT r12 task #2, positions
+    # -- 1-3: with these fresh, no green predates r8) --------------------
+    "text_lm_score",
+    "events_paths",
+    "graph_triangles",
+    # -- the whole r8-era block (47), oldest-first in CORRECTNESS_r08
+    # -- order — the era fits exactly; zero r14 rotation debt ------------
+    "store_compact_zorder",
+    "ts_macd",
+    "ts_anomaly_online",
+    "stream_anomaly_v2",
+    "graph_clustering",
+    "graph_kcore",
+    "embed_index_stats",
+    "embed_knn_graph",
+    "embed_cluster_purity",
+    "ann_filtered",
+    "ts_sharpe",
+    "ts_benford",
+    "ts_runs_test",
+    "ts_rsi",
+    "ts_bollinger",
+    "ts_ljung_box",
+    "ts_spectral_entropy",
+    "bt_knowledge_lag",
+    "embed_isotropy",
+    "multimodal_phash",
+    "sample_dedup_aware",
+    "events_time_to_convert",
+    "bt_staleness",
+    "ts_pacf",
+    "dedup_lsh_tuning",
+    "pipeline_dq_rules",
+    "events_seasonality",
+    "ts_ccf",
+    "bt_revision_latency",
+    "ts_adf",
+    "ts_var_es",
+    "embed_centroid_drift",
+    "bt_coverage",
+    "ts_motif",
+    "events_power",
+    "events_anomaly_daily",
+    "events_markov_stationary",
+    "graph_assortativity",
+    "sample_kcenter",
+    "ts_forecast_ensemble",
+    "ts_granger",
+    "dedup_winnowing",
+    "ts_arch_test",
+    "multimodal_audio_hash",
+    "contamination_semantic",
+    "ts_dist_drift",
+    "train_split_temporal",
 ]
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """The driver hash-checks the FIRST 50 entries; ``_R12_WINDOW`` (above)
+    """The driver hash-checks the FIRST 50 entries; ``_R13_WINDOW`` (above)
     pins that order each round. The registry literal below is grouped by
     domain; queries() re-orders it window-first, everything else after in
     registry order. Greens rotated out of the window stay green locally via
     tools/parity.py (full-register parity at sf0.001/0.01/0.1 per round)."""
     reg: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-        # (registry order below is domain grouping only — _R12_WINDOW above
+        # (registry order below is domain grouping only — _R13_WINDOW above
         # decides what the driver checks)
         "embed_quantize": _q_embed_quantize,
         "ts_theta": timeseries.theta_forecast,
@@ -2308,7 +2275,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_dist_drift": timeseries.dist_drift,
         "train_split_temporal": sampling.train_split_temporal,
     }
-    out = {k: reg[k] for k in _R12_WINDOW}
+    out = {k: reg[k] for k in _R13_WINDOW}
     out.update((k, v) for k, v in reg.items() if k not in out)
     return out
 
