@@ -1718,6 +1718,15 @@ def _materialized_stream_ingest(spark: SparkSession, sf_dir: str):
         landing = f"{root}/landing"
         with micros_parquet_writes(spark):
             sv.repartition(3).write.parquet(landing)
+        # the multi-batch floor is the number of part-files ACTUALLY written
+        # (ADVICE r12): maxFilesPerTrigger=1 makes one micro-batch per file,
+        # and a degenerate sf_dir whose writer emits fewer than 3 files must
+        # still gate on "every file became a commit", not a hard-coded 3.
+        import glob as _glob
+
+        n_files = len(_glob.glob(f"{landing}/part-*"))
+        if n_files < 1:
+            raise RuntimeError(f"stream-ingest gate: no landing part-files under {landing}")
 
         st = SnapshotStore(spark, f"{root}/store")
         st.create()
@@ -1726,17 +1735,20 @@ def _materialized_stream_ingest(spark: SparkSession, sf_dir: str):
             spark.readStream.schema(sv.schema).option("maxFilesPerTrigger", 1).parquet(landing)
         )
         n1 = stream_append_to_store(stream, st, checkpoint_dir=ckpt)
-        if n1 < 3:
-            raise RuntimeError(f"stream-ingest gate: expected >=3 micro-batches, got {n1}")
+        if n1 < n_files:
+            raise RuntimeError(
+                f"stream-ingest gate: expected >={n_files} micro-batches "
+                f"(one per landing part-file), got {n1}"
+            )
         versions = st.versions()
         n_appends = sum(1 for v in versions if v["op"] == "append")
         # at-least-once foreachBatch means invocations may EXCEED commits (a
         # legitimately deduped replay invokes but commits nothing — r12
         # review); commits exceeding invocations would mean phantom writes.
-        if not (3 <= n_appends <= n1):
+        if not (n_files <= n_appends <= n1):
             raise RuntimeError(
                 f"stream-ingest gate: {n_appends} append commits outside "
-                f"[3, {n1} foreachBatch invocations]"
+                f"[{n_files} landing files, {n1} foreachBatch invocations]"
             )
         v_top = versions[-1]["version"]
         n_rows = st.read_values().count()

@@ -94,3 +94,14 @@ def test_r12_converted_oracles_carry_the_guard(spark):
         "text_vocab",
     ):
         assert "CASE WHEN isnan" in o[name], f"{name}: guard missing from oracle"
+
+
+def test_sql_twin_interpolates_the_exact_guard_bound():
+    """ADVICE r12: the SQL twin must carry repr(PASS_LIMIT) — the exact
+    float literal the Spark twin compares — not a one-significant-digit
+    format that would silently round a future non-single-digit bound
+    (e.g. 9.2e12 → '9e+12') and reopen a cross-engine divergence band."""
+    sql = floor6_sql("x")
+    assert repr(PASS_LIMIT) in sql
+    # the exact-roundtrip property the interpolation relies on
+    assert float(repr(PASS_LIMIT)) == PASS_LIMIT

@@ -55,8 +55,11 @@ def floor_scale_sql(expr: str, digits: int = 6) -> str:
         raise ValueError(f"floor_scale_sql supports digits <= 6 (got {digits})")
     e = f"CAST(({expr}) AS DOUBLE)"
     s = f"1e{digits}"
+    # repr(PASS_LIMIT), not {:.0e}: a one-significant-digit format would
+    # silently round a future bound like 9.2e12 to 9e+12 in the SQL twin
+    # while the Spark twin compares the exact float (ADVICE r12).
     return (
-        f"CASE WHEN isnan({e}) OR abs({e}) > {PASS_LIMIT:.0e} THEN {e} "
+        f"CASE WHEN isnan({e}) OR abs({e}) > {PASS_LIMIT!r} THEN {e} "
         f"ELSE floor({e} * {s} + 0.5) / {s} END"
     )
 

@@ -92,8 +92,15 @@ FROM keyed k JOIN groups g USING (text_key)
 _JACCARD_TAU = 0.5
 _SHINGLE_N = 5
 
-#: shared jaccard twin — the guarded floor-scale convention, generated once
-_JAC_F6_SQL = floor6_sql("CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter)")
+def _jac_f6_sql(inter: str = "inter", sa: str = "sa", sb: str = "sb") -> str:
+    """Shared jaccard twin — the guarded floor-scale convention, generated
+    once per template. Takes the embedding template's intersection column
+    and size-CTE aliases EXPLICITLY (ADVICE r12): the three templates that
+    embed this (DEDUP_NGRAM_SQL, DEDUP_MINHASH_SQL, lsh_tuning's
+    true-pairs CTE) each pass their own names, so renaming an alias in one
+    template breaks at ITS call site in Python, not at DuckDB parse time
+    three templates away."""
+    return floor6_sql(f"CAST({inter} AS DOUBLE) / ({sa}.n_sh + {sb}.n_sh - {inter})")
 
 
 def _shingled(corpus: DataFrame) -> DataFrame:
@@ -167,11 +174,11 @@ inter AS (
     GROUP BY a.doc_id, b.doc_id
 )
 SELECT doc_a, doc_b,
-       {_JAC_F6_SQL} AS jaccard
+       {_jac_f6_sql('inter', 'sa', 'sb')} AS jaccard
 FROM inter
 JOIN sizes sa ON sa.doc_id = doc_a
 JOIN sizes sb ON sb.doc_id = doc_b
-WHERE {_JAC_F6_SQL} >= {_JACCARD_TAU}
+WHERE {_jac_f6_sql('inter', 'sa', 'sb')} >= {_JACCARD_TAU}
 """
 
 
@@ -283,11 +290,11 @@ inter AS (
     GROUP BY c.doc_a, c.doc_b
 )
 SELECT doc_a, doc_b,
-       {_JAC_F6_SQL} AS jaccard
+       {_jac_f6_sql('inter', 'sa', 'sb')} AS jaccard
 FROM inter
 JOIN sizes sa ON sa.doc_id = doc_a
 JOIN sizes sb ON sb.doc_id = doc_b
-WHERE {_JAC_F6_SQL} >= {_JACCARD_TAU}
+WHERE {_jac_f6_sql('inter', 'sa', 'sb')} >= {_JACCARD_TAU}
 """
 
 
@@ -1089,7 +1096,7 @@ true_pairs AS MATERIALIZED (
     SELECT doc_a, doc_b FROM inter
     JOIN sizes sa ON sa.doc_id = doc_a
     JOIN sizes sb ON sb.doc_id = doc_b
-    WHERE {_JAC_F6_SQL} >= {_JACCARD_TAU}
+    WHERE {_jac_f6_sql('inter', 'sa', 'sb')} >= {_JACCARD_TAU}
 )
 {" UNION ALL ".join(_lsh_row_sql(b, r, s50, f"b{b}") for b, r, s50 in _LSH_CONFIGS)}
 """

@@ -97,6 +97,20 @@ def assert_max_shuffles(df: DataFrame, n: int) -> None:
     assert got <= n, f"plan has {got} shuffle Exchanges (> {n})"
 
 
+#: A plan-tree node line is (zero or more 3-char child-continuation blocks,
+#: each "   " or ":  ") followed by the arrow "+-" or ":-". Anchoring the
+#: depth at this PREFIX — instead of searching the whole line — keeps an
+#: expression literal containing "+-" or ":-" on the node line (e.g. a
+#: filter on (x + -1)) from mis-computing tree depth (ADVICE r12).
+_TREE_ARROW = re.compile(r"^((?: {3}|: {2})*)[+:]-")
+
+
+def _tree_depth(line: str) -> int | None:
+    """Column of the tree arrow for a plan node line, else None."""
+    m = _TREE_ARROW.match(line)
+    return len(m.group(1)) if m else None
+
+
 def assert_no_broadcast_over_raw_explode(df: DataFrame) -> None:
     """No BroadcastExchange may build a RAW explode-derived relation.
 
@@ -114,16 +128,14 @@ def assert_no_broadcast_over_raw_explode(df: DataFrame) -> None:
     for i, line in enumerate(lines):
         if "BroadcastExchange" not in line:
             continue
-        m0 = re.search(r"[+:]-", line)
-        if not m0:
+        depth = _tree_depth(line)
+        if depth is None:
             continue
-        depth = m0.start()
         blocked: int | None = None  # indent below which a collapsing node shields
         for j in range(i + 1, len(lines)):
-            m1 = re.search(r"[+:]-", lines[j])
-            if m1 is None:
+            dj = _tree_depth(lines[j])
+            if dj is None:
                 continue
-            dj = m1.start()
             if dj <= depth:
                 break
             if blocked is not None and dj > blocked:
