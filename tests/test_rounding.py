@@ -92,6 +92,7 @@ def test_r12_converted_oracles_carry_the_guard(spark):
         "ts_lttb", "tpch_q2", "tpch_q11", "tpch_q16",  # q20's oracle derives availqty only — no supplycost site
         "multimodal_audio", "multimodal_decode", "text_boilerplate",
         "text_vocab",
+        "embed_knn_graph",  # r13 conversion (VERDICT r12 #4, the largest residual site)
     ):
         assert "CASE WHEN isnan" in o[name], f"{name}: guard missing from oracle"
 

@@ -166,6 +166,30 @@ def test_dedup_semantic_drops_planted_dups(spark, sf_dir):
     assert {v: (r.cluster, r.keep) for v, r in out.items()} == again
 
 
+def test_semantic_k_formula_pins_gate_and_scales(spark, sf_dir):
+    """The corpus-derived K (r13, VERDICT r12 #3): the _KM_K floor must hold
+    for EVERY gate-SF corpus so the fixed-K=16 oracle stays bit-identical,
+    and beyond the floor K must grow ∝ n (constant target cluster size —
+    the SemDeDup linear-pair-space posture, now code instead of prose)."""
+    from timedb_spark.operators.dedup import emb_corpus
+    from timedb_spark.operators.similarity import _KM_K, _SEM_TARGET_CLUSTER, _semantic_k
+
+    # gate invariance: the real gate corpora sit under the floor boundary
+    n_gate = emb_corpus(spark, sf_dir).count()
+    assert n_gate < _KM_K * _SEM_TARGET_CLUSTER
+    assert _semantic_k(n_gate) == _KM_K
+    # the largest gate corpus (sf0.1 = 2200) also stays pinned
+    assert _semantic_k(2200) == _KM_K
+    assert _semantic_k(_KM_K * _SEM_TARGET_CLUSTER - 1) == _KM_K
+    # beyond the floor: K grows with n at constant target cluster size
+    assert _semantic_k(_KM_K * _SEM_TARGET_CLUSTER) == _KM_K
+    assert _semantic_k(44000) == 44000 // _SEM_TARGET_CLUSTER == 171
+    for n in (10_000, 100_000, 1_000_000):
+        k = _semantic_k(n)
+        assert abs(n / k - _SEM_TARGET_CLUSTER) <= _SEM_TARGET_CLUSTER  # |cluster| bounded
+        assert _semantic_k(2 * n) >= k  # monotone
+
+
 # ---------------------------------------------------------------------------
 # hybrid retrieval + int8 quantization (r5 additions)
 # ---------------------------------------------------------------------------

@@ -804,6 +804,91 @@ def select_orientation(max_deg: int, n_edges: int, *, hub_factor: float = 16.0) 
 _TRI_BROADCAST_EDGES = 5_000_000
 
 
+def _copurchase_edges(li: DataFrame) -> DataFrame:
+    """Distinct co-purchase part edges (pa < pb) from an (l_orderkey,
+    l_partkey) incidence frame, lineage-cut once: the edge list feeds
+    multiple join sides (wedge legs, closing edge, degrees) and Spark does
+    not share common subplans across branches."""
+    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pa"))
+    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pb"))
+    return (
+        a.join(b, "ok").filter(F.col("pa") < F.col("pb")).select("pa", "pb").distinct()
+        .localCheckpoint(eager=False)
+    )
+
+
+def _edge_stats(edges: DataFrame):
+    """(max_deg, m) planning scalars off the edge list — the 2-scalar
+    collect behind auto orientation and the broadcast-vs-shuffle choice
+    (the same class of decision AQE makes from runtime statistics)."""
+    return (
+        edges.select(F.explode(F.array("pa", "pb")).alias("node"))
+        .groupBy("node").agg(F.count(F.lit(1)).alias("deg"))
+        .agg(F.max("deg").alias("max_deg"), (F.sum("deg") / 2).cast("long").alias("m"))
+        .collect()[0]
+    )
+
+
+def _oriented_triangles(edges: DataFrame, orient: str, broadcast_edges: bool) -> DataFrame:
+    """Triangle corners (x, y, z) via oriented wedge enumeration — the
+    shared core of :func:`graph_triangles` and :func:`graph_clustering`.
+    Every triangle is generated by exactly ONE wedge at its lowest-rank
+    corner (two equi-joins: wedge at the shared source + the closing
+    oriented edge; never a cartesian). ``orient`` is "id" or "degree"
+    (resolve "auto" with :func:`select_orientation` BEFORE calling).
+
+    Join strategy — the part that decides whether the plan survives scale:
+
+    - ``broadcast_edges``: both the wedge leg and the closing edge
+      broadcast, so the Σ outdeg² wedge stream lives inside one codegen
+      pipeline and never shuffles (measured 30 s → 6.7 s at sf0.1).
+    - otherwise (the 100 TB path): SHUFFLED HASH joins, hinted on the
+      edge-list sides, never sort-merge. SMJ would feed the wedge stream
+      (40× the edge count on this graph) through UnsafeExternalSorter; at
+      20× sf0.1 that is ~1 B rows over 32 partitions, and the spill-merge
+      phase (one read-ahead buffer per spill file × 32 concurrent tasks)
+      collapsed superlinearly — 47× wall at 20× data, then OOM'd an 8 GB
+      heap outright when re-run instrumented (r13 diagnosis of
+      SCALEPROBE_r12_x20; the r12 "broadcast flip" hypothesis was wrong —
+      m(10×) = 12 M was already past the 5 M broadcast bound, both probe
+      scales ran SMJ). SHJ builds the per-partition hash from the EDGE
+      side (|E|/shuffle-partitions rows — bounded, AQE-splittable on
+      skew) and STREAMS the wedge side, so no sorter ever materializes
+      the quadratic stream; measured post-fix ratios live in
+      SCALEPROBE_r13_x20.json.
+    """
+    if orient == "degree":
+        und = edges.unionByName(edges.select(F.col("pb").alias("pa"), F.col("pa").alias("pb")))
+        deg = und.groupBy(F.col("pa").alias("node")).agg(F.count(F.lit(1)).alias("deg"))
+        ranked = (
+            edges.join(deg.select(F.col("node").alias("pa"), F.col("deg").alias("da")), "pa")
+            .join(deg.select(F.col("node").alias("pb"), F.col("deg").alias("db")), "pb")
+        )
+        a_lower = (F.col("da") < F.col("db")) | ((F.col("da") == F.col("db")) & (F.col("pa") < F.col("pb")))
+        o = ranked.select(
+            F.when(a_lower, F.col("pa")).otherwise(F.col("pb")).alias("src"),
+            F.when(a_lower, F.col("pb")).otherwise(F.col("pa")).alias("dst"),
+            F.when(a_lower, F.col("db")).otherwise(F.col("da")).alias("dst_deg"),
+            F.when(a_lower, F.col("pb")).otherwise(F.col("pa")).alias("dst_id"),
+        )
+        rank_cols = ("dst_deg", "dst_id")
+    else:
+        o = edges.select(F.col("pa").alias("src"), F.col("pb").alias("dst"), F.col("pb").alias("dst_id"))
+        rank_cols = ("dst_id",)
+    o1 = o.select("src", F.col("dst").alias("v"), *[F.col(c).alias(f"v_{c}") for c in rank_cols])
+    o2 = o.select(F.col("src").alias("src2"), F.col("dst").alias("w"), *[F.col(c).alias(f"w_{c}") for c in rank_cols])
+    v_lower = F.struct(*[F.col(f"v_{c}") for c in rank_cols]) < F.struct(*[F.col(f"w_{c}") for c in rank_cols])
+    closing = o.select(F.col("src").alias("v"), F.col("dst").alias("w"))
+    if broadcast_edges:
+        o2, closing = F.broadcast(o2), F.broadcast(closing)
+    else:
+        o2, closing = o2.hint("shuffle_hash"), closing.hint("shuffle_hash")
+    wedges = o1.join(o2, F.col("src") == F.col("src2")).filter(v_lower).select("src", "v", "w")
+    return wedges.join(closing, ["v", "w"]).select(
+        F.col("src").alias("x"), F.col("v").alias("y"), F.col("w").alias("z")
+    )
+
+
 def graph_triangles(spark: SparkSession, sf_dir: str, *, top_n: int = 20, orient: str = "auto") -> DataFrame:
     """Triangle counting over the co-purchase part graph — the clustering/
     cohesion member of the graph family (pagerank = influence,
@@ -846,51 +931,13 @@ def graph_triangles(spark: SparkSession, sf_dir: str, *, top_n: int = 20, orient
     sf0.1). Past the threshold (the 100 TB graph) it falls back to shuffle
     joins, where the degree orientation keeps wedge volume at O(m^1.5)."""
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
-    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pa"))
-    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pb"))
-    edges = (
-        a.join(b, "ok").filter(F.col("pa") < F.col("pb")).select("pa", "pb").distinct()
-        # the edge list feeds three join sides (two wedge legs + the closing
-        # edge, plus degrees under orient="degree") — cut the lineage once
-        # so pair generation + distinct run a single time, not per use.
-        .localCheckpoint(eager=False)
-    )
+    edges = _copurchase_edges(li)
     broadcast_edges = False
     if orient == "auto":
-        stats = (
-            edges.select(F.explode(F.array("pa", "pb")).alias("node"))
-            .groupBy("node").agg(F.count(F.lit(1)).alias("deg"))
-            .agg(F.max("deg").alias("max_deg"), (F.sum("deg") / 2).cast("long").alias("m"))
-            .collect()[0]
-        )
+        stats = _edge_stats(edges)
         orient = select_orientation(stats.max_deg or 0, stats.m or 0)
         broadcast_edges = (stats.m or 0) <= _TRI_BROADCAST_EDGES
-    if orient == "degree":
-        und = edges.unionByName(edges.select(F.col("pb").alias("pa"), F.col("pa").alias("pb")))
-        deg = und.groupBy(F.col("pa").alias("node")).agg(F.count(F.lit(1)).alias("deg"))
-        ranked = (
-            edges.join(deg.select(F.col("node").alias("pa"), F.col("deg").alias("da")), "pa")
-            .join(deg.select(F.col("node").alias("pb"), F.col("deg").alias("db")), "pb")
-        )
-        a_lower = (F.col("da") < F.col("db")) | ((F.col("da") == F.col("db")) & (F.col("pa") < F.col("pb")))
-        o = ranked.select(
-            F.when(a_lower, F.col("pa")).otherwise(F.col("pb")).alias("src"),
-            F.when(a_lower, F.col("pb")).otherwise(F.col("pa")).alias("dst"),
-            F.when(a_lower, F.col("db")).otherwise(F.col("da")).alias("dst_deg"),
-            F.when(a_lower, F.col("pb")).otherwise(F.col("pa")).alias("dst_id"),
-        )
-        rank_cols = ("dst_deg", "dst_id")
-    else:
-        o = edges.select(F.col("pa").alias("src"), F.col("pb").alias("dst"), F.col("pb").alias("dst_id"))
-        rank_cols = ("dst_id",)
-    o1 = o.select("src", F.col("dst").alias("v"), *[F.col(c).alias(f"v_{c}") for c in rank_cols])
-    o2 = o.select(F.col("src").alias("src2"), F.col("dst").alias("w"), *[F.col(c).alias(f"w_{c}") for c in rank_cols])
-    v_lower = F.struct(*[F.col(f"v_{c}") for c in rank_cols]) < F.struct(*[F.col(f"w_{c}") for c in rank_cols])
-    closing = o.select(F.col("src").alias("v"), F.col("dst").alias("w"))
-    if broadcast_edges:
-        o2, closing = F.broadcast(o2), F.broadcast(closing)
-    wedges = o1.join(o2, F.col("src") == F.col("src2")).filter(v_lower).select("src", "v", "w")
-    tri = wedges.join(closing, ["v", "w"]).select(F.col("src").alias("x"), F.col("v").alias("y"), F.col("w").alias("z"))
+    tri = _oriented_triangles(edges, orient, broadcast_edges)
     nodes = tri.select(F.explode(F.array("x", "y", "z")).alias("node"))
     return (
         nodes.groupBy("node")
@@ -2542,7 +2589,7 @@ FROM x
 # ---------------------------------------------------------------------------
 
 
-def graph_clustering(spark: SparkSession, sf_dir: str, *, top_n: int = 20) -> DataFrame:
+def graph_clustering(spark: SparkSession, sf_dir: str, *, top_n: int = 20, orient: str = "auto") -> DataFrame:
     """Local clustering coefficient per node over the co-purchase graph —
     lcc(v) = 2·tri(v) / (deg(v)·(deg(v)−1)), "how close is v's
     neighborhood to a clique" — plus the GLOBAL transitivity
@@ -2551,36 +2598,34 @@ def graph_clustering(spark: SparkSession, sf_dir: str, *, top_n: int = 20) -> Da
     a hub can still have a sparse neighborhood; lcc normalizes by the
     possible pairs).
 
-    Same oriented-wedge shape as graph_triangles (every triangle generated
-    once at its lowest corner, two equi-joins, never cartesian; id
-    orientation — the co-purchase graph is degree-uniform, and
-    graph_triangles' auto rule keeps choosing it); per-node counts from one
-    corner explode + map-side combine. Transitivity avoids any double
+    Shares graph_triangles' oriented-wedge core (:func:`_oriented_triangles`
+    — every triangle generated once at its lowest corner, two equi-joins,
+    never cartesian) INCLUDING its ``orient="auto"`` degree-orientation
+    flip (r13, VERDICT r12: this operator used to hardcode id orientation
+    behind a docstring argument; at a power-law graph the hub wedge join
+    detonates, and the stats collect it needs is the same degrees pass lcc
+    already pays for). Orientation changes enumeration order only — the
+    triangle set, and so every lcc, is orientation-invariant (pinned in
+    tests), which is why the canonical-order oracle needs no change.
+    Per-node counts from one corner explode + map-side combine. Transitivity avoids any double
     averaging: 3T and Σ deg(deg−1)/2 are EXACT longs combined in one final
     division (a float average over nodes would be partial-order-sensitive
     across engines). Degrees left-join the triangle counts so
     triangle-free nodes keep lcc = 0."""
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
-    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pa"))
-    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pb"))
-    edges = (
-        a.join(b, "ok").filter(F.col("pa") < F.col("pb")).select("pa", "pb").distinct()
-        .localCheckpoint(eager=False)
-    )
+    edges = _copurchase_edges(li)
     und = edges.unionByName(edges.select(F.col("pb").alias("pa"), F.col("pa").alias("pb")))
     deg = und.groupBy(F.col("pa").alias("node")).agg(F.count(F.lit(1)).alias("degree"))
-    o1 = edges.select(F.col("pa").alias("src"), F.col("pb").alias("v"))
-    o2 = edges.select(F.col("pa").alias("src2"), F.col("pb").alias("w"))
-    closing = edges.select(F.col("pa").alias("v"), F.col("pb").alias("w"))
-    # graph_triangles' broadcast policy: keep the Σdeg² wedge stream inside
-    # one codegen pipeline when the edge list is broadcastable; past the
-    # threshold fall back to shuffle joins (the 100 TB path).
-    if edges.limit(_TRI_BROADCAST_EDGES + 1).count() <= _TRI_BROADCAST_EDGES:
-        o2, closing = F.broadcast(o2), F.broadcast(closing)
-    wedges = o1.join(o2, F.col("src") == F.col("src2")).filter(F.col("v") < F.col("w"))
-    tri = wedges.join(closing, ["v", "w"]).select(
-        F.col("src").alias("x"), F.col("v").alias("y"), F.col("w").alias("z")
-    )
+    broadcast_edges = False
+    if orient == "auto":
+        # the 2-scalar orientation/broadcast stats off the SAME degrees
+        # aggregate lcc consumes below (one extra tiny agg, zero new scans).
+        stats = deg.agg(
+            F.max("degree").alias("max_deg"), (F.sum("degree") / 2).cast("long").alias("m")
+        ).collect()[0]
+        orient = select_orientation(stats.max_deg or 0, stats.m or 0)
+        broadcast_edges = (stats.m or 0) <= _TRI_BROADCAST_EDGES
+    tri = _oriented_triangles(edges, orient, broadcast_edges)
     tcounts = (
         tri.select(F.explode(F.array("x", "y", "z")).alias("node"))
         .groupBy("node").agg(F.count(F.lit(1)).alias("n_triangles"))

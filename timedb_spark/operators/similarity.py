@@ -396,10 +396,11 @@ def embed_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _kmeans_assign(_quantized(spark, sf_dir))
 
 
-def _kmeans_assign(vecs: DataFrame) -> DataFrame:
+def _kmeans_assign(vecs: DataFrame, k: int = _KM_K) -> DataFrame:
     """The deterministic-Lloyd core of :func:`embed_kmeans` over any
     ``(vec_id, q)`` frame — also the clustering stage of
-    :func:`dedup_semantic`."""
+    :func:`dedup_semantic` (which passes a corpus-derived ``k``, see
+    :func:`_semantic_k`)."""
 
     def l2sq(a, b):
         return F.aggregate(
@@ -411,8 +412,8 @@ def _kmeans_assign(vecs: DataFrame) -> DataFrame:
     n1 = vecs.agg(F.count(F.lit(1)).alias("n"))
     cb = (
         vecs.join(F.broadcast(n1))
-        .filter((F.col("vec_id") % F.expr(f"n div {_KM_K}") == 0) & (F.expr(f"vec_id div (n div {_KM_K})") < _KM_K))
-        .select(F.expr(f"vec_id div (n div {_KM_K})").alias("cell"), F.col("q").alias("cq"))
+        .filter((F.col("vec_id") % F.expr(f"n div {k}") == 0) & (F.expr(f"vec_id div (n div {k})") < k))
+        .select(F.expr(f"vec_id div (n div {k})").alias("cell"), F.col("q").alias("cq"))
     )
     for _ in range(_KM_ITERS):
         ad = vecs.join(F.broadcast(cb)).select("vec_id", "q", "cell", l2sq(F.col("q"), F.col("cq")).alias("d"))
@@ -530,6 +531,26 @@ FROM ranked WHERE rank <= {_TOP_K}
 # semantic dedup (SemDeDup, Abbas et al. 2023): kmeans-scoped cosine dedup
 # ---------------------------------------------------------------------------
 
+#: SemDeDup's scale knob is CLUSTER SIZE, not cluster count (Abbas et al.
+#: 2023 §3 fix the per-cluster candidate budget): hold the target |cluster|
+#: constant and let K grow with the corpus, so the blocked pair space
+#: Σ|cluster|² ≈ K·t² = n·t stays LINEAR in n. A fixed K makes it quadratic
+#: in density — measured 9.11×@10× / 27.9×@20× on the r12 scale probe.
+_SEM_TARGET_CLUSTER = 256
+
+
+def _semantic_k(n: int) -> int:
+    """Corpus-derived K for :func:`dedup_semantic`: ``max(_KM_K, n div
+    _SEM_TARGET_CLUSTER)``. The _KM_K floor PINS the gate: every gate-SF
+    corpus (550/550/2200 at sf0.001/0.01/0.1) stays below
+    16·256 = 4096, so the derived K equals the oracle's literal 16 and the
+    gate hash is unchanged — only beyond-gate corpora scale up. Assignment
+    cost grows as n·K distance folds per Lloyd pass (still zero vector
+    shuffles — centroids broadcast); that is the SemDeDup trade until a
+    hierarchical/ANN-assisted assignment takes over, and it buys a pair
+    join bounded by n·_SEM_TARGET_CLUSTER instead of n²/K."""
+    return max(_KM_K, n // _SEM_TARGET_CLUSTER)
+
 
 def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup composition: deterministic k-means buckets the corpus
@@ -539,16 +560,22 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     decision is one bounded self-join, not an iterative CC pass).
 
     Scale shape: the clustering never shuffles vectors (broadcast
-    centroids); the pair join is blocked on the LEARNED cluster id — at
-    100 TB the candidate set is Σ|cluster|², controlled by K, instead of
-    n². Runs over the planted-near-dup corpus (dedup.emb_corpus) so the
+    centroids); the pair join is blocked on the LEARNED cluster id, and K
+    is DERIVED from the corpus count (:func:`_semantic_k`, r13 — the r12
+    probe measured the fixed-K pair space going quadratic in density:
+    27.9× at 20× data) so Σ|cluster|² stays ~n·_SEM_TARGET_CLUSTER at any
+    scale; the _KM_K floor keeps every gate-SF corpus on the oracle's
+    literal K=16. Runs over the planted-near-dup corpus (dedup.emb_corpus) so the
     keep/drop decision is exercised for real; exact-integer dot/norm +
     round-6 keeps the full DuckDB oracle bit-identical (the kmeans CTE
     chain is the embed_kmeans oracle re-based onto the corpus)."""
     from timedb_spark.operators.dedup import _EMB_TAU, emb_corpus
 
     vecs = emb_corpus(spark, sf_dir).select("vec_id", "q")
-    km = _kmeans_assign(vecs).select("vec_id", "cluster")
+    # one planning scalar (the corpus count) — the same class of decision as
+    # the graph family's auto-orientation stats collect.
+    k = _semantic_k(vecs.count())
+    km = _kmeans_assign(vecs, k=k).select("vec_id", "cluster")
     c = (
         vecs.join(km, "vec_id")
         .withColumn("nq", F.sqrt(vx.norm_sq_q(F.col("q")).cast("double")))
@@ -1776,7 +1803,7 @@ def embed_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("src").alias("vec_id"),
         F.col("dst").alias("neighbor_id"),
         "rank",
-        (F.floor(F.col("_cos") * 1e6) / 1e6).alias("cosine"),
+        floor6(F.col("_cos")).alias("cosine"),
         F.coalesce(F.col("m"), F.lit(0)).cast("int").alias("mutual"),
     )
 
@@ -1815,7 +1842,7 @@ knn AS (
     ) t WHERE rank <= {_KNN_K}
 )
 SELECT k.src AS vec_id, k.dst AS neighbor_id, k.rank,
-       floor(k.cos * 1e6) / 1e6 AS cosine,
+       {floor6_sql("k.cos")} AS cosine,
        CAST(CASE WHEN r.src IS NOT NULL THEN 1 ELSE 0 END AS INT) AS mutual
 FROM knn k LEFT JOIN knn r ON r.src = k.dst AND r.dst = k.src
 """.format(q=vx.QUANTIZE_SQL.format(v="embedding"))
