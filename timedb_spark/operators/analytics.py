@@ -1301,6 +1301,7 @@ def events_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = u.groupBy("t").agg(
         F.sum("ev").alias("d"), F.sum(F.lit(1) - F.col("ev")).alias("c")
     )
+    # bounded: runs over the distinct-event-time aggregate, not raw events
     w = Window.orderBy(F.desc("t"))
     r = g.withColumn("n", F.sum(F.col("d") + F.col("c")).over(w))
     one = r.agg(
@@ -2523,6 +2524,7 @@ def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
         num,
         den,
     )
+    # bounded: runs over the per-community aggregate (|communities| rows)
     w = Window.partitionBy()
     contrib = F.col("_num").cast("double") / F.col("_den")
     q = F.sum("_num").over(w).cast("double") / F.col("_den")
@@ -2748,6 +2750,7 @@ def events_srm(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("n_users", F.lit(0)).cast("long").alias("n_users"),
         F.coalesce("n_events", F.lit(0)).cast("long").alias("n_events"),
     )
+    # bounded: runs over the 12-row month-bucket aggregate
     w = Window.partitionBy()
     # |12·n_b − T| ≤ 11·T, so dev² ≤ 121·T² stays under 2^63 for T up to
     # ~8·10⁸ users. Past the bound Spark's non-ANSI multiply wraps silently
@@ -3052,6 +3055,7 @@ def events_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.aggregate("arr", F.lit(0.0), lambda a, x: a + x["term"]).alias("pi"),
             )
         )
+    # bounded: ranks the |event_type|-row stationary vector
     r = Window.orderBy(F.col("pi").desc(), F.col("event_type"))
     return pi.select(
         "event_type",

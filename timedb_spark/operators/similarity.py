@@ -1707,6 +1707,7 @@ def embed_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("cs").alias("min_cos"),
         F.max("cs").alias("max_cos"),
     )
+    # bounded: runs over the K-row per-cell aggregate
     w = Window.partitionBy()
     total = F.sum("n_vecs").over(w).cast("double")
     maxn = F.max("n_vecs").over(w).cast("double")

@@ -579,6 +579,7 @@ def text_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("token")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+    # bounded: all three run over the |vocab|-row token aggregate, not docs
     w = Window.orderBy(F.desc("n"), F.asc("token"))
     cum = Window.orderBy(F.desc("n"), F.asc("token")).rowsBetween(Window.unboundedPreceding, 0)
     total = Window.partitionBy()
@@ -933,6 +934,7 @@ def text_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("token")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+    # bounded: ranks the |vocab|-row token aggregate, not docs
     w = Window.orderBy(F.desc("n"), F.asc("token"))
     top = counts.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= _ZIPF_TOP)
     tot = counts.agg(F.sum("n").alias("n_total"), F.count(F.lit(1)).alias("vocab_size"))

@@ -4623,6 +4623,7 @@ def benford(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("digit")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+    # bounded: runs over the 9-row leading-digit aggregate
     w = Window.partitionBy()
     total = F.sum("n").over(w).cast("double")
     # log10(1 + 1/d) for d in 1..9 are NINE CONSTANTS — ship them as
@@ -4935,6 +4936,7 @@ def sax_motif(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("n_points").alias("min_points"),
         F.max("n_points").alias("max_points"),
     )
+    # bounded: runs over the |alphabet|^word SAX-word aggregate
     w = Window.partitionBy()
     total = F.sum("n_series").over(w).cast("double")
     return (
