@@ -366,6 +366,31 @@ def test_graph_triangles_orientation_auto_switch():
     assert select_orientation(0, 0) == "id"  # empty graph
 
 
+def test_graph_shj_partition_formula_and_fallback_plan(spark, sf_dir):
+    """The 100 TB wedge plan (r13): the shuffled fallback must join via
+    SHUFFLED HASH (SMJ's sorter collapsed then OOM'd on the ~1B-row wedge
+    stream at 20x; SCALEPROBE_r12_x20 diagnosis), and its partition count
+    must grow with the MEASURED edge count — SHJ builds cannot spill, so a
+    fixed partition count OOMs the hash build at some scale (the first SHJ
+    cut did, at 20x)."""
+    from timedb_spark.operators import analytics
+    from timedb_spark.operators.analytics import _SHJ_EDGES_PER_PART, _shj_parts
+
+    # formula pin: conf floor below the knee, linear growth past it
+    assert _shj_parts(32, 0) == 32
+    assert _shj_parts(32, 1_196_000) == 32          # sf0.1 co-purchase graph
+    assert _shj_parts(32, 32 * _SHJ_EDGES_PER_PART) == 32
+    assert _shj_parts(32, 32 * _SHJ_EDGES_PER_PART + 1) == 33
+    assert _shj_parts(32, 24_000_000) == 160        # the 20x probe graph
+    assert _shj_parts(32, 10_000_000_000) == 66_667  # a 100 TB-ish graph
+    # plan pin: forced-degree (broadcast off) wedge+closing joins are SHJ,
+    # and the wedge stream is never sorted into a join
+    df = analytics.graph_triangles(spark, sf_dir, orient="degree")
+    s = df._jdf.queryExecution().executedPlan().toString()
+    assert s.count("ShuffledHashJoin") >= 2
+    assert "SortMergeJoin [v#" not in s and "SortMergeJoin [src#" not in s
+
+
 def test_profile_table_approx_plans_no_expand(spark, sf_dir):
     """Default (approx) profile must plan NO Expand node: N exact
     multi-distincts in one agg multiply every input row ~(3N+2)x into the

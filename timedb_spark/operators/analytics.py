@@ -803,6 +803,24 @@ def select_orientation(max_deg: int, n_edges: int, *, hub_factor: float = 16.0) 
 #: joins + degree orientation are the scale path.
 _TRI_BROADCAST_EDGES = 5_000_000
 
+#: Shuffled-hash build budget for the wedge/closing joins: edge rows per
+#: shuffle partition. SHJ hash builds do NOT spill — at a FIXED partition
+#: count the per-partition build grows linearly with the graph and
+#: eventually throws "not enough memory to build hash map" (measured: the
+#: 20x probe's 24M-edge graph over 32 partitions OOM'd the build; 150k
+#: edges/partition ≈ 10-15 MB per task at any scale). The partition count
+#: is derived from the MEASURED edge count m — the same planning-scalar
+#: pattern as auto-orientation — so the plan carries its own scaling knob
+#: instead of inheriting spark.sql.shuffle.partitions' static default.
+_SHJ_EDGES_PER_PART = 150_000
+
+
+def _shj_parts(conf_parts: int, m: int) -> int:
+    """Wedge/closing join partition count: never below the session's
+    shuffle partitions, grows linearly with the edge count past
+    ``conf_parts * _SHJ_EDGES_PER_PART`` edges."""
+    return max(conf_parts, math.ceil(m / _SHJ_EDGES_PER_PART))
+
 
 def _copurchase_edges(li: DataFrame) -> DataFrame:
     """Distinct co-purchase part edges (pa < pb) from an (l_orderkey,
@@ -829,7 +847,7 @@ def _edge_stats(edges: DataFrame):
     )
 
 
-def _oriented_triangles(edges: DataFrame, orient: str, broadcast_edges: bool) -> DataFrame:
+def _oriented_triangles(edges: DataFrame, orient: str, broadcast_edges: bool, m: int) -> DataFrame:
     """Triangle corners (x, y, z) via oriented wedge enumeration — the
     shared core of :func:`graph_triangles` and :func:`graph_clustering`.
     Every triangle is generated by exactly ONE wedge at its lowest-rank
@@ -852,9 +870,14 @@ def _oriented_triangles(edges: DataFrame, orient: str, broadcast_edges: bool) ->
       SCALEPROBE_r12_x20; the r12 "broadcast flip" hypothesis was wrong —
       m(10×) = 12 M was already past the 5 M broadcast bound, both probe
       scales ran SMJ). SHJ builds the per-partition hash from the EDGE
-      side (|E|/shuffle-partitions rows — bounded, AQE-splittable on
-      skew) and STREAMS the wedge side, so no sorter ever materializes
-      the quadratic stream; measured post-fix ratios live in
+      side and STREAMS the wedge side, so no sorter ever materializes the
+      quadratic stream. SHJ's own failure mode is the build: it cannot
+      spill, so at a FIXED partition count a growing graph eventually
+      throws "not enough memory to build hash map" (the first SHJ cut did
+      exactly that at 20×). The join partition count is therefore derived
+      from the MEASURED edge count ``m`` (``max(conf shuffle partitions,
+      ceil(m / _SHJ_EDGES_PER_PART))``) — per-partition builds stay
+      ~10-15 MB at any scale; measured post-fix ratios live in
       SCALEPROBE_r13_x20.json.
     """
     if orient == "degree":
@@ -881,9 +904,18 @@ def _oriented_triangles(edges: DataFrame, orient: str, broadcast_edges: bool) ->
     closing = o.select(F.col("src").alias("v"), F.col("dst").alias("w"))
     if broadcast_edges:
         o2, closing = F.broadcast(o2), F.broadcast(closing)
+        wedges = o1.join(o2, F.col("src") == F.col("src2")).filter(v_lower).select("src", "v", "w")
     else:
-        o2, closing = o2.hint("shuffle_hash"), closing.hint("shuffle_hash")
-    wedges = o1.join(o2, F.col("src") == F.col("src2")).filter(v_lower).select("src", "v", "w")
+        n_parts = _shj_parts(
+            int(edges.sparkSession.conf.get("spark.sql.shuffle.partitions")), m
+        )
+        o1 = o1.repartition(n_parts, "src")
+        o2 = o2.repartition(n_parts, "src2").hint("shuffle_hash")
+        closing = closing.repartition(n_parts, "v", "w").hint("shuffle_hash")
+        wedges = (
+            o1.join(o2, F.col("src") == F.col("src2")).filter(v_lower)
+            .select("src", "v", "w").repartition(n_parts, "v", "w")
+        )
     return wedges.join(closing, ["v", "w"]).select(
         F.col("src").alias("x"), F.col("v").alias("y"), F.col("w").alias("z")
     )
@@ -932,12 +964,16 @@ def graph_triangles(spark: SparkSession, sf_dir: str, *, top_n: int = 20, orient
     joins, where the degree orientation keeps wedge volume at O(m^1.5)."""
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
     edges = _copurchase_edges(li)
+    # the 2-scalar stats collect feeds orientation, the broadcast-vs-SHJ
+    # choice AND the SHJ partition-count derivation, so a forced orient
+    # still pays it (one tiny job over the checkpointed edge list).
+    stats = _edge_stats(edges)
+    m = stats.m or 0
     broadcast_edges = False
     if orient == "auto":
-        stats = _edge_stats(edges)
-        orient = select_orientation(stats.max_deg or 0, stats.m or 0)
-        broadcast_edges = (stats.m or 0) <= _TRI_BROADCAST_EDGES
-    tri = _oriented_triangles(edges, orient, broadcast_edges)
+        orient = select_orientation(stats.max_deg or 0, m)
+        broadcast_edges = m <= _TRI_BROADCAST_EDGES
+    tri = _oriented_triangles(edges, orient, broadcast_edges, m)
     nodes = tri.select(F.explode(F.array("x", "y", "z")).alias("node"))
     return (
         nodes.groupBy("node")
@@ -2618,16 +2654,18 @@ def graph_clustering(spark: SparkSession, sf_dir: str, *, top_n: int = 20, orien
     edges = _copurchase_edges(li)
     und = edges.unionByName(edges.select(F.col("pb").alias("pa"), F.col("pa").alias("pb")))
     deg = und.groupBy(F.col("pa").alias("node")).agg(F.count(F.lit(1)).alias("degree"))
+    # the 2-scalar orientation/broadcast/partition stats off the SAME
+    # degrees aggregate lcc consumes below (one extra tiny agg, zero new
+    # scans); a forced orient still needs m for the SHJ partition count.
+    stats = deg.agg(
+        F.max("degree").alias("max_deg"), (F.sum("degree") / 2).cast("long").alias("m")
+    ).collect()[0]
+    m = stats.m or 0
     broadcast_edges = False
     if orient == "auto":
-        # the 2-scalar orientation/broadcast stats off the SAME degrees
-        # aggregate lcc consumes below (one extra tiny agg, zero new scans).
-        stats = deg.agg(
-            F.max("degree").alias("max_deg"), (F.sum("degree") / 2).cast("long").alias("m")
-        ).collect()[0]
-        orient = select_orientation(stats.max_deg or 0, stats.m or 0)
-        broadcast_edges = (stats.m or 0) <= _TRI_BROADCAST_EDGES
-    tri = _oriented_triangles(edges, orient, broadcast_edges)
+        orient = select_orientation(stats.max_deg or 0, m)
+        broadcast_edges = m <= _TRI_BROADCAST_EDGES
+    tri = _oriented_triangles(edges, orient, broadcast_edges, m)
     tcounts = (
         tri.select(F.explode(F.array("x", "y", "z")).alias("node"))
         .groupBy("node").agg(F.count(F.lit(1)).alias("n_triangles"))
