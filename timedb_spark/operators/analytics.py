@@ -847,13 +847,19 @@ def _edge_stats(edges: DataFrame):
     )
 
 
-def _oriented_triangles(edges: DataFrame, orient: str, broadcast_edges: bool, m: int) -> DataFrame:
+def _oriented_triangles(
+    edges: DataFrame, orient: str, broadcast_edges: bool, m: int,
+    deg: DataFrame | None = None,
+) -> DataFrame:
     """Triangle corners (x, y, z) via oriented wedge enumeration — the
     shared core of :func:`graph_triangles` and :func:`graph_clustering`.
     Every triangle is generated by exactly ONE wedge at its lowest-rank
     corner (two equi-joins: wedge at the shared source + the closing
     oriented edge; never a cartesian). ``orient`` is "id" or "degree"
-    (resolve "auto" with :func:`select_orientation` BEFORE calling).
+    (resolve "auto" with :func:`select_orientation` BEFORE calling); a
+    caller that already built node degrees (graph_clustering's lcc pass)
+    hands them in as ``deg`` (node, deg) so the degree path doesn't
+    recompute them.
 
     Join strategy — the part that decides whether the plan survives scale:
 
@@ -881,8 +887,9 @@ def _oriented_triangles(edges: DataFrame, orient: str, broadcast_edges: bool, m:
       SCALEPROBE_r13_x20.json.
     """
     if orient == "degree":
-        und = edges.unionByName(edges.select(F.col("pb").alias("pa"), F.col("pa").alias("pb")))
-        deg = und.groupBy(F.col("pa").alias("node")).agg(F.count(F.lit(1)).alias("deg"))
+        if deg is None:
+            und = edges.unionByName(edges.select(F.col("pb").alias("pa"), F.col("pa").alias("pb")))
+            deg = und.groupBy(F.col("pa").alias("node")).agg(F.count(F.lit(1)).alias("deg"))
         ranked = (
             edges.join(deg.select(F.col("node").alias("pa"), F.col("deg").alias("da")), "pa")
             .join(deg.select(F.col("node").alias("pb"), F.col("deg").alias("db")), "pb")
@@ -2653,7 +2660,13 @@ def graph_clustering(spark: SparkSession, sf_dir: str, *, top_n: int = 20, orien
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
     edges = _copurchase_edges(li)
     und = edges.unionByName(edges.select(F.col("pb").alias("pa"), F.col("pa").alias("pb")))
-    deg = und.groupBy(F.col("pa").alias("node")).agg(F.count(F.lit(1)).alias("degree"))
+    deg = (
+        und.groupBy(F.col("pa").alias("node")).agg(F.count(F.lit(1)).alias("degree"))
+        # ONE degrees pass serves the stats collect, the degree-orientation
+        # ranking inside _oriented_triangles AND the lcc join-back — cut
+        # the lineage so each use doesn't re-shuffle the edge list.
+        .localCheckpoint(eager=False)
+    )
     # the 2-scalar orientation/broadcast/partition stats off the SAME
     # degrees aggregate lcc consumes below (one extra tiny agg, zero new
     # scans); a forced orient still needs m for the SHJ partition count.
@@ -2665,7 +2678,10 @@ def graph_clustering(spark: SparkSession, sf_dir: str, *, top_n: int = 20, orien
     if orient == "auto":
         orient = select_orientation(stats.max_deg or 0, m)
         broadcast_edges = m <= _TRI_BROADCAST_EDGES
-    tri = _oriented_triangles(edges, orient, broadcast_edges, m)
+    tri = _oriented_triangles(
+        edges, orient, broadcast_edges, m,
+        deg=deg.select("node", F.col("degree").alias("deg")),
+    )
     tcounts = (
         tri.select(F.explode(F.array("x", "y", "z")).alias("node"))
         .groupBy("node").agg(F.count(F.lit(1)).alias("n_triangles"))

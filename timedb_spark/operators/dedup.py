@@ -92,7 +92,7 @@ FROM keyed k JOIN groups g USING (text_key)
 _JACCARD_TAU = 0.5
 _SHINGLE_N = 5
 
-def _jac_f6_sql(inter: str = "inter", sa: str = "sa", sb: str = "sb") -> str:
+def _jac_f6_sql(inter: str, sa: str, sb: str) -> str:
     """Shared jaccard twin — the guarded floor-scale convention, generated
     once per template. Takes the embedding template's intersection column
     and size-CTE aliases EXPLICITLY (ADVICE r12): the three templates that

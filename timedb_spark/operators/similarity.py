@@ -396,11 +396,13 @@ def embed_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _kmeans_assign(_quantized(spark, sf_dir))
 
 
-def _kmeans_assign(vecs: DataFrame, k: int = _KM_K) -> DataFrame:
+def _kmeans_assign(vecs: DataFrame, k: int = _KM_K, n: int | None = None) -> DataFrame:
     """The deterministic-Lloyd core of :func:`embed_kmeans` over any
     ``(vec_id, q)`` frame — also the clustering stage of
-    :func:`dedup_semantic` (which passes a corpus-derived ``k``, see
-    :func:`_semantic_k`)."""
+    :func:`dedup_semantic` (which passes a corpus-derived ``k`` AND the
+    corpus count it already collected, see :func:`_semantic_k` — a known
+    ``n`` seeds centroids with a literal stride instead of the in-plan
+    count-aggregate + broadcast join)."""
 
     def l2sq(a, b):
         return F.aggregate(
@@ -409,12 +411,28 @@ def _kmeans_assign(vecs: DataFrame, k: int = _KM_K) -> DataFrame:
             lambda acc, v: acc + v,
         )
 
-    n1 = vecs.agg(F.count(F.lit(1)).alias("n"))
-    cb = (
-        vecs.join(F.broadcast(n1))
-        .filter((F.col("vec_id") % F.expr(f"n div {k}") == 0) & (F.expr(f"vec_id div (n div {k})") < k))
-        .select(F.expr(f"vec_id div (n div {k})").alias("cell"), F.col("q").alias("cq"))
-    )
+    if n is None:
+        n1 = vecs.agg(F.count(F.lit(1)).alias("n"))
+        cb = (
+            vecs.join(F.broadcast(n1))
+            .filter((F.col("vec_id") % F.expr(f"n div {k}") == 0) & (F.expr(f"vec_id div (n div {k})") < k))
+            .select(F.expr(f"vec_id div (n div {k})").alias("cell"), F.col("q").alias("cq"))
+        )
+    else:
+        # literal-stride twin of the branch above (n div k == n // k for
+        # the non-negative counts here); stride 0 (n < k) keeps the same
+        # degenerate empty-codebook behavior the SQL form has (x % 0 is
+        # NULL under Spark's non-ANSI mode -> filter drops every row).
+        stride = n // k
+        if stride == 0:
+            cb = vecs.filter(F.lit(False)).select(
+                F.lit(0).cast("bigint").alias("cell"), F.col("q").alias("cq")
+            )
+        else:
+            cb = (
+                vecs.filter((F.col("vec_id") % stride == 0) & (F.expr(f"vec_id div {stride}") < k))
+                .select(F.expr(f"vec_id div {stride}").alias("cell"), F.col("q").alias("cq"))
+            )
     for _ in range(_KM_ITERS):
         ad = vecs.join(F.broadcast(cb)).select("vec_id", "q", "cell", l2sq(F.col("q"), F.col("cq")).alias("d"))
         assign = ad.groupBy("vec_id").agg(F.min_by("cell", F.struct("d", "cell")).alias("cell"))
@@ -574,8 +592,9 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     vecs = emb_corpus(spark, sf_dir).select("vec_id", "q")
     # one planning scalar (the corpus count) — the same class of decision as
     # the graph family's auto-orientation stats collect.
-    k = _semantic_k(vecs.count())
-    km = _kmeans_assign(vecs, k=k).select("vec_id", "cluster")
+    n = vecs.count()
+    k = _semantic_k(n)
+    km = _kmeans_assign(vecs, k=k, n=n).select("vec_id", "cluster")
     c = (
         vecs.join(km, "vec_id")
         .withColumn("nq", F.sqrt(vx.norm_sq_q(F.col("q")).cast("double")))

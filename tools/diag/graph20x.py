@@ -29,7 +29,7 @@ def stage_metrics(spark):
 def main():
     import argparse
     ap = argparse.ArgumentParser()
-    ap.add_argument("query", default="graph_clustering")
+    ap.add_argument("query", nargs="?", default="graph_clustering")
     ap.add_argument("--replicas", type=int, default=20)
     ap.add_argument("--top", type=int, default=12)
     args = ap.parse_args()
