@@ -196,7 +196,7 @@ def _q_write_skip_unchanged(spark: SparkSession, sf_dir: str) -> DataFrame:
     stored = sv.filter((F.unix_timestamp("change_time") % 2) == 0)
     incoming = bt.latest(sv.filter((F.unix_timestamp("change_time") % 2) == 1))
     latest_state = stored.groupBy("series_id", "valid_time").agg(
-        F.max_by("value", F.struct("knowledge_time", "change_time")).alias("stored_value")
+        F.max_by("value", bt.kt_ct_order()).alias("stored_value")
     )
     j = incoming.join(latest_state, on=["series_id", "valid_time"], how="left")
     keep = F.col("stored_value").isNull() | ~F.col("value").eqNullSafe(F.col("stored_value"))

@@ -33,9 +33,11 @@ from __future__ import annotations
 from collections.abc import Sequence
 from dataclasses import dataclass
 from datetime import datetime, time as dt_time, timedelta
+from decimal import Decimal
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 # ---------------------------------------------------------------------------
 # Filters (ref: timedb/read.py:183-224 ``_where``)
@@ -174,21 +176,56 @@ def filter_by_meta(df: DataFrame, meta_df: DataFrame, spec: SeriesMeta) -> DataF
 
 _STATE = ("value", "annotation", "changed_by")
 
+#: Scale of the packed (knowledge_time, change_time) ordering key: one
+#: microsecond of knowledge_time outranks ANY change_time difference as long
+#: as |unix_micros(change_time)| < SCALE/2 = 5e18 (≈ ±150,000 years — far
+#: beyond the parquet/DuckDB interop timestamp domain). 10^19 exceeds
+#: Long.MAX, so the literal must be a Decimal, not a Python int.
+_KT_CT_SCALE = 10**19
+
+
+def kt_ct_order() -> Column:
+    """The (knowledge_time, change_time) lexicographic ordering as ONE
+    Tungsten-mutable DECIMAL(38,0): ``unix_micros(kt) * 1e19 +
+    unix_micros(ct)``.
+
+    ``max_by(value, struct(kt, ct))`` carries a struct-typed aggregation
+    buffer, which disqualifies HashAggregate (struct fields aren't mutable
+    in an UnsafeRow) and forces a SortAggregate — a full sort of every map
+    partition BEFORE the partial combine, and a second sort after the
+    exchange (measured r13: the two sorts are the dominant cost of
+    bt_read_latest at sf0.1). Packing the two timestamps into one decimal
+    keeps the exact lexicographic order (the encoding is injective and
+    strictly monotone: distinct kt differ by ≥ 1 µs = SCALE in the packed
+    key, |ct| contributes < SCALE/2) while making the buffer
+    (double, decimal) — fully mutable, so the collapse runs as a
+    HashAggregate with the same map-side partial combine.
+
+    Exactness: unix_micros(kt) has ≤ 16 digits for any real timestamp, so
+    the product has ≤ 35 digits — inside DECIMAL(38,0), no precision loss.
+    Rows with NULL kt/ct are skipped by max_by under both encodings in the
+    store's domain (the write path stamps both columns non-null).
+    """
+    kt = F.unix_micros(F.col("knowledge_time")).cast(T.DecimalType(38, 0))
+    return kt * F.lit(Decimal(_KT_CT_SCALE)) + F.unix_micros(F.col("change_time"))
+
 
 def latest(df: DataFrame) -> DataFrame:
     """Latest value per (series_id, valid_time).
 
-    The struct max_by picks the row with the largest (knowledge_time,
-    change_time) — latest issue, latest correction within it. Parity with
+    The max_by picks the row with the largest (knowledge_time, change_time)
+    — latest issue, latest correction within it. Parity with
     ``argMax(value, (knowledge_time, change_time))`` (read.py:232-247).
-    Struct-keyed max_by executes as a sort-based aggregate (struct buffers
-    aren't Tungsten-mutable), but keeps map-side PARTIAL combine: every
-    partition collapses to one row per (series_id, valid_time) before the
-    shuffle — at 100 TB the revision history never crosses the wire, unlike
-    a window row_number which shuffles every raw row.
+    The ordering key is the packed decimal (:func:`kt_ct_order`) rather
+    than a struct so the collapse runs as a HashAggregate with map-side
+    PARTIAL combine: every partition collapses to one row per
+    (series_id, valid_time) before the shuffle — at 100 TB the revision
+    history never crosses the wire, unlike a window row_number which
+    shuffles every raw row — and no partition is ever sorted (the struct
+    form degraded to a double SortAggregate).
     """
     return df.groupBy("series_id", "valid_time").agg(
-        F.max_by("value", F.struct("knowledge_time", "change_time")).alias("value")
+        F.max_by("value", kt_ct_order()).alias("value")
     )
 
 
@@ -202,8 +239,12 @@ def latest_changes(df: DataFrame) -> DataFrame:
     a self-contained window max (no second scan of the source, unlike the
     reference's embedded-twice WHERE).
     """
-    w_kt = Window.partitionBy("series_id", "valid_time")
     w_chain = Window.partitionBy("series_id", "valid_time").orderBy("change_time")
+    # Same sort keys as the lag window (a whole-partition max is
+    # order-insensitive), so both Window nodes share ONE sort: the filter
+    # preserves the (sid, vt, ct) ordering and Spark elides the second
+    # SortExec (the unordered-window form re-sorted the full frame).
+    w_kt = w_chain.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     state = F.struct(*_STATE)
     return (
         df.withColumn("_max_kt", F.max("knowledge_time").over(w_kt))

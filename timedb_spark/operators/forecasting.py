@@ -36,6 +36,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from timedb_spark.io.tables import bitemporal_frame
+from timedb_spark.operators.bitemporal import kt_ct_order as bt_kt_ct_order
 from timedb_spark.operators.timeseries import _HOURLY_SERIES_SQL, _hourly_series
 
 # ---------------------------------------------------------------------------
@@ -597,7 +598,7 @@ def pit_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("knowledge_time") <= F.col("cutoff"))
             .groupBy("series_id", "valid_time")
             .agg(
-                F.max_by("value", F.struct("knowledge_time", "change_time")).alias(f"lag_{lag}h_pit")
+                F.max_by("value", bt_kt_ct_order()).alias(f"lag_{lag}h_pit")
             )
         )
         out = out.join(cand, ["series_id", "valid_time"], "left")
@@ -715,7 +716,7 @@ def rollup_pit_backtest(state: DataFrame, revisions: DataFrame, *, lag_hours: in
         grid.join(rev, ["series_id", "bucket"])
         .filter(F.col("knowledge_time") <= F.col("cutoff"))
         .groupBy("series_id", "bucket", "valid_time")
-        .agg(F.max_by("value", F.struct("knowledge_time", "change_time")).alias("pit_v"))
+        .agg(F.max_by("value", bt_kt_ct_order()).alias("pit_v"))
         .groupBy("series_id", "bucket")
         .agg(
             F.round(F.sum(F.col("pit_v").cast("decimal(38,6)")) * 100, 0)
