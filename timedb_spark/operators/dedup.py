@@ -1158,7 +1158,14 @@ def dedup_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     mins = pe.select(
         "doc_id", "pos", "ng", F.min("h").over(roww).alias("fp")
     ).filter(F.col("pos") <= F.col("ng") - _WIN_W)
-    sel = mins.select("doc_id", "fp").distinct()
+    # localCheckpoint: the selected-fingerprint frame feeds THREE consumers
+    # (sizes, both join sides) — without the barrier each consumer replays
+    # the md5-gram + posexplode + window-min subtree (r13 A/B at sf0.1:
+    # ~5-10% at the warm floor, and the plan drops the two duplicated
+    # fingerprint subtrees). Lazy, so nothing materializes until first use;
+    # the materialized frame is the ~2/(w+1)-selected (doc_id, fp) pairs,
+    # far smaller than the gram stream it truncates.
+    sel = mins.select("doc_id", "fp").distinct().localCheckpoint(eager=False)
     sizes = sel.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_fp"))
     ex = sel.join(sizes, "doc_id").select("doc_id", "n_fp", "fp")
     a = ex.select(F.col("doc_id").alias("doc_a"), F.col("n_fp").alias("na"), "fp")

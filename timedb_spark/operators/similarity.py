@@ -12,8 +12,11 @@ with no RNG state. Recall vs brute force is measured in tests.
 
 from __future__ import annotations
 
+from decimal import Decimal
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from timedb_spark.functions import texttools as tt
 from timedb_spark.functions import vectors as vx
@@ -210,6 +213,26 @@ _PQ_DSUB = 8  # dims per subspace (= dim / M)
 _PQ_SHORTLIST = 10 * _TOP_K  # ADC candidates re-ranked exactly
 
 
+
+def _d_cell_order(d: str = "d", cell: str = "cell"):
+    """The (d, cell) lexicographic argmin ordering packed into ONE
+    DECIMAL(38,0): ``d * 1e19 + cell``.
+
+    ``min_by(cell, struct(d, cell))`` carries a struct-typed aggregation
+    buffer — not Tungsten-mutable, so the per-vector nearest-centroid
+    collapse planned as a SortAggregate (a full sort of the n_vecs x K
+    assignment stream on both sides of the exchange; measured r13 on
+    ann_pq / embed_kmeans plans). Both components are NON-NEGATIVE
+    integers (d is the integer l2sq accumulate, cell a centroid index),
+    so the packing is injective and strictly order-preserving whenever
+    cell < 1e19 and d < 1e19 (l2sq of quantized vectors tops out around
+    1e15; a long cannot exceed 9.2e18 at all) — and a (long, decimal)
+    buffer IS mutable, so the argmin runs as a HashAggregate with
+    map-side combine and zero sorts. Ties are impossible: cell is part of
+    the ordering, making it total — results are bit-identical.
+    """
+    return F.col(d).cast(T.DecimalType(38, 0)) * F.lit(Decimal(10**19)) + F.col(cell)
+
 def ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization top-k (ADC): each vector is compressed to M
     subspace centroid ids; query-time scoring is a per-subspace distance
@@ -260,7 +283,7 @@ def ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     ad0 = sub.join(F.broadcast(cb0), "m").select(
         "vec_id", "m", "cell", l2sq(F.col("sq"), F.col("cq")).alias("d")
     )
-    codes0 = ad0.groupBy("vec_id", "m").agg(F.min_by("cell", F.struct("d", "cell")).alias("cell"))
+    codes0 = ad0.groupBy("vec_id", "m").agg(F.min_by("cell", _d_cell_order()).alias("cell"))
     comp = sub.join(codes0, ["vec_id", "m"]).select("m", "cell", F.posexplode("sq").alias("j", "x"))
     cbc = comp.groupBy("m", "cell", "j").agg(
         F.floor(F.sum("x").cast("double") / F.count(F.lit(1)) + F.lit(0.5)).cast("long").alias("c")
@@ -277,7 +300,7 @@ def ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", "m", "cell", l2sq(F.col("sq"), F.col("cq")).alias("d"))
         .persist(StorageLevel.MEMORY_AND_DISK)  # feeds codes AND the query distance table
     )
-    codes = ad.groupBy("vec_id", "m").agg(F.min_by("cell", F.struct("d", "cell")).alias("code"))
+    codes = ad.groupBy("vec_id", "m").agg(F.min_by("cell", _d_cell_order()).alias("code"))
     qdist = ad.filter(F.col("vec_id") < _N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("m").alias("qm"), F.col("cell").alias("qcell"), F.col("d").alias("qd")
     )
@@ -435,7 +458,7 @@ def _kmeans_assign(vecs: DataFrame, k: int = _KM_K, n: int | None = None) -> Dat
             )
     for _ in range(_KM_ITERS):
         ad = vecs.join(F.broadcast(cb)).select("vec_id", "q", "cell", l2sq(F.col("q"), F.col("cq")).alias("d"))
-        assign = ad.groupBy("vec_id").agg(F.min_by("cell", F.struct("d", "cell")).alias("cell"))
+        assign = ad.groupBy("vec_id").agg(F.min_by("cell", _d_cell_order()).alias("cell"))
         comp = vecs.join(assign, "vec_id").select("cell", F.posexplode("q").alias("j", "x"))
         cbc = comp.groupBy("cell", "j").agg(
             F.floor(F.sum("x").cast("double") / F.count(F.lit(1)) + F.lit(0.5)).cast("long").alias("c")

@@ -695,14 +695,22 @@ def ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hourly OHLC candles per user — the canonical TSDB downsample.
 
     open/close are ``min_by``/``max_by`` over the (ts, event_id) order (the
-    same argmax pattern as the bitemporal latest read). Struct-keyed
-    min_by/max_by executes as a sort-based aggregate, but still with
-    map-side PARTIAL combine — each partition collapses to one row per
-    (user, hour) before the shuffle, which is the part that matters at
-    100 TB; the sort is per-partition, never global.
+    same argmax pattern as the bitemporal latest read). The ordering is
+    the packed DECIMAL(38,0) ``unix_micros(ts) * 1e19 + event_id``
+    (bitemporal.kt_ct_order's encoding — injective and strictly
+    order-preserving for |event_id| < 5e18): a struct ordering key would
+    force the whole aggregate sort-based (struct buffers are not
+    Tungsten-mutable), while the packed decimal keeps it a HashAggregate
+    with the same map-side PARTIAL combine — each partition collapses to
+    one row per (user, hour) before the shuffle and nothing is ever
+    sorted.
     """
+    from decimal import Decimal
+
+    from pyspark.sql import types as _T
+
     ev = load_table(spark, sf_dir, "events")
-    okey = F.struct(F.col("ts"), F.col("event_id"))
+    okey = F.unix_micros(F.col("ts")).cast(_T.DecimalType(38, 0)) * F.lit(Decimal(10**19)) + F.col("event_id")
     return ev.groupBy("user_id", F.date_trunc("hour", "ts").alias("bucket")).agg(
         F.min_by("value", okey).alias("open"),
         F.max("value").alias("high"),
@@ -1391,9 +1399,14 @@ def m4_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
     the bucket pixel-exact (Jugel et al., VLDB 2014). The TSDB dashboard
     primitive (Timescale/InfluxDB downsample path).
 
-    Pure min_by/max_by hash aggregation keyed by (ts, event_id) structs —
-    map-side partial, ONE shuffle, no window sort; same shape as OHLC but
-    carrying the coordinates needed for exact rendering.
+    Pure min_by/max_by aggregation keyed by (ts, event_id) / (value, ts,
+    event_id) structs — map-side partial, ONE shuffle, no window sort;
+    same shape as OHLC but carrying the coordinates needed for exact
+    rendering. Unlike ohlc_bars this aggregate stays sort-based by
+    necessity: the v_min/v_max ordering (decimal value, ts, event_id)
+    cannot pack into one DECIMAL(38,0) (~53 digits), and a single
+    immutable buffer field forces the whole node to SortAggregate — the
+    partial combine before the shuffle is the part that matters at scale.
     """
     ev = load_table(spark, sf_dir, "events")
     okey = F.struct(F.col("ts"), F.col("event_id"))
