@@ -409,10 +409,32 @@ def test_profile_table_approx_plans_no_expand(spark, sf_dir):
     # the exact path's full-table passes must all be hash aggregates: the
     # only sort-based aggregate allowed is the final 1-row collapse of a
     # per-column distinct frame (its input is the distinct set, not the
-    # table). The base-table scan feeding a SortAggregate directly would
-    # re-open the r13 finding.
-    s = exact._jdf.queryExecution().executedPlan().toString()
-    assert "Expand" not in s
+    # table). A SortAggregate consuming the base-table scan directly
+    # would re-open the r13 finding (8-12 s at sf0.1).
+    plans.assert_no_sort_aggregate_over_raw_scan(exact)
+    plans.assert_no_sort_aggregate_over_raw_scan(approx)
+    # negative control (the r11 lesson — the detector must demonstrably
+    # engage): the OLD exact formulation, a single agg mixing string
+    # min/max with multi-distinct counts, plans SortAggregate straight
+    # over the (Expand-widened) scan and must trip the new audit.
+    from timedb_spark.io.tables import load_table
+    from timedb_spark.operators.pipeline import PROFILE_COLS
+
+    li = load_table(spark, sf_dir, "lineitem")
+    old_exact = li.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        *[
+            a
+            for c in PROFILE_COLS
+            for a in (
+                F.count_distinct(F.col(c)).alias(f"{c}__nd"),
+                F.min(F.col(c)).cast("string").alias(f"{c}__min"),
+                F.max(F.col(c)).cast("string").alias(f"{c}__max"),
+            )
+        ],
+    )
+    with pytest.raises(AssertionError, match="raw file scan"):
+        plans.assert_no_sort_aggregate_over_raw_scan(old_exact)
 
 
 def test_profile_table_approx_within_hll_error(spark, sf_dir):

@@ -1,0 +1,49 @@
+"""Packed lexicographic orderings for Tungsten-mutable argmin/argmax.
+
+``max_by(value, struct(a, b))`` / ``min_by`` carry a struct-typed
+aggregation buffer, which is not mutable in an UnsafeRow and forces the
+whole aggregate to plan as a SortAggregate — a full sort of every map
+partition on both sides of the exchange (measured r13: the dominant cost
+of bt_read_latest, ts_ohlc and the PQ/kmeans assignment collapses at
+sf0.1). Packing the two integer components into ONE ``DECIMAL(38,0)``
+keeps the exact lexicographic order while making the buffer
+(value, decimal) — fully mutable — so the collapse runs as a
+HashAggregate with the same map-side partial combine and zero sorts.
+
+The single correctness argument, stated once for every call site:
+
+- **Injective + strictly order-preserving** whenever ``|lo| < SCALE/2``:
+  distinct ``hi`` values differ by ≥ 1, i.e. by ≥ SCALE in the packed
+  key, and the ``lo`` contribution is < SCALE/2 in magnitude, so the
+  ``hi`` comparison can never be overturned; equal ``hi`` reduces to the
+  exact ``lo`` comparison. For microsecond timestamps ``|lo| < 5e18``
+  covers ±~150,000 years; a BIGINT id within ±5e18 covers every real id.
+- **Exact**: ``hi`` as micros/ids has ≤ 19 digits, so the product has
+  ≤ 38 digits — inside DECIMAL(38,0); Spark computes the capped-precision
+  multiply exactly when the true result fits (values here are ≤ ~1e35).
+- **NULL semantics**: the packed key is NULL when either component is
+  NULL, and max_by/min_by SKIP null-ordering rows — whereas a struct
+  ordering treats struct(NULL, b) as a non-null struct and orders the
+  row by null-first field comparison. Call sites must guarantee non-null
+  components (every current site does by construction: store-stamped
+  knowledge/change times, events' ts/event_id, computed distances).
+"""
+
+from __future__ import annotations
+
+from decimal import Decimal
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+#: One unit of ``hi`` must outrank any ``lo`` difference: |lo| < SCALE/2.
+SCALE = 10**19
+
+
+def packed_lex(hi: Column, lo: Column) -> Column:
+    """``hi * 1e19 + lo`` as DECIMAL(38,0) — the (hi, lo) lexicographic
+    order as one Tungsten-mutable scalar (see module docstring for the
+    injectivity/exactness/NULL argument). Both inputs must be
+    integer-valued (LONG-typed) columns with ``|lo| < 5e18``."""
+    return hi.cast(T.DecimalType(38, 0)) * F.lit(Decimal(SCALE)) + lo

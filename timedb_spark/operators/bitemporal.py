@@ -33,11 +33,11 @@ from __future__ import annotations
 from collections.abc import Sequence
 from dataclasses import dataclass
 from datetime import datetime, time as dt_time, timedelta
-from decimal import Decimal
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
-from pyspark.sql import types as T
+
+from timedb_spark.functions.ordering import packed_lex
 
 # ---------------------------------------------------------------------------
 # Filters (ref: timedb/read.py:183-224 ``_where``)
@@ -176,38 +176,31 @@ def filter_by_meta(df: DataFrame, meta_df: DataFrame, spec: SeriesMeta) -> DataF
 
 _STATE = ("value", "annotation", "changed_by")
 
-#: Scale of the packed (knowledge_time, change_time) ordering key: one
-#: microsecond of knowledge_time outranks ANY change_time difference as long
-#: as |unix_micros(change_time)| < SCALE/2 = 5e18 (≈ ±150,000 years — far
-#: beyond the parquet/DuckDB interop timestamp domain). 10^19 exceeds
-#: Long.MAX, so the literal must be a Decimal, not a Python int.
-_KT_CT_SCALE = 10**19
-
 
 def kt_ct_order() -> Column:
     """The (knowledge_time, change_time) lexicographic ordering as ONE
-    Tungsten-mutable DECIMAL(38,0): ``unix_micros(kt) * 1e19 +
-    unix_micros(ct)``.
+    Tungsten-mutable DECIMAL(38,0) (functions/ordering.packed_lex — the
+    shared injectivity/exactness argument lives there).
 
     ``max_by(value, struct(kt, ct))`` carries a struct-typed aggregation
     buffer, which disqualifies HashAggregate (struct fields aren't mutable
     in an UnsafeRow) and forces a SortAggregate — a full sort of every map
     partition BEFORE the partial combine, and a second sort after the
     exchange (measured r13: the two sorts are the dominant cost of
-    bt_read_latest at sf0.1). Packing the two timestamps into one decimal
-    keeps the exact lexicographic order (the encoding is injective and
-    strictly monotone: distinct kt differ by ≥ 1 µs = SCALE in the packed
-    key, |ct| contributes < SCALE/2) while making the buffer
-    (double, decimal) — fully mutable, so the collapse runs as a
-    HashAggregate with the same map-side partial combine.
+    bt_read_latest at sf0.1). The packed key keeps the exact lexicographic
+    order while the (double, decimal) buffer is fully mutable, so the
+    collapse runs as a HashAggregate with the same map-side combine.
 
-    Exactness: unix_micros(kt) has ≤ 16 digits for any real timestamp, so
-    the product has ≤ 35 digits — inside DECIMAL(38,0), no precision loss.
-    Rows with NULL kt/ct are skipped by max_by under both encodings in the
-    store's domain (the write path stamps both columns non-null).
+    NULL semantics: the store's write path stamps both columns non-null
+    (the validation contract), so in-domain results are identical to the
+    struct form. OUT of that domain the encodings differ: a NULL kt/ct
+    makes the packed key NULL and max_by SKIPS the row, where the struct
+    form would have ordered it null-first within the field comparison —
+    callers feeding un-stamped frames must not rely on NULL ordering.
     """
-    kt = F.unix_micros(F.col("knowledge_time")).cast(T.DecimalType(38, 0))
-    return kt * F.lit(Decimal(_KT_CT_SCALE)) + F.unix_micros(F.col("change_time"))
+    return packed_lex(
+        F.unix_micros(F.col("knowledge_time")), F.unix_micros(F.col("change_time"))
+    )
 
 
 def latest(df: DataFrame) -> DataFrame:

@@ -12,13 +12,11 @@ with no RNG state. Recall vs brute force is measured in tests.
 
 from __future__ import annotations
 
-from decimal import Decimal
-
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
-from pyspark.sql import types as T
 
 from timedb_spark.functions import texttools as tt
+from timedb_spark.functions.ordering import packed_lex
 from timedb_spark.functions import vectors as vx
 from timedb_spark.functions.rounding import floor6, floor6_sql
 from timedb_spark.io.tables import load_table
@@ -214,24 +212,20 @@ _PQ_SHORTLIST = 10 * _TOP_K  # ADC candidates re-ranked exactly
 
 
 
-def _d_cell_order(d: str = "d", cell: str = "cell"):
-    """The (d, cell) lexicographic argmin ordering packed into ONE
-    DECIMAL(38,0): ``d * 1e19 + cell``.
-
-    ``min_by(cell, struct(d, cell))`` carries a struct-typed aggregation
-    buffer — not Tungsten-mutable, so the per-vector nearest-centroid
-    collapse planned as a SortAggregate (a full sort of the n_vecs x K
-    assignment stream on both sides of the exchange; measured r13 on
-    ann_pq / embed_kmeans plans). Both components are NON-NEGATIVE
-    integers (d is the integer l2sq accumulate, cell a centroid index),
-    so the packing is injective and strictly order-preserving whenever
-    cell < 1e19 and d < 1e19 (l2sq of quantized vectors tops out around
-    1e15; a long cannot exceed 9.2e18 at all) — and a (long, decimal)
-    buffer IS mutable, so the argmin runs as a HashAggregate with
-    map-side combine and zero sorts. Ties are impossible: cell is part of
-    the ordering, making it total — results are bit-identical.
+def _d_cell_order():
+    """The (d, cell) argmin ordering as one Tungsten-mutable DECIMAL(38,0)
+    (functions/ordering.packed_lex — the shared injectivity/exactness
+    argument lives there). Reads the literal ``d``/``cell`` columns every
+    assignment frame carries: d is the non-negative integer l2sq
+    accumulate, cell a non-negative centroid index, both computed
+    non-null, so the packed key is total and results are bit-identical
+    to the struct(d, cell) form — while the (long, decimal) buffer lets
+    the per-vector nearest-centroid collapse run as a HashAggregate with
+    map-side combine instead of sorting the n_vecs x K assignment stream
+    (measured r13 on ann_pq / embed_kmeans plans).
     """
-    return F.col(d).cast(T.DecimalType(38, 0)) * F.lit(Decimal(10**19)) + F.col(cell)
+    return packed_lex(F.col("d"), F.col("cell"))
+
 
 def ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization top-k (ADC): each vector is compressed to M

@@ -697,20 +697,18 @@ def ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
     open/close are ``min_by``/``max_by`` over the (ts, event_id) order (the
     same argmax pattern as the bitemporal latest read). The ordering is
     the packed DECIMAL(38,0) ``unix_micros(ts) * 1e19 + event_id``
-    (bitemporal.kt_ct_order's encoding — injective and strictly
-    order-preserving for |event_id| < 5e18): a struct ordering key would
-    force the whole aggregate sort-based (struct buffers are not
-    Tungsten-mutable), while the packed decimal keeps it a HashAggregate
-    with the same map-side PARTIAL combine — each partition collapses to
-    one row per (user, hour) before the shuffle and nothing is ever
-    sorted.
+    (functions/ordering.packed_lex — the shared injectivity/exactness
+    argument lives there; events' ts/event_id are non-null by schema): a
+    struct ordering key would force the whole aggregate sort-based
+    (struct buffers are not Tungsten-mutable), while the packed decimal
+    keeps it a HashAggregate with the same map-side PARTIAL combine —
+    each partition collapses to one row per (user, hour) before the
+    shuffle and nothing is ever sorted.
     """
-    from decimal import Decimal
-
-    from pyspark.sql import types as _T
+    from timedb_spark.functions.ordering import packed_lex
 
     ev = load_table(spark, sf_dir, "events")
-    okey = F.unix_micros(F.col("ts")).cast(_T.DecimalType(38, 0)) * F.lit(Decimal(10**19)) + F.col("event_id")
+    okey = packed_lex(F.unix_micros(F.col("ts")), F.col("event_id"))
     return ev.groupBy("user_id", F.date_trunc("hour", "ts").alias("bucket")).agg(
         F.min_by("value", okey).alias("open"),
         F.max("value").alias("high"),

@@ -159,3 +159,52 @@ def assert_no_broadcast_over_raw_explode(df: DataFrame) -> None:
         "BroadcastExchange builds a raw explode-derived side "
         f"(driver-OOM class at scale): {offenders}"
     )
+
+
+def assert_no_sort_aggregate_over_raw_scan(df: DataFrame) -> None:
+    """No SortAggregate may consume a RAW file scan.
+
+    A SortAggregate whose subtree reaches a parquet scan with no
+    intervening hash aggregate sorts the ENTIRE table stream on both
+    sides of its exchange — the r13 profile_table finding (a multi-
+    distinct agg's Expand(6×) fed string-min/max buffers straight off the
+    scan: 8–12 s at sf0.1 vs 1.1 s restructured). A SortAggregate over an
+    already-hash-collapsed frame (e.g. the 1-row min/max fold of a
+    per-column ``distinct()``) is fine — its input is the collapsed set,
+    not the table. Same tree walk + shield mechanism as
+    :func:`assert_no_broadcast_over_raw_explode`."""
+    lines = executed_plan(df).splitlines()
+    offenders: list[str] = []
+    for i, line in enumerate(lines):
+        if "SortAggregate" not in line:
+            continue
+        if "SortAggregate(key=[]" in line:
+            # Keyless (global) aggregate: requiredChildOrdering is empty
+            # when there are no grouping keys, so Spark inserts NO Sort —
+            # it is a per-partition fold that merely carries an immutable
+            # buffer (e.g. string min/max). The hazard this audit exists
+            # for (a full-table sort around the exchange) cannot occur.
+            continue
+        depth = _tree_depth(line)
+        if depth is None:
+            continue
+        blocked: int | None = None  # indent below which a hash collapse shields
+        for j in range(i + 1, len(lines)):
+            dj = _tree_depth(lines[j])
+            if dj is None:
+                continue
+            if dj <= depth:
+                break
+            if blocked is not None and dj > blocked:
+                continue
+            blocked = None
+            if "HashAggregate" in lines[j]:  # incl. ObjectHashAggregate
+                blocked = dj
+                continue
+            if "Scan parquet" in lines[j] or "FileScan" in lines[j]:
+                offenders.append(line.strip()[:120])
+                break
+    assert not offenders, (
+        "SortAggregate consumes a raw file scan (full-table sort; "
+        f"the r13 profile_table class): {offenders}"
+    )

@@ -44,7 +44,9 @@ FLAGS = {
     "SortMergeJoin": r"\bSortMergeJoin\b",
     "ShuffledHashJoin": r"\bShuffledHashJoin\b",
     "BroadcastHashJoin": r"\bBroadcastHashJoin\b",
-    "Exchange": r"\bExchange (hash|range|single|rangepartitioning)",
+    # hash/range partitioning render lowercase; a 1-row global collapse
+    # renders 'Exchange SinglePartition' (capital S) — match all three.
+    "Exchange": r"\bExchange (hash|range|Single|single)",
     "Expand": r"\bExpand\b",
     "Window": r"\bWindow\b",
     "Sort": r"\bSort \[",
