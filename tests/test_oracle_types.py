@@ -86,6 +86,7 @@ def test_every_gate_query_output_schema_is_flat(spark):
         "dedup_semantic",        # dedup_minhash pairs localCheckpoint
         "dedup_lsh_tuning",
         "dedup_winnowing",       # r13: selected-fingerprint localCheckpoint
+        "dedup_report",          # r14: per-leg pair-frame localCheckpoints
         "sample_kcenter",        # per-round chosen-set localCheckpoint
         "embed_knn_graph",
         "ts_granger",

@@ -554,12 +554,22 @@ def dedup_editdist(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = pairs.filter(
         F.abs(F.length("_na") - F.length("_nb")) <= _EDIT_MAX
     )
+    # identical-text pairs (planted exact copies — 723 of ~2,400 block
+    # pairs at sf0.1) have distance 0 and can never pass the `> 0` filter:
+    # drop them BEFORE the DP so the quadratic work never runs on them
+    # (result-neutral by construction).
+    pairs = pairs.filter(F.col("_na") != F.col("_nb"))
     # threshold form: banded DP, O(len·k) per pair instead of O(len²) —
-    # returns -1 beyond the bound, which the BETWEEN filter drops.
+    # returns -1 beyond the bound. One filter reference only: Catalyst
+    # inlines the projected column into every filter conjunct, so the old
+    # `(d <= _EDIT_MAX) & (d > 0)` evaluated the DP three times per pair
+    # (measured r14: 7.4 s → 1.6 s at sf0.1 for this + the equal-pair
+    # cut). `d > 0` alone is equivalent — the threshold form already
+    # caps values at _EDIT_MAX (beyond ⇒ -1).
     dist = F.levenshtein("_na", "_nb", _EDIT_MAX)
     return (
         pairs.withColumn("edit_distance", dist)
-        .filter((F.col("edit_distance") <= _EDIT_MAX) & (F.col("edit_distance") > 0))
+        .filter(F.col("edit_distance") > 0)
         .select("doc_a", "doc_b", "edit_distance")
     )
 
@@ -846,16 +856,29 @@ def dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     equi-join, never n²). Exact-integer counts; one double division for
     the Jaccard, identical op order both engines.
     """
-    # deliberately NOT persist()ed (contrast _shingled): all twelve
-    # rollups union into ONE plan, so Spark's ReuseExchange already shares
-    # each leg's candidate-generation subtree across its three branches —
-    # measured: persisting the legs materializes them eagerly and runs
-    # SLOWER (23 s vs 17 s at sf0.1) while adding cache pressure.
+    # Each leg's (doc_a, doc_b) pair frame is LAZY-localCheckpointed: the
+    # pair sets are tiny (hundreds of rows at sf0.1) but their producing
+    # plans are the four heaviest candidate-generation+verify pipelines in
+    # the registry, and each feeds FOUR consumers here (n_pairs, both
+    # doc-id union branches, the overlap join) — the minhash leg feeds
+    # eight (those plus n_mh and all four overlap joins). ReuseExchange
+    # only shares identical exchange SUBTREES within the one unioned plan;
+    # the lineage cut shares the materialized pair RDD itself, so every
+    # leg computes exactly once per run (the dedup_winnowing /
+    # dedup_lsh_tuning pattern; measured r14 with the editdist fix below:
+    # best-of-3 16.4 s → 9.4 s at sf0.1, executed plan 7,699 → 911 lines).
+    # eager=False keeps the twelve rollups lazy — materialization happens
+    # inside the caller's one action, not as four serialized driver jobs
+    # (the r13 EAGER-persist A/B ran SLOWER, 23 s vs 17 s, for that
+    # reason).
     legs = {
-        "minhash": dedup_minhash(spark, sf_dir).select("doc_a", "doc_b"),
-        "simhash": dedup_simhash(spark, sf_dir).select("doc_a", "doc_b"),
-        "ngram": dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b"),
-        "editdist": dedup_editdist(spark, sf_dir).select("doc_a", "doc_b"),
+        name: frame.select("doc_a", "doc_b").localCheckpoint(eager=False)
+        for name, frame in (
+            ("minhash", dedup_minhash(spark, sf_dir)),
+            ("simhash", dedup_simhash(spark, sf_dir)),
+            ("ngram", dedup_ngram_jaccard(spark, sf_dir)),
+            ("editdist", dedup_editdist(spark, sf_dir)),
+        )
     }
     mh = legs["minhash"]
     n_mh = mh.agg(F.count(F.lit(1)).alias("n_mh"))

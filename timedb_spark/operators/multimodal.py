@@ -804,31 +804,48 @@ def multimodal_audio_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     end-to-end through the REAL wave codec."""
     docs = load_table(spark, sf_dir, "documents")
     ah = audio_hash_docs(attach_audio_payload(docs))
-    bands = ah.select(
-        "doc_id",
+    # r14 rewrite (guide §2.3 "shuffle keys and metadata instead of
+    # payloads" / §8 "decide with small rows"): both band-collision and
+    # exact hamming depend only on the HASH VALUES, and the 16-bit hash
+    # space caps distinct hashes at 65,536 regardless of corpus size — so
+    # the band self-join runs over the distinct-hash frame (one count per
+    # hash), never over docs. Doc-level it is quadratic in the per-band
+    # bucket population (4-bit bands ⇒ 16 buckets/band: measured sf0.1,
+    # 5,000 docs → 7.67M distinct doc pairs vs 1.82M hash pairs from 2,477
+    # distinct hashes; at 100 TB doc pairs grow ~n²/64 while hash pairs
+    # saturate at the 2^16 ceiling). Every frame here is bounded by that
+    # ceiling, so the joins broadcast by construction and per-doc stats
+    # attach with one broadcast join — identical output, proved per-row by
+    # the unchanged DuckDB oracle.
+    hh = ah.groupBy("ahash").agg(F.count(F.lit(1)).alias("cnt"))
+    hbands = hh.select(
         "ahash",
+        "cnt",
         F.explode(F.array(*[F.lit(b) for b in range(_AHASH_BANDS)])).alias("bi"),
     ).withColumn("bval", F.expr("shiftright(ahash, bi * 4) & 15"))
-    a = bands.select(F.col("doc_id").alias("da"), F.col("ahash").alias("pa"), "bi", "bval")
-    # merge hint: band frames are explode-derived (linear in the corpus) —
-    # Catalyst's post-explode estimate is the pre-explode scan size, so a
-    # side would be STATICALLY broadcast (the scaleprobe r12 driver-OOM
-    # class; AQE cannot demote it).
-    b = bands.select(F.col("doc_id").alias("db"), F.col("ahash").alias("pb"), "bi", "bval").hint("merge")
-    cand = (
-        a.join(b, ["bi", "bval"])
-        .filter(F.col("da") != F.col("db"))
-        .select("da", "db", "pa", "pb")
+    a = hbands.select(F.col("ahash").alias("ha"), "bi", "bval")
+    b = hbands.select(F.col("ahash").alias("hb"), F.col("cnt").alias("cnt_b"), "bi", "bval")
+    pairs = (
+        a.join(F.broadcast(b), ["bi", "bval"])
+        .filter(F.col("ha") != F.col("hb"))
+        .select("ha", "hb", "cnt_b")
         .distinct()
     )
-    agg = cand.groupBy(F.col("da").alias("doc_id")).agg(
-        F.count(F.lit(1)).alias("n_band_matches"),
-        F.min(F.expr("bit_count(pa ^ pb)")).cast("int").alias("min_hamming"),
+    other = pairs.groupBy(F.col("ha").alias("ahash")).agg(
+        F.sum("cnt_b").alias("n_other"),
+        F.min(F.expr("bit_count(ha ^ hb)")).alias("mh_other"),
     )
-    return ah.join(agg, "doc_id", "left").select(
+    # same-hash docs collide in every band: they contribute cnt-1 matches
+    # and force min_hamming to 0 whenever the hash is shared.
+    stats = hh.join(F.broadcast(other), "ahash", "left").select(
+        "ahash",
+        (F.col("cnt") - 1 + F.coalesce(F.col("n_other"), F.lit(0))).alias("n_band_matches"),
+        F.when(F.col("cnt") > 1, F.lit(0)).otherwise(F.col("mh_other")).cast("int").alias("min_hamming"),
+    )
+    return ah.join(F.broadcast(stats), "ahash").select(
         "doc_id",
         "ahash",
-        F.coalesce("n_band_matches", F.lit(0).cast("long")).alias("n_band_matches"),
+        "n_band_matches",
         "min_hamming",
     )
 

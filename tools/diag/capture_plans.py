@@ -1,8 +1,9 @@
-"""Capture .explain("formatted") for named queries into plans/r13/.
+"""Capture .explain("formatted") for named queries into the round's plans
+directory (``SPARK_GRAFT_PLANS_DIR``, default plans/r14).
 
 Usage: python tools/diag/capture_plans.py <suffix> [query ...]
 
-Writes plans/r13/<query>_<suffix>.txt for each query (default: the bench
+Writes <plans_dir>/<query>_<suffix>.txt for each query (default: the bench
 headline set). Planning only — nothing is executed, so this is cheap and
 safe to run alongside other sessions.
 """
@@ -34,7 +35,7 @@ def main() -> None:
     suffix = sys.argv[1] if len(sys.argv) > 1 else "before"
     names = sys.argv[2:] or HEADLINE
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    out_dir = os.path.join("/root/repo/plans/r13")
+    out_dir = os.environ.get("SPARK_GRAFT_PLANS_DIR", "/root/repo/plans/r14")
     os.makedirs(out_dir, exist_ok=True)
 
     spark = get_spark("timedb_spark-plan-capture")

@@ -141,11 +141,25 @@ def build_stress_dir(spark: SparkSession, base: str, out_dir: str, replicas: int
 
     replicate("embeddings", emb_tx)
 
+    # TPC-H universe: replicate facts AND dimensions with ONE span per key
+    # domain (max over every table carrying the key), so each replica is a
+    # disjoint, join-consistent TPC-H world sharing only nation/region —
+    # which makes the stress dir a drop-in SPARK_GRAFT_SF_DIR for the bench
+    # headline (tpch_q3/q5 join orders/customer/supplier). r14 addition;
+    # prior versions replicated lineitem alone.
     li = load_table(spark, base, "lineitem")
-    spans = li.agg(
-        F.max("l_partkey"), F.max("l_orderkey"), F.max("l_suppkey")
-    ).collect()[0]
-    p_span, o_span, s_span = (int(x) + 1 for x in spans)
+    orders = load_table(spark, base, "orders")
+    cust = load_table(spark, base, "customer")
+    supp = load_table(spark, base, "supplier")
+    part = load_table(spark, base, "part")
+    li_spans = li.agg(F.max("l_partkey"), F.max("l_orderkey"), F.max("l_suppkey")).collect()[0]
+    p_span = max(int(li_spans[0]), int(part.agg(F.max("p_partkey")).collect()[0][0])) + 1
+    o_span = max(int(li_spans[1]), int(orders.agg(F.max("o_orderkey")).collect()[0][0])) + 1
+    s_span = max(int(li_spans[2]), int(supp.agg(F.max("s_suppkey")).collect()[0][0])) + 1
+    c_span = max(
+        int(orders.agg(F.max("o_custkey")).collect()[0][0]),
+        int(cust.agg(F.max("c_custkey")).collect()[0][0]),
+    ) + 1
     replicate(
         "lineitem",
         lambda df, i: df.withColumns({
@@ -154,6 +168,28 @@ def build_stress_dir(spark: SparkSession, base: str, out_dir: str, replicas: int
             "l_suppkey": F.col("l_suppkey") + F.lit(i * s_span),
         }),
     )
+    replicate(
+        "orders",
+        lambda df, i: df.withColumns({
+            "o_orderkey": F.col("o_orderkey") + F.lit(i * o_span),
+            "o_custkey": F.col("o_custkey") + F.lit(i * c_span),
+        }),
+    )
+    replicate(
+        "customer",
+        lambda df, i: df.withColumn("c_custkey", F.col("c_custkey") + F.lit(i * c_span)),
+    )
+    replicate(
+        "supplier",
+        lambda df, i: df.withColumn("s_suppkey", F.col("s_suppkey") + F.lit(i * s_span)),
+    )
+    replicate(
+        "part",
+        lambda df, i: df.withColumn("p_partkey", F.col("p_partkey") + F.lit(i * p_span)),
+    )
+    for dim in ("nation", "region"):
+        with micros_parquet_writes(spark):
+            load_table(spark, base, dim).write.mode("overwrite").parquet(f"{out_dir}/{dim}.parquet")
 
 
 def main() -> None:
@@ -176,7 +212,8 @@ def main() -> None:
     queries = entrymod.queries()
     stress_dir = f"/tmp/timedb_scaleprobe_x{args.replicas}"
     manifest = {"replicas": args.replicas, "base_sf_dir": BASE_SF_DIR,
-                "tables": ["events", "documents", "embeddings", "lineitem"], "v": 4}
+                "tables": ["events", "documents", "embeddings", "lineitem",
+                           "orders", "customer", "supplier", "part", "nation", "region"], "v": 5}
     mpath = f"{stress_dir}/_MANIFEST.json"
     have = None
     if os.path.exists(mpath):
