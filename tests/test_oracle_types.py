@@ -87,6 +87,7 @@ def test_every_gate_query_output_schema_is_flat(spark):
         "dedup_lsh_tuning",
         "dedup_winnowing",       # r13: selected-fingerprint localCheckpoint
         "dedup_report",          # r14: per-leg pair-frame localCheckpoints
+        "dedup_editdist",        # r14: scored-pairs localCheckpoint (1 DP eval)
         "sample_kcenter",        # per-round chosen-set localCheckpoint
         "embed_knn_graph",
         "ts_granger",

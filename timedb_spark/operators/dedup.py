@@ -560,18 +560,18 @@ def dedup_editdist(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (result-neutral by construction).
     pairs = pairs.filter(F.col("_na") != F.col("_nb"))
     # threshold form: banded DP, O(len·k) per pair instead of O(len²) —
-    # returns -1 beyond the bound. One filter reference only: Catalyst
-    # inlines the projected column into every filter conjunct, so the old
-    # `(d <= _EDIT_MAX) & (d > 0)` evaluated the DP three times per pair
-    # (measured r14: 7.4 s → 1.6 s at sf0.1 for this + the equal-pair
-    # cut). `d > 0` alone is equivalent — the threshold form already
-    # caps values at _EDIT_MAX (beyond ⇒ -1).
-    dist = F.levenshtein("_na", "_nb", _EDIT_MAX)
-    return (
-        pairs.withColumn("edit_distance", dist)
-        .filter(F.col("edit_distance") > 0)
-        .select("doc_a", "doc_b", "edit_distance")
-    )
+    # returns -1 beyond the bound. Catalyst inlines a projected column
+    # into every consumer, so the old `(d <= _EDIT_MAX) & (d > 0)` filter
+    # plus the projection evaluated the DP three times per pair; `d > 0`
+    # alone is equivalent (the threshold form already caps values at
+    # _EDIT_MAX, beyond ⇒ -1) and the lazy checkpoint on the tiny scored
+    # frame (~1.6k rows at sf0.1) pins the DP to exactly ONE evaluation —
+    # filter-vs-project inlining can never resurrect it. Measured r14:
+    # 8.9 s → 1.3-1.6 s best-of-N at sf0.1, collect() identical.
+    scored = pairs.select(
+        "doc_a", "doc_b", F.levenshtein("_na", "_nb", _EDIT_MAX).alias("edit_distance")
+    ).localCheckpoint(eager=False)
+    return scored.filter(F.col("edit_distance") > 0)
 
 
 DEDUP_EDITDIST_SQL = rf"""
