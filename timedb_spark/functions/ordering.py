@@ -31,6 +31,7 @@ The single correctness argument, stated once for every call site:
 
 from __future__ import annotations
 
+import os
 from decimal import Decimal
 
 from pyspark.sql import Column
@@ -40,10 +41,29 @@ from pyspark.sql import types as T
 #: One unit of ``hi`` must outrank any ``lo`` difference: |lo| < SCALE/2.
 SCALE = 10**19
 
+#: Validation switch (VERDICT r13 what's-wrong #3): the preconditions
+#: below are documented but cheap to violate silently — under non-ANSI
+#: mode an overflowing product becomes NULL and max_by/min_by then SKIP
+#: the row instead of erroring. With TIMEDB_SPARK_CHECK_PACKED set (tests;
+#: any debugging session) every packed key is wrapped in assert_true on
+#: non-null components and the |lo| bound, so a violating call site fails
+#: loudly at the first evaluated row. Default off: the check costs one
+#: branch per row and every production call site is non-null by
+#: construction (store-stamped timestamps, computed distances, ids).
+CHECK = bool(os.environ.get("TIMEDB_SPARK_CHECK_PACKED"))
+
 
 def packed_lex(hi: Column, lo: Column) -> Column:
     """``hi * 1e19 + lo`` as DECIMAL(38,0) — the (hi, lo) lexicographic
     order as one Tungsten-mutable scalar (see module docstring for the
     injectivity/exactness/NULL argument). Both inputs must be
     integer-valued (LONG-typed) columns with ``|lo| < 5e18``."""
-    return hi.cast(T.DecimalType(38, 0)) * F.lit(Decimal(SCALE)) + lo
+    packed = hi.cast(T.DecimalType(38, 0)) * F.lit(Decimal(SCALE)) + lo
+    if CHECK:
+        ok = hi.isNotNull() & lo.isNotNull() & (F.abs(lo) < F.lit(SCALE // 2))
+        packed = F.when(ok, packed).otherwise(
+            F.raise_error(
+                F.lit("packed_lex precondition violated: NULL component or |lo| >= 5e18")
+            ).cast(T.DecimalType(38, 0))
+        )
+    return packed

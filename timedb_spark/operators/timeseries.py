@@ -26,6 +26,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from timedb_spark.functions.ordering import packed_lex
 from timedb_spark.functions.rounding import floor6, floor6_sql, floor_scale, floor_scale_sql
 from timedb_spark.io.tables import load_table
 
@@ -705,8 +706,6 @@ def ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
     each partition collapses to one row per (user, hour) before the
     shuffle and nothing is ever sorted.
     """
-    from timedb_spark.functions.ordering import packed_lex
-
     ev = load_table(spark, sf_dir, "events")
     okey = packed_lex(F.unix_micros(F.col("ts")), F.col("event_id"))
     return ev.groupBy("user_id", F.date_trunc("hour", "ts").alias("bucket")).agg(

@@ -172,7 +172,14 @@ def assert_no_sort_aggregate_over_raw_scan(df: DataFrame) -> None:
     already-hash-collapsed frame (e.g. the 1-row min/max fold of a
     per-column ``distinct()``) is fine — its input is the collapsed set,
     not the table. Same tree walk + shield mechanism as
-    :func:`assert_no_broadcast_over_raw_explode`."""
+    :func:`assert_no_broadcast_over_raw_explode`.
+
+    Known limitation (ADVICE r13): the walk reads the rendered plan text,
+    and subtrees hidden behind ``ReusedExchange`` / ``InMemoryTableScan``
+    nodes do not re-render their scan lines — a SortAggregate over a
+    cached/reused raw scan can therefore pass undetected (false negative,
+    never a false positive). Acceptable for a CI tripwire; plans that lean
+    on caching should be audited with the cache disabled."""
     lines = executed_plan(df).splitlines()
     offenders: list[str] = []
     for i, line in enumerate(lines):
