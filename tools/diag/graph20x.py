@@ -38,11 +38,10 @@ def main():
     spark.sparkContext.setLogLevel("ERROR")
 
     sys.path.insert(0, "/root/repo/tools")
-    from scaleprobe import BASE_SF_DIR, build_stress_dir
+    from scaleprobe import BASE_SF_DIR, build_stress_dir, stress_manifest
 
     stress_dir = f"/tmp/timedb_scaleprobe_x{args.replicas}"
-    manifest = {"replicas": args.replicas, "base_sf_dir": BASE_SF_DIR,
-                "tables": ["events", "documents", "embeddings", "lineitem"], "v": 4}
+    manifest = stress_manifest(args.replicas)
     mpath = f"{stress_dir}/_MANIFEST.json"
     have = None
     if os.path.exists(mpath):

@@ -24,7 +24,7 @@ REPLICAS = 40
 
 
 def main() -> None:
-    from scaleprobe import BASE_SF_DIR, build_stress_dir
+    from scaleprobe import BASE_SF_DIR, build_stress_dir, stress_manifest
 
     spark = get_spark("timedb-graph40x")
     spark.sparkContext.setLogLevel("ERROR")
@@ -33,8 +33,7 @@ def main() -> None:
     queries = entrymod.queries()
 
     stress_dir = f"/tmp/timedb_scaleprobe_x{REPLICAS}"
-    manifest = {"replicas": REPLICAS, "base_sf_dir": BASE_SF_DIR,
-                "tables": ["events", "documents", "embeddings", "lineitem"], "v": 4}
+    manifest = stress_manifest(REPLICAS)
     mpath = f"{stress_dir}/_MANIFEST.json"
     have = None
     if os.path.exists(mpath):

@@ -67,6 +67,15 @@ PROBES = [
 BASE_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+def stress_manifest(replicas: int) -> dict:
+    """Cache key for a built stress dir — bump "v" whenever
+    build_stress_dir's output changes so stale dirs rebuild. Shared with
+    the tools/diag probes."""
+    return {"replicas": replicas, "base_sf_dir": BASE_SF_DIR,
+            "tables": ["events", "documents", "embeddings", "lineitem",
+                       "orders", "customer", "supplier", "part", "nation", "region"], "v": 5}
+
+
 def build_stress_dir(spark: SparkSession, base: str, out_dir: str, replicas: int) -> None:
     from timedb_spark.io.tables import load_table
     from timedb_spark.session import micros_parquet_writes
@@ -211,9 +220,7 @@ def main() -> None:
 
     queries = entrymod.queries()
     stress_dir = f"/tmp/timedb_scaleprobe_x{args.replicas}"
-    manifest = {"replicas": args.replicas, "base_sf_dir": BASE_SF_DIR,
-                "tables": ["events", "documents", "embeddings", "lineitem",
-                           "orders", "customer", "supplier", "part", "nation", "region"], "v": 5}
+    manifest = stress_manifest(args.replicas)
     mpath = f"{stress_dir}/_MANIFEST.json"
     have = None
     if os.path.exists(mpath):
