@@ -83,22 +83,40 @@ FROM ranked WHERE rank <= {_TOP_K}
 _LSH_BITS = 8
 
 
-def _hyperplane(dim: int, j: int):
-    """Deterministic pseudo-random hyperplane j: weight i = md5-nibble-derived
-    integer in [-8, 7]. No RNG state; identical across runs and engines."""
-    return F.array(*[tt.nibble(F.substring(F.md5(F.lit(f"hp:{j}:{i}")), 1, 1)) - 8 for i in range(dim)])
+def _hyperplane_weights(dim: int, j: int) -> list[int]:
+    """Deterministic pseudo-random hyperplane j: weight i = md5-nibble-
+    derived integer in [-8, 7]. No RNG state; the SAME rule the SQL
+    oracle's literal builder uses (_lsh_weight_literals), evaluated once
+    in the driver — the weights are algorithm constants, not data."""
+    import hashlib
+
+    return [int(hashlib.md5(f"hp:{j}:{i}".encode()).hexdigest()[0], 16) - 8 for i in range(dim)]
 
 
-def lsh_signature(vec, dim: int, bits: int = _LSH_BITS):
-    sig = F.lit(0)
+def lsh_signature(vec: str, dim: int, bits: int = _LSH_BITS):
+    """Sign-bit signature Σ_j 2^j·[⟨q, w_j⟩ > 0] as ONE SQL expression.
+
+    r14 (guide §4 — the boundary cost was the DRIVER, not the executor):
+    the previous form composed ~1,500 Column objects (8 hyperplane
+    arrays × 64 md5 weight expressions + zip_with/aggregate folds), and
+    every operator call is a py4j round-trip — measured 3.1 s just to
+    BUILD the DataFrame at sf0.1, dwarfing the 1.2-1.5 s execution. The
+    weights are algorithm constants (same md5-nibble rule the SQL oracle
+    embeds — :func:`_hyperplane_weights`), so the whole signature
+    becomes one ``F.expr`` string: a single py4j call, identical integer
+    arithmetic (zero-weight terms skipped — exact sums unchanged),
+    bit-identical signatures (oracle-checked). ``vec`` is the SQL text
+    of the vector column (e.g. ``"q"``)."""
+    vsql = vec
+    cases = []
     for j in range(bits):
-        proj = F.aggregate(
-            F.zip_with(vec, _hyperplane(dim, j), lambda x, w: x * w),
-            F.lit(0).cast("long"),
-            lambda acc, v: acc + v,
+        terms = " + ".join(
+            f"element_at({vsql}, {i + 1}) * {w}"
+            for i, w in enumerate(_hyperplane_weights(dim, j))
+            if w != 0
         )
-        sig = sig + F.when(proj > 0, F.lit(2**j)).otherwise(F.lit(0))
-    return sig
+        cases.append(f"(CASE WHEN ({terms}) > 0 THEN {1 << j} ELSE 0 END)")
+    return F.expr("0 + " + " + ".join(cases))
 
 
 def ann_lsh(spark: SparkSession, sf_dir: str, *, dim: int = 64) -> DataFrame:
@@ -110,7 +128,7 @@ def ann_lsh(spark: SparkSession, sf_dir: str, *, dim: int = 64) -> DataFrame:
     Multi-probe makes recall robust to points near a hyperplane boundary
     (the common LSH failure) for (bits+1)× candidate cost — still ≪ n. The
     probe expansion happens on the tiny broadcast query side only."""
-    vecs = _quantized(spark, sf_dir).withColumn("sig", lsh_signature(F.col("q"), dim))
+    vecs = _quantized(spark, sf_dir).withColumn("sig", lsh_signature("q", dim))
     queries = vecs.filter(F.col("vec_id") < _N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("q").alias("qv"), F.col("sig").alias("qsig")
     )
@@ -961,12 +979,11 @@ FROM ({EMBED_QUANTIZE_SQL})
 
 def _lsh_weight_literals(dim: int = 64) -> str:
     """[[w_00..w_0,dim-1], ...] — weight i of hyperplane j is
-    nibble(md5('hp:j:i')[0]) - 8, identical to _hyperplane()."""
-    import hashlib
-
+    nibble(md5('hp:j:i')[0]) - 8, shared with the Spark expression via
+    :func:`_hyperplane_weights`."""
     rows = []
     for j in range(_LSH_BITS):
-        w = [int(hashlib.md5(f"hp:{j}:{i}".encode()).hexdigest()[0], 16) - 8 for i in range(dim)]
+        w = _hyperplane_weights(dim, j)
         rows.append("[" + ", ".join(str(x) for x in w) + "]")
     return "[" + ", ".join(rows) + "]"
 
@@ -1232,13 +1249,20 @@ def ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     frames = []
     for method, fn in (("lsh", ann_lsh), ("ivf", ann_ivf), ("pq", ann_pq)):
         approx = fn(spark, sf_dir).select("query_id", "neighbor_id")
+        # broadcast hints (r14): every frame here is ≤ N_QUERIES·k rows BY
+        # CONSTRUCTION (the fixed query set × top-k) at any corpus scale,
+        # but the checkpointed exact frame and the variants' window
+        # outputs carry no usable size estimates, so Catalyst planned all
+        # six evaluation joins sort-merge (PLANAUDIT r13: ann_recall's 6
+        # SMJ / 23 Sort worst-plan flag). The hints pin the tiny side:
+        # SMJ 6 → 0, Sort 23 → 8 (the variants' own top-k windows).
         hits = (
-            exact.join(approx, ["query_id", "neighbor_id"], "left_semi")
+            exact.join(F.broadcast(approx), ["query_id", "neighbor_id"], "left_semi")
             .groupBy("query_id")
             .agg(F.count(F.lit(1)).alias("n_hits"))
         )
         frames.append(
-            anchor.join(hits, "query_id", "left").select(
+            anchor.join(F.broadcast(hits), "query_id", "left").select(
                 F.lit(method).alias("method"),
                 "query_id",
                 F.coalesce("n_hits", F.lit(0).cast("long")).alias("n_hits"),
