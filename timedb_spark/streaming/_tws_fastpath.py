@@ -86,6 +86,16 @@ class _Codec:
         self.f_clear = v["clear"].number
         u = SM.ValueStateUpdate.DESCRIPTOR.fields_by_name
         self.f_upd_value = u["value"].number
+        self.f_msc = g["mapStateCall"].number
+        m = SM.MapStateCall.DESCRIPTOR.fields_by_name
+        self.f_m_name = m["stateName"].number
+        self.f_m_getv = m["getValue"].number
+        self.f_m_updv = m["updateValue"].number
+        gv = SM.GetValue.DESCRIPTOR.fields_by_name
+        self.f_gv_key = gv["userKey"].number
+        uv = SM.UpdateValue.DESCRIPTOR.fields_by_name
+        self.f_uv_key = uv["userKey"].number
+        self.f_uv_value = uv["value"].number
         i = SM.ImplicitGroupingKeyRequest.DESCRIPTOR.fields_by_name
         self.f_setkey = i["setImplicitKey"].number
         self.f_rmkey = i["removeImplicitKey"].number
@@ -116,6 +126,19 @@ class _Codec:
 
     def enc_remove_key(self) -> bytes:
         return _len_frame(self.f_igk, _len_frame(self.f_rmkey, b""))
+
+    def enc_map_get(self, state_name: str, user_key: bytes) -> bytes:
+        inner = _len_frame(self.f_m_name, state_name.encode()) + _len_frame(
+            self.f_m_getv, _bytes_field(self.f_gv_key, user_key)
+        )
+        return _len_frame(self.f_svr, _len_frame(self.f_msc, inner))
+
+    def enc_map_update(self, state_name: str, user_key: bytes, value: bytes) -> bytes:
+        inner = _len_frame(self.f_m_name, state_name.encode()) + _len_frame(
+            self.f_m_updv,
+            _bytes_field(self.f_uv_key, user_key) + _bytes_field(self.f_uv_value, value),
+        )
+        return _len_frame(self.f_svr, _len_frame(self.f_msc, inner))
 
     # ---- response parser ----------------------------------------------
     def parse_response(self, buf: bytes) -> Tuple[int, str, bytes]:
@@ -204,6 +227,27 @@ class _Codec:
             ).SerializeToString()
             if self.enc_remove_key() != ref:
                 return False
+            for key in (b"", b"k", b"k" * 200):
+                ref = SM.StateRequest(
+                    stateVariableRequest=SM.StateVariableRequest(
+                        mapStateCall=SM.MapStateCall(
+                            stateName="counts", getValue=SM.GetValue(userKey=key)
+                        )
+                    )
+                ).SerializeToString()
+                if self.enc_map_get("counts", key) != ref:
+                    return False
+                for value in (b"", b"v" * 40, b"v" * 300):
+                    ref = SM.StateRequest(
+                        stateVariableRequest=SM.StateVariableRequest(
+                            mapStateCall=SM.MapStateCall(
+                                stateName="counts",
+                                updateValue=SM.UpdateValue(userKey=key, value=value),
+                            )
+                        )
+                    ).SerializeToString()
+                    if self.enc_map_update("counts", key, value) != ref:
+                        return False
             for status, err, value in ((0, "", b""), (2, "", b""), (1, "boom", b"\x01\x02"), (0, "", b"v" * 300)):
                 resp = SM.StateResponse(
                     statusCode=status, errorMessage=err, value=value
@@ -350,6 +394,95 @@ class FastValueState:
             from pyspark.errors import PySparkRuntimeError
 
             raise PySparkRuntimeError(f"Error clearing value state: {err}")
+
+
+class FastMapState:
+    """Drop-in for ``pyspark...MapState``: hand-framed getValue/updateValue
+    (the per-touched-user hot path); every other call drains any pipeline
+    queue and delegates to the stock object — so the stock iterator/keys/
+    values paging never interleaves with deferred responses."""
+
+    __slots__ = ("_stock", "_api", "_codec", "_name", "_key_schema", "_value_schema", "_pipe")
+
+    def __init__(self, stock: Any, api: Any, codec: _Codec) -> None:
+        self._stock = stock
+        self._api = api
+        self._codec = codec
+        self._name = stock._stateName
+        client = stock._mapStateClient
+        self._key_schema = client.user_key_schema
+        self._value_schema = client.value_schema
+        self._pipe = getattr(api, "_tws_pipe", None)
+
+    def getValue(self, key: Tuple) -> Optional[Any]:
+        key_bytes = self._api._serialize_to_bytes(self._key_schema, key)
+        msg = self._codec.enc_map_get(self._name, key_bytes)
+        if self._pipe is not None:
+            status, err, value = self._pipe.send(msg, "map getValue", defer=False)
+        else:
+            status, err, value = _roundtrip(self._api, msg, self._codec)
+        if status == 0:
+            if not value:
+                return None
+            return self._api._deserialize_from_bytes(value)
+        from pyspark.errors import PySparkRuntimeError
+
+        raise PySparkRuntimeError(f"Error getting value: {err}")
+
+    def updateValue(self, key: Tuple, value: Tuple) -> None:
+        key_bytes = self._api._serialize_to_bytes(self._key_schema, key)
+        value_bytes = self._api._serialize_to_bytes(self._value_schema, value)
+        msg = self._codec.enc_map_update(self._name, key_bytes, value_bytes)
+        if self._pipe is not None:
+            self._pipe.send(msg, "map updateValue", defer=True)
+            return
+        status, err, _ = _roundtrip(self._api, msg, self._codec)
+        if status != 0:
+            from pyspark.errors import PySparkRuntimeError
+
+            raise PySparkRuntimeError(f"Error updating map state value: {err}")
+
+    def _delegate(self, method: str, *args: Any) -> Any:
+        if self._pipe is not None:
+            self._pipe.drain()
+        return getattr(self._stock, method)(*args)
+
+    def exists(self) -> bool:
+        return self._delegate("exists")
+
+    def containsKey(self, key: Tuple) -> bool:
+        return self._delegate("containsKey", key)
+
+    def iterator(self) -> Any:
+        return self._delegate("iterator")
+
+    def keys(self) -> Any:
+        return self._delegate("keys")
+
+    def values(self) -> Any:
+        return self._delegate("values")
+
+    def removeKey(self, key: Tuple) -> None:
+        return self._delegate("removeKey", key)
+
+    def clear(self) -> None:
+        return self._delegate("clear")
+
+
+def wrap_map_state(map_state: Any) -> Any:
+    """Return a fast handle for a stock ``MapState`` when the byte-level
+    self-check passes; the stock object itself otherwise."""
+    codec = _get_codec()
+    if codec is None:
+        return map_state
+    try:
+        client = map_state._mapStateClient
+        api = client._stateful_processor_api_client
+        if not hasattr(api, "sockfile"):
+            return map_state
+        return FastMapState(map_state, api, codec)
+    except Exception:
+        return map_state
 
 
 def wrap_value_state(value_state: Any) -> Any:

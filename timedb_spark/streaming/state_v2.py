@@ -529,10 +529,14 @@ class TopKUsersProcessor(StatefulProcessor):
         self._k = k
 
     def init(self, handle: "StatefulProcessorHandle") -> None:
-        from timedb_spark.streaming._tws_fastpath import patch_implicit_key
+        from timedb_spark.streaming._tws_fastpath import patch_implicit_key, wrap_map_state
 
-        patch_implicit_key(handle)
-        self._counts = handle.getMapState("counts", "user_id LONG", "n LONG, sum_cents LONG")
+        # pipelining legal: timeMode None, and every RPC flows through the
+        # fast paths (the wrapped iterator drains before stock paging).
+        patch_implicit_key(handle, pipeline=True)
+        self._counts = wrap_map_state(
+            handle.getMapState("counts", "user_id LONG", "n LONG, sum_cents LONG")
+        )
 
     def handleInputRows(self, key, rows, timerValues):
         import numpy as np
@@ -646,9 +650,9 @@ class DedupProcessor(StatefulProcessor):
         self._ttl = ttl
 
     def init(self, handle: "StatefulProcessorHandle") -> None:
-        from timedb_spark.streaming._tws_fastpath import patch_implicit_key
+        from timedb_spark.streaming._tws_fastpath import patch_implicit_key, wrap_map_state
 
-        patch_implicit_key(handle)
+        patch_implicit_key(handle, pipeline=True)
         if self._ttl:
             self._seen = handle.getMapState(
                 "seen", "text_key STRING", "doc_id LONG, n_dups LONG",
@@ -656,6 +660,7 @@ class DedupProcessor(StatefulProcessor):
             )
         else:
             self._seen = handle.getMapState("seen", "text_key STRING", "doc_id LONG, n_dups LONG")
+        self._seen = wrap_map_state(self._seen)
 
     def handleInputRows(self, key, rows, timerValues):
         frames = [pdf for pdf in rows if len(pdf)]
