@@ -381,8 +381,8 @@ def test_graph_shj_partition_formula_and_fallback_plan(spark, sf_dir):
     assert _shj_parts(32, 1_196_000) == 32          # sf0.1 co-purchase graph
     assert _shj_parts(32, 32 * _SHJ_EDGES_PER_PART) == 32
     assert _shj_parts(32, 32 * _SHJ_EDGES_PER_PART + 1) == 33
-    assert _shj_parts(32, 24_000_000) == 160        # the 20x probe graph
-    assert _shj_parts(32, 10_000_000_000) == 66_667  # a 100 TB-ish graph
+    assert _shj_parts(32, 24_000_000) == 320        # the 20x probe graph
+    assert _shj_parts(32, 10_000_000_000) == 133_334  # a 100 TB-ish graph
     # plan pin: forced-degree (broadcast off) wedge+closing joins are SHJ,
     # and the wedge stream is never sorted into a join
     df = analytics.graph_triangles(spark, sf_dir, orient="degree")
@@ -997,12 +997,18 @@ def test_rollup_pit_backtest_no_cartesian_bounded_shuffles(spark, sf_dir):
 #: calls of sides bounded by contract, not planner guesses: the ANN family
 #: broadcasts the sampled QUERY side (its probe/subvector expansions are
 #: constant-factor over a fixed small query set — "queries broadcast,
-#: corpus never shuffles"), and the contamination scans broadcast the
-#: FIXED benchmark eval slice, which does not scale with the corpus.
+#: corpus never shuffles"), the contamination scans broadcast the
+#: FIXED benchmark eval slice, which does not scale with the corpus, and
+#: multimodal_audio_hash broadcasts the band-explosion of the
+#: DISTINCT-16-bit-hash frame (a post-groupBy side capped at
+#: 4 bands x 2^16 = 262,144 rows at ANY corpus size — the r14 rewrite
+#: that replaced its doc-level band self-join; the raw doc explode this
+#: audit pins no longer exists in that plan).
 _EXPLICIT_BOUNDED_BROADCASTS = frozenset({
     "ann_bruteforce", "ann_lsh", "ann_ivf", "ann_pq", "ann_range",
     "ann_hybrid", "ann_filtered", "ann_mmr", "ann_recall",
     "contamination_check", "contamination_semantic",
+    "multimodal_audio_hash",
 })
 
 #: Store/stream-backed gates materialize whole stores or drain streams in
