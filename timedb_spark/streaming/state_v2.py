@@ -51,6 +51,24 @@ _HAVE_TWS = not _TWS_MISSING
 if not _HAVE_TWS:
     StatefulProcessor = object  # type: ignore[assignment,misc]
 
+if _HAVE_TWS:
+    # Input-boundary fast path (guide §4): must be applied at MODULE IMPORT
+    # so it lands in the Spark Python worker while the processor UDF is
+    # being unpickled — i.e. BEFORE the worker starts pulling the stock
+    # load_stream generator (init() runs too late for the current task).
+    # Equivalence-verified at patch time; a failed check or
+    # TIMEDB_SPARK_NO_TWS_INPUT_FASTPATH=1 leaves stock pyspark in place.
+    try:
+        from timedb_spark.streaming._tws_fastpath import (
+            patch_input_serializer,
+            patch_output_serializer,
+        )
+
+        patch_input_serializer()
+        patch_output_serializer()
+    except Exception:  # pragma: no cover - never block the gate on a perf patch
+        pass
+
 #: per-key scalar state: the current argmax observation. v1's STATE_SCHEMA
 #: is array-shaped (it keys by series_id and tracks every valid_time in one
 #: state row); v2 keys by (series_id, valid_time) so state is 3 scalars.
