@@ -92,6 +92,15 @@ def test_every_gate_query_output_schema_is_flat(spark):
         "embed_knn_graph",
         "ts_granger",
         "ts_arch_test",
+        # r14 §9: per-user/per-series frame localCheckpoint pins so each
+        # O(n)/O(n²) HOF fold evaluates once — the checkpointed RDD is a
+        # materialized Spark plan (population b), not driver Python
+        "ts_runs_test",
+        "ts_ljung_box",
+        "ts_spectral_entropy",
+        "ts_mk_trend",
+        "ts_periodogram",
+        "ts_seasonal_strength",
     }
 
     offenders = {}

@@ -64,9 +64,32 @@ def floor_scale_sql(expr: str, digits: int = 6) -> str:
     )
 
 
+def floor_scale_once(c: Column, digits: int = 6) -> Column:
+    """:func:`floor_scale` with the input evaluated exactly ONCE per row.
+
+    The guard references its input four times textually (isnan / abs /
+    pass-through / floor), and Catalyst's CollapseProject + predicate
+    pushdown happily duplicate all four into join conditions — for an
+    expensive input like a per-pair dot-product fold that multiplies the
+    hot-loop cost (dedup_embedding's before-plan evaluated its fold 8×
+    per candidate pair). Binding ``c`` as a one-element array-lambda
+    variable pins one evaluation; the lambda body re-references only the
+    bound variable. Same value, same double ops. Use for per-row folds;
+    plain :func:`floor_scale` stays codegen-friendly for cheap scalars.
+    """
+    from timedb_spark.functions.binding import bind1
+
+    return bind1(c, lambda x: floor_scale(x, digits))
+
+
 def floor6(c: Column) -> Column:
     """6-dp :func:`floor_scale` — the most common gate precision."""
     return floor_scale(c, 6)
+
+
+def floor6_once(c: Column) -> Column:
+    """6-dp :func:`floor_scale_once` — for expensive (fold) inputs."""
+    return floor_scale_once(c, 6)
 
 
 def floor6_sql(expr: str) -> str:

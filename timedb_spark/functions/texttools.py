@@ -12,6 +12,8 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
+from timedb_spark.functions.binding import bind1
+
 #: BPE-ish tokenizer: words | numbers | single punctuation marks.
 BPE_TOKEN_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
 
@@ -49,10 +51,19 @@ def shingles(tokens: Column, n: int = 5) -> Column:
 
     Sequence-index formulation — no explode, the whole array pipeline stays
     one projection: shingle i = tokens[i .. i+n-1].
+
+    ``tokens`` is bound once (:func:`~timedb_spark.functions.binding.bind1`):
+    callers pass tokenizer EXPRESSIONS (regex splits), and unbound, Catalyst
+    inlines the split into the per-shingle slice — re-tokenizing the whole
+    document at every shingle position (the r14 audit's worst per-element
+    re-evaluation).
     """
-    return F.transform(
-        F.sequence(F.lit(0), F.greatest(F.size(tokens) - n, F.lit(0))),
-        lambda i: F.concat_ws(" ", F.slice(tokens, i + 1, n)),
+    return bind1(
+        tokens,
+        lambda toks: F.transform(
+            F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+        ),
     )
 
 

@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from timedb_spark.functions import texttools as tt
-from timedb_spark.functions.rounding import floor6, floor6_sql
+from timedb_spark.functions.rounding import floor6, floor6_once, floor6_sql
 from timedb_spark.functions import vectors as vx
 from timedb_spark.io.tables import load_table
 
@@ -416,19 +416,30 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     Each vector's norm is computed ONCE before the join (pairs only pay one
     dot product, not three — norms are per-row, dots are per-pair, and the
     pair count is quadratic in bucket size). Same double arithmetic as
-    ``cosine_q``, so the oracle stays bit-identical."""
+    ``cosine_q``, so the oracle stays bit-identical.
+
+    ``floor6_once`` binds the dot fold so the rounding guard + the
+    τ-filter evaluate it once per pair — the plain ``floor6``
+    before-plan ran the fold 8× per candidate pair (4 textual guard
+    references × {join condition, projection}). The τ-threshold sits in
+    the JOIN CONDITION, after the cheap conjuncts: Spark evaluates the
+    residual And left-to-right, so every label-colliding pair pays the
+    ordering/equality checks first and only the surviving ordered half
+    pays the interpreted 64-term fold (the optimizer was placing the
+    pushed-down filter's fold FIRST, before ``vec_id <``)."""
     c = emb_corpus(spark, sf_dir).withColumn("nq", F.sqrt(vx.norm_sq_q(F.col("q")).cast("double")))
     a = c.alias("a")
     b = c.alias("b")
     cos = vx.dot_q(F.col("a.q"), F.col("b.q")) / (F.col("a.nq") * F.col("b.nq"))
-    return (
-        a.join(b, (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") < F.col("b.vec_id")))
-        .select(
-            F.col("a.vec_id").alias("vec_a"),
-            F.col("b.vec_id").alias("vec_b"),
-            floor6(cos).alias("cosine"),
-        )
-        .filter(F.col("cosine") >= _EMB_TAU)
+    return a.join(
+        b,
+        (F.col("a.label") == F.col("b.label"))
+        & (F.col("a.vec_id") < F.col("b.vec_id"))
+        & (floor6_once(cos) >= _EMB_TAU),
+    ).select(
+        F.col("a.vec_id").alias("vec_a"),
+        F.col("b.vec_id").alias("vec_b"),
+        floor6_once(cos).alias("cosine"),
     )
 
 

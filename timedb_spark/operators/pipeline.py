@@ -606,13 +606,20 @@ def contamination_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", vx.quantize(F.col("embedding")).alias("q")
     )
     is_bench = F.col("vec_id") % _SEM_BENCH_MOD == 0
+    # norms are per-ROW; inlined cosine_q recomputed both (plus the
+    # quantize transform) per PAIR — the dedup_embedding r14 finding.
+    # The broadcast materializes the bench projection; the streamed scan
+    # side is pinned with a lazy localCheckpoint (vec-count rows).
     bench = vecs.filter(is_bench).select(
-        F.col("vec_id").alias("bench_id"), F.col("q").alias("bq")
+        F.col("vec_id").alias("bench_id"),
+        F.col("q").alias("bq"),
+        F.sqrt(vx.norm_sq_q(F.col("q")).cast("double")).alias("bnq"),
     )
-    scan = vecs.filter(~is_bench)
-    scored = scan.join(F.broadcast(bench)).select(
-        "vec_id", "bench_id", vx.cosine_q(F.col("q"), F.col("bq")).alias("_cos")
-    )
+    scan = vecs.filter(~is_bench).select(
+        "vec_id", "q", F.sqrt(vx.norm_sq_q(F.col("q")).cast("double")).alias("nq")
+    ).localCheckpoint(eager=False)
+    cos = vx.dot_q(F.col("q"), F.col("bq")) / (F.col("nq") * F.col("bnq"))
+    scored = scan.join(F.broadcast(bench)).select("vec_id", "bench_id", cos.alias("_cos"))
     from pyspark.sql import Window as _W
 
     # every vector's WORST offender rides the output (hash-checking real

@@ -2173,8 +2173,15 @@ def mk_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_distinct("c"), lambda v: F.size(F.filter("c", lambda x: x == v)).cast("long")
     )
     corr = F.aggregate(tcounts, zero, lambda acc, t: acc + t * (t - 1) * (2 * t + 5))
+    # pin the three O(n²)-ish aggregates once (r14 audit): downstream, z
+    # references s_stat/var_s four times, the Sen's-slope median reads the
+    # sorted pair-slopes array m six times, and the verdict re-references
+    # z — unpinned, Catalyst re-evaluated the flatten+sort per reference.
+    g = g.select(
+        "user_id", "n", s_stat.alias("s_stat"), slopes.alias("m"), corr.alias("tie_corr")
+    ).localCheckpoint(eager=False)
     nl = n.cast("long")
-    var_s = (nl * (nl - 1) * (2 * nl + 5) - corr).cast("double") / 18.0
+    var_s = (nl * (nl - 1) * (2 * nl + 5) - F.col("tie_corr")).cast("double") / 18.0
     sd = F.sqrt(var_s)
     z = (
         F.when((F.col("s_stat") > 0) & (sd > 0.0), (F.col("s_stat") - 1).cast("double") / sd)
@@ -2189,7 +2196,6 @@ def mk_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).otherwise(
         (F.element_at("m", (p / 2).cast("int")) + F.element_at("m", (p / 2).cast("int") + 1)) / 2.0
     )
-    g = g.select("user_id", "n", "c", s_stat.alias("s_stat"), slopes.alias("m"), corr.alias("tie_corr"))
     g = g.select(
         "user_id",
         F.col("n").alias("n_events"),
@@ -2329,8 +2335,8 @@ def periodogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     xs = F.transform("hist", lambda r: r["c"].cast("double") / 100.0)
     g = g.select("user_id", xs.alias("x"), F.size("hist").alias("n_hours"))
 
-    def _power(cp: float, sp: float):
-        fold = F.aggregate(
+    def _fold(cp: float, sp: float):
+        return F.aggregate(
             "x",
             F.array(F.lit(1.0), F.lit(0.0), F.lit(0.0), F.lit(0.0)),
             lambda acc, x: F.array(
@@ -2340,11 +2346,23 @@ def periodogram(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.element_at(acc, 4) + x * F.element_at(acc, 2),
             ),
         )
-        sx, sy = F.element_at(fold, 3), F.element_at(fold, 4)
+
+    # pin each period's fold once: sx·sx + sy·sy references it 4×, the
+    # dominant-period CASE and the floor outputs re-reference the powers —
+    # unpinned, the plan carried 36 fold copies instead of 3 (r14 audit)
+    g = g.select(
+        "user_id",
+        "n_hours",
+        *[_fold(cp, sp).alias(f"f{p}") for p, (cp, sp) in _PERIODOGRAM_PERIODS.items()],
+    ).localCheckpoint(eager=False)
+
+    def _power(p: int):
+        sx = F.element_at(F.col(f"f{p}"), 3)
+        sy = F.element_at(F.col(f"f{p}"), 4)
         n = F.col("n_hours").cast("double")
         return (sx * sx + sy * sy) / (n * n)
 
-    powers = {p: _power(cp, sp) for p, (cp, sp) in _PERIODOGRAM_PERIODS.items()}
+    powers = {p: _power(p) for p in _PERIODOGRAM_PERIODS}
     p24, p12, p168 = powers[24], powers[12], powers[168]
     dominant = (
         F.when((p12 >= p24) & (p12 >= p168), F.lit("12h"))
@@ -2463,7 +2481,17 @@ def seasonal_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
         m = s1 / n
         return s2 / n - m * m
 
-    vr, vds, vdt = var_of("r"), var_of("ds"), var_of("dt")
+    # pin the three variance folds once: ft/fs reference them 2-3× and are
+    # themselves re-referenced by the verdict CASE and the floor outputs —
+    # unpinned, the plan carried 54 fold copies instead of 6 (r14 audit)
+    g = g.select(
+        "series_id",
+        F.size("hist").alias("n_hours"),
+        var_of("r").alias("vr"),
+        var_of("ds").alias("vds"),
+        var_of("dt").alias("vdt"),
+    ).localCheckpoint(eager=False)
+    vr, vds, vdt = F.col("vr"), F.col("vds"), F.col("vdt")
     ft = F.greatest(F.lit(0.0), F.when(vds > 0.0, 1.0 - vr / vds).otherwise(F.lit(0.0)))
     fs = F.greatest(F.lit(0.0), F.when(vdt > 0.0, 1.0 - vr / vdt).otherwise(F.lit(0.0)))
     label = (
@@ -2474,7 +2502,7 @@ def seasonal_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return g.select(
         "series_id",
-        F.size("hist").alias("n_hours"),
+        "n_hours",
         (F.floor(ft * 1e6) / 1e6).alias("f_trend"),
         (F.floor(fs * 1e6) / 1e6).alias("f_seasonal"),
         label.alias("character"),
@@ -3341,6 +3369,12 @@ def runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     one fixed-order double expression. At-median observations drop, per
     the classic test. Zero Python, no window, per-user cost bounded by
     entity history.
+
+    The two lazy ``localCheckpoint`` pins (dedup_editdist's r14 fix —
+    CollapseProject/PushDownPredicates inline derived columns into lambda
+    BODIES, re-evaluating them per array element: the pushed min-signs
+    filter was re-running ``array_sort`` O(n) times per row) hold the
+    per-user frame, one row per user — the query's own output cardinality.
     """
     ev = load_table(spark, sf_dir, "events")
     s = F.struct(F.col("ts"), F.col("event_id"), F.col("value"))
@@ -3362,6 +3396,7 @@ def runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     g = g.withColumn("med", med)
+    g = g.localCheckpoint(eager=False)
     signs = F.filter(
         F.transform(
             "c",
@@ -3373,6 +3408,7 @@ def runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     g = g.withColumn("s", signs).withColumn("m", F.size("s"))
     g = g.filter(F.col("m") >= _RUNS_MIN_SIGNS)
+    g = g.select("user_id", "n_obs", "s", "m").localCheckpoint(eager=False)
     runs = F.lit(1) + F.aggregate(
         F.sequence(F.lit(2), F.col("m")),
         F.lit(0),
@@ -3709,6 +3745,11 @@ def ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
     discipline — identical double op order in the list_reduce oracle).
     Per-user cost is 5 linear passes over a history-bounded array; zero
     Python, no window.
+
+    The two lazy ``localCheckpoint`` pins keep that contract literal:
+    without them Catalyst inlines ``mu`` (itself a fold) into the ``dev``
+    lambda per element and ``dev`` into every ``element_at`` of the five
+    lag folds — 25 fold nodes in the before-plan instead of 7.
     """
     ev = load_table(spark, sf_dir, "events")
     s = F.struct(F.col("ts"), F.col("event_id"), F.col("value"))
@@ -3721,10 +3762,12 @@ def ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = F.col("n_obs")
     mu = sx.cast("double") / n.cast("double")
     g = g.withColumn("mu", mu)
+    g = g.localCheckpoint(eager=False)
     dev = F.transform("c", lambda x: x.cast("double") - F.col("mu"))
     g = g.withColumn("dev", dev)
     denom = F.aggregate("dev", F.lit(0.0), lambda acc, x: acc + x * x)
     g = g.withColumn("denom", denom)
+    g = g.select("user_id", "n_obs", "dev", "denom").localCheckpoint(eager=False)
 
     def _num(k: int):
         return F.aggregate(
@@ -3734,16 +3777,27 @@ def ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.element_at("dev", t.cast("int")) * F.element_at("dev", (t + k).cast("int")),
         )
 
+    # Pin each r_k once: q references every r_k twice (r_k²) and is itself
+    # referenced twice (q_stat + verdict), so unpinned lag folds appear
+    # 21× in the plan instead of 5 (each O(n), but 4× the per-row cost).
+    # The denom>0 guard must run BEFORE the pin materializes the ANSI
+    # divisions (unpinned, Catalyst pushed it below them itself).
+    g = g.filter(F.col("denom") > 0)
+    g = g.select(
+        "user_id",
+        "n_obs",
+        *[(_num(k) / F.col("denom")).alias(f"r{k}") for k in range(1, _LB_LAGS + 1)],
+    ).localCheckpoint(eager=False)
     nd = F.col("n_obs").cast("double")
     q = F.lit(0.0)
     r1 = None
     for k in range(1, _LB_LAGS + 1):
-        rk = _num(k) / F.col("denom")
+        rk = F.col(f"r{k}")
         if k == 1:
             r1 = rk
         q = q + rk * rk / (nd - float(k))
     q = nd * (nd + 2.0) * q
-    return g.filter(F.col("denom") > 0).select(
+    return g.select(
         "user_id",
         "n_obs",
         (F.floor(r1 * 1e6) / 1e6).alias("acf_lag1"),
@@ -3891,6 +3945,10 @@ def spectral_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         return F.array(*slots)
 
     g = g.withColumn("f", F.aggregate("x", init, _step))
+    # pin the fused fold: every power reads f twice, total/entropy/verdict
+    # re-reference the powers, and the total>0 filter pushes below it all —
+    # unpinned, the 32-slot fold appeared 33× in the plan (r14 audit)
+    g = g.select("user_id", "n_hours", "f").localCheckpoint(eager=False)
     n_ = F.col("n_hours").cast("double")
     powers = [
         (
@@ -5537,8 +5595,14 @@ def arch_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     sx = F.aggregate("c2", zero, lambda acc, x: acc + x)
     mu = sx.cast("double") / F.col("n_obs").cast("double")
     g = g.withColumn("mu", mu)
+    # same ljung_box r14 pins downstream of the c2 barrier: mu (a fold)
+    # would otherwise inline into the dev lambda per element, dev into
+    # every element access of the five lag folds, and each lag fold would
+    # appear 4× through q's textual duplication (q_stat + verdict, r_k²)
+    g = g.localCheckpoint(eager=False)
     g = g.withColumn("dev", F.transform("c2", lambda x: x.cast("double") - F.col("mu")))
     g = g.withColumn("denom", F.aggregate("dev", F.lit(0.0), lambda acc, x: acc + x * x))
+    g = g.select("user_id", "n_obs", "dev", "denom").localCheckpoint(eager=False)
 
     def _num(k: int):
         return F.aggregate(
@@ -5548,16 +5612,22 @@ def arch_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.element_at("dev", t.cast("int")) * F.element_at("dev", (t + k).cast("int")),
         )
 
+    g = g.filter(F.col("denom") > 0)
+    g = g.select(
+        "user_id",
+        "n_obs",
+        *[(_num(k) / F.col("denom")).alias(f"r{k}") for k in range(1, _LB_LAGS + 1)],
+    ).localCheckpoint(eager=False)
     nd = F.col("n_obs").cast("double")
     q = F.lit(0.0)
     r1 = None
     for k in range(1, _LB_LAGS + 1):
-        rk = _num(k) / F.col("denom")
+        rk = F.col(f"r{k}")
         if k == 1:
             r1 = rk
         q = q + rk * rk / (nd - float(k))
     q = nd * (nd + 2.0) * q
-    return g.filter(F.col("denom") > 0).select(
+    return g.select(
         "user_id",
         F.col("n_obs").cast("long").alias("n_sq_changes"),
         (F.floor(r1 * 1e6) / 1e6).alias("acf_sq_lag1"),
