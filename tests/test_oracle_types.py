@@ -101,6 +101,9 @@ def test_every_gate_query_output_schema_is_flat(spark):
         "ts_mk_trend",
         "ts_periodogram",
         "ts_seasonal_strength",
+        # r14: _lp_run's pinned labels (same population-(b) lineage cut;
+        # graph_modularity is already listed above)
+        "graph_label_prop",
     }
 
     offenders = {}

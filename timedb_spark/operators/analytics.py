@@ -21,6 +21,7 @@ import math
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from timedb_spark.functions.ordering import packed_lex
 from timedb_spark.io.tables import load_table
 
 _DEC = "decimal(18,2)"
@@ -1613,17 +1614,27 @@ def _lp_run(spark: SparkSession, sf_dir: str):
         pairs.select(F.col("part_b").alias("src"), F.col("part_a").alias("dst"))
     ).localCheckpoint(eager=False)
     labels = edges.select(F.col("src").alias("node")).distinct().withColumn("lbl", F.col("node"))
-    w = Window.partitionBy("node").orderBy(F.col("c").desc(), F.col("lbl").asc())
+    # Per-round argmax by (c DESC, lbl ASC) as max_by over a packed
+    # DECIMAL(38,0) key (r14: was a row_number window — full shuffle+sort
+    # of the ~|edges| histogram every round; the r13 packed-ordering
+    # finding applied to the propagation loop). Distinct lbl per (node,
+    # lbl) group ⇒ distinct packed keys ⇒ the max_by pick is exactly the
+    # window's rn=1 row. c ≥ 1 and lbl is a positive part id < 5e18, so
+    # packed_lex's injectivity precondition holds by construction.
     for _ in range(_LP_ROUNDS):
         hist = (
             edges.join(labels, edges.src == labels.node)
             .groupBy(F.col("dst").alias("node"), "lbl")
             .agg(F.count(F.lit(1)).alias("c"))
         )
-        labels = (
-            hist.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1).select("node", "lbl")
+        labels = hist.groupBy("node").agg(
+            F.max_by("lbl", packed_lex(F.col("c"), -F.col("lbl"))).alias("lbl")
         )
-    return pairs, edges, labels
+    # the final label table feeds ≥2 consumers in BOTH callers (sizes +
+    # readout join in graph_label_prop; degree-mass + two internal-edge
+    # sides in graph_modularity) — pin it so the 4-round propagation DAG
+    # runs once, not once per consumer. One row per node.
+    return pairs, edges, labels.localCheckpoint(eager=False)
 
 
 def graph_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2271,6 +2282,10 @@ def graph_kcore(
         k = math.floor(0.7 * (float(row["s"]) / float(row["n"])))
     cur = und
     for _ in range(rounds):
+        # NOTE (r14): pinning this survivor set with a per-round
+        # localCheckpoint measured 9.7 → 20.4 s at sf0.1 (clean control) —
+        # the extra blocking job per round costs more than the duplicated
+        # degree aggregation it saves. Left unpinned deliberately.
         keep = (
             cur.groupBy("v").agg(F.count(F.lit(1)).alias("d"))
             .filter(F.col("d") >= F.lit(k))
@@ -2515,10 +2530,10 @@ def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     count is bounded by the part dimension, so the output is small by
     construction."""
     pairs, edges, labels = _lp_run(spark, sf_dir)
-    # the label table feeds the degree-mass AND internal-edge branches —
-    # without the barrier the whole 4-round propagation DAG inlines into
-    # both (measured 18.7 s → label-prop band at sf0.1).
-    labels = labels.localCheckpoint(eager=False)
+    # labels arrives pinned from _lp_run (it feeds the degree-mass AND
+    # both internal-edge branches here — without the barrier the whole
+    # 4-round propagation DAG inlines into each; measured 18.7 s →
+    # label-prop band at sf0.1).
     mdf = pairs.agg(F.count(F.lit(1)).alias("m"))
     deg = edges.groupBy(F.col("src").alias("node")).agg(F.count(F.lit(1)).alias("deg"))
     dsum = (
@@ -2696,6 +2711,11 @@ def graph_clustering(spark: SparkSession, sf_dir: str, *, top_n: int = 20, orien
         deg.join(tcounts, "node", "left")
         .withColumn("n_triangles", F.coalesce("n_triangles", F.lit(0)).cast("long"))
         .filter(F.col("degree") >= 2)
+        # pin: nodes feeds the global transitivity agg AND the output
+        # projection — unpinned, the whole triangle enumeration (the
+        # expensive wedge join inside tcounts) runs twice (r14). One row
+        # per node with degree ≥ 2.
+        .localCheckpoint(eager=False)
     )
     glob = nodes.agg(
         F.sum("n_triangles").alias("t3"),  # Σ per-node counts = 3·triangles

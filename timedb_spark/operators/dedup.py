@@ -1180,6 +1180,13 @@ def dedup_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
         "gs", lambda s: F.conv(F.substring(F.md5(s), 1, 6), 16, 10).cast("long")
     )
     d = d.withColumn("g", grams).withColumn("ng", F.size("g"))
+    # Pin the gram arrays before the explode (r14 §9 follow-up): the
+    # posexplode's inferred generator guard (size(g)>0 AND isnotnull(g))
+    # pushes below the gram projection and INLINES the whole md5-gram
+    # pipeline into the filter — the per-gram md5 chain evaluated 3× per
+    # doc (and the regex split 10×), per union branch. The pinned frame
+    # is one gram array per doc — the same data the explode reads anyway.
+    d = d.select("doc_id", "ng", "g").localCheckpoint(eager=False)
     # Window minima via posexplode + a ROWS window, NOT array lambdas:
     # Catalyst inlines the gram transform into every element access, so an
     # array-side slice/array_min formulation re-evaluates the md5 chain

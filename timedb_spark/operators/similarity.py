@@ -18,7 +18,7 @@ from pyspark.sql import functions as F
 from timedb_spark.functions import texttools as tt
 from timedb_spark.functions.ordering import packed_lex
 from timedb_spark.functions import vectors as vx
-from timedb_spark.functions.rounding import floor6, floor6_sql
+from timedb_spark.functions.rounding import floor6, floor6_once, floor6_sql
 from timedb_spark.io.tables import load_table
 
 _TOP_K = 5
@@ -185,6 +185,11 @@ def _ivf_assign(spark: SparkSession, sf_dir: str):
     )
     wa = Window.partitionBy("vec_id").orderBy(F.col("cs").desc(), F.col("cell"))
     assign = scored_c.withColumn("rn", F.row_number().over(wa)).filter(F.col("rn") == 1).select("vec_id", "q", "cell", "cs")
+    # NOT pinned here: ann_ivf and embed_index_stats each read assign
+    # exactly once, so a localCheckpoint would be a pure blocking-job
+    # overhead for them (measured r14: ann_ivf 1.7 → 2.2-5.9 s with the
+    # pin). embed_knn_graph — the one consumer that reads assign on BOTH
+    # self-join sides — pins its own copy at the call site.
     return scored_c, wa, assign
 
 
@@ -640,7 +645,10 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=False)
     )
     a, b = c.alias("a"), c.alias("b")
-    cos = floor6(vx.dot_q(F.col("a.q"), F.col("b.q")) / (F.col("a.nq") * F.col("b.nq")))
+    # floor6_once: the rounding guard references its input 4× textually,
+    # so plain floor6 ran the 64-term dot fold 4× per candidate pair
+    # (dedup_embedding's r14 finding; same fix, same bit-identical value)
+    cos = floor6_once(vx.dot_q(F.col("a.q"), F.col("b.q")) / (F.col("a.nq") * F.col("b.nq")))
     dup_counts = (
         a.join(
             b,
@@ -1845,11 +1853,25 @@ def embed_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     quantized-integer dot folds; floor-scaled cosine; mutual as 0/1 int
     (gate-friendly flat schema)."""
     _, _, assign = _ivf_assign(spark, sf_dir)
-    a = assign.select("cell", F.col("vec_id").alias("src"), F.col("q").alias("qa"))
-    b = assign.select("cell", F.col("vec_id").alias("dst"), F.col("q").alias("qb"))
+    # norms are per-ROW; inlined cosine_q would fold BOTH norms per PAIR
+    # (the dedup_embedding r13/r14 finding — pairs are quadratic in cell
+    # size, norms linear). Same double op order as cosine_q: dot /
+    # (sqrt(na) * sqrt(nb)), so the oracle stays bit-identical.
+    assign = assign.withColumn("nq", F.sqrt(vx.norm_sq_q(F.col("q")).cast("double")))
+    # pin here (NOT in _ivf_assign): this is the one consumer that reads
+    # the assignment on BOTH self-join sides — unpinned, the centroid agg
+    # + C-cosine scoring + full ranking window run twice. One row per
+    # vector, q + its norm.
+    assign = assign.localCheckpoint(eager=False)
+    a = assign.select(
+        "cell", F.col("vec_id").alias("src"), F.col("q").alias("qa"), F.col("nq").alias("na")
+    )
+    b = assign.select(
+        "cell", F.col("vec_id").alias("dst"), F.col("q").alias("qb"), F.col("nq").alias("nb")
+    )
     cand = a.join(b, "cell").filter(F.col("src") != F.col("dst"))
     scored = cand.select(
-        "src", "dst", vx.cosine_q(F.col("qa"), F.col("qb")).alias("_cos")
+        "src", "dst", (vx.dot_q(F.col("qa"), F.col("qb")) / (F.col("na") * F.col("nb"))).alias("_cos")
     )
     w = Window.partitionBy("src").orderBy(F.col("_cos").desc(), F.col("dst"))
     knn = (
