@@ -2275,11 +2275,18 @@ def graph_kcore(
     und = edges.unionByName(edges.select(F.col("pb").alias("pa"), F.col("pa").alias("pb")))
     und = und.select(F.col("pa").alias("v"), F.col("pb").alias("w"))
     deg0 = und.groupBy("v").agg(F.count(F.lit(1)).alias("deg0"))
+    bc_keep = False
     if k is None:
         # floor(0.7 × mean degree) from exact integer sums — 1-row bounded
         # collect (the graph_triangles orientation-stats class)
         row = deg0.agg(F.sum("deg0").alias("s"), F.count(F.lit(1)).alias("n")).collect()[0]
         k = math.floor(0.7 * (float(row["s"]) / float(row["n"])))
+        # the survivor set is a node list, bounded above by the measured
+        # node count — when that fits the broadcast budget, hint it so the
+        # two per-round semi-joins need NO edge-list shuffle (the same
+        # measured-size decision as the triangles orientation stats; a
+        # blanket hint would be a local-only "win" that OOMs at scale).
+        bc_keep = float(row["n"]) <= _TRI_BROADCAST_EDGES
     cur = und
     for _ in range(rounds):
         # NOTE (r14): pinning this survivor set with a per-round
@@ -2291,9 +2298,13 @@ def graph_kcore(
             .filter(F.col("d") >= F.lit(k))
             .select("v")
         )
+        keep_v = F.broadcast(keep) if bc_keep else keep
+        keep_w = keep.withColumnRenamed("v", "w")
+        if bc_keep:
+            keep_w = F.broadcast(keep_w)
         cur = (
-            cur.join(keep, "v", "left_semi")
-            .join(keep.withColumnRenamed("v", "w"), "w", "left_semi")
+            cur.join(keep_v, "v", "left_semi")
+            .join(keep_w, "w", "left_semi")
             .select("v", "w")
             .localCheckpoint(eager=False)
         )
