@@ -344,9 +344,34 @@ def lttb_downsample(spark: SparkSession, sf_dir: str, *, n_out: int = LTTB_POINT
         out["pt_index"] = range(len(idx))
         return out
 
-    return s.groupBy("series_id").applyInPandas(
-        _lttb, "series_id long, valid_time timestamp, value double, pt_index long"
+    # Route the n <= n_out identity case through pure Spark (r14, guide
+    # §4): _lttb passes such series through untouched (sort + positional
+    # index), yet every group still paid the per-group pandas dispatch —
+    # measured ~4 ms/group, ~6 s of lttb's 6.4 s at sf0.1 where most
+    # series are short. row_number-1 over the valid_time order is the
+    # exact same pt_index (valid_time is unique per series — it is the
+    # aggregation key of _hourly_series). Only series that actually
+    # downsample (n > n_out) reach Python; both legs share one exchange
+    # (the count window and the groupBy hash-partition by series_id).
+    wn = Window.partitionBy("series_id")
+    counted = s.withColumn("n", F.count(F.lit(1)).over(wn))
+    wo = Window.partitionBy("series_id").orderBy("valid_time")
+    small = (
+        counted.filter(F.col("n") <= n_out)
+        .select(
+            "series_id",
+            "valid_time",
+            "value",
+            (F.row_number().over(wo) - 1).cast("long").alias("pt_index"),
+        )
     )
+    big = (
+        counted.filter(F.col("n") > n_out)
+        .select("series_id", "valid_time", "value")
+        .groupBy("series_id")
+        .applyInPandas(_lttb, "series_id long, valid_time timestamp, value double, pt_index long")
+    )
+    return small.unionByName(big)
 
 
 # The greedy bucket recursion as a RECURSIVE CTE: candidates and avg-bucket
