@@ -678,15 +678,22 @@ def multimodal_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # side would be STATICALLY broadcast (the scaleprobe r12 driver-OOM
     # class; AQE cannot demote it).
     b = bands.select(F.col("doc_id").alias("db"), F.col("phash").alias("pb"), "bi", "bval").hint("merge")
+    # hamming BEFORE the pair-distinct (r14, guide §2.2): h is a function
+    # of the pair, so distinct(da, db, h) has exactly the cardinality of
+    # distinct(da, db, pa, pb) — but the distinct's exchange carries one
+    # small int instead of two 64-bit hashes (the widest columns of the
+    # widest shuffle in this plan). bit_count(xor) on the pre-distinct
+    # rows (≤ 4× per pair, one per matching band) is arithmetic; the
+    # shuffle bytes are the scale cost.
     cand = (
         a.join(b, ["bi", "bval"])
         .filter(F.col("da") != F.col("db"))
-        .select("da", "db", "pa", "pb")
+        .select("da", "db", F.expr("bit_count(pa ^ pb)").cast("int").alias("h"))
         .distinct()
     )
     agg = cand.groupBy(F.col("da").alias("doc_id")).agg(
         F.count(F.lit(1)).alias("n_band_matches"),
-        F.min(F.expr("bit_count(pa ^ pb)")).cast("int").alias("min_hamming"),
+        F.min("h").cast("int").alias("min_hamming"),
     )
     return ph.join(agg, "doc_id", "left").select(
         "doc_id",
